@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{HourlyAggregation, Sessionize, Upsert}
-import graft.queries.ReadQueries
+import graft.queries.{Analytics, ReadQueries}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -78,7 +78,29 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))),
 
     // Gap-based sessionization (reconstructs the reference's session axis).
-    "sessionize_stats" -> ((s, dir) => Sessionize.sessionStats(Tables.events(s, dir)))
+    "sessionize_stats" -> ((s, dir) => Sessionize.sessionStats(Tables.events(s, dir))),
+
+    // ---- star-schema analytics (SURVEY.md §7 step 7) ----
+    "tpch_q1_pricing" -> ((s, dir) =>
+      Analytics.pricingSummary(Tables.lineitem(s, dir))),
+    "mktseg_revenue" -> ((s, dir) =>
+      Analytics.mktsegRevenue(Tables.orders(s, dir), Tables.customer(s, dir))),
+    "nation_revenue" -> ((s, dir) =>
+      Analytics.nationRevenue(
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "top_brands_revenue" -> ((s, dir) =>
+      Analytics.topBrandsByRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "top_orders_per_customer" -> ((s, dir) =>
+      Analytics.topOrdersPerCustomer(Tables.orders(s, dir))),
+    "customers_no_big_orders" -> ((s, dir) =>
+      Analytics.customersWithoutBigOrders(Tables.orders(s, dir), Tables.customer(s, dir))),
+    "big_spenders" -> ((s, dir) =>
+      Analytics.bigSpenders(Tables.orders(s, dir), Tables.customer(s, dir))),
+    "revenue_rollup" -> ((s, dir) =>
+      Analytics.revenueRollup(Tables.orders(s, dir))),
+    "events_by_segment" -> ((s, dir) =>
+      Analytics.eventsBySegment(Tables.events(s, dir), Tables.customer(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -151,6 +173,88 @@ object SparkEntry {
         |       count(*) / CAST(sum(new_s) AS BIGINT) AS events_per_session
         |FROM tagged
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "mktseg_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS order_count,
+        |  count(DISTINCT o_custkey) AS customer_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "top_brands_revenue" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand ASC
+        |LIMIT 10""".stripMargin,
+
+    "top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "customers_no_big_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "big_spenders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "revenue_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "events_by_segment" ->
+      """SELECT c_mktsegment, event_type,
+        |  count(*) AS event_count,
+        |  count(DISTINCT user_id) AS unique_user_count,
+        |  round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin
   )
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Star-schema analytics beyond the reference surface (SURVEY.md §7 step 7):
+  * joins, top-K, SQL window functions, semi/anti joins, rollup — the query
+  * shapes a user of the reference's Postgres-backed API would reach for next,
+  * expressed the way they should run on a 1000-executor cluster:
+  *
+  *   - dimensions (`customer`, `part`, `nation`, `region`) are broadcast —
+  *     the fact-table scan never shuffles for the join;
+  *   - aggregations are declarative groupBy so Catalyst plans partial+final
+  *     hash agg with map-side combine;
+  *   - top-K = orderBy+limit, planned as TakeOrderedAndProject (per-partition
+  *     heap + driver merge, no global sort).
+  *
+  * Determinism note (oracle bit-exactness): large double sums are
+  * order-dependent, so money measures are summed as DECIMAL (exact,
+  * order-independent) and cast back to double — see [[decSum]].
+  */
+object Analytics {
+
+  /** Sum `c` exactly: cast each value to DECIMAL(18,scale) (deterministic
+    * per-row rounding of an identical double on every engine), sum without
+    * order sensitivity, return as double (correctly-rounded conversion).
+    * `scale` is the natural decimal scale of the summand (2 for prices,
+    * 4 for price*(1-disc), 6 with a tax factor).
+    */
+  def decSum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem (scan + hash agg only). */
+  def pricingSummary(lineitem: DataFrame, shipdateCutoff: String = "1998-09-02"): DataFrame = {
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit(s"$shipdateCutoff 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity"), 2).as("sum_qty"),
+        decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        decSum(discPrice, 4).as("sum_disc_price"),
+        decSum(charge, 6).as("sum_charge"),
+        (decSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        (decSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        (decSum(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Revenue by market segment: fact orders joined to broadcast customer dim. */
+  def mktsegRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        decSum(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("order_count"),
+        countDistinct(col("o_custkey")).as("customer_count"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Revenue by region/nation: orders against a 3-dim broadcast snowflake. */
+  def nationRevenue(
+      orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        decSum(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Top-10 part brands by discounted revenue (broadcast part, top-K). */
+  def topBrandsByRevenue(lineitem: DataFrame, part: DataFrame, k: Int = 10): DataFrame =
+    lineitem
+      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        decSum(col("l_quantity"), 2).as("total_qty"))
+      .orderBy(desc("revenue"), asc("p_brand"))
+      .limit(k)
+
+  /** SQL window function: each customer's top-N orders by value.
+    * One shuffle on o_custkey; rank computed within sorted partitions.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Anti join: customers with no order above `threshold` (NOT EXISTS). */
+  def customersWithoutBigOrders(
+      orders: DataFrame, customer: DataFrame, threshold: Double = 300000.0): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_totalprice") > threshold),
+        customer("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join: customers with at least one order above `threshold` (EXISTS). */
+  def bigSpenders(
+      orders: DataFrame, customer: DataFrame, threshold: Double = 400000.0): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_totalprice") > threshold),
+        customer("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** ROLLUP over (orderstatus, orderpriority): subtotals + grand total in one
+    * pass (Catalyst expands grouping sets map-side; still one shuffle).
+    */
+  def revenueRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        decSum(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** Star-schema enrichment of the event stream: events joined to the
+    * broadcast customer dim (user_id = c_custkey in the harness), rolled up
+    * by segment x event_type. The fact scan stays shuffle-free until the
+    * final small aggregation.
+    */
+  def eventsBySegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer), events("user_id") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_user_count"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+}

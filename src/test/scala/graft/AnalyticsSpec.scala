@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries.Analytics
+
+/** Plan-shape assertions: these lock in the physical properties that matter
+  * at cluster scale (broadcast joins over dim tables, filter pushdown into
+  * the parquet scan, partial aggregation) — not just result correctness.
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dim joins broadcast (no shuffle of the fact table for the join)") {
+    val p1 = plan(Analytics.mktsegRevenue(Tables.orders(spark, sf), Tables.customer(spark, sf)))
+    assert(p1.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p1")
+    assert(!p1.contains("SortMergeJoin"))
+
+    val p2 = plan(Analytics.nationRevenue(
+      Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf)))
+    assert(p2.split("BroadcastHashJoin").length >= 4, s"expected 3 broadcast joins:\n$p2")
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan(Analytics.pricingSummary(Tables.lineitem(spark, sf)))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("top-K plans as TakeOrderedAndProject, not global sort") {
+    val p = plan(Analytics.topBrandsByRevenue(Tables.lineitem(spark, sf), Tables.part(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi/anti joins plan as such") {
+    val semi = plan(Analytics.bigSpenders(Tables.orders(spark, sf), Tables.customer(spark, sf)))
+    val anti = plan(Analytics.customersWithoutBigOrders(Tables.orders(spark, sf), Tables.customer(spark, sf)))
+    assert(semi.contains("LeftSemi"), semi)
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("pricing summary column pruning: scan reads only needed columns") {
+    val df = Analytics.pricingSummary(Tables.lineitem(spark, sf))
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // l_orderkey/l_partkey/l_suppkey/l_comment must not be read
+    assert(!scans.contains("l_orderkey"), scans)
+    assert(scans.contains("l_shipdate"))
+  }
+}
