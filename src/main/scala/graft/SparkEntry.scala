@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{HourlyAggregation, Sessionize, Upsert}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, HourlyAggregation, Sessionize, Similarity, Upsert}
 import graft.queries.{Analytics, ReadQueries}
 import org.apache.spark.sql.functions._
 
@@ -100,8 +101,40 @@ object SparkEntry {
     "revenue_rollup" -> ((s, dir) =>
       Analytics.revenueRollup(Tables.orders(s, dir))),
     "events_by_segment" -> ((s, dir) =>
-      Analytics.eventsBySegment(Tables.events(s, dir), Tables.customer(s, dir)))
+      Analytics.eventsBySegment(Tables.events(s, dir), Tables.customer(s, dir))),
+
+    // ---- training-data pipeline: text analysis ----
+    "doc_stats" -> ((s, dir) =>
+      TextAnalysis.docStats(Tables.documents(s, dir), stopwords)),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "token_histogram" -> ((s, dir) =>
+      TextAnalysis.tokenHistogram(Tables.documents(s, dir))),
+    "doc_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(s, Tables.documents(s, dir))),
+    "lang_stats" -> ((s, dir) => TextAnalysis.langStats(Tables.documents(s, dir))),
+
+    // ---- training-data pipeline: deduplication ----
+    "dedup_exact" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    // Sketch-based near-dup (no ANSI-SQL oracle; validated in ScalaTest
+    // against the exact-jaccard pairs): rows-only driver check.
+    "minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s, Tables.documents(s, dir))),
+
+    // ---- training-data pipeline: similarity search ----
+    "ann_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.lshBucketedTopK(Tables.embeddings(s, dir))),
+    "embedding_label_stats" -> ((s, dir) =>
+      Similarity.labelStats(Tables.embeddings(s, dir)))
   )
+
+  private val stopwords = Seq("the", "a", "of", "and")
+  private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "hourly_agg" ->
@@ -255,6 +288,106 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
-        |ORDER BY c_mktsegment, event_type""".stripMargin
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "doc_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks,
+         |                  CAST(length(text) AS BIGINT) AS char_count
+         |           FROM documents)
+         |SELECT doc_id, lang, source, char_count,
+         |  CAST(len(toks) AS BIGINT) AS token_count,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_token_count,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT) AS distinct_ratio,
+         |  CAST(len(list_filter(toks, x -> x IN ($stopwordsSqlList))) AS BIGINT) / CAST(len(toks) AS BIGINT) AS stopword_ratio,
+         |  least(CAST(len(toks) AS BIGINT) / 50.0, 1.0) * 0.5
+         |    + (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT)) * 0.3
+         |    + (CAST(len(list_filter(toks, x -> x IN ($stopwordsSqlList))) AS BIGINT) / CAST(len(toks) AS BIGINT)) * 0.2 AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','und'))) AS de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','et'))) AS fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','y'))) AS es
+        |FROM documents),
+        |p AS (SELECT doc_id, lang,
+        |  CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+        |       WHEN fr > 0 AND fr >= es THEN 'fr'
+        |       WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred
+        |FROM h)
+        |SELECT doc_id, lang, lang_pred,
+        |       CAST(lang = lang_pred AS INTEGER) AS agrees
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "token_histogram" ->
+      """SELECT t AS token, count(*) AS occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t
+        |ORDER BY occurrences DESC, token ASC""".stripMargin,
+
+    "doc_fingerprints" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_stats" ->
+      """SELECT lang, count(*) AS doc_count,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
+        |  count(DISTINCT source) AS source_count
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "ngram_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2]))) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS common_shingles
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common_shingles,
+        |       common_shingles / (sa.n + sb.n - common_shingles) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE common_shingles / (sa.n + sb.n - common_shingles) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT query_id, vec_id AS neighbor_id,
+        |        list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]) AS sim
+        |      FROM embeddings, q WHERE vec_id <> query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM p)
+        |SELECT query_id, neighbor_id, sim, rnk FROM r
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "embedding_label_stats" ->
+      """SELECT label, count(*) AS vec_count,
+        |  CAST(sum(CAST(sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(range(1, len(embedding) + 1),
+        |                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+        |      (x, y) -> x + y)) AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot text path. Native expressions
+  * (vs Scala UDFs) keep the operators inside whole-stage codegen and avoid
+  * per-row serialization — the difference between a scan-speed pipeline and
+  * a UDF-bound one at 100 TB.
+  */
+
+/** Polynomial rolling hash over a string's bytes (Karp-Rabin style):
+  * acc = (acc * 31 + byte) mod 1_000_000_007, left to right.
+  *
+  * Used for document fingerprinting. Matches the pure-SQL fold
+  * `list_reduce(list_transform(range(...), i -> ascii(text[i])), ...)` on
+  * ASCII input, which is what the DuckDB oracle runs — so this native
+  * implementation is verified end-to-end against an independent one.
+  * Generates a tight byte loop via doGenCode (stays in whole-stage codegen).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  protected override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * 31L + (long)($bytes[$i] & 0xFF)) % 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  def hash(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xFF).toLong) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+}
+
+/** 64-bit SimHash over a token array: each token is FNV-1a-hashed to 64
+  * bits; each bit position accumulates +1/-1 votes across tokens; the
+  * fingerprint sets the bits with positive vote. Near-duplicate documents
+  * (small token-set perturbations) land within a small Hamming distance.
+  *
+  * One pass per row, no shuffle — the whole signature computation is
+  * embarrassingly parallel, which is the point of SimHash at corpus scale.
+  * FNV-1a is implemented inline so the semantics are self-contained (no
+  * dependence on engine-internal hash functions).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>")
+    }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = SimHash64.fnv1a(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      val cls = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = $cls.fnv1a($c.getUTF8String($i).getBytes());
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** FNV-1a 64-bit. */
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xFF).toLong) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** SQL registration for the custom expressions (usable via `expr(...)` and
+  * `spark.sql(...)`; avoids version-coupling to Column's internal ctor).
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, language ID, token statistics, fingerprinting.
+  *
+  * Everything here is per-row columnar computation (array functions inside
+  * whole-stage codegen, no UDFs, no shuffle except the explicit global
+  * histogram) — the shape that scans 100 TB at parquet speed.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document stats + a composite quality score (length, lexical
+    * diversity, stopword presence — the standard cheap quality heuristics).
+    * All doubles are IEEE ops on integer-derived operands: bit-deterministic.
+    */
+  def docStats(documents: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    val tokenCount = size(toks).cast("long")
+    val charCount = length(col("text")).cast("long")
+    val distinctTokens = size(array_distinct(toks)).cast("long")
+    val stopCount = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    documents.select(
+        col("doc_id"), col("lang"), col("source"),
+        charCount.as("char_count"),
+        tokenCount.as("token_count"),
+        distinctTokens.as("distinct_token_count"),
+        (distinctTokens / tokenCount).as("distinct_ratio"),
+        (stopCount / tokenCount).as("stopword_ratio"),
+        (least(tokenCount / lit(50.0), lit(1.0)) * lit(0.5)
+          + (distinctTokens / tokenCount) * lit(0.3)
+          + (stopCount / tokenCount) * lit(0.2)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID by marker-word counting (the classic cheap n-gram/stopword
+    * heuristic): count hits from small per-language marker sets, take the
+    * argmax with a fixed priority order, 'und' when no marker hits.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def hits(lang: String): Column =
+      size(filter(toks, t => t.isin(langMarkers(lang): _*))).cast("long")
+    val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+    val pred = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+      .when(de > 0 && de >= fr && de >= es, "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+    documents.select(
+        col("doc_id"), col("lang"),
+        pred.as("lang_pred"),
+        (col("lang") === pred).cast("int").as("agrees"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level token histogram (the vocabulary-building step of a
+    * BPE-style tokenizer pipeline). One explode + one hash aggregation;
+    * partial aggregation makes the shuffle carry only per-partition
+    * (token, count) pairs — bounded by vocabulary size, not corpus size.
+    */
+  def tokenHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(desc("occurrences"), asc("token"))
+
+  /** Document fingerprints via the native [[RollingHash]] expression.
+    * Verified against an independent pure-SQL fold in the DuckDB oracle.
+    */
+  def fingerprints(spark: SparkSession, documents: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    documents
+      .select(col("doc_id"), expr("rolling_hash(text)").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language rollup over document metadata. */
+  def langStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("source_count"))
+      .orderBy(col("lang"))
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, in increasing
+  * robustness-to-perturbation order: exact (content hash), n-gram Jaccard
+  * (exact set overlap), MinHash+LSH (sketched overlap, the 100 TB path),
+  * SimHash (bit-fingerprint Hamming).
+  *
+  * Scale notes:
+  *   - Exact dedup is one hash-shuffle on a 128-bit digest — never on the
+  *     full text — so shuffle volume is rows x 16 bytes.
+  *   - Pairwise Jaccard via a shingle self-join is quadratic in the worst
+  *     case (hot shingles); it is the *verification* primitive. At corpus
+  *     scale, MinHash banding bounds the join to near-duplicate candidates:
+  *     per-band equality buckets, expected O(n x collision-rate).
+  *   - All signatures are computed in one pass (explode + min-aggregate with
+  *     map-side combine); no driver-side state anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup on content digest: one row per distinct text, with the
+    * surviving (minimum) doc_id and the duplicate count.
+    */
+  def exactGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+      .orderBy(col("content_hash"))
+
+  /** Distinct word-k-gram shingle set per document (empty below k tokens). */
+  def shingles(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = size(toks)
+    val grams = transform(
+      sequence(lit(1), n - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
+    documents.select(
+      col("doc_id"),
+      when(n >= k, array_distinct(grams)).otherwise(array().cast("array<string>"))
+        .as("shingles"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (doc_id ordered, similarity
+    * >= threshold). Shingle inverted index self-join + per-pair overlap
+    * count; jaccard = |A∩B| / (|A|+|B|-|A∩B|) as exact integer division.
+    */
+  def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(documents, k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common_shingles"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"), col("common_shingles"),
+        (col("common_shingles") /
+          (col("sa.n") + col("sb.n") - col("common_shingles"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signatures: numPerms independent min-hashes of the shingle set,
+    * computed in ONE pass over the exploded shingles (numPerms min-aggregates
+    * with map-side partial aggregation).
+    */
+  def minhashSignatures(documents: DataFrame, k: Int = 3, numPerms: Int = 16): DataFrame = {
+    val sh = shingles(documents, k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val mins = (0 until numPerms).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding: band the signature, bucket-join per band to get
+    * candidate pairs, then estimate similarity as the fraction of agreeing
+    * signature components. This is the operator that replaces the quadratic
+    * shingle self-join at 100 TB: only banded collisions are ever joined.
+    */
+  def minhashLshPairs(
+      documents: DataFrame,
+      k: Int = 3,
+      numPerms: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rowsPerBand = numPerms / bands
+    val sigs = minhashSignatures(documents, k, numPerms)
+      .withColumn("sig", array((0 until numPerms).map(i => col(s"sig_$i")): _*))
+      .select("doc_id", "sig")
+
+    val bandKeys = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bkey"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    candidates
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (aggregate(
+          zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / lit(numPerms.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprint per document (native
+    * [[graft.functions.SimHash64]] expression, one pass, no shuffle), then
+    * candidate generation by 16-bit band equality (a pair within Hamming
+    * distance <= 3 shares at least one of 4 bands — pigeonhole), then exact
+    * Hamming verification via bit_count(xor).
+    */
+  def simhashPairs(
+      spark: SparkSession,
+      documents: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    val fps = documents.select(
+      col("doc_id"),
+      expr("simhash64(split(text, ' '))").as("fp"))
+    val banded = fps.select(
+        col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*))
+          .as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a production pipeline would ship them:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     Queries are broadcast, so the corpus scan is shuffle-free and the
+  *     top-k is a per-partition heap (TakeOrderedAndProject shape) — this
+  *     scales to any corpus size as long as the QUERY set is broadcastable.
+  *   - [[lshBucketedTopK]]: random-hyperplane LSH — corpus and queries are
+  *     bucketed by sign-pattern; only same-bucket pairs are scored. The
+  *     candidate join is an equi-join on bucket id (hash-partitionable),
+  *     which replaces the all-pairs product at scale, trading recall.
+  *
+  * All arithmetic is double-precision left-to-right folds, bit-identical
+  * to the DuckDB oracle's list_cosine_similarity.
+  */
+object Similarity {
+
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val (ad, bd) = (a.cast("array<double>"), b.cast("array<double>"))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact top-k neighbors for each query vector (query set = vec_id <
+    * numQueries, self-match excluded).
+    */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = embeddings
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: weight(p, d) derives from a
+    * splitmix64-style avalanche of (p * dim + d), mapped into [-1, 1).
+    * Generated driver-side as literals — constant-folded into the plan.
+    */
+  private def planeWeight(p: Int, d: Int, dim: Int): Double = {
+    var z = (p.toLong * dim + d) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-pattern LSH bucket id for a vector column (bit p = sign of the
+    * dot product with hyperplane p).
+    */
+  def lshBucket(vec: Column, numPlanes: Int = 8, dim: Int = 64): Column = {
+    val vd = vec.cast("array<double>")
+    val bits = (0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeWeight(p, d, dim))): _*)
+      when(dot(vd, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: score only same-bucket (query, corpus) pairs.
+    * Bucket count 2^numPlanes bounds each join partition; recall measured
+    * against [[bruteForceTopK]] in tests.
+    */
+  def lshBucketedTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 8,
+      k: Int = 5,
+      numPlanes: Int = 8): DataFrame = {
+    val dim = 64
+    val corpus = embeddings.select(
+      col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+    val queries = corpus
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Per-label embedding statistics (count + mean L2 norm — all derived
+    * from per-row double folds, deterministic).
+    */
+  def labelStats(embeddings: DataFrame): DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    val norm = sqrt(dot(vd, vd))
+    embeddings
+      .select(col("label"), norm.as("norm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("vec_count"),
+        (sum(col("norm").cast("decimal(18,12)")).cast("double") / count(lit(1)))
+          .as("avg_norm"))
+      .orderBy(col("label"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{GraftFunctions, RollingHash, SimHash64}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Validates the sketch-based operators (no ANSI-SQL oracle) against exact
+  * ground truth: MinHash-LSH and SimHash against exact n-gram Jaccard pairs,
+  * LSH-bucketed ANN against brute-force cosine top-k.
+  */
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("rolling_hash native expression matches the reference Scala fold") {
+    GraftFunctions.register(spark)
+    val rows = docs.limit(20)
+      .select(col("text"), expr("rolling_hash(text)").as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == RollingHash.hash(r.getString(0).getBytes("UTF-8")))
+    }
+  }
+
+  test("simhash: identical token arrays get identical fingerprints; perturbation stays near") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      ("a b c d e f g h i j k l m n o p", 1),
+      ("a b c d e f g h i j k l m n o p", 2),     // identical
+      ("a b c d e f g h i j k l m n o q", 3),     // one token changed
+      ("z y x w v u t s r q p o n m l k", 4)      // unrelated
+    ).toDF("text", "id")
+      .select(col("id"), expr("simhash64(split(text, ' '))").as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(df(1) == df(2))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(df(1), df(3)) < hamming(df(1), df(4)))
+  }
+
+  test("minhash-LSH finds most exact-jaccard near-dup pairs (recall >= 0.8)") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall: exact=$exact lsh=$lsh")
+  }
+
+  test("simhash pairs overlap the exact near-dup set") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(spark, docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && sim.nonEmpty)
+    assert((exact & sim).nonEmpty, s"no overlap: exact=$exact simhash=$sim")
+  }
+
+  test("LSH ANN results are a subset-quality approximation of brute force") {
+    val bf = Similarity.bruteForceTopK(emb, numQueries = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshBucketedTopK(emb, numQueries = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH hit for a query is a real vector pair; some overlap expected
+    assert(lsh.nonEmpty)
+    val recall = (bf & lsh).size.toDouble / bf.size
+    info(s"LSH ANN recall vs brute force: $recall")
+    assert(recall > 0.0)
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val total = docs.count()
+    val g = Dedup.exactGroups(docs).agg(sum("dup_count")).as[Long].head
+    assert(g == total)
+  }
+}
