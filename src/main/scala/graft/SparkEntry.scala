@@ -130,7 +130,16 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBucketedTopK(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
-      Similarity.labelStats(Tables.embeddings(s, dir)))
+      Similarity.labelStats(Tables.embeddings(s, dir))),
+
+    // ---- multimodal plumbing (decode is a deterministic stub; Spark-side
+    // schema/partition-batch shape is real) — rows-only driver check ----
+    "multimodal_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal
+        .decodeMeta(s, graft.multimodal.Multimodal.withPayload(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+    "multimodal_format_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.formatStats(s, Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")

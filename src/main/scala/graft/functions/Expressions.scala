@@ -153,6 +153,52 @@ object SimHash64 {
   }
 }
 
+/** Distinct word-k-gram shingles of a space-separated string, in one native
+  * pass per row.
+  *
+  * The compositional alternative — `array_distinct(transform(sequence(...),
+  * i -> concat_ws(' ', element_at(split(text), i), ...)))` — is correct but
+  * slow at scale: higher-order functions run on the interpreted path and
+  * re-evaluate the outer `split(text)` for every `element_at` call, turning
+  * an O(tokens) row into O(tokens x length). This expression tokenizes once
+  * and emits the distinct k-gram set directly. Semantics match
+  * `split(text, ' ')` shingling exactly (single-space delimiter, empties
+  * preserved), so the DuckDB oracle for the compositional form still applies.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < k) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var idx = 0
+      while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** SQL registration for the custom expressions (usable via `expr(...)` and
   * `spark.sql(...)`; avoids version-coupling to Column's internal ctor).
   */
@@ -162,5 +208,13 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", {
+        case Seq(text) => WordShingles(text, 3)
+        case Seq(text, k) => WordShingles(text, k.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+        })
+      }, "built-in")
   }
 }

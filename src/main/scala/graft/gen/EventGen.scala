@@ -1,0 +1,61 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic event generation as pure DataFrame expressions (reference:
+  * producer/src/domain/event_generator.py:33-61 — uniform user pool, uniform
+  * event-type enum, conditional optional fields).
+  *
+  * Batch: `spark.range(n)` + seeded `rand` — fully distributed, no driver
+  * loop, reproducible via the seed. Streaming: the `rate` source with the
+  * same projection. Used to fabricate test fixtures at arbitrary scale
+  * (never to replace the harness tables, which stay canonical for oracles).
+  */
+object EventGen {
+
+  val eventTypes: Seq[String] = Seq("view", "click", "purchase", "signup", "error")
+
+  /** `n` events spread uniformly over `days` days from `startDate`, user ids
+    * uniform in [0, userPool). Deterministic for a fixed seed.
+    */
+  def batch(
+      spark: SparkSession,
+      n: Long,
+      userPool: Int = 150,
+      days: Int = 30,
+      startDate: String = "2024-01-01",
+      seed: Long = 42L): DataFrame = {
+    val typeArr = array(eventTypes.map(lit): _*)
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_seconds(
+        unix_timestamp(to_timestamp(lit(s"$startDate 00:00:00"))) +
+          floor(rand(seed) * days * 86400L).cast("long")).as("ts"),
+      floor(rand(seed + 1) * userPool).cast("long").as("user_id"),
+      element_at(typeArr, (floor(rand(seed + 2) * eventTypes.size) + 1).cast("int"))
+        .as("event_type"),
+      round(rand(seed + 3) * 200.0, 2).as("value"),
+      concat(lit("""{"k": """), floor(rand(seed + 4) * 100).cast("int"), lit("}"))
+        .as("props"))
+  }
+
+  /** Streaming variant over the rate source (rowsPerSecond events/s), same
+    * column derivations keyed off the rate source's `value` counter.
+    */
+  def stream(spark: SparkSession, rowsPerSecond: Int = 100, userPool: Int = 150): DataFrame = {
+    val typeArr = array(eventTypes.map(lit): _*)
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(userPool.toLong)).as("user_id"),
+        element_at(typeArr, (pmod(col("value"), lit(eventTypes.size.toLong)) + 1).cast("int"))
+          .as("event_type"),
+        round(pmod(col("value") * 7919L, lit(20000L)) / 100.0, 2).as("value"),
+        lit("""{"k": 0}""").as("props"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode/feature-extraction as partition-batched functions.
+  *
+  * The Spark-side architecture is real and tested — schema, partition-level
+  * batch iteration (the Scala analogue of `mapInPandas` batch shape),
+  * deterministic output. The codec itself is a STUB (`fakeDecode`): this
+  * container has no image/audio libraries, so "decoding" derives metadata
+  * (width/height/channels) deterministically from the payload bytes. Swapping
+  * in a real codec changes only the function body, not the pipeline shape:
+  * the decode stays per-partition, no shuffle, no driver involvement.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false)))
+
+  /** STUB decode: deterministic pseudo-metadata from an FNV-1a of the bytes.
+    * A real implementation would parse the container header here.
+    */
+  def fakeDecode(payload: Array[Byte]): (String, Int, Int, Int) = {
+    val h = graft.functions.SimHash64.fnv1a(payload)
+    val format = Seq("png", "jpeg", "webp")(((h % 3) + 3).toInt % 3)
+    val width = 64 + (((h >>> 8) % 1216) + 1216).toInt % 1216
+    val height = 64 + (((h >>> 24) % 960) + 960).toInt % 960
+    (format, width, height, 3)
+  }
+
+  /** Fabricate a binary column from the documents table (stands in for real
+    * image bytes; UTF-8 of the text). Keeps the harness tables canonical.
+    */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Partition-batched decode: one pass per partition, rows consumed and
+    * produced as iterators (never materializing a partition in memory).
+    */
+  def decodeMeta(spark: SparkSession, withBinary: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(metaSchema)
+    withBinary.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (format, w, h, c) = fakeDecode(payload)
+        Row(id, payload.length.toLong, format, w, h, c)
+      }
+    }(enc)
+  }
+
+  /** End-to-end: documents → payload → partition-batched decode → rollup by
+    * format (the aggregate a curation pipeline would gate on).
+    */
+  def formatStats(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeMeta(spark, withPayload(documents))
+      .groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("width").cast("long")) / count(lit(1))).as("avg_width"))
+      .orderBy(col("format"))
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,17 +32,17 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .orderBy(col("content_hash"))
 
-  /** Distinct word-k-gram shingle set per document (empty below k tokens). */
+  /** Distinct word-k-gram shingle set per document (empty below k tokens).
+    * Native one-pass [[graft.functions.WordShingles]] expression — the
+    * compositional transform/element_at form re-splits the text per element
+    * on the interpreted higher-order-function path (measured 26 s vs <2 s at
+    * sf0.1 for the jaccard query).
+    */
   def shingles(documents: DataFrame, k: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val n = size(toks)
-    val grams = transform(
-      sequence(lit(1), n - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*))
+    GraftFunctions.register(documents.sparkSession)
     documents.select(
       col("doc_id"),
-      when(n >= k, array_distinct(grams)).otherwise(array().cast("array<string>"))
-        .as("shingles"))
+      expr(s"word_shingles(text, $k)").as("shingles"))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (doc_id ordered, similarity
@@ -104,25 +104,22 @@ object Dedup {
         xxhash64((0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bkey"))
     }
+    // Signatures ride along through the banding so candidate pairs never
+    // re-join (and re-compute) the signature subplan.
     val banded = sigs
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("doc_id"), col("sig"), explode(array(bandKeys: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
-    val candidates = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-
-    candidates
-      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(
-        col("doc_a"), col("doc_b"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (aggregate(
-          zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v) / lit(numPerms.toDouble)).as("est_jaccard"))
+      .distinct()
       .filter(col("est_jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

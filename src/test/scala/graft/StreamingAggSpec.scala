@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.HourlyAggregation
+import graft.streaming.StreamingAgg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+    Ev(id, Timestamp.valueOf(t), u, typ, v)
+
+  test("streaming hourly agg (complete mode) matches batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 10:15:00", 2, "click", 3.5),
+      ev(3, "2024-01-01 10:55:00", 1, "view", 1.25),
+      ev(4, "2024-01-01 11:05:00", 3, "click", 4.0),
+      ev(5, "2024-01-01 11:20:00", 1, "click", 0.75))
+    mem.addData(events: _*)
+
+    val agg = StreamingAgg.hourlyAggStream(spark, mem.toDF())
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_agg_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_agg_out")
+        .orderBy("window_start", "event_type")
+        .collect()
+      val expected = HourlyAggregation(events.toDF())
+        .orderBy("window_start", "event_type")
+        .collect()
+      assert(got.length == expected.length)
+      got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    } finally q.stop()
+  }
+
+  test("watermark append mode: a window emits only after the watermark passes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamingAgg.hourlyAggStream(spark, mem.toDF(), grace = "60 seconds")
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_append_out")
+      .start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:05:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("stream_append_out").isEmpty,
+        "window must not emit before watermark passes")
+      // event at 11:01:05 pushes watermark to > 10:00 + 1h + 60s grace? no:
+      // watermark = max_ts - (1h + 60s); needs max_ts > 12:01:00
+      mem.addData(ev(2, "2024-01-01 12:01:30", 2, "view", 1.0))
+      q.processAllAvailable()
+      // one more batch so the advanced watermark finalizes the 10:00 window
+      mem.addData(ev(3, "2024-01-01 12:02:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("stream_append_out").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows.head.getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(rows.head.getAs[Long]("unique_user_count") == 1L)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert is idempotent under replay (at-least-once x LWW)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
+    val target = new java.io.File(dir, "agg").getAbsolutePath
+    val batch = HourlyAggregation(Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 10:15:00", 2, "click", 3.5)).toDF())
+    StreamingAgg.upsertBatch(spark, batch, target, batchId = 0)
+    StreamingAgg.upsertBatch(spark, batch, target, batchId = 0) // replay
+    StreamingAgg.upsertBatch(spark, batch, target, batchId = 1) // same data, later batch
+    val result = spark.read.parquet(target)
+    assert(result.count() == 1)
+    assert(result.select("event_count").as[Long].head == 2L)
+  }
+}
