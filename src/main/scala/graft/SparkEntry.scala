@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, HourlyAggregation, Sessionize, Similarity, Upsert}
+import graft.operators.{AsOfJoin, Dedup, HourlyAggregation, Sessionize, Similarity, Upsert}
 import graft.queries.{Analytics, ReadQueries}
 import org.apache.spark.sql.functions._
 
@@ -139,7 +139,58 @@ object SparkEntry {
         .decodeMeta(s, graft.multimodal.Multimodal.withPayload(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),
     "multimodal_format_stats" -> ((s, dir) =>
-      graft.multimodal.Multimodal.formatStats(s, Tables.documents(s, dir)))
+      graft.multimodal.Multimodal.formatStats(s, Tables.documents(s, dir))),
+
+    // ---- widened relational surface ----
+    // Semi-structured extraction from the props JSON column.
+    "props_extract_stats" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("k_sum"),
+          count(col("k")).as("k_count"),
+          (sum(col("k")) / count(col("k"))).as("k_avg"))
+        .orderBy(col("event_type"))
+    }),
+    // Set operations: EXCEPT / INTERSECT (distinct semantics).
+    "purchasers_never_error" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchasers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val earlyErrors = ev.filter(
+          col("event_type") === "error" &&
+            col("ts") < to_timestamp(lit("2024-01-08 00:00:00")))
+        .select(col("user_id")).distinct()
+      purchasers.except(earlyErrors).orderBy(col("user_id"))
+    }),
+    "click_and_view_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+      users("click").intersect(users("view")).orderBy(col("user_id"))
+    }),
+    // CUBE grouping sets (alongside revenue_rollup's ROLLUP).
+    "revenue_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          Analytics.decSum(col("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("order_count"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+    // Exact percentiles (interpolated, matching quantile_cont).
+    "quantity_quantiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("line_count"))
+        .orderBy(col("l_returnflag"))),
+    // As-of join via the shuffle-once union+window merge (no pair blow-up).
+    "events_asof_orders" -> ((s, dir) =>
+      AsOfJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -397,6 +448,50 @@ object SparkEntry {
         |        list_transform(range(1, len(embedding) + 1),
         |                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
         |      (x, y) -> x + y)) AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "props_extract_stats" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(json_extract_string(props, '$.k')) AS k_count,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    / count(json_extract_string(props, '$.k')) AS k_avg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "purchasers_never_error" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+        |ORDER BY user_id""".stripMargin,
+
+    "click_and_view_users" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin,
+
+    "revenue_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "quantity_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  count(*) AS line_count
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "events_asof_orders" ->
+      """WITH o1 AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS orderkey
+        |            FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o1.orderkey AS matched_orderkey
+        |FROM events e ASOF JOIN o1
+        |  ON e.user_id = o1.o_custkey AND o1.o_orderdate <= e.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the most recent right row with
+  * `rightTime <= leftTime`, per key.
+  *
+  * Spark has no native as-of join; the naive formulation (equi-join on key +
+  * time filter + per-pair max) materializes |left| x |orders-per-key| rows.
+  * This implementation is the merge formulation: UNION both sides, one
+  * shuffle on the key, one per-partition sort on (time, side), then
+  * `last(value, ignoreNulls)` over an unbounded-preceding window carries the
+  * latest right value forward into each left row. Cost: one shuffle + one
+  * sort over |left| + |right| — the same profile as a sort-merge join, with
+  * no pair blow-up, at any scale.
+  *
+  * Ties (right time == left time) match, like an inclusive `<=` as-of; the
+  * right side is pre-deduplicated to one row per (key, time) so tie-breaks
+  * are deterministic.
+  */
+object AsOfJoin {
+
+  /** events x orders instance: each event matched to the user's most recent
+    * order at or before the event's timestamp (inner semantics: events with
+    * no prior order are dropped). Right dedup keeps max orderkey per
+    * (custkey, orderdate).
+    */
+  def eventsToLatestOrder(events: DataFrame, orders: DataFrame): DataFrame = {
+    val dedupedOrders = orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("orderkey"))
+
+    val right = dedupedOrders.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").as("t"),
+      lit(0).as("side"),
+      col("orderkey"),
+      lit(null).cast("long").as("event_id"))
+    val left = events.select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("side"),
+      lit(null).cast("long").as("orderkey"),
+      col("event_id"))
+
+    // side=0 sorts before side=1 at equal t: an order dated exactly at the
+    // event's timestamp is visible to it (inclusive <=).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    right.unionByName(left)
+      .withColumn("matched_orderkey", last(col("orderkey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("matched_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("matched_orderkey"))
+      .orderBy(col("event_id"))
+  }
+}

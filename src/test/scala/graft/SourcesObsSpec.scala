@@ -1,0 +1,80 @@
+package graft
+
+import graft.obs.Metrics
+import graft.operators.AsOfJoin
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class SourcesObsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** The listener bus is async; poll until the metric lands. */
+  private def awaitMetric(
+      l: Metrics.ObservedMetricsListener, name: String,
+      timeoutMs: Long = 10000): Option[(String, Map[String, Any])] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var found = l.collected.find(_._1 == name)
+    while (found.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      found = l.collected.find(_._1 == name)
+    }
+    found
+  }
+
+  test("JSON parse is permissive: corrupt records counted and dropped (S2/S3)") {
+    val listener = Metrics.registerBatchListener(spark)
+    try {
+      val raw = Seq(
+        """{"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7, "event_type": "click", "value": 1.5, "props": "{}"}""",
+        """not json at all""",
+        """{"event_id": 2, "ts": "2024-01-01T11:00:00", "user_id": 8, "event_type": "view", "value": null, "props": null}"""
+      ).toDF("value")
+      val parsed = Sources.parseJsonEvents(raw)
+      val rows = parsed.collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(1L, 2L))
+      // observe() metric captured by the listener
+      val m = awaitMetric(listener, "json_parse")
+      assert(m.isDefined, s"metrics: ${listener.collected}")
+      assert(m.get._2("corrupt_records") == 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("observed() pipeline gauges piggyback on the action") {
+    val listener = Metrics.registerBatchListener(spark)
+    try {
+      val n = Metrics.observed(Tables.events(spark, sf)).count()
+      assert(n == 1000)
+      val m = awaitMetric(listener, "graft_pipeline")
+      assert(m.isDefined)
+      assert(m.get._2("events_total") == 1000L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("as-of join picks the latest order at-or-before the event (inclusive ties)") {
+    val orders = Seq(
+      (100L, 1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (200L, 1L, Timestamp.valueOf("2024-01-05 00:00:00")),
+      (300L, 2L, Timestamp.valueOf("2024-06-01 00:00:00"))  // after all events
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val events = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-03 12:00:00")),   // -> order 100
+      (2L, 1L, Timestamp.valueOf("2024-01-05 00:00:00")),   // tie -> order 200
+      (3L, 1L, Timestamp.valueOf("2024-02-01 00:00:00")),   // -> order 200
+      (4L, 2L, Timestamp.valueOf("2024-01-01 00:00:00"))    // no prior -> dropped
+    ).toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.eventsToLatestOrder(events, orders)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 100L, 2L -> 200L, 3L -> 200L))
+  }
+
+  test("as-of join plans one shuffle (union+window), not a pair-exploding join") {
+    val p = AsOfJoin.eventsToLatestOrder(
+      Tables.events(spark, sf), Tables.orders(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+}
