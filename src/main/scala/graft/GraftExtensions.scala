@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.{RollingHash, SimHash64, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: installs the engine's native
+  * expressions into any session at build time —
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * after which `rolling_hash`, `simhash64` and `word_shingles` are plain SQL
+  * functions cluster-wide. (`GraftFunctions.register` does the same
+  * per-session imperatively; this is the deployment-grade wiring.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      exprs => RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      exprs => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      exprs =>
+        if (exprs.length == 1) WordShingles(exprs.head, 3)
+        else WordShingles(exprs.head, exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+        })))
+  }
+}

@@ -73,28 +73,45 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: score only same-bucket (query, corpus) pairs.
-    * Bucket count 2^numPlanes bounds each join partition; recall measured
-    * against [[bruteForceTopK]] in tests.
+  /** Approximate top-k via multi-table LSH: `numTables` independent
+    * sign-pattern hash tables of `planesPerTable` hyperplanes each; a
+    * corpus vector is a candidate for a query if they collide in ANY table
+    * (the standard recall amplifier: per-table match probability p becomes
+    * 1-(1-p)^L). Only candidates are scored — the equi-join on
+    * (table, bucket) replaces the all-pairs product at scale. Recall vs
+    * [[bruteForceTopK]] is measured in tests.
     */
   def lshBucketedTopK(
       embeddings: DataFrame,
       numQueries: Int = 8,
       k: Int = 5,
-      numPlanes: Int = 8): DataFrame = {
+      numTables: Int = 4,
+      planesPerTable: Int = 6): DataFrame = {
     val dim = 64
+    val tableBuckets = (0 until numTables).map { t =>
+      struct(
+        lit(t).as("tab"),
+        // per-table plane sets are disjoint: plane index = t*P+p
+        (0 until planesPerTable).map { p =>
+          val plane = array((0 until dim).map(d =>
+            lit(planeWeight(t * planesPerTable + p, d, dim))): _*)
+          when(dot(col("embedding").cast("array<double>"), plane) >= 0,
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _).as("bucket"))
+    }
     val corpus = embeddings.select(
       col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+      explode(array(tableBuckets: _*)).as("tb"))
     val queries = corpus
       .filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val scored = corpus
-      .join(broadcast(queries), Seq("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("tb"))
+    val candidates = corpus
+      .join(broadcast(queries), Seq("tb"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("sim"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = candidates.select(
+      col("query_id"), col("vec_id").as("neighbor_id"),
+      cosine(col("qe"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))

@@ -69,7 +69,9 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lsh.nonEmpty)
     val recall = (bf & lsh).size.toDouble / bf.size
     info(s"LSH ANN recall vs brute force: $recall")
-    assert(recall > 0.0)
+    // random 64-dim embeddings are near-orthogonal (neighbors barely beat
+    // noise), so recall is structurally modest; multi-table LSH holds >= 0.2
+    assert(recall >= 0.2)
   }
 
   test("exact dedup groups partition the corpus") {

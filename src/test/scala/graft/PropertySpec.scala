@@ -1,0 +1,67 @@
+package graft
+
+import graft.gen.EventGen
+import graft.operators.{HourlyAggregation, Skew, Upsert}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §5.3 property tests, over generator-synthesized frames. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val events = EventGen.batch(spark, 5000, userPool = 40, seed = 7L).cache()
+
+  test("window assignment is a partition: every event in exactly one window") {
+    val agg = HourlyAggregation(events)
+    assert(agg.agg(sum("event_count")).as[Long].head == events.count())
+    // distinct (window, type) keys — no double-assignment
+    assert(agg.groupBy("window_start", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("per-window invariants: distinct <= count; value sum consistent") {
+    val agg = HourlyAggregation(events)
+    assert(agg.filter(col("unique_user_count") > col("event_count")).count() == 0)
+    assert(agg.filter(col("event_count") <= 0).count() == 0)
+    // total across windows equals the direct global sum (rounded per-group)
+    val windowed = agg.agg(sum("total_value")).as[Double].head
+    val direct = events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(round(sum("value"), 2).as("s")).agg(sum("s")).as[Double].head
+    assert(math.abs(windowed - direct) < 1e-6)
+  }
+
+  test("upsert idempotence: applying last-write-wins twice == once") {
+    val withVersions = events.withColumn("v", pmod(col("event_id"), lit(5L)))
+    val once = Upsert.lastWriteWins(withVersions,
+      Seq("user_id", "event_type"), Seq(col("v"), col("event_id")))
+    val twice = Upsert.lastWriteWins(once,
+      Seq("user_id", "event_type"), Seq(col("v"), col("event_id")))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val direct = events.groupBy("user_id")
+      .agg(count(lit(1)).as("row_count"), sum("value").as("value_sum"))
+    val salted = Skew.saltedCountSum(events, "user_id", "value")
+    val joined = direct.as("d").join(salted.as("s"), "user_id")
+    assert(joined.count() == direct.count())
+    assert(joined.filter(col("d.row_count") =!= col("s.row_count")).count() == 0)
+    assert(joined.filter(
+      abs(col("d.value_sum") - col("s.value_sum")) > 1e-6).count() == 0)
+  }
+
+  test("generator determinism: same seed same frame, different seed different") {
+    val a = EventGen.batch(spark, 1000, seed = 1L)
+    val b = EventGen.batch(spark, 1000, seed = 1L)
+    val c = EventGen.batch(spark, 1000, seed = 2L)
+    assert(a.exceptAll(b).isEmpty)
+    assert(c.exceptAll(a).count() > 0)
+  }
+
+  test("generator distributions: types roughly uniform, users within pool") {
+    val byType = events.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(byType.keySet == EventGen.eventTypes.toSet)
+    val (mn, mx) = (byType.values.min, byType.values.max)
+    assert(mx < mn * 2, s"type skew: $byType")
+    assert(events.agg(max("user_id")).as[Long].head < 40)
+  }
+}
