@@ -190,7 +190,28 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))),
     // As-of join via the shuffle-once union+window merge (no pair blow-up).
     "events_asof_orders" -> ((s, dir) =>
-      AsOfJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir)))
+      AsOfJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
+
+    // Sketch variants — the unbounded-cardinality path (HLL uniques, t-digest
+    // style percentiles). Approximate by design → rows-only driver check;
+    // error bounds vs exact asserted in PropertySpec.
+    "hourly_agg_approx" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("event_count"),
+          approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("event_count"), col("approx_users"))
+        .orderBy(col("window_start"), col("event_type"))),
+    "quantiles_approx" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+            .as("price_quantiles"),
+          count(lit(1)).as("line_count"))
+        .orderBy(col("l_returnflag")))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")

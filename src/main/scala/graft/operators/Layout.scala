@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for scale: bucketing and partitioned writes.
+  *
+  * At 100 TB the dominant costs are shuffles and full scans; both are layout
+  * problems:
+  *   - **Bucketing** pre-shuffles a table once at write time. Two tables
+  *     bucketed by the same key into the same bucket count join and aggregate
+  *     with NO exchange at read time (asserted in LayoutSpec) — the batch
+  *     analogue of co-partitioned stream-stream joins.
+  *   - **Partitioned writes** (hive-style key=value directories) give the
+  *     reader partition pruning: a date-range query touches only matching
+  *     directories (PartitionFilters in the scan, also asserted).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted managed table (pre-shuffled layout).
+    * Drops any previous table AND its orphaned location first — Spark
+    * refuses to create a managed table over a leftover directory.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) {
+      loc.listFiles().foreach(_.delete()); loc.delete()
+    }
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+  }
+
+  /** Shuffle-free equi-join of two tables bucketed on the join key with the
+    * same bucket count.
+    */
+  def bucketedJoin(
+      spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Write events partitioned by event date (directory per day): readers
+    * filtering on `event_date` scan only matching directories.
+    */
+  def writePartitionedByDay(events: DataFrame, dir: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write
+      .mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(dir)
+
+  def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
+    spark.read.parquet(dir).filter(col("event_date") === lit(day))
+}

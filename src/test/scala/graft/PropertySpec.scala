@@ -57,6 +57,17 @@ class PropertySpec extends SparkTestBase {
     assert(c.exceptAll(a).count() > 0)
   }
 
+  test("approx sketches track exact values within bounds (scale path for O4)") {
+    val ev = Tables.events(spark, sf)
+    val both = ev.groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx"))
+    val maxRelErr = both
+      .select(max(abs(col("approx") - col("exact")) / col("exact")))
+      .as[Double].head
+    assert(maxRelErr < 0.05, s"HLL relative error $maxRelErr")
+  }
+
   test("generator distributions: types roughly uniform, users within pool") {
     val byType = events.groupBy("event_type").count().as[(String, Long)].collect().toMap
     assert(byType.keySet == EventGen.eventTypes.toSet)
