@@ -112,6 +112,15 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(s, Tables.documents(s, dir))),
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(Tables.documents(s, dir))),
+    // Whitespace + BPE-ish regex token counting + subword estimate.
+    "token_counts_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
+          .as("regex_tokens"),
+        expr("(length(text) + 3) DIV 4").as("subword_estimate"))
+      .orderBy(col("doc_id"))),
 
     // ---- training-data pipeline: deduplication ----
     "dedup_exact" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
@@ -129,6 +138,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBucketedTopK(Tables.embeddings(s, dir))),
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(Tables.embeddings(s, dir))),
 
@@ -423,6 +434,13 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars,
         |  count(DISTINCT source) AS source_count
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "token_counts_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS regex_tokens,
+        |  (length(text) + 3) // 4 AS subword_estimate
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -119,6 +119,67 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes only its
+    * `nprobe` nearest cells. The classic ANN index structure: candidate
+    * count drops from |corpus| to ~|corpus| * nprobe / nlist, and the cell
+    * assignment is a plain equi-join key — hash-partitionable at any scale.
+    * Training cost is one distributed KMeans fit (seeded for determinism).
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 8,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val withFeatures = embeddings.withColumn(
+      "features", array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+      .fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    // Each query probes its nprobe nearest centroids (centroids are tiny —
+    // inlined as literals, so the probe ranking is pure row-local math).
+    val centroidCols = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(i).as("cell"),
+        aggregate(
+          zip_with(
+            col("embedding").cast("array<double>"),
+            array(c.toArray.map(lit): _*),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("dist2"))
+    }
+    val queries = embeddings
+      .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(centroidCols: _*)).as("probe"))
+      .withColumn("probe_rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("probe.dist2"), col("probe.cell"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qe"), col("probe.cell").as("cell"))
+
+    val scored = assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-label embedding statistics (count + mean L2 norm — all derived
     * from per-row double folds, deterministic).
     */

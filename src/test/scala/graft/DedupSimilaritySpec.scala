@@ -74,6 +74,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2)
   }
 
+  test("IVF ANN recall is reasonable and beats random candidate selection") {
+    val bf = Similarity.bruteForceTopK(emb, numQueries = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, numQueries = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(s"IVF ANN recall vs brute force: $recall")
+    // nprobe/nlist = 4/16 scans ~25% of the corpus; recall should beat that
+    assert(recall >= 0.25)
+  }
+
   test("exact dedup groups partition the corpus") {
     val total = docs.count()
     val g = Dedup.exactGroups(docs).agg(sum("dup_count")).as[Long].head
