@@ -140,6 +140,7 @@ object Similarity {
       "features", array_to_vector(col("embedding").cast("array<double>")))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+      .setMaxIter(5) // a coarse quantizer doesn't need convergence
       .fit(withFeatures)
     val assigned = model.transform(withFeatures)
       .select(col("vec_id"), col("embedding"), col("cell"))
