@@ -23,7 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch every table + run the flagship once (not timed)
+    // warmup (not timed): scan every table at the benchmarked sf once so
+    // parquet-footer reads and codegen warm-up don't land on whichever
+    // query alphabetically touches a table first.
+    for (t <- Seq("events", "lineitem", "orders", "customer", "supplier",
+                  "part", "nation", "region", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -126,23 +126,33 @@ object Dedup {
 
   /** SimHash near-duplicate pairs: 64-bit fingerprint per document (native
     * [[graft.functions.SimHash64]] expression, one pass, no shuffle), then
-    * candidate generation by 16-bit band equality (a pair within Hamming
-    * distance <= 3 shares at least one of 4 bands — pigeonhole), then exact
-    * Hamming verification via bit_count(xor).
+    * candidate generation by band equality, then exact Hamming verification
+    * via bit_count(xor).
+    *
+    * Recall guarantee is pigeonhole: a pair within Hamming distance d shares
+    * at least one of d+1 equal bands, so the band count derives from
+    * `maxHamming` (not a fixed 4) — larger distances automatically get more,
+    * narrower bands rather than silently losing pairs.
     */
   def simhashPairs(
       spark: SparkSession,
       documents: DataFrame,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     GraftFunctions.register(spark)
+    val bands = maxHamming + 1
+    val bandWidth = 64 / bands // last band absorbs the remainder bits
     val fps = documents.select(
       col("doc_id"),
       expr("simhash64(split(text, ' '))").as("fp"))
     val banded = fps.select(
         col("doc_id"), col("fp"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until bands).map { b =>
+          val width = if (b == bands - 1) 64 - b * bandWidth else bandWidth
+          val mask = if (width >= 64) -1L else (1L << width) - 1L
           struct(lit(b).as("band"),
-            shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*))
+            shiftright(col("fp"), b * bandWidth).bitwiseAND(lit(mask)).as("bkey"))
+        }: _*))
           .as("bb"))
       .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     banded.as("a")

@@ -27,9 +27,12 @@ object Layout {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = new java.io.File(warehouse, table.toLowerCase)
-    if (loc.exists()) {
-      loc.listFiles().foreach(_.delete()); loc.delete()
+    def rm(f: java.io.File): Unit = {
+      val children = f.listFiles() // null for plain files
+      if (children != null) children.foreach(rm)
+      if (!f.delete()) throw new java.io.IOException(s"could not delete $f")
     }
+    if (loc.exists()) rm(loc)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, bucketCol)

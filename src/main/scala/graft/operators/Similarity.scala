@@ -62,12 +62,13 @@ object Similarity {
   }
 
   /** Sign-pattern LSH bucket id for a vector column (bit p = sign of the
-    * dot product with hyperplane p).
+    * dot product with hyperplane planeOffset+p). `planeOffset` selects a
+    * disjoint plane set per hash table in multi-table LSH.
     */
-  def lshBucket(vec: Column, numPlanes: Int = 8, dim: Int = 64): Column = {
+  def lshBucket(vec: Column, numPlanes: Int = 8, dim: Int = 64, planeOffset: Int = 0): Column = {
     val vd = vec.cast("array<double>")
     val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeWeight(p, d, dim))): _*)
+      val plane = array((0 until dim).map(d => lit(planeWeight(planeOffset + p, d, dim))): _*)
       when(dot(vd, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -92,12 +93,8 @@ object Similarity {
       struct(
         lit(t).as("tab"),
         // per-table plane sets are disjoint: plane index = t*P+p
-        (0 until planesPerTable).map { p =>
-          val plane = array((0 until dim).map(d =>
-            lit(planeWeight(t * planesPerTable + p, d, dim))): _*)
-          when(dot(col("embedding").cast("array<double>"), plane) >= 0,
-            lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _).as("bucket"))
+        lshBucket(col("embedding"), planesPerTable, dim, t * planesPerTable)
+          .as("bucket"))
     }
     val corpus = embeddings.select(
       col("vec_id"), col("embedding"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot grouping keys.
@@ -27,14 +27,16 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__cnt")).as("row_count"), sum(col("__sum")).as("value_sum"))
 
-  /** Broadcast-salt the small side of a skewed join: replicate each right
-    * row `salts` times with an explicit salt column; the left side tags rows
-    * with a random salt in [0, salts). The join key becomes (key, salt) —
-    * the hot key's rows land on `salts` different tasks.
+  /** Salted join: replicate each right (small-side) row `salts` times, tag
+    * each left row with a random salt in [0, salts), join on (keys, __salt).
+    * The hot key's left rows land on `salts` different tasks instead of one.
     */
-  def saltedJoinKeys(right: DataFrame, salts: Int): DataFrame =
-    right.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
-
-  def withRandomSalt(left: DataFrame, salts: Int, seed: Long = 7L): Column =
-    floor(rand(seed) * salts).cast("int")
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int = 16, seed: Long = 7L): DataFrame =
+    left.withColumn("__salt", floor(rand(seed) * salts).cast("int"))
+      .join(
+        right.withColumn("__salt", explode(array((0 until salts).map(lit): _*))),
+        keys :+ "__salt")
+      .drop("__salt")
 }

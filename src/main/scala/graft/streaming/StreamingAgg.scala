@@ -83,9 +83,19 @@ object StreamingAgg {
     val tmp = targetDir + "_tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     val target = new java.io.File(targetDir)
-    if (target.exists()) {
-      target.listFiles().foreach(_.delete()); target.delete()
-    }
-    new java.io.File(tmp).renameTo(target)
+    if (target.exists()) deleteRecursively(target)
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(
+        s"upsertBatch: failed to publish batch $batchId to $targetDir")
+  }
+
+  /** Throwing recursive delete — a silently-failed swap would drop the
+    * micro-batch and break the effectively-once contract.
+    */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    if (!f.delete())
+      throw new java.io.IOException(s"upsertBatch: could not delete $f")
   }
 }

@@ -42,12 +42,17 @@ class LayoutStatefulSpec extends SparkTestBase {
     val total = spark.read.parquet(dir).count()
     assert(day.count() > 0 && day.count() < total)
     // pruned scan reads only the one matching directory
-    val files = day.queryExecution.executedPlan.collectLeaves()
+    val prunedFiles = day.queryExecution.executedPlan.collectLeaves()
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
           .flatMap(_.files).size }.sum
-    val allFiles = new java.io.File(dir).listFiles().count(_.getName.startsWith("event_date="))
-    assert(allFiles == 30, s"expected 30 day dirs, got $allFiles")
+    val dayDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("event_date="))
+    assert(dayDirs == 30, s"expected 30 day dirs, got $dayDirs")
+    val totalFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_date="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(prunedFiles > 0 && prunedFiles < totalFiles,
+      s"pruned scan lists $prunedFiles of $totalFiles files")
   }
 
   test("stateful sessionization matches the batch gap-sessionizer") {

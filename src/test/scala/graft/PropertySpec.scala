@@ -57,6 +57,16 @@ class PropertySpec extends SparkTestBase {
     assert(c.exceptAll(a).count() > 0)
   }
 
+  test("salted join equals the plain join") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = events.join(cust, Seq("user_id"))
+      .groupBy("c_mktsegment").count()
+    val salted = Skew.saltedJoin(events, cust, Seq("user_id"), salts = 8)
+      .groupBy("c_mktsegment").count()
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
   test("approx sketches track exact values within bounds (scale path for O4)") {
     val ev = Tables.events(spark, sf)
     val both = ev.groupBy("event_type").agg(
