@@ -142,6 +142,24 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(Tables.embeddings(s, dir))),
+    // Embedding-cosine near-dup pairs: the exact (verification) primitive,
+    // bounded to the first 2000 vectors so the quadratic stays fixed-size;
+    // the LSH/IVF queries are the corpus-scale candidates path.
+    "embedding_near_dups" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sub = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+      // float->double cast BEFORE the join: casting inside the pair
+      // projection re-materializes the array per pair (measured 6.6x).
+      val a = sub.select(col("vec_id").as("vec_a"),
+        col("embedding").cast("array<double>").as("ea"))
+      val b = sub.select(col("vec_id").as("vec_b"),
+        col("embedding").cast("array<double>").as("eb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Similarity.cosine(col("ea"), col("eb")).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
 
     // ---- multimodal plumbing (decode is a deterministic stub; Spark-side
     // schema/partition-batch shape is real) — rows-only driver check ----
@@ -202,6 +220,15 @@ object SparkEntry {
     // As-of join via the shuffle-once union+window merge (no pair blow-up).
     "events_asof_orders" -> ((s, dir) =>
       AsOfJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
+
+    // Pivot: hour x event-type count matrix (conditional-aggregation shape).
+    "hourly_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("window_start"))),
 
     // Sketch variants — the unbounded-cardinality path (HLL uniques, t-digest
     // style percentiles). Approximate by design → rows-only driver check;
@@ -488,6 +515,23 @@ object SparkEntry {
         |                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
         |      (x, y) -> x + y)) AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "embedding_near_dups" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "hourly_pivot" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
 
     "props_extract_stats" ->
       """SELECT event_type,
