@@ -21,25 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Native one-loop dot product ([[graft.functions.DotProduct]]); callers
-    * must have run GraftFunctions.register on the session. Bit-identical to
-    * the compositional aggregate/zip_with fold, ~10x faster (codegen vs the
-    * interpreted higher-order-function path).
+  /** Native one-loop dot product ([[graft.functions.DotProduct]]),
+    * bit-identical to the compositional aggregate/zip_with fold, ~10x
+    * faster (codegen vs the interpreted higher-order-function path).
     */
   private def dot(x: Column, y: Column): Column =
-    call_function("dot_product", x, y)
+    graft.functions.GraftColumns.dotProduct(x, y)
 
   /** Cosine similarity of two vector columns (cast to array<double>;
     * [[graft.functions.CosineSim]] under the hood).
     */
   def cosine(a: Column, b: Column): Column =
-    call_function("cosine_sim", a.cast("array<double>"), b.cast("array<double>"))
+    graft.functions.GraftColumns.cosineSim(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** Exact top-k neighbors for each query vector (query set = vec_id <
     * numQueries, self-match excluded).
     */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 8, k: Int = 5): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // cast to array<double> once per ROW, before the pair join — a cast in
     // the pair projection would re-materialize the array per pair
     val emb = embeddings.select(
@@ -61,11 +60,14 @@ object Similarity {
 
   /** IVF coarse-quantizer cache: an inverted-file index is built once and
     * queried many times — rebuilding KMeans per query call would charge the
-    * index build to every search. Keyed by the (semantic) input plan +
-    * parameters; seeded fits are deterministic, so a cache hit is exact.
+    * index build to every search. Keyed by the full canonicalized input
+    * plan (string equality, not a hash — no collision risk) + parameters;
+    * seeded fits are deterministic, so a cache hit is exact. Like any ANN
+    * index, it does NOT track mutation of the underlying files; bounded by
+    * wholesale eviction at 16 entries.
     */
   private val quantizerCache =
-    scala.collection.mutable.Map.empty[(Int, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
+    scala.collection.mutable.Map.empty[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
 
   /** Deterministic pseudo-random hyperplanes: weight(p, d) derives from a
     * splitmix64-style avalanche of (p * dim + d), mapped into [-1, 1).
@@ -106,7 +108,6 @@ object Similarity {
       k: Int = 5,
       numTables: Int = 4,
       planesPerTable: Int = 6): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val dim = 64
     // pre-cast once per row: lshBucket and the scoring cosine otherwise
     // each re-cast the float array (numTables x planesPerTable times)
@@ -153,7 +154,6 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     import org.apache.spark.ml.functions.array_to_vector
 
     val embDouble = embeddings.select(
@@ -161,8 +161,9 @@ object Similarity {
     val withFeatures = embDouble.withColumn(
       "features", array_to_vector(col("embedding")))
     val model = quantizerCache.synchronized {
+      if (quantizerCache.size > 16) quantizerCache.clear()
       quantizerCache.getOrElseUpdate(
-        (embeddings.queryExecution.logical.semanticHash(), nlist, seed),
+        (embeddings.queryExecution.logical.canonicalized.toString, nlist, seed),
         new org.apache.spark.ml.clustering.KMeans()
           .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
           .setMaxIter(5) // a coarse quantizer doesn't need convergence
@@ -211,7 +212,6 @@ object Similarity {
     * from per-row double folds, deterministic).
     */
   def labelStats(embeddings: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val vd = col("embedding").cast("array<double>")  // once per row (no pair join here)
     val norm = sqrt(dot(vd, vd))
     embeddings

@@ -71,22 +71,36 @@ object StreamingAgg {
     * hours x event_types, not by event volume.
     */
   def upsertBatch(spark: SparkSession, batch: DataFrame, targetDir: String, batchId: Long): Unit = {
+    val target = new java.io.File(targetDir)
+    val old = new java.io.File(targetDir + "_old")
+    // Crash recovery: a previous swap may have died between the two renames,
+    // leaving the accumulated table at _old and no target.
+    val existingDir =
+      if (target.exists()) Some(targetDir)
+      else if (old.exists()) Some(targetDir + "_old")
+      else None
+
     val stamped = batch.withColumn("created_at", lit(batchId))
-    val merged =
-      if (new java.io.File(targetDir).exists()) {
-        val existing = spark.read.parquet(targetDir)
+    val merged = existingDir match {
+      case Some(dir) =>
         Upsert.lastWriteWins(
-          existing.unionByName(stamped),
+          spark.read.parquet(dir).unionByName(stamped),
           keys = Seq("window_start", "event_type"),
           version = Seq(col("created_at")))
-      } else stamped
+      case None => stamped
+    }
     val tmp = targetDir + "_tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(targetDir)
-    if (target.exists()) deleteRecursively(target)
+    // Swap keeps the prior state on disk until the new one is in place:
+    // target -> _old, _tmp -> target, then drop _old. A crash at any point
+    // leaves either target or _old readable — never silent loss.
+    if (old.exists()) deleteRecursively(old)
+    if (target.exists() && !target.renameTo(old))
+      throw new java.io.IOException(s"upsertBatch: failed to stage $targetDir aside")
     if (!new java.io.File(tmp).renameTo(target))
       throw new java.io.IOException(
         s"upsertBatch: failed to publish batch $batchId to $targetDir")
+    if (old.exists()) deleteRecursively(old)
   }
 
   /** Throwing recursive delete — a silently-failed swap would drop the
