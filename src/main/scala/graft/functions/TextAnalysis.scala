@@ -79,12 +79,10 @@ object TextAnalysis {
   /** Document fingerprints via the native [[RollingHash]] expression.
     * Verified against an independent pure-SQL fold in the DuckDB oracle.
     */
-  def fingerprints(spark: SparkSession, documents: DataFrame): DataFrame = {
-    GraftFunctions.register(spark)
+  def fingerprints(spark: SparkSession, documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), expr("rolling_hash(text)").as("fingerprint"))
+      .select(col("doc_id"), GraftColumns.rollingHash(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-language rollup over document metadata. */
   def langStats(documents: DataFrame): DataFrame =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.GraftFunctions
+import graft.functions.GraftColumns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,12 +38,10 @@ object Dedup {
     * on the interpreted higher-order-function path (measured 26 s vs <2 s at
     * sf0.1 for the jaccard query).
     */
-  def shingles(documents: DataFrame, k: Int = 3): DataFrame = {
-    GraftFunctions.register(documents.sparkSession)
+  def shingles(documents: DataFrame, k: Int = 3): DataFrame =
     documents.select(
       col("doc_id"),
-      expr(s"word_shingles(text, $k)").as("shingles"))
-  }
+      GraftColumns.wordShingles(col("text"), k).as("shingles"))
 
   /** Exact n-gram Jaccard near-duplicate pairs (doc_id ordered, similarity
     * >= threshold). Shingle inverted index self-join + per-pair overlap
@@ -139,12 +137,11 @@ object Dedup {
       documents: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
-    GraftFunctions.register(spark)
     val bands = maxHamming + 1
     val bandWidth = 64 / bands // last band absorbs the remainder bits
     val fps = documents.select(
       col("doc_id"),
-      expr("simhash64(split(text, ' '))").as("fp"))
+      GraftColumns.simhash64(split(col("text"), " ")).as("fp"))
     val banded = fps.select(
         col("doc_id"), col("fp"),
         explode(array((0 until bands).map { b =>
