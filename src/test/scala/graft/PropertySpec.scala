@@ -57,6 +57,18 @@ class PropertySpec extends SparkTestBase {
     assert(c.exceptAll(a).count() > 0)
   }
 
+  test("results are invariant to physical partitioning (determinism policy)") {
+    val ev = Tables.events(spark, sf)
+    val base = HourlyAggregation(ev).collect()
+    for (parts <- Seq(1, 7, 64)) {
+      val re = HourlyAggregation(ev.repartition(parts))
+        .orderBy("window_start", "event_type").collect()
+      assert(re.sameElements(base.sortBy(r =>
+        (r.getAs[java.sql.Timestamp]("window_start").getTime, r.getAs[String]("event_type")))),
+        s"partitioning $parts changed results")
+    }
+  }
+
   test("salted join equals the plain join") {
     val cust = Tables.customer(spark, sf)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
