@@ -65,6 +65,10 @@ object SparkEntry {
     "q5_grouped_sum" -> ((s, dir) =>
       ReadQueries.groupedSum(HourlyAggregation(Tables.events(s, dir)))),
 
+    // O15: processor memory-status snapshot as a relational aggregate.
+    "o15_memory_status" -> ((s, dir) =>
+      ReadQueries.memoryStatus(HourlyAggregation(Tables.events(s, dir)))),
+
     // O14: last-write-wins upsert as latest-row-per-key dedup.
     "o14_last_write_wins" -> ((s, dir) =>
       Upsert.lastWriteWins(
@@ -112,6 +116,24 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(s, Tables.documents(s, dir))),
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(Tables.documents(s, dir))),
+    // String normalization pipeline (lower/trim/whitespace-collapse/preview).
+    "doc_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        substring(regexp_replace(lower(trim(col("text"))), " +", " "), 1, 40)
+          .as("preview"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+          .as("consonant_chars"))
+      .orderBy(col("doc_id"))),
+    // Temporal profile: events by hour-of-day x day-of-week.
+    "events_time_profile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          hour(col("ts")).as("hour_of_day"),
+          (dayofweek(col("ts")) - 1).as("dow"))  // align to DuckDB Sunday=0
+        .agg(count(lit(1)).as("event_count"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour_of_day"), col("dow"))),
     // Whitespace + BPE-ish regex token counting + subword estimate.
     "token_counts_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -326,6 +348,29 @@ object SparkEntry {
         |FROM tagged
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "o15_memory_status" ->
+      s"""$aggCte
+         |SELECT CAST(sum(event_count) AS BIGINT) AS total_event_count,
+         |       count(*) AS active_window_count,
+         |       min(window_end) AS earliest_window_end,
+         |       max(window_end) AS latest_window_end
+         |FROM hourly_aggregations""".stripMargin,
+
+    "doc_normalize" ->
+      """SELECT doc_id,
+        |  substring(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), 1, 40) AS preview,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS consonant_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_time_profile" ->
+      """SELECT hour(ts) AS hour_of_day,
+        |       dayofweek(ts) AS dow,
+        |       count(*) AS event_count,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_of_day, dow""".stripMargin,
 
     "tpch_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

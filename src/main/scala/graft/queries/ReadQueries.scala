@@ -28,6 +28,9 @@ object ReadQueries {
       toTime: Option[String] = None,
       limit: Int = 100,
       offset: Int = 0): DataFrame = {
+    // Reference clamps: limit in [1, 1000], offset >= 0 (aggregations.py:63-64).
+    val lim = math.max(1, math.min(limit, 1000))
+    val off = math.max(0, offset)
     val filtered = Seq(
       eventType.map(t => col("event_type") === lit(t)),
       fromTime.map(t => col("window_start") >= to_timestamp(lit(t))),
@@ -35,9 +38,20 @@ object ReadQueries {
     ).flatten.foldLeft(agg)((df, p) => df.filter(p))
     filtered
       .orderBy(desc("window_start"), asc("event_type"))
-      .offset(offset)
-      .limit(limit)
+      .offset(off)
+      .limit(lim)
   }
+
+  /** O15 — the processor's in-memory status snapshot
+    * (aggregation_service.py:188-209) as a relational aggregate over the
+    * window table: totals, window count, per-run earliest window end.
+    */
+  def memoryStatus(agg: DataFrame): DataFrame =
+    agg.agg(
+      sum(col("event_count")).as("total_event_count"),
+      count(lit(1)).as("active_window_count"),
+      min(col("window_end")).as("earliest_window_end"),
+      max(col("window_end")).as("latest_window_end"))
 
   /** Q2 — `get_latest_aggregations` (get_latest_aggregations.sql:1-6): top-K
     * by recency. The reference orders by the nondeterministic ingest stamp
