@@ -72,6 +72,45 @@ class StreamingAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("full pipeline: file stream -> windowed agg -> foreachBatch upsert == batch result") {
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e").toFile
+    val srcDir = new java.io.File(root, "src").getAbsolutePath
+    val target = new java.io.File(root, "agg").getAbsolutePath
+
+    // stage the real events table as the streaming source, in two chunks
+    // (files arriving over time), mimicking the Kafka-fed ingest
+    val ev = Tables.events(spark, sf).cache()
+    ev.filter(col("event_id") % 2 === 0).write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val agg = StreamingAgg.hourlyAggStream(spark, stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingAgg.upsertBatch(spark, batch, target, id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(target)
+      .drop("created_at")
+      .orderBy("window_start", "event_type")
+      .collect()
+    val batch = graft.operators.HourlyAggregation(ev)
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+    ev.unpersist()
+  }
+
   test("foreachBatch upsert is idempotent under replay (at-least-once x LWW)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
     val target = new java.io.File(dir, "agg").getAbsolutePath
