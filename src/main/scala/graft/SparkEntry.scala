@@ -106,6 +106,15 @@ object SparkEntry {
       Analytics.revenueRollup(Tables.orders(s, dir))),
     "events_by_segment" -> ((s, dir) =>
       Analytics.eventsBySegment(Tables.events(s, dir), Tables.customer(s, dir))),
+    "shipping_priority" -> ((s, dir) =>
+      Analytics.shippingPriority(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
+    "regional_volume" -> ((s, dir) =>
+      Analytics.regionalVolume(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "user_running_totals" -> ((s, dir) =>
+      Analytics.userRunningTotals(Tables.events(s, dir))),
 
     // ---- training-data pipeline: text analysis ----
     "doc_stats" -> ((s, dir) =>
@@ -453,6 +462,43 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
         |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "regional_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "user_running_totals" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER w AS event_index,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS DOUBLE) AS running_value,
+        |  value - lag(value, 1) OVER w AS value_delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_index""".stripMargin,
 
     "doc_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks,

@@ -135,6 +135,61 @@ object Analytics {
         asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** TPC-H Q3 shape — shipping priority: filtered fact x filtered broadcast
+    * dim, revenue per order, top-K. The filters reach both parquet scans
+    * before the join.
+    */
+  def shippingPriority(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      segment: String = "BUILDING", cutoff: String = "1998-03-15"): DataFrame = {
+    val cut = to_timestamp(lit(s"$cutoff 00:00:00"))
+    lineitem
+      .filter(col("l_shipdate") > cut)
+      .join(broadcast(orders.filter(col("o_orderdate") < cut)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape — regional volume through a 5-table snowflake, all dims
+    * broadcast; one shuffle total (the final aggregation).
+    */
+  def regionalVolume(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame,
+      regionName: String = "ASIA"): DataFrame =
+    lineitem
+      .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  /** Window frames: per-user running totals (unbounded-preceding DECIMAL
+    * frame sum — order-independent exactness even under DuckDB's segment
+    * trees), event index, and delta vs the previous event's value.
+    */
+  def userRunningTotals(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+        col("user_id"), col("event_id"),
+        row_number().over(byUser).as("event_index"),
+        sum(col("value").cast(DecimalType(18, 2))).over(frame).cast("double")
+          .as("running_value"),
+        (col("value") - lag(col("value"), 1).over(byUser)).as("value_delta"))
+      .orderBy(col("user_id"), col("event_index"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to the
     * broadcast customer dim (user_id = c_custkey in the harness), rolled up
     * by segment x event_type. The fact scan stays shuffle-free until the
