@@ -115,6 +115,18 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.region(s, dir))),
     "user_running_totals" -> ((s, dir) =>
       Analytics.userRunningTotals(Tables.events(s, dir))),
+    // Decorrelated-subquery shape: customers above their nation's average
+    // balance (partition-wide window aggregate, exact via DECIMAL sum).
+    "above_avg_balance" -> ((s, dir) => {
+      val byNation = org.apache.spark.sql.expressions.Window.partitionBy(col("c_nationkey"))
+      Tables.customer(s, dir)
+        .withColumn("nation_avg",
+          sum(col("c_acctbal").cast("decimal(18,2)")).over(byNation).cast("double")
+            / count(lit(1)).over(byNation))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("nation_avg"))
+        .orderBy(col("c_custkey"))
+    }),
 
     // ---- training-data pipeline: text analysis ----
     "doc_stats" -> ((s, dir) =>
@@ -488,6 +500,16 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "above_avg_balance" ->
+      """SELECT c_custkey, c_name, c_acctbal, nation_avg FROM (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY c_nationkey) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+        |  FROM customer) t
+        |WHERE c_acctbal > nation_avg
+        |ORDER BY c_custkey""".stripMargin,
 
     "user_running_totals" ->
       """SELECT user_id, event_id,
