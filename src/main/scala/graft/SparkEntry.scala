@@ -115,18 +115,9 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.region(s, dir))),
     "user_running_totals" -> ((s, dir) =>
       Analytics.userRunningTotals(Tables.events(s, dir))),
-    // Decorrelated-subquery shape: customers above their nation's average
-    // balance (partition-wide window aggregate, exact via DECIMAL sum).
-    "above_avg_balance" -> ((s, dir) => {
-      val byNation = org.apache.spark.sql.expressions.Window.partitionBy(col("c_nationkey"))
-      Tables.customer(s, dir)
-        .withColumn("nation_avg",
-          sum(col("c_acctbal").cast("decimal(18,2)")).over(byNation).cast("double")
-            / count(lit(1)).over(byNation))
-        .filter(col("c_acctbal") > col("nation_avg"))
-        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("nation_avg"))
-        .orderBy(col("c_custkey"))
-    }),
+    // Decorrelated-subquery shape (partition-window avg, DECIMAL-exact).
+    "above_avg_balance" -> ((s, dir) =>
+      Analytics.aboveAvgBalance(Tables.customer(s, dir))),
 
     // ---- training-data pipeline: text analysis ----
     "doc_stats" -> ((s, dir) =>
@@ -135,26 +126,14 @@ object SparkEntry {
     "token_histogram" -> ((s, dir) =>
       TextAnalysis.tokenHistogram(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) =>
-      TextAnalysis.fingerprints(s, Tables.documents(s, dir))),
+      TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(Tables.documents(s, dir))),
     // String normalization pipeline (lower/trim/whitespace-collapse/preview).
     "doc_normalize" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        substring(regexp_replace(lower(trim(col("text"))), " +", " "), 1, 40)
-          .as("preview"),
-        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
-          .as("consonant_chars"))
-      .orderBy(col("doc_id"))),
+      TextAnalysis.normalizePreview(Tables.documents(s, dir))),
     // Temporal profile: events by hour-of-day x day-of-week.
     "events_time_profile" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(
-          hour(col("ts")).as("hour_of_day"),
-          (dayofweek(col("ts")) - 1).as("dow"))  // align to DuckDB Sunday=0
-        .agg(count(lit(1)).as("event_count"),
-          round(sum(col("value")), 2).as("total_value"))
-        .orderBy(col("hour_of_day"), col("dow"))),
+      Analytics.eventsTimeProfile(Tables.events(s, dir))),
     // Whitespace + BPE-ish regex token counting + subword estimate.
     "token_counts_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -174,7 +153,7 @@ object SparkEntry {
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(s, Tables.documents(s, dir))),
+      Dedup.simhashPairs(Tables.documents(s, dir))),
 
     // ---- training-data pipeline: similarity search ----
     "ann_bruteforce" -> ((s, dir) =>

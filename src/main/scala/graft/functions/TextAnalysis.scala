@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -79,9 +79,22 @@ object TextAnalysis {
   /** Document fingerprints via the native [[RollingHash]] expression.
     * Verified against an independent pure-SQL fold in the DuckDB oracle.
     */
-  def fingerprints(spark: SparkSession, documents: DataFrame): DataFrame =
+  def fingerprints(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), GraftColumns.rollingHash(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** String-normalization pipeline: lower/trim/whitespace-collapse with a
+    * fixed-length preview, plus a consonant count (regexp_replace is
+    * replace-all in Spark; the DuckDB oracle needs the explicit 'g' flag).
+    */
+  def normalizePreview(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        substring(regexp_replace(lower(trim(col("text"))), " +", " "), 1, 40)
+          .as("preview"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+          .as("consonant_chars"))
       .orderBy(col("doc_id"))
 
   /** Per-language rollup over document metadata. */

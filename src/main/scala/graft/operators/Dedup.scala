@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftColumns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, in increasing
@@ -133,7 +133,6 @@ object Dedup {
     * narrower bands rather than silently losing pairs.
     */
   def simhashPairs(
-      spark: SparkSession,
       documents: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")

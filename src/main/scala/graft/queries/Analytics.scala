@@ -10,8 +10,11 @@ import org.apache.spark.sql.types.DecimalType
   * shapes a user of the reference's Postgres-backed API would reach for next,
   * expressed the way they should run on a 1000-executor cluster:
   *
-  *   - dimensions (`customer`, `part`, `nation`, `region`) are broadcast —
-  *     the fact-table scan never shuffles for the join;
+  *   - fixed-cardinality dims (`nation`, `region`) carry explicit
+  *     broadcast hints; scale-factor-sized tables (`customer`, `part`,
+  *     `orders`) are left to AQE, which broadcasts them while they fit
+  *     the threshold and falls back to shuffle joins when they don't —
+  *     a hard-coded broadcast of a scaled table would OOM at 100 TB;
   *   - aggregations are declarative groupBy so Catalyst plans partial+final
   *     hash agg with map-side combine;
   *   - top-K = orderBy+limit, planned as TakeOrderedAndProject (per-partition
@@ -51,10 +54,10 @@ object Analytics {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  /** Revenue by market segment: fact orders joined to broadcast customer dim. */
+  /** Revenue by market segment: orders x customer (AQE picks the strategy). */
   def mktsegRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         decSum(col("o_totalprice"), 2).as("revenue"),
@@ -62,12 +65,12 @@ object Analytics {
         countDistinct(col("o_custkey")).as("customer_count"))
       .orderBy(col("c_mktsegment"))
 
-  /** Revenue by region/nation: orders against a 3-dim broadcast snowflake. */
+  /** Revenue by region/nation: snowflake with fixed dims broadcast. */
   def nationRevenue(
       orders: DataFrame, customer: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -76,10 +79,10 @@ object Analytics {
         count(lit(1)).as("order_count"))
       .orderBy(col("r_name"), col("n_name"))
 
-  /** Top-10 part brands by discounted revenue (broadcast part, top-K). */
+  /** Top-10 part brands by discounted revenue (top-K, AQE-joined part). */
   def topBrandsByRevenue(lineitem: DataFrame, part: DataFrame, k: Int = 10): DataFrame =
     lineitem
-      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
@@ -135,9 +138,9 @@ object Analytics {
         asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
-  /** TPC-H Q3 shape — shipping priority: filtered fact x filtered broadcast
-    * dim, revenue per order, top-K. The filters reach both parquet scans
-    * before the join.
+  /** TPC-H Q3 shape — shipping priority: filtered fact x filtered scaled
+    * dims, revenue per order, top-K. Filters reach all three parquet scans
+    * before the joins.
     */
   def shippingPriority(
       lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
@@ -145,9 +148,9 @@ object Analytics {
     val cut = to_timestamp(lit(s"$cutoff 00:00:00"))
     lineitem
       .filter(col("l_shipdate") > cut)
-      .join(broadcast(orders.filter(col("o_orderdate") < cut)),
+      .join(orders.filter(col("o_orderdate") < cut),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+      .join(customer.filter(col("c_mktsegment") === segment),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
@@ -155,16 +158,16 @@ object Analytics {
       .limit(10)
   }
 
-  /** TPC-H Q5 shape — regional volume through a 5-table snowflake, all dims
-    * broadcast; one shuffle total (the final aggregation).
+  /** TPC-H Q5 shape — regional volume through a 5-table snowflake; fixed
+    * dims broadcast, scaled tables AQE-joined.
     */
   def regionalVolume(
       lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       nation: DataFrame, region: DataFrame,
       regionName: String = "ASIA"): DataFrame =
     lineitem
-      .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
@@ -190,14 +193,41 @@ object Analytics {
       .orderBy(col("user_id"), col("event_index"))
   }
 
-  /** Star-schema enrichment of the event stream: events joined to the
-    * broadcast customer dim (user_id = c_custkey in the harness), rolled up
-    * by segment x event_type. The fact scan stays shuffle-free until the
-    * final small aggregation.
+  /** Decorrelated-subquery shape: customers above their nation's average
+    * balance — a partition-wide window aggregate (DECIMAL-exact) compared
+    * against the row value, no self-join.
+    */
+  def aboveAvgBalance(customer: DataFrame): DataFrame = {
+    val byNation = Window.partitionBy(col("c_nationkey"))
+    customer
+      .withColumn("nation_avg",
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).over(byNation).cast("double")
+          / count(lit(1)).over(byNation))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Temporal profile: events by hour-of-day x day-of-week (dow aligned to
+    * Sunday=0 to match ANSI/DuckDB conventions).
+    */
+  def eventsTimeProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        hour(col("ts")).as("hour_of_day"),
+        (dayofweek(col("ts")) - 1).as("dow"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hour_of_day"), col("dow"))
+
+  /** Star-schema enrichment of the event stream: events joined to customer
+    * (user_id = c_custkey in the harness), rolled up by segment x
+    * event_type.
     */
   def eventsBySegment(events: DataFrame, customer: DataFrame): DataFrame =
     events
-      .join(broadcast(customer), events("user_id") === customer("c_custkey"))
+      .join(customer, events("user_id") === customer("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(
         count(lit(1)).as("event_count"),

@@ -52,7 +52,7 @@ class DedupSimilaritySpec extends SparkTestBase {
   test("simhash pairs overlap the exact near-dup set") {
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = Dedup.simhashPairs(spark, docs)
+    val sim = Dedup.simhashPairs(docs)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty && sim.nonEmpty)
     assert((exact & sim).nonEmpty, s"no overlap: exact=$exact simhash=$sim")
