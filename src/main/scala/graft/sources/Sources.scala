@@ -77,6 +77,19 @@ object Sources {
       .option("topic", topic)
       .save()
 
+  /** JSON-lines file source for the harness event schema (batch analogue of
+    * the Kafka value stream — same schema, same permissive parse contract
+    * via [[parseJsonEvents]] when wrapped).
+    */
+  def eventsFromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(harnessEventSchema).json(path)
+
+  /** ORC round-trip support: the engine is format-agnostic — any columnar
+    * source with the events schema feeds the same operators.
+    */
+  def eventsFromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S6 — relational read of a served aggregate table over JDBC (the
     * reference's pooled Postgres reads, api/src/infrastructure/database.py).
     * Partitioned read so a large table scans in parallel.
