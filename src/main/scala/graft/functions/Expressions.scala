@@ -166,37 +166,54 @@ object SimHash64 {
   * preserved), so the DuckDB oracle for the compositional form still applies.
   */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  protected override def nullSafeEval(input: Any): Any =
+    WordShingles.shingle(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.shingle($c, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct word-k-grams entirely in UTF8String space (no JVM String
+    * conversion, no regex — called from both interpreted eval and the
+    * generated code; the work is a single tokenize + concat pass).
+    */
+  def shingle(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.split(SPACE, -1)
     if (toks.length < k) {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     } else {
-      val seen = new java.util.LinkedHashSet[String]()
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      val window = new Array[UTF8String](k)
       var i = 0
       while (i <= toks.length - k) {
-        val sb = new java.lang.StringBuilder(toks(i))
-        var j = 1
-        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
-        seen.add(sb.toString)
+        var j = 0
+        while (j < k) { window(j) = toks(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(SPACE, window: _*))
         i += 1
       }
       val out = new Array[Any](seen.size())
       val it = seen.iterator()
       var idx = 0
-      while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+      while (it.hasNext) { out(idx) = it.next(); idx += 1 }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
 }
 
 /** Dot product of two array<double> columns as one native codegen'd loop.

@@ -48,21 +48,25 @@ object Dedup {
     * count; jaccard = |A∩B| / (|A|+|B|-|A∩B|) as exact integer division.
     */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // The set size rides along through the explode (it's functionally
+    // dependent on doc_id), so no separate sizes aggregate and no
+    // post-aggregation joins — three fewer shuffles than the textbook
+    // inverted-index formulation.
     val sh = shingles(documents, k)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
+      .select(
+        col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("shingle"))
+    sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("common_shingles"))
-    pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(
         col("doc_a"), col("doc_b"), col("common_shingles"),
         (col("common_shingles") /
-          (col("sa.n") + col("sb.n") - col("common_shingles"))).as("jaccard"))
+          (col("na") + col("nb") - col("common_shingles"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
