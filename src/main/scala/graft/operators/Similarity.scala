@@ -214,12 +214,16 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    * partitions the corpus into `nlist` cells; each query probes only its
-    * `nprobe` nearest cells. The classic ANN index structure: candidate
-    * count drops from |corpus| to ~|corpus| * nprobe / nlist, and the cell
-    * assignment is a plain equi-join key — hash-partitionable at any scale.
-    * Training cost is one distributed KMeans fit (seeded for determinism).
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    * the corpus into `nlist` cells; each query probes only its `nprobe`
+    * nearest cells. The classic ANN index structure: candidate count drops
+    * from |corpus| to ~|corpus| * nprobe / nlist, and the cell assignment
+    * is a plain equi-join key — hash-partitionable at any scale.
+    *
+    * The quantizer is [[fitCoarseQuantizer]] (seeded k-means on a bounded
+    * sample); cell assignment inlines the centroids as literal arrays and
+    * uses argmin_c ||x-c||² == argmax_c (x·c − ½|c|²) — one native codegen
+    * dot product per centroid, no ML pipeline, no extra pass.
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -228,64 +232,37 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-
     val embDouble = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val withFeatures = embDouble.withColumn(
-      "features", array_to_vector(col("embedding")))
-    val model = quantizerCache.synchronized {
+    val centers: Array[Array[Double]] = quantizerCache.synchronized {
       if (quantizerCache.size > 16) quantizerCache.clear()
       quantizerCache.getOrElseUpdate(
         (embeddings.queryExecution.logical.canonicalized.toString, nlist, seed),
-        {
-          // A coarse quantizer is a statistic of the distribution, not of
-          // every row: fit on a seeded sample capped at ~100k vectors so the
-          // index build stays O(sample) while assignment below stays over
-          // the full corpus. At 100 TB a full-corpus KMeans fit would be a
-          // multi-pass ML job over all data before the first query.
-          val corpusRows = withFeatures.count()
-          val maxFitRows = 100000L
-          val sampled =
-            if (corpusRows <= maxFitRows) withFeatures
-            else withFeatures.sample(withReplacement = false,
-              maxFitRows.toDouble / corpusRows, seed)
-          // The capped sample is small by construction: collapse it to a few
-          // partitions and pin it in memory so each KMeans iteration scans a
-          // tiny cached set instead of re-deriving from the source scan.
-          val trainSet = sampled.select(col("features"))
-            .coalesce(8).persist()
-          try
-            new org.apache.spark.ml.clustering.KMeans()
-              .setK(nlist).setSeed(seed).setFeaturesCol("features").setPredictionCol("cell")
-              .setMaxIter(5) // a coarse quantizer doesn't need convergence
-              .fit(trainSet)
-          finally trainSet.unpersist(blocking = false)
-        })
+        fitCoarseQuantizer(embDouble, nlist, seed))
     }
-    val assigned = model.transform(withFeatures)
-      .select(col("vec_id"), col("embedding"), col("cell"))
 
-    // Each query probes its nprobe nearest centroids (centroids are tiny —
-    // inlined as literals, so the probe ranking is pure row-local math).
-    val centroidCols = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(
-        lit(i).as("cell"),
-        aggregate(
-          zip_with(
-            col("embedding"),
-            array(c.toArray.map(lit): _*),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v).as("dist2"))
+    // Per-centroid score struct: (x·c − ½|c|², cell). Larger score = nearer
+    // centroid, so array_max picks the assignment and a desc sort ranks the
+    // probes — all row-local codegen'd math over literal centroid arrays.
+    def centroidScores(vec: Column) = centers.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val halfNorm2 = c.map(x => x * x).sum / 2.0
+      struct((dot(vec, cLit) - lit(halfNorm2)).as("score"), lit(i).as("cell"))
     }
+
+    val assigned = embDouble.select(
+      col("vec_id"), col("embedding"),
+      array_max(array(centroidScores(col("embedding")): _*))
+        .getField("cell").as("cell"))
+
     val queries = embDouble
       .filter(col("vec_id") < numQueries)
       .select(
         col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(array(centroidCols: _*)).as("probe"))
+        explode(array(centroidScores(col("embedding")): _*)).as("probe"))
       .withColumn("probe_rank",
         row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("probe.dist2"), col("probe.cell"))))
+          .orderBy(col("probe.score").desc, col("probe.cell"))))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("qe"), col("probe.cell").as("cell"))
 
