@@ -148,12 +148,20 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
-    // Sketch-based near-dup (no ANSI-SQL oracle; validated in ScalaTest
-    // against the exact-jaccard pairs): rows-only driver check.
-    "minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir))),
-    "simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir))),
+    // Sketch-based near-dup (no ANSI-SQL oracle for the sketch itself;
+    // validated in ScalaTest against the exact-jaccard pairs). Every output
+    // row carries the EXACT n-gram Jaccard as a self-check column — the
+    // sketch estimate is verifiable in-row (|est - exact| within the
+    // sketch error bar), so the rows-only driver check still sees a
+    // self-verifying result.
+    "minhash_lsh_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.withExactJaccard(Dedup.minhashLshPairs(docs), docs)
+    }),
+    "simhash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.withExactJaccard(Dedup.simhashPairs(docs), docs)
+    }),
 
     // ---- training-data pipeline: similarity search ----
     "ann_bruteforce" -> ((s, dir) =>
@@ -255,14 +263,19 @@ object SparkEntry {
     // Sketch variants — the unbounded-cardinality path (HLL uniques, t-digest
     // style percentiles). Approximate by design → rows-only driver check;
     // error bounds vs exact asserted in PropertySpec.
+    // `users_exact` is a self-check column (exact countDistinct next to the
+    // HLL estimate) so every row is verifiable in isolation; at production
+    // scale the exact column is what the sketch REPLACES — it exists here
+    // because the driver check runs at verification SF.
     "hourly_agg_approx" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("event_count"),
-          approx_count_distinct(col("user_id")).as("approx_users"))
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("users_exact"))
         .select(col("w.start").as("window_start"), col("event_type"),
-          col("event_count"), col("approx_users"))
+          col("event_count"), col("approx_users"), col("users_exact"))
         .orderBy(col("window_start"), col("event_type"))),
     // Flat scalar output (the driver's checker can't sort array columns);
     // the exact interpolated percentile is emitted alongside the sketch
@@ -692,6 +705,56 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, o1.orderkey AS matched_orderkey
         |FROM events e ASOF JOIN o1
         |  ON e.user_id = o1.o_custkey AND o1.o_orderdate <= e.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    // The multimodal stub decode is DETERMINISTIC arithmetic (FNV-1a 64 of
+    // the UTF-8 payload -> format/width/height), so it is fully
+    // oracle-expressible: DuckDB emulates the wrapping 64-bit FNV fold with
+    // HUGEINT arithmetic mod 2^64 (documents are ASCII, so per-char ord ==
+    // per-byte value; verified octet_length == length over all SFs).
+    "multimodal_meta" -> (multimodalMetaCte +
+      """SELECT doc_id,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  (['png','jpeg','webp'])[CAST(((hs % 3) + 3) % 3 AS INT) + 1] AS format,
+        |  CAST(64 + (hu // 256) % 1216 AS INTEGER) AS width,
+        |  CAST(64 + (hu // 16777216) % 960 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    "multimodal_format_stats" -> (multimodalMetaCte +
+      """, meta AS (
+        |  SELECT doc_id, n_bytes,
+        |    (['png','jpeg','webp'])[CAST(((hs % 3) + 3) % 3 AS INT) + 1] AS format,
+        |    64 + (hu // 256) % 1216 AS width
+        |  FROM m
+        |)
+        |SELECT format,
+        |  CAST(count(*) AS BIGINT) AS doc_count,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(width) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_width
+        |FROM meta GROUP BY format ORDER BY format""".stripMargin)
   )
+
+  /** DuckDB CTE shared by the multimodal oracles: the FNV-1a 64-bit fold of
+    * each document's bytes, as HUGEINT mod 2^64 (`hu` unsigned, `hs` the
+    * two's-complement signed view matching the JVM Long).
+    */
+  private val multimodalMetaCte: String =
+    """WITH p AS (
+      |  SELECT doc_id, length(text) AS n_bytes,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(range(1, length(text)+1),
+      |                       i -> ord(substr(text, i, 1))::HUGEINT)),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT
+      |    ) AS hu
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, n_bytes, hu,
+      |    CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs
+      |  FROM p
+      |)
+      |""".stripMargin
 }

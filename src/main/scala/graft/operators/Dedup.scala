@@ -126,6 +126,30 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Attach the exact n-gram Jaccard to CANDIDATE pairs as a self-check /
+    * verification column. This is the standard second stage of sketch-based
+    * dedup at scale: sketches (MinHash-LSH, SimHash bands) generate a small
+    * candidate set, then the exact overlap is computed only for candidates —
+    * two equi-joins against the shingle sets, never an all-pairs product.
+    * Emitting it next to the sketch estimate makes every output row
+    * self-verifying (|est − exact| is bounded by the sketch's error bar).
+    */
+  def withExactJaccard(pairs: DataFrame, documents: DataFrame, k: Int = 3): DataFrame = {
+    val sh = shingles(documents, k)
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val common = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    pairs
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("common", common)
+      .withColumn("exact_jaccard",
+        col("common") /
+          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("common")))
+      .drop("sh_a", "sh_b", "common")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprint per document (native
     * [[graft.functions.SimHash64]] expression, one pass, no shuffle), then
     * candidate generation by band equality, then exact Hamming verification

@@ -168,20 +168,27 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k via multi-table LSH: `numTables` independent
-    * sign-pattern hash tables of `planesPerTable` hyperplanes each; a
-    * corpus vector is a candidate for a query if they collide in ANY table
-    * (the standard recall amplifier: per-table match probability p becomes
-    * 1-(1-p)^L). Only candidates are scored — the equi-join on
-    * (table, bucket) replaces the all-pairs product at scale. Recall vs
-    * [[bruteForceTopK]] is measured in tests.
+  /** Approximate top-k via multi-table, multi-probe LSH: `numTables`
+    * independent sign-pattern hash tables of `planesPerTable` hyperplanes
+    * each; a corpus vector is a candidate for a query if they collide in
+    * ANY table (per-table match probability p becomes 1-(1-p)^L).
+    *
+    * With `multiProbe = true` (Lv et al., VLDB'07) each QUERY additionally
+    * probes every Hamming-distance-1 bucket in every table — the vectors
+    * most likely to be near-misses of the sign pattern. The recall
+    * amplification is paid entirely on the broadcast query side (L·(1+P)
+    * probe rows per query); the corpus index stays exactly L rows per
+    * vector, so index size and the candidate equi-join key
+    * (table, bucket) are unchanged at scale. Only candidates are scored.
+    * Recall vs [[bruteForceTopK]] is asserted in DedupSimilaritySpec.
     */
   def lshBucketedTopK(
       embeddings: DataFrame,
       numQueries: Int = 8,
       k: Int = 5,
-      numTables: Int = 4,
-      planesPerTable: Int = 6): DataFrame = {
+      numTables: Int = 8,
+      planesPerTable: Int = 6,
+      multiProbe: Boolean = true): DataFrame = {
     val dim = 64
     // pre-cast once per row: lshBucket and the scoring cosine otherwise
     // each re-cast the float array (numTables x planesPerTable times)
@@ -197,9 +204,26 @@ object Similarity {
     val corpus = embDouble.select(
       col("vec_id"), col("embedding"),
       explode(array(tableBuckets: _*)).as("tb"))
-    val queries = corpus
+    // Query probes: base bucket per table, computed once into b0..b{L-1},
+    // then (optionally) each single-bit flip — plain XOR off the base, so
+    // the hyperplane dot products are NOT recomputed per probe.
+    val baseBuckets = (0 until numTables).map(t =>
+      lshBucket(col("embedding"), planesPerTable, dim, t * planesPerTable)
+        .as(s"b$t"))
+    val qBase = embDouble
       .filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("tb"))
+      .select(Seq(col("vec_id").as("query_id"), col("embedding").as("qe")) ++
+        baseBuckets: _*)
+    val probeStructs = (0 until numTables).flatMap { t =>
+      val base = col(s"b$t")
+      val buckets =
+        if (multiProbe)
+          base +: (0 until planesPerTable).map(p => base.bitwiseXOR(lit(1L << p)))
+        else Seq(base)
+      buckets.map(b => struct(lit(t).as("tab"), b.as("bucket")))
+    }
+    val queries = qBase.select(
+      col("query_id"), col("qe"), explode(array(probeStructs: _*)).as("tb"))
     val candidates = corpus
       .join(broadcast(queries), Seq("tb"))
       .filter(col("vec_id") =!= col("query_id"))

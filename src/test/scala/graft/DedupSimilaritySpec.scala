@@ -49,6 +49,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall: exact=$exact lsh=$lsh")
   }
 
+  test("withExactJaccard self-check: minhash estimate within sketch error bar") {
+    val pairs = Dedup.withExactJaccard(Dedup.minhashLshPairs(docs), docs)
+      .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val est = r.getDouble(2); val exact = r.getDouble(3)
+      // 16-perm minhash: std err ~ sqrt(j(1-j)/16) <= 0.125; 3 sigma bound
+      assert(math.abs(est - exact) <= 0.375,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): est=$est exact=$exact")
+    }
+  }
+
   test("simhash pairs overlap the exact near-dup set") {
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -69,9 +81,11 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lsh.nonEmpty)
     val recall = (bf & lsh).size.toDouble / bf.size
     info(s"LSH ANN recall vs brute force: $recall")
-    // random 64-dim embeddings are near-orthogonal (neighbors barely beat
-    // noise), so recall is structurally modest; multi-table LSH holds >= 0.2
-    assert(recall >= 0.2)
+    // random 64-dim embeddings are near-orthogonal (top neighbors sit at
+    // cosine ~0.25-0.40), so single-bucket LSH recall is structurally
+    // modest; multi-table + multi-probe (Hamming-1 query probes) holds
+    // >= 0.8 on this fixture (measured 0.85, deterministic planes)
+    assert(recall >= 0.8)
   }
 
   test("IVF ANN recall is reasonable and beats random candidate selection") {
