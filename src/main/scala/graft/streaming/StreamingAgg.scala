@@ -4,7 +4,6 @@ import graft.operators.Upsert
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import scala.collection.mutable
 
 /** Structured Streaming parity for the reference's write path (SURVEY.md
   * §3.1): Kafka-consume loop + in-memory window dict + periodic flush,
@@ -26,16 +25,63 @@ import scala.collection.mutable
   */
 object StreamingAgg {
 
+  /** State buffer for [[ExactDistinctLong]]: a growable primitive Long
+    * array that compacts (sort + dedup in place) whenever it fills. The
+    * worst-case layout in the state store is a flat 8-bytes-per-distinct
+    * array (plus at most one uncompacted duplicate run bounded by the
+    * current capacity) — versus ~40+ bytes/element and object graphs for a
+    * Kryo'd `mutable.HashSet`. Under heavy duplication the compaction keeps
+    * the array near the DISTINCT cardinality, not the observed row count;
+    * the capacity only doubles when a compaction fails to reclaim half the
+    * slots, i.e. when the distinct set itself grew.
+    */
+  case class DistinctBuf(var data: Array[Long], var n: Int) {
+    def add(v: Long): DistinctBuf = {
+      if (n == data.length) compactOrGrow()
+      data(n) = v; n += 1; this
+    }
+    private def compactOrGrow(): Unit = {
+      val d = distinctSorted
+      if (d.length <= data.length / 2) {
+        System.arraycopy(d, 0, data, 0, d.length)
+      } else {
+        val nd = new Array[Long](math.max(8, data.length * 2))
+        System.arraycopy(d, 0, nd, 0, d.length)
+        data = nd
+      }
+      n = d.length
+    }
+    def distinctSorted: Array[Long] = {
+      val s = java.util.Arrays.copyOf(data, n)
+      java.util.Arrays.sort(s)
+      var w = 0; var i = 0
+      while (i < n) {
+        if (w == 0 || s(w - 1) != s(i)) { s(w) = s(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(s, w)
+    }
+  }
+
   /** Exact COUNT(DISTINCT <long col>) as a single-pass typed Aggregator —
     * usable in streaming aggregations where Spark's planner rejects
-    * countDistinct.
+    * countDistinct. Exact-set semantics match the reference's materialized
+    * sets; the [[DistinctBuf]] state encodes as a primitive long array
+    * (product encoder — no Kryo object graph in the state store). For
+    * genuinely unbounded key domains swap in approx_count_distinct
+    * (hourly_agg_approx is that variant).
     */
-  class ExactDistinctLong extends Aggregator[Long, mutable.HashSet[Long], Long] {
-    override def zero: mutable.HashSet[Long] = mutable.HashSet.empty
-    override def reduce(b: mutable.HashSet[Long], a: Long): mutable.HashSet[Long] = { b += a; b }
-    override def merge(b1: mutable.HashSet[Long], b2: mutable.HashSet[Long]): mutable.HashSet[Long] = { b1 ++= b2; b1 }
-    override def finish(r: mutable.HashSet[Long]): Long = r.size.toLong
-    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[mutable.HashSet[Long]]
+  class ExactDistinctLong extends Aggregator[Long, DistinctBuf, Long] {
+    override def zero: DistinctBuf = DistinctBuf(new Array[Long](8), 0)
+    override def reduce(b: DistinctBuf, a: Long): DistinctBuf = b.add(a)
+    override def merge(b1: DistinctBuf, b2: DistinctBuf): DistinctBuf = {
+      val d = b2.distinctSorted
+      var i = 0
+      while (i < d.length) { b1.add(d(i)); i += 1 }
+      b1
+    }
+    override def finish(r: DistinctBuf): Long = r.distinctSorted.length.toLong
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[DistinctBuf]
     override def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
   }
 
@@ -71,13 +117,19 @@ object StreamingAgg {
     * hours x event_types, not by event volume.
     */
   def upsertBatch(spark: SparkSession, batch: DataFrame, targetDir: String, batchId: Long): Unit = {
-    val target = new java.io.File(targetDir)
-    val old = new java.io.File(targetDir + "_old")
+    // All path manipulation goes through the Hadoop FileSystem resolved for
+    // the target URI, so the crash-safe swap works identically on local fs,
+    // HDFS (atomic rename), and object stores (S3A rename is copy+delete —
+    // slower but still leaves either target or _old readable at every step).
+    import org.apache.hadoop.fs.Path
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(targetDir + "_old")
     // Crash recovery: a previous swap may have died between the two renames,
     // leaving the accumulated table at _old and no target.
     val existingDir =
-      if (target.exists()) Some(targetDir)
-      else if (old.exists()) Some(targetDir + "_old")
+      if (fs.exists(target)) Some(targetDir)
+      else if (fs.exists(old)) Some(targetDir + "_old")
       else None
 
     val stamped = batch.withColumn("created_at", lit(batchId))
@@ -89,27 +141,22 @@ object StreamingAgg {
           version = Seq(col("created_at")))
       case None => stamped
     }
-    val tmp = targetDir + "_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmp = new Path(targetDir + "_tmp")
+    // coalesce(1) is deliberate while the aggregate stays hours x types
+    // bounded (one small file per swap); a row-volume-bounded table would
+    // drop it and partition the target instead.
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // Swap keeps the prior state on disk until the new one is in place:
     // target -> _old, _tmp -> target, then drop _old. A crash at any point
     // leaves either target or _old readable — never silent loss.
-    if (old.exists()) deleteRecursively(old)
-    if (target.exists() && !target.renameTo(old))
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"upsertBatch: could not delete $old")
+    if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"upsertBatch: failed to stage $targetDir aside")
-    if (!new java.io.File(tmp).renameTo(target))
+    if (!fs.rename(tmp, target))
       throw new java.io.IOException(
         s"upsertBatch: failed to publish batch $batchId to $targetDir")
-    if (old.exists()) deleteRecursively(old)
-  }
-
-  /** Throwing recursive delete — a silently-failed swap would drop the
-    * micro-batch and break the effectively-once contract.
-    */
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    if (!f.delete())
-      throw new java.io.IOException(s"upsertBatch: could not delete $f")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"upsertBatch: could not delete $old")
   }
 }

@@ -111,6 +111,23 @@ class StreamingAggSpec extends SparkTestBase {
     ev.unpersist()
   }
 
+  test("DistinctBuf state stays near distinct cardinality under heavy duplication") {
+    // 100k observed rows over a 100-value domain: compaction must keep the
+    // buffer capacity bounded by the DISTINCT set, not the row count.
+    val agg = new StreamingAgg.ExactDistinctLong
+    var buf = agg.zero
+    val rng = new scala.util.Random(7)
+    (0 until 100000).foreach(_ => buf = agg.reduce(buf, rng.nextInt(100).toLong))
+    assert(agg.finish(buf) == 100L)
+    assert(buf.data.length <= 512,
+      s"state capacity ${buf.data.length} should be bounded by distinct cardinality, not 100k rows")
+    // merge path preserves exactness and the bound
+    var b2 = agg.zero
+    (1000 until 1100).foreach(v => b2 = agg.reduce(b2, v.toLong))
+    val m = agg.merge(buf, b2)
+    assert(agg.finish(m) == 200L)
+  }
+
   test("foreachBatch upsert is idempotent under replay (at-least-once x LWW)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
     val target = new java.io.File(dir, "agg").getAbsolutePath
