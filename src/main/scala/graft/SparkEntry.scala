@@ -113,11 +113,36 @@ object SparkEntry {
       Analytics.regionalVolume(
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    "tpch_q10_returned" -> ((s, dir) =>
+      Analytics.returnedItemRevenue(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir))),
+    "supplier_nation_revenue" -> ((s, dir) =>
+      Analytics.supplierNationRevenue(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
     "user_running_totals" -> ((s, dir) =>
       Analytics.userRunningTotals(Tables.events(s, dir))),
     // Decorrelated-subquery shape (partition-window avg, DECIMAL-exact).
     "above_avg_balance" -> ((s, dir) =>
       Analytics.aboveAvgBalance(Tables.customer(s, dir))),
+    // The same semantics through the SQL-PARSER path: a true correlated
+    // scalar subquery in `spark.sql` text, decorrelated by Catalyst
+    // (RewriteCorrelatedScalarSubquery -> aggregate + left outer join).
+    // Proves the engine surface is reachable from SQL text, not just the
+    // DataFrame API.
+    "above_avg_balance_sql" -> ((s, dir) => {
+      GraftSql.registerViews(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name, c_acctbal, nation_avg FROM (
+          |  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+          |    (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          |            / count(*)
+          |     FROM customer c2
+          |     WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+          |  FROM customer c) t
+          |WHERE c_acctbal > nation_avg
+          |ORDER BY c_custkey""".stripMargin)
+    }),
 
     // ---- training-data pipeline: text analysis ----
     "doc_stats" -> ((s, dir) =>
@@ -698,6 +723,42 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
         |  count(*) AS line_count
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "tpch_q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "supplier_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS supplier_count,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    // Same correlated-scalar-subquery text as the Spark side (DuckDB also
+    // decorrelates it); DECIMAL-exact sum so the avg is bit-identical.
+    "above_avg_balance_sql" ->
+      """SELECT c_custkey, c_name, c_acctbal, nation_avg FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal,
+        |    (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |            / count(*)
+        |     FROM customer c2
+        |     WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+        |  FROM customer c) t
+        |WHERE c_acctbal > nation_avg
+        |ORDER BY c_custkey""".stripMargin,
 
     "events_asof_orders" ->
       """WITH o1 AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS orderkey

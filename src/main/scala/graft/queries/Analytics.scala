@@ -177,6 +177,42 @@ object Analytics {
         count(lit(1)).as("line_count"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** TPC-H Q10 shape — returned-item revenue: the customers who returned
+    * the most (l_returnflag = 'R'), with their nation. The returnflag
+    * filter reaches the lineitem parquet scan before the first join; the
+    * scaled tables (lineitem/orders/customer) meet on AQE-sized shuffle
+    * equi-joins; only the fixed 25-row nation dim broadcasts.
+    */
+  def returnedItemRevenue(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, topK: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(topK)
+
+  /** Supplier-side revenue rollup: lineitem ⋈ supplier ⋈ nation — revenue,
+    * distinct suppliers and line count per SUPPLIER nation. `supplier` is a
+    * scaled table (grows with SF) so it is NOT hint-broadcast — AQE picks
+    * the join strategy per run; the fixed nation dim broadcasts.
+    */
+  def supplierNationRevenue(
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        countDistinct(col("s_suppkey")).as("supplier_count"),
+        count(lit(1)).as("line_count"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
   /** Window frames: per-user running totals (unbounded-preceding DECIMAL
     * frame sum — order-independent exactness even under DuckDB's segment
     * trees), event index, and delta vs the previous event's value.
