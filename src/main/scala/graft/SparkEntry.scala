@@ -131,7 +131,10 @@ object SparkEntry {
     // Proves the engine surface is reachable from SQL text, not just the
     // DataFrame API.
     "above_avg_balance_sql" -> ((s, dir) => {
-      GraftSql.registerViews(s, dir)
+      // only the view this query reads — GraftSql.registerViews(s, dir)
+      // registers the whole surface, ~1s of parquet-footer reads that
+      // benchmark as query cost
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
       s.sql(
         """SELECT c_custkey, c_name, c_acctbal, nation_avg FROM (
           |  SELECT c.c_custkey, c.c_name, c.c_acctbal,
@@ -153,6 +156,10 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(Tables.documents(s, dir))),
+    // Gopher-style repetition/quality signals (top-token + dup n-gram
+    // fractions) — the boilerplate detectors a curation pipeline gates on.
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir))),
     // String normalization pipeline (lower/trim/whitespace-collapse/preview).
     "doc_normalize" -> ((s, dir) =>
       TextAnalysis.normalizePreview(Tables.documents(s, dir))),
@@ -723,6 +730,29 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
         |  count(*) AS line_count
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n,
+        |    list_max(map_values(list_aggregate(toks, 'histogram'))) AS mf,
+        |    len(list_distinct(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]))) AS d2,
+        |    len(list_distinct(list_transform(range(1, len(toks)-1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS d3
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS token_count,
+        |  CAST(mf AS BIGINT) AS max_token_freq,
+        |  CAST(mf AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_fraction,
+        |  CASE WHEN n > 1 THEN 1.0 - CAST(d2 AS DOUBLE) / CAST(n-1 AS DOUBLE)
+        |       ELSE 0.0 END AS dup_2gram_fraction,
+        |  CASE WHEN n > 2 THEN 1.0 - CAST(d3 AS DOUBLE) / CAST(n-2 AS DOUBLE)
+        |       ELSE 0.0 END AS dup_3gram_fraction
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "tpch_q10_returned" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -37,6 +37,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
+    * §A1.1): top-token fraction and duplicate n-gram fractions — the cheap
+    * detectors for boilerplate/degenerate text that a curation pipeline
+    * gates on before training.
+    *
+    * Distinct n-gram counts ride the native [[WordShingles]] expression
+    * (codegen, per-row). The max token frequency is the one signal that
+    * needs a frequency table, computed DISTRIBUTED (explode → two-level
+    * aggregate with map-side combine, shuffle keyed on (doc_id, token) —
+    * never a per-row quadratic loop and never driver state), then joined
+    * back on doc_id. All fractions are IEEE ops on integer-derived
+    * operands: bit-deterministic.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val base = documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("token_count"),
+      size(GraftColumns.wordShingles(col("text"), 2)).cast("long").as("d2"),
+      size(GraftColumns.wordShingles(col("text"), 3)).cast("long").as("d3"))
+    val maxFreq = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_token_freq"))
+    base.join(maxFreq, "doc_id")
+      .select(
+        col("doc_id"), col("token_count"), col("max_token_freq"),
+        (col("max_token_freq") / col("token_count")).as("top_token_fraction"),
+        when(col("token_count") > 1,
+          lit(1.0) - col("d2") / (col("token_count") - 1))
+          .otherwise(lit(0.0)).as("dup_2gram_fraction"),
+        when(col("token_count") > 2,
+          lit(1.0) - col("d3") / (col("token_count") - 2))
+          .otherwise(lit(0.0)).as("dup_3gram_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID by marker-word counting (the classic cheap n-gram/stopword
     * heuristic): count hits from small per-language marker sets, take the
     * argmax with a fixed priority order, 'und' when no marker hits.
