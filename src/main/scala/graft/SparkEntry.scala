@@ -202,6 +202,11 @@ object SparkEntry {
       Similarity.lshBucketedTopK(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // PQ-compressed ANN (ADC): ranks on 8 one-byte codes per vector (32x
+    // scan shrink); `sim` is the exact cosine recovered for the k
+    // survivors — an in-row self-check against `sim_pq`.
+    "ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(Tables.embeddings(s, dir))),
     // Embedding-cosine near-dup pairs: the exact (verification) primitive,

@@ -46,6 +46,20 @@ object Dedup {
   /** Exact n-gram Jaccard near-duplicate pairs (doc_id ordered, similarity
     * >= threshold). Shingle inverted index self-join + per-pair overlap
     * count; jaccard = |A∩B| / (|A|+|B|-|A∩B|) as exact integer division.
+    *
+    * Formulation notes (measured at sf0.1, 5000 docs, 1.27M index-join
+    * rows): a PPJoin-style prefix filter (Bayardo et al. WWW'07) was
+    * implemented and benchmarked — it cut index-join rows 2.1x but was
+    * 2.3x SLOWER end-to-end, because verification flips from a map-side-
+    * combined groupBy COUNT over join rows (one shuffle of partial counts)
+    * to per-candidate-pair array_intersect over full shingle sets, and on
+    * this similarity graph (many low-overlap pairs sharing one hot
+    * shingle) candidates ≈ join pairs. The count formulation IS the right
+    * one while candidate count ~ pair count; the size filter below
+    * (t·|A| <= |B| <= |A|/t, necessary for J >= t) is kept from that
+    * family as free exact pruning. At corpus scale neither exact variant
+    * is the dedup path — MinHash-LSH is; this is its verification
+    * primitive.
     */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 3, threshold: Double = 0.5): DataFrame = {
     // The set size rides along through the explode (it's functionally
@@ -58,7 +72,9 @@ object Dedup {
         explode(col("shingles")).as("shingle"))
     sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lit(threshold) <= col("b.n") &&
+          col("b.n") * lit(threshold) <= col("a.n"))
       .groupBy(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))

@@ -84,14 +84,29 @@ object Similarity {
       k: Int,
       seed: Long,
       maxFitRows: Int = 20000,
-      iters: Int = 5): Array[Array[Double]] = {
+      iters: Int = 5): Array[Array[Double]] =
+    localKMeans(sampleVectors(embDouble, maxFitRows, seed), k, seed, iters)
+
+  /** One bounded, seeded sample scan collecting `maxFitRows` vectors to the
+    * driver — the training set for every quantizer here (IVF coarse, PQ
+    * subspace codebooks). O(sample) regardless of corpus size.
+    */
+  private def sampleVectors(
+      embDouble: DataFrame, maxFitRows: Int, seed: Long): Array[Array[Double]] = {
     val n = embDouble.count()
     val sampled =
       if (n <= maxFitRows) embDouble
       else embDouble.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
-    val points: Array[Array[Double]] =
-      sampled.select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
-    require(points.nonEmpty, "cannot fit an IVF quantizer on an empty corpus")
+    sampled.select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Seeded k-means++ init + Lloyd iterations over driver-local points. */
+  private def localKMeans(
+      points: Array[Array[Double]],
+      k: Int,
+      seed: Long,
+      iters: Int = 5): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot fit a quantizer on an empty corpus")
     val dim = points.head.length
     val rng = new scala.util.Random(seed)
     def dist2(a: Array[Double], b: Array[Double]): Double = {
@@ -300,6 +315,135 @@ object Similarity {
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** PQ codebook cache (same rationale as [[quantizerCache]]): m subspace
+    * codebooks, each ksub x dsub.
+    */
+  private val pqCache =
+    scala.collection.mutable.Map.empty[(String, Int, Int, Long), Array[Array[Array[Double]]]]
+
+  /** Train product-quantization codebooks (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * dim-d space into `m` subspaces of d/m dims; per subspace, a seeded
+    * k-means of `ksub` centroids over ONE bounded sample (collected once,
+    * sliced per subspace — not m sample scans).
+    */
+  private def fitPqCodebooks(
+      embDouble: DataFrame,
+      m: Int,
+      ksub: Int,
+      seed: Long,
+      maxFitRows: Int = 20000): Array[Array[Array[Double]]] = {
+    val points = sampleVectors(embDouble, maxFitRows, seed)
+    val dim = points.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = points.map(p => java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub))
+      localKMeans(sub, ksub, seed + j)
+    }
+  }
+
+  /** PQ-compressed approximate top-k with asymmetric distance computation
+    * (ADC). The 100 TB memory path: the corpus scan carries `m` small int
+    * codes (+ one precomputed norm) per vector — at m=8, that is 8 codes
+    * for a 64-float vector, a 32x shrink of scan volume — while queries
+    * stay full-precision:
+    *
+    *   - ENCODE (corpus side, once): per subspace, assign the nearest
+    *     codebook centroid via the same literal-centroid argmax trick as
+    *     IVF — row-local codegen'd dot products, no shuffle. The
+    *     reconstructed norm |x̂|² = Σ_j |c_{j,code_j}|² is a code-indexed
+    *     lookup, precomputed per row.
+    *   - SEARCH: each query precomputes a lookup table ipLut[j*ksub+c] =
+    *     q_j · c_{j,c} (m*ksub dot products, query-side only, broadcast).
+    *     Per (query, corpus-row) pair the approximate cosine is
+    *     (Σ_j ipLut[code_j]) / (|q| * |x̂|) — m element_at + adds, no
+    *     vector arithmetic on the scan path.
+    *
+    * The ADC scan retrieves a `k * rerank` SHORTLIST per query; the final
+    * top-k comes from an exact-cosine re-rank of the shortlist against the
+    * raw vectors (the "+R" refinement of Jégou et al. — production PQ
+    * systems re-rank a shortlist because the compressed scan is for
+    * RECALL, not final ordering). Raw vectors are touched only for
+    * numQueries * k * rerank rows; the corpus-wide scan stays on codes.
+    * `sim` is the exact cosine, `sim_pq` the ADC estimate (in-row
+    * self-check).
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 8,
+      k: Int = 5,
+      m: Int = 16,
+      ksub: Int = 16,
+      rerank: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val embDouble = embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val books: Array[Array[Array[Double]]] = pqCache.synchronized {
+      if (pqCache.size > 16) pqCache.clear()
+      pqCache.getOrElseUpdate(
+        (embeddings.queryExecution.logical.canonicalized.toString, m, ksub, seed),
+        fitPqCodebooks(embDouble, m, ksub, seed))
+    }
+    val dsub = books(0)(0).length
+
+    def subvec(vec: Column, j: Int): Column = slice(vec, j * dsub + 1, dsub)
+    // per-subspace code: argmin_c ||x_j - c||^2 == argmax_c (x_j·c - ½|c|²)
+    def codeOf(vec: Column, j: Int): Column =
+      array_max(array(books(j).zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(lit).toIndexedSeq: _*)
+        struct((dot(subvec(vec, j), cLit) - lit(c.map(x => x * x).sum / 2.0))
+          .as("score"), lit(i).as("code"))
+      }.toIndexedSeq: _*)).getField("code")
+
+    val withCodes = embDouble.select(
+      col("vec_id") +: (0 until m).map(j => codeOf(col("embedding"), j).as(s"code_$j")): _*)
+    // reconstructed norm²: code-indexed lookup per subspace (literal arrays)
+    val norm2Expr = (0 until m).map { j =>
+      val n2 = books(j).map(c => c.map(x => x * x).sum)
+      element_at(array(n2.map(lit).toIndexedSeq: _*), col(s"code_$j") + 1)
+    }.reduce(_ + _)
+    val corpus = withCodes.withColumn("nx", sqrt(norm2Expr))
+
+    val ipLut = array((for (j <- 0 until m; c <- books(j)) yield {
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      dot(subvec(col("embedding"), j), cLit)
+    }).toIndexedSeq: _*)
+    val queries = embDouble
+      .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        ipLut.as("ip_lut"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nq"))
+
+    val adcIp = (0 until m).map(j =>
+      element_at(col("ip_lut"), lit(j * ksub) + col(s"code_$j") + 1)).reduce(_ + _)
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (adcIp / (col("nq") * col("nx"))).as("sim_pq"))
+    val wPq = Window.partitionBy(col("query_id")).orderBy(desc("sim_pq"), asc("neighbor_id"))
+    val shortlist = scored
+      .withColumn("pq_rnk", row_number().over(wPq))
+      .filter(col("pq_rnk") <= k * rerank)
+    // exact-cosine re-rank of the shortlist (raw vectors touched only here)
+    val qVecs = embDouble
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val nVecs = embDouble.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val wExact = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    shortlist
+      .join(broadcast(qVecs), "query_id")
+      .join(nVecs, "neighbor_id")
+      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim_pq"), col("sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
