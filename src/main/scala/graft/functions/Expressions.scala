@@ -342,6 +342,87 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoder: assigns each of `m` subvectors to its
+  * nearest codebook centroid in ONE pass over the row — argmin over
+  * ||x_j - c||² computed as argmax(x_j·c − ½|c|²), so only dot products
+  * touch the vector. Replaces the compositional m·ksub slice()+dot plan
+  * (which allocated a subarray per subspace PER CENTROID) with a single
+  * tight loop; codebooks ride into the generated code as reference
+  * objects, not literal trees.
+  *
+  * Layout: `flatBooks`[(j*ksub + c)*dsub + d], `halfNorm2`[j*ksub + c].
+  * Returns array<int> of m codes; null if the input length != m*dsub.
+  */
+case class PqEncode(
+    child: Expression,
+    flatBooks: Array[Double],
+    halfNorm2: Array[Double],
+    m: Int,
+    ksub: Int,
+    dsub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    PqEncode.encode(input.asInstanceOf[ArrayData], flatBooks, halfNorm2, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val books = ctx.addReferenceObj("flatBooks", flatBooks, "double[]")
+    val hn = ctx.addReferenceObj("halfNorm2", halfNorm2, "double[]")
+    val cls = PqEncode.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.encode($c, $books, $hn, $m, $ksub, $dsub);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def encode(
+      arr: ArrayData,
+      books: Array[Double],
+      hn: Array[Double],
+      m: Int,
+      ksub: Int,
+      dsub: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (arr.numElements() != m * dsub) return null
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val voff = j * dsub
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var s = 0.0
+        var d = 0
+        while (d < dsub) { s += arr.getDouble(voff + d) * books(off + d); d += 1 }
+        s -= hn(j * ksub + c)
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+}
+
 /** Column-level API for the native expressions (no registry needed —
   * Spark 4's classic ExpressionUtils bridges Expression -> Column), so
   * `Similarity.cosine`/`lshBucket` work on any session out of the box.
@@ -362,6 +443,12 @@ object GraftColumns {
     ColumnBridge.column(SimHash64(child(c)))
   def wordShingles(c: Column, k: Int = 3): Column =
     ColumnBridge.column(WordShingles(child(c), k))
+  def pqEncode(c: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length; val ksub = books(0).length; val dsub = books(0)(0).length
+    val flat = books.flatten.flatten
+    val hn = books.flatten.map(cv => cv.map(x => x * x).sum / 2.0)
+    ColumnBridge.column(PqEncode(child(c), flat, hn, m, ksub, dsub))
+  }
 }
 
 /** SQL registration for the custom expressions (usable via `expr(...)` and

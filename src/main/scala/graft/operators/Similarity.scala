@@ -391,20 +391,17 @@ object Similarity {
     val dsub = books(0)(0).length
 
     def subvec(vec: Column, j: Int): Column = slice(vec, j * dsub + 1, dsub)
-    // per-subspace code: argmin_c ||x_j - c||^2 == argmax_c (x_j·c - ½|c|²)
-    def codeOf(vec: Column, j: Int): Column =
-      array_max(array(books(j).zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.map(lit).toIndexedSeq: _*)
-        struct((dot(subvec(vec, j), cLit) - lit(c.map(x => x * x).sum / 2.0))
-          .as("score"), lit(i).as("code"))
-      }.toIndexedSeq: _*)).getField("code")
-
+    // per-row encode: ONE native-expression pass assigns all m codes
+    // ([[graft.functions.PqEncode]] — the compositional m·ksub slice()+dot
+    // plan allocated a subarray per centroid per row)
     val withCodes = embDouble.select(
-      col("vec_id") +: (0 until m).map(j => codeOf(col("embedding"), j).as(s"code_$j")): _*)
+      col("vec_id"),
+      graft.functions.GraftColumns.pqEncode(col("embedding"), books).as("codes"))
     // reconstructed norm²: code-indexed lookup per subspace (literal arrays)
     val norm2Expr = (0 until m).map { j =>
       val n2 = books(j).map(c => c.map(x => x * x).sum)
-      element_at(array(n2.map(lit).toIndexedSeq: _*), col(s"code_$j") + 1)
+      element_at(array(n2.map(lit).toIndexedSeq: _*),
+        element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
     val corpus = withCodes.withColumn("nx", sqrt(norm2Expr))
 
@@ -420,7 +417,8 @@ object Similarity {
         sqrt(dot(col("embedding"), col("embedding"))).as("nq"))
 
     val adcIp = (0 until m).map(j =>
-      element_at(col("ip_lut"), lit(j * ksub) + col(s"code_$j") + 1)).reduce(_ + _)
+      element_at(col("ip_lut"),
+        lit(j * ksub) + element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
     val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(
