@@ -194,6 +194,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.withExactJaccard(Dedup.simhashPairs(docs), docs)
     }),
+    // Transitive closure of the verified near-dup pairs: every doc labeled
+    // with its component's min doc_id (the survivor a dedup pass keeps).
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupClusters(docs, Dedup.ngramJaccardPairs(docs))
+    }),
 
     // ---- training-data pipeline: similarity search ----
     "ann_bruteforce" -> ((s, dir) =>
@@ -735,6 +741,35 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
         |  count(*) AS line_count
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Connected components as a recursive CTE: reach(v, r) enumerates
+    // (vertex, reachable-vertex) pairs; min reachable id == component label.
+    // Transitive-closure sized — fine at verification SF, and a fully
+    // independent formulation from the Spark label-propagation loop.
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2]))) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM p0
+        |          JOIN sizes sa ON doc_a = sa.doc_id
+        |          JOIN sizes sb ON doc_b = sb.doc_id
+        |          WHERE c / (sa.n + sb.n - c) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v)
+        |SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "doc_repetition" ->
       """WITH t AS (

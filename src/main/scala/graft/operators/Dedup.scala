@@ -142,6 +142,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-duplicate CLUSTER assignment: connected components over the
+    * pair graph, labeling every document with the minimum doc_id of its
+    * component. Dedup is transitive in practice (A~B, B~C ⇒ one cluster
+    * keeps one survivor), so pipelines need components, not pairs.
+    *
+    * Iterative min-label propagation: each round is one edges⋈labels
+    * equi-join + min-aggregate (both hash-partitioned on doc ids — no
+    * driver-side graph state, scales with the edge list), converging in
+    * O(component diameter) rounds — near-dup components are shallow (a
+    * handful of rounds; capped at `maxIters`, convergence checked by
+    * counting changed labels). `localCheckpoint()` truncates the lineage
+    * each round so the plan doesn't grow with iterations — the standard
+    * Spark iterative-algorithm requirement. The large-star/small-star
+    * reformulation (Kiveris et al., "Connected Components in MapReduce",
+    * SoCC'14) is the drop-in upgrade if diameters grow.
+    */
+  def nearDupClusters(
+      documents: DataFrame,
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbor = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels
+        .union(viaNeighbor)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   /** Attach the exact n-gram Jaccard to CANDIDATE pairs as a self-check /
     * verification column. This is the standard second stage of sketch-based
     * dedup at scale: sketches (MinHash-LSH, SimHash bands) generate a small

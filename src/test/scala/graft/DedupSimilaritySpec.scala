@@ -134,6 +134,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r(2L).getDouble(3) < 0.2 && r(2L).getDouble(4) == 0.0)
   }
 
+  test("nearDupClusters: transitive chain collapses to one component") {
+    // A~B and B~C but A!~C directly: component must still merge all three
+    val verts = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(verts, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("exact dedup groups partition the corpus") {
     val total = docs.count()
     val g = Dedup.exactGroups(docs).agg(sum("dup_count")).as[Long].head
