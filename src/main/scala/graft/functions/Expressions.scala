@@ -423,6 +423,80 @@ object PqEncode {
   }
 }
 
+/** Sign-pattern LSH bucketer: computes ALL hash tables' bucket ids for a
+  * vector in one pass (bit p of table t = sign of the dot product with
+  * hyperplane t*P+p). The compositional form — numTables × planesPerTable
+  * dot products against literal plane arrays — builds a multi-thousand-node
+  * expression tree that blows past codegen method limits; here the plane
+  * matrix rides into generated code as one reference object.
+  *
+  * Layout: `flatPlanes`[(t*P + p)*dim + d]. Returns array<long> of
+  * numTables bucket ids; null if the input length != dim.
+  */
+case class LshBuckets(
+    child: Expression,
+    flatPlanes: Array[Double],
+    numTables: Int,
+    planesPerTable: Int,
+    dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    LshBuckets.buckets(
+      input.asInstanceOf[ArrayData], flatPlanes, numTables, planesPerTable, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("flatPlanes", flatPlanes, "double[]")
+    val cls = LshBuckets.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.buckets($c, $planes, $numTables, $planesPerTable, $dim);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+  def buckets(
+      arr: ArrayData,
+      planes: Array[Double],
+      numTables: Int,
+      planesPerTable: Int,
+      dim: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (arr.numElements() != dim) return null
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val off = (t * planesPerTable + p) * dim
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += arr.getDouble(d) * planes(off + d); d += 1 }
+        if (s >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level API for the native expressions (no registry needed —
   * Spark 4's classic ExpressionUtils bridges Expression -> Column), so
   * `Similarity.cosine`/`lshBucket` work on any session out of the box.
@@ -443,6 +517,10 @@ object GraftColumns {
     ColumnBridge.column(SimHash64(child(c)))
   def wordShingles(c: Column, k: Int = 3): Column =
     ColumnBridge.column(WordShingles(child(c), k))
+  def lshBuckets(
+      c: Column, flatPlanes: Array[Double],
+      numTables: Int, planesPerTable: Int, dim: Int): Column =
+    ColumnBridge.column(LshBuckets(child(c), flatPlanes, numTables, planesPerTable, dim))
   def pqEncode(c: Column, books: Array[Array[Array[Double]]]): Column = {
     val m = books.length; val ksub = books(0).length; val dsub = books(0)(0).length
     val flat = books.flatten.flatten

@@ -205,47 +205,58 @@ object Similarity {
       planesPerTable: Int = 6,
       multiProbe: Boolean = true): DataFrame = {
     val dim = 64
-    // pre-cast once per row: lshBucket and the scoring cosine otherwise
-    // each re-cast the float array (numTables x planesPerTable times)
+    // pre-cast once per row: the bucketer and the scoring cosine otherwise
+    // each re-cast the float array
     val embDouble = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val tableBuckets = (0 until numTables).map { t =>
-      struct(
-        lit(t).as("tab"),
-        // per-table plane sets are disjoint: plane index = t*P+p
-        lshBucket(col("embedding"), planesPerTable, dim, t * planesPerTable)
-          .as("bucket"))
+    // All tables' buckets in ONE native-expression pass
+    // ([[graft.functions.LshBuckets]] — the per-table compositional form
+    // was a multi-thousand-node literal tree past codegen method limits).
+    // Per-table plane sets are disjoint: global plane index = t*P+p.
+    val flatPlanes = Array.tabulate(numTables * planesPerTable * dim) { idx =>
+      planeWeight(idx / dim, idx % dim, dim)
     }
-    val corpus = embDouble.select(
-      col("vec_id"), col("embedding"),
-      explode(array(tableBuckets: _*)).as("tb"))
-    // Query probes: base bucket per table, computed once into b0..b{L-1},
-    // then (optionally) each single-bit flip — plain XOR off the base, so
-    // the hyperplane dot products are NOT recomputed per probe.
-    val baseBuckets = (0 until numTables).map(t =>
-      lshBucket(col("embedding"), planesPerTable, dim, t * planesPerTable)
-        .as(s"b$t"))
+    val bucketsOf = graft.functions.GraftColumns.lshBuckets(
+      col("embedding"), flatPlanes, numTables, planesPerTable, dim)
+    // Candidate generation carries ONLY (vec_id, bucket) — never the
+    // vectors: the collision join and the dedup shuffle move 16-byte rows,
+    // not 512-byte arrays. Vectors re-attach to the (small) deduped
+    // candidate set afterwards, where AQE broadcasts the candidates and
+    // the corpus side stays shuffle-free.
+    val corpusKeys = embDouble
+      .select(col("vec_id"), posexplode(bucketsOf))
+      .select(col("vec_id"),
+        struct(col("pos").as("tab"), col("col").as("bucket")).as("tb"))
+    // Query probes: base bucket per table from the same bucketer, then
+    // (optionally) each single-bit flip — plain XOR off the base, so the
+    // hyperplane dot products are NOT recomputed per probe.
     val qBase = embDouble
       .filter(col("vec_id") < numQueries)
-      .select(Seq(col("vec_id").as("query_id"), col("embedding").as("qe")) ++
-        baseBuckets: _*)
+      .select(col("vec_id").as("query_id"), bucketsOf.as("bks"))
     val probeStructs = (0 until numTables).flatMap { t =>
-      val base = col(s"b$t")
+      val base = element_at(col("bks"), t + 1)
       val buckets =
         if (multiProbe)
           base +: (0 until planesPerTable).map(p => base.bitwiseXOR(lit(1L << p)))
         else Seq(base)
       buckets.map(b => struct(lit(t).as("tab"), b.as("bucket")))
     }
-    val queries = qBase.select(
-      col("query_id"), col("qe"), explode(array(probeStructs: _*)).as("tb"))
-    val candidates = corpus
-      .join(broadcast(queries), Seq("tb"))
+    val probes = qBase.select(
+      col("query_id"), explode(array(probeStructs: _*)).as("tb"))
+    val candidates = corpusKeys
+      .join(broadcast(probes), Seq("tb"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = candidates.select(
-      col("query_id"), col("vec_id").as("neighbor_id"),
-      cosine(col("qe"), col("embedding")).as("sim"))
+    val qVecs = embDouble
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = candidates
+      .join(embDouble, "vec_id")
+      .join(broadcast(qVecs), "query_id")
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -281,18 +292,22 @@ object Similarity {
     }
 
     // Per-centroid score struct: (x·c − ½|c|², cell). Larger score = nearer
-    // centroid, so array_max picks the assignment and a desc sort ranks the
-    // probes — all row-local codegen'd math over literal centroid arrays.
+    // centroid, so a desc sort ranks the query probes — row-local codegen'd
+    // math over literal centroid arrays (queries are few).
     def centroidScores(vec: Column) = centers.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit).toIndexedSeq: _*)
       val halfNorm2 = c.map(x => x * x).sum / 2.0
       struct((dot(vec, cLit) - lit(halfNorm2)).as("score"), lit(i).as("cell"))
     }
 
+    // Corpus-side assignment is [[graft.functions.PqEncode]] with a single
+    // subspace spanning the whole vector — nearest-centroid in one native
+    // loop (codebook as a codegen reference object, not a literal tree).
     val assigned = embDouble.select(
       col("vec_id"), col("embedding"),
-      array_max(array(centroidScores(col("embedding")): _*))
-        .getField("cell").as("cell"))
+      element_at(
+        graft.functions.GraftColumns.pqEncode(col("embedding"), Array(centers)), 1)
+        .as("cell"))
 
     val queries = embDouble
       .filter(col("vec_id") < numQueries)

@@ -88,6 +88,21 @@ object StreamingAgg {
   def registerExactDistinct(spark: SparkSession): Unit =
     spark.udf.register("exact_distinct_long", udaf(new ExactDistinctLong))
 
+  /** Exactly-once event stream from at-least-once delivery: drop replayed
+    * event_ids inside the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). The reference gets effectively-once
+    * from idempotent UPSERTs after aggregation; this is the
+    * pre-aggregation equivalent for operators that are NOT idempotent
+    * (e.g. COUNT would double-count a redelivered event). State is one
+    * entry per event_id within the horizon — bounded by rate × horizon and
+    * evicted by the watermark, unlike plain `dropDuplicates` whose
+    * streaming state grows forever.
+    */
+  def dedupEvents(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** The streaming hourly aggregation: same measure set as the batch
     * [[graft.operators.HourlyAggregation]], over a streaming `events` frame.
     * `grace` mirrors GRACE_PERIOD_SECONDS (default 60 s).

@@ -111,6 +111,27 @@ class StreamingAggSpec extends SparkTestBase {
     ev.unpersist()
   }
 
+  test("streaming dedup drops replayed event_ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingAgg.dedupEvents(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 2.0),
+        ev(1, "2024-01-01 10:05:00", 1, "click", 2.0)) // same-batch dup
+      q.processAllAvailable()
+      mem.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 2.0), // cross-batch replay
+        ev(2, "2024-01-01 10:06:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("DistinctBuf state stays near distinct cardinality under heavy duplication") {
     // 100k observed rows over a 100-value domain: compaction must keep the
     // buffer capacity bounded by the DISTINCT set, not the row count.
