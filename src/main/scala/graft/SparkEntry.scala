@@ -113,6 +113,9 @@ object SparkEntry {
       Analytics.regionalVolume(
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // Staged conversion funnel (ordered view -> click -> purchase).
+    "funnel_conversion" -> ((s, dir) =>
+      Analytics.funnel(Tables.events(s, dir))),
     "tpch_q10_returned" -> ((s, dir) =>
       Analytics.returnedItemRevenue(
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
@@ -793,6 +796,20 @@ object SparkEntry {
         |  CASE WHEN n > 2 THEN 1.0 - CAST(d3 AS DOUBLE) / CAST(n-2 AS DOUBLE)
         |       ELSE 0.0 END AS dup_3gram_fraction
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "funnel_conversion" ->
+      """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts >= v.view_ts
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
 
     "tpch_q10_returned" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -165,7 +165,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = documents.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // Only docs touching an edge participate in the iteration (every other
+    // doc is a singleton cluster by construction and joins back once at
+    // the end) — per-round frames scale with the PAIR graph, not the
+    // corpus.
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -185,7 +191,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.orderBy(col("doc_id"))
+    documents.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "member"),
+        col("doc_id") === col("member"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Attach the exact n-gram Jaccard to CANDIDATE pairs as a self-check /

@@ -177,6 +177,35 @@ object Analytics {
         count(lit(1)).as("line_count"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** Staged conversion funnel: users with a view; of those, a first click
+    * at-or-after their first view; of those, a first purchase at-or-after
+    * that click — per-stage user counts (the classic product-analytics
+    * query, with real event-ORDER semantics, not mere per-type presence).
+    * Each stage is a filtered min-aggregate forward-joined on user_id —
+    * shuffles are keyed on user_id and carry one row per qualifying user,
+    * never the event stream; stage cardinality only shrinks.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val firstClick = events.filter(col("event_type") === "click").as("e")
+      .join(firstView.as("v"),
+        col("e.user_id") === col("v.user_id") && col("e.ts") >= col("v.view_ts"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("click_ts"))
+      .select(col("user_id"), col("click_ts"))
+    val firstPurchase = events.filter(col("event_type") === "purchase").as("e")
+      .join(firstClick.as("c"),
+        col("e.user_id") === col("c.user_id") && col("e.ts") >= col("c.click_ts"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("purchase_ts"))
+    firstView.agg(count(lit(1)).as("users")).withColumn("stage", lit("1_view"))
+      .unionByName(
+        firstClick.agg(count(lit(1)).as("users")).withColumn("stage", lit("2_click")))
+      .unionByName(
+        firstPurchase.agg(count(lit(1)).as("users")).withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("users"))
+      .orderBy(col("stage"))
+  }
+
   /** TPC-H Q10 shape — returned-item revenue: the customers who returned
     * the most (l_returnflag = 'R'), with their nation. The returnflag
     * filter reaches the lineitem parquet scan before the first join; the
