@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Analytics
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audit for the properties the 100 TB design depends on:
+  * filters pushed to the parquet scan, scans pruned to referenced columns,
+  * fixed dims broadcast, and no cartesian product anywhere outside the two
+  * deliberately bounded verification primitives. These are the claims
+  * SCALING.md makes — asserted against the actual executed plans, so a
+  * regression in plan shape fails the build, not just the benchmark.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def executed(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def leaves(df: DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  test("ANN query-set filter reaches the embeddings parquet scan") {
+    val plan = leaves(Similarity.bruteForceTopK(Tables.embeddings(spark, sf)))
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(vec_id,8)"),
+      s"query-side vec_id filter must be pushed to the scan:\n$plan")
+  }
+
+  test("column pruning: token counting reads only doc_id and text") {
+    val q = Tables.documents(spark, sf).selectExpr(
+      "doc_id", "size(split(text, ' ')) AS ws_tokens")
+    val scan = leaves(q)
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to the two referenced columns:\n$scan")
+  }
+
+  test("TPC-H Q3 shape: date/segment filters pushed on all three scans") {
+    val plan = leaves(Analytics.shippingPriority(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf), Tables.customer(spark, sf)))
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("snowflake joins broadcast the fixed dims, never cartesian") {
+    val plan = executed(Analytics.regionalVolume(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"snowflake must stay on equi-joins:\n$plan")
+  }
+
+  test("LSH candidate generation joins on bucket keys without carrying vectors") {
+    val df = Similarity.lshBucketedTopK(Tables.embeddings(spark, sf))
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the collision-join + dedup stage must not shuffle embedding arrays:
+    // candidate exchanges carry only ids/buckets (the vectors re-attach
+    // after dedup via the vec_id join)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val badExchange = exchanges.find(_.output.exists(a =>
+      a.name == "embedding" || a.name == "qe"))
+    assert(badExchange.isEmpty,
+      s"candidate shuffle must not carry vector arrays:\n${badExchange.mkString}")
+  }
+
+  test("windowed aggregation keeps partial aggregation (map-side combine)") {
+    val plan = executed(operators.HourlyAggregation(Tables.events(spark, sf)))
+    // two-phase hash aggregate: partial_ functions before the exchange
+    assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
+  }
+}
