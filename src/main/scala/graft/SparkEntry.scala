@@ -245,6 +245,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "multimodal_format_stats" -> ((s, dir) =>
       graft.multimodal.Multimodal.formatStats(s, Tables.documents(s, dir))),
+    // Resize geometry (aspect-fit, integer-only fixed-point) and video
+    // frame-sampling bookkeeping — the pre-pixel stages of a
+    // mapInPandas-style multimodal pipeline, fused into the decode pass.
+    "multimodal_thumbnails" -> ((s, dir) =>
+      graft.multimodal.Multimodal.thumbnails(s, Tables.documents(s, dir))),
+    "multimodal_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.frameSample(s, Tables.documents(s, dir))),
 
     // ---- widened relational surface ----
     // Semi-structured extraction from the props JSON column.
@@ -867,6 +874,32 @@ object SparkEntry {
         |  CAST(64 + (hu // 256) % 1216 AS INTEGER) AS width,
         |  CAST(64 + (hu // 16777216) % 960 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    "multimodal_thumbnails" -> (multimodalMetaCte +
+      """, meta AS (
+        |  SELECT doc_id,
+        |    (['png','jpeg','webp'])[CAST(((hs % 3) + 3) % 3 AS INT) + 1] AS format,
+        |    64 + (hu // 256) % 1216 AS width,
+        |    64 + (hu // 16777216) % 960 AS height
+        |  FROM m
+        |), sc AS (
+        |  SELECT *, least((256 * 1000000) // width,
+        |                  (256 * 1000000) // height, 1000000) AS scale_num
+        |  FROM meta
+        |)
+        |SELECT doc_id, format,
+        |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(greatest(1, (width * scale_num) // 1000000) AS INT) AS thumb_w,
+        |  CAST(greatest(1, (height * scale_num) // 1000000) AS INT) AS thumb_h,
+        |  CAST(greatest(1, (width * scale_num) // 1000000)
+        |     * greatest(1, (height * scale_num) // 1000000) * 3 AS BIGINT) AS thumb_bytes
+        |FROM sc ORDER BY doc_id""".stripMargin),
+
+    "multimodal_frame_sample" -> (multimodalMetaCte +
+      """SELECT doc_id,
+        |  CAST(n_bytes // 32 AS BIGINT) AS total_frames,
+        |  CAST((n_bytes // 32 + 3) // 4 AS BIGINT) AS sampled_frames
         |FROM m ORDER BY doc_id""".stripMargin),
 
     "multimodal_format_stats" -> (multimodalMetaCte +

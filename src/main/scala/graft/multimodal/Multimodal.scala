@@ -68,4 +68,46 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         (sum(col("width").cast("long")) / count(lit(1))).as("avg_width"))
       .orderBy(col("format"))
+
+  /** Thumbnail/resize plumbing: fit each decoded image into a bounding box
+    * preserving aspect ratio (integer floor scaling, never upscaling) and
+    * report the resized dims + raw RGB byte size. The geometry is the real
+    * resize contract (what a `mapInPandas`+PIL stage computes before
+    * touching pixels); the pixel transform itself stays inside the stub
+    * codec boundary. Pure row-local arithmetic over the decode output —
+    * fused into the same partition-batched pass, no extra shuffle.
+    */
+  def thumbnails(spark: SparkSession, documents: DataFrame,
+      maxW: Int = 256, maxH: Int = 256): DataFrame =
+    decodeMeta(spark, withPayload(documents))
+      // fixed-point (x1e6) INTEGER-ONLY scaling: bit-identical in any
+      // engine (no float division anywhere)
+      .withColumn("scale_num", expr(
+        s"least((${maxW.toLong} * 1000000) DIV width," +
+          s" (${maxH.toLong} * 1000000) DIV height, 1000000)"))
+      .select(
+        col("doc_id"), col("format"), col("width"), col("height"),
+        expr("greatest(1, (width * scale_num) DIV 1000000)").cast("int")
+          .as("thumb_w"),
+        expr("greatest(1, (height * scale_num) DIV 1000000)").cast("int")
+          .as("thumb_h"))
+      .withColumn("thumb_bytes",
+        col("thumb_w").cast("long") * col("thumb_h") * lit(3L))
+      .orderBy(col("doc_id"))
+
+  /** Frame-sampling plumbing for video-like payloads: treat the payload as
+    * a sequence of fixed-size frames, keep every `stride`-th frame. Emits
+    * per-doc frame counts — the bookkeeping a `mapInPandas` frame-sampler
+    * runs before decoding the kept frames. Row-local arithmetic on
+    * n_bytes; sampling ratio is exact integer math (ceil division).
+    */
+  def frameSample(spark: SparkSession, documents: DataFrame,
+      frameBytes: Int = 32, stride: Int = 4): DataFrame =
+    decodeMeta(spark, withPayload(documents))
+      .select(
+        col("doc_id"),
+        expr(s"n_bytes DIV $frameBytes").as("total_frames"))
+      .withColumn("sampled_frames",
+        expr(s"(total_frames + ${stride - 1}) DIV $stride"))
+      .orderBy(col("doc_id"))
 }
