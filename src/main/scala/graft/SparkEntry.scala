@@ -303,6 +303,9 @@ object SparkEntry {
     // As-of join via the shuffle-once union+window merge (no pair blow-up).
     "events_asof_orders" -> ((s, dir) =>
       AsOfJoin.eventsToLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
+    // Banded range join (equi-join on (user, time-bin), exact band filter).
+    "errors_near_purchases" -> ((s, dir) =>
+      graft.operators.RangeJoin.errorsNearPurchases(Tables.events(s, dir))),
 
     // Pivot: hour x event-type count matrix (conditional-aggregation shape).
     "hourly_pivot" -> ((s, dir) =>
@@ -853,6 +856,21 @@ object SparkEntry {
         |  FROM customer c) t
         |WHERE c_acctbal > nation_avg
         |ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB evaluates the band predicate directly (IEJoin under the
+    // hood) — an independent formulation from the Spark-side binning.
+    "errors_near_purchases" ->
+      """SELECT e.user_id,
+        |  count(*) AS pair_count,
+        |  CAST(min(abs(epoch_us(e.ts) - epoch_us(p.ts))) AS BIGINT)
+        |    AS min_gap_micros,
+        |  CAST(count(DISTINCT p.event_id) AS BIGINT) AS matched_purchases
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        | AND e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 3600000000
+        |GROUP BY e.user_id
+        |ORDER BY e.user_id""".stripMargin,
 
     "events_asof_orders" ->
       """WITH o1 AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS orderkey

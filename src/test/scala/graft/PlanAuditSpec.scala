@@ -66,6 +66,14 @@ class PlanAuditSpec extends SparkTestBase {
       s"candidate shuffle must not carry vector arrays:\n${badExchange.mkString}")
   }
 
+  test("banded range join plans as an equi-join, never a nested-loop product") {
+    val plan = executed(operators.RangeJoin.errorsNearPurchases(
+      Tables.events(spark, sf)))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"band predicate must ride an equi-join on (user, bin):\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("windowed aggregation keeps partial aggregation (map-side combine)") {
     val plan = executed(operators.HourlyAggregation(Tables.events(spark, sf)))
     // two-phase hash aggregate: partial_ functions before the exchange
