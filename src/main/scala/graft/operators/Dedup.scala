@@ -169,9 +169,14 @@ object Dedup {
     // doc is a singleton cluster by construction and joins back once at
     // the end) — per-round frames scale with the PAIR graph, not the
     // corpus.
+    // The label frames scale with the pair graph (small next to the
+    // corpus): coalesce before each checkpoint so per-round jobs run a
+    // handful of tasks, not shuffle.partitions of them. At a larger edge
+    // list the coalesce target would scale with |edges|/targetPartitionSize.
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .coalesce(4)
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -183,6 +188,7 @@ object Dedup {
         .union(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
+        .coalesce(4)
         .localCheckpoint()
       changed = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
