@@ -37,22 +37,26 @@ object Bench {
       catch { case _: Throwable => }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
-    // Two passes, per-query MIN: this host shows multi-second run-to-run
-    // noise (one observed run was +40% on every query); min-of-2 reports
-    // the machine's capability, not its worst co-tenant moment.
-    def onePass(): Seq[(String, Double)] =
+    // Two passes, per-query MIN over SUCCESSFUL passes: this host shows
+    // multi-second run-to-run noise (one observed run was +40% on every
+    // query); min-of-2 reports the machine's capability, not its worst
+    // co-tenant moment. A failed pass contributes NO time (a crash's
+    // time-to-failure must never be selected as a fast run); a query that
+    // failed in every pass reports -1 so the breakage is visible.
+    def onePass(): Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     val passes = Seq(onePass(), onePass())
     val results = passes.head.map { case (name, _) =>
-      name -> passes.map(_.toMap.apply(name)).min
+      val times = passes.flatMap(_.toMap.apply(name))
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}""")
     spark.stop()
   }

@@ -211,7 +211,7 @@ object SparkEntry {
       Similarity.lshBucketedTopK(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
-    // PQ-compressed ANN (ADC): ranks on 8 one-byte codes per vector (32x
+    // PQ-compressed ANN (ADC): ranks on 16 one-byte codes per vector (16x
     // scan shrink); `sim` is the exact cosine recovered for the k
     // survivors — an in-row self-check against `sim_pq`.
     "ann_pq" -> ((s, dir) =>

@@ -70,11 +70,16 @@ object Dedup {
       .select(
         col("doc_id"), size(col("shingles")).cast("long").as("n"),
         explode(col("shingles")).as("shingle"))
+    // The size prune must be CONSERVATIVE: t is a binary double, so t*n
+    // can land a hair above an exact boundary (0.3*10 > 3.0) and drop a
+    // true J==t pair. Relaxing the prune by an epsilon keeps it purely an
+    // optimization — the exact jaccard filter below is the gate.
+    val pruneT = lit(threshold - 1e-9)
     sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * lit(threshold) <= col("b.n") &&
-          col("b.n") * lit(threshold) <= col("a.n"))
+          col("a.n") * pruneT <= col("b.n") &&
+          col("b.n") * pruneT <= col("a.n"))
       .groupBy(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
@@ -151,8 +156,9 @@ object Dedup {
     * equi-join + min-aggregate (both hash-partitioned on doc ids — no
     * driver-side graph state, scales with the edge list), converging in
     * O(component diameter) rounds — near-dup components are shallow (a
-    * handful of rounds; capped at `maxIters`, convergence checked by
-    * counting changed labels). `localCheckpoint()` truncates the lineage
+    * handful of rounds; convergence checked by counting changed labels;
+    * a diameter beyond `maxIters` THROWS rather than silently shipping
+    * partial labels). `localCheckpoint()` truncates the lineage
     * each round so the plan doesn't grow with iterations — the standard
     * Spark iterative-algorithm requirement. The large-star/small-star
     * reformulation (Kiveris et al., "Connected Components in MapReduce",
@@ -197,6 +203,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIters rounds ($changed labels " +
+          "still changing) — a component diameter exceeds the cap; raise maxIters " +
+          "or switch to the large-star/small-star formulation")
     documents.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "member"),
         col("doc_id") === col("member"), "left")
@@ -218,13 +229,17 @@ object Dedup {
     val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     val common = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val unionSize =
+      size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("common")
     pairs
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .withColumn("common", common)
+      // Docs below k tokens have EMPTY shingle sets (simhash pairs can
+      // still surface them): J(∅,∅) is defined as 1.0 (equal sets), never
+      // a NULL from 0/0 — the self-check column must be total.
       .withColumn("exact_jaccard",
-        col("common") /
-          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("common")))
+        when(unionSize === 0, lit(1.0)).otherwise(col("common") / unionSize))
       .drop("sh_a", "sh_b", "common")
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -363,8 +363,9 @@ object Similarity {
 
   /** PQ-compressed approximate top-k with asymmetric distance computation
     * (ADC). The 100 TB memory path: the corpus scan carries `m` small int
-    * codes (+ one precomputed norm) per vector — at m=8, that is 8 codes
-    * for a 64-float vector, a 32x shrink of scan volume — while queries
+    * codes (+ one precomputed norm) per vector — at the default m=16, that
+    * is 16 codes for a 64-float vector, a 16x shrink of scan volume
+    * (m=8 would be 32x at more distortion) — while queries
     * stay full-precision:
     *
     *   - ENCODE (corpus side, once): per subspace, assign the nearest

@@ -109,7 +109,7 @@ class DedupSimilaritySpec extends SparkTestBase {
     val pq = Similarity.pqTopK(emb, numQueries = 4, k = 5).collect()
     assert(pq.nonEmpty)
     // ADC is an estimator of the exact cosine: per-row error bounded by
-    // the quantization distortion (16 centroids x 8 subspaces on this data)
+    // the quantization distortion (16 centroids x 16 subspaces on this data)
     pq.foreach { r =>
       val est = r.getDouble(3); val exact = r.getDouble(4)
       assert(math.abs(est - exact) <= 0.35, s"ADC err: est=$est exact=$exact")

@@ -3,21 +3,49 @@ package graft
 import graft.operators.{Dedup, Similarity}
 import graft.queries.Analytics
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Physical-plan audit for the properties the 100 TB design depends on:
   * filters pushed to the parquet scan, scans pruned to referenced columns,
   * fixed dims broadcast, and no cartesian product anywhere outside the two
   * deliberately bounded verification primitives. These are the claims
-  * SCALING.md makes — asserted against the actual executed plans, so a
-  * regression in plan shape fails the build, not just the benchmark.
+  * SCALING.md makes — asserted against the FINAL adaptive plans (each
+  * query is executed first, so AQE's runtime re-planning is what gets
+  * audited, not the initial plan it may replace).
   */
 class PlanAuditSpec extends SparkTestBase {
 
-  private def executed(df: DataFrame): String =
-    df.queryExecution.executedPlan.toString
+  /** Execute (so AQE finalizes), then return the final physical plan. */
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def executed(df: DataFrame): String = finalPlan(df).toString
+
+  /** Leaves of the final plan, descending into adaptive query stages. */
+  private def deepLeaves(p: SparkPlan): Seq[SparkPlan] =
+    p.collectLeaves().flatMap {
+      case a: AdaptiveSparkPlanExec => deepLeaves(a.executedPlan)
+      case s: QueryStageExec => deepLeaves(s.plan)
+      case l => Seq(l)
+    }
 
   private def leaves(df: DataFrame): String =
-    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    deepLeaves(finalPlan(df)).map(_.toString).mkString("\n")
+
+  /** Every ShuffleExchange in the final plan, descending into stages. */
+  private def allExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect {
+      case a: AdaptiveSparkPlanExec => allExchanges(a.executedPlan)
+      case s: QueryStageExec => allExchanges(s.plan)
+      case e: ShuffleExchangeExec => Seq(e)
+    }.flatten
 
   test("ANN query-set filter reaches the embeddings parquet scan") {
     val plan = leaves(Similarity.bruteForceTopK(Tables.embeddings(spark, sf)))
@@ -52,15 +80,12 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("LSH candidate generation joins on bucket keys without carrying vectors") {
     val df = Similarity.lshBucketedTopK(Tables.embeddings(spark, sf))
-    val plan = executed(df)
-    assert(!plan.contains("CartesianProduct"), plan)
+    val plan = finalPlan(df)
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
     // the collision-join + dedup stage must not shuffle embedding arrays:
     // candidate exchanges carry only ids/buckets (the vectors re-attach
     // after dedup via the vec_id join)
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    val badExchange = exchanges.find(_.output.exists(a =>
+    val badExchange = allExchanges(plan).find(_.output.exists(a =>
       a.name == "embedding" || a.name == "qe"))
     assert(badExchange.isEmpty,
       s"candidate shuffle must not carry vector arrays:\n${badExchange.mkString}")
