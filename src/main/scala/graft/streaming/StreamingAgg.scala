@@ -103,6 +103,37 @@ object StreamingAgg {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: (error, purchase) pairs within `hours`
+    * of each other for the same user — the streaming counterpart of
+    * [[graft.operators.RangeJoin.errorsNearPurchases]]. Both sides carry
+    * watermarks AND the join predicate carries the time band, which is
+    * exactly what lets Spark bound the join STATE: a buffered error row is
+    * evictable once the purchase-side watermark passes error_ts + band
+    * (and symmetrically), so state scales with rate x (band + delay), not
+    * with stream history. Called on a BATCH frame the same plan runs with
+    * watermarks as no-ops — the parity the spec asserts.
+    */
+  def errorsNearPurchasesStream(
+      events: DataFrame, hours: Int = 1, delay: String = "2 hours"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(
+        col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    errors.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("error_ts") >= col("purchase_ts") - expr(s"interval $hours hours") &&
+        col("error_ts") <= col("purchase_ts") + expr(s"interval $hours hours"))
+      .select(
+        col("user_id"), col("error_id"), col("purchase_id"),
+        (unix_micros(col("error_ts")) - unix_micros(col("purchase_ts")))
+          .as("gap_micros"))
+  }
+
   /** The streaming hourly aggregation: same measure set as the batch
     * [[graft.operators.HourlyAggregation]], over a streaming `events` frame.
     * `grace` mirrors GRACE_PERIOD_SECONDS (default 60 s).

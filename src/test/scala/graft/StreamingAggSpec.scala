@@ -132,6 +132,32 @@ class StreamingAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch band join") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      ev(1, "2024-01-01 09:30:00", 1, "error", 0.0),    // 30 min before purchase
+      ev(2, "2024-01-01 10:00:00", 1, "purchase", 9.99),
+      ev(3, "2024-01-01 11:30:00", 1, "error", 0.0),    // 90 min after: outside band
+      ev(4, "2024-01-01 10:05:00", 2, "error", 0.0))    // no purchase for user 2
+    val q = StreamingAgg.errorsNearPurchasesStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("interval_join_out").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("interval_join_out")
+        .select("error_id", "purchase_id", "gap_micros").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // same plan over the batch frame (watermarks are no-ops on batch)
+      val expected = StreamingAgg.errorsNearPurchasesStream(events.toDF())
+        .select("error_id", "purchase_id", "gap_micros").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+      assert(got == Set((1L, 2L, -1800000000L)), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("DistinctBuf state stays near distinct cardinality under heavy duplication") {
     // 100k observed rows over a 100-value domain: compaction must keep the
     // buffer capacity bounded by the DISTINCT set, not the row count.
