@@ -116,6 +116,9 @@ object SparkEntry {
     // Staged conversion funnel (ordered view -> click -> purchase).
     "funnel_conversion" -> ((s, dir) =>
       Analytics.funnel(Tables.events(s, dir))),
+    // ntile / percent_rank / cume_dist over the per-customer rollup.
+    "customer_spend_quartiles" -> ((s, dir) =>
+      Analytics.customerSpendQuartiles(Tables.orders(s, dir))),
     "tpch_q10_returned" -> ((s, dir) =>
       Analytics.returnedItemRevenue(
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
@@ -202,6 +205,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupClusters(docs, Dedup.ngramJaccardPairs(docs))
+    }),
+    // Edit-distance audit of those clusters (bounded to member-keeper pairs).
+    "cluster_edit_distances" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterEditDistances(
+        docs, Dedup.nearDupClusters(docs, Dedup.ngramJaccardPairs(docs)))
     }),
 
     // ---- training-data pipeline: similarity search ----
@@ -759,30 +768,26 @@ object SparkEntry {
     // (vertex, reachable-vertex) pairs; min reachable id == component label.
     // Transitive-closure sized — fine at verification SF, and a fully
     // independent formulation from the Spark label-propagation loop.
-    "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(string_split(text, ' ')) - 1),
-        |    i -> string_split(text, ' ')[i] || ' ' ||
-        |         string_split(text, ' ')[i+1] || ' ' ||
-        |         string_split(text, ' ')[i+2]))) AS shingle
-        |  FROM documents),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b FROM p0
-        |          JOIN sizes sa ON doc_a = sa.doc_id
-        |          JOIN sizes sb ON doc_b = sb.doc_id
-        |          WHERE c / (sa.n + sb.n - c) >= 0.5),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(v, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v)
-        |SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> (clustersCte +
+      """SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),
+
+    // Same closure, then levenshtein between member and keeper texts —
+    // DuckDB's levenshtein is the same standard DP edit distance.
+    "cluster_edit_distances" -> (clustersCte +
+      """, cl AS (
+        |  SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY v)
+        |SELECT cl.cluster_id, cl.doc_id,
+        |  CAST(levenshtein(dm.text, dk.text) AS BIGINT) AS edit_distance,
+        |  CAST(levenshtein(dm.text, dk.text) AS BIGINT)
+        |    / CAST(greatest(length(dm.text), length(dk.text)) AS BIGINT)
+        |    AS edit_ratio
+        |FROM cl
+        |JOIN documents dm ON cl.doc_id = dm.doc_id
+        |JOIN documents dk ON cl.cluster_id = dk.doc_id
+        |WHERE cl.doc_id <> cl.cluster_id
+        |ORDER BY cl.cluster_id, cl.doc_id""".stripMargin),
 
     "doc_repetition" ->
       """WITH t AS (
@@ -806,6 +811,20 @@ object SparkEntry {
         |  CASE WHEN n > 2 THEN 1.0 - CAST(d3 AS DOUBLE) / CAST(n-2 AS DOUBLE)
         |       ELSE 0.0 END AS dup_3gram_fraction
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "customer_spend_quartiles" ->
+      """WITH pu AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |    count(*) AS order_count
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, total_spend, order_count,
+        |  ntile(4) OVER w AS spend_quartile,
+        |  percent_rank() OVER w AS spend_pct_rank,
+        |  cume_dist() OVER w AS spend_cume_dist
+        |FROM pu
+        |WINDOW w AS (ORDER BY total_spend, o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     "funnel_conversion" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
@@ -933,6 +952,34 @@ object SparkEntry {
         |  CAST(sum(width) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_width
         |FROM meta GROUP BY format ORDER BY format""".stripMargin)
   )
+
+  /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
+    * near-dup pairs -> bidirectional edges -> reach(v, r) transitive
+    * closure (min reachable id == component label).
+    */
+  private val clustersCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' ||
+      |         string_split(text, ' ')[i+1] || ' ' ||
+      |         string_split(text, ' ')[i+2]))) AS shingle
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM p0
+      |          JOIN sizes sa ON doc_a = sa.doc_id
+      |          JOIN sizes sb ON doc_b = sb.doc_id
+      |          WHERE c / (sa.n + sb.n - c) >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(v, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v)
+      |""".stripMargin
 
   /** DuckDB CTE shared by the multimodal oracles: the FNV-1a 64-bit fold of
     * each document's bytes, as HUGEINT mod 2^64 (`hu` unsigned, `hs` the

@@ -216,6 +216,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance audit of near-dup clusters: for every non-singleton
+    * cluster member, the levenshtein distance (and length-normalized
+    * ratio) between its text and its cluster keeper's text. Bounded to
+    * intra-cluster (member, keeper) pairs — the set clustering already
+    * produced, never an all-pairs product — so the quadratic-cost edit
+    * distance only ever touches verified near-duplicates. The last
+    * human-auditable check of a dedup pipeline before dropping rows.
+    */
+  def clusterEditDistances(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    val members = clusters.filter(col("doc_id") =!= col("cluster_id"))
+    val dist = levenshtein(col("member_text"), col("keeper_text")).cast("long")
+    members
+      .join(documents.select(col("doc_id"), col("text").as("member_text")), "doc_id")
+      .join(
+        documents.select(col("doc_id").as("cluster_id"), col("text").as("keeper_text")),
+        "cluster_id")
+      .select(
+        col("cluster_id"), col("doc_id"),
+        dist.as("edit_distance"),
+        (dist / greatest(length(col("member_text")), length(col("keeper_text")))
+          .cast("long")).as("edit_ratio"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   /** Attach the exact n-gram Jaccard to CANDIDATE pairs as a self-check /
     * verification column. This is the standard second stage of sketch-based
     * dedup at scale: sketches (MinHash-LSH, SimHash bands) generate a small

@@ -177,6 +177,32 @@ object Analytics {
         count(lit(1)).as("line_count"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** Ranking-window breadth: per-user spend quartile (ntile), percentile
+    * rank and cumulative distribution over total order value — one
+    * aggregate then one window over the (small) per-user rollup, never a
+    * window over raw orders. Tie-broken by customer key for determinism.
+    *
+    * Scale note: an UNPARTITIONED ranking window is a single-task global
+    * sort — the price of exact global ranks, paid here on the aggregated
+    * frame only. When even that frame is too large, the scale path is
+    * approx_percentile boundaries broadcast back as a bucket join
+    * (quantiles_approx is that primitive); exact semantics are kept here
+    * for oracle parity.
+    */
+  def customerSpendQuartiles(orders: DataFrame): DataFrame = {
+    val perUser = orders
+      .groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice"), 2).as("total_spend"),
+        count(lit(1)).as("order_count"))
+    val w = Window.orderBy(col("total_spend"), col("o_custkey"))
+    perUser.select(
+        col("o_custkey"), col("total_spend"), col("order_count"),
+        ntile(4).over(w).as("spend_quartile"),
+        percent_rank().over(w).as("spend_pct_rank"),
+        cume_dist().over(w).as("spend_cume_dist"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Staged conversion funnel: users with a view; of those, a first click
     * at-or-after their first view; of those, a first purchase at-or-after
     * that click — per-stage user counts (the classic product-analytics
