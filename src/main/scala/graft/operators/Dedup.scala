@@ -164,10 +164,31 @@ object Dedup {
     * reformulation (Kiveris et al., "Connected Components in MapReduce",
     * SoCC'14) is the drop-in upgrade if diameters grow.
     */
+  /** Cluster-label cache: like an ANN index, a clustering is derived once
+    * and consumed by several downstream queries (survivor selection, edit
+    * audits). Keyed by both canonicalized input plans; the value is the
+    * localCheckpoint'd label frame, so a hit skips the whole propagation
+    * loop. Wholesale eviction at 16 entries; does not track source-file
+    * mutation (same contract as [[graft.operators.Similarity]]'s caches).
+    */
+  private val clusterCache =
+    scala.collection.mutable.Map.empty[(String, String, Int), DataFrame]
+
   def nearDupClusters(
       documents: DataFrame,
       pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame = clusterCache.synchronized {
+    if (clusterCache.size > 16) clusterCache.clear()
+    clusterCache.getOrElseUpdate(
+      (documents.queryExecution.logical.canonicalized.toString,
+        pairs.queryExecution.logical.canonicalized.toString, maxIters),
+      computeNearDupClusters(documents, pairs, maxIters))
+  }
+
+  private def computeNearDupClusters(
+      documents: DataFrame,
+      pairs: DataFrame,
+      maxIters: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
