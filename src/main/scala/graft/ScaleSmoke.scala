@@ -35,6 +35,9 @@ object ScaleSmoke {
       time("o14_last_write_wins")(
         Upsert.lastWriteWins(ev, Seq("user_id", "event_type"),
           Seq(col("ts"), col("event_id"))).count())
+      time("funnel_conversion")(graft.queries.Analytics.funnel(ev).count())
+      time("errors_near_purchases")(
+        graft.operators.RangeJoin.errorsNearPurchases(ev).count())
       ev.unpersist()
     }
     spark.stop()
