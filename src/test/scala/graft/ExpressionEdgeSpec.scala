@@ -31,6 +31,54 @@ class ExpressionEdgeSpec extends SparkTestBase {
     assert(withNullElem(0).isNullAt(0))
   }
 
+  test("pq_encode / lsh_buckets: NULL on wrong input length; codes/buckets in range") {
+    val books = Array.tabulate(2, 4, 3) { (j, c, d) => (j + c + d).toDouble / 10 }
+    val planes = Array.tabulate(2 * 2 * 6)(i => if (i % 3 == 0) -1.0 else 1.0)
+    val df = Seq(
+      (1L, Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6)), // dim 6 = 2 subspaces x 3
+      (2L, Seq(0.1, 0.2))                      // wrong length
+    ).toDF("id", "v")
+      .select(col("id"),
+        GraftColumns.pqEncode(col("v"), books).as("codes"),
+        GraftColumns.lshBuckets(col("v"), planes, 2, 2, 6).as("buckets"))
+      .orderBy("id").collect()
+    val codes = df(0).getSeq[Int](1)
+    assert(codes.length == 2 && codes.forall(c => c >= 0 && c < 4))
+    val buckets = df(0).getSeq[Long](2)
+    assert(buckets.length == 2 && buckets.forall(b => b >= 0 && b < 4))
+    assert(df(1).isNullAt(1) && df(1).isNullAt(2))
+    // codegen and interpreted paths agree
+    val interp = graft.functions.PqEncode.encode(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6)),
+      books.flatten.flatten,
+      books.flatten.map(c => c.map(x => x * x).sum / 2.0), 2, 4, 3)
+    assert(interp.toIntArray().toSeq == codes)
+  }
+
+  test("DistinctBuf matches a reference HashSet over random workloads") {
+    val agg = new graft.streaming.StreamingAgg.ExactDistinctLong
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      var buf = agg.zero
+      val ref = scala.collection.mutable.HashSet.empty[Long]
+      // mixed duplication regimes, including merges mid-stream
+      (0 until 20000).foreach { i =>
+        val v = rng.nextInt(1 << (seed + 4)).toLong
+        buf = agg.reduce(buf, v); ref += v
+        if (i % 5000 == 4999) {
+          var other = agg.zero
+          (0 until 100).foreach { _ =>
+            val w = rng.nextInt(100000).toLong
+            other = agg.reduce(other, w); ref += w
+          }
+          buf = agg.merge(buf, other)
+        }
+      }
+      assert(agg.finish(buf) == ref.size.toLong, s"seed $seed")
+    }
+  }
+
   test("Column-level API works with no function registration (fresh analyzer path)") {
     // GraftColumns must not depend on GraftFunctions.register having run.
     val out = Seq((Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")
