@@ -206,6 +206,16 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupClusters(docs, Dedup.ngramJaccardPairs(docs))
     }),
+    // Decontamination: max n-gram containment of each benchmark doc
+    // (doc_id < 10 stands in for the eval set) in any training doc.
+    "benchmark_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.benchmarkContamination(
+        docs, docs.filter(col("doc_id") < 10).select(col("doc_id")))
+    }),
+    // Source-mixture shift under exact dedup (docs/tokens before vs after).
+    "dedup_source_shift" -> ((s, dir) =>
+      Dedup.dedupSourceShift(Tables.documents(s, dir))),
     // Edit-distance audit of those clusters (bounded to member-keeper pairs).
     "cluster_edit_distances" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -768,6 +778,41 @@ object SparkEntry {
     // (vertex, reachable-vertex) pairs; min reachable id == component label.
     // Transitive-closure sized — fine at verification SF, and a fully
     // independent formulation from the Spark label-propagation loop.
+    "benchmark_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2]))) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 10),
+        |t AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id >= 10),
+        |c AS (SELECT bench_id, train_id, count(*) AS common
+        |      FROM b JOIN t USING (shingle) GROUP BY 1, 2),
+        |r AS (SELECT bench_id, train_id, common / sz.n AS containment
+        |      FROM c JOIN sizes sz ON c.bench_id = sz.doc_id)
+        |SELECT bench_id, containment AS max_containment,
+        |       train_id AS worst_train_id
+        |FROM r
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY bench_id ORDER BY containment DESC, train_id) = 1
+        |ORDER BY bench_id""".stripMargin,
+
+    "dedup_source_shift" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT source,
+        |  count(*) AS docs_before,
+        |  CAST(coalesce(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 END), 0)
+        |    AS BIGINT) AS docs_after,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_before,
+        |  CAST(coalesce(sum(CASE WHEN s.doc_id IS NOT NULL
+        |    THEN len(string_split(text, ' ')) END), 0) AS BIGINT) AS tokens_after
+        |FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "dedup_clusters" -> (clustersCte +
       """SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin),

@@ -237,6 +237,71 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination scan: for each doc in the benchmark set,
+    * the maximum n-gram CONTAINMENT |bench ∩ train| / |bench| against any
+    * training doc, plus the worst-overlapping doc id — the check every
+    * training pipeline runs before shipping a corpus that might include
+    * its own eval set. Containment (not Jaccard): a benchmark snippet
+    * pasted inside a much larger page has low Jaccard but containment ~1.
+    *
+    * Inverted-index join exploded ONLY on the (small) benchmark side's
+    * shingles; the train side streams through the equi-join — candidate
+    * volume is bench-shingles x collision rate, never |train|².
+    */
+  def benchmarkContamination(
+      documents: DataFrame,
+      benchmarkIds: DataFrame,
+      k: Int = 3): DataFrame = {
+    val sh = shingles(documents, k)
+      .select(
+        col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("shingle"))
+    val bench = sh.join(benchmarkIds, "doc_id")
+      .select(col("doc_id").as("bench_id"), col("n").as("nb"), col("shingle"))
+    val train = sh.join(benchmarkIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bench_id"))
+      .orderBy(desc("containment"), asc("train_id"))
+    bench
+      .join(train, "shingle")
+      .groupBy(col("bench_id"), col("train_id"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .select(
+        col("bench_id"), col("train_id"),
+        (col("common") / col("nb")).as("containment"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("bench_id"),
+        col("containment").as("max_containment"),
+        col("train_id").as("worst_train_id"))
+      .orderBy(col("bench_id"))
+  }
+
+  /** Source-mixture shift under exact dedup: per source, docs and tokens
+    * BEFORE vs AFTER keeping one doc per distinct text (the survivor =
+    * min doc_id, [[exactGroups]] semantics) — the report that shows which
+    * sources were inflating the mixture with duplicates. One digest
+    * shuffle + one broadcast-size join; never moves document text.
+    */
+  def dedupSourceShift(documents: DataFrame): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val survivors = documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    documents
+      .join(survivors.withColumn("kept", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_before"),
+        coalesce(sum(col("kept")), lit(0L)).as("docs_after"),
+        sum(toks).as("tokens_before"),
+        coalesce(sum(when(col("kept").isNotNull, toks)), lit(0L)).as("tokens_after"))
+      .orderBy(col("source"))
+  }
+
   /** Edit-distance audit of near-dup clusters: for every non-singleton
     * cluster member, the levenshtein distance (and length-normalized
     * ratio) between its text and its cluster keeper's text. Bounded to
