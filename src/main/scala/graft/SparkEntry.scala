@@ -206,6 +206,14 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupClusters(docs, Dedup.ngramJaccardPairs(docs))
     }),
+    // Incremental arrival path: docs with doc_id >= 250 are the "new
+    // batch", the rest the standing corpus; survivors keep min doc_id and
+    // must be absent from the corpus digest set.
+    "incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+    }),
     // Decontamination: max n-gram containment of each benchmark doc
     // (doc_id < 10 stands in for the eval set) in any training doc.
     "benchmark_contamination" -> ((s, dir) => {
@@ -778,6 +786,15 @@ object SparkEntry {
     // (vertex, reachable-vertex) pairs; min reachable id == component label.
     // Transitive-closure sized — fine at verification SF, and a fully
     // independent formulation from the Spark label-propagation loop.
+    "incremental_dedup" ->
+      """WITH newd AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250),
+        |corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |keep AS (SELECT h, min(doc_id) AS doc_id FROM newd GROUP BY h)
+        |SELECT k.doc_id, k.h AS content_hash
+        |FROM keep k LEFT JOIN corp c ON k.h = c.h
+        |WHERE c.h IS NULL
+        |ORDER BY k.doc_id""".stripMargin,
+
     "benchmark_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

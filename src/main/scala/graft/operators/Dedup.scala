@@ -237,6 +237,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental exact dedup — the production arrival path: a NEW batch
+    * must deduplicate against the existing corpus AND itself without
+    * re-reading corpus text. The corpus side contributes only its 16-byte
+    * content digests; the batch resolves its own duplicates to the min
+    * doc_id, then anti-joins the corpus digest set. At 100 TB the digest
+    * table is the only standing state (rows x 16 bytes, bucketable by
+    * digest), and each arriving batch costs one digest shuffle + one
+    * anti-join — corpus text is never rescanned.
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("content_hash")).distinct()
+    val batchKeep = newDocs
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    batchKeep
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination scan: for each doc in the benchmark set,
     * the maximum n-gram CONTAINMENT |bench ∩ train| / |bench| against any
     * training doc, plus the worst-overlapping doc id — the check every
