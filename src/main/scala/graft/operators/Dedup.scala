@@ -166,23 +166,49 @@ object Dedup {
     */
   /** Cluster-label cache: like an ANN index, a clustering is derived once
     * and consumed by several downstream queries (survivor selection, edit
-    * audits). Keyed by both canonicalized input plans; the value is the
-    * localCheckpoint'd label frame, so a hit skips the whole propagation
-    * loop. Wholesale eviction at 16 entries; does not track source-file
-    * mutation (same contract as [[graft.operators.Similarity]]'s caches).
+    * audits); a hit skips the whole propagation loop.
+    *
+    * Caveats this cache respects (unlike the driver-side-array caches in
+    * [[graft.operators.Similarity]], the value here is a session-bound
+    * checkpointed frame):
+    *   - plans containing an in-memory LocalRelation are NEVER cached —
+    *     canonicalization prints only their SCHEMA, so two different
+    *     in-memory datasets would collide on one key;
+    *   - the Spark applicationId is part of the key, so a restarted
+    *     context can't serve frames whose checkpoint blocks died with the
+    *     old one (executor loss within an app still invalidates
+    *     localCheckpoint blocks — the production path for a durable
+    *     clustering is writing it to a table, not this cache);
+    *   - the propagation loop runs OUTSIDE the lock (concurrent callers
+    *     of other keys never stall behind a cold-key computation; a race
+    *     recomputes at worst), and eviction runs before insert so the map
+    *     never exceeds its bound.
     */
   private val clusterCache =
-    scala.collection.mutable.Map.empty[(String, String, Int), DataFrame]
+    scala.collection.mutable.Map.empty[(String, String, String, Int), DataFrame]
 
   def nearDupClusters(
       documents: DataFrame,
       pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = clusterCache.synchronized {
-    if (clusterCache.size > 16) clusterCache.clear()
-    clusterCache.getOrElseUpdate(
-      (documents.queryExecution.logical.canonicalized.toString,
-        pairs.queryExecution.logical.canonicalized.toString, maxIters),
-      computeNearDupClusters(documents, pairs, maxIters))
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val uncacheable =
+      documents.queryExecution.logical.exists(_.isInstanceOf[LocalRelation]) ||
+        pairs.queryExecution.logical.exists(_.isInstanceOf[LocalRelation])
+    if (uncacheable) return computeNearDupClusters(documents, pairs, maxIters)
+    val key = (
+      documents.sparkSession.sparkContext.applicationId,
+      documents.queryExecution.logical.canonicalized.toString,
+      pairs.queryExecution.logical.canonicalized.toString, maxIters)
+    clusterCache.synchronized(clusterCache.get(key)) match {
+      case Some(cached) => cached
+      case None =>
+        val computed = computeNearDupClusters(documents, pairs, maxIters)
+        clusterCache.synchronized {
+          if (clusterCache.size >= 16) clusterCache.clear()
+          clusterCache.getOrElseUpdate(key, computed)
+        }
+    }
   }
 
   private def computeNearDupClusters(
@@ -246,13 +272,19 @@ object Dedup {
     * digest), and each arriving batch costs one digest shuffle + one
     * anti-join — corpus text is never rescanned.
     */
+  /** Shared survivor derivation (exact-dedup semantics: one row per
+    * distinct text digest, min doc_id wins) — the single definition
+    * [[exactGroups]], [[incrementalDedup]] and [[dedupSourceShift]] agree
+    * on.
+    */
+  private def survivorIds(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+
   def incrementalDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
     val corpusHashes = corpus.select(md5(col("text")).as("content_hash")).distinct()
-    val batchKeep = newDocs
-      .select(md5(col("text")).as("content_hash"), col("doc_id"))
-      .groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    batchKeep
+    survivorIds(newDocs)
       .join(corpusHashes, Seq("content_hash"), "left_anti")
       .select(col("doc_id"), col("content_hash"))
       .orderBy(col("doc_id"))
@@ -265,21 +297,22 @@ object Dedup {
     * its own eval set. Containment (not Jaccard): a benchmark snippet
     * pasted inside a much larger page has low Jaccard but containment ~1.
     *
-    * Inverted-index join exploded ONLY on the (small) benchmark side's
-    * shingles; the train side streams through the equi-join — candidate
-    * volume is bench-shingles x collision rate, never |train|².
+    * Both sides build their inverted index (shingle + explode), but the
+    * bench/train split happens BELOW the shingling — the benchmark side
+    * semi-joins down to its handful of docs before any explode, so the
+    * candidate volume is bench-shingles x collision rate, never |train|².
     */
   def benchmarkContamination(
       documents: DataFrame,
       benchmarkIds: DataFrame,
       k: Int = 3): DataFrame = {
-    val sh = shingles(documents, k)
+    def index(docs: DataFrame) = shingles(docs, k)
       .select(
         col("doc_id"), size(col("shingles")).cast("long").as("n"),
         explode(col("shingles")).as("shingle"))
-    val bench = sh.join(benchmarkIds, "doc_id")
+    val bench = index(documents.join(benchmarkIds, Seq("doc_id"), "left_semi"))
       .select(col("doc_id").as("bench_id"), col("n").as("nb"), col("shingle"))
-    val train = sh.join(benchmarkIds, Seq("doc_id"), "left_anti")
+    val train = index(documents.join(benchmarkIds, Seq("doc_id"), "left_anti"))
       .select(col("doc_id").as("train_id"), col("shingle"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bench_id"))
@@ -308,10 +341,7 @@ object Dedup {
     */
   def dedupSourceShift(documents: DataFrame): DataFrame = {
     val toks = size(split(col("text"), " ")).cast("long")
-    val survivors = documents
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    val survivors = survivorIds(documents).select(col("doc_id"))
     documents
       .join(survivors.withColumn("kept", lit(1L)), Seq("doc_id"), "left")
       .groupBy(col("source"))
