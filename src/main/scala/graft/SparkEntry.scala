@@ -161,6 +161,16 @@ object SparkEntry {
       TextAnalysis.tokenHistogram(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // Same semantics through SQL TEXT with the registered native
+    // expression — proves the custom-Expression surface is reachable from
+    // the SQL parser (GraftFunctions.register / GraftExtensions), not just
+    // the Column API.
+    "doc_fingerprints_sql" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      s.sql("""SELECT doc_id, rolling_hash(text) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    }),
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(Tables.documents(s, dir))),
     // Gopher-style repetition/quality signals (top-token + dup n-gram
     // fractions) — the boilerplate detectors a curation pipeline gates on.
@@ -646,6 +656,15 @@ object SparkEntry {
         |ORDER BY occurrences DESC, token ASC""".stripMargin,
 
     "doc_fingerprints" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |                     i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprints_sql" ->
       """SELECT doc_id,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
