@@ -172,6 +172,19 @@ object SparkEntry {
               |FROM documents ORDER BY doc_id""".stripMargin)
     }),
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(Tables.documents(s, dir))),
+    // Deterministic hash-based train/val/test split (80/10/10 on the
+    // content fingerprint): assignment is a pure function of the TEXT, so
+    // it is stable under corpus growth/reorder and identical duplicates
+    // land in the same split (no eval leakage from dup copies).
+    "doc_splits" -> ((s, dir) => {
+      val bucket = graft.functions.GraftColumns.rollingHash(col("text")) % 100
+      val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      Tables.documents(s, dir)
+        .select(col("source"), split.as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("source"), col("split"))
+    }),
     // Gopher-style repetition/quality signals (top-token + dup n-gram
     // fractions) — the boilerplate detectors a curation pipeline gates on.
     "doc_repetition" -> ((s, dir) =>
@@ -663,6 +676,21 @@ object SparkEntry {
         |                     i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_splits" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1),
+        |                       i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS doc_count
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_fingerprints_sql" ->
       """SELECT doc_id,
