@@ -833,6 +833,72 @@ object SparkEntry {
     // (vertex, reachable-vertex) pairs; min reachable id == component label.
     // Transitive-closure sized — fine at verification SF, and a fully
     // independent formulation from the Spark label-propagation loop.
+    // FULL oracle for the multi-probe LSH ANN index: the splitmix64
+    // hyperplane generator is emulated with HUGEINT arithmetic mod 2^64
+    // (64-bit wrap multiplies via 32-bit limb decomposition), dot products
+    // are sequential list_reduce folds (bit-identical to the native
+    // DotProduct loop), buckets/probes/candidates/cosine-ranking all in
+    // SQL — the WHOLE approximate index is reproduced bit-exactly by an
+    // independent engine, not just smoke-checked.
+    "ann_lsh" ->
+      """WITH gd AS (
+        |  SELECT g, d FROM (SELECT unnest(range(0, 48)) AS g), (SELECT unnest(range(0, 64)) AS d)
+        |),
+        |s1 AS (SELECT g, d,
+        |  ((CAST(g * 64 + d AS HUGEINT)) + 11400714819323198485::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS z0 FROM gd),
+        |s2a AS (SELECT g, d, xor(z0, z0 // 1073741824) AS a1 FROM s1),
+        |s2 AS (SELECT g, d,
+        |  ( (a1 * 484763065::HUGEINT) % 18446744073709551616::HUGEINT
+        |    + ((a1 * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  ) % 18446744073709551616::HUGEINT AS z1 FROM s2a),
+        |s3a AS (SELECT g, d, xor(z1, z1 // 134217728) AS a2 FROM s2),
+        |s3 AS (SELECT g, d,
+        |  ( (a2 * 321982955::HUGEINT) % 18446744073709551616::HUGEINT
+        |    + ((a2 * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+        |  ) % 18446744073709551616::HUGEINT AS z2 FROM s3a),
+        |wt AS (SELECT g, d,
+        |  CAST(xor(z2, z2 // 2147483648) // 2048 AS DOUBLE)
+        |    / 4503599627370496.0 * 2.0 - 1.0 AS wtv FROM s3),
+        |w AS (SELECT g, list(wtv ORDER BY d) AS wl FROM wt GROUP BY g),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, g // 6 AS tab, g % 6 AS p,
+        |    list_reduce(list_transform(range(1, 65), i -> emb[i] * wl[i]),
+        |                (a, b) -> a + b) >= 0 AS pos
+        |  FROM e, w
+        |),
+        |buckets AS (
+        |  SELECT vec_id, tab,
+        |    CAST(sum(CASE WHEN pos THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1, 2
+        |),
+        |probes AS (
+        |  SELECT b.vec_id AS query_id, b.tab,
+        |    unnest([b.bucket,
+        |            xor(b.bucket, 1), xor(b.bucket, 2), xor(b.bucket, 4),
+        |            xor(b.bucket, 8), xor(b.bucket, 16), xor(b.bucket, 32)]) AS bucket
+        |  FROM buckets b WHERE b.vec_id < 8
+        |),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN buckets c ON p.tab = c.tab AND p.bucket = c.bucket
+        |  WHERE c.vec_id <> p.query_id
+        |),
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(qe.emb, ne.emb) AS sim
+        |  FROM cand
+        |  JOIN e qe ON cand.query_id = qe.vec_id
+        |  JOIN e ne ON cand.neighbor_id = ne.vec_id
+        |)
+        |SELECT query_id, neighbor_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
     "incremental_dedup" ->
       """WITH newd AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250),
         |corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
