@@ -677,6 +677,72 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // FULL oracle for SimHash near-dup pairs: per-token FNV-1a 64 via
+    // HUGEINT mod-2^64, bit votes, signed-fingerprint reconstruction,
+    // band keys (arithmetic shift + mask, matching JVM semantics),
+    // Hamming via bit_count(xor), plus the exact-jaccard self-check —
+    // pure integer math end to end, bit-exact by construction.
+    "simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |th AS (
+        |  SELECT doc_id, tok,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(tok)+1),
+        |                       i -> ord(substr(tok, i, 1))::HUGEINT)),
+        |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS hu
+        |  FROM toks
+        |),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hu // (1::HUGEINT << b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(0, 64)) AS b)
+        |  GROUP BY 1, 2
+        |),
+        |fph AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS hfp
+        |  FROM votes GROUP BY 1
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT) AS f
+        |  FROM fph
+        |),
+        |banded AS (
+        |  SELECT doc_id, f, b AS band, (f >> (b * 16)) & 65535 AS bkey
+        |  FROM fp, (SELECT unnest(range(0, 4)) AS b)
+        |),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    bit_count(xor(a.f, b.f)) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2])) AS sl
+        |  FROM documents
+        |)
+        |SELECT p.doc_a, p.doc_b, p.hamming,
+        |  CASE WHEN len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl)) = 0
+        |       THEN 1.0
+        |       ELSE len(list_intersect(a.sl, b.sl))
+        |            / (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))) END
+        |    AS exact_jaccard
+        |FROM prs p
+        |JOIN shl a ON p.doc_a = a.doc_id
+        |JOIN shl b ON p.doc_b = b.doc_id
+        |WHERE p.hamming <= 3
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
     "doc_splits" ->
       """WITH f AS (
         |  SELECT source,
