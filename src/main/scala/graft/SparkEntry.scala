@@ -677,6 +677,98 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // FULL oracle for MinHash+LSH near-dup pairs: FNV-1a base hash per
+    // shingle, 16 splitmix64 permutations, min-aggregation, band-key folds
+    // and the candidate join — all emulated with HUGEINT mod-2^64
+    // arithmetic (wrapping multiplies via 32-bit limbs), signed/unsigned
+    // conversions matching JVM two's-complement exactly. The whole sketch
+    // pipeline is reproduced bit-exactly by an independent engine.
+    "minhash_lsh_pairs" ->
+      """WITH shl AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2]))) AS shingle
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, shingle,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(shingle)+1),
+        |                       i -> ord(substr(shingle, i, 1))::HUGEINT)),
+        |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hu
+        |  FROM shl),
+        |perm AS (
+        |  SELECT p, CAST(p AS HUGEINT) * 11400714819323198485::HUGEINT % 18446744073709551616::HUGEINT AS seed
+        |  FROM (SELECT unnest(range(0, 16)) AS p)),
+        |m0 AS (SELECT doc_id, p, xor(hu, seed) AS x0 FROM base, perm),
+        |m1 AS (SELECT doc_id, p, (x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z0 FROM m0),
+        |m2 AS (SELECT doc_id, p, xor(z0, z0 // 1073741824) AS a1 FROM m1),
+        |m3 AS (SELECT doc_id, p, ((a1 * 484763065::HUGEINT) % 18446744073709551616::HUGEINT + ((a1 * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1 FROM m2),
+        |m4 AS (SELECT doc_id, p, xor(z1, z1 // 134217728) AS a2 FROM m3),
+        |m5 AS (SELECT doc_id, p, ((a2 * 321982955::HUGEINT) % 18446744073709551616::HUGEINT + ((a2 * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2 FROM m4),
+        |m6 AS (SELECT doc_id, p, xor(z2, z2 // 2147483648) AS mx FROM m5),
+        |sigp AS (
+        |  SELECT doc_id, p,
+        |    min(CAST(CASE WHEN mx >= 9223372036854775808::HUGEINT
+        |        THEN mx - 18446744073709551616::HUGEINT ELSE mx END AS BIGINT)) AS sig
+        |  FROM m6 GROUP BY 1, 2),
+        |sigs AS (SELECT doc_id, list(sig ORDER BY p) AS sigl FROM sigp GROUP BY 1),
+        |bandbase AS (SELECT doc_id, sigl, b AS band FROM sigs, (SELECT unnest(range(0, 4)) AS b)),
+        |f0a AS (SELECT doc_id, sigl, band,  ((CASE WHEN xor(CAST(band AS BIGINT), sigl[band * 4 + 1]) < 0 THEN CAST(xor(CAST(band AS BIGINT), sigl[band * 4 + 1]) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(band AS BIGINT), sigl[band * 4 + 1]) AS HUGEINT) END) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z0 FROM bandbase),
+        |f0b AS (SELECT doc_id, sigl, band, xor(z0, z0 // 1073741824) AS a1 FROM f0a),
+        |f0c AS (SELECT doc_id, sigl, band, ((a1 * 484763065::HUGEINT) % 18446744073709551616::HUGEINT + ((a1 * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1 FROM f0b),
+        |f0d AS (SELECT doc_id, sigl, band, xor(z1, z1 // 134217728) AS a2 FROM f0c),
+        |f0e AS (SELECT doc_id, sigl, band, ((a2 * 321982955::HUGEINT) % 18446744073709551616::HUGEINT + ((a2 * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2 FROM f0d),
+        |f0 AS (SELECT doc_id, sigl, band, CAST(CASE WHEN xor(z2, z2 // 2147483648) >= 9223372036854775808::HUGEINT THEN xor(z2, z2 // 2147483648) - 18446744073709551616::HUGEINT ELSE xor(z2, z2 // 2147483648) END AS BIGINT) AS h1 FROM f0e),
+        |f1a AS (SELECT doc_id, sigl, band, h1, ((CASE WHEN xor(h1, sigl[band * 4 + 2]) < 0 THEN CAST(xor(h1, sigl[band * 4 + 2]) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(h1, sigl[band * 4 + 2]) AS HUGEINT) END) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z0 FROM f0),
+        |f1b AS (SELECT doc_id, sigl, band, xor(z0, z0 // 1073741824) AS a1 FROM f1a),
+        |f1c AS (SELECT doc_id, sigl, band, ((a1 * 484763065::HUGEINT) % 18446744073709551616::HUGEINT + ((a1 * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1 FROM f1b),
+        |f1d AS (SELECT doc_id, sigl, band, xor(z1, z1 // 134217728) AS a2 FROM f1c),
+        |f1e AS (SELECT doc_id, sigl, band, ((a2 * 321982955::HUGEINT) % 18446744073709551616::HUGEINT + ((a2 * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2 FROM f1d),
+        |f1 AS (SELECT doc_id, sigl, band, CAST(CASE WHEN xor(z2, z2 // 2147483648) >= 9223372036854775808::HUGEINT THEN xor(z2, z2 // 2147483648) - 18446744073709551616::HUGEINT ELSE xor(z2, z2 // 2147483648) END AS BIGINT) AS h2 FROM f1e),
+        |f2a AS (SELECT doc_id, sigl, band, h2, ((CASE WHEN xor(h2, sigl[band * 4 + 3]) < 0 THEN CAST(xor(h2, sigl[band * 4 + 3]) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(h2, sigl[band * 4 + 3]) AS HUGEINT) END) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z0 FROM f1),
+        |f2b AS (SELECT doc_id, sigl, band, xor(z0, z0 // 1073741824) AS a1 FROM f2a),
+        |f2c AS (SELECT doc_id, sigl, band, ((a1 * 484763065::HUGEINT) % 18446744073709551616::HUGEINT + ((a1 * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1 FROM f2b),
+        |f2d AS (SELECT doc_id, sigl, band, xor(z1, z1 // 134217728) AS a2 FROM f2c),
+        |f2e AS (SELECT doc_id, sigl, band, ((a2 * 321982955::HUGEINT) % 18446744073709551616::HUGEINT + ((a2 * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2 FROM f2d),
+        |f2 AS (SELECT doc_id, sigl, band, CAST(CASE WHEN xor(z2, z2 // 2147483648) >= 9223372036854775808::HUGEINT THEN xor(z2, z2 // 2147483648) - 18446744073709551616::HUGEINT ELSE xor(z2, z2 // 2147483648) END AS BIGINT) AS h3 FROM f2e),
+        |f3a AS (SELECT doc_id, sigl, band, h3, ((CASE WHEN xor(h3, sigl[band * 4 + 4]) < 0 THEN CAST(xor(h3, sigl[band * 4 + 4]) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(h3, sigl[band * 4 + 4]) AS HUGEINT) END) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z0 FROM f2),
+        |f3b AS (SELECT doc_id, sigl, band, xor(z0, z0 // 1073741824) AS a1 FROM f3a),
+        |f3c AS (SELECT doc_id, sigl, band, ((a1 * 484763065::HUGEINT) % 18446744073709551616::HUGEINT + ((a1 * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z1 FROM f3b),
+        |f3d AS (SELECT doc_id, sigl, band, xor(z1, z1 // 134217728) AS a2 FROM f3c),
+        |f3e AS (SELECT doc_id, sigl, band, ((a2 * 321982955::HUGEINT) % 18446744073709551616::HUGEINT + ((a2 * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z2 FROM f3d),
+        |f3 AS (SELECT doc_id, sigl, band, CAST(CASE WHEN xor(z2, z2 // 2147483648) >= 9223372036854775808::HUGEINT THEN xor(z2, z2 // 2147483648) - 18446744073709551616::HUGEINT ELSE xor(z2, z2 // 2147483648) END AS BIGINT) AS h4 FROM f3e),
+        |banded AS (SELECT doc_id, sigl, band, h4 AS bkey FROM f3),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.sigl AS sa, b.sigl AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS est_jaccard
+        |  FROM cand),
+        |shlist AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2])) AS sl
+        |  FROM documents)
+        |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+        |  CASE WHEN len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl)) = 0
+        |       THEN 1.0
+        |       ELSE len(list_intersect(a.sl, b.sl))
+        |            / (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))) END
+        |    AS exact_jaccard
+        |FROM est e
+        |JOIN shlist a ON e.doc_a = a.doc_id
+        |JOIN shlist b ON e.doc_b = b.doc_id
+        |WHERE e.est_jaccard >= 0.5
+        |ORDER BY e.doc_a, e.doc_b""".stripMargin,
+
     // FULL oracle for SimHash near-dup pairs: per-token FNV-1a 64 via
     // HUGEINT mod-2^64, bit votes, signed-fingerprint reconstruction,
     // band keys (arithmetic shift + mask, matching JVM semantics),

@@ -342,6 +342,71 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** FNV-1a 64-bit of a string's bytes — the public, cross-engine-emulatable
+  * base hash for the MinHash permutation family: each shingle string is
+  * hashed ONCE, then the 16 "permutations" are cheap splitmix64 integer
+  * mixes of this value (vs 16 separate string hashes with an
+  * engine-internal function). A DuckDB oracle reproduces it exactly with
+  * HUGEINT mod-2^64 arithmetic.
+  */
+case class Fnv1a64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHash64.fnv1a(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.fnv1a($c.getBytes());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** splitmix64 finalizer over a long: +golden-gamma, two xor-shift-multiply
+  * avalanche rounds, final xor-shift — with JVM WRAPPING arithmetic.
+  * Exists as an expression because ANSI mode (Spark 4 default) makes the
+  * builtin `*`/`+` THROW on long overflow, so the mix cannot be composed
+  * from Column operators. The DuckDB oracle reproduces it with HUGEINT
+  * mod-2^64 arithmetic (32-bit limb multiplies).
+  */
+case class Mix64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mix64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a bigint argument")
+
+  protected override def nullSafeEval(input: Any): Any =
+    Mix64.mix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = Mix64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.mix($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
+object Mix64 {
+  def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}
+
 /** Product-quantization encoder: assigns each of `m` subvectors to its
   * nearest codebook centroid in ONE pass over the row — argmin over
   * ||x_j - c||² computed as argmax(x_j·c − ½|c|²), so only dot products
@@ -517,6 +582,10 @@ object GraftColumns {
     ColumnBridge.column(SimHash64(child(c)))
   def wordShingles(c: Column, k: Int = 3): Column =
     ColumnBridge.column(WordShingles(child(c), k))
+  def fnv1a64(c: Column): Column =
+    ColumnBridge.column(Fnv1a64(child(c)))
+  def mix64(c: Column): Column =
+    ColumnBridge.column(Mix64(child(c)))
   def lshBuckets(
       c: Column, flatPlanes: Array[Double],
       numTables: Int, planesPerTable: Int, dim: Int): Column =

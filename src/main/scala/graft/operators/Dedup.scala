@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftColumns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, in increasing
@@ -92,15 +92,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** splitmix64 finalizer over a long Column (native [[graft.functions.Mix64]]
+    * — ANSI mode makes builtin long arithmetic throw on overflow, so the
+    * wrapping mix must be a native expression). Emulated exactly in the
+    * DuckDB oracle with HUGEINT mod-2^64 arithmetic.
+    */
+  private def mix64(c: Column): Column = GraftColumns.mix64(c)
+
   /** MinHash signatures: numPerms independent min-hashes of the shingle set,
     * computed in ONE pass over the exploded shingles (numPerms min-aggregates
     * with map-side partial aggregation).
+    *
+    * The permutation family hashes each shingle string ONCE
+    * ([[graft.functions.Fnv1a64]]) and derives permutation i as the
+    * splitmix64 mix of (base XOR seed_i) — cheaper than numPerms string
+    * hashes, built from public algorithms, and reproduced bit-exactly by
+    * the DuckDB oracle (an engine-internal hash here would make the sketch
+    * unverifiable by an independent engine).
     */
   def minhashSignatures(documents: DataFrame, k: Int = 3, numPerms: Int = 16): DataFrame = {
     val sh = shingles(documents, k)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), GraftColumns.fnv1a64(col("shingle")).as("base"))
     val mins = (0 until numPerms).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
+      min(mix64(col("base").bitwiseXOR(lit(i * 0x9E3779B97F4A7C15L))))
+        .as(s"sig_$i"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -121,11 +137,14 @@ object Dedup {
       .withColumn("sig", array((0 until numPerms).map(i => col(s"sig_$i")): _*))
       .select("doc_id", "sig")
 
+    // band key = splitmix64 fold over the band's signature components
+    // (h := mix64(h XOR sig)), seeded by the band index — same public
+    // primitive as the permutations, so the DuckDB oracle reproduces it
     val bandKeys = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bkey"))
+      val bkey = (0 until rowsPerBand).foldLeft(lit(b.toLong)) { (h, r) =>
+        mix64(h.bitwiseXOR(element_at(col("sig"), b * rowsPerBand + r + 1)))
+      }
+      struct(lit(b).as("band"), bkey.as("bkey"))
     }
     // Signatures ride along through the banding so candidate pairs never
     // re-join (and re-compute) the signature subplan.
