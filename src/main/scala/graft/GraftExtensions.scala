@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, RollingHash, SimHash64, WordShingles}
+import graft.functions.{CosineSim, DotProduct, Fnv1a64, Mix64, RollingHash, SimHash64, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       exprs => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("fnv1a64"),
+      new ExpressionInfo(classOf[Fnv1a64].getName, "fnv1a64"),
+      exprs => Fnv1a64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      exprs => Mix64(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

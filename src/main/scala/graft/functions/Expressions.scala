@@ -619,5 +619,9 @@ object GraftFunctions {
           case l: Long => l.toInt
         })
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fnv1a64", exprs => Fnv1a64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mix64", exprs => Mix64(exprs.head), "built-in")
   }
 }

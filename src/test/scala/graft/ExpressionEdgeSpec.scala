@@ -56,6 +56,21 @@ class ExpressionEdgeSpec extends SparkTestBase {
     assert(interp.toIntArray().toSeq == codes)
   }
 
+  test("fnv1a64/mix64 match reference folds (codegen and SQL-registered paths)") {
+    graft.functions.GraftFunctions.register(spark)
+    // splitmix64 reference vector: mix(0) is the first value of the
+    // well-known splitmix64 stream seeded at 0
+    assert(graft.functions.Mix64.mix(0L) == 0xE220A8397B1DCDAFL)
+    val rows = Seq("hello world", "", "a").toDF("s")
+      .selectExpr("s", "fnv1a64(s) AS f", "mix64(fnv1a64(s)) AS m")
+      .collect()
+    rows.foreach { r =>
+      val expectF = graft.functions.SimHash64.fnv1a(r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == expectF)
+      assert(r.getLong(2) == graft.functions.Mix64.mix(expectF))
+    }
+  }
+
   test("DistinctBuf matches a reference HashSet over random workloads") {
     val agg = new graft.streaming.StreamingAgg.ExactDistinctLong
     for (seed <- 1 to 5) {
