@@ -113,6 +113,9 @@ object SparkEntry {
       Analytics.regionalVolume(
         Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // Retention triangle: cohort by first-seen day x activity-day offset.
+    "retention_cohorts" -> ((s, dir) =>
+      Analytics.retentionCohorts(Tables.events(s, dir))),
     // Staged conversion funnel (ordered view -> click -> purchase).
     "funnel_conversion" -> ((s, dir) =>
       Analytics.funnel(Tables.events(s, dir))),
@@ -1144,6 +1147,19 @@ object SparkEntry {
         |  CASE WHEN n > 2 THEN 1.0 - CAST(d3 AS DOUBLE) / CAST(n-2 AS DOUBLE)
         |       ELSE 0.0 END AS dup_3gram_fraction
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+        |SELECT fs.cohort_day,
+        |  CAST(date_diff('day', fs.cohort_day, act.active_day) AS INT) AS day_offset,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS active_users
+        |FROM act JOIN fs ON act.user_id = fs.user_id
+        |WHERE date_diff('day', fs.cohort_day, act.active_day) <= 7
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "customer_spend_quartiles" ->
       """WITH pu AS (

@@ -203,6 +203,27 @@ object Analytics {
       .orderBy(col("o_custkey"))
   }
 
+  /** Retention cohorts: users grouped by first-seen day, counted on each
+    * subsequent activity-day offset — the classic triangle. Two aggregates
+    * (first-seen per user; distinct active users per (cohort, offset)),
+    * both keyed shuffles with map-side combine; the cohort join input is
+    * one row per user, not the event stream.
+    */
+  def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val firstSeen = events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("active_day"))
+      .distinct()
+      .join(firstSeen, "user_id")
+      .withColumn("day_offset", datediff(col("active_day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Staged conversion funnel: users with a view; of those, a first click
     * at-or-after their first view; of those, a first purchase at-or-after
     * that click — per-stage user counts (the classic product-analytics
