@@ -562,6 +562,35 @@ object LshBuckets {
   }
 }
 
+/** Bloom-filter membership probe over a long column — the evaluation
+  * primitive of a runtime semi-join filter. The (serializable) filter
+  * rides into generated code as a reference object, one virtual call per
+  * row inside whole-stage codegen — not a Scala UDF (no boxing-per-row
+  * closure dispatch in the scan path).
+  */
+case class BloomMightContainLong(
+    child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a bigint argument")
+
+  protected override def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj(
+      "bloom", filter, classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $f.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 /** Column-level API for the native expressions (no registry needed —
   * Spark 4's classic ExpressionUtils bridges Expression -> Column), so
   * `Similarity.cosine`/`lshBucket` work on any session out of the box.
@@ -586,6 +615,9 @@ object GraftColumns {
     ColumnBridge.column(Fnv1a64(child(c)))
   def mix64(c: Column): Column =
     ColumnBridge.column(Mix64(child(c)))
+  def bloomMightContainLong(
+      c: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContainLong(child(c), filter))
   def lshBuckets(
       c: Column, flatPlanes: Array[Double],
       numTables: Int, planesPerTable: Int, dim: Int): Column =

@@ -99,6 +99,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bloom runtime filter: join-equivalent, filter in codegen, no UDF node") {
+    val events = Tables.events(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .select(org.apache.spark.sql.functions.col("c_custkey").as("user_id"))
+    val plain = events.join(dim, "user_id")
+    val pruned = operators.RuntimeFilter
+      .bloomPrune(events, org.apache.spark.sql.functions.col("user_id"),
+        dim, "user_id", expectedKeys = 10000L)
+      .join(dim, "user_id")
+    // Bloom has false positives only — the subsequent join removes them,
+    // so the end result is exactly the plain join
+    assert(pruned.count() == plain.count())
+    val plan = executed(pruned)
+    assert(plan.contains("bloom_might_contain_long"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"probe must be a native expression, not a UDF:\n$plan")
+  }
+
   test("windowed aggregation keeps partial aggregation (map-side combine)") {
     val plan = executed(operators.HourlyAggregation(Tables.events(spark, sf)))
     // two-phase hash aggregate: partial_ functions before the exchange
