@@ -188,6 +188,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("doc_count"))
         .orderBy(col("source"), col("split"))
     }),
+    // Count-Min heavy hitters beside exact counts (in-row self-check;
+    // CMS internals are engine-specific -> rows-only driver check).
+    "token_topk_cms" -> ((s, dir) =>
+      TextAnalysis.tokenTopkCms(Tables.documents(s, dir))),
     // Gopher-style repetition/quality signals (top-token + dup n-gram
     // fractions) — the boilerplate detectors a curation pipeline gates on.
     "doc_repetition" -> ((s, dir) =>

@@ -37,6 +37,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy hitters via Count-Min sketch next to the exact counts: the
+    * sketch path for corpus-scale token frequency (constant memory:
+    * width x depth counters regardless of vocabulary) beside the exact
+    * histogram it replaces. Output rows carry BOTH values, so every row
+    * self-checks the CMS guarantee: exact <= estimate <= exact + eps*N
+    * (one-sided error; asserted in PropertySpec). The sketch build is
+    * distributed (partition-local sketches merged); only the FINAL top-k
+    * rows (bounded, k=20) are touched driver-side to attach estimates.
+    */
+  def tokenTopkCms(
+      documents: DataFrame,
+      k: Int = 20,
+      eps: Double = 0.001,
+      confidence: Double = 0.99): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents.select(explode(tokens(col("text"))).as("token"))
+    val cms = toks.stat.countMinSketch("token", eps, confidence, seed = 42)
+    val top = toks
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), asc("token"))
+      .limit(k)
+      .collect() // k rows, bounded
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    top.toSeq.toDF("token", "exact_count", "cms_estimate")
+      .orderBy(desc("exact_count"), asc("token"))
+  }
+
   /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
     * §A1.1): top-token fraction and duplicate n-gram fractions — the cheap
     * detectors for boilerplate/degenerate text that a curation pipeline

@@ -10,6 +10,19 @@ class PropertySpec extends SparkTestBase {
 
   private lazy val events = EventGen.batch(spark, 5000, userPool = 40, seed = 7L).cache()
 
+  test("CMS heavy hitters: one-sided error bound holds on every row") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.select(explode(split(col("text"), " "))).count()
+    val rows = graft.functions.TextAnalysis.tokenTopkCms(docs, k = 20, eps = 0.001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"CMS never underestimates: $r")
+      assert(est <= exact + (0.001 * n).toLong + 1, s"CMS eps bound: $r (n=$n)")
+    }
+  }
+
   test("window assignment is a partition: every event in exactly one window") {
     val agg = HourlyAggregation(events)
     assert(agg.agg(sum("event_count")).as[Long].head == events.count())
