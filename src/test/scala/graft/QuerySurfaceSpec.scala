@@ -1,0 +1,30 @@
+package graft
+
+/** Driver simulation: every entry in SparkEntry.queries must EXECUTE at
+  * sf0.001 and return the same row count on a second run (determinism
+  * policy — no rand(), no time-dependence, stable under re-execution).
+  * This is the in-CI guard against the failure class where the query map
+  * compiles but a query throws at driver time (or silently flaps).
+  */
+class QuerySurfaceSpec extends SparkTestBase {
+
+  test("every driver query executes and is re-run stable at sf0.001") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val c1 = fn(spark, sf).count()
+        val c2 = fn(spark, sf).count()
+        if (c1 != c2) failures += s"$name: non-deterministic count ($c1 vs $c2)"
+      } catch {
+        case e: Throwable => failures += s"$name: ${e.getClass.getSimpleName} ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle map refers only to existing queries; flagship entry returns rows") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
