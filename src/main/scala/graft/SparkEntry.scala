@@ -140,18 +140,19 @@ object SparkEntry {
     // Proves the engine surface is reachable from SQL text, not just the
     // DataFrame API.
     "above_avg_balance_sql" -> ((s, dir) => {
-      // only the view this query reads — GraftSql.registerViews(s, dir)
-      // registers the whole surface, ~1s of parquet-footer reads that
-      // benchmark as query cost
-      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      // query-scoped view name: registering plain "customer" would
+      // silently repoint a user's SQL-surface view as a side effect
+      // (GraftSql.registerViews would also work but costs ~1s of
+      // parquet-footer reads that benchmark as query cost)
+      Tables.customer(s, dir).createOrReplaceTempView("graft_q_customer")
       s.sql(
         """SELECT c_custkey, c_name, c_acctbal, nation_avg FROM (
           |  SELECT c.c_custkey, c.c_name, c.c_acctbal,
           |    (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
           |            / count(*)
-          |     FROM customer c2
+          |     FROM graft_q_customer c2
           |     WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
-          |  FROM customer c) t
+          |  FROM graft_q_customer c) t
           |WHERE c_acctbal > nation_avg
           |ORDER BY c_custkey""".stripMargin)
     }),
@@ -170,9 +171,10 @@ object SparkEntry {
     // the Column API.
     "doc_fingerprints_sql" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      Tables.documents(s, dir).createOrReplaceTempView("documents")
+      // query-scoped view name (see above_avg_balance_sql note)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_q_documents")
       s.sql("""SELECT doc_id, rolling_hash(text) AS fingerprint
-              |FROM documents ORDER BY doc_id""".stripMargin)
+              |FROM graft_q_documents ORDER BY doc_id""".stripMargin)
     }),
     "lang_stats" -> ((s, dir) => TextAnalysis.langStats(Tables.documents(s, dir))),
     // Deterministic hash-based train/val/test split (80/10/10 on the
@@ -684,6 +686,11 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // NOTE: the repeated 5-stage HUGEINT mix chains in this oracle (and
+    // the ann_lsh one) are MACHINE-GENERATED and validated bit-exact at 3
+    // SFs — regenerate rather than hand-edit (a single-digit typo in one
+    // copy yields a wrong oracle); the Scala-side single source of truth
+    // is graft.functions.Mix64.mix / SimHash64.fnv1a.
     // FULL oracle for MinHash+LSH near-dup pairs: FNV-1a base hash per
     // shingle, 16 splitmix64 permutations, min-aggregation, band-key folds
     // and the candidate join — all emulated with HUGEINT mod-2^64

@@ -53,17 +53,21 @@ object TextAnalysis {
       confidence: Double = 0.99): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val toks = documents.select(explode(tokens(col("text"))).as("token"))
-    val cms = toks.stat.countMinSketch("token", eps, confidence, seed = 42)
-    val top = toks
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("exact_count"))
-      .orderBy(desc("exact_count"), asc("token"))
-      .limit(k)
-      .collect() // k rows, bounded
-      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-    top.toSeq.toDF("token", "exact_count", "cms_estimate")
-      .orderBy(desc("exact_count"), asc("token"))
+    // two actions consume the tokenized frame (sketch build + exact
+    // top-k): persist so the scan+tokenize runs once
+    val toks = documents.select(explode(tokens(col("text"))).as("token")).persist()
+    try {
+      val cms = toks.stat.countMinSketch("token", eps, confidence, seed = 42)
+      val top = toks
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(desc("exact_count"), asc("token"))
+        .limit(k)
+        .collect() // k rows, bounded
+        .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      top.toSeq.toDF("token", "exact_count", "cms_estimate")
+        .orderBy(desc("exact_count"), asc("token"))
+    } finally toks.unpersist(blocking = false)
   }
 
   /** Repetition signals (Gopher-style quality filters, Rae et al. 2021

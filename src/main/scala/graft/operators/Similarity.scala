@@ -158,15 +158,13 @@ object Similarity {
     cs
   }
 
-  /** Deterministic pseudo-random hyperplanes: weight(p, d) derives from a
-    * splitmix64-style avalanche of (p * dim + d), mapped into [-1, 1).
-    * Generated driver-side as literals — constant-folded into the plan.
+  /** Deterministic pseudo-random hyperplanes: weight(p, d) is the
+    * splitmix64 avalanche ([[graft.functions.Mix64]] — the single source
+    * of truth for the mix, shared with the MinHash permutation family and
+    * both DuckDB oracle emulations) of (p * dim + d), mapped into [-1, 1).
     */
   private def planeWeight(p: Int, d: Int, dim: Int): Double = {
-    var z = (p.toLong * dim + d) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
+    val z = graft.functions.Mix64.mix(p.toLong * dim + d)
     (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }
 

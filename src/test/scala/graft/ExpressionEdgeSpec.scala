@@ -61,9 +61,14 @@ class ExpressionEdgeSpec extends SparkTestBase {
     // splitmix64 reference vector: mix(0) is the first value of the
     // well-known splitmix64 stream seeded at 0
     assert(graft.functions.Mix64.mix(0L) == 0xE220A8397B1DCDAFL)
-    val rows = Seq("hello world", "", "a").toDF("s")
-      .selectExpr("s", "fnv1a64(s) AS f", "mix64(fnv1a64(s)) AS m")
+    // parquet-backed source: a Project over a LocalRelation would be
+    // constant-folded with INTERPRETED eval (ConvertToLocalRelation),
+    // never exercising doGenCode — the documents scan forces the
+    // whole-stage-codegen path
+    val rows = Tables.documents(spark, sf).limit(20)
+      .selectExpr("text", "fnv1a64(text) AS f", "mix64(fnv1a64(text)) AS m")
       .collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
       val expectF = graft.functions.SimHash64.fnv1a(r.getString(0).getBytes("UTF-8"))
       assert(r.getLong(1) == expectF)

@@ -18,8 +18,11 @@ class PropertySpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getLong(1); val est = r.getLong(2)
+      // never-underestimates is STRUCTURAL (holds always); the eps*N
+      // bound is probabilistic (confidence=0.99 per query), so allow 3x
+      // slack rather than pinning the suite to one lucky seed/dataset
       assert(est >= exact, s"CMS never underestimates: $r")
-      assert(est <= exact + (0.001 * n).toLong + 1, s"CMS eps bound: $r (n=$n)")
+      assert(est <= exact + (3 * 0.001 * n).toLong + 1, s"CMS 3*eps bound: $r (n=$n)")
     }
   }
 
