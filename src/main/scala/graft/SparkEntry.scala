@@ -689,8 +689,10 @@ object SparkEntry {
     // NOTE: the repeated 5-stage HUGEINT mix chains in this oracle (and
     // the ann_lsh one) are MACHINE-GENERATED and validated bit-exact at 3
     // SFs — regenerate rather than hand-edit (a single-digit typo in one
-    // copy yields a wrong oracle); the Scala-side single source of truth
-    // is graft.functions.Mix64.mix / SimHash64.fnv1a.
+    // copy yields a wrong oracle); tools/check_mix_oracles.py re-derives
+    // the chain constants and checks the embedded SQL; the Scala-side
+    // single source of truth is graft.functions.Mix64.mix /
+    // SimHash64.fnv1a.
     // FULL oracle for MinHash+LSH near-dup pairs: FNV-1a base hash per
     // shingle, 16 splitmix64 permutations, min-aggregation, band-key folds
     // and the candidate join — all emulated with HUGEINT mod-2^64

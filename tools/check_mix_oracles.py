@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Regenerate the HUGEINT mod-2^64 splitmix64/FNV mix chains used by the
+minhash/ann_lsh/simhash DuckDB oracles and check the embedded SQL still
+contains them verbatim. The chains are machine-generated (single-digit
+typos yield silently-wrong oracles) — run this after any edit near them.
+
+Usage: python3 tools/check_mix_oracles.py /tmp/verify_out/oracle_sql.json
+"""
+import json, sys
+
+M = "18446744073709551616::HUGEINT"
+C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+def mulm(a, c):
+    bh, bl = c >> 32, c & 0xFFFFFFFF
+    return (f"(({a} * {bl}::HUGEINT) % {M} + (({a} * {bh}::HUGEINT)"
+            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {M}")
+
+REQUIRED = {
+    "minhash_lsh_pairs": [
+        mulm("a1", C1), mulm("a2", C2),
+        "xor(z0, z0 // 1073741824)", "xor(z1, z1 // 134217728)",
+        "xor(z2, z2 // 2147483648)",
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold
+        "11400714819323198485::HUGEINT",            # golden gamma
+    ],
+    "ann_lsh": [
+        mulm("a1", C1), mulm("a2", C2),
+        "CAST(xor(z2, z2 // 2147483648) // 2048 AS DOUBLE)",
+        "4503599627370496.0",                       # 2^52
+    ],
+    "simhash_pairs": [
+        "(xor(h, b) * 1099511628211::HUGEINT)",
+        "14695981039346656037::HUGEINT",            # FNV offset basis
+        "9223372036854775808::HUGEINT",             # signed-view pivot
+        "bit_count(xor(a.f, b.f))",
+    ],
+}
+
+import re
+def norm(s):
+    s = re.sub(r"\s+", " ", s)
+    return s.replace("( ", "(").replace(" )", ")")
+
+oracle = json.load(open(sys.argv[1]))
+fail = 0
+for name, fragments in REQUIRED.items():
+    sql = norm(oracle.get(name, ""))
+    fragments = [norm(f) for f in fragments]
+    for frag in fragments:
+        if frag not in sql:
+            print(f"FAIL {name}: missing fragment: {frag}")
+            fail += 1
+    if all(f in sql for f in fragments):
+        print(f"OK   {name}: all {len(fragments)} generated fragments present")
+print("RESULT:", "ALL OK" if fail == 0 else f"{fail} FAILURES")
+sys.exit(1 if fail else 0)
