@@ -465,6 +465,11 @@ object PqEncode {
       ksub: Int,
       dsub: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     if (arr.numElements() != m * dsub) return null
+    // null element -> null result (like DotProduct): ArrayData.getDouble on
+    // a null slot reads an arbitrary value, which would yield a plausible
+    // but wrong code instead of a visible null
+    var e = 0
+    while (e < m * dsub) { if (arr.isNullAt(e)) return null; e += 1 }
     val codes = new Array[Any](m)
     var j = 0
     while (j < m) {
@@ -542,6 +547,9 @@ object LshBuckets {
       planesPerTable: Int,
       dim: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     if (arr.numElements() != dim) return null
+    // null element -> null result (see PqEncode.encode)
+    var e = 0
+    while (e < dim) { if (arr.isNullAt(e)) return null; e += 1 }
     val out = new Array[Any](numTables)
     var t = 0
     while (t < numTables) {

@@ -230,6 +230,19 @@ object Dedup {
     }
   }
 
+  /** Task-count target for the per-round label frames: one task per
+    * `rowsPerTask` edge rows, floored at 4 (don't serialize tiny graphs
+    * onto one core) and capped at 2048 (past that, per-task scheduling
+    * overhead dominates for the ~16-byte label rows). Pure function —
+    * unit-tested directly in DedupSimilaritySpec.
+    */
+  private[graft] def adaptiveParts(edgeRows: Long, rowsPerTask: Long = 500000L): Int = {
+    // ceil-divide without the +rowsPerTask-1 trick (which overflows Long
+    // near Long.MaxValue and would silently floor a huge graph to 4 tasks)
+    val tasks = edgeRows / rowsPerTask + (if (edgeRows % rowsPerTask == 0) 0 else 1)
+    math.max(4L, math.min(2048L, tasks)).toInt
+  }
+
   private def computeNearDupClusters(
       documents: DataFrame,
       pairs: DataFrame,
@@ -242,13 +255,17 @@ object Dedup {
     // the end) — per-round frames scale with the PAIR graph, not the
     // corpus.
     // The label frames scale with the pair graph (small next to the
-    // corpus): coalesce before each checkpoint so per-round jobs run a
-    // handful of tasks, not shuffle.partitions of them. At a larger edge
-    // list the coalesce target would scale with |edges|/targetPartitionSize.
+    // corpus): coalesce before each checkpoint so per-round jobs run
+    // edge-proportional task counts, not shuffle.partitions of them. The
+    // target scales with |edges|/rowsPerTask (edges is already
+    // materialized by the checkpoint, so the count is a cached-block
+    // scan, not a recompute): a 60k-pair sf0.1 run stays at the 4-task
+    // floor, a billion-edge corpus fans out to thousands of tasks.
+    val labelParts = adaptiveParts(edges.count())
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .coalesce(4)
+      .coalesce(labelParts)
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -260,7 +277,7 @@ object Dedup {
         .union(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .coalesce(4)
+        .coalesce(labelParts)
         .localCheckpoint()
       changed = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")

@@ -62,12 +62,40 @@ object Similarity {
     * queried many times — rebuilding the quantizer per query call would
     * charge the index build to every search. Keyed by the full canonicalized
     * input plan (string equality, not a hash — no collision risk) +
-    * parameters; seeded fits are deterministic, so a cache hit is exact.
-    * Like any ANN index, it does NOT track mutation of the underlying files;
-    * bounded by wholesale eviction at 16 entries.
+    * applicationId + parameters; seeded fits are deterministic, so a cache
+    * hit is exact. Like any ANN index, it does NOT track mutation of the
+    * underlying files; bounded by wholesale eviction at 16 entries.
     */
   private val quantizerCache =
     scala.collection.mutable.Map.empty[(String, Int, Long), Array[Array[Double]]]
+
+  /** Cache key for a fit over `df`, or None when the plan contains a
+    * LocalRelation: an in-memory relation canonicalizes to its SCHEMA only
+    * (the data is invisible to the key), so two different local datasets
+    * with the same schema would collide on one entry and silently share
+    * centroids — same guard as Dedup.nearDupClusters' clusterCache. File
+    * relations keep their paths in the canonical form, so they key safely;
+    * applicationId scopes entries to one SparkContext lifetime.
+    */
+  private def fitCacheKey(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    if (df.queryExecution.logical.exists(_.isInstanceOf[LocalRelation])) None
+    else Some(df.sparkSession.sparkContext.applicationId + "\n" +
+      df.queryExecution.logical.canonicalized.toString)
+  }
+
+  /** Last fitted IVF / PQ models (centroids or codebooks + the call's
+    * parameters) — read by the oracle-SQL generator after a Verify run to
+    * pin the seeded fit as literals in machine-generated DuckDB SQL
+    * (the golden-centroid pin; see graft.AnnOracles).
+    */
+  final case class IvfFit(
+      centers: Array[Array[Double]], numQueries: Int, k: Int, nlist: Int, nprobe: Int)
+  final case class PqFit(
+      books: Array[Array[Array[Double]]], numQueries: Int, k: Int,
+      m: Int, ksub: Int, rerank: Int)
+  @volatile private[graft] var lastIvfFit: Option[IvfFit] = None
+  @volatile private[graft] var lastPqFit: Option[PqFit] = None
 
   /** Fit the IVF coarse quantizer: seeded k-means++ init + Lloyd iterations
     * over a bounded sample collected to the driver.
@@ -89,15 +117,27 @@ object Similarity {
 
   /** One bounded, seeded sample scan collecting `maxFitRows` vectors to the
     * driver — the training set for every quantizer here (IVF coarse, PQ
-    * subspace codebooks). O(sample) regardless of corpus size.
+    * subspace codebooks). ONE action over the corpus: each row gets a
+    * deterministic pseudo-random priority (splitmix64 of vec_id ⊕ a
+    * seed-derived constant — a bijection, so no ties) and the global
+    * bottom-`maxFitRows` by priority is the sample. The plan is
+    * TakeOrderedAndProject: per-partition heaps of `maxFitRows` rows + one
+    * driver merge — no count() pre-pass (the previous count+sample shape
+    * cost two corpus scans per cold fit), uniform regardless of corpus
+    * size, and stable under repartitioning (the priority depends only on
+    * vec_id and seed, never on physical layout). Corpora smaller than
+    * `maxFitRows` pass through whole, same as before.
     */
   private def sampleVectors(
       embDouble: DataFrame, maxFitRows: Int, seed: Long): Array[Array[Double]] = {
-    val n = embDouble.count()
-    val sampled =
-      if (n <= maxFitRows) embDouble
-      else embDouble.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
-    sampled.select(col("embedding")).collect().map(_.getSeq[Double](0).toArray)
+    val pri = graft.functions.GraftColumns.mix64(
+      col("vec_id").bitwiseXOR(lit(graft.functions.Mix64.mix(seed))))
+    embDouble
+      .select(col("embedding"), pri.as("pri"))
+      .orderBy(col("pri"))
+      .limit(maxFitRows)
+      .select(col("embedding"))
+      .collect().map(_.getSeq[Double](0).toArray)
   }
 
   /** Seeded k-means++ init + Lloyd iterations over driver-local points. */
@@ -282,12 +322,15 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val embDouble = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val centers: Array[Array[Double]] = quantizerCache.synchronized {
-      if (quantizerCache.size > 16) quantizerCache.clear()
-      quantizerCache.getOrElseUpdate(
-        (embeddings.queryExecution.logical.canonicalized.toString, nlist, seed),
-        fitCoarseQuantizer(embDouble, nlist, seed))
+    val centers: Array[Array[Double]] = fitCacheKey(embeddings) match {
+      case None => fitCoarseQuantizer(embDouble, nlist, seed) // in-memory input: never cache
+      case Some(planKey) => quantizerCache.synchronized {
+        if (quantizerCache.size > 16) quantizerCache.clear()
+        quantizerCache.getOrElseUpdate(
+          (planKey, nlist, seed), fitCoarseQuantizer(embDouble, nlist, seed))
+      }
     }
+    lastIvfFit = Some(IvfFit(centers, numQueries, k, nlist, nprobe))
 
     // Per-centroid score struct: (x·c − ½|c|², cell). Larger score = nearer
     // centroid, so a desc sort ranks the query probes — row-local codegen'd
@@ -396,12 +439,15 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val embDouble = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val books: Array[Array[Array[Double]]] = pqCache.synchronized {
-      if (pqCache.size > 16) pqCache.clear()
-      pqCache.getOrElseUpdate(
-        (embeddings.queryExecution.logical.canonicalized.toString, m, ksub, seed),
-        fitPqCodebooks(embDouble, m, ksub, seed))
+    val books: Array[Array[Array[Double]]] = fitCacheKey(embeddings) match {
+      case None => fitPqCodebooks(embDouble, m, ksub, seed) // in-memory input: never cache
+      case Some(planKey) => pqCache.synchronized {
+        if (pqCache.size > 16) pqCache.clear()
+        pqCache.getOrElseUpdate(
+          (planKey, m, ksub, seed), fitPqCodebooks(embDouble, m, ksub, seed))
+      }
     }
+    lastPqFit = Some(PqFit(books, numQueries, k, m, ksub, rerank))
     val dsub = books(0)(0).length
 
     def subvec(vec: Column, j: Int): Column = slice(vec, j * dsub + 1, dsub)

@@ -148,4 +148,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     val g = Dedup.exactGroups(docs).agg(sum("dup_count")).as[Long].head
     assert(g == total)
   }
+
+  test("quantizer caches never collide two same-schema in-memory datasets") {
+    // Two LocalRelation inputs with the SAME schema but different data: a
+    // plan-canonicalization cache key would collapse them to one entry
+    // (LocalRelation canonicalizes to its schema only) and silently reuse
+    // the first fit's centroids for the second dataset. The guard must
+    // refit instead — observable as different top-k results where the
+    // datasets genuinely differ.
+    def mkEmb(shift: Double) = (0L until 64L).map { i =>
+      i -> Array.tabulate(64)(d =>
+        (graft.functions.Mix64.mix(i * 64 + d + (shift * 1e6).toLong) >>> 11).toFloat
+          / (1L << 53) + (if (i % 8 == 0) shift.toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    val a = mkEmb(0.0); val b = mkEmb(5.0)
+    def runBoth(df: org.apache.spark.sql.DataFrame) = (
+      Similarity.ivfTopK(df, numQueries = 2, k = 3, nlist = 4, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      Similarity.pqTopK(df, numQueries = 2, k = 3, m = 16, ksub = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq)
+    val (ivfA, pqA) = runBoth(a)
+    val (ivfA2, pqA2) = runBoth(a) // same data -> same (deterministic refit)
+    assert(ivfA == ivfA2 && pqA == pqA2)
+    val (_, pqB) = runBoth(b)
+    // different data through the same-schema plan: exact sims must differ
+    // (a stale shared fit would be invisible on ids alone, so compare sims)
+    assert(pqA.map(_._3) != pqB.map(_._3))
+  }
+
+  test("adaptiveParts scales task count with the edge list") {
+    assert(Dedup.adaptiveParts(0L) == 4)           // tiny graph: floor
+    assert(Dedup.adaptiveParts(120000L) == 4)      // sf0.1-sized: floor
+    assert(Dedup.adaptiveParts(10000000L) == 20)   // 10M edges: 20 tasks
+    assert(Dedup.adaptiveParts(1000000000L) == 2000) // 1B edges
+    assert(Dedup.adaptiveParts(Long.MaxValue) == 2048) // cap
+  }
 }
