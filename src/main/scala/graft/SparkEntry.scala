@@ -268,11 +268,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshBucketedTopK(Tables.embeddings(s, dir))),
+    // Full oracle via golden-centroid pinning (graft.AnnOracles): the
+    // seeded fit is emitted as SQL literals and DuckDB re-derives the
+    // whole index + search pipeline bit-exactly.
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // PQ-compressed ANN (ADC): ranks on 16 one-byte codes per vector (16x
     // scan shrink); `sim` is the exact cosine recovered for the k
-    // survivors — an in-row self-check against `sim_pq`.
+    // survivors — an in-row self-check against `sim_pq`. Full oracle via
+    // the pinned codebooks (graft.AnnOracles).
     "ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
@@ -1313,7 +1317,13 @@ object SparkEntry {
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(sum(width) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_width
         |FROM meta GROUP BY format ORDER BY format""".stripMargin)
-  )
+  ) ++
+    // Golden-pinned ANN oracles (graft.AnnOracles): present once ann_ivf /
+    // ann_pq have run in this JVM — Verify runs every query before dumping
+    // oracle_sql.json, so the driver flow always sees them; the fitted
+    // centroids/codebooks ride into the SQL as exact literals and DuckDB
+    // re-derives assignment, probing, ADC scoring and ranking bit-exactly.
+    AnnOracles.pinned
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
     * near-dup pairs -> bidirectional edges -> reach(v, r) transitive
