@@ -1,0 +1,149 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.Hll
+
+/** Machine-generated DuckDB oracle SQL for the sketch queries whose hash
+  * families are public and cross-engine-emulatable: the Count-Min token
+  * sketch and the relational HyperLogLog. Unlike the hand-embedded
+  * minhash/simhash oracles (kept verbatim, guarded by
+  * tools/check_mix_oracles.py), these are EMITTED from one Scala
+  * fragment generator, so the 5-stage splitmix64 chain exists in exactly
+  * one place per query and cannot drift by a typo.
+  *
+  * Shared HUGEINT-mod-2^64 conventions (proven bit-exact by the minhash /
+  * ann_lsh oracles at 3 SFs): wrapping 64-bit multiplies decompose into
+  * 32-bit limbs; `xor` on < 2^64 HUGEINTs matches two's-complement Long
+  * XOR; `// 2^s` is the unsigned right shift; `% 2^s` the low-bit mask.
+  */
+object SketchOracles {
+
+  private val U64 = "18446744073709551616::HUGEINT"
+
+  /** Unsigned-decimal literal of a JVM Long's two's-complement bits. */
+  private def ulit(x: Long): String =
+    (BigInt(x) & ((BigInt(1) << 64) - 1)).toString + "::HUGEINT"
+
+  private def dlit(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"non-finite oracle constant: $d")
+    java.lang.Double.toString(d)
+  }
+
+  /** CTE stages computing `mx` = splitmix64-finalizer (graft.functions
+    * .Mix64.mix) of unsigned expression `xExpr` over rows of `from`,
+    * carrying `carry` columns through. Constants: golden-ratio increment
+    * is NOT applied here (mix() is the finalizer only, matching the Scala
+    * side); multiplier limbs are 0xBF58476D1CE4E5B9 and
+    * 0x94D049BB133111EB split at 2^32.
+    */
+  private def mixChain(p: String, from: String, carry: Seq[String], xExpr: String): String = {
+    val c = carry.mkString(", ")
+    s"""${p}0 AS (SELECT $c, xor(($xExpr), ($xExpr) // 1073741824) AS a1x FROM $from),
+${p}1 AS (SELECT $c, ((a1x * 484763065::HUGEINT) % $U64 + ((a1x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U64 AS z1 FROM ${p}0),
+${p}2 AS (SELECT $c, xor(z1, z1 // 134217728) AS a2 FROM ${p}1),
+${p}3 AS (SELECT $c, ((a2 * 321982955::HUGEINT) % $U64 + ((a2 * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U64 AS z2 FROM ${p}2),
+${p}4 AS (SELECT $c, xor(z2, z2 // 2147483648) AS mx FROM ${p}3)"""
+  }
+
+  /** FNV-1a 64 of a string column's bytes (ASCII-only corpora: ord() of a
+    * character == its UTF-8 byte only below 0x80 — guarded by
+    * [[asciiGuard]]).
+    */
+  private def fnvExpr(tok: String): String =
+    s"""list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(range(1, length($tok)+1), i -> ord(substr($tok, i, 1))::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $U64)"""
+
+  /** Scalar guard = 0 iff every document is pure ASCII; otherwise the
+    * oracle run fails loudly (error()) instead of hashing ord(codepoint)
+    * where the engine hashed UTF-8 bytes — divergence must never surface
+    * as a quietly wrong oracle.
+    */
+  val asciiGuard: String =
+    """(SELECT CASE WHEN count(*) = 0 THEN 0
+         ELSE error('non-ASCII text: FNV byte-fold oracle invalid') END
+       FROM documents WHERE strlen(text) <> length(text))"""
+
+  /** token_topk_cms: the full Count-Min sketch — counters summed from the
+    * exact histogram (identical to per-occurrence increments), top-k by
+    * exact count, estimate = min over depth rows of the probed buckets.
+    * Mirrors TextAnalysis.tokenTopkCms stage for stage.
+    */
+  def cmsSql(k: Int = 20,
+             depth: Int = TextAnalysis.CmsDepth,
+             width: Int = TextAnalysis.CmsWidth): String = {
+    val seedRows = TextAnalysis.cmsSeeds(depth).zipWithIndex
+      .map { case (s, d) => s"    ($d, ${ulit(s)})" }.mkString(",\n")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY token),
+fh AS (SELECT token, exact_count, ${fnvExpr("token")} AS hu FROM cnt),
+sd(d, su) AS (VALUES
+$seedRows),
+hx AS (SELECT token, exact_count, d, (xor(hu, su) + 11400714819323198485::HUGEINT) % $U64 AS z0 FROM fh, sd),
+${mixChain("cm", "hx", Seq("token", "exact_count", "d"), "z0")},
+hb AS (SELECT token, exact_count, d, mx % $width AS bucket FROM cm4),
+counters AS (SELECT d, bucket, sum(exact_count) AS counter FROM hb GROUP BY 1, 2),
+top AS (SELECT token, exact_count FROM cnt ORDER BY exact_count DESC, token LIMIT $k),
+est AS (
+  SELECT h.token, h.exact_count, min(c.counter) AS cms_estimate
+  FROM hb h JOIN top t ON h.token = t.token
+  JOIN counters c ON h.d = c.d AND h.bucket = c.bucket
+  GROUP BY 1, 2)
+SELECT token, exact_count, CAST(cms_estimate AS BIGINT) AS cms_estimate
+FROM est
+WHERE $asciiGuard = 0
+ORDER BY exact_count DESC, token"""
+  }
+
+  /** hourly_agg_approx: the relational HLL — mix64 of each distinct user,
+    * bucket/rho split, per-bucket max registers, exact fixed-point
+    * harmonic fold, JVM-shared linear-counting literals. Mirrors
+    * graft.operators.Hll.approxDistinctUsers on (hour window, event_type)
+    * groups.
+    */
+  def hllHourlySql: String = {
+    val m = Hll.M
+    val lcList = Hll.LinearCounting.map(dlit).mkString("[", ", ", "]")
+    s"""WITH du AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS window_start, event_type, user_id
+  FROM events WHERE user_id IS NOT NULL),
+ux AS (SELECT window_start, event_type,
+  ((CASE WHEN user_id < 0 THEN CAST(user_id AS HUGEINT) + $U64
+         ELSE CAST(user_id AS HUGEINT) END)
+   + 11400714819323198485::HUGEINT) % $U64 AS z0 FROM du),
+${mixChain("mh", "ux", Seq("window_start", "event_type"), "z0")},
+rw AS (SELECT window_start, event_type,
+  CAST(mx % $m AS BIGINT) AS bucket, CAST(mx // $m AS BIGINT) AS w FROM mh4),
+s1 AS (SELECT window_start, event_type, bucket, w | (w >> 1) AS v FROM rw),
+s2 AS (SELECT window_start, event_type, bucket, v | (v >> 2) AS v FROM s1),
+s3 AS (SELECT window_start, event_type, bucket, v | (v >> 4) AS v FROM s2),
+s4 AS (SELECT window_start, event_type, bucket, v | (v >> 8) AS v FROM s3),
+s5 AS (SELECT window_start, event_type, bucket, v | (v >> 16) AS v FROM s4),
+s6 AS (SELECT window_start, event_type, bucket, v | (v >> 32) AS v FROM s5),
+rh AS (SELECT window_start, event_type, bucket,
+  least(52, ${64 - Hll.P + 1} - bit_count(v)) AS rho FROM s6),
+regs AS (SELECT window_start, event_type, bucket,
+  max(rho) AS rho, count(*) AS bu FROM rh GROUP BY 1, 2, 3),
+agg AS (SELECT window_start, event_type,
+  CAST(sum(bu) AS BIGINT) AS users_exact,
+  count(*) AS present,
+  CAST(sum(1::BIGINT << (52 - rho)) AS BIGINT) AS sum_present
+  FROM regs GROUP BY 1, 2),
+calc AS (SELECT window_start, event_type, users_exact,
+  $m - present AS v,
+  ${dlit(Hll.EstNumerator)}
+    / CAST(sum_present + ($m - present) * 4503599627370496::BIGINT AS DOUBLE) AS eraw
+  FROM agg),
+appx AS (SELECT window_start, event_type, users_exact,
+  CASE WHEN v > 0 AND eraw <= ${dlit(2.5 * m)} THEN ($lcList)[v] ELSE eraw END AS approx_users
+  FROM calc),
+ec AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS event_count FROM events GROUP BY 1, 2)
+SELECT ec.window_start, ec.event_type, ec.event_count,
+  a.approx_users, a.users_exact,
+  abs(a.approx_users - a.users_exact) / a.users_exact AS hll_rel_err
+FROM ec JOIN appx a USING (window_start, event_type)
+ORDER BY window_start, event_type"""
+  }
+}

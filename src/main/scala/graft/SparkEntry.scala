@@ -190,8 +190,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("doc_count"))
         .orderBy(col("source"), col("split"))
     }),
-    // Count-Min heavy hitters beside exact counts (in-row self-check;
-    // CMS internals are engine-specific -> rows-only driver check).
+    // Count-Min heavy hitters beside exact counts. The sketch uses the
+    // public fnv1a64+mix64 hash family and builds its counters
+    // relationally, so the WHOLE sketch has a full DuckDB oracle
+    // (graft.SketchOracles.cmsSql); the exact count stays as an in-row
+    // self-check (CMS one-sided bound asserted in PropertySpec).
     "token_topk_cms" -> ((s, dir) =>
       TextAnalysis.tokenTopkCms(Tables.documents(s, dir))),
     // Gopher-style repetition/quality signals (top-token + dup n-gram
@@ -379,23 +382,29 @@ object SparkEntry {
         .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy(col("window_start"))),
 
-    // Sketch variants — the unbounded-cardinality path (HLL uniques, t-digest
-    // style percentiles). Approximate by design → rows-only driver check;
-    // error bounds vs exact asserted in PropertySpec.
-    // `users_exact` is a self-check column (exact countDistinct next to the
-    // HLL estimate) so every row is verifiable in isolation; at production
-    // scale the exact column is what the sketch REPLACES — it exists here
-    // because the driver check runs at verification SF.
-    "hourly_agg_approx" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(
-          count(lit(1)).as("event_count"),
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("users_exact"))
-        .select(col("w.start").as("window_start"), col("event_type"),
-          col("event_count"), col("approx_users"), col("users_exact"))
-        .orderBy(col("window_start"), col("event_type"))),
+    // Sketch variant — the unbounded-cardinality path for O4. The HLL is
+    // RELATIONAL (graft.operators.Hll: registers as (group, bucket, rho)
+    // rows, exact fixed-point harmonic fold, JVM-shared linear-counting
+    // constants), so the whole estimator has a full DuckDB oracle
+    // (graft.SketchOracles.hllHourlySql) — not just a rows-only check.
+    // `users_exact` (same register frame) and `hll_rel_err` are in-row
+    // self-checks; Spark's builtin approx_count_distinct is cross-checked
+    // against the same data in PropertySpec.
+    "hourly_agg_approx" -> ((s, dir) => {
+      val withW = Tables.events(s, dir)
+        .select(window(col("ts"), "1 hour").as("w"), col("event_type"), col("user_id"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("user_id"))
+      val counts = withW.groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("event_count"))
+      val hll = graft.operators.Hll.approxDistinctUsers(
+        withW, Seq("window_start", "event_type"), "user_id")
+      counts.join(hll, Seq("window_start", "event_type"))
+        .select(col("window_start"), col("event_type"), col("event_count"),
+          col("approx_users"), col("users_exact"),
+          (abs(col("approx_users") - col("users_exact")) / col("users_exact"))
+            .as("hll_rel_err"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // Flat scalar output (the driver's checker can't sort array columns);
     // the exact interpolated percentile is emitted alongside the sketch
     // value as a self-check column.
@@ -1316,7 +1325,13 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS doc_count,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(sum(width) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_width
-        |FROM meta GROUP BY format ORDER BY format""".stripMargin)
+        |FROM meta GROUP BY format ORDER BY format""".stripMargin),
+
+    // Machine-generated sketch oracles (graft.SketchOracles): the full
+    // Count-Min and relational-HLL pipelines re-derived in DuckDB HUGEINT
+    // arithmetic from the shared public hash family.
+    "token_topk_cms" -> SketchOracles.cmsSql(),
+    "hourly_agg_approx" -> SketchOracles.hllHourlySql
   ) ++
     // Golden-pinned ANN oracles (graft.AnnOracles): present once ann_ivf /
     // ann_pq have run in this JVM — Verify runs every query before dumping

@@ -37,37 +37,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-Min sketch parameters and hash family — shared between the
+    * Spark pipeline and the machine-generated DuckDB oracle
+    * (graft.SketchOracles). Row d's bucket for token t is
+    * mix64(fnv1a64(t) ^ seed(d)) & (width-1): ONE string hash per token,
+    * then a splitmix64 mix per row — the same public, cross-engine-
+    * emulatable family as the MinHash permutations.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 2048
+  def cmsSeeds(depth: Int = CmsDepth): Array[Long] =
+    Array.tabulate(depth)(d => Mix64.mix((d + 1) * 0x9E3779B97F4A7C15L))
+
   /** Heavy hitters via Count-Min sketch next to the exact counts: the
     * sketch path for corpus-scale token frequency (constant memory:
-    * width x depth counters regardless of vocabulary) beside the exact
+    * depth x width counters regardless of vocabulary) beside the exact
     * histogram it replaces. Output rows carry BOTH values, so every row
-    * self-checks the CMS guarantee: exact <= estimate <= exact + eps*N
-    * (one-sided error; asserted in PropertySpec). The sketch build is
-    * distributed (partition-local sketches merged); only the FINAL top-k
-    * rows (bounded, k=20) are touched driver-side to attach estimates.
+    * self-checks the CMS guarantee: exact <= estimate <= exact + eps*N,
+    * eps = e/width (one-sided error; asserted in PropertySpec) — and the
+    * whole sketch has a full DuckDB oracle.
+    *
+    * The counter table is built RELATIONALLY: bucket counts are summed
+    * from the exact per-token histogram, which is IDENTICAL to
+    * incrementing counters per token occurrence (counter addition
+    * commutes and associates), so the depth x width frame below IS the
+    * Count-Min sketch of the token stream — built distributed with
+    * map-side combine. At production scale the counters would be built
+    * straight from the token stream (same groupBy, no histogram); here
+    * the histogram exists anyway for the exact self-check column.
+    * Estimates attach to the top-k rows via a join against the bounded
+    * counter frame and a min over depth rows — no driver-side collect
+    * (the previous shape pulled k rows to the driver to probe a
+    * driver-local sketch object).
     */
   def tokenTopkCms(
       documents: DataFrame,
       k: Int = 20,
-      eps: Double = 0.001,
-      confidence: Double = 0.99): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    // two actions consume the tokenized frame (sketch build + exact
-    // top-k): persist so the scan+tokenize runs once
-    val toks = documents.select(explode(tokens(col("text"))).as("token")).persist()
-    try {
-      val cms = toks.stat.countMinSketch("token", eps, confidence, seed = 42)
-      val top = toks
-        .groupBy(col("token"))
-        .agg(count(lit(1)).as("exact_count"))
-        .orderBy(desc("exact_count"), asc("token"))
-        .limit(k)
-        .collect() // k rows, bounded
-        .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-      top.toSeq.toDF("token", "exact_count", "cms_estimate")
-        .orderBy(desc("exact_count"), asc("token"))
-    } finally toks.unpersist(blocking = false)
+      depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    require(Integer.bitCount(width) == 1, s"width must be a power of two: $width")
+    import graft.functions.GraftColumns.{fnv1a64, mix64}
+    val seeds = cmsSeeds(depth)
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col("token"), col("exact_count"),
+        explode(array((0 until depth).map(lit): _*)).as("d"))
+      .withColumn("bucket",
+        mix64(fnv1a64(col("token"))
+            .bitwiseXOR(element_at(array(seeds.map(lit).toIndexedSeq: _*), col("d") + 1)))
+          .bitwiseAND(lit((width - 1).toLong)))
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_count"))
+    val counters = bucketed(counts)
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("exact_count")).as("counter"))
+    // top-k first (TakeOrdered, bounded), then re-bucket the k rows and
+    // min-join the sketch — k*depth probe rows against depth*width cells
+    val top = counts.orderBy(desc("exact_count"), asc("token")).limit(k)
+    bucketed(top)
+      .join(counters, Seq("d", "bucket"))
+      .groupBy(col("token"), col("exact_count"))
+      .agg(min(col("counter")).as("cms_estimate"))
+      .orderBy(desc("exact_count"), asc("token"))
   }
 
   /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
