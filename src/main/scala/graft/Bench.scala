@@ -57,7 +57,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}""")
+    // failed-query count rides the headline JSON: a broken query adds 0 s
+    // to the total, which would otherwise read as a speedup in trend
+    // tracking; failed > 0 marks the total as not comparable
+    val failed = results.count { case (_, v) => v < 0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -31,6 +31,17 @@ object SparkEntry {
     */
   private val aggCte = s"WITH hourly_aggregations AS (${HourlyAggregation.oracleCte})"
 
+  /** Guard clause appended to the documents scan of every oracle that
+    * folds per-character ord()/ascii() as FNV/rolling-hash "bytes": the
+    * engine side hashes UTF-8 bytes (UTF8String.getBytes), and codepoint
+    * == byte only below 0x80 — on non-ASCII text the oracle must fail
+    * loudly (error()) instead of silently diverging from the engine.
+    */
+  private val asciiGuard =
+    "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII text: " +
+      "byte-fold oracle invalid') END FROM documents " +
+      "WHERE strlen(text) <> length(text)) = 0"
+
   // ---- driver contract ---------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -691,13 +702,13 @@ object SparkEntry {
         |ORDER BY occurrences DESC, token ASC""".stripMargin,
 
     "doc_fingerprints" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(1, length(text) + 1),
         |                     i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE $asciiGuard ORDER BY doc_id""".stripMargin,
 
     // NOTE: the repeated 5-stage HUGEINT mix chains in this oracle (and
     // the ann_lsh one) are MACHINE-GENERATED and validated bit-exact at 3
@@ -713,13 +724,13 @@ object SparkEntry {
     // conversions matching JVM two's-complement exactly. The whole sketch
     // pipeline is reproduced bit-exactly by an independent engine.
     "minhash_lsh_pairs" ->
-      """WITH shl AS (
+      s"""WITH shl AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(string_split(text, ' ')) - 1),
         |    i -> string_split(text, ' ')[i] || ' ' ||
         |         string_split(text, ' ')[i+1] || ' ' ||
         |         string_split(text, ' ')[i+2]))) AS shingle
-        |  FROM documents),
+        |  FROM documents WHERE $asciiGuard),
         |base AS (
         |  SELECT doc_id, shingle,
         |    list_reduce(
@@ -804,8 +815,9 @@ object SparkEntry {
     // Hamming via bit_count(xor), plus the exact-jaccard self-check —
     // pure integer math end to end, bit-exact by construction.
     "simhash_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE $asciiGuard
         |),
         |th AS (
         |  SELECT doc_id, tok,
@@ -865,14 +877,14 @@ object SparkEntry {
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "doc_splits" ->
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT source,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
         |        list_transform(range(1, length(text) + 1),
         |                       i -> CAST(ascii(text[i]) AS BIGINT))),
         |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
-        |  FROM documents)
+        |  FROM documents WHERE $asciiGuard)
         |SELECT source,
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
@@ -880,13 +892,13 @@ object SparkEntry {
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_fingerprints_sql" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  list_reduce(
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(1, length(text) + 1),
         |                     i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE $asciiGuard ORDER BY doc_id""".stripMargin,
 
     "lang_stats" ->
       """SELECT lang, count(*) AS doc_count,
@@ -1373,7 +1385,7 @@ object SparkEntry {
     * two's-complement signed view matching the JVM Long).
     */
   private val multimodalMetaCte: String =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT doc_id, length(text) AS n_bytes,
       |    list_reduce(
       |      list_prepend(14695981039346656037::HUGEINT,
@@ -1382,7 +1394,7 @@ object SparkEntry {
       |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
       |                % 18446744073709551616::HUGEINT
       |    ) AS hu
-      |  FROM documents
+      |  FROM documents WHERE $asciiGuard
       |), m AS (
       |  SELECT doc_id, n_bytes, hu,
       |    CASE WHEN hu >= 9223372036854775808::HUGEINT
