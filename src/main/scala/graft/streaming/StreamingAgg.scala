@@ -154,6 +154,27 @@ object StreamingAgg {
         col("total_value"), col("avg_value"))
   }
 
+  /** O10 — the reference's periodic flush gate (60 s default): start the
+    * streaming aggregation with `Trigger.ProcessingTime(cadence)`, so
+    * micro-batches (and therefore sink flushes) fire on a processing-time
+    * clock rather than per arrival — many arrivals inside one cadence
+    * interval coalesce into ONE flush, which is exactly the reference's
+    * buffer-then-flush behavior. Update output mode: each flush carries
+    * only the (window, type) aggregates that changed since the previous
+    * one, pairing with the idempotent [[upsertBatch]] sink.
+    * StreamingAggSpec asserts the cadence (batch count tracks elapsed /
+    * cadence, not arrival count) at a test-scaled interval.
+    */
+  def startWithFlushCadence(
+      agg: DataFrame, cadence: String = "60 seconds")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(cadence))
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(b.toDF(), id))
+      .start()
+
   /** foreachBatch sink body: last-write-wins upsert of a micro-batch into a
     * parquet target keyed by (window_start, event_type) — the relational
     * equivalent of the reference's `INSERT ... ON CONFLICT DO UPDATE`

@@ -158,6 +158,37 @@ class StreamingAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("O10: processing-time trigger flushes on the cadence, not per arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamingAgg.hourlyAggStream(spark, mem.toDF())
+    val flushes = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 500 ms test-scaled stand-in for the reference's 60 s flush gate
+    val q = StreamingAgg.startWithFlushCadence(agg, "500 milliseconds") { (b, _) =>
+      if (b.count() > 0) flushes.incrementAndGet(): Unit
+    }
+    val t0 = System.nanoTime()
+    try {
+      var i = 0
+      while (i < 12) { // 12 arrivals ~100 ms apart: several per cadence tick
+        mem.addData(ev(100 + i, "2024-01-01 10:05:00", i, "click", 1.0))
+        Thread.sleep(100)
+        i += 1
+      }
+      q.processAllAvailable()
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      // every arrival processed...
+      assert(q.recentProgress.map(_.numInputRows).sum == 12)
+      // ...but flushed in clock-cadence batches: far fewer flushes than
+      // arrivals (bound derived from measured elapsed time so a slow VM
+      // loosens it rather than flaking)
+      val maxFlushes = (elapsedSec / 0.5).toInt + 2
+      assert(flushes.get() >= 1)
+      assert(flushes.get() <= maxFlushes,
+        s"cadence not honored: ${flushes.get()} flushes for 12 arrivals in ${elapsedSec}s")
+    } finally q.stop()
+  }
+
   test("DistinctBuf state stays near distinct cardinality under heavy duplication") {
     // 100k observed rows over a 100-value domain: compaction must keep the
     // buffer capacity bounded by the DISTINCT set, not the row count.
