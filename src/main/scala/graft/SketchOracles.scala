@@ -105,45 +105,46 @@ ORDER BY exact_count DESC, token"""
   def hllHourlySql: String = {
     val m = Hll.M
     val lcList = Hll.LinearCounting.map(dlit).mkString("[", ", ", "]")
-    s"""WITH du AS (
-  SELECT DISTINCT date_trunc('hour', ts) AS window_start, event_type, user_id
-  FROM events WHERE user_id IS NOT NULL),
-ux AS (SELECT window_start, event_type,
+    s"""WITH l1 AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, user_id,
+    count(*) AS user_events
+  FROM events GROUP BY 1, 2, 3),
+ux AS (SELECT window_start, event_type, user_events,
   ((CASE WHEN user_id < 0 THEN CAST(user_id AS HUGEINT) + $U64
          ELSE CAST(user_id AS HUGEINT) END)
-   + 11400714819323198485::HUGEINT) % $U64 AS z0 FROM du),
-${mixChain("mh", "ux", Seq("window_start", "event_type"), "z0")},
-rw AS (SELECT window_start, event_type,
+   + 11400714819323198485::HUGEINT) % $U64 AS z0 FROM l1),
+${mixChain("mh", "ux", Seq("window_start", "event_type", "user_events"), "z0")},
+rw AS (SELECT window_start, event_type, user_events,
   CAST(mx % $m AS BIGINT) AS bucket, CAST(mx // $m AS BIGINT) AS w FROM mh4),
-s1 AS (SELECT window_start, event_type, bucket, w | (w >> 1) AS v FROM rw),
-s2 AS (SELECT window_start, event_type, bucket, v | (v >> 2) AS v FROM s1),
-s3 AS (SELECT window_start, event_type, bucket, v | (v >> 4) AS v FROM s2),
-s4 AS (SELECT window_start, event_type, bucket, v | (v >> 8) AS v FROM s3),
-s5 AS (SELECT window_start, event_type, bucket, v | (v >> 16) AS v FROM s4),
-s6 AS (SELECT window_start, event_type, bucket, v | (v >> 32) AS v FROM s5),
-rh AS (SELECT window_start, event_type, bucket,
-  least(52, ${64 - Hll.P + 1} - bit_count(v)) AS rho FROM s6),
+s1 AS (SELECT window_start, event_type, user_events, bucket, w | (w >> 1) AS v FROM rw),
+s2 AS (SELECT window_start, event_type, user_events, bucket, v | (v >> 2) AS v FROM s1),
+s3 AS (SELECT window_start, event_type, user_events, bucket, v | (v >> 4) AS v FROM s2),
+s4 AS (SELECT window_start, event_type, user_events, bucket, v | (v >> 8) AS v FROM s3),
+s5 AS (SELECT window_start, event_type, user_events, bucket, v | (v >> 16) AS v FROM s4),
+s6 AS (SELECT window_start, event_type, user_events, bucket, v | (v >> 32) AS v FROM s5),
+rh AS (SELECT window_start, event_type, user_events, bucket,
+  CASE WHEN bucket IS NULL THEN NULL
+       ELSE least(52, ${64 - Hll.P + 1} - bit_count(v)) END AS rho FROM s6),
 regs AS (SELECT window_start, event_type, bucket,
-  max(rho) AS rho, count(*) AS bu FROM rh GROUP BY 1, 2, 3),
+  max(rho) AS rho, count(bucket) AS bu, sum(user_events) AS events
+  FROM rh GROUP BY 1, 2, 3),
 agg AS (SELECT window_start, event_type,
+  CAST(sum(events) AS BIGINT) AS event_count,
   CAST(sum(bu) AS BIGINT) AS users_exact,
-  count(*) AS present,
+  count(rho) AS present,
   CAST(sum(1::BIGINT << (52 - rho)) AS BIGINT) AS sum_present
   FROM regs GROUP BY 1, 2),
-calc AS (SELECT window_start, event_type, users_exact,
+calc AS (SELECT window_start, event_type, event_count, users_exact,
   $m - present AS v,
   ${dlit(Hll.EstNumerator)}
     / CAST(sum_present + ($m - present) * 4503599627370496::BIGINT AS DOUBLE) AS eraw
   FROM agg),
-appx AS (SELECT window_start, event_type, users_exact,
+appx AS (SELECT window_start, event_type, event_count, users_exact,
   CASE WHEN v > 0 AND eraw <= ${dlit(2.5 * m)} THEN ($lcList)[v] ELSE eraw END AS approx_users
-  FROM calc),
-ec AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
-  count(*) AS event_count FROM events GROUP BY 1, 2)
-SELECT ec.window_start, ec.event_type, ec.event_count,
-  a.approx_users, a.users_exact,
-  abs(a.approx_users - a.users_exact) / a.users_exact AS hll_rel_err
-FROM ec JOIN appx a USING (window_start, event_type)
+  FROM calc)
+SELECT window_start, event_type, event_count, approx_users, users_exact,
+  abs(approx_users - users_exact) / users_exact AS hll_rel_err
+FROM appx
 ORDER BY window_start, event_type"""
   }
 }

@@ -405,11 +405,8 @@ object SparkEntry {
       val withW = Tables.events(s, dir)
         .select(window(col("ts"), "1 hour").as("w"), col("event_type"), col("user_id"))
         .select(col("w.start").as("window_start"), col("event_type"), col("user_id"))
-      val counts = withW.groupBy(col("window_start"), col("event_type"))
-        .agg(count(lit(1)).as("event_count"))
-      val hll = graft.operators.Hll.approxDistinctUsers(
-        withW, Seq("window_start", "event_type"), "user_id")
-      counts.join(hll, Seq("window_start", "event_type"))
+      graft.operators.Hll
+        .approxDistinctUsersWithCount(withW, Seq("window_start", "event_type"), "user_id")
         .select(col("window_start"), col("event_type"), col("event_count"),
           col("approx_users"), col("users_exact"),
           (abs(col("approx_users") - col("users_exact")) / col("users_exact"))

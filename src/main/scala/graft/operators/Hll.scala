@@ -58,34 +58,49 @@ object Hll {
     least(lit(52), lit(64 - P + 1) - bit_count(sm))
   }
 
-  /** Exact + HLL-approximate distinct-user counts per group in one
-    * relational pipeline: distinct (group, user) -> per-bucket max(rho) +
-    * bucket-local exact count -> fixed-point harmonic fold. Output:
-    * groupNames..., users_exact, approx_users. `users_exact` rides the
-    * same register frame (sum of bucket-local distinct counts), so the
-    * self-check column costs no extra shuffle.
+  /** Exact + HLL-approximate distinct-user counts AND the total row count
+    * per group, fused into ONE pass over the input — three cascading
+    * aggregations with strictly shrinking keys, no second scan and no
+    * join:
+    *
+    *   L1 (group, user)   -> user_events        (the de-dup + row count)
+    *   L2 (group, bucket) -> max(rho), bucket-local distinct count,
+    *                         partial event sum   (<= |groups| * (m+1) rows)
+    *   L3 (group)         -> harmonic fold + exact counts
+    *
+    * L2/L3 are tiny next to L1, and L1 is the unavoidable distinct
+    * shuffle. Null users follow count(DISTINCT) semantics: they count in
+    * event_count but contribute no register (null hash propagates to a
+    * null bucket; its rho is explicitly nulled so the harmonic sum and
+    * `present` skip it identically here and in the DuckDB oracle).
+    * Output: groupNames..., event_count, users_exact, approx_users.
     */
-  def approxDistinctUsers(
+  def approxDistinctUsersWithCount(
       df: DataFrame, groupNames: Seq[String], userCol: String): DataFrame = {
     val g = groupNames.map(col)
     val h = graft.functions.GraftColumns.mix64(col(userCol))
-    val perUser = df
-      .filter(col(userCol).isNotNull) // count(DISTINCT x) semantics: nulls don't count
-      .select(g :+ col(userCol): _*).distinct()
+    val l1 = df
+      .groupBy(g :+ col(userCol): _*)
+      .agg(count(lit(1)).as("user_events"))
+    val l2 = l1
       .select(g ++ Seq(
-        h.bitwiseAND(lit((M - 1).toLong)).as("bucket"),
-        rho(shiftrightunsigned(h, P)).as("rho")): _*)
-    val regs = perUser
+        h.bitwiseAND(lit((M - 1).toLong)).as("bucket"), // null user -> null bucket
+        when(col(userCol).isNotNull, rho(shiftrightunsigned(h, P))).as("rho"),
+        col("user_events")): _*)
       .groupBy(g :+ col("bucket"): _*)
-      .agg(max(col("rho")).as("rho"), count(lit(1)).as("bucket_users"))
+      .agg(
+        max(col("rho")).as("rho"),
+        count(col("bucket")).as("bucket_users"), // 0 for the null-bucket group
+        sum(col("user_events")).as("events"))
     val lcLit = array(LinearCounting.map(lit).toIndexedSeq: _*)
-    regs
+    l2
       .groupBy(g: _*)
       .agg(
+        sum(col("events")).as("event_count"),
         sum(col("bucket_users")).as("users_exact"),
-        count(lit(1)).as("present"),
+        count(col("rho")).as("present"), // null-rho (null-user) row not a register
         sum(expr("shiftleft(1L, 52 - rho)")).as("sum_present"))
-      .select(g ++ Seq(col("users_exact")) ++ Seq {
+      .select(g ++ Seq(col("event_count"), col("users_exact")) ++ Seq {
         val v = (lit(M) - col("present")).cast("int")
         val sumNum = col("sum_present") + v.cast("long") * lit(1L << 52)
         val eRaw = lit(EstNumerator) / sumNum.cast("double")
@@ -94,4 +109,12 @@ object Hll {
           .as("approx_users")
       }: _*)
   }
+
+  /** The estimator alone (no row count): same fused pipeline, count
+    * column dropped — one implementation to keep bit-behavior single-
+    * sourced.
+    */
+  def approxDistinctUsers(
+      df: DataFrame, groupNames: Seq[String], userCol: String): DataFrame =
+    approxDistinctUsersWithCount(df, groupNames, userCol).drop("event_count")
 }
