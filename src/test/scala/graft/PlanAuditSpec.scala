@@ -123,4 +123,19 @@ class PlanAuditSpec extends SparkTestBase {
     // two-phase hash aggregate: partial_ functions before the exchange
     assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
   }
+
+  test("relational HLL is one scan, an aggregation cascade, and no join") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val plan = executed(operators.Hll.approxDistinctUsersWithCount(
+      ev, Seq("event_type"), "user_id"))
+    // the fused design: sketch + exact + row count from ONE input pass —
+    // a join or a second events scan means the fusion regressed
+    assert(!plan.contains("Join"), s"HLL pipeline must not join:\n$plan")
+    assert(plan.contains("partial_"), s"expected map-side combine:\n$plan")
+    val scans = deepLeaves(finalPlan(operators.Hll.approxDistinctUsersWithCount(
+      ev, Seq("event_type"), "user_id")))
+      .count(_.toString.contains("events.parquet"))
+    assert(scans == 1, s"expected exactly one events scan, got $scans")
+  }
 }
