@@ -54,7 +54,8 @@ object AnnOracles {
     val dim = f.centers.head.length
     s"""WITH cb(cell, wl, hn) AS (VALUES
 $rows),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
 scores AS (
   SELECT vec_id, cell,
     list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * wl[i]),
@@ -103,7 +104,8 @@ ORDER BY query_id, rnk"""
     }).mkString(",\n")
     s"""WITH cb(j, c, b1, b2, b3, b4, hn, n2) AS (VALUES
 $rows),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
 sub AS (
   SELECT vec_id, j, c, n2, hn,
     emb[4*j+1] * b1 + emb[4*j+2] * b2 + emb[4*j+3] * b3 + emb[4*j+4] * b4 AS ip

@@ -29,12 +29,13 @@ object SketchOracles {
     java.lang.Double.toString(d)
   }
 
-  /** CTE stages computing `mx` = splitmix64-finalizer (graft.functions
-    * .Mix64.mix) of unsigned expression `xExpr` over rows of `from`,
-    * carrying `carry` columns through. Constants: golden-ratio increment
-    * is NOT applied here (mix() is the finalizer only, matching the Scala
-    * side); multiplier limbs are 0xBF58476D1CE4E5B9 and
-    * 0x94D049BB133111EB split at 2^32.
+  /** CTE stages computing `mx` = Mix64.mix(x) GIVEN z0 = x + golden-ratio
+    * increment: Mix64.mix DOES start with `x + 0x9E3779B97F4A7C15L`, and
+    * each CALLER emits that pre-add when it builds `xExpr` (so the add can
+    * fuse with the caller's seed xor in one CTE). Dropping the caller-side
+    * `+ 11400714819323198485::HUGEINT` breaks bit-exactness. The stages
+    * here are the three avalanche rounds: multiplier limbs are
+    * 0xBF58476D1CE4E5B9 and 0x94D049BB133111EB split at 2^32.
     */
   private def mixChain(p: String, from: String, carry: Seq[String], xExpr: String): String = {
     val c = carry.mkString(", ")
@@ -55,15 +56,16 @@ ${p}4 AS (SELECT $c, xor(z2, z2 // 2147483648) AS mx FROM ${p}3)"""
         list_transform(range(1, length($tok)+1), i -> ord(substr($tok, i, 1))::HUGEINT)),
       (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $U64)"""
 
-  /** Scalar guard = 0 iff every document is pure ASCII; otherwise the
+  /** Scalar subquery = 0 iff every document is pure ASCII; otherwise the
     * oracle run fails loudly (error()) instead of hashing ord(codepoint)
     * where the engine hashed UTF-8 bytes — divergence must never surface
-    * as a quietly wrong oracle.
+    * as a quietly wrong oracle. THE single definition: SparkEntry's
+    * hand-embedded byte-fold oracles append `= 0` to this same fragment.
     */
   val asciiGuard: String =
-    """(SELECT CASE WHEN count(*) = 0 THEN 0
-         ELSE error('non-ASCII text: FNV byte-fold oracle invalid') END
-       FROM documents WHERE strlen(text) <> length(text))"""
+    "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII text: " +
+      "byte-fold oracle invalid') END FROM documents " +
+      "WHERE strlen(text) <> length(text))"
 
   /** token_topk_cms: the full Count-Min sketch — counters summed from the
     * exact histogram (identical to per-occurrence increments), top-k by

@@ -36,11 +36,9 @@ object SparkEntry {
     * engine side hashes UTF-8 bytes (UTF8String.getBytes), and codepoint
     * == byte only below 0x80 — on non-ASCII text the oracle must fail
     * loudly (error()) instead of silently diverging from the engine.
+    * Single-sourced from [[SketchOracles.asciiGuard]].
     */
-  private val asciiGuard =
-    "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII text: " +
-      "byte-fold oracle invalid') END FROM documents " +
-      "WHERE strlen(text) <> length(text)) = 0"
+  private val asciiGuard = SketchOracles.asciiGuard + " = 0"
 
   // ---- driver contract ---------------------------------------------------
 

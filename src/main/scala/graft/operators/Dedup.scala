@@ -260,7 +260,11 @@ object Dedup {
     // target scales with |edges|/rowsPerTask (edges is already
     // materialized by the checkpoint, so the count is a cached-block
     // scan, not a recompute): a 60k-pair sf0.1 run stays at the 4-task
-    // floor, a billion-edge corpus fans out to thousands of tasks.
+    // floor. coalesce() only ever REDUCES partitions, so on a huge edge
+    // list (target above spark.sql.shuffle.partitions) it is a no-op and
+    // the rounds keep the full shuffle parallelism — the desired
+    // behavior; per-task row volume there is governed by the cluster's
+    // shuffle.partitions / AQE advisory size, not by this floor.
     val labelParts = adaptiveParts(edges.count())
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()

@@ -320,8 +320,14 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val embDouble = embeddings.select(
-      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // vectors with null elements are excluded from index and query set up
+    // front (dot(x,x) is null iff an element is null): PqEncode would null
+    // their cell (silently dropped corpus-side) while an all-null probe
+    // ranking would still probe cells by index — explicit exclusion keeps
+    // engine and pinned oracle trivially aligned (oracle mirrors in `e`)
+    val embDouble = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
     val centers: Array[Array[Double]] = fitCacheKey(embeddings) match {
       case None => fitCoarseQuantizer(embDouble, nlist, seed) // in-memory input: never cache
       case Some(planKey) => quantizerCache.synchronized {
@@ -437,8 +443,10 @@ object Similarity {
       ksub: Int = 16,
       rerank: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val embDouble = embeddings.select(
-      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // null-element vectors excluded up front — see ivfTopK
+    val embDouble = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
     val books: Array[Array[Array[Double]]] = fitCacheKey(embeddings) match {
       case None => fitPqCodebooks(embDouble, m, ksub, seed) // in-memory input: never cache
       case Some(planKey) => pqCache.synchronized {

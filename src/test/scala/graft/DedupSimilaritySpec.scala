@@ -162,18 +162,26 @@ class DedupSimilaritySpec extends SparkTestBase {
           / (1L << 53) + (if (i % 8 == 0) shift.toFloat else 0f))
     }.toDF("vec_id", "embedding")
     val a = mkEmb(0.0); val b = mkEmb(5.0)
-    def runBoth(df: org.apache.spark.sql.DataFrame) = (
-      Similarity.ivfTopK(df, numQueries = 2, k = 3, nlist = 4, nprobe = 1)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
-      Similarity.pqTopK(df, numQueries = 2, k = 3, m = 16, ksub = 4)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq)
-    val (ivfA, pqA) = runBoth(a)
-    val (ivfA2, pqA2) = runBoth(a) // same data -> same (deterministic refit)
-    assert(ivfA == ivfA2 && pqA == pqA2)
-    val (_, pqB) = runBoth(b)
-    // different data through the same-schema plan: exact sims must differ
-    // (a stale shared fit would be invisible on ids alone, so compare sims)
-    assert(pqA.map(_._3) != pqB.map(_._3))
+    // observe the FIT ITSELF (lastIvfFit/lastPqFit), not downstream query
+    // results — exact cosines differ across datasets even through a stale
+    // shared fit, so only the model arrays can expose a cache collision
+    def runBoth(df: org.apache.spark.sql.DataFrame)
+        : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      Similarity.ivfTopK(df, numQueries = 2, k = 3, nlist = 4, nprobe = 1).collect()
+      Similarity.pqTopK(df, numQueries = 2, k = 3, m = 16, ksub = 4).collect()
+      (Similarity.lastIvfFit.get.centers, Similarity.lastPqFit.get.books)
+    }
+    val (cenA, bookA) = runBoth(a)
+    val (cenA2, bookA2) = runBoth(a) // same data -> identical deterministic refit
+    assert(cenA.flatten.toSeq == cenA2.flatten.toSeq)
+    assert(bookA.flatten.flatten.toSeq == bookA2.flatten.flatten.toSeq)
+    val (cenB, bookB) = runBoth(b)
+    // different data through the same-schema plan MUST refit: a collision
+    // on the schema-only canonical key would return cenA/bookA verbatim
+    assert(cenA.flatten.toSeq != cenB.flatten.toSeq,
+      "ivf quantizer cache served dataset a's centroids for dataset b")
+    assert(bookA.flatten.flatten.toSeq != bookB.flatten.flatten.toSeq,
+      "pq codebook cache served dataset a's codebooks for dataset b")
   }
 
   test("adaptiveParts scales task count with the edge list") {
