@@ -27,4 +27,17 @@ class QuerySurfaceSpec extends SparkTestBase {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("after a full query run, EVERY query has an oracle (Verify dump order)") {
+    // As of round 4 no query is rows-only: the pinned ANN oracles
+    // (AnnOracles.pinned) materialize once ann_ivf/ann_pq have run, which
+    // is exactly Verify's dump order (queries first, oracle_sql.json
+    // second). Running the two ANN queries here reproduces that state;
+    // a regression that silently drops ANY oracle (e.g. a pin that never
+    // materializes, or a key typo) fails this set equality.
+    SparkEntry.queries("ann_ivf")(spark, sf).count()
+    SparkEntry.queries("ann_pq")(spark, sf).count()
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles after a run: $missing")
+  }
 }
