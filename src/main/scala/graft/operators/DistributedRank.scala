@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranking WITHOUT a single-partition window — the classic
+  * distributed total-order pattern:
+  *
+  *   1. `repartitionByRange` on the sort key: partition i's rows all sort
+  *      before partition i+1's (contiguous ranges; Spark's RangePartitioner
+  *      samples deterministically). The frame is localCheckpoint-ed so the
+  *      partition layout is frozen between the two uses below.
+  *   2. per-partition row counts -> prefix-sum offsets. This is the ONLY
+  *      driver-side data: numPartitions longs — bounded by cluster width,
+  *      never by row count.
+  *   3. a LOCAL window per partition (Window.partitionBy(partition id)) —
+  *      every partition sorts and ranks in parallel; global rank =
+  *      partition offset + local row_number.
+  *
+  * A plain `Window.orderBy(...)` (no partitionBy) computes the same thing
+  * by moving EVERY row through one task — fine at thousands of rows,
+  * a guaranteed straggler at billions. AggregatesSpec asserts this
+  * produces row-identical results to the single-window formulation, and
+  * PlanAuditSpec asserts no SinglePartition exchange appears in the plan.
+  *
+  * Requires `sortCols` to be a TOTAL order (append a unique tiebreaker);
+  * with ties across a range boundary the global rank would depend on the
+  * partitioner's cut point.
+  */
+object DistributedRank {
+
+  /** (df + rankCol [1..n], n) — n comes from the same per-partition
+    * counts that build the offsets, so ranking costs exactly one
+    * counting job over the checkpointed frame.
+    */
+  private def rankedWithN(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String,
+      numParts: Int): (DataFrame, Long) = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, sortCols: _*).localCheckpoint()
+    val counts = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = pid -> acc; acc += c; o }.toMap
+    }
+    val w = Window.partitionBy(col("__rank_pid")).orderBy(sortCols: _*)
+    val ranked = ranged
+      .withColumn("__rank_pid", spark_partition_id())
+      .withColumn(rankCol,
+        element_at(typedLit(offsets), col("__rank_pid"))
+          + row_number().over(w).cast("long"))
+      .drop("__rank_pid")
+    (ranked, counts.map(_._2).sum)
+  }
+
+  /** df + rankCol (1..n dense over the sortCols total order). */
+  def withGlobalRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String = "global_rank",
+      numParts: Int = 0): DataFrame =
+    rankedWithN(df, sortCols, rankCol, numParts)._1
+
+  /** ntile / percent_rank / cume_dist derived arithmetically from the
+    * exact global rank — bit-identical to the window-function definitions
+    * (same IEEE divisions Spark's PercentRank/CumeDist evaluate), no
+    * global sort task:
+    *   - ntile(k): first n%k buckets hold ceil(n/k) rows, rest floor(n/k);
+    *   - percent_rank = (r-1)/(n-1), 0.0 when n == 1 (no ties by
+    *     precondition, so rank == row_number);
+    *   - cume_dist = r/n.
+    */
+  def withRankStats(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      k: Int,
+      tileCol: String,
+      pctCol: String,
+      cumeCol: String): DataFrame = {
+    val (ranked, n) = rankedWithN(df, sortCols, "__r", 0)
+    val r0 = col("__r") - 1 // 0-based rank
+    val small = n / k
+    val rem = n % k
+    val tile =
+      when(r0 < lit(rem * (small + 1)), r0 / lit(small + 1) + 1)
+        .otherwise(lit(rem) + (r0 - lit(rem * (small + 1))) / lit(small) + 1)
+    val pct =
+      if (n <= 1) lit(0.0)
+      else r0.cast("double") / lit((n - 1).toDouble)
+    ranked
+      .withColumn(tileCol, tile.cast("int"))
+      .withColumn(pctCol, pct)
+      .withColumn(cumeCol, col("__r").cast("double") / lit(n.toDouble))
+      .drop("__r")
+  }
+}

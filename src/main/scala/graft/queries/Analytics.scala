@@ -179,27 +179,31 @@ object Analytics {
 
   /** Ranking-window breadth: per-user spend quartile (ntile), percentile
     * rank and cumulative distribution over total order value — one
-    * aggregate then one window over the (small) per-user rollup, never a
-    * window over raw orders. Tie-broken by customer key for determinism.
-    *
-    * Scale note: an UNPARTITIONED ranking window is a single-task global
-    * sort — the price of exact global ranks, paid here on the aggregated
-    * frame only. When even that frame is too large, the scale path is
-    * approx_percentile boundaries broadcast back as a bucket join
-    * (quantiles_approx is that primitive); exact semantics are kept here
-    * for oracle parity.
+    * aggregate, then EXACT global ranks via
+    * [[graft.operators.DistributedRank]]: range repartition + parallel
+    * per-partition windows + a partition-offset prefix sum, never an
+    * unpartitioned `Window.orderBy` (which funnels every row through one
+    * task — the straggler this query used to accept on the aggregated
+    * frame). ntile/percent_rank/cume_dist derive arithmetically from the
+    * rank with the window functions' own formulas, so results are
+    * row-identical to the single-window formulation (asserted in
+    * AnalyticsSpec) and the DuckDB window-function oracle still matches
+    * bit-for-bit. Tie-broken by customer key: a total order, as
+    * DistributedRank requires.
     */
   def customerSpendQuartiles(orders: DataFrame): DataFrame = {
     val perUser = orders
       .groupBy(col("o_custkey"))
       .agg(decSum(col("o_totalprice"), 2).as("total_spend"),
         count(lit(1)).as("order_count"))
-    val w = Window.orderBy(col("total_spend"), col("o_custkey"))
-    perUser.select(
+    graft.operators.DistributedRank
+      .withRankStats(
+        perUser, Seq(col("total_spend"), col("o_custkey")), k = 4,
+        tileCol = "spend_quartile", pctCol = "spend_pct_rank",
+        cumeCol = "spend_cume_dist")
+      .select(
         col("o_custkey"), col("total_spend"), col("order_count"),
-        ntile(4).over(w).as("spend_quartile"),
-        percent_rank().over(w).as("spend_pct_rank"),
-        cume_dist().over(w).as("spend_cume_dist"))
+        col("spend_quartile"), col("spend_pct_rank"), col("spend_cume_dist"))
       .orderBy(col("o_custkey"))
   }
 

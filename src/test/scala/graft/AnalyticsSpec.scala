@@ -47,4 +47,35 @@ class AnalyticsSpec extends SparkTestBase {
     assert(!scans.contains("l_orderkey"), scans)
     assert(scans.contains("l_shipdate"))
   }
+
+  test("distributed rank stats are row-identical to the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf)
+    val got = Analytics.customerSpendQuartiles(orders).collect()
+    // reference: the plain unpartitioned-window formulation over the same
+    // per-user rollup (the shape customerSpendQuartiles used to run)
+    val perUser = orders
+      .groupBy(col("o_custkey"))
+      .agg(Analytics.decSum(col("o_totalprice"), 2).as("total_spend"),
+        count(lit(1)).as("order_count"))
+    val w = Window.orderBy(col("total_spend"), col("o_custkey"))
+    val expected = perUser.select(
+        col("o_custkey"), col("total_spend"), col("order_count"),
+        ntile(4).over(w).as("spend_quartile"),
+        percent_rank().over(w).as("spend_pct_rank"),
+        cume_dist().over(w).as("spend_cume_dist"))
+      .orderBy(col("o_custkey"))
+      .collect()
+    assert(got.length == expected.length && got.nonEmpty)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
+  test("distributed rank plan has no single-partition exchange") {
+    val df = Analytics.customerSpendQuartiles(Tables.orders(spark, sf))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global ranking must not funnel rows through one task:\n$plan")
+  }
 }
