@@ -71,6 +71,33 @@ class AnalyticsSpec extends SparkTestBase {
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
 
+  test("distributed rank edge cases match window functions (n < k, n == 1, empty)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def reference(df: org.apache.spark.sql.DataFrame, k: Int) = {
+      val w = Window.orderBy(col("v"), col("id"))
+      df.select(col("id"), col("v"),
+          ntile(k).over(w).as("t"),
+          percent_rank().over(w).as("p"),
+          cume_dist().over(w).as("c"))
+        .orderBy(col("id")).collect().toSeq
+    }
+    def distributed(df: org.apache.spark.sql.DataFrame, k: Int) =
+      graft.operators.DistributedRank
+        .withRankStats(df, Seq(col("v"), col("id")), k, "t", "p", "c")
+        .select(col("id"), col("v"), col("t"), col("p"), col("c"))
+        .orderBy(col("id")).collect().toSeq
+    // n < k exercises the small==0 branch (every row its own bucket);
+    // n == 1 exercises the percent_rank 0-division guard
+    for (n <- Seq(1, 3, 5, 17)) {
+      val df = (0 until n).map(i => (i.toLong, (i * 37 % 11).toDouble)).toDF("id", "v")
+      assert(distributed(df, 4) == reference(df, 4), s"n=$n diverged")
+    }
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(distributed(empty, 4).isEmpty)
+  }
+
   test("distributed rank plan has no single-partition exchange") {
     val df = Analytics.customerSpendQuartiles(Tables.orders(spark, sf))
     df.count()
