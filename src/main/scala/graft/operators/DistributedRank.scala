@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * distributed total-order pattern:
   *
   *   1. `repartitionByRange` on the sort key: partition i's rows all sort
-  *      before partition i+1's (contiguous ranges; Spark's RangePartitioner
-  *      samples deterministically). The frame is localCheckpoint-ed so the
-  *      partition layout is frozen between the two uses below.
+  *      before partition i+1's (contiguous ranges). The frame is
+  *      persist(MEMORY_AND_DISK)-ed — NOT localCheckpoint-ed: persisted
+  *      blocks keep their lineage, so an executor lost between the
+  *      counting job and the window job triggers recompute instead of an
+  *      irrecoverable missing-block failure, and the recompute lands in
+  *      the SAME layout because RangePartitioner's boundary sampling is
+  *      seeded deterministically (XORShiftRandom(byteswap32(idx))) over a
+  *      deterministic input plan (repo-wide determinism policy).
   *   2. per-partition row counts -> prefix-sum offsets. This is the ONLY
   *      driver-side data: numPartitions longs — bounded by cluster width,
   *      never by row count.
@@ -20,9 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * A plain `Window.orderBy(...)` (no partitionBy) computes the same thing
   * by moving EVERY row through one task — fine at thousands of rows,
-  * a guaranteed straggler at billions. AggregatesSpec asserts this
-  * produces row-identical results to the single-window formulation, and
-  * PlanAuditSpec asserts no SinglePartition exchange appears in the plan.
+  * a guaranteed straggler at billions. AnalyticsSpec asserts row-identical
+  * results vs the single-window formulation (including n < k, n == 1 and
+  * empty frames) and that no SinglePartition exchange appears in the
+  * finalized adaptive plan.
   *
   * Requires `sortCols` to be a TOTAL order (append a unique tiebreaker);
   * with ties across a range boundary the global rank would depend on the
@@ -42,7 +48,8 @@ object DistributedRank {
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, sortCols: _*).localCheckpoint()
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = ranged
       .groupBy(spark_partition_id().as("pid"))
       .agg(count(lit(1)).as("c"))

@@ -98,11 +98,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(distributed(empty, 4).isEmpty)
   }
 
-  test("distributed rank plan has no single-partition exchange") {
+  test("distributed rank plan has no single-partition exchange (final AQE plan)") {
     val df = Analytics.customerSpendQuartiles(Tables.orders(spark, sf))
-    df.count()
-    val plan = df.queryExecution.executedPlan.toString
+    df.count() // finalize THIS df's adaptive plan before unwrapping it
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
     assert(!plan.contains("SinglePartition"),
       s"global ranking must not funnel rows through one task:\n$plan")
+  }
+
+  test("withGlobalRank: ranks are 1..n in sort order under a custom layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0 until 97).map(i => (i.toLong, ((i * 53) % 31).toDouble)).toDF("id", "v")
+    val ranked = graft.operators.DistributedRank
+      .withGlobalRank(df, Seq(col("v"), col("id")), rankCol = "r", numParts = 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // the rank permutation must equal the explicit sort order, exactly 1..n
+    val bySort = ranked.sortBy { case (id, v, _) => (v, id) }.map(_._3)
+    assert(bySort.toSeq == (1L to 97L), s"ranks out of order: ${bySort.toSeq}")
   }
 }

@@ -162,20 +162,25 @@ class DedupSimilaritySpec extends SparkTestBase {
           / (1L << 53) + (if (i % 8 == 0) shift.toFloat else 0f))
     }.toDF("vec_id", "embedding")
     val a = mkEmb(0.0); val b = mkEmb(5.0)
-    // observe the FIT ITSELF (lastIvfFit/lastPqFit), not downstream query
-    // results — exact cosines differ across datasets even through a stale
-    // shared fit, so only the model arrays can expose a cache collision
+    // observe the FIT ITSELF (lastIvfFit/lastPqFit) — exact cosines differ
+    // across datasets even through a stale shared fit, so only the model
+    // arrays can expose a cache collision — AND the end-to-end results,
+    // which guard downstream determinism (tie-breaks in probe ranking and
+    // shortlists) that the fit arrays alone cannot see
     def runBoth(df: org.apache.spark.sql.DataFrame)
-        : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-      Similarity.ivfTopK(df, numQueries = 2, k = 3, nlist = 4, nprobe = 1).collect()
-      Similarity.pqTopK(df, numQueries = 2, k = 3, m = 16, ksub = 4).collect()
-      (Similarity.lastIvfFit.get.centers, Similarity.lastPqFit.get.books)
+        : (Array[Array[Double]], Array[Array[Array[Double]]], Seq[String]) = {
+      val ivf = Similarity.ivfTopK(df, numQueries = 2, k = 3, nlist = 4, nprobe = 1)
+        .collect().map(_.toString).toSeq
+      val pq = Similarity.pqTopK(df, numQueries = 2, k = 3, m = 16, ksub = 4)
+        .collect().map(_.toString).toSeq
+      (Similarity.lastIvfFit.get.centers, Similarity.lastPqFit.get.books, ivf ++ pq)
     }
-    val (cenA, bookA) = runBoth(a)
-    val (cenA2, bookA2) = runBoth(a) // same data -> identical deterministic refit
+    val (cenA, bookA, resA) = runBoth(a)
+    val (cenA2, bookA2, resA2) = runBoth(a) // same data -> identical refit AND results
     assert(cenA.flatten.toSeq == cenA2.flatten.toSeq)
     assert(bookA.flatten.flatten.toSeq == bookA2.flatten.flatten.toSeq)
-    val (cenB, bookB) = runBoth(b)
+    assert(resA == resA2, "same-data rerun changed query results")
+    val (cenB, bookB, _) = runBoth(b)
     // different data through the same-schema plan MUST refit: a collision
     // on the schema-only canonical key would return cenA/bookA verbatim
     assert(cenA.flatten.toSeq != cenB.flatten.toSeq,
