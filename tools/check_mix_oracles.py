@@ -35,6 +35,20 @@ REQUIRED = {
         "9223372036854775808::HUGEINT",             # signed-view pivot
         "bit_count(xor(a.f, b.f))",
     ],
+    # Machine-emitted by graft.SketchOracles.mixChain — these guard the
+    # EMITTER (a regression there rewrites every CMS/HLL oracle at once).
+    "token_topk_cms": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "xor(z1, z1 // 134217728)", "xor(z2, z2 // 2147483648)",
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold
+        "11400714819323198485::HUGEINT",            # golden gamma pre-add
+    ],
+    "hourly_agg_approx": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "11400714819323198485::HUGEINT",
+        "4503599627370496::BIGINT",                 # 2^52 fixed-point scale
+        "least(52, 57 - bit_count(v))",             # rho cap
+    ],
 }
 
 import re
