@@ -98,6 +98,39 @@ WHERE $asciiGuard = 0
 ORDER BY exact_count DESC, token"""
   }
 
+  /** source_mixture_sample: the deterministic mixture gate — FNV+mix64 of
+    * each text, top-53-bits/2^53 uniform, CASE rate per source, then the
+    * before/after audit aggregation. Mirrors
+    * graft.operators.Mixture.mixtureStats; rates come from the SAME map
+    * (Mixture.DriverRates), so engine and oracle cannot disagree on a
+    * tier.
+    */
+  def mixtureSql(
+      rates: Map[String, Double] = graft.operators.Mixture.DriverRates,
+      defaultRate: Double = graft.operators.Mixture.DriverDefaultRate): String = {
+    val rateCase = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN ${dlit(r)}" }
+      .mkString("CASE ", " ", s" ELSE ${dlit(defaultRate)} END")
+    s"""WITH d AS (
+  SELECT source, len(string_split(text, ' ')) AS tokens,
+    ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents WHERE $asciiGuard = 0),
+${mixChain("mg", "d", Seq("source", "tokens"), "z0")},
+g AS (SELECT source, tokens,
+  CAST(mx // 2048 AS BIGINT)::DOUBLE / 9007199254740992.0 < ($rateCase) AS keep
+  FROM mg4),
+agg AS (SELECT source,
+  count(*) AS docs_before,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+  CAST(sum(tokens) AS BIGINT) AS tokens_before,
+  CAST(sum(CASE WHEN keep THEN tokens ELSE 0 END) AS BIGINT) AS tokens_after
+  FROM g GROUP BY source)
+SELECT source, docs_before, docs_after, tokens_before, tokens_after,
+  CAST(docs_after AS DOUBLE) / CAST(docs_before AS DOUBLE) AS realized_rate,
+  ($rateCase) AS target_rate
+FROM agg ORDER BY source"""
+  }
+
   /** hourly_agg_approx: the relational HLL — mix64 of each distinct user,
     * bucket/rho split, per-bucket max registers, exact fixed-point
     * harmonic fold, JVM-shared linear-counting literals. Mirrors

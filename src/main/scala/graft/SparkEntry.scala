@@ -268,6 +268,13 @@ object SparkEntry {
     // Source-mixture shift under exact dedup (docs/tokens before vs after).
     "dedup_source_shift" -> ((s, dir) =>
       Dedup.dedupSourceShift(Tables.documents(s, dir))),
+    // Deterministic hash-gated mixture sampling (operators/Mixture):
+    // content-keyed uniform < per-source rate — map-only, reorder-stable,
+    // monotone in the rate; full DuckDB oracle over the same fnv+mix gate.
+    "source_mixture_sample" -> ((s, dir) =>
+      graft.operators.Mixture.mixtureStats(Tables.documents(s, dir),
+        graft.operators.Mixture.DriverRates,
+        graft.operators.Mixture.DriverDefaultRate)),
     // Edit-distance audit of those clusters (bounded to member-keeper pairs).
     "cluster_edit_distances" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1338,7 +1345,8 @@ object SparkEntry {
     // Count-Min and relational-HLL pipelines re-derived in DuckDB HUGEINT
     // arithmetic from the shared public hash family.
     "token_topk_cms" -> SketchOracles.cmsSql(),
-    "hourly_agg_approx" -> SketchOracles.hllHourlySql
+    "hourly_agg_approx" -> SketchOracles.hllHourlySql,
+    "source_mixture_sample" -> SketchOracles.mixtureSql()
   ) ++
     // Golden-pinned ANN oracles (graft.AnnOracles): present once ann_ivf /
     // ann_pq have run in this JVM — Verify runs every query before dumping

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.GraftColumns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic source-mixture sampling — the knob every training-data
+  * pipeline turns: "keep 20% of web, 80% of code, all of books". A doc is
+  * kept iff a uniform number DERIVED FROM ITS TEXT falls under its
+  * source's rate:
+  *
+  *     U(text) = top-53-bits(mix64(fnv1a64(text))) / 2^53   in [0, 1)
+  *     keep    = U(text) < rate(source)
+  *
+  * Properties a `rand() < rate` filter cannot give:
+  *   - map-only: no shuffle, no RNG state, no seed plumbing — scales as a
+  *     pure scan at any corpus size;
+  *   - reproducible under reorder, repartition, and corpus growth
+  *     (decisions are a pure function of content, not of row position);
+  *   - monotone in the rate: raising a source's rate only ADDS documents
+  *     (the kept set at rate r is a subset of the kept set at r' > r) —
+  *     mixtures can be re-weighted incrementally without resampling;
+  *   - identical duplicate texts sample identically, so exact-dedup
+  *     before or after sampling sees consistent survivors.
+  *
+  * U is an exact dyadic rational (53 bits into a double — lossless; the
+  * /2^53 is a power-of-two division) and the hash family is the public
+  * fnv1a64+mix64 pair, so the whole gate is reproduced bit-exactly by
+  * the DuckDB oracle (graft.SketchOracles.mixtureSql).
+  */
+object Mixture {
+
+  /** Uniform [0,1) gate from the text fingerprint (exact dyadic). */
+  def textUniform(text: Column): Column =
+    shiftrightunsigned(GraftColumns.mix64(GraftColumns.fnv1a64(text)), 11)
+      .cast("double") / lit(9007199254740992.0) // 2^53
+
+  /** Per-source target rate as a CASE chain (first match wins; unknown
+    * sources fall back to `defaultRate`).
+    */
+  def rateFor(source: Column, rates: Map[String, Double], defaultRate: Double): Column =
+    coalesce(
+      (rates.toSeq.sortBy(_._1).map { case (s, r) =>
+        when(source === lit(s), lit(r))
+      } :+ lit(defaultRate)): _*)
+
+  /** The sampled corpus: documents passing their source's gate. */
+  def sampleBySource(
+      documents: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame =
+    documents.filter(
+      textUniform(col("text")) < rateFor(col("source"), rates, defaultRate))
+
+  /** Mixture audit: per-source doc/token mass before and after the gate,
+    * realized vs target rate — the table a pipeline reviews before
+    * committing a mixture. One scan, one keyed aggregation.
+    */
+  def mixtureStats(
+      documents: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    val keep = textUniform(col("text")) < rateFor(col("source"), rates, defaultRate)
+    val tokens = size(split(col("text"), " ")).cast("long")
+    documents
+      .select(col("source"), tokens.as("tokens"), keep.as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_before"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("docs_after"),
+        sum(col("tokens")).as("tokens_before"),
+        sum(when(col("keep"), col("tokens")).otherwise(0L)).as("tokens_after"))
+      .withColumn("realized_rate",
+        col("docs_after").cast("double") / col("docs_before").cast("double"))
+      .withColumn("target_rate", rateFor(col("source"), rates, defaultRate))
+      .orderBy(col("source"))
+  }
+
+  /** The driver query's mixture: five rate tiers cycled across the
+    * generator's sources (src0..src19 -> 0.2/0.35/0.5/0.65/0.8); unknown
+    * sources keep everything. Shared with the oracle generator.
+    */
+  val DriverRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (0.2 + 0.15 * (i % 5))).toMap
+  val DriverDefaultRate: Double = 1.0
+}

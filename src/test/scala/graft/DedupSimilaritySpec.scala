@@ -189,6 +189,37 @@ class DedupSimilaritySpec extends SparkTestBase {
       "pq codebook cache served dataset a's codebooks for dataset b")
   }
 
+  test("mixture sampling: content-keyed, reorder-stable, monotone in rate") {
+    import graft.operators.Mixture
+    val rates = Map("a" -> 0.3, "b" -> 0.8)
+    // decisions are a pure function of TEXT: identical texts (even across
+    // rows) get identical gate values, so dup copies sample identically
+    val dups = Seq((1L, "a", "same text"), (2L, "a", "same text"), (3L, "a", "other"))
+      .toDF("doc_id", "source", "text")
+    val kept = Mixture.sampleBySource(dups, rates).select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) == kept.contains(2L), "dup copies must sample identically")
+    // reorder/repartition stability on real data
+    val docs = Tables.documents(spark, sf)
+    val r1 = Mixture.sampleBySource(docs, Mixture.DriverRates).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val r2 = Mixture.sampleBySource(docs.repartition(7), Mixture.DriverRates)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r1 == r2, "sampling must not depend on physical layout")
+    // monotone: the kept set at rate r is a subset of the kept set at r' > r
+    val low = Mixture.sampleBySource(docs, Map.empty, defaultRate = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val high = Mixture.sampleBySource(docs, Map.empty, defaultRate = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high), "raising the rate must only add documents")
+    // realized rates track targets (loose: 25 docs/source at this SF)
+    val stats = Mixture.mixtureStats(docs, Mixture.DriverRates).collect()
+    stats.foreach { r =>
+      val realized = r.getAs[Double]("realized_rate")
+      val target = r.getAs[Double]("target_rate")
+      assert(math.abs(realized - target) < 0.35, s"rate drift: $r")
+    }
+  }
+
   test("adaptiveParts scales task count with the edge list") {
     assert(Dedup.adaptiveParts(0L) == 4)           // tiny graph: floor
     assert(Dedup.adaptiveParts(120000L) == 4)      // sf0.1-sized: floor
