@@ -108,9 +108,13 @@ ORDER BY exact_count DESC, token"""
   def mixtureSql(
       rates: Map[String, Double] = graft.operators.Mixture.DriverRates,
       defaultRate: Double = graft.operators.Mixture.DriverDefaultRate): String = {
+    // keys are escaped ('' doubling) and the CASE is cast to DOUBLE: a
+    // bare decimal literal would type the column DECIMAL in DuckDB while
+    // Spark writes DOUBLE (0.35000000000000003 vs Decimal('0.35...')),
+    // surviving only by the checker's float-coercion tolerance
     val rateCase = rates.toSeq.sortBy(_._1)
-      .map { case (s, r) => s"WHEN source = '$s' THEN ${dlit(r)}" }
-      .mkString("CASE ", " ", s" ELSE ${dlit(defaultRate)} END")
+      .map { case (s, r) => s"WHEN source = '${s.replace("'", "''")}' THEN ${dlit(r)}" }
+      .mkString("CAST(CASE ", " ", s" ELSE ${dlit(defaultRate)} END AS DOUBLE)")
     s"""WITH d AS (
   SELECT source, len(string_split(text, ' ')) AS tokens,
     ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0

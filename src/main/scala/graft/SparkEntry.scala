@@ -220,7 +220,7 @@ object SparkEntry {
     "token_counts_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long")
           .as("regex_tokens"),
         expr("(length(text) + 3) DIV 4").as("subword_estimate"))

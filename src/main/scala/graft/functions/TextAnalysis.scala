@@ -14,6 +14,12 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Whitespace token count as BIGINT — THE tokenizer-count definition,
+    * single-sourced because it must stay aligned with the DuckDB oracle
+    * fragment `len(string_split(text, ' '))` at every call site.
+    */
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
   /** Per-document stats + a composite quality score (length, lexical
     * diversity, stopword presence — the standard cheap quality heuristics).
     * All doubles are IEEE ops on integer-derived operands: bit-deterministic.

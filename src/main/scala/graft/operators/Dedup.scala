@@ -380,7 +380,7 @@ object Dedup {
     * shuffle + one broadcast-size join; never moves document text.
     */
   def dedupSourceShift(documents: DataFrame): DataFrame = {
-    val toks = size(split(col("text"), " ")).cast("long")
+    val toks = graft.functions.TextAnalysis.wsTokenCount(col("text"))
     val survivors = survivorIds(documents).select(col("doc_id"))
     documents
       .join(survivors.withColumn("kept", lit(1L)), Seq("doc_id"), "left")

@@ -61,7 +61,7 @@ object Mixture {
       rates: Map[String, Double],
       defaultRate: Double = 1.0): DataFrame = {
     val keep = textUniform(col("text")) < rateFor(col("source"), rates, defaultRate)
-    val tokens = size(split(col("text"), " ")).cast("long")
+    val tokens = graft.functions.TextAnalysis.wsTokenCount(col("text"))
     documents
       .select(col("source"), tokens.as("tokens"), keep.as("keep"))
       .groupBy(col("source"))
