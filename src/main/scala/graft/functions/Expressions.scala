@@ -493,6 +493,138 @@ object PqEncode {
   }
 }
 
+/** PQ/IVF query-side lookup table in one native pass: lut[j*ksub + c] =
+  * dot(subvector_j(x), codebook[j][c]) with the exact accumulation order
+  * of [[PqEncode]]'s loop (and of the compositional slice()+DotProduct
+  * form it replaces — the ~3000-node literal expression tree cost janino
+  * compile time per plan build and could exceed codegen method limits).
+  * Codebooks ride in as one reference object. Returns array<double> of
+  * m*ksub; null on wrong input length or null element.
+  */
+case class PqLut(
+    child: Expression,
+    flatBooks: Array[Double],
+    m: Int,
+    ksub: Int,
+    dsub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    PqLut.lut(input.asInstanceOf[ArrayData], flatBooks, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val books = ctx.addReferenceObj("flatBooks", flatBooks, "double[]")
+    val cls = PqLut.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.lut($c, $books, $m, $ksub, $dsub);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+object PqLut {
+  def lut(
+      arr: ArrayData,
+      books: Array[Double],
+      m: Int,
+      ksub: Int,
+      dsub: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (arr.numElements() != m * dsub) return null
+    var e = 0
+    while (e < m * dsub) { if (arr.isNullAt(e)) return null; e += 1 }
+    val out = new Array[Any](m * ksub)
+    var j = 0
+    while (j < m) {
+      val voff = j * dsub
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var s = 0.0
+        var d = 0
+        while (d < dsub) { s += arr.getDouble(voff + d) * books(off + d); d += 1 }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Code-indexed table sum: sum_j table[j*ksub + codes[j]] with ksub =
+  * table.length / codes.length, left-to-right over j — the exact order of
+  * the `(0 until m).map(element_at(...)).reduce(_ + _)` chain it replaces
+  * (16 element_at nodes per pair collapse to one codegen'd loop). Serves
+  * both the ADC inner-product accumulation (table = per-query LUT column)
+  * and the reconstructed-norm lookup (table = constant-folded literal
+  * array). Null on empty/indivisible/ill-indexed input or null element.
+  */
+case class CodeLookupSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "code_lookup_sum"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<int>, array<double>)")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    CodeLookupSum.sum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CodeLookupSum.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |Object r = $cls.sum($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (Double) r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodeLookupSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object CodeLookupSum {
+  def sum(codes: ArrayData, table: ArrayData): Any = {
+    val m = codes.numElements()
+    val t = table.numElements()
+    if (m == 0 || t == 0 || t % m != 0) return null
+    val ksub = t / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub) return null
+      val idx = j * ksub + c
+      if (table.isNullAt(idx)) return null
+      s += table.getDouble(idx)
+      j += 1
+    }
+    s
+  }
+}
+
 /** Sign-pattern LSH bucketer: computes ALL hash tables' bucket ids for a
   * vector in one pass (bit p of table t = sign of the dot product with
   * hyperplane t*P+p). The compositional form — numTables × planesPerTable
@@ -636,6 +768,12 @@ object GraftColumns {
     val hn = books.flatten.map(cv => cv.map(x => x * x).sum / 2.0)
     ColumnBridge.column(PqEncode(child(c), flat, hn, m, ksub, dsub))
   }
+  def pqLut(c: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length; val ksub = books(0).length; val dsub = books(0)(0).length
+    ColumnBridge.column(PqLut(child(c), books.flatten.flatten, m, ksub, dsub))
+  }
+  def codeLookupSum(codes: Column, table: Column): Column =
+    ColumnBridge.column(CodeLookupSum(child(codes), child(table)))
 }
 
 /** SQL registration for the custom expressions (usable via `expr(...)` and

@@ -338,15 +338,6 @@ object Similarity {
     }
     lastIvfFit = Some(IvfFit(centers, numQueries, k, nlist, nprobe))
 
-    // Per-centroid score struct: (x·c − ½|c|², cell). Larger score = nearer
-    // centroid, so a desc sort ranks the query probes — row-local codegen'd
-    // math over literal centroid arrays (queries are few).
-    def centroidScores(vec: Column) = centers.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit).toIndexedSeq: _*)
-      val halfNorm2 = c.map(x => x * x).sum / 2.0
-      struct((dot(vec, cLit) - lit(halfNorm2)).as("score"), lit(i).as("cell"))
-    }
-
     // Corpus-side assignment is [[graft.functions.PqEncode]] with a single
     // subspace spanning the whole vector — nearest-centroid in one native
     // loop (codebook as a codegen reference object, not a literal tree).
@@ -356,16 +347,26 @@ object Similarity {
         graft.functions.GraftColumns.pqEncode(col("embedding"), Array(centers)), 1)
         .as("cell"))
 
+    // Query probes from the same one-pass LUT primitive as PQ
+    // ([[graft.functions.PqLut]], single subspace spanning the vector):
+    // score(cell) = lut[cell] − ½|c|² — identical arithmetic to the
+    // per-centroid literal-array struct chain it replaces (which was a
+    // ~1000-node expression tree re-janino'd per plan build), so the
+    // pinned oracle is unchanged. Larger score = nearer centroid.
+    val hnLit = array(
+      centers.map(c => lit(c.map(x => x * x).sum / 2.0)).toIndexedSeq: _*)
     val queries = embDouble
       .filter(col("vec_id") < numQueries)
       .select(
         col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(array(centroidScores(col("embedding")): _*)).as("probe"))
+        posexplode(graft.functions.GraftColumns.pqLut(col("embedding"), Array(centers))))
+      .select(col("query_id"), col("qe"), col("pos").as("cell"),
+        (col("col") - element_at(hnLit, col("pos") + 1)).as("score"))
       .withColumn("probe_rank",
         row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("probe.score").desc, col("probe.cell"))))
+          .orderBy(col("score").desc, col("cell"))))
       .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("qe"), col("probe.cell").as("cell"))
+      .select(col("query_id"), col("qe"), col("cell"))
 
     val scored = assigned
       .join(broadcast(queries), Seq("cell"))
@@ -456,37 +457,34 @@ object Similarity {
       }
     }
     lastPqFit = Some(PqFit(books, numQueries, k, m, ksub, rerank))
-    val dsub = books(0)(0).length
-
-    def subvec(vec: Column, j: Int): Column = slice(vec, j * dsub + 1, dsub)
     // per-row encode: ONE native-expression pass assigns all m codes
     // ([[graft.functions.PqEncode]] — the compositional m·ksub slice()+dot
     // plan allocated a subarray per centroid per row)
     val withCodes = embDouble.select(
       col("vec_id"),
       graft.functions.GraftColumns.pqEncode(col("embedding"), books).as("codes"))
-    // reconstructed norm²: code-indexed lookup per subspace (literal arrays)
-    val norm2Expr = (0 until m).map { j =>
-      val n2 = books(j).map(c => c.map(x => x * x).sum)
-      element_at(array(n2.map(lit).toIndexedSeq: _*),
-        element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
-    val corpus = withCodes.withColumn("nx", sqrt(norm2Expr))
+    // reconstructed norm²: code-indexed lookup summed in ONE native loop
+    // ([[graft.functions.CodeLookupSum]] over a constant-folded literal
+    // table — arithmetic order identical to the per-subspace element_at
+    // chain it replaces, so the pinned oracle is unchanged)
+    val n2Lit = array((for (j <- 0 until m; c <- books(j))
+      yield lit(c.map(x => x * x).sum)).toIndexedSeq: _*)
+    val corpus = withCodes.withColumn("nx",
+      sqrt(graft.functions.GraftColumns.codeLookupSum(col("codes"), n2Lit)))
 
-    val ipLut = array((for (j <- 0 until m; c <- books(j)) yield {
-      val cLit = array(c.map(lit).toIndexedSeq: _*)
-      dot(subvec(col("embedding"), j), cLit)
-    }).toIndexedSeq: _*)
+    // the whole m·ksub inner-product LUT in one native pass
+    // ([[graft.functions.PqLut]] — the compositional form was ~3000
+    // expression nodes of slice()+literal-array dots, paying janino
+    // compile time on every plan build)
     val queries = embDouble
       .filter(col("vec_id") < numQueries)
       .select(
         col("vec_id").as("query_id"),
-        ipLut.as("ip_lut"),
+        graft.functions.GraftColumns.pqLut(col("embedding"), books).as("ip_lut"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nq"))
 
-    val adcIp = (0 until m).map(j =>
-      element_at(col("ip_lut"),
-        lit(j * ksub) + element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val adcIp =
+      graft.functions.GraftColumns.codeLookupSum(col("codes"), col("ip_lut"))
     val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(
