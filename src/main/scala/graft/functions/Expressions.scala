@@ -591,10 +591,15 @@ case class CodeLookupSum(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = CodeLookupSum.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    // freshName: two instances of this expression can fuse into ONE
+    // whole-stage-codegen function (e.g. nx and adcIp in adjacent
+    // projections) — a fixed local name would collide and silently drop
+    // the stage to the interpreted path
+    val r = ctx.freshName("clsum")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |Object r = $cls.sum($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (Double) r; }
+         |Object $r = $cls.sum($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = (Double) $r; }
        """.stripMargin
     })
   }

@@ -56,6 +56,45 @@ class ExpressionEdgeSpec extends SparkTestBase {
     assert(interp.toIntArray().toSeq == codes)
   }
 
+  test("pq_lut / code_lookup_sum: compositional equivalence; two instances fuse in one stage") {
+    val books = Array.tabulate(2, 4, 3) { (j, c, d) => (j + c + d).toDouble / 10 }
+    val vec = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6)
+    // TWO CodeLookupSum instances in ONE projection: whole-stage codegen
+    // fuses them into one generated function — a fixed local variable name
+    // in doGenCode would collide there and silently drop to interpreted
+    val row = Seq((1L, vec))
+      .toDF("id", "v")
+      .select(col("id"),
+        GraftColumns.pqLut(col("v"), books).as("lut"),
+        GraftColumns.pqEncode(col("v"), books).as("codes"))
+      .select(col("id"), col("lut"), col("codes"),
+        GraftColumns.codeLookupSum(col("codes"), col("lut")).as("adc"),
+        GraftColumns.codeLookupSum(col("codes"),
+          array((for (j <- 0 until 2; c <- books(j))
+            yield lit(c.map(x => x * x).sum)).toIndexedSeq: _*)).as("n2"))
+      .collect()(0)
+    val lut = row.getSeq[Double](1)
+    assert(lut.length == 8)
+    // lut must equal the per-(j,c) subvector dots, same fold order
+    for (j <- 0 until 2; c <- 0 until 4) {
+      val expect = (0 until 3).foldLeft(0.0)((s, d) => s + vec(j * 3 + d) * books(j)(c)(d))
+      assert(lut(j * 4 + c) == expect, s"lut($j,$c)")
+    }
+    val codes = row.getSeq[Int](2)
+    // adc == sum of the code-selected lut cells, left-to-right over j
+    val adcExpect = (0 until 2).foldLeft(0.0)((s, j) => s + lut(j * 4 + codes(j)))
+    assert(row.getDouble(3) == adcExpect)
+    val n2Expect = (0 until 2).foldLeft(0.0)((s, j) =>
+      s + books(j)(codes(j)).map(x => x * x).sum)
+    assert(row.getDouble(4) == n2Expect)
+    // malformed inputs -> null, not garbage
+    val bad = Seq((1L, Seq(0.1, 0.2)))
+      .toDF("id", "v")
+      .select(GraftColumns.pqLut(col("v"), books).as("lut"))
+      .collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
   test("fnv1a64/mix64 match reference folds (codegen and SQL-registered paths)") {
     graft.functions.GraftFunctions.register(spark)
     // splitmix64 reference vector: mix(0) is the first value of the
