@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,8 +35,38 @@ import org.apache.spark.sql.functions._
   * Requires `sortCols` to be a TOTAL order (append a unique tiebreaker);
   * with ties across a range boundary the global rank would depend on the
   * partitioner's cut point.
+  *
+  * Cache lifecycle: the persisted ranged frame is tracked per session; the
+  * next ranking call on the same session unpersists it, and [[release]]
+  * drops it explicitly — so repeated ranking never accumulates cached
+  * datasets (at most one lingering frame per session).
   */
 object DistributedRank {
+
+  /** The one live ranged-frame cache per session. Each ranking call persists
+    * a fresh range-partitioned frame; without cleanup a long-lived service
+    * calling ranking repeatedly pins one MEMORY_AND_DISK dataset per call for
+    * the application lifetime. Registering the handle here bounds that to at
+    * most ONE lingering frame per session: a new call releases the previous
+    * one (safe even if a straggling consumer is still reading it — persist
+    * keeps lineage, so evicted blocks recompute into the same deterministic
+    * layout), and [[release]] drops the last one explicitly.
+    */
+  private val liveCache = new ConcurrentHashMap[SparkSession, DataFrame]()
+
+  /** Unpersist the session's lingering ranged frame (no-op if none).
+    * Call when done ranking — e.g. at the end of a service request —
+    * to return the cached blocks immediately.
+    */
+  def release(spark: SparkSession): Unit = {
+    val prev = liveCache.remove(spark)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
+  private def trackPersisted(ranged: DataFrame): Unit = {
+    val prev = liveCache.put(ranged.sparkSession, ranged)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
 
   /** (df + rankCol [1..n], n) — n comes from the same per-partition
     * counts that build the offsets, so ranking costs exactly one
@@ -50,6 +82,7 @@ object DistributedRank {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackPersisted(ranged)
     val counts = ranged
       .groupBy(spark_partition_id().as("pid"))
       .agg(count(lit(1)).as("c"))
@@ -98,9 +131,16 @@ object DistributedRank {
     val r0 = col("__r") - 1 // 0-based rank
     val small = n / k
     val rem = n % k
+    val big = small + 1
+    val cut = rem * big // rows before this rank fall in the ceil-sized buckets
+    // Exact integer division (SQL DIV), not double `/` + cast: truncation of
+    // a double quotient matches integer floor only below ~2^52 rows — DIV
+    // makes the ntile equivalence scale-independent. `small max 1` keeps the
+    // never-taken otherwise-branch well-formed when n < k (small == 0, where
+    // every row satisfies r0 < cut == n).
     val tile =
-      when(r0 < lit(rem * (small + 1)), r0 / lit(small + 1) + 1)
-        .otherwise(lit(rem) + (r0 - lit(rem * (small + 1))) / lit(small) + 1)
+      when(r0 < lit(cut), expr(s"(__r - 1) DIV $big") + 1)
+        .otherwise(lit(rem) + expr(s"(__r - 1 - $cut) DIV ${small max 1L}") + 1)
     val pct =
       if (n <= 1) lit(0.0)
       else r0.cast("double") / lit((n - 1).toDouble)

@@ -110,6 +110,28 @@ class AnalyticsSpec extends SparkTestBase {
       s"global ranking must not funnel rows through one task:\n$plan")
   }
 
+  test("repeated ranking does not accumulate persisted frames; release drops the last") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.operators.DistributedRank.release(spark) // clean slate for the delta
+    def persisted() = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted()
+    for (round <- 1 to 3) {
+      val df = (0 until 200).map(i => ((i * 131 + round).toLong % 97, i.toLong))
+        .toDF("v", "id")
+      graft.operators.DistributedRank
+        .withGlobalRank(df, Seq(col("v"), col("id")), rankCol = "r")
+        .count() // materialize: the ranged frame is cached during this call
+      assert(persisted() <= before + 1,
+        s"round $round leaked cached frames: ${spark.sparkContext.getPersistentRDDs.keys}")
+    }
+    graft.operators.DistributedRank.release(spark)
+    // unpersist(blocking = false) is async; poll briefly for the drop
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (persisted() > before && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(persisted() == before, "release() left the ranged frame cached")
+  }
+
   test("withGlobalRank: ranks are 1..n in sort order under a custom layout") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
