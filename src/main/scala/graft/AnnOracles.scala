@@ -28,7 +28,11 @@ import graft.operators.Similarity
   *     `row_number() OVER (ORDER BY score DESC, idx) = 1`;
   *   - Spark's `reduce(_ + _)` over m columns == `list_reduce` over a
   *     j-ordered list (both fold without an initial 0.0);
-  *   - cosine == `list_cosine_similarity` on double arrays.
+  *   - cosine == `list_cosine_similarity` on double arrays;
+  *   - wrong-length vectors drop on BOTH sides: the engine's PqEncode /
+  *     PqLut return null on `numElements != dim` (silently excluding the
+  *     row from index and query set) == `len(embedding) = dim` in the
+  *     oracle's `e` CTE.
   */
 object AnnOracles {
 
@@ -55,7 +59,8 @@ object AnnOracles {
     s"""WITH cb(cell, wl, hn) AS (VALUES
 $rows),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = $dim),
 scores AS (
   SELECT vec_id, cell,
     list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * wl[i]),
@@ -105,7 +110,8 @@ ORDER BY query_id, rnk"""
     s"""WITH cb(j, c, b1, b2, b3, b4, hn, n2) AS (VALUES
 $rows),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = $dim),
 sub AS (
   SELECT vec_id, j, c, n2, hn,
     emb[4*j+1] * b1 + emb[4*j+2] * b2 + emb[4*j+3] * b3 + emb[4*j+4] * b4 AS ip
@@ -153,12 +159,28 @@ FROM rer QUALIFY rnk <= ${f.k}
 ORDER BY query_id, rnk"""
   }
 
-  /** Oracle entries available AFTER the corresponding queries have run in
-    * this JVM (Verify runs every query before dumping oracle_sql.json, so
-    * the pins are always present in the driver flow); empty before any run
-    * — the driver then records the documented rows-only fallback.
+  /** Oracle entries for THE dataset a Verify run exercised: looks up the
+    * keyed fit registry under (that table's plan key, the SparkEntry
+    * default parameters), so the emitted SQL always carries the verified
+    * run's own centroids/codebooks even when other ANN calls (other
+    * datasets, other params, concurrent query builds) ran in the same JVM.
+    * Empty before the queries have run — the driver then records the
+    * documented rows-only fallback.
+    */
+  def pinnedFor(spark: org.apache.spark.sql.SparkSession, sfDir: String): Map[String, String] = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.ivfFitFor(emb).map(f => "ann_ivf" -> ivfSql(f)).toMap ++
+      Similarity.pqFitFor(emb).map(f => "ann_pq" -> pqSql(f)).toMap
+  }
+
+  /** Context-free fallback (the driver contract's parameterless
+    * SparkEntry.oracleSql): pins only when the JVM has seen exactly ONE
+    * fit per index type — with several live fits the dataset is unknowable
+    * here, and omitting the entry (→ rows-only check) beats pinning the
+    * wrong model and failing spuriously. graft.Verify uses [[pinnedFor]],
+    * so the driver flow always gets the precise entry.
     */
   def pinned: Map[String, String] =
-    Similarity.lastIvfFit.map(f => "ann_ivf" -> ivfSql(f)).toMap ++
-      Similarity.lastPqFit.map(f => "ann_pq" -> pqSql(f)).toMap
+    Similarity.soleIvfFit.map(f => "ann_ivf" -> ivfSql(f)).toMap ++
+      Similarity.solePqFit.map(f => "ann_pq" -> pqSql(f)).toMap
 }

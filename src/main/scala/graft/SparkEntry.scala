@@ -442,7 +442,20 @@ object SparkEntry {
   private val stopwords = Seq("the", "a", "of", "and")
   private val stopwordsSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
-  def oracleSql: Map[String, String] = Map(
+  /** Driver contract: parameterless oracle map. The ANN entries come from
+    * the unambiguous-pin fallback ([[AnnOracles.pinned]]); graft.Verify
+    * dumps [[oracleSqlFor]] instead, which selects the pins for exactly
+    * the dataset it verified.
+    */
+  def oracleSql: Map[String, String] = oracleSqlStatic ++ AnnOracles.pinned
+
+  /** Oracle map with the ANN pins resolved for the given data directory —
+    * immune to other ANN fits having run in the same JVM.
+    */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSqlStatic ++ AnnOracles.pinnedFor(spark, sfDir)
+
+  private def oracleSqlStatic: Map[String, String] = Map(
     "hourly_agg" ->
       s"""$aggCte
          |SELECT * FROM hourly_aggregations
@@ -1347,13 +1360,7 @@ object SparkEntry {
     "token_topk_cms" -> SketchOracles.cmsSql(),
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql()
-  ) ++
-    // Golden-pinned ANN oracles (graft.AnnOracles): present once ann_ivf /
-    // ann_pq have run in this JVM — Verify runs every query before dumping
-    // oracle_sql.json, so the driver flow always sees them; the fitted
-    // centroids/codebooks ride into the SQL as exact literals and DuckDB
-    // re-derives assignment, probing, ADC scoring and ranking bit-exactly.
-    AnnOracles.pinned
+  )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
     * near-dup pairs -> bidirectional edges -> reach(v, r) transitive

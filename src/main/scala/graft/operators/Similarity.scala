@@ -84,18 +84,61 @@ object Similarity {
       df.queryExecution.logical.canonicalized.toString)
   }
 
-  /** Last fitted IVF / PQ models (centroids or codebooks + the call's
+  /** Fitted IVF / PQ models (centroids or codebooks + the call's
     * parameters) — read by the oracle-SQL generator after a Verify run to
     * pin the seeded fit as literals in machine-generated DuckDB SQL
     * (the golden-centroid pin; see graft.AnnOracles).
+    *
+    * The registry is keyed by (dataset plan key, every fit parameter), NOT
+    * last-write-wins: a multi-dataset or concurrent run records one entry
+    * per distinct (input, params), and the oracle dump selects the entry
+    * for the dataset it verified ([[ivfFitFor]]/[[pqFitFor]]) — a stale
+    * pin from some other ANN call can never masquerade as the verified
+    * run's model. In-memory (LocalRelation) inputs key by schema only
+    * (their data is invisible to plan canonicalization — same caveat as
+    * [[fitCacheKey]]), which is fine for pinning: the Verify flow only
+    * ever pins file-backed tables.
     */
   final case class IvfFit(
       centers: Array[Array[Double]], numQueries: Int, k: Int, nlist: Int, nprobe: Int)
   final case class PqFit(
       books: Array[Array[Array[Double]]], numQueries: Int, k: Int,
       m: Int, ksub: Int, rerank: Int)
-  @volatile private[graft] var lastIvfFit: Option[IvfFit] = None
-  @volatile private[graft] var lastPqFit: Option[PqFit] = None
+
+  private val ivfFits =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfFit]()
+  private val pqFits =
+    new java.util.concurrent.ConcurrentHashMap[String, PqFit]()
+
+  private def pinKey(embeddings: DataFrame, params: String): String =
+    fitCacheKey(embeddings)
+      .getOrElse("<local:" + embeddings.schema.simpleString + ">") + "|" + params
+
+  /** The fit recorded for exactly this (dataset, params) call, if it ran. */
+  private[graft] def ivfFitFor(
+      embeddings: DataFrame,
+      numQueries: Int = 8, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): Option[IvfFit] =
+    Option(ivfFits.get(
+      pinKey(embeddings, s"ivf:$numQueries:$k:$nlist:$nprobe:$seed")))
+
+  private[graft] def pqFitFor(
+      embeddings: DataFrame,
+      numQueries: Int = 8, k: Int = 5, m: Int = 16, ksub: Int = 16,
+      rerank: Int = 4, seed: Long = 42L): Option[PqFit] =
+    Option(pqFits.get(
+      pinKey(embeddings, s"pq:$numQueries:$k:$m:$ksub:$rerank:$seed")))
+
+  /** Unambiguous fallback for context-free callers: the fit, but only when
+    * exactly ONE has been recorded in this JVM. With several live fits the
+    * right one is unknowable without the dataset — returning None (→ the
+    * driver's documented rows-only fallback) beats pinning the wrong model
+    * and surfacing as a spurious oracle mismatch.
+    */
+  private[graft] def soleIvfFit: Option[IvfFit] =
+    if (ivfFits.size == 1) Some(ivfFits.values.iterator.next()) else None
+  private[graft] def solePqFit: Option[PqFit] =
+    if (pqFits.size == 1) Some(pqFits.values.iterator.next()) else None
 
   /** Fit the IVF coarse quantizer: seeded k-means++ init + Lloyd iterations
     * over a bounded sample collected to the driver.
@@ -336,7 +379,10 @@ object Similarity {
           (planKey, nlist, seed), fitCoarseQuantizer(embDouble, nlist, seed))
       }
     }
-    lastIvfFit = Some(IvfFit(centers, numQueries, k, nlist, nprobe))
+    if (ivfFits.size > 16) ivfFits.clear() // same wholesale bound as the caches
+    ivfFits.put(
+      pinKey(embeddings, s"ivf:$numQueries:$k:$nlist:$nprobe:$seed"),
+      IvfFit(centers, numQueries, k, nlist, nprobe))
 
     // Corpus-side assignment is [[graft.functions.PqEncode]] with a single
     // subspace spanning the whole vector — nearest-centroid in one native
@@ -456,7 +502,10 @@ object Similarity {
           (planKey, m, ksub, seed), fitPqCodebooks(embDouble, m, ksub, seed))
       }
     }
-    lastPqFit = Some(PqFit(books, numQueries, k, m, ksub, rerank))
+    if (pqFits.size > 16) pqFits.clear() // same wholesale bound as the caches
+    pqFits.put(
+      pinKey(embeddings, s"pq:$numQueries:$k:$m:$ksub:$rerank:$seed"),
+      PqFit(books, numQueries, k, m, ksub, rerank))
     // per-row encode: ONE native-expression pass assigns all m codes
     // ([[graft.functions.PqEncode]] — the compositional m·ksub slice()+dot
     // plan allocated a subarray per centroid per row)

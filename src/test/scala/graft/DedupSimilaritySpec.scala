@@ -162,7 +162,7 @@ class DedupSimilaritySpec extends SparkTestBase {
           / (1L << 53) + (if (i % 8 == 0) shift.toFloat else 0f))
     }.toDF("vec_id", "embedding")
     val a = mkEmb(0.0); val b = mkEmb(5.0)
-    // observe the FIT ITSELF (lastIvfFit/lastPqFit) — exact cosines differ
+    // observe the FIT ITSELF (the keyed fit registry) — exact cosines differ
     // across datasets even through a stale shared fit, so only the model
     // arrays can expose a cache collision — AND the end-to-end results,
     // which guard downstream determinism (tie-breaks in probe ranking and
@@ -173,7 +173,9 @@ class DedupSimilaritySpec extends SparkTestBase {
         .collect().map(_.toString).toSeq
       val pq = Similarity.pqTopK(df, numQueries = 2, k = 3, m = 16, ksub = 4)
         .collect().map(_.toString).toSeq
-      (Similarity.lastIvfFit.get.centers, Similarity.lastPqFit.get.books, ivf ++ pq)
+      (Similarity.ivfFitFor(df, numQueries = 2, k = 3, nlist = 4, nprobe = 1).get.centers,
+        Similarity.pqFitFor(df, numQueries = 2, k = 3, m = 16, ksub = 4).get.books,
+        ivf ++ pq)
     }
     val (cenA, bookA, resA) = runBoth(a)
     val (cenA2, bookA2, resA2) = runBoth(a) // same data -> identical refit AND results
