@@ -37,19 +37,39 @@ object Bench {
       catch { case _: Throwable => }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
-    // Two passes, per-query MIN over SUCCESSFUL passes: this host shows
+    // Three passes, per-query MIN over SUCCESSFUL passes: this host shows
     // multi-second run-to-run noise (one observed run was +40% on every
-    // query); min-of-2 reports the machine's capability, not its worst
+    // query); min-of-3 reports the machine's capability, not its worst
     // co-tenant moment. A failed pass contributes NO time (a crash's
     // time-to-failure must never be selected as a fast run); a query that
     // failed in every pass reports -1 so the breakage is visible.
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    }
     def onePass(): Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
-      }
-    val passes = Seq(onePass(), onePass())
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> runOne(fn) }
+
+    // Noise floor: three fixed sentinel queries (scan-bound, shuffle-bound,
+    // sketch-bound) timed once right after warmup and once after the last
+    // pass. `drift` = max over sentinels of slower/faster — a mechanical
+    // separator for "the VM changed under us" vs "a plan regressed": real
+    // regressions move specific queries while the sentinels hold; co-tenant
+    // noise moves the sentinels too. Sentinel runs are warm by design (the
+    // cold-start cost is the warmup's job, not the noise floor's).
+    val sentinelNames = Seq("tpch_q1_pricing", "hourly_agg", "minhash_lsh_pairs")
+    def sentinels(): Seq[(String, Double)] =
+      sentinelNames.map(n => n -> runOne(SparkEntry.queries(n)).getOrElse(-1.0))
+    val pre = sentinels()
+    val passes = Seq(onePass(), onePass(), onePass())
+    val post = sentinels()
+    val drift = pre.zip(post).collect {
+      case ((_, a), (_, b)) if a > 0 && b > 0 => math.max(a, b) / math.min(a, b)
+    }.foldLeft(1.0)(math.max)
+    def sentJson(s: Seq[(String, Double)]) =
+      s.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
     val results = passes.head.map { case (name, _) =>
       val times = passes.flatMap(_.toMap.apply(name))
       name -> (if (times.nonEmpty) times.min else -1.0)
@@ -61,7 +81,7 @@ object Bench {
     // to the total, which would otherwise read as a speedup in trend
     // tracking; failed > 0 marks the total as not comparable
     val failed = results.count { case (_, v) => v < 0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","passes":2,"agg":"min"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir","passes":3,"agg":"min","noise_floor":{"pre":${sentJson(pre)},"post":${sentJson(post)},"drift":$drift}}""")
     spark.stop()
   }
 }

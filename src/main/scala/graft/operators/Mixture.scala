@@ -36,7 +36,10 @@ object Mixture {
       .cast("double") / lit(9007199254740992.0) // 2^53
 
   /** Per-source target rate as a CASE chain (first match wins; unknown
-    * sources fall back to `defaultRate`).
+    * sources fall back to `defaultRate`). The chain is evaluated per ROW at
+    * scan time, so its cost is O(|rates|) per document — the right shape up
+    * to a few hundred sources; beyond that [[sampleBySource]] switches to a
+    * broadcast rate dimension.
     */
   def rateFor(source: Column, rates: Map[String, Double], defaultRate: Double): Column =
     coalesce(
@@ -44,13 +47,45 @@ object Mixture {
         when(source === lit(s), lit(r))
       } :+ lit(defaultRate)): _*)
 
-  /** The sampled corpus: documents passing their source's gate. */
+  /** CASE-chain size above which the gate joins a broadcast rate dimension
+    * instead: a broadcast hash join probes O(1) per row regardless of
+    * |rates|, where the chain is O(|rates|) scan-time work per document.
+    */
+  val BroadcastRateThreshold = 64
+
+  /** The sampled corpus: documents passing their source's gate. Identical
+    * keep-decisions on both paths (the gate value never changes — only how
+    * the per-source rate is looked up), so callers and oracles are
+    * dispatch-agnostic.
+    */
   def sampleBySource(
       documents: DataFrame,
       rates: Map[String, Double],
       defaultRate: Double = 1.0): DataFrame =
-    documents.filter(
-      textUniform(col("text")) < rateFor(col("source"), rates, defaultRate))
+    if (rates.size > BroadcastRateThreshold)
+      sampleBySourceBroadcast(documents, rates, defaultRate)
+    else
+      documents.filter(
+        textUniform(col("text")) < rateFor(col("source"), rates, defaultRate))
+
+  /** High-cardinality path: the rate map becomes a broadcast dimension and
+    * the gate compares against the hash-join probe result — one O(1) lookup
+    * per document instead of an O(|rates|) CASE chain in the scan. Row
+    * multiplicity is preserved (source is the dimension's unique key;
+    * unmatched sources null out and take `defaultRate`).
+    */
+  def sampleBySourceBroadcast(
+      documents: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dim = rates.toSeq.sortBy(_._1).toDF("__mix_source", "__mix_rate")
+    documents
+      .join(broadcast(dim), col("source") === col("__mix_source"), "left")
+      .filter(textUniform(col("text")) < coalesce(col("__mix_rate"), lit(defaultRate)))
+      .drop("__mix_source", "__mix_rate")
+  }
 
   /** Mixture audit: per-source doc/token mass before and after the gate,
     * realized vs target rate — the table a pipeline reviews before

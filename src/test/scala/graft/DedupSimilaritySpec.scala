@@ -222,6 +222,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("mixture sampling: broadcast-rate path agrees with the CASE chain") {
+    import graft.operators.Mixture
+    val docs = Tables.documents(spark, sf)
+    // 200 sources: far past BroadcastRateThreshold, includes every source
+    // in the data plus phantom keys the dimension carries but no doc matches
+    val manyRates = (0 until 200).map(i => s"src$i" -> (0.1 + 0.004 * i)).toMap
+    val viaChain = docs
+      .filter(Mixture.textUniform(col("text")) <
+        Mixture.rateFor(col("source"), manyRates, 0.5))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaJoin = Mixture.sampleBySourceBroadcast(docs, manyRates, 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaChain == viaJoin, "broadcast path changed the kept set")
+    // the dispatcher routes high-cardinality maps to the broadcast join and
+    // preserves the input schema exactly
+    val dispatched = Mixture.sampleBySource(docs, manyRates, 0.5)
+    assert(dispatched.columns.toSeq == docs.columns.toSeq)
+    assert(dispatched.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "high-cardinality rate map must probe a broadcast dimension")
+    // unknown-source fallback: a doc whose source is absent from the map
+    // gates on defaultRate on both paths
+    val noRates = Mixture.sampleBySourceBroadcast(docs, Map("nope" -> 0.0), 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val noRatesChain = Mixture.sampleBySource(docs, Map("nope" -> 0.0), 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(noRates == noRatesChain)
+  }
+
   test("adaptiveParts scales task count with the edge list") {
     assert(Dedup.adaptiveParts(0L) == 4)           // tiny graph: floor
     assert(Dedup.adaptiveParts(120000L) == 4)      // sf0.1-sized: floor

@@ -126,6 +126,25 @@ class SourcesObsSpec extends SparkTestBase {
       assert(df.select("id").distinct().count() == 97)
       // parallelism: the scan is genuinely range-partitioned
       assert(df.rdd.getNumPartitions == 4)
+      // pushdown: predicates and the projection must reach the JDBC source
+      // (the reference delegates ALL filtering to Postgres,
+      // api/src/infrastructure/database.py:95-97 — a scan that ships every
+      // row to Spark and filters there re-reads the whole served table).
+      val filtered = Sources.jdbcTable(spark, url, "agg",
+          partitionColumn = "id", lower = 0L, upper = 97L, numPartitions = 4)
+        .filter(col("event_type") === "t1" && col("event_count") > 100L)
+        .select("id", "event_count")
+      val scan = filtered.queryExecution.executedPlan.toString.toLowerCase
+      assert(scan.contains("pushedfilters"), scan)
+      assert(scan.contains("equalto(event_type,t1)"), scan)
+      assert(scan.contains("greaterthan(event_count,100)"), scan)
+      // handled-by-source marker: '*' = the source evaluates it, no
+      // residual Spark-side re-filter
+      assert(scan.contains("*equalto(event_type,t1)"), scan)
+      val expected = (0 until 97).filter(i => i % 5 == 1 && i * 7L > 100L)
+      assert(filtered.count() == expected.size)
+      assert(filtered.agg(sum(col("event_count"))).head.getLong(0) ==
+        expected.map(_ * 7L).sum)
     } finally {
       try conn.close() finally {
         // in-memory Derby drops the db on this special shutdown URL
