@@ -134,13 +134,21 @@ class SourcesObsSpec extends SparkTestBase {
           partitionColumn = "id", lower = 0L, upper = 97L, numPartitions = 4)
         .filter(col("event_type") === "t1" && col("event_count") > 100L)
         .select("id", "event_count")
-      val scan = filtered.queryExecution.executedPlan.toString.toLowerCase
-      assert(scan.contains("pushedfilters"), scan)
-      assert(scan.contains("equalto(event_type,t1)"), scan)
-      assert(scan.contains("greaterthan(event_count,100)"), scan)
+      // Assert against the scan node's metadata map, NOT the rendered plan
+      // string: toString abbreviates each metadata value at
+      // spark.sql.maxMetadataStringLength (default 100 chars), which
+      // truncates the second pushed filter mid-name.
+      val scanMeta = filtered.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s.metadata
+      }
+      assert(scanMeta.nonEmpty, filtered.queryExecution.executedPlan.toString)
+      val pushed = scanMeta.head.getOrElse("PushedFilters", "").toLowerCase
+      assert(pushed.contains("equalto(event_type,t1)"), pushed)
+      assert(pushed.contains("greaterthan(event_count,100)"), pushed)
       // handled-by-source marker: '*' = the source evaluates it, no
       // residual Spark-side re-filter
-      assert(scan.contains("*equalto(event_type,t1)"), scan)
+      assert(pushed.contains("*equalto(event_type,t1)"), pushed)
+      assert(pushed.contains("*greaterthan(event_count,100)"), pushed)
       val expected = (0 until 97).filter(i => i % 5 == 1 && i * 7L > 100L)
       assert(filtered.count() == expected.size)
       assert(filtered.agg(sum(col("event_count"))).head.getLong(0) ==
