@@ -61,6 +61,12 @@ object Bench {
     val sentinelNames = Seq("tpch_q1_pricing", "hourly_agg", "minhash_lsh_pairs")
     def sentinels(): Seq[(String, Double)] =
       sentinelNames.map(n => n -> runOne(SparkEntry.queries(n)).getOrElse(-1.0))
+    // The generic warmup above scans tables but does not plan these queries,
+    // so a single `pre` run would time first-plan compilation (observed 3.8x
+    // vs warm) and drown the co-tenant signal drift exists to isolate. Run
+    // the sentinels twice and keep the second, warm, time: both endpoints of
+    // the drift ratio are then steady-state measurements.
+    sentinels()
     val pre = sentinels()
     val passes = Seq(onePass(), onePass(), onePass())
     val post = sentinels()

@@ -334,6 +334,11 @@ object SparkEntry {
       graft.multimodal.Multimodal.thumbnails(s, Tables.documents(s, dir))),
     "multimodal_frame_sample" -> ((s, dir) =>
       graft.multimodal.Multimodal.frameSample(s, Tables.documents(s, dir))),
+    // REAL-codec slice: encode deterministic pixels to actual BMP bytes and
+    // decode them back through javax.imageio on the executors; the oracle
+    // recomputes geometry + full-pixel checksum arithmetically.
+    "multimodal_bmp_roundtrip" -> ((s, dir) =>
+      graft.multimodal.Multimodal.bmpRoundTrip(s, Tables.documents(s, dir))),
 
     // ---- widened relational surface ----
     // Semi-structured extraction from the props JSON column.
@@ -1340,6 +1345,21 @@ object SparkEntry {
         |  CAST(n_bytes // 32 AS BIGINT) AS total_frames,
         |  CAST((n_bytes // 32 + 3) // 4 AS BIGINT) AS sampled_frames
         |FROM m ORDER BY doc_id""".stripMargin),
+
+    // Real-codec round-trip: the engine encodes pixel (x,y) of doc d as
+    // grayscale (d + 31x + 17y) % 256 into an actual BMP and decodes it
+    // with javax.imageio; the oracle rebuilds the same grid with a bounded
+    // cross join (width <= 20, height <= 18) and sums the three identical
+    // channels. Any codec deviation (dims, BGR order, 4-byte row padding)
+    // breaks the hash match.
+    "multimodal_bmp_roundtrip" ->
+      """SELECT d.doc_id,
+        |  CAST(8 + d.doc_id % 13 AS INTEGER) AS width,
+        |  CAST(8 + d.doc_id % 11 AS INTEGER) AS height,
+        |  CAST(3 * sum((d.doc_id + 31 * tx.x + 17 * ty.y) % 256) AS BIGINT) AS pixel_sum
+        |FROM documents d, range(21) tx(x), range(19) ty(y)
+        |WHERE tx.x < 8 + d.doc_id % 13 AND ty.y < 8 + d.doc_id % 11
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "multimodal_format_stats" -> (multimodalMetaCte +
       """, meta AS (

@@ -95,6 +95,74 @@ object Multimodal {
         col("thumb_w").cast("long") * col("thumb_h") * lit(3L))
       .orderBy(col("doc_id"))
 
+  val bmpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false)))
+
+  /** Deterministic grayscale value for pixel (x, y) of doc `docId` — the
+    * shared contract between the encoder below and the SQL oracle (which
+    * recomputes the same modular arithmetic over a generate-series grid).
+    */
+  def bmpPixel(docId: Long, x: Int, y: Int): Int =
+    ((docId + 31L * x + 17L * y) % 256L).toInt
+
+  /** Synthesize a real BMP image for a doc: dims derived from the id,
+    * pixels from [[bmpPixel]], encoded by the JDK's actual BMP writer.
+    */
+  def encodeBmp(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 13).toInt
+    val h = 8 + (docId % 11).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = bmpPixel(docId, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // memory-only streams on executors
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** REAL-codec slice beside the FNV stub: encode each doc to actual BMP
+    * bytes, decode them back through `javax.imageio` (a genuine pure-JVM
+    * container parse — header, row padding, bottom-up row order), and
+    * report the decoded geometry plus a full-pixel checksum. Same
+    * partition-batched, shuffle-free shape as [[decodeMeta]]; the oracle
+    * reproduces width/height/pixel_sum arithmetically, so a codec that
+    * mangled dims, channel order or padding would hash-mismatch.
+    */
+  def bmpRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(bmpSchema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = encodeBmp(id)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, img.getWidth, img.getHeight, sum)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: treat the payload as
     * a sequence of fixed-size frames, keep every `stride`-th frame. Emits
     * per-doc frame counts — the bookkeeping a `mapInPandas` frame-sampler

@@ -17,10 +17,17 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   */
 class PlanAuditSpec extends SparkTestBase {
 
-  /** Execute (so AQE finalizes), then return the final physical plan. */
+  /** Execute (so AQE finalizes), then return the final physical plan.
+    * Must run THIS DataFrame's own QueryExecution: `df.count()` would build
+    * and execute a derived aggregate plan, leaving df's own
+    * AdaptiveSparkPlanExec un-executed and its `executedPlan` stuck at the
+    * initial (pre-runtime-replanning) plan — runtime effects like the AQE
+    * skew split would be invisible.
+    */
   private def finalPlan(df: DataFrame): SparkPlan = {
-    df.count()
-    df.queryExecution.executedPlan match {
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    qe.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
@@ -122,6 +129,68 @@ class PlanAuditSpec extends SparkTestBase {
     val plan = executed(operators.HourlyAggregation(Tables.events(spark, sf)))
     // two-phase hash aggregate: partial_ functions before the exchange
     assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
+  }
+
+  test("AQE splits a skewed sort-merge join; salting and AQE agree on results") {
+    // SCALING.md's join-skew story has two layers: Skew.saltedJoin (manual,
+    // works on any join) and AQE's runtime skew split (automatic, for
+    // shuffled joins). This asserts the second actually fires: a 95%-hot
+    // key through a sort-merge join, with the skew thresholds scaled down
+    // to test-data sizes, must come back with isSkewJoin=true in the FINAL
+    // adaptive plan — and both mitigations must agree with the plain join.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // detection: size > max(threshold, factor * median); test partitions
+      // are KB-scale, so scale both knobs down from their MB-scale defaults
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+
+      // ~190k rows on one key, the rest unique: one reduce partition gets
+      // ~95% of the left side
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 64).select(col("id").as("k"), (col("id") * 10).as("w"))
+
+      val joined = left.join(right, "k")
+      val agg = joined.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val plan = finalPlan(joined)
+      def allSmj(p: SparkPlan): Seq[org.apache.spark.sql.execution.joins.SortMergeJoinExec] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => allSmj(a.executedPlan)
+          case s: QueryStageExec => allSmj(s.plan)
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq(j)
+        }.flatten
+      val smjs = allSmj(plan)
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$plan")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the join skewed:\n$plan")
+
+      // all three strategies agree: plain SMJ (AQE-split), salted join
+      val aqe = agg.orderBy("k").collect()
+      val salted = graft.operators.Skew.saltedJoin(left, right, Seq("k"), salts = 8)
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .orderBy("k").collect()
+      assert(aqe.sameElements(salted),
+        s"salted join disagrees with AQE skew join")
+      // sanity: the hot key kept every one of its rows through the split
+      assert(aqe.find(_.getLong(0) == 7L).get.getLong(1) == 190000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("relational HLL is one scan, an aggregation cascade, and no join") {

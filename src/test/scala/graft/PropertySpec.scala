@@ -115,6 +115,24 @@ class PropertySpec extends SparkTestBase {
       abs(col("d.value_sum") - col("s.value_sum")) > 1e-6).count() == 0)
   }
 
+  test("BMP real-codec round-trip: decoded pixels equal the encoding contract") {
+    // every byte travels through the JDK's actual BMP container format —
+    // a padding/channel-order/row-direction bug in either direction would
+    // surface as a pixel mismatch
+    import graft.multimodal.Multimodal
+    for (id <- Seq(0L, 1L, 12L, 143L, 99991L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeBmp(id)))
+      assert(img.getWidth == 8 + (id % 13).toInt)
+      assert(img.getHeight == 8 + (id % 11).toInt)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val g = Multimodal.bmpPixel(id, x, y)
+        assert(img.getRGB(x, y) == (0xff << 24 | g << 16 | g << 8 | g),
+          s"doc $id pixel ($x,$y)")
+      }
+    }
+  }
+
   test("generator determinism: same seed same frame, different seed different") {
     val a = EventGen.batch(spark, 1000, seed = 1L)
     val b = EventGen.batch(spark, 1000, seed = 1L)

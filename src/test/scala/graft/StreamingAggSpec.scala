@@ -206,6 +206,68 @@ class StreamingAggSpec extends SparkTestBase {
     assert(agg.finish(m) == 200L)
   }
 
+  test("cross-JVM restart: a NEW process resumes from the checkpoint exactly-once") {
+    // The reference's actual crash contract (S4 x O14,
+    // aggregation_service.py:157-158) is resume-from-checkpoint in a NEW
+    // process. In-session replay specs share the JVM's state store
+    // providers and static caches with the "crashed" query; this one forks
+    // two real `java` processes (RestartHarness): #1 aggregates the even
+    // half of the events table and HALTS without any shutdown, #2 starts
+    // from nothing but the on-disk checkpoint + sink, and must both keep
+    // #1's windows (state restore) and not recount #1's files (offset
+    // restore) for the final sink to equal the batch aggregation.
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toFile
+    val srcDir = new java.io.File(root, "src").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val target = new java.io.File(root, "agg").getAbsolutePath
+
+    def runChild(): Unit = {
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+      // reuse this (forked) test JVM's own --add-opens flags rather than
+      // duplicating build.sbt's list
+      import scala.jdk.CollectionConverters._
+      val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .sliding(2).collect { case Seq("--add-opens", v) => Seq("--add-opens", v) }
+        .flatten.toSeq
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.RestartHarness", srcDir, ckpt, target)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(root, "child.log"))
+      val p = pb.start()
+      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        { p.destroyForcibly(); "restart child timed out" })
+      assert(p.exitValue() == 0,
+        s"child failed; log tail: ${scala.io.Source.fromFile(new java.io.File(root, "child.log")).getLines().toSeq.takeRight(15).mkString("\n")}")
+    }
+
+    val ev = Tables.events(spark, sf).cache()
+    ev.filter(col("event_id") % 2 === 0).write.parquet(srcDir)
+    runChild() // JVM #1: processes the even half, halts mid-flight
+    val afterCrash = spark.read.parquet(target)
+    val maxBatchBeforeRestart = afterCrash.agg(max("created_at")).as[Long].head
+    assert(afterCrash.count() > 0, "phase 1 must have flushed something")
+
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(srcDir)
+    runChild() // JVM #2: fresh process, resumes from the same checkpoint
+
+    val streamed = spark.read.parquet(target)
+    // batch ids continued past the crash point: the checkpoint, not a fresh
+    // query, drove the second incarnation
+    assert(streamed.agg(max("created_at")).as[Long].head > maxBatchBeforeRestart)
+    val got = streamed.drop("created_at")
+      .orderBy("window_start", "event_type").collect()
+    val expected = HourlyAggregation(ev)
+      .orderBy("window_start", "event_type").collect()
+    assert(got.length == expected.length, s"${got.length} != ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    ev.unpersist()
+  }
+
   test("foreachBatch upsert is idempotent under replay (at-least-once x LWW)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
     val target = new java.io.File(dir, "agg").getAbsolutePath
