@@ -206,6 +206,47 @@ class StreamingAggSpec extends SparkTestBase {
     assert(agg.finish(m) == 200L)
   }
 
+  test("RocksDB state store backend: same aggregates as the default provider") {
+    // The 100 TB streaming-state path: HDFSBackedStateStore holds every
+    // (window, type) entry on the JVM heap; RocksDB keeps state off-heap
+    // and spills to local disk, which is what makes billions of keys per
+    // executor viable. Run the SAME windowed aggregation (including the
+    // ExactDistinctLong UDAF whose buffer must round-trip RocksDB's
+    // serialization) on both providers and require identical output.
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev(1, "2024-01-01 10:05:00", 1, "click", 2.0),
+      ev(2, "2024-01-01 10:15:00", 2, "click", 3.5),
+      ev(3, "2024-01-01 10:55:00", 1, "view", 1.25),
+      ev(4, "2024-01-01 11:05:00", 3, "click", 4.0),
+      ev(5, "2024-01-01 11:20:00", 1, "click", 0.75))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    def run(tag: String): Array[org.apache.spark.sql.Row] = {
+      val mem = MemoryStream[Ev]
+      mem.addData(events: _*)
+      val q = StreamingAgg.hourlyAggStream(spark, mem.toDF())
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(s"rocksdb_parity_$tag").start()
+      try {
+        q.processAllAvailable()
+        spark.table(s"rocksdb_parity_$tag")
+          .orderBy("window_start", "event_type").collect()
+      } finally q.stop()
+    }
+    try {
+      val default = run("default")
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = run("rocks")
+      assert(rocks.length == default.length && rocks.length > 0)
+      rocks.zip(default).foreach { case (r, d) => assert(r == d, s"$r != $d") }
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("cross-JVM restart: a NEW process resumes from the checkpoint exactly-once") {
     // The reference's actual crash contract (S4 x O14,
     // aggregation_service.py:157-158) is resume-from-checkpoint in a NEW
