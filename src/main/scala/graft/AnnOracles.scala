@@ -159,6 +159,100 @@ FROM rer QUALIFY rnk <= ${f.k}
 ORDER BY query_id, rnk"""
   }
 
+  /** ann_ivfpq: the composed index — pinned coarse centroids AND pinned PQ
+    * codebooks; DuckDB re-derives cell assignment, query probing, PQ
+    * encoding, reconstructed norms, ADC scoring RESTRICTED to probed
+    * cells, the k*rerank shortlist and the exact re-rank.
+    * Matches Similarity.ivfPqTopK(embeddings, numQueries, k, nlist,
+    * nprobe, m, ksub, rerank). Same arithmetic contracts as ivfSql+pqSql.
+    */
+  def ivfPqSql(f: Similarity.IvfPqFit): String = {
+    val dsub = f.books(0)(0).length
+    require(dsub == 4, s"ivfPqSql emits 4-term subspace dots; got dsub=$dsub")
+    val dim = f.m * dsub
+    require(f.centers.head.length == dim,
+      s"coarse centroids dim ${f.centers.head.length} != PQ dim $dim")
+    val cbRows = f.centers.zipWithIndex.map { case (c, i) =>
+      s"    ($i, ${listLit(c)}, ${dlit(halfNorm2(c))})"
+    }.mkString(",\n")
+    val pbRows = (for (j <- 0 until f.m; c <- 0 until f.ksub) yield {
+      val b = f.books(j)(c)
+      s"    ($j, $c, ${b.map(dlit).mkString(", ")}, ${dlit(halfNorm2(b))}, ${dlit(norm2(b))})"
+    }).mkString(",\n")
+    s"""WITH cb(cell, wl, hn) AS (VALUES
+$cbRows),
+pb(j, c, b1, b2, b3, b4, phn, n2) AS (VALUES
+$pbRows),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = $dim),
+cscores AS (
+  SELECT vec_id, cell,
+    list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * wl[i]),
+                (a, b) -> a + b) - hn AS score
+  FROM e, cb),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM cscores) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM cscores WHERE vec_id < ${f.numQueries}) WHERE rn <= ${f.nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id),
+sub AS (
+  SELECT vec_id, j, c, n2, phn,
+    emb[4*j+1] * b1 + emb[4*j+2] * b2 + emb[4*j+3] * b3 + emb[4*j+4] * b4 AS ip
+  FROM e, pb),
+codes AS (
+  SELECT vec_id, j, c AS code, n2 FROM (
+    SELECT vec_id, j, c, n2,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY ip - phn DESC, c) AS rn
+    FROM sub) WHERE rn = 1),
+corpus AS (
+  SELECT vec_id, sqrt(list_reduce(list(n2 ORDER BY j), (a, b) -> a + b)) AS nx
+  FROM codes GROUP BY vec_id),
+qlut AS (SELECT vec_id AS query_id, j, c, ip FROM sub WHERE vec_id < ${f.numQueries}),
+nq AS (
+  SELECT vec_id AS query_id,
+    sqrt(list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * emb[i]),
+                     (a, b) -> a + b)) AS nq
+  FROM e WHERE vec_id < ${f.numQueries}),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    list_reduce(list(l.ip ORDER BY l.j), (a, b) -> a + b) AS adcip
+  FROM cand cd
+  JOIN codes p ON p.vec_id = cd.neighbor_id
+  JOIN qlut l ON l.query_id = cd.query_id AND l.j = p.j AND l.c = p.code
+  GROUP BY 1, 2),
+simpq AS (
+  SELECT a.query_id, a.neighbor_id, a.adcip / (nq.nq * cv.nx) AS sim_pq
+  FROM adc a JOIN nq USING (query_id) JOIN corpus cv ON a.neighbor_id = cv.vec_id),
+shortlist AS (
+  SELECT query_id, neighbor_id, sim_pq FROM (
+    SELECT query_id, neighbor_id, sim_pq,
+      row_number() OVER (PARTITION BY query_id
+           ORDER BY sim_pq DESC, neighbor_id) AS prn
+    FROM simpq) WHERE prn <= ${f.k * f.rerank}),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.sim_pq,
+    list_cosine_similarity(qe.emb, ne.emb) AS sim
+  FROM shortlist s
+  JOIN e qe ON s.query_id = qe.vec_id
+  JOIN e ne ON s.neighbor_id = ne.vec_id)
+SELECT query_id, neighbor_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id) AS INT) AS rnk,
+  sim_pq, sim
+FROM rer QUALIFY rnk <= ${f.k}
+ORDER BY query_id, rnk"""
+  }
+
   /** Oracle entries for THE dataset a Verify run exercised: looks up the
     * keyed fit registry under (that table's plan key, the SparkEntry
     * default parameters), so the emitted SQL always carries the verified
@@ -170,7 +264,8 @@ ORDER BY query_id, rnk"""
   def pinnedFor(spark: org.apache.spark.sql.SparkSession, sfDir: String): Map[String, String] = {
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.ivfFitFor(emb).map(f => "ann_ivf" -> ivfSql(f)).toMap ++
-      Similarity.pqFitFor(emb).map(f => "ann_pq" -> pqSql(f)).toMap
+      Similarity.pqFitFor(emb).map(f => "ann_pq" -> pqSql(f)).toMap ++
+      Similarity.ivfPqFitFor(emb).map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap
   }
 
   /** Context-free fallback (the driver contract's parameterless
@@ -182,5 +277,6 @@ ORDER BY query_id, rnk"""
     */
   def pinned: Map[String, String] =
     Similarity.soleIvfFit.map(f => "ann_ivf" -> ivfSql(f)).toMap ++
-      Similarity.solePqFit.map(f => "ann_pq" -> pqSql(f)).toMap
+      Similarity.solePqFit.map(f => "ann_pq" -> pqSql(f)).toMap ++
+      Similarity.soleIvfPqFit.map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap
 }

@@ -298,6 +298,13 @@ object SparkEntry {
     // the pinned codebooks (graft.AnnOracles).
     "ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir))),
+    // The composed production shape (FAISS IVFx,PQy with by_residual=false):
+    // probe nprobe of nlist cells, ADC-score PQ codes within them only,
+    // exact re-rank of the k*rerank shortlist — the nprobe/nlist and 16x
+    // code-size cuts to scan volume MULTIPLY. Full pinned oracle
+    // (graft.AnnOracles.ivfPqSql).
+    "ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(Tables.embeddings(s, dir))),
     // Embedding-cosine near-dup pairs: the exact (verification) primitive,

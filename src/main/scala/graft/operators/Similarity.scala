@@ -104,11 +104,17 @@ object Similarity {
   final case class PqFit(
       books: Array[Array[Array[Double]]], numQueries: Int, k: Int,
       m: Int, ksub: Int, rerank: Int)
+  final case class IvfPqFit(
+      centers: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      numQueries: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, ksub: Int, rerank: Int)
 
   private val ivfFits =
     new java.util.concurrent.ConcurrentHashMap[String, IvfFit]()
   private val pqFits =
     new java.util.concurrent.ConcurrentHashMap[String, PqFit]()
+  private val ivfPqFits =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqFit]()
 
   private def pinKey(embeddings: DataFrame, params: String): String =
     fitCacheKey(embeddings)
@@ -129,6 +135,14 @@ object Similarity {
     Option(pqFits.get(
       pinKey(embeddings, s"pq:$numQueries:$k:$m:$ksub:$rerank:$seed")))
 
+  private[graft] def ivfPqFitFor(
+      embeddings: DataFrame,
+      numQueries: Int = 8, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 16, rerank: Int = 4,
+      seed: Long = 42L): Option[IvfPqFit] =
+    Option(ivfPqFits.get(
+      pinKey(embeddings, s"ivfpq:$numQueries:$k:$nlist:$nprobe:$m:$ksub:$rerank:$seed")))
+
   /** Unambiguous fallback for context-free callers: the fit, but only when
     * exactly ONE has been recorded in this JVM. With several live fits the
     * right one is unknowable without the dataset — returning None (→ the
@@ -139,6 +153,8 @@ object Similarity {
     if (ivfFits.size == 1) Some(ivfFits.values.iterator.next()) else None
   private[graft] def solePqFit: Option[PqFit] =
     if (pqFits.size == 1) Some(pqFits.values.iterator.next()) else None
+  private[graft] def soleIvfPqFit: Option[IvfPqFit] =
+    if (ivfPqFits.size == 1) Some(ivfPqFits.values.iterator.next()) else None
 
   /** Fit the IVF coarse quantizer: seeded k-means++ init + Lloyd iterations
     * over a bounded sample collected to the driver.
@@ -543,6 +559,128 @@ object Similarity {
     val shortlist = scored
       .withColumn("pq_rnk", row_number().over(wPq))
       .filter(col("pq_rnk") <= k * rerank)
+    // exact-cosine re-rank of the shortlist (raw vectors touched only here)
+    val qVecs = embDouble
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val nVecs = embDouble.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val wExact = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    shortlist
+      .join(broadcast(qVecs), "query_id")
+      .join(nVecs, "neighbor_id")
+      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim_pq"), col("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** IVF-PQ composed index — the production at-scale ANN shape (Jégou et
+    * al. TPAMI 2011 §V; what FAISS `IVFx,PQy` with `by_residual=false`
+    * computes): the coarse quantizer restricts each query to `nprobe` of
+    * `nlist` cells, and WITHIN the probed cells scoring runs on
+    * PQ codes via the query-side ADC lookup table, never on raw vectors;
+    * only the final k·rerank shortlist touches full-precision embeddings.
+    *
+    * Why this matters at 100 TB when IVF and PQ individually already work:
+    * IVF alone still drags full vectors through the candidate scan
+    * (bandwidth-bound), PQ alone still scans EVERY corpus code for every
+    * query (compute-bound). Composed, the scan volume is
+    * (nprobe/nlist) x (1/16th-size codes) — both cuts multiply. Raw
+    * vectors are encoded once (cell + m codes + reconstructed norm, all
+    * row-local native expressions, no shuffle); the candidate join ships
+    * only codes for vectors in probed cells; the ADC score is m int
+    * lookups + adds per pair.
+    *
+    * PQ codebooks are trained on raw vectors (not residuals) so the fit
+    * and every downstream stage stay reproducible by the pinned oracle
+    * ([[graft.AnnOracles.ivfPqSql]]) with the same arithmetic contracts as
+    * ann_ivf + ann_pq.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      numQueries: Int = 8,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 16,
+      ksub: Int = 16,
+      rerank: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    // null-element vectors excluded up front — see ivfTopK
+    val embDouble = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
+    // both fits reuse the plan-keyed caches their standalone queries use —
+    // an ivfTopK/pqTopK call on the same dataset and params shares them
+    val centers: Array[Array[Double]] = fitCacheKey(embeddings) match {
+      case None => fitCoarseQuantizer(embDouble, nlist, seed)
+      case Some(planKey) => quantizerCache.synchronized {
+        if (quantizerCache.size > 16) quantizerCache.clear()
+        quantizerCache.getOrElseUpdate(
+          (planKey, nlist, seed), fitCoarseQuantizer(embDouble, nlist, seed))
+      }
+    }
+    val books: Array[Array[Array[Double]]] = fitCacheKey(embeddings) match {
+      case None => fitPqCodebooks(embDouble, m, ksub, seed)
+      case Some(planKey) => pqCache.synchronized {
+        if (pqCache.size > 16) pqCache.clear()
+        pqCache.getOrElseUpdate(
+          (planKey, m, ksub, seed), fitPqCodebooks(embDouble, m, ksub, seed))
+      }
+    }
+    if (ivfPqFits.size > 16) ivfPqFits.clear()
+    ivfPqFits.put(
+      pinKey(embeddings, s"ivfpq:$numQueries:$k:$nlist:$nprobe:$m:$ksub:$rerank:$seed"),
+      IvfPqFit(centers, books, numQueries, k, nlist, nprobe, m, ksub, rerank))
+
+    // corpus encode: cell + m codes + reconstructed norm, one row-local pass
+    val n2Lit = array((for (j <- 0 until m; c <- books(j))
+      yield lit(c.map(x => x * x).sum)).toIndexedSeq: _*)
+    val corpus = embDouble.select(
+      col("vec_id"),
+      element_at(
+        graft.functions.GraftColumns.pqEncode(col("embedding"), Array(centers)), 1)
+        .as("cell"),
+      graft.functions.GraftColumns.pqEncode(col("embedding"), books).as("codes"))
+      .withColumn("nx",
+        sqrt(graft.functions.GraftColumns.codeLookupSum(col("codes"), n2Lit)))
+
+    // query side: nprobe probed cells (same scoring as ivfTopK) x the ADC
+    // inner-product LUT + query norm (same as pqTopK), broadcast together
+    val hnLit = array(
+      centers.map(c => lit(c.map(x => x * x).sum / 2.0)).toIndexedSeq: _*)
+    val queries = embDouble
+      .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        graft.functions.GraftColumns.pqLut(col("embedding"), books).as("ip_lut"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nq"),
+        posexplode(graft.functions.GraftColumns.pqLut(col("embedding"), Array(centers))))
+      .select(col("query_id"), col("ip_lut"), col("nq"), col("pos").as("cell"),
+        (col("col") - element_at(hnLit, col("pos") + 1)).as("score"))
+      .withColumn("probe_rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("cell"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("ip_lut"), col("nq"), col("cell"))
+
+    // ADC scoring restricted to probed cells: the scan ships codes, never
+    // embeddings; each (query, corpus-row) pair costs m lookups + adds
+    val adcIp =
+      graft.functions.GraftColumns.codeLookupSum(col("codes"), col("ip_lut"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (adcIp / (col("nq") * col("nx"))).as("sim_pq"))
+    val wPq = Window.partitionBy(col("query_id")).orderBy(desc("sim_pq"), asc("neighbor_id"))
+    val shortlist = scored
+      .withColumn("pq_rnk", row_number().over(wPq))
+      .filter(col("pq_rnk") <= k * rerank)
+
     // exact-cosine re-rank of the shortlist (raw vectors touched only here)
     val qVecs = embDouble
       .filter(col("vec_id") < numQueries)

@@ -122,6 +122,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5)
   }
 
+  test("IVF-PQ composed ANN: candidates within probed cells; recall beats cell coverage") {
+    val bf = Similarity.bruteForceTopK(emb, numQueries = 4, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, numQueries = 4, k = 5).collect()
+    assert(ivfpq.nonEmpty)
+    // the ADC estimate survives the composition unchanged (same books, same
+    // lookup arithmetic as pqTopK) — same distortion bound
+    ivfpq.foreach { r =>
+      val est = r.getDouble(3); val exact = r.getDouble(4)
+      assert(math.abs(est - exact) <= 0.35, s"ADC err: est=$est exact=$exact")
+    }
+    val pairs = ivfpq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pairs).size.toDouble / bf.size
+    info(s"IVF-PQ ANN recall vs brute force: $recall")
+    // candidate set is capped by IVF's nprobe/nlist = 4/16 cell coverage,
+    // so the composed recall floor is the IVF gate, not the PQ gate
+    assert(recall >= 0.25)
+    // composition sanity: every returned neighbor is also an IVF candidate
+    // (same centers/probes), i.e. PQ only re-ordered within probed cells
+    val ivf = Similarity.ivfTopK(emb, numQueries = 4, k = 60)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(ivf),
+      s"IVF-PQ returned neighbors outside probed cells: ${pairs -- ivf}")
+  }
+
   test("repetition signals flag degenerate text (Gopher-style)") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),

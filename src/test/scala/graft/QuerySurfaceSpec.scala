@@ -30,14 +30,18 @@ class QuerySurfaceSpec extends SparkTestBase {
 
   test("after a full query run, EVERY query has an oracle (Verify dump order)") {
     // As of round 4 no query is rows-only: the pinned ANN oracles
-    // (AnnOracles.pinned) materialize once ann_ivf/ann_pq have run, which
-    // is exactly Verify's dump order (queries first, oracle_sql.json
-    // second). Running the two ANN queries here reproduces that state;
-    // a regression that silently drops ANY oracle (e.g. a pin that never
-    // materializes, or a key typo) fails this set equality.
+    // materialize once the ANN queries have run, which is exactly Verify's
+    // dump order (queries first, oracle_sql.json second). Verify dumps
+    // oracleSqlFor (pins keyed to the verified dataset + the SparkEntry
+    // default parameters), so that is the map whose completeness gates the
+    // driver — the context-free SparkEntry.oracleSql deliberately drops
+    // ANN entries when other suites' differently-parameterized fits
+    // coexist in this JVM (the documented sole-fit fallback), which is a
+    // property of the fallback, not a missing oracle.
     SparkEntry.queries("ann_ivf")(spark, sf).count()
     SparkEntry.queries("ann_pq")(spark, sf).count()
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    SparkEntry.queries("ann_ivfpq")(spark, sf).count()
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSqlFor(spark, sf).keySet
     assert(missing.isEmpty, s"queries without oracles after a run: $missing")
   }
 }
