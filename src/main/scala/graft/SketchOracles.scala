@@ -135,6 +135,31 @@ SELECT source, docs_before, docs_after, tokens_before, tokens_after,
 FROM agg ORDER BY source"""
   }
 
+  /** doc_chunk_assignments: the sequence-packing shard + offset pipeline —
+    * splitmix64 of doc_id (with the caller-side golden pre-add, matching
+    * Mix64.mix), unsigned `% shards` (== engine pmod: shards is a power of
+    * two), per-shard running token offset, integer-division chunk id.
+    * Mirrors graft.operators.Pack.chunkAssignments.
+    */
+  def packSql(capacity: Int = 2048, shards: Int = 32): String = {
+    require(shards > 0 && (shards & (shards - 1)) == 0)
+    s"""WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tokens,
+    ((doc_id::HUGEINT) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents),
+${mixChain("pk", "d", Seq("doc_id", "tokens"), "z0")},
+s AS (SELECT doc_id, tokens, CAST(mx % $shards AS INTEGER) AS shard FROM pk4),
+o AS (SELECT doc_id, shard, tokens,
+  CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT)
+    AS start_offset
+  FROM s)
+SELECT doc_id, shard, CAST(tokens AS BIGINT) AS tokens, start_offset,
+  start_offset // $capacity AS chunk_id,
+  (start_offset % $capacity) + tokens > $capacity AS straddles
+FROM o ORDER BY doc_id"""
+  }
+
   /** hourly_agg_approx: the relational HLL — mix64 of each distinct user,
     * bucket/rho split, per-bucket max registers, exact fixed-point
     * harmonic fold, JVM-shared linear-counting literals. Mirrors

@@ -199,6 +199,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("doc_count"))
         .orderBy(col("source"), col("split"))
     }),
+    // Sequence packing (concat-and-chunk): hash-sharded token streams,
+    // per-shard running offsets, fixed-capacity chunk assignment +
+    // boundary-straddle audit. Full machine-generated oracle
+    // (graft.SketchOracles.packSql — shares the splitmix64 emitter).
+    "doc_chunk_assignments" -> ((s, dir) =>
+      graft.operators.Pack.chunkAssignments(Tables.documents(s, dir))),
     // Count-Min heavy hitters beside exact counts. The sketch uses the
     // public fnv1a64+mix64 hash family and builds its counters
     // relationally, so the WHOLE sketch has a full DuckDB oracle
@@ -1385,6 +1391,7 @@ object SparkEntry {
     // Count-Min and relational-HLL pipelines re-derived in DuckDB HUGEINT
     // arithmetic from the shared public hash family.
     "token_topk_cms" -> SketchOracles.cmsSql(),
+    "doc_chunk_assignments" -> SketchOracles.packSql(),
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql()
   )

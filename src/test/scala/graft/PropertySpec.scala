@@ -115,6 +115,28 @@ class PropertySpec extends SparkTestBase {
       abs(col("d.value_sum") - col("s.value_sum")) > 1e-6).count() == 0)
   }
 
+  test("sequence packing: offsets are gapless per shard and layout-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Pack.chunkAssignments(docs, capacity = 64, shards = 8)
+      .collect()
+    assert(out.nonEmpty)
+    // per shard, ordered by doc_id: offsets are exactly cumulative token
+    // counts (gapless, overlap-free concatenation), chunk/straddle derived
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      var expected = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        val (tokens, off) = (r.getLong(2), r.getLong(3))
+        assert(off == expected, s"gap at doc ${r.getLong(0)}: $off != $expected")
+        assert(r.getLong(4) == off / 64)
+        assert(r.getBoolean(5) == (off % 64 + tokens > 64))
+        expected = off + tokens
+      }
+    }
+    // hash sharding + doc_id window order: physical layout cannot matter
+    val re = graft.operators.Pack.chunkAssignments(docs.repartition(7), capacity = 64, shards = 8)
+    assert(re.exceptAll(graft.operators.Pack.chunkAssignments(docs, 64, 8)).isEmpty)
+  }
+
   test("BMP real-codec round-trip: decoded pixels equal the encoding contract") {
     // every byte travels through the JDK's actual BMP container format —
     // a padding/channel-order/row-direction bug in either direction would

@@ -43,6 +43,11 @@ REQUIRED = {
         "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold
         "11400714819323198485::HUGEINT",            # golden gamma pre-add
     ],
+    "doc_chunk_assignments": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "xor(z1, z1 // 134217728)", "xor(z2, z2 // 2147483648)",
+        "11400714819323198485::HUGEINT",            # golden gamma pre-add
+    ],
     "hourly_agg_approx": [
         mulm("a1x", C1), mulm("a2", C2),
         "11400714819323198485::HUGEINT",
