@@ -135,6 +135,34 @@ SELECT source, docs_before, docs_after, tokens_before, tokens_after,
 FROM agg ORDER BY source"""
   }
 
+  /** stratified_sample: the exact-quota selection — same fnv+mix64 text
+    * uniform as the mixture gate (ordering by the 53-bit integer is the
+    * same order as the engine's dyadic double: the map is monotone),
+    * row_number per source with doc_id tie-break, CASE quota cutoff.
+    * Mirrors graft.operators.Mixture.stratifiedSample; quotas come from
+    * the SAME map (Mixture.DriverQuotas).
+    */
+  def stratifiedSql(
+      quotas: Map[String, Long] = graft.operators.Mixture.DriverQuotas,
+      defaultQuota: Long = graft.operators.Mixture.DriverDefaultQuota): String = {
+    val quotaCase = quotas.toSeq.sortBy(_._1)
+      .map { case (s, q) => s"WHEN source = '${s.replace("'", "''")}' THEN $q" }
+      .mkString("CASE ", " ", s" ELSE $defaultQuota END")
+    s"""WITH d AS (
+  SELECT doc_id, source,
+    ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents WHERE $asciiGuard = 0),
+${mixChain("st", "d", Seq("doc_id", "source"), "z0")},
+u AS (SELECT doc_id, source, CAST(mx // 2048 AS BIGINT) AS pri FROM st4),
+r AS (SELECT doc_id, source,
+  CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS INTEGER)
+    AS pick_rank
+  FROM u)
+SELECT doc_id, source, pick_rank FROM r
+WHERE pick_rank <= ($quotaCase)
+ORDER BY source, pick_rank"""
+  }
+
   /** doc_chunk_assignments: the sequence-packing shard + offset pipeline —
     * splitmix64 of doc_id (with the caller-side golden pre-add, matching
     * Mix64.mix), unsigned `% shards` (== engine pmod: shards is a power of

@@ -199,6 +199,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("doc_count"))
         .orderBy(col("source"), col("split"))
     }),
+    // Exact-quota stratified sample: "exactly N docs per source" by
+    // content-keyed rank — the data-budget counterpart of the mixture
+    // rate gate. Full machine-generated oracle (SketchOracles.stratifiedSql).
+    "stratified_sample" -> ((s, dir) =>
+      graft.operators.Mixture.stratifiedSample(
+        Tables.documents(s, dir), graft.operators.Mixture.DriverQuotas)),
     // Sequence packing (concat-and-chunk): hash-sharded token streams,
     // per-shard running offsets, fixed-capacity chunk assignment +
     // boundary-straddle audit. Full machine-generated oracle
@@ -1392,6 +1398,7 @@ object SparkEntry {
     // arithmetic from the shared public hash family.
     "token_topk_cms" -> SketchOracles.cmsSql(),
     "doc_chunk_assignments" -> SketchOracles.packSql(),
+    "stratified_sample" -> SketchOracles.stratifiedSql(),
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql()
   )

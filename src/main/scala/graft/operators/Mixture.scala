@@ -111,6 +111,50 @@ object Mixture {
       .orderBy(col("source"))
   }
 
+  /** Exact-quota stratified sample — the "exactly N docs per source"
+    * counterpart of the rate gate (a data budget, not a probability):
+    * documents rank within their source by the SAME content-keyed uniform
+    * as the gate (ties broken by doc_id for a total order), and the first
+    * `quota(source)` survive. Inherits the gate's properties: deterministic
+    * under reorder/repartition/growth, identical duplicates rank adjacently,
+    * and quotas are monotone — raising a source's quota only ADDS documents
+    * (ranks never depend on the quota).
+    *
+    * Scale shape: one shuffle on source + a per-group sort for row_number —
+    * a reduce task per stratum. Strata in a mixture config are coarse
+    * (tens..hundreds), so per-stratum volume, not stratum count, is the
+    * axis that grows; for a web-scale stratum, either use the rate gate, or
+    * split the stratum into salted sub-strata whose quotas sum to N (the
+    * priority is uniform, so any hash split of a stratum samples the same
+    * distribution).
+    */
+  def stratifiedSample(
+      documents: DataFrame,
+      quotas: Map[String, Long],
+      defaultQuota: Long = 0L): DataFrame = {
+    val quota = coalesce(
+      (quotas.toSeq.sortBy(_._1).map { case (s, q) =>
+        when(col("source") === lit(s), lit(q))
+      } :+ lit(defaultQuota)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("pick_pri"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), textUniform(col("text")).as("pick_pri"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= quota)
+      .select(col("doc_id"), col("source"), col("pick_rank"))
+      .orderBy(col("source"), col("pick_rank"))
+  }
+
+  /** The driver query's stratified budget: five quota tiers cycled across
+    * the generator's sources; unknown sources contribute nothing. Shared
+    * with the oracle generator.
+    */
+  val DriverQuotas: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (5L + 5L * (i % 5))).toMap
+  val DriverDefaultQuota: Long = 0L
+
   /** The driver query's mixture: five rate tiers cycled across the
     * generator's sources (src0..src19 -> 0.2/0.35/0.5/0.65/0.8); unknown
     * sources keep everything. Shared with the oracle generator.

@@ -131,6 +131,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
   }
 
+  test("IVF-PQ candidate join broadcasts queries and ships codes, not vectors") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = finalPlan(Similarity.ivfPqTopK(Tables.embeddings(spark, sf)))
+    def allBhj(p: org.apache.spark.sql.execution.SparkPlan): Seq[BroadcastHashJoinExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => allBhj(a.executedPlan)
+        case s: QueryStageExec => allBhj(s.plan)
+        case j: BroadcastHashJoinExec => Seq(j)
+      }.flatten
+    val cellJoins = allBhj(plan).filter(_.leftKeys.exists(_.toString.contains("cell")))
+    assert(cellJoins.nonEmpty, s"expected a broadcast join on cell:\n$plan")
+    // the ADC scan side must carry the 16-byte codes, never the raw
+    // 64-float embedding — that reduction IS the operator's scale claim
+    cellJoins.foreach { j =>
+      val streamed = (j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case _ => j.left
+      }).output.map(_.name)
+      assert(streamed.contains("codes"), s"codes missing from scan side: $streamed")
+      assert(!streamed.contains("embedding"),
+        s"raw embeddings on the ADC scan side defeats PQ compression: $streamed")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join; salting and AQE agree on results") {
     // SCALING.md's join-skew story has two layers: Skew.saltedJoin (manual,
     // works on any join) and AQE's runtime skew split (automatic, for

@@ -115,6 +115,29 @@ class PropertySpec extends SparkTestBase {
       abs(col("d.value_sum") - col("s.value_sum")) > 1e-6).count() == 0)
   }
 
+  test("stratified sample: exact quotas, monotone in quota, layout-invariant") {
+    import graft.operators.Mixture
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val groupSizes = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val q5 = Mixture.DriverQuotas.map { case (s, _) => s -> 5L }
+    val out = Mixture.stratifiedSample(docs, Mixture.DriverQuotas).collect()
+    // exactly min(quota, stratum size) survivors per source
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val want = math.min(Mixture.DriverQuotas(src), groupSizes(src))
+      assert(rows.length == want, s"$src: ${rows.length} != $want")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to want.toInt))
+    }
+    // monotone: the 5-quota selection is a subset of every driver quota (>=5)
+    val small = Mixture.stratifiedSample(docs, q5).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val big = out.map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    // content-keyed rank: physical layout cannot matter
+    val re = Mixture.stratifiedSample(docs.repartition(7), Mixture.DriverQuotas)
+    assert(re.exceptAll(Mixture.stratifiedSample(docs, Mixture.DriverQuotas)).isEmpty)
+  }
+
   test("sequence packing: offsets are gapless per shard and layout-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = graft.operators.Pack.chunkAssignments(docs, capacity = 64, shards = 8)
