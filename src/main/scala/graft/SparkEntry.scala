@@ -225,6 +225,17 @@ object SparkEntry {
     // String normalization pipeline (lower/trim/whitespace-collapse/preview).
     "doc_normalize" -> ((s, dir) =>
       TextAnalysis.normalizePreview(Tables.documents(s, dir))),
+    // CCNet-style bigram-LM perplexity quality signal: corpus-trained
+    // add-one-smoothed bigram model, per-doc average NLL.
+    "doc_perplexity" -> ((s, dir) =>
+      TextAnalysis.bigramNll(Tables.documents(s, dir))),
+    // TF-IDF top-3 terms per document (smooth idf, row_number window).
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))),
+    // PII scrub: typed redaction + per-category hit counts over
+    // deterministically planted contact strings (corpus has no real PII).
+    "pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(Tables.documents(s, dir))),
     // Temporal profile: events by hour-of-day x day-of-week.
     "events_time_profile" -> ((s, dir) =>
       Analytics.eventsTimeProfile(Tables.events(s, dir))),
@@ -242,6 +253,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactGroups(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    // Cross-document duplicated-span signal (Lee et al. 2021): per-doc
+    // fraction of distinct 3-grams occurring in >=2 docs. Pair-free.
+    "cross_doc_ngrams" -> ((s, dir) =>
+      Dedup.crossDocNgramOverlap(Tables.documents(s, dir))),
     // Sketch-based near-dup (no ANSI-SQL oracle for the sketch itself;
     // validated in ScalaTest against the exact-jaccard pairs). Every output
     // row carries the EXACT n-gram Jaccard as a self-check column — the
@@ -564,6 +579,87 @@ object SparkEntry {
         |  substring(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), 1, 40) AS preview,
         |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS consonant_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Bigram NLL: parallel unnests zip in DuckDB, so w1/w2 align by
+    // position. All model counts are exact integers; the only doubles are
+    // the final ln()/divide/sum — see TextAnalysis.bigramNll scaladoc for
+    // the rounding-safety argument.
+    "doc_perplexity" ->
+      """WITH bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |                          i -> string_split(text, ' ')[i])) AS w1,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |                          i -> string_split(text, ' ')[i+1])) AS w2
+        |  FROM documents),
+        |docbi AS (SELECT doc_id, w1, w2, count(*) AS c_doc
+        |          FROM bi GROUP BY 1, 2, 3),
+        |corpbi AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM corpbi GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM
+        |          (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents))
+        |SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_bigrams,
+        |       count(*) AS distinct_bigrams,
+        |       round(sum(c_doc * ln((c1 + v) / (c12 + 1))) / sum(c_doc), 4)
+        |         AS avg_nll
+        |FROM docbi JOIN corpbi USING (w1, w2) JOIN ctx USING (w1), vocab
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH tc AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |termc AS (SELECT doc_id, n, term, count(*) AS tf_count
+        |          FROM tc GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM termc GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf_count, df,
+        |         (tf_count / n) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+        |           AS score
+        |  FROM termc JOIN dfreq USING (term), tot),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |           FROM scored)
+        |SELECT doc_id, rank, term, tf_count, df, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Patterns live in the Java-regex ∩ RE2 subset; DuckDB needs the 'g'
+    // flag to replace all occurrences (Spark replaces all by default).
+    "pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 <> 0 THEN ' reach me at user' ||
+        |      CAST(doc_id AS VARCHAR) || '@mail.example' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' backup bob.smith+' ||
+        |      CAST(doc_id AS VARCHAR) || '@corp.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' call +1-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' node 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS aug
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, aug,
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+1-\d{3}-\d{4}', '[PHONE]', 'g'),
+        |      '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g') AS redacted
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS email_hits,
+        |  CAST(len(regexp_extract_all(aug, '\+1-\d{3}-\d{4}')) AS BIGINT)
+        |    AS phone_hits,
+        |  CAST(len(regexp_extract_all(aug, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+        |    AS BIGINT) AS ip_hits,
+        |  md5(redacted) AS redacted_md5,
+        |  right(redacted, 60) AS redacted_tail
+        |FROM red ORDER BY doc_id""".stripMargin,
 
     "events_time_profile" ->
       """SELECT hour(ts) AS hour_of_day,
@@ -979,6 +1075,25 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE common_shingles / (sa.n + sb.n - common_shingles) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Engine joins on xxhash64(shingle) (8-byte shuffle key); the oracle
+    // joins the shingle strings themselves — identical counts unless the
+    // 64-bit hash collides (~1e-9 at sf0.1 shingle volume).
+    "cross_doc_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1] || ' ' ||
+        |         string_split(text, ' ')[i+2]))) AS shingle
+        |  FROM documents),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       count(*) FILTER (WHERE df.df >= 2) AS shared_shingles,
+        |       count(*) FILTER (WHERE df.df >= 2) / count(*) AS shared_fraction
+        |FROM sh JOIN df USING (shingle)
+        |GROUP BY sh.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

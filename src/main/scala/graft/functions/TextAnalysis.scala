@@ -206,6 +206,154 @@ object TextAnalysis {
           .as("consonant_chars"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-trained bigram-LM negative log-likelihood per document — the
+    * CCNet-style (Wenzek et al. 2020) perplexity quality signal: documents
+    * whose token transitions are improbable under the corpus's own bigram
+    * statistics score high (degenerate/outlier text), low NLL means typical
+    * text. Add-one smoothing over the observed vocabulary:
+    * p(w2|w1) = (C(w1,w2) + 1) / (C(w1,·) + V), with C(w1,·) the count of
+    * bigrams starting with w1 and V the corpus vocabulary size, so the
+    * conditional sums to 1 over the vocabulary.
+    *
+    * Distributed shape: per-doc DISTINCT-bigram counts (multiplicity kept as
+    * a count column, so the model join touches each (doc, bigram) once, not
+    * once per occurrence), one equi-join to the corpus bigram counts and one
+    * to the context counts — both map-side-combined aggregates bounded by
+    * vocabulary², not corpus size. V rides a 1-row broadcast. The bigram
+    * pairing is two array slices zipped per row (no per-element re-split,
+    * no self-join on position). NLL is rounded to 4 decimals: the only
+    * cross-engine float hazards are ln() (<=1 ulp) and the ~60-term
+    * sum order, both ~1e-13 relative — far inside the rounding grid.
+    */
+  def bigramNll(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = arrays_zip(
+      slice(toks, lit(1), n - 1).as("w1"),
+      slice(toks, lit(2), n - 1).as("w2"))
+    val bi = documents
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // One explode pass: corpus bigram counts and context counts both fold
+    // from the per-doc counts (sum of counts == count of occurrences), so
+    // the token stream is scanned once, not three times.
+    val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_doc"))
+    val corpusBi = docBi.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c_doc")).as("c12"))
+    val context = corpusBi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = documents
+      .select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
+    docBi
+      .join(corpusBi, Seq("w1", "w2"))
+      .join(context, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_doc")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        sum(col("c_doc") * log((col("c1") + col("v")) / (col("c12") + 1)))
+          .as("nll_sum"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
+        round(col("nll_sum") / col("n_bigrams"), 4).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top terms per document (sklearn-style smooth idf:
+    * ln((N+1)/(df+1)) + 1): the keyword-extraction / relevance-weighting
+    * step of a curation pipeline. Term frequencies and document frequencies
+    * are two map-side-combined aggregates (bounded by |vocab| and
+    * |doc x distinct-term|); N rides a 1-row broadcast; top-k per doc is a
+    * row_number window over the per-doc term list — partitioned by doc_id,
+    * so no global sort and no skew (per-doc term counts are document-sized).
+    * Ties broken by term ascending; distinct (tf, df) pairs give scores
+    * separated far beyond the 1-ulp ln() cross-engine drift.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val termCounts = graft.operators.Layout.widen(documents)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("n"), col("term"))
+      .agg(count(lit(1)).as("tf_count"))
+    val docFreq = termCounts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = termCounts
+      .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("tf_count") / col("n")) *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf_count"),
+        col("df"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** PII redaction: scrub emails / phone numbers / IPv4 addresses with typed
+    * placeholders and count what was removed — the scrubbing pass every
+    * training corpus goes through before release. Pure per-row regex work
+    * (codegen'd string expressions, no shuffle, no UDF) — scans at parquet
+    * speed at any corpus size.
+    *
+    * The harness corpus is synthetic word soup with no PII, so the query
+    * plants deterministic doc_id-derived contact strings first (emails on
+    * docs not divisible by 3, a second email on multiples of 5, phones on
+    * multiples of 4, IPs on multiples of 7) — hit counts vary 0..2 per
+    * category and the redaction path is exercised on every row. Patterns
+    * stay in the Java-regex ∩ RE2 common subset so the DuckDB oracle runs
+    * them verbatim (with the 'g' flag — DuckDB replaces first-match only
+    * by default, Spark replaces all).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-\\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val aug = concat(
+      col("text"),
+      when(id % 3 =!= 0,
+        concat(lit(" reach me at user"), s(id), lit("@mail.example")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" backup bob.smith+"), s(id), lit("@corp.example.com")))
+        .otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit(" call +1-"), lpad(s(id % 1000), 3, "0"), lit("-"),
+          lpad(s(id % 10000), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" node 10."), s(id % 256), lit(".0."), s((id * 7) % 256)))
+        .otherwise(lit("")))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        Ipv4Re, "[IP]")
+    documents
+      .select(col("doc_id"), aug.as("aug"), redacted.as("redacted"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+          .cast("long").as("email_hits"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
+          .cast("long").as("phone_hits"),
+        size(regexp_extract_all(col("aug"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("ip_hits"),
+        md5(col("redacted")).as("redacted_md5"),
+        expr("right(redacted, 60)").as("redacted_tail"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language rollup over document metadata. */
   def langStats(documents: DataFrame): DataFrame =
     documents

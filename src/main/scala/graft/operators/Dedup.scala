@@ -65,8 +65,10 @@ object Dedup {
     // The set size rides along through the explode (it's functionally
     // dependent on doc_id), so no separate sizes aggregate and no
     // post-aggregation joins — three fewer shuffles than the textbook
-    // inverted-index formulation.
-    val sh = shingles(documents, k)
+    // inverted-index formulation. Widened: this is the one dedup query
+    // whose per-row work (shingle + index join) is heavy enough that
+    // parallelizing a narrow scan beats the extra stage (Layout.widen).
+    val sh = shingles(Layout.widen(documents), k)
       .select(
         col("doc_id"), size(col("shingles")).cast("long").as("n"),
         explode(col("shingles")).as("shingle"))
@@ -484,5 +486,36 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Cross-document duplicated n-gram fraction — the document-level signal of
+    * the exact-substring-dedup family (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): for each document, what
+    * fraction of its distinct word k-grams also occurs in at least one OTHER
+    * document. Pair-free: unlike [[ngramJaccardPairs]] this never joins doc
+    * against doc — corpus-wide document frequency per shingle, then one
+    * equi-join back to each document's shingles, so cost is linear in total
+    * shingle volume regardless of how duplicated the corpus is.
+    *
+    * Scale shape: shingles collapse to an 8-byte xxhash64 key before leaving
+    * the scan stage — the document-frequency shuffle and the per-doc join
+    * carry longs, never n-gram strings. The df aggregation is map-side
+    * combined. Per-doc shingle sets are distinct (WordShingles), so
+    * df == number of documents containing the shingle.
+    */
+  def crossDocNgramOverlap(documents: DataFrame, k: Int = 3): DataFrame = {
+    val sh = shingles(documents, k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= 2, lit(1))).as("shared_shingles"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("shared_shingles"),
+        (col("shared_shingles") / col("n_shingles")).as("shared_fraction"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -48,6 +48,28 @@ object Layout {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Widen a narrow scan before CPU-heavy per-row work: a corpus that
+    * arrives as fewer splits than cores serializes everything upstream of
+    * the first shuffle on a handful of tasks. Bounded by the file-count
+    * check, this is a LOCAL/small-corpus fix only — at cluster scale a
+    * parquet corpus yields thousands of splits, the guard is false, and no
+    * extra shuffle is ever added. Column pruning still applies: Catalyst
+    * pushes projections below a round-robin repartition.
+    *
+    * Use SPARINGLY: the extra stage costs a fixed ~0.3-0.5 s of scheduling
+    * and codegen latency at local scale, so it only pays where the
+    * serialized per-partition work exceeds that (measured: the inverted-
+    * index jaccard join and TF-IDF win ~0.5 s; every sub-second text query
+    * LOST ~0.5 s when widened — do not blanket-apply).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // inputFiles (cached file index), NOT df.rdd.getNumPartitions: forcing
+    // the RDD conversion costs a full physical-planning pass per call —
+    // measured slower than the skew it was fixing.
+    if (df.inputFiles.length < target) df.repartition(target) else df
+  }
+
   /** Write events partitioned by event date (directory per day): readers
     * filtering on `event_date` scan only matching directories.
     */
