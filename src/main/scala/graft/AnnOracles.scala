@@ -92,6 +92,47 @@ FROM scored QUALIFY rnk <= ${f.k}
 ORDER BY query_id, rnk"""
   }
 
+  /** semantic_dedup: same pinned-centroid cell assignment as [[ivfSql]],
+    * then the within-cell lower-id pair scan with exact cosine — the whole
+    * SemDeDup verdict (dup_of / n_dups / max_sim per vector) reproduced
+    * from the pinned quantizer. Matches
+    * Similarity.semanticDedup(embeddings, nlist, threshold).
+    */
+  def semSql(f: Similarity.SemFit): String = {
+    val rows = f.centers.zipWithIndex.map { case (c, i) =>
+      s"    ($i, ${listLit(c)}, ${dlit(halfNorm2(c))})"
+    }.mkString(",\n")
+    val dim = f.centers.head.length
+    s"""WITH cb(cell, wl, hn) AS (VALUES
+$rows),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = $dim),
+scores AS (
+  SELECT vec_id, cell,
+    list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * wl[i]),
+                (a, b) -> a + b) - hn AS score
+  FROM e, cb),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scores) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS cand,
+         list_cosine_similarity(ea.emb, eb.emb) AS sim
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  JOIN e ea ON a.vec_id = ea.vec_id
+  JOIN e eb ON b.vec_id = eb.vec_id),
+dups AS (
+  SELECT vec_id, min(cand) AS dup_of, count(*) AS n_dups, max(sim) AS max_sim
+  FROM pairs WHERE sim >= ${dlit(f.threshold)} GROUP BY vec_id)
+SELECT a.vec_id, a.cell, d.dup_of, d.n_dups, d.max_sim
+FROM assign a LEFT JOIN dups d USING (vec_id)
+ORDER BY vec_id"""
+  }
+
   /** ann_pq: per-subspace encode, reconstructed norms, ADC scoring via the
     * query-side inner-product LUT, k*rerank shortlist, exact re-rank.
     * Matches Similarity.pqTopK(embeddings, numQueries, k, m, ksub, rerank).
@@ -265,7 +306,8 @@ ORDER BY query_id, rnk"""
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.ivfFitFor(emb).map(f => "ann_ivf" -> ivfSql(f)).toMap ++
       Similarity.pqFitFor(emb).map(f => "ann_pq" -> pqSql(f)).toMap ++
-      Similarity.ivfPqFitFor(emb).map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap
+      Similarity.ivfPqFitFor(emb).map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
+      Similarity.semFitFor(emb).map(f => "semantic_dedup" -> semSql(f)).toMap
   }
 
   /** Context-free fallback (the driver contract's parameterless
@@ -278,5 +320,6 @@ ORDER BY query_id, rnk"""
   def pinned: Map[String, String] =
     Similarity.soleIvfFit.map(f => "ann_ivf" -> ivfSql(f)).toMap ++
       Similarity.solePqFit.map(f => "ann_pq" -> pqSql(f)).toMap ++
-      Similarity.soleIvfPqFit.map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap
+      Similarity.soleIvfPqFit.map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
+      Similarity.soleSemFit.map(f => "semantic_dedup" -> semSql(f)).toMap
 }

@@ -239,6 +239,21 @@ object SparkEntry {
     // Temporal profile: events by hour-of-day x day-of-week.
     "events_time_profile" -> ((s, dir) =>
       Analytics.eventsTimeProfile(Tables.events(s, dir))),
+    // Z-order locality audit: Morton keys over (user_id, event_id) mod
+    // 1024, bucketed by key prefix — per-bucket min/max of BOTH dims stay
+    // tile-tight, the property the z-sorted layout's file skipping rests
+    // on (LayoutStatefulSpec measures the actual row-group pruning).
+    "zorder_locality" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        (col("user_id") % 1024).as("x"), (col("event_id") % 1024).as("y"))
+      ev.select(col("x"), col("y"),
+          graft.operators.Layout.zorderKey(col("x"), col("y"), 10).as("zkey"))
+        .groupBy(shiftright(col("zkey"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zbucket"))
+    }),
     // Whitespace + BPE-ish regex token counting + subword estimate.
     "token_counts_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -332,6 +347,11 @@ object SparkEntry {
     // (graft.AnnOracles.ivfPqSql).
     "ann_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
+    // cosine pair scan; per-vector survivor/dup_of verdicts. Oracle is
+    // pinned-centroid (AnnOracles.semSql), like the ANN index queries.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(Tables.embeddings(s, dir))),
     // Embedding-cosine near-dup pairs: the exact (verification) primitive,
@@ -660,6 +680,22 @@ object SparkEntry {
         |  md5(redacted) AS redacted_md5,
         |  right(redacted, 60) AS redacted_tail
         |FROM red ORDER BY doc_id""".stripMargin,
+
+    // Morton interleave as an integer fold: bit i of x to 2i, of y to 2i+1.
+    "zorder_locality" ->
+      """WITH b AS (
+        |  SELECT user_id % 1024 AS x, event_id % 1024 AS y FROM events),
+        |z AS (
+        |  SELECT x, y,
+        |    list_reduce(list_transform(range(0, 10),
+        |      i -> (((x // (1::BIGINT << i)) % 2) << (2*i)) +
+        |           (((y // (1::BIGINT << i)) % 2) << (2*i+1))),
+        |      (a, b) -> a + b) AS zkey
+        |  FROM b)
+        |SELECT zkey // 4096 AS zbucket, count(*) AS n,
+        |       min(x) AS min_x, max(x) AS max_x,
+        |       min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_time_profile" ->
       """SELECT hour(ts) AS hour_of_day,

@@ -713,4 +713,79 @@ object Similarity {
           .as("avg_norm"))
       .orderBy(col("label"))
   }
+
+  final case class SemFit(centers: Array[Array[Double]], nlist: Int, threshold: Double)
+  private val semFits =
+    new java.util.concurrent.ConcurrentHashMap[String, SemFit]()
+  private[graft] def semFitFor(
+      embeddings: DataFrame, nlist: Int = 16, threshold: Double = 0.4,
+      seed: Long = 42L): Option[SemFit] =
+    Option(semFits.get(pinKey(embeddings, s"sem:$nlist:$threshold:$seed")))
+  private[graft] def soleSemFit: Option[SemFit] =
+    if (semFits.size == 1) Some(semFits.values.iterator.next()) else None
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering embeddings with a k-means coarse quantizer, then finding
+    * cosine near-duplicates ONLY within each cluster and keeping the lowest
+    * vec_id of every duplicate group. The cluster restriction is what makes
+    * embedding dedup tractable at corpus scale: the quadratic pair search
+    * runs per cell (|corpus|²/nlist expected pairs instead of |corpus|²),
+    * and each cell is an independent, hash-partitioned join group — at
+    * 100 TB you raise nlist so cells stay executor-sized, which changes the
+    * constant, not the shape.
+    *
+    * Per-vector verdict output: the cell, whether a lower-id near-duplicate
+    * exists in the same cell (dup_of = lowest such id, NULL = survivor),
+    * how many near-duplicates the cell holds for this vector, and the
+    * maximum cosine among them. Quantizer and cell assignment are the IVF
+    * primitives ([[fitCoarseQuantizer]], PqEncode), so the oracle pins the
+    * same centroid literals (graft.AnnOracles.semSql).
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      threshold: Double = 0.4,
+      seed: Long = 42L): DataFrame = {
+    val embDouble = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
+    val centers: Array[Array[Double]] = fitCacheKey(embeddings) match {
+      case None => fitCoarseQuantizer(embDouble, nlist, seed)
+      case Some(planKey) => quantizerCache.synchronized {
+        if (quantizerCache.size > 16) quantizerCache.clear()
+        quantizerCache.getOrElseUpdate(
+          (planKey, nlist, seed), fitCoarseQuantizer(embDouble, nlist, seed))
+      }
+    }
+    if (semFits.size > 16) semFits.clear()
+    semFits.put(
+      pinKey(embeddings, s"sem:$nlist:$threshold:$seed"),
+      SemFit(centers, nlist, threshold))
+
+    val assigned = embDouble.select(
+      col("vec_id"), col("embedding"),
+      element_at(
+        graft.functions.GraftColumns.pqEncode(col("embedding"), Array(centers)), 1)
+        .as("cell"))
+    // Within-cell lower-id pairs only: the join condition both bounds the
+    // quadratic work to cells and halves it (each unordered pair once).
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        col("b.vec_id").as("cand"),
+        cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(
+        min(col("cand")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        max(col("sim")).as("max_sim"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups.drop("cell"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"), col("n_dups"),
+        col("max_sim"))
+      .orderBy(col("vec_id"))
+  }
 }

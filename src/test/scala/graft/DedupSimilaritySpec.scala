@@ -161,6 +161,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r(2L).getDouble(3) < 0.2 && r(2L).getDouble(4) == 0.0)
   }
 
+  test("semanticDedup: every flagged pair is a true cosine near-dup (precision 1)") {
+    val r = Similarity.semanticDedup(emb).collect()
+    assert(r.length > 0 && r.forall(x => !x.isNullAt(1))) // every vector gets a cell
+    val flagged = r.filter(!_.isNullAt(2)).map(x => (x.getLong(0), x.getLong(2)))
+    assert(flagged.nonEmpty, "expected at least one semantic duplicate at sf0.001")
+    val vecs = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // Keep-lowest-id policy: dup_of is a LOWER id, and the pair really is
+    // a cosine near-dup (the cell restriction can lose recall vs the exact
+    // all-pairs scan, but never precision).
+    flagged.foreach { case (v, keeper) =>
+      assert(keeper < v, s"dup_of must be a lower id: $v -> $keeper")
+      assert(cos(vecs(v), vecs(keeper)) >= 0.4,
+        s"flagged pair ($v, $keeper) below the cosine threshold")
+    }
+  }
+
   test("nearDupClusters: transitive chain collapses to one component") {
     // A~B and B~C but A!~C directly: component must still merge all three
     val verts = Seq(1L, 2L, 3L, 9L).toDF("doc_id")

@@ -55,6 +55,46 @@ class LayoutStatefulSpec extends SparkTestBase {
       s"pruned scan lists $prunedFiles of $totalFiles files")
   }
 
+  test("z-order layout prunes row groups on BOTH dimensions; 1-d sort on one") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // two independent full-span dims (user_id spans only 0..14 at sf0.001)
+    val ev = Tables.events(spark, sf).select(
+      pmod(hash(col("event_id")), lit(1024)).cast("long").as("x"),
+      (col("event_id") % 1024).as("y"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toFile.getAbsolutePath
+    val ldir = java.nio.file.Files.createTempDirectory("graft_l").toFile.getAbsolutePath
+    Layout.writeZOrdered(ev, zdir, "x", "y", bits = 10, numFiles = 16)
+    ev.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(ldir) // the 1-d baseline layout
+    // decoded-row count = scan numOutputRows AFTER parquet row-group
+    // min/max pruning (each file here is a single row group)
+    def scanned(dir: String, cond: org.apache.spark.sql.Column): (Long, Long) = {
+      val q = spark.read.parquet(dir).filter(cond)
+      // run THIS QueryExecution (df.count() would build a new one and
+      // leave these scan metrics untouched)
+      val hits = q.queryExecution.toRdd.count()
+      val decoded = q.queryExecution.executedPlan.collectLeaves().collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.sum
+      (hits, decoded)
+    }
+    val yBox = col("y").between(512, 575)
+    val (zHits, zDecoded) = scanned(zdir, yBox)
+    val (lHits, lDecoded) = scanned(ldir, yBox)
+    assert(zHits == lHits && zHits > 0, "layouts must agree on the result")
+    val total = spark.read.parquet(ldir).count()
+    // y-filter: x-sorted layout has no y locality -> decodes everything;
+    // z-order decodes only the tile band intersecting the y range
+    assert(lDecoded == total, s"1-d layout should decode all $total, got $lDecoded")
+    assert(zDecoded * 2 <= lDecoded,
+      s"z-order should decode <= half the rows: $zDecoded vs $lDecoded")
+    // x-filter still prunes fine on the z layout too (both-dims property)
+    val (zx, zxDec) = scanned(zdir, col("x").between(32, 95))
+    assert(zx > 0 && zxDec * 2 <= total,
+      s"z-order x-filter should also prune: $zxDec of $total")
+  }
+
   test("stateful sessionization matches the batch gap-sessionizer") {
     val ev = Tables.events(spark, sf)
     val typed = ev.select(col("user_id"), col("ts"), col("value"))
