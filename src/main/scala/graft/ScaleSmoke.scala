@@ -90,6 +90,12 @@ object ScaleSmoke {
         graft.functions.TextAnalysis.tokenTopkCms(docs).count())
       time("source_mixture_sample", scale)(
         Mixture.sampleBySource(docs, Mixture.DriverRates).count())
+      time("cross_doc_ngrams", scale)(
+        Dedup.crossDocNgramOverlap(docs).count())
+      time("doc_perplexity", scale)(
+        graft.functions.TextAnalysis.bigramNll(docs).count())
+      time("tfidf_top_terms", scale)(
+        graft.functions.TextAnalysis.tfidfTopTerms(docs).count())
       pairs.unpersist()
       docs.unpersist()
 
@@ -97,6 +103,12 @@ object ScaleSmoke {
       emb.count()
       time("ann_lsh", scale)(Similarity.lshBucketedTopK(emb).count())
       time("ann_ivf", scale)(Similarity.ivfTopK(emb).count())
+      // cell count scales WITH the corpus (fit-free LSH cells) so cell
+      // size — and with it pairs-per-cell — stays constant: the knob the
+      // k-means variant cannot turn once nlist outgrows the bounded fit
+      val planeBits = (math.log(16.0 * scale) / math.log(2)).ceil.toInt
+      time("semantic_dedup_lsh", scale)(
+        Similarity.semanticDedupLsh(emb, planeBits).count())
       emb.unpersist()
     }
 

@@ -163,6 +163,34 @@ WHERE pick_rank <= ($quotaCase)
 ORDER BY source, pick_rank"""
   }
 
+  /** token_budget_sample: same content-keyed priority pipeline as
+    * [[stratifiedSql]], with a per-source running token sum and the
+    * admitted-iff-started-under-budget cut. Mirrors
+    * graft.operators.Mixture.tokenBudgetSample.
+    */
+  def tokenBudgetSql(
+      budgets: Map[String, Long] = graft.operators.Mixture.DriverTokenBudgets,
+      defaultBudget: Long = graft.operators.Mixture.DriverDefaultTokenBudget): String = {
+    val budgetCase = budgets.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN source = '${s.replace("'", "''")}' THEN $b" }
+      .mkString("CASE ", " ", s" ELSE $defaultBudget END")
+    s"""WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS tokens,
+    ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents WHERE $asciiGuard = 0),
+${mixChain("tb", "d", Seq("doc_id", "source", "tokens"), "z0")},
+u AS (SELECT doc_id, source, tokens,
+      CAST(mx // 2048 AS BIGINT) AS pri FROM tb4),
+c AS (SELECT doc_id, source, tokens,
+  CAST(sum(tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_tokens
+  FROM u)
+SELECT doc_id, source, CAST(tokens AS BIGINT) AS tokens, cum_tokens
+FROM c WHERE cum_tokens - tokens < ($budgetCase)
+ORDER BY source, cum_tokens"""
+  }
+
   /** doc_chunk_assignments: the sequence-packing shard + offset pipeline —
     * splitmix64 of doc_id (with the caller-side golden pre-add, matching
     * Mix64.mix), unsigned `% shards` (== engine pmod: shards is a power of

@@ -205,6 +205,12 @@ object SparkEntry {
     "stratified_sample" -> ((s, dir) =>
       graft.operators.Mixture.stratifiedSample(
         Tables.documents(s, dir), graft.operators.Mixture.DriverQuotas)),
+    // Token-budget sample: training mixtures are sized in TOKENS, not
+    // docs — same content-keyed priority, running token sum per source,
+    // admitted iff the budget wasn't exhausted at the doc's start.
+    "token_budget_sample" -> ((s, dir) =>
+      graft.operators.Mixture.tokenBudgetSample(
+        Tables.documents(s, dir), graft.operators.Mixture.DriverTokenBudgets)),
     // Sequence packing (concat-and-chunk): hash-sharded token streams,
     // per-shard running offsets, fixed-capacity chunk assignment +
     // boundary-straddle audit. Full machine-generated oracle
@@ -1550,6 +1556,7 @@ object SparkEntry {
     "token_topk_cms" -> SketchOracles.cmsSql(),
     "doc_chunk_assignments" -> SketchOracles.packSql(),
     "stratified_sample" -> SketchOracles.stratifiedSql(),
+    "token_budget_sample" -> SketchOracles.tokenBudgetSql(),
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql()
   )

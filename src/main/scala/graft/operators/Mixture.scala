@@ -147,6 +147,45 @@ object Mixture {
       .orderBy(col("source"), col("pick_rank"))
   }
 
+  /** Token-budget sample — the "N TOKENS per source" counterpart of
+    * [[stratifiedSample]]'s doc quota: training mixtures are specified in
+    * tokens, not documents, so the budget must close over variable-length
+    * docs. Documents rank within their source by the same content-keyed
+    * uniform; a document is admitted iff its source's budget is not yet
+    * exhausted when it STARTS (cum_tokens − tokens < budget), so the last
+    * admitted doc may overshoot — the standard fill-until-reached
+    * semantics, and the one that keeps admission monotone in the budget.
+    * Inherits the gate's properties: deterministic under
+    * reorder/repartition/growth, duplicates rank adjacently.
+    *
+    * Scale shape: identical to [[stratifiedSample]] — one shuffle on
+    * source, a per-stratum sort, a running-sum window; web-scale strata
+    * split into salted sub-strata whose budgets sum to the total.
+    */
+  def tokenBudgetSample(
+      documents: DataFrame,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    val budget = coalesce(
+      (budgets.toSeq.sortBy(_._1).map { case (s, b) =>
+        when(col("source") === lit(s), lit(b))
+      } :+ lit(defaultBudget)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("pick_pri"), col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.wsTokenCount(col("text")).as("tokens"),
+        textUniform(col("text")).as("pick_pri"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .filter(col("cum_tokens") - col("tokens") < budget)
+      .select(col("doc_id"), col("source"), col("tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   /** The driver query's stratified budget: five quota tiers cycled across
     * the generator's sources; unknown sources contribute nothing. Shared
     * with the oracle generator.
@@ -154,6 +193,14 @@ object Mixture {
   val DriverQuotas: Map[String, Long] =
     (0 until 20).map(i => s"src$i" -> (5L + 5L * (i % 5))).toMap
   val DriverDefaultQuota: Long = 0L
+
+  /** The driver query's token budgets: four tiers cycled across sources
+    * (800/1600/2400/3200 tokens); unknown sources get nothing. Shared with
+    * the oracle generator.
+    */
+  val DriverTokenBudgets: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (800L + 800L * (i % 4))).toMap
+  val DriverDefaultTokenBudget: Long = 0L
 
   /** The driver query's mixture: five rate tiers cycled across the
     * generator's sources (src0..src19 -> 0.2/0.35/0.5/0.65/0.8); unknown

@@ -767,25 +767,63 @@ object Similarity {
       element_at(
         graft.functions.GraftColumns.pqEncode(col("embedding"), Array(centers)), 1)
         .as("cell"))
-    // Within-cell lower-id pairs only: the join condition both bounds the
-    // quadratic work to cells and halves it (each unordered pair once).
+    semVerdicts(assigned, threshold)
+  }
+
+  /** Shared SemDeDup verdict scan over any cell assignment: within-cell
+    * lower-id pairs only (the join condition both bounds the quadratic work
+    * to cells and halves it — each unordered pair once), then per-vector
+    * keep-lowest-id aggregation and a left join so survivors keep NULL
+    * verdict columns.
+    */
+  private def semVerdicts(assigned: DataFrame, threshold: Double): DataFrame = {
     val dups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
       .select(
-        col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
-        col("b.vec_id").as("cand"),
+        col("a.vec_id").as("vec_id"), col("b.vec_id").as("cand"),
         cosine(col("a.embedding"), col("b.embedding")).as("sim"))
       .filter(col("sim") >= threshold)
-      .groupBy(col("vec_id"), col("cell"))
+      .groupBy(col("vec_id"))
       .agg(
         min(col("cand")).as("dup_of"),
         count(lit(1)).as("n_dups"),
         max(col("sim")).as("max_sim"))
     assigned.select(col("vec_id"), col("cell"))
-      .join(dups.drop("cell"), Seq("vec_id"), "left")
+      .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of"), col("n_dups"),
         col("max_sim"))
       .orderBy(col("vec_id"))
+  }
+
+  /** SemDeDup with fit-free hyperplane-LSH cells: the corpus-scale variant.
+    * The k-means quantizer in [[semanticDedup]] is fit on a bounded driver
+    * sample, which caps useful nlist at a few hundred; keeping cells
+    * executor-sized at a growing corpus needs cell COUNT proportional to
+    * corpus size. Sign-pattern buckets over 2^planeBits deterministic
+    * hyperplanes (the same Mix64-derived family as the ANN LSH tables) give
+    * exactly that: no fit, no driver state, cells = 2^planeBits, assignment
+    * is a per-row codegen'd expression. Precision is unchanged (every
+    * emitted pair is exact-cosine-verified); only the candidate recall
+    * depends on the cell family — asserted in DedupSimilaritySpec.
+    */
+  def semanticDedupLsh(
+      embeddings: DataFrame,
+      planeBits: Int = 4,
+      threshold: Double = 0.4): DataFrame = {
+    val dim = 64
+    val embDouble = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
+    val flatPlanes = Array.tabulate(planeBits * dim) { idx =>
+      planeWeight(idx / dim, idx % dim, dim)
+    }
+    val assigned = embDouble.select(
+      col("vec_id"), col("embedding"),
+      element_at(
+        graft.functions.GraftColumns.lshBuckets(
+          col("embedding"), flatPlanes, 1, planeBits, dim), 1)
+        .as("cell"))
+    semVerdicts(assigned, threshold)
   }
 }

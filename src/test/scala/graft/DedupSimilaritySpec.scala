@@ -185,6 +185,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("semanticDedupLsh: fit-free cells, same precision-1 contract") {
+    val r1 = Similarity.semanticDedupLsh(emb).collect()
+    val r2 = Similarity.semanticDedupLsh(emb).collect()
+    // deterministic: no fit, no sampling, no driver state
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    val flagged = r1.filter(!_.isNullAt(2)).map(x => (x.getLong(0), x.getLong(2)))
+    assert(flagged.nonEmpty, "expected LSH cells to surface some near-dups")
+    val vecs = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    flagged.foreach { case (v, keeper) =>
+      assert(keeper < v && cos(vecs(v), vecs(keeper)) >= 0.4)
+    }
+  }
+
   test("nearDupClusters: transitive chain collapses to one component") {
     // A~B and B~C but A!~C directly: component must still merge all three
     val verts = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
@@ -198,6 +219,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     val total = docs.count()
     val g = Dedup.exactGroups(docs).agg(sum("dup_count")).as[Long].head
     assert(g == total)
+  }
+
+  test("token budget sampling: fill-until-reached, monotone, reorder-stable") {
+    import graft.operators.Mixture
+    val budgets = Map("src0" -> 500L, "src1" -> 1000L)
+    val r1 = Mixture.tokenBudgetSample(docs, budgets).collect()
+    assert(r1.nonEmpty)
+    // unknown sources contribute nothing; every admitted doc STARTED
+    // under its source's budget (the last one may overshoot)
+    assert(r1.map(_.getString(1)).toSet.subsetOf(budgets.keySet))
+    r1.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < budgets(r.getString(1)))
+    }
+    // budget is actually binding at sf0.001 (more src0 docs exist than fit)
+    val perSrc = r1.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    perSrc.foreach { case (s, toks) =>
+      assert(toks >= budgets(s), s"$s under-filled: $toks of ${budgets(s)}")
+    }
+    // monotone: doubling budgets only ADDS documents
+    val r2 = Mixture.tokenBudgetSample(docs, budgets.map { case (k, v) => k -> v * 2 })
+      .collect()
+    val ids1 = r1.map(_.getLong(0)).toSet
+    val ids2 = r2.map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(ids2) && ids2.size > ids1.size)
+    // content-keyed: a repartitioned/reordered input admits the same set
+    val r3 = Mixture.tokenBudgetSample(docs.repartition(7), budgets).collect()
+    assert(r3.map(_.getLong(0)).toSet == ids1)
   }
 
   test("quantizer caches never collide two same-schema in-memory datasets") {

@@ -85,6 +85,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"snowflake must stay on equi-joins:\n$plan")
   }
 
+  test("cross-doc ngram shuffles carry hashed longs, never shingle strings") {
+    val df = graft.operators.Dedup.crossDocNgramOverlap(Tables.documents(spark, sf))
+    val plan = finalPlan(df)
+    val stringExchange = allExchanges(plan).find(_.output.exists(a =>
+      a.dataType == org.apache.spark.sql.types.StringType))
+    assert(stringExchange.isEmpty,
+      s"df/join shuffles must carry the 8-byte shingle hash, not strings:\n" +
+        stringExchange.mkString)
+  }
+
+  test("tfidf top-k plans as WindowGroupLimit (rank pushdown, bounded sort)") {
+    val df = graft.functions.TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf))
+    val plan = executed(df)
+    // Spark's WindowGroupLimit keeps only k rows per doc through the sort,
+    // so the ranked set is never materialized — the property that makes
+    // per-group top-k safe at corpus scale.
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in the tfidf plan:\n$plan")
+  }
+
   test("LSH candidate generation joins on bucket keys without carrying vectors") {
     val df = Similarity.lshBucketedTopK(Tables.embeddings(spark, sf))
     val plan = finalPlan(df)

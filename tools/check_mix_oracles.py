@@ -54,6 +54,19 @@ REQUIRED = {
         "4503599627370496::BIGINT",                 # 2^52 fixed-point scale
         "least(52, 57 - bit_count(v))",             # rho cap
     ],
+    "stratified_sample": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold
+        "11400714819323198485::HUGEINT",            # golden gamma pre-add
+        "mx // 2048",                               # 53-bit priority
+    ],
+    "token_budget_sample": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",
+        "11400714819323198485::HUGEINT",
+        "mx // 2048",
+        "cum_tokens - tokens <",                    # admission cut
+    ],
 }
 
 import re
