@@ -96,6 +96,8 @@ object ScaleSmoke {
         graft.functions.TextAnalysis.bigramNll(docs).count())
       time("tfidf_top_terms", scale)(
         graft.functions.TextAnalysis.tfidfTopTerms(docs).count())
+      time("curation_funnel", scale)(
+        graft.operators.Curation.funnel(docs, Seq("the", "a", "of", "and")).count())
       pairs.unpersist()
       docs.unpersist()
 

@@ -163,6 +163,75 @@ WHERE pick_rank <= ($quotaCase)
 ORDER BY source, pick_rank"""
   }
 
+  /** curation_funnel: the staged loss curve — the same CTE chain as
+    * graft.operators.Curation.funnel, stage for stage: lang-marker argmax
+    * gate, docStats quality score, md5 keep-lowest-id, shingle-df span
+    * fraction, fnv+mix64 mixture gate. Constants (stopword list, marker
+    * sets, thresholds, rates) are parameters so engine and oracle can only
+    * move together.
+    */
+  def funnelSql(
+      stopwordsSqlList: String,
+      qualityMin: Double,
+      spanMax: Double,
+      rates: Map[String, Double] = graft.operators.Mixture.DriverRates,
+      defaultRate: Double = graft.operators.Mixture.DriverDefaultRate): String = {
+    val rateCase = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '${s.replace("'", "''")}' THEN ${dlit(r)}" }
+      .mkString("CAST(CASE ", " ", s" ELSE ${dlit(defaultRate)} END AS DOUBLE)")
+    def hits(markers: Seq[String]): String =
+      s"len(list_filter(toks, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+    val m = graft.functions.TextAnalysis.langMarkers
+    val (en, de, fr, es) = (hits(m("en")), hits(m("de")), hits(m("fr")), hits(m("es")))
+    s"""WITH d0 AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents WHERE $asciiGuard = 0),
+d1 AS (SELECT * FROM d0 WHERE
+  CASE WHEN $en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       WHEN $de > 0 AND $de >= $fr AND $de >= $es THEN 'de'
+       WHEN $fr > 0 AND $fr >= $es THEN 'fr'
+       WHEN $es > 0 THEN 'es' ELSE 'und' END <> 'und'),
+d2 AS (SELECT * FROM d1 WHERE
+  least(CAST(len(toks) AS BIGINT) / 50.0, 1.0) * 0.5
+    + (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT)) * 0.3
+    + (CAST(len(list_filter(toks, x -> x IN ($stopwordsSqlList))) AS BIGINT)
+       / CAST(len(toks) AS BIGINT)) * 0.2 >= ${dlit(qualityMin)}),
+d3 AS (SELECT d2.* FROM d2
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper FROM d2 GROUP BY 1) k
+    ON md5(d2.text) = k.h AND d2.doc_id = k.keeper),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+       FROM d3),
+dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+frac AS (SELECT sh.doc_id,
+           count(*) FILTER (WHERE dfq.df >= 2) / count(*) AS shared_fraction
+         FROM sh JOIN dfq USING (shingle) GROUP BY 1),
+d4 AS (SELECT d3.* FROM d3 LEFT JOIN frac USING (doc_id)
+       WHERE coalesce(shared_fraction, 0.0) <= ${dlit(spanMax)}),
+g AS (SELECT doc_id, source, tokens,
+        ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+      FROM d4),
+${mixChain("cf", "g", Seq("doc_id", "source", "tokens"), "z0")},
+d5 AS (SELECT doc_id, source, tokens FROM cf4
+       WHERE CAST(mx // 2048 AS BIGINT)::DOUBLE / 9007199254740992.0 < ($rateCase))
+SELECT * FROM (
+  SELECT CAST(0 AS INTEGER) AS stage_id, 'ingested' AS stage,
+         count(*) AS docs, CAST(coalesce(sum(tokens), 0) AS BIGINT) AS tokens FROM d0
+  UNION ALL SELECT CAST(1 AS INTEGER), 'lang_id', count(*),
+         CAST(coalesce(sum(tokens), 0) AS BIGINT) FROM d1
+  UNION ALL SELECT CAST(2 AS INTEGER), 'quality', count(*),
+         CAST(coalesce(sum(tokens), 0) AS BIGINT) FROM d2
+  UNION ALL SELECT CAST(3 AS INTEGER), 'exact_dedup', count(*),
+         CAST(coalesce(sum(tokens), 0) AS BIGINT) FROM d3
+  UNION ALL SELECT CAST(4 AS INTEGER), 'span_dedup', count(*),
+         CAST(coalesce(sum(tokens), 0) AS BIGINT) FROM d4
+  UNION ALL SELECT CAST(5 AS INTEGER), 'sampled', count(*),
+         CAST(coalesce(sum(tokens), 0) AS BIGINT) FROM d5)
+ORDER BY stage_id"""
+  }
+
   /** token_budget_sample: same content-keyed priority pipeline as
     * [[stratifiedSql]], with a per-source running token sum and the
     * admitted-iff-started-under-budget cut. Mirrors

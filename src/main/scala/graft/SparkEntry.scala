@@ -211,6 +211,11 @@ object SparkEntry {
     "token_budget_sample" -> ((s, dir) =>
       graft.operators.Mixture.tokenBudgetSample(
         Tables.documents(s, dir), graft.operators.Mixture.DriverTokenBudgets)),
+    // The end-to-end curation funnel: ingest → lang gate → quality gate →
+    // exact dedup → span dedup → mixture sample, per-stage doc/token
+    // counts. One machine-generated oracle chains the same stages as CTEs.
+    "curation_funnel" -> ((s, dir) =>
+      graft.operators.Curation.funnel(Tables.documents(s, dir), stopwords)),
     // Sequence packing (concat-and-chunk): hash-sharded token streams,
     // per-shard running offsets, fixed-capacity chunk assignment +
     // boundary-straddle audit. Full machine-generated oracle
@@ -1557,6 +1562,8 @@ object SparkEntry {
     "doc_chunk_assignments" -> SketchOracles.packSql(),
     "stratified_sample" -> SketchOracles.stratifiedSql(),
     "token_budget_sample" -> SketchOracles.tokenBudgetSql(),
+    "curation_funnel" -> SketchOracles.funnelSql(
+      stopwordsSqlList, qualityMin = 0.5, spanMax = 0.95),
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql()
   )

@@ -76,6 +76,35 @@ class TextPipelineSpec extends SparkTestBase {
     assert(c3.getDouble(5) == expected) // tf = 3/3 = 1
   }
 
+  test("curation funnel: every stage bites on a crafted corpus") {
+    import graft.operators.Curation
+    val good = "the " + (1 to 50).map(i => s"w$i").mkString(" ") // 51 tokens:
+    // length term 0.5 + distinct ~0.3 + stop ~0.004 ≈ 0.8 >= 0.5; 'the' -> en
+    val docs = Seq(
+      (1L, good, "srcA"),
+      (2L, good, "srcA"), // exact duplicate -> dropped at stage 3
+      (3L, "zz qq pp", "srcA") // no lang markers -> dropped at stage 1
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.funnel(docs, Seq("the", "a", "of", "and"))
+      .collect().map(x => x.getInt(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r(0)._1 == 3 && r(1)._1 == 2 && r(2)._1 == 2)
+    assert(r(3)._1 == 1, "exact duplicate must be dropped")
+    assert(r(4)._1 == 1 && r(5)._1 == 1) // unknown source -> default rate 1.0
+    assert(r(5)._2 == 51)
+  }
+
+  test("curation funnel: per-stage counts are a monotone loss curve on the corpus") {
+    import graft.operators.Curation
+    val r = Curation.funnel(Tables.documents(spark, sf), Seq("the", "a", "of", "and"))
+      .collect()
+    assert(r.length == 6 && r.map(_.getInt(0)).toSeq == (0 to 5))
+    val d = r.map(_.getLong(2)); val t = r.map(_.getLong(3))
+    assert(d.zip(d.tail).forall { case (a, b) => b <= a }, d.mkString(","))
+    assert(t.zip(t.tail).forall { case (a, b) => b <= a }, t.mkString(","))
+    // lang, quality, span and sampling all genuinely cut at sf0.001
+    assert(d(1) < d(0) && d(2) < d(1) && d(4) < d(3) && d(5) < d(4) && d(5) > 0)
+  }
+
   test("piiRedact: real PII in text is scrubbed and counted alongside planted") {
     val docs = Seq(
       // doc 1: 1%3!=0 plants one email; text carries a real email + IP

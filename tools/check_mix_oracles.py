@@ -67,6 +67,13 @@ REQUIRED = {
         "mx // 2048",
         "cum_tokens - tokens <",                    # admission cut
     ],
+    "curation_funnel": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",
+        "11400714819323198485::HUGEINT",
+        "9007199254740992.0",                       # 2^53 dyadic uniform
+        "coalesce(shared_fraction, 0.0) <=",        # span gate
+    ],
 }
 
 import re
