@@ -365,6 +365,11 @@ object SparkEntry {
       Similarity.semanticDedup(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(Tables.embeddings(s, dir))),
+    // Int8 symmetric quantization + reconstruction-error audit (8x
+    // compression before ANN/storage). Per-row codegen'd HOF math;
+    // every float bit-exact cross-engine (see Similarity.quantizeAudit).
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeAudit(Tables.embeddings(s, dir))),
     // Embedding-cosine near-dup pairs: the exact (verification) primitive,
     // bounded to the first 2000 vectors so the quadratic stays fixed-size;
     // the LSH/IVF queries are the corpus-scale candidates path.
@@ -1153,6 +1158,31 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, neighbor_id, sim, rnk FROM r
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Quantization: round() is half-away-from-zero in both engines; code
+    // sums are integer-exact; the MSE fold is the same left-to-right
+    // prepend-0.0 sequence the engine's aggregate() runs.
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |           WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        |             AND len(embedding) = 64),
+        |m AS (SELECT vec_id, e,
+        |        list_aggregate(list_transform(e, x -> abs(x)), 'max') AS max_abs
+        |      FROM e),
+        |q AS (SELECT vec_id, e, max_abs, 127.0 / max_abs AS scale
+        |      FROM m WHERE max_abs > 0),
+        |c AS (SELECT vec_id, e, max_abs, scale,
+        |        list_transform(e, x -> CAST(round(x * scale) AS INTEGER)) AS codes
+        |      FROM q)
+        |SELECT vec_id, max_abs, scale,
+        |  CAST(list_aggregate(list_transform(codes, x -> CAST(x AS BIGINT)),
+        |       'sum') AS BIGINT) AS code_sum,
+        |  CAST(list_aggregate(list_transform(codes, x -> CAST(abs(x) AS BIGINT)),
+        |       'sum') AS BIGINT) AS code_abs_sum,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1),
+        |    i -> (e[i] - codes[i] / scale) * (e[i] - codes[i] / scale))),
+        |    (a, b) -> a + b) / len(e) AS mse
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "embedding_label_stats" ->
       """SELECT label, count(*) AS vec_count,

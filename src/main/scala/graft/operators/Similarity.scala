@@ -714,6 +714,40 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Int8 symmetric quantization audit — the embedding-compression step a
+    * corpus-scale vector store runs before ANN/storage (8x smaller than
+    * float32, 4x smaller than the PQ codes' input): per-vector scale =
+    * 127 / max|x|, code = round(x * scale), plus the reconstruction-error
+    * audit columns a pipeline gates on. Pure per-row columnar math
+    * (codegen'd HOFs, no shuffle, no UDF). Every float here is
+    * cross-engine bit-exact: round() is half-away-from-zero in both Spark
+    * (HALF_UP BigDecimal) and DuckDB, the integer sums are exact, and the
+    * MSE is a left-to-right sequential fold mirrored verbatim by the
+    * oracle (the labelStats/ANN fold precedent).
+    */
+  def quantizeAudit(embeddings: DataFrame): DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    embeddings
+      .select(col("vec_id"), vd.as("e"))
+      .filter(dot(col("e"), col("e")).isNotNull)
+      .withColumn("max_abs", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("max_abs") > 0)
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("codes",
+        transform(col("e"), x => round(x * col("scale")).cast("int")))
+      .select(
+        col("vec_id"), col("max_abs"), col("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long"))
+          .as("code_sum"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + abs(c).cast("long"))
+          .as("code_abs_sum"),
+        (aggregate(
+          zip_with(col("e"), col("codes"),
+            (x, c) => (x - c / col("scale")) * (x - c / col("scale"))),
+          lit(0.0), (a, b) => a + b) / size(col("e"))).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   final case class SemFit(centers: Array[Array[Double]], nlist: Int, threshold: Double)
   private val semFits =
     new java.util.concurrent.ConcurrentHashMap[String, SemFit]()

@@ -221,6 +221,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(g == total)
   }
 
+  test("embedding quantization: codes in int8 range, MSE within rounding bound") {
+    val r = Similarity.quantizeAudit(emb).collect()
+    assert(r.length > 0)
+    r.foreach { row =>
+      val scale = row.getDouble(2)
+      val mse = row.getDouble(5)
+      // per-element error <= 0.5/scale, so mse <= 0.25/scale^2
+      assert(mse <= 0.25 / (scale * scale) + 1e-12,
+        s"vec ${row.getLong(0)}: mse $mse above rounding bound")
+      assert(row.getLong(4) <= 127L * 64, "codes must stay in int8 range")
+      assert(mse >= 0.0)
+    }
+  }
+
   test("token budget sampling: fill-until-reached, monotone, reorder-stable") {
     import graft.operators.Mixture
     val budgets = Map("src0" -> 500L, "src1" -> 1000L)
