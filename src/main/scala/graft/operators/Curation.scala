@@ -26,7 +26,7 @@ object Curation {
   /** Quality score column — MUST stay aligned with TextAnalysis.docStats
     * (and its oracle fragment): length, lexical diversity, stopword mass.
     */
-  private def qualityScore(toks: Column, stopwords: Seq[String]): Column = {
+  private[graft] def qualityScore(toks: Column, stopwords: Seq[String]): Column = {
     val tokenCount = size(toks).cast("long")
     val distinctTokens = size(array_distinct(toks)).cast("long")
     val stopCount = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
@@ -38,7 +38,7 @@ object Curation {
   /** Language prediction column — MUST stay aligned with
     * TextAnalysis.langId's marker-count argmax and priority order.
     */
-  private def langPred(toks: Column): Column = {
+  private[graft] def langPred(toks: Column): Column = {
     def hits(lang: String): Column =
       size(filter(toks, t =>
         t.isin(graft.functions.TextAnalysis.langMarkers(lang): _*))).cast("long")

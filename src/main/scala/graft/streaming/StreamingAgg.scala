@@ -103,6 +103,30 @@ object StreamingAgg {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming document curation — the ingest-side slice of
+    * [[graft.operators.Curation.funnel]] as a stream: the stateless
+    * language/quality gates run FIRST (cheap row filters, and they shrink
+    * the dedup state), then exact dedup on the 16-byte content digest
+    * within the watermark horizon. Standing state is one digest row per
+    * distinct surviving document inside the horizon — scales with
+    * arrival rate x horizon, never with corpus history. Gate formulas are
+    * shared with the batch funnel (Curation.langPred / qualityScore), so
+    * batch and stream can only move together.
+    */
+  def curatedDocStream(
+      docs: DataFrame,
+      stopwords: Seq[String],
+      horizon: String = "1 hour",
+      qualityMin: Double = 0.5): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .filter(graft.operators.Curation.langPred(toks) =!= "und")
+      .filter(graft.operators.Curation.qualityScore(toks, stopwords) >= qualityMin)
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Stream-stream interval join: (error, purchase) pairs within `hours`
     * of each other for the same user — the streaming counterpart of
     * [[graft.operators.RangeJoin.errorsNearPurchases]]. Both sides carry

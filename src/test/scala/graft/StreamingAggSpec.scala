@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(doc_id: Long, ingest_ts: Timestamp, text: String, source: String)
 
 class StreamingAggSpec extends SparkTestBase {
   import spark.implicits._
@@ -109,6 +110,47 @@ class StreamingAggSpec extends SparkTestBase {
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
     ev.unpersist()
+  }
+
+  test("streaming doc curation: cross-batch digest dedup + gates match batch slice") {
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "the " + (1 to 50).map(i => s"w$i").mkString(" ")
+    val good2 = "the " + (1 to 50).map(i => s"v$i").mkString(" ")
+    val mem = MemoryStream[Doc]
+    def doc(id: Long, t: String, text: String) =
+      Doc(id, Timestamp.valueOf(t), text, "srcA")
+    val q = StreamingAgg
+      .curatedDocStream(mem.toDF(), Seq("the", "a", "of", "and"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("doc_curation_out").start()
+    try {
+      mem.addData(
+        doc(1, "2024-01-01 10:00:00", good1),
+        doc(2, "2024-01-01 10:01:00", "zz qq pp")) // no lang marker -> gated
+      q.processAllAvailable()
+      mem.addData(
+        doc(3, "2024-01-01 10:05:00", good1), // cross-batch duplicate of 1
+        doc(4, "2024-01-01 10:06:00", good2))
+      q.processAllAvailable()
+      mem.addData(doc(5, "2024-01-01 10:10:00", good1)) // still within horizon
+      q.processAllAvailable()
+      val got = spark.table("doc_curation_out").collect()
+      // one row per surviving distinct content; dups dropped across batches
+      assert(got.map(_.getAs[String]("content_hash")).distinct.length == got.length)
+      assert(got.map(_.getAs[String]("text")).toSet == Set(good1, good2))
+      // batch parity: same gates + dropDuplicates over the full arrival set
+      val all = Seq(
+        doc(1, "2024-01-01 10:00:00", good1), doc(2, "2024-01-01 10:01:00", "zz qq pp"),
+        doc(3, "2024-01-01 10:05:00", good1), doc(4, "2024-01-01 10:06:00", good2),
+        doc(5, "2024-01-01 10:10:00", good1)).toDF()
+      val toks = split(col("text"), " ")
+      val batch = all
+        .filter(graft.operators.Curation.langPred(toks) =!= "und")
+        .filter(graft.operators.Curation.qualityScore(toks, Seq("the", "a", "of", "and")) >= 0.5)
+        .dropDuplicates("text")
+      assert(batch.collect().map(_.getAs[String]("text")).toSet ==
+        got.map(_.getAs[String]("text")).toSet)
+    } finally q.stop()
   }
 
   test("streaming dedup drops replayed event_ids across micro-batches") {
