@@ -174,11 +174,13 @@ ORDER BY source, pick_rank"""
       stopwordsSqlList: String,
       qualityMin: Double,
       spanMax: Double,
+      spanK: Int = 8,
       rates: Map[String, Double] = graft.operators.Mixture.DriverRates,
       defaultRate: Double = graft.operators.Mixture.DriverDefaultRate): String = {
     val rateCase = rates.toSeq.sortBy(_._1)
       .map { case (s, r) => s"WHEN source = '${s.replace("'", "''")}' THEN ${dlit(r)}" }
       .mkString("CAST(CASE ", " ", s" ELSE ${dlit(defaultRate)} END AS DOUBLE)")
+    val kgram = (0 until spanK).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     def hits(markers: Seq[String]): String =
       s"len(list_filter(toks, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
     val m = graft.functions.TextAnalysis.langMarkers
@@ -201,8 +203,8 @@ d3 AS (SELECT d2.* FROM d2
   JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper FROM d2 GROUP BY 1) k
     ON md5(d2.text) = k.h AND d2.doc_id = k.keeper),
 sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         range(1, len(toks) - 1),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+         range(1, len(toks) - ${spanK - 2}),
+         i -> $kgram))) AS shingle
        FROM d3),
 dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
 frac AS (SELECT sh.doc_id,

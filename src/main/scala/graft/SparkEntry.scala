@@ -1593,7 +1593,7 @@ object SparkEntry {
     "stratified_sample" -> SketchOracles.stratifiedSql(),
     "token_budget_sample" -> SketchOracles.tokenBudgetSql(),
     "curation_funnel" -> SketchOracles.funnelSql(
-      stopwordsSqlList, qualityMin = 0.5, spanMax = 0.95),
+      stopwordsSqlList, qualityMin = 0.5, spanMax = 0.95, spanK = 8),
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql()
   )

@@ -50,45 +50,75 @@ object Curation {
       .otherwise("und")
   }
 
+  /** `spanK` = 8: the span-dedup stage flags documents whose LONG (8-gram)
+    * spans are mostly seen elsewhere — on this corpus 3-grams from the
+    * 31-word vocabulary are all shared once the corpus is big enough
+    * (every doc's fraction → 1 at sf0.1, gate degenerates), while 8-gram
+    * sharing isolates the genuinely duplicated ~9% at every scale.
+    */
   def funnel(
       documents: DataFrame,
       stopwords: Seq[String],
       qualityMin: Double = 0.5,
       spanMax: Double = 0.95,
+      spanK: Int = 8,
       rates: Map[String, Double] = Mixture.DriverRates,
       defaultRate: Double = Mixture.DriverDefaultRate): DataFrame = {
     val toks = split(col("text"), " ")
-    def stage(df: DataFrame, id: Int, name: String): DataFrame =
-      df.agg(
-          count(lit(1)).as("docs"),
-          coalesce(sum(size(toks).cast("long")), lit(0L)).as("tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("docs"), col("tokens"))
+    // Stage membership as cumulative per-row FLAGS over ONE scan (not six
+    // recomputed subtrees): stages 0-3 need the scan and the dedup window
+    // only; the span stage needs its survivor-scoped document-frequency
+    // join, so stages 4-5 fold over that second (much smaller) frame.
+    val base = documents
+      .select(col("doc_id"), col("source"), col("text"),
+        size(toks).cast("long").as("tokens"),
+        (langPred(toks) =!= "und").as("lang_ok"),
+        qualityScore(toks, stopwords).as("qs"))
+      .withColumn("quality_ok", col("lang_ok") && col("qs") >= qualityMin)
+      // exact dedup among quality survivors: lowest surviving doc_id per
+      // content digest wins (non-survivors are transparent to the window)
+      .withColumn("exact_ok", col("quality_ok") &&
+        col("doc_id") === min(when(col("quality_ok"), col("doc_id")))
+          .over(Window.partitionBy(md5(col("text")))))
 
-    val d0 = documents
-    val d1 = d0.filter(langPred(toks) =!= "und")
-    val d2 = d1.filter(qualityScore(toks, stopwords) >= qualityMin)
-    // exact dedup: keep the lowest doc_id of every identical-content group
-    val d3 = d2
-      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("keeper"))
-      .drop("keeper")
+    def stageRow(id: Int, name: String, docsCol: Column, toksCol: Column) =
+      struct(lit(id).as("stage_id"), lit(name).as("stage"),
+        docsCol.as("docs"), coalesce(toksCol, lit(0L)).as("tokens"))
+
+    val s03 = base.agg(
+      count(lit(1)).as("d0"), sum(col("tokens")).as("t0"),
+      count(when(col("lang_ok"), lit(1))).as("d1"),
+      sum(when(col("lang_ok"), col("tokens"))).as("t1"),
+      count(when(col("quality_ok"), lit(1))).as("d2"),
+      sum(when(col("quality_ok"), col("tokens"))).as("t2"),
+      count(when(col("exact_ok"), lit(1))).as("d3"),
+      sum(when(col("exact_ok"), col("tokens"))).as("t3"))
+      .select(explode(array(
+        stageRow(0, "ingested", col("d0"), col("t0")),
+        stageRow(1, "lang_id", col("d1"), col("t1")),
+        stageRow(2, "quality", col("d2"), col("t2")),
+        stageRow(3, "exact_dedup", col("d3"), col("t3")))).as("s"))
+      .select(col("s.*"))
+
     // span dedup among the exact survivors; docs below the shingle width
     // have no overlap row — treated as fraction 0 (kept)
-    val frac = Dedup.crossDocNgramOverlap(d3)
+    val d3 = base.filter(col("exact_ok"))
+    val frac = Dedup.crossDocNgramOverlap(d3, spanK)
       .select(col("doc_id"), col("shared_fraction"))
     val d4 = d3.join(frac, Seq("doc_id"), "left")
       .filter(coalesce(col("shared_fraction"), lit(0.0)) <= spanMax)
-      .drop("shared_fraction")
-    val d5 = d4.filter(
-      Mixture.textUniform(col("text")) < Mixture.rateFor(col("source"), rates, defaultRate))
+      .withColumn("sampled",
+        Mixture.textUniform(col("text")) <
+          Mixture.rateFor(col("source"), rates, defaultRate))
+    val s45 = d4.agg(
+      count(lit(1)).as("d4"), sum(col("tokens")).as("t4"),
+      count(when(col("sampled"), lit(1))).as("d5"),
+      sum(when(col("sampled"), col("tokens"))).as("t5"))
+      .select(explode(array(
+        stageRow(4, "span_dedup", col("d4"), col("t4")),
+        stageRow(5, "sampled", col("d5"), col("t5")))).as("s"))
+      .select(col("s.*"))
 
-    stage(d0, 0, "ingested")
-      .union(stage(d1, 1, "lang_id"))
-      .union(stage(d2, 2, "quality"))
-      .union(stage(d3, 3, "exact_dedup"))
-      .union(stage(d4, 4, "span_dedup"))
-      .union(stage(d5, 5, "sampled"))
-      .orderBy(col("stage_id"))
+    s03.union(s45).orderBy(col("stage_id"))
   }
 }

@@ -507,8 +507,13 @@ object Dedup {
     val sh = shingles(documents, k)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(docFreq, "sh")
+    // df via a count-only window, not groupBy+join-back: ONE explode pass
+    // and one shuffle on the hash key (the join formulation re-explodes
+    // the corpus for each side — the two exchange subtrees differ by the
+    // partial aggregate, so AQE cannot reuse the stage)
+    sh.withColumn("df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
