@@ -276,11 +276,13 @@ object TextAnalysis {
         explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("n"), col("term"))
       .agg(count(lit(1)).as("tf_count"))
-    val docFreq = termCounts.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
     val total = documents.agg(count(lit(1)).as("n_docs"))
+    // df via a count-only window over term (one shuffle), not
+    // groupBy+join-back (which re-derives the explode+aggregate subtree
+    // for the join side — same reasoning as Dedup.crossDocNgramOverlap)
     val scored = termCounts
-      .join(docFreq, Seq("term"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .crossJoin(broadcast(total))
       .withColumn("score",
         (col("tf_count") / col("n")) *
