@@ -23,6 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The one live flagged-corpus cache per session (the DistributedRank
+    * lifecycle pattern): `base` below feeds three plan branches — the
+    * stage-0-3 aggregate, the span-df derivation, and the stage-4-5 join —
+    * and the branches prune different columns below the dedup-window
+    * exchange, so ReuseExchange cannot collapse them; without a persist
+    * the corpus scan + window shuffle would run three times per funnel.
+    * A new funnel call releases the previous frame; [[release]] drops the
+    * last one explicitly.
+    */
+  private val liveCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, DataFrame]()
+
+  def release(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prev = liveCache.remove(spark)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
+  private def trackPersisted(df: DataFrame): Unit = {
+    val prev = liveCache.put(df.sparkSession, df)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   /** Quality score column — MUST stay aligned with TextAnalysis.docStats
     * (and its oracle fragment): length, lexical diversity, stopword mass.
     */
@@ -80,6 +103,8 @@ object Curation {
       .withColumn("exact_ok", col("quality_ok") &&
         col("doc_id") === min(when(col("quality_ok"), col("doc_id")))
           .over(Window.partitionBy(md5(col("text")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackPersisted(base)
 
     def stageRow(id: Int, name: String, docsCol: Column, toksCol: Column) =
       struct(lit(id).as("stage_id"), lit(name).as("stage"),

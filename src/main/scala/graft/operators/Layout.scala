@@ -99,6 +99,7 @@ object Layout {
     df.withColumn("zkey", zorderKey(col(xCol), col(yCol), bits))
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
+      .drop("zkey") // clustering is physical now; don't leak the helper column
       .write.mode("overwrite").parquet(dir)
 
   /** Write events partitioned by event date (directory per day): readers

@@ -141,8 +141,12 @@ class DedupSimilaritySpec extends SparkTestBase {
     // so the composed recall floor is the IVF gate, not the PQ gate
     assert(recall >= 0.25)
     // composition sanity: every returned neighbor is also an IVF candidate
-    // (same centers/probes), i.e. PQ only re-ordered within probed cells
-    val ivf = Similarity.ivfTopK(emb, numQueries = 4, k = 60)
+    // (same centers/probes), i.e. PQ only re-ordered within probed cells.
+    // k = corpus size so ivfTopK returns EVERY probed-cell candidate (not a
+    // top-k proxy that could spuriously fail when an IVF-PQ pick ranks low
+    // by exact cosine among the candidates).
+    val corpusSize = emb.count().toInt
+    val ivf = Similarity.ivfTopK(emb, numQueries = 4, k = corpusSize)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.subsetOf(ivf),

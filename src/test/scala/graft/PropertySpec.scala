@@ -117,7 +117,7 @@ class PropertySpec extends SparkTestBase {
 
   test("stratified sample: exact quotas, monotone in quota, layout-invariant") {
     import graft.operators.Mixture
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sf)
     val groupSizes = docs.groupBy("source").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val q5 = Mixture.DriverQuotas.map { case (s, _) => s -> 5L }
@@ -139,7 +139,7 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("sequence packing: offsets are gapless per shard and layout-invariant") {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sf)
     val out = graft.operators.Pack.chunkAssignments(docs, capacity = 64, shards = 8)
       .collect()
     assert(out.nonEmpty)

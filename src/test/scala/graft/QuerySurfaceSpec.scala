@@ -41,6 +41,7 @@ class QuerySurfaceSpec extends SparkTestBase {
     SparkEntry.queries("ann_ivf")(spark, sf).count()
     SparkEntry.queries("ann_pq")(spark, sf).count()
     SparkEntry.queries("ann_ivfpq")(spark, sf).count()
+    SparkEntry.queries("semantic_dedup")(spark, sf).count() // semSql pin too
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSqlFor(spark, sf).keySet
     assert(missing.isEmpty, s"queries without oracles after a run: $missing")
   }
