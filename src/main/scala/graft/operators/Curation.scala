@@ -28,7 +28,11 @@ object Curation {
     * stage-0-3 aggregate, the span-df derivation, and the stage-4-5 join —
     * and the branches prune different columns below the dedup-window
     * exchange, so ReuseExchange cannot collapse them; without a persist
-    * the corpus scan + window shuffle would run three times per funnel.
+    * the corpus scan + window shuffle run three times per funnel. The
+    * persist is WIDTH-GATED like Layout.widen: on a narrow local scan the
+    * cache materialization costs more than the recompute (measured +1.1 s
+    * at sf0.1, single parquet file — columnar-encoding the text column
+    * dominates), while at corpus file counts two avoided scans dominate.
     * A new funnel call releases the previous frame; [[release]] drops the
     * last one explicitly.
     */
@@ -92,7 +96,7 @@ object Curation {
     // recomputed subtrees): stages 0-3 need the scan and the dedup window
     // only; the span stage needs its survivor-scoped document-frequency
     // join, so stages 4-5 fold over that second (much smaller) frame.
-    val base = documents
+    val base0 = documents
       .select(col("doc_id"), col("source"), col("text"),
         size(toks).cast("long").as("tokens"),
         (langPred(toks) =!= "und").as("lang_ok"),
@@ -103,8 +107,14 @@ object Curation {
       .withColumn("exact_ok", col("quality_ok") &&
         col("doc_id") === min(when(col("quality_ok"), col("doc_id")))
           .over(Window.partitionBy(md5(col("text")))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    trackPersisted(base)
+    val wide = documents.inputFiles.length >=
+      documents.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (wide) {
+        val b = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trackPersisted(b)
+        b
+      } else base0
 
     def stageRow(id: Int, name: String, docsCol: Column, toksCol: Column) =
       struct(lit(id).as("stage_id"), lit(name).as("stage"),
