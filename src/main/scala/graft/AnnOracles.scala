@@ -133,6 +133,44 @@ FROM assign a LEFT JOIN dups d USING (vec_id)
 ORDER BY vec_id"""
   }
 
+  /** embedding_clusters: pinned-centroid cell assignment (as [[ivfSql]]),
+    * then per-cell label majorities and purity. Matches
+    * Similarity.clusterAudit(embeddings, nlist).
+    */
+  def clusterSql(f: Similarity.CaFit): String = {
+    val rows = f.centers.zipWithIndex.map { case (c, i) =>
+      s"    ($i, ${listLit(c)}, ${dlit(halfNorm2(c))})"
+    }.mkString(",\n")
+    val dim = f.centers.head.length
+    s"""WITH cb(cell, wl, hn) AS (VALUES
+$rows),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = $dim),
+scores AS (
+  SELECT vec_id, cell,
+    list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * wl[i]),
+                (a, b) -> a + b) - hn AS score
+  FROM e, cb),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scores) WHERE rn = 1),
+pc AS (
+  SELECT a.cell, e.label, count(*) AS cnt
+  FROM assign a JOIN e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2),
+r AS (
+  SELECT cell, label, cnt,
+    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS rn,
+    CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS vec_count
+  FROM pc)
+SELECT cell, vec_count, label AS majority_label, cnt AS majority_count,
+       cnt / vec_count AS purity
+FROM r WHERE rn = 1 ORDER BY cell"""
+  }
+
   /** ann_pq: per-subspace encode, reconstructed norms, ADC scoring via the
     * query-side inner-product LUT, k*rerank shortlist, exact re-rank.
     * Matches Similarity.pqTopK(embeddings, numQueries, k, m, ksub, rerank).
@@ -307,7 +345,8 @@ ORDER BY query_id, rnk"""
     Similarity.ivfFitFor(emb).map(f => "ann_ivf" -> ivfSql(f)).toMap ++
       Similarity.pqFitFor(emb).map(f => "ann_pq" -> pqSql(f)).toMap ++
       Similarity.ivfPqFitFor(emb).map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
-      Similarity.semFitFor(emb).map(f => "semantic_dedup" -> semSql(f)).toMap
+      Similarity.semFitFor(emb).map(f => "semantic_dedup" -> semSql(f)).toMap ++
+      Similarity.caFitFor(emb).map(f => "embedding_clusters" -> clusterSql(f)).toMap
   }
 
   /** Context-free fallback (the driver contract's parameterless
@@ -321,5 +360,6 @@ ORDER BY query_id, rnk"""
     Similarity.soleIvfFit.map(f => "ann_ivf" -> ivfSql(f)).toMap ++
       Similarity.solePqFit.map(f => "ann_pq" -> pqSql(f)).toMap ++
       Similarity.soleIvfPqFit.map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
-      Similarity.soleSemFit.map(f => "semantic_dedup" -> semSql(f)).toMap
+      Similarity.soleSemFit.map(f => "semantic_dedup" -> semSql(f)).toMap ++
+      Similarity.soleCaFit.map(f => "embedding_clusters" -> clusterSql(f)).toMap
 }

@@ -363,6 +363,11 @@ object SparkEntry {
     // pinned-centroid (AnnOracles.semSql), like the ANN index queries.
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir))),
+    // K-means cluster audit: per-cell label majority + purity — did the
+    // quantizer recover the corpus's planted structure? Pinned-centroid
+    // oracle (AnnOracles.clusterSql).
+    "embedding_clusters" -> ((s, dir) =>
+      Similarity.clusterAudit(Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(Tables.embeddings(s, dir))),
     // Int8 symmetric quantization + reconstruction-error audit (8x

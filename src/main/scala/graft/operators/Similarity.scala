@@ -758,6 +758,63 @@ object Similarity {
   private[graft] def soleSemFit: Option[SemFit] =
     if (semFits.size == 1) Some(semFits.values.iterator.next()) else None
 
+  final case class CaFit(centers: Array[Array[Double]], nlist: Int)
+  private val caFits =
+    new java.util.concurrent.ConcurrentHashMap[String, CaFit]()
+  private[graft] def caFitFor(
+      embeddings: DataFrame, nlist: Int = 16, seed: Long = 42L): Option[CaFit] =
+    Option(caFits.get(pinKey(embeddings, s"ca:$nlist:$seed")))
+  private[graft] def soleCaFit: Option[CaFit] =
+    if (caFits.size == 1) Some(caFits.values.iterator.next()) else None
+
+  /** K-means cluster audit with label purity — the clustering-quality
+    * check a curation pipeline runs when it clusters embeddings (for
+    * SemDeDup, curriculum buckets, topic balancing): per cell, the vector
+    * count, the majority label, and purity = majority / count. High purity
+    * means the quantizer recovered the corpus's planted/semantic structure;
+    * uniform purity ≈ 1/|labels| means it didn't. Same bounded-sample
+    * quantizer and per-row assignment as IVF; the aggregation is two
+    * cardinality-bounded shuffles (|cells x labels|, then |cells|).
+    */
+  def clusterAudit(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val embDouble = embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
+    val centers: Array[Array[Double]] = fitCacheKey(embeddings) match {
+      case None => fitCoarseQuantizer(embDouble.drop("label"), nlist, seed)
+      case Some(planKey) => quantizerCache.synchronized {
+        if (quantizerCache.size > 16) quantizerCache.clear()
+        quantizerCache.getOrElseUpdate(
+          (planKey, nlist, seed),
+          fitCoarseQuantizer(embDouble.drop("label"), nlist, seed))
+      }
+    }
+    if (caFits.size > 16) caFits.clear()
+    caFits.put(pinKey(embeddings, s"ca:$nlist:$seed"), CaFit(centers, nlist))
+
+    val assigned = embDouble.select(
+      col("vec_id"), col("label"),
+      element_at(
+        graft.functions.GraftColumns.pqEncode(col("embedding"), Array(centers)), 1)
+        .as("cell"))
+    val perCellLabel = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCell = Window.partitionBy(col("cell"))
+    perCellLabel
+      .withColumn("rn",
+        row_number().over(wCell.orderBy(col("cnt").desc, col("label").asc)))
+      .withColumn("vec_count", sum(col("cnt")).over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_count"),
+        col("label").as("majority_label"), col("cnt").as("majority_count"),
+        (col("cnt") / col("vec_count")).as("purity"))
+      .orderBy(col("cell"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     * by clustering embeddings with a k-means coarse quantizer, then finding
     * cosine near-duplicates ONLY within each cluster and keeping the lowest

@@ -225,6 +225,17 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(g == total)
   }
 
+  test("clusterAudit recovers planted cluster structure (purity >> random)") {
+    // DocGen plants 16 well-separated clusters with label == cluster id:
+    // the sampled k-means quantizer should assign mostly-pure cells.
+    val planted = graft.gen.DocGen.embeddings(spark, 2000)
+    val r = Similarity.clusterAudit(planted).collect()
+    assert(r.map(_.getLong(1)).sum == 2000, "cells must partition the corpus")
+    val weightedPurity = r.map(x => x.getDouble(4) * x.getLong(1)).sum / 2000
+    assert(weightedPurity >= 0.6,
+      s"planted structure not recovered: weighted purity $weightedPurity (random = 1/16)")
+  }
+
   test("embedding quantization: codes in int8 range, MSE within rounding bound") {
     val r = Similarity.quantizeAudit(emb).collect()
     assert(r.length > 0)

@@ -42,6 +42,7 @@ class QuerySurfaceSpec extends SparkTestBase {
     SparkEntry.queries("ann_pq")(spark, sf).count()
     SparkEntry.queries("ann_ivfpq")(spark, sf).count()
     SparkEntry.queries("semantic_dedup")(spark, sf).count() // semSql pin too
+    SparkEntry.queries("embedding_clusters")(spark, sf).count() // clusterSql pin
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSqlFor(spark, sf).keySet
     assert(missing.isEmpty, s"queries without oracles after a run: $missing")
   }
