@@ -133,6 +133,54 @@ FROM assign a LEFT JOIN dups d USING (vec_id)
 ORDER BY vec_id"""
   }
 
+  /** hybrid_dedup: the [[semSql]] machinery (pinned-centroid cells +
+    * within-cell cosine dups) joined with the exact content-digest window
+    * over documents — byte-identical and semantic verdicts in one table.
+    * Matches Similarity.hybridDedup(documents, embeddings, nlist, threshold).
+    */
+  def hybridSql(f: Similarity.SemFit): String = {
+    val rows = f.centers.zipWithIndex.map { case (c, i) =>
+      s"    ($i, ${listLit(c)}, ${dlit(halfNorm2(c))})"
+    }.mkString(",\n")
+    val dim = f.centers.head.length
+    s"""WITH cb(cell, wl, hn) AS (VALUES
+$rows),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = $dim),
+scores AS (
+  SELECT vec_id, cell,
+    list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * wl[i]),
+                (a, b) -> a + b) - hn AS score
+  FROM e, cb),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scores) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS cand,
+         list_cosine_similarity(ea.emb, eb.emb) AS sim
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  JOIN e ea ON a.vec_id = ea.vec_id
+  JOIN e eb ON b.vec_id = eb.vec_id),
+dups AS (
+  SELECT vec_id, min(cand) AS dup_of
+  FROM pairs WHERE sim >= ${dlit(f.threshold)} GROUP BY vec_id),
+ex AS (
+  SELECT doc_id,
+    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents)
+SELECT ex.doc_id,
+  CASE WHEN ex.keeper < ex.doc_id THEN ex.keeper END AS exact_dup_of,
+  du.dup_of AS semantic_dup_of,
+  (CASE WHEN ex.keeper < ex.doc_id THEN ex.keeper END IS NULL
+   AND du.dup_of IS NULL) AS keep
+FROM ex LEFT JOIN dups du ON ex.doc_id = du.vec_id
+ORDER BY doc_id"""
+  }
+
   /** embedding_clusters: pinned-centroid cell assignment (as [[ivfSql]]),
     * then per-cell label majorities and purity. Matches
     * Similarity.clusterAudit(embeddings, nlist).
@@ -346,6 +394,7 @@ ORDER BY query_id, rnk"""
       Similarity.pqFitFor(emb).map(f => "ann_pq" -> pqSql(f)).toMap ++
       Similarity.ivfPqFitFor(emb).map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
       Similarity.semFitFor(emb).map(f => "semantic_dedup" -> semSql(f)).toMap ++
+      Similarity.semFitFor(emb).map(f => "hybrid_dedup" -> hybridSql(f)).toMap ++
       Similarity.caFitFor(emb).map(f => "embedding_clusters" -> clusterSql(f)).toMap
   }
 
@@ -361,5 +410,6 @@ ORDER BY query_id, rnk"""
       Similarity.solePqFit.map(f => "ann_pq" -> pqSql(f)).toMap ++
       Similarity.soleIvfPqFit.map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
       Similarity.soleSemFit.map(f => "semantic_dedup" -> semSql(f)).toMap ++
+      Similarity.soleSemFit.map(f => "hybrid_dedup" -> hybridSql(f)).toMap ++
       Similarity.soleCaFit.map(f => "embedding_clusters" -> clusterSql(f)).toMap
 }

@@ -368,6 +368,12 @@ object SparkEntry {
     // oracle (AnnOracles.clusterSql).
     "embedding_clusters" -> ((s, dir) =>
       Similarity.clusterAudit(Tables.embeddings(s, dir))),
+    // Hybrid dedup: byte-identical (digest) AND semantic (SemDeDup)
+    // verdicts joined across modalities on the shared id — the verdict
+    // table a pipeline acts on. Oracle: AnnOracles.hybridSql (same
+    // pinned fit as semantic_dedup).
+    "hybrid_dedup" -> ((s, dir) =>
+      Similarity.hybridDedup(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(Tables.embeddings(s, dir))),
     // Int8 symmetric quantization + reconstruction-error audit (8x

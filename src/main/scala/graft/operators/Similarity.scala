@@ -758,6 +758,36 @@ object Similarity {
   private[graft] def soleSemFit: Option[SemFit] =
     if (semFits.size == 1) Some(semFits.values.iterator.next()) else None
 
+  /** Hybrid dedup — the verdict a production pipeline actually acts on:
+    * byte-identical duplicates (exact content digest) AND semantic
+    * near-duplicates (SemDeDup cell-scoped cosine) in ONE per-document
+    * table, joined across the text and embedding modalities on the shared
+    * id. keep = no lower-id duplicate under EITHER signal. The exact pass
+    * costs one 16-byte-digest window; the semantic pass is
+    * [[semanticDedup]] (cell-bounded quadratic); the modality join is a
+    * plain equi-join on the id — all hash-partitionable at corpus scale.
+    */
+  def hybridDedup(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      threshold: Double = 0.4,
+      seed: Long = 42L): DataFrame = {
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
+    val exact = documents
+      .select(col("doc_id"),
+        when(keeper < col("doc_id"), keeper).as("exact_dup_of"))
+    val sem = semanticDedup(embeddings, nlist, threshold, seed)
+      .select(col("vec_id").as("doc_id"),
+        col("dup_of").as("semantic_dup_of"))
+    exact
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup_of"), col("semantic_dup_of"),
+        (col("exact_dup_of").isNull && col("semantic_dup_of").isNull).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   final case class CaFit(centers: Array[Array[Double]], nlist: Int)
   private val caFits =
     new java.util.concurrent.ConcurrentHashMap[String, CaFit]()

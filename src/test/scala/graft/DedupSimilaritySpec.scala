@@ -225,6 +225,35 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(g == total)
   }
 
+  test("hybridDedup: verdict table is exactly the union of both signals") {
+    val h = Similarity.hybridDedup(docs, emb).collect()
+    assert(h.nonEmpty)
+    val sem = Similarity.semanticDedup(emb).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    h.foreach { r =>
+      val id = r.getLong(0)
+      val semantic = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(r.isNullAt(1), s"no byte-identical docs in the corpus, doc $id")
+      assert(semantic == sem.getOrElse(id, None), s"doc $id semantic verdict")
+      assert(r.getBoolean(3) == semantic.isEmpty)
+    }
+    assert(h.exists(!_.getBoolean(3)), "semantic signal must fire")
+    // the corpus has no byte-identical texts, so exercise the exact side
+    // with planted copies: 3 re-ids of existing docs must flag back to
+    // their originals via the digest, with no semantic verdict (no vec)
+    val planted = docs.select(col("doc_id"), col("text")).union(
+      docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val h2 = Similarity.hybridDedup(planted, emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    (0L until 3L).foreach { i =>
+      val r = h2(100000 + i)
+      assert(r.getLong(1) == i && !r.getBoolean(3),
+        s"planted copy ${100000 + i} must be an exact dup of $i")
+    }
+  }
+
   test("clusterAudit recovers planted cluster structure (purity >> random)") {
     // DocGen plants 16 well-separated clusters with label == cluster id:
     // the sampled k-means quantizer should assign mostly-pure cells.

@@ -42,19 +42,20 @@ class TextPipelineSpec extends SparkTestBase {
     assert(r(2L).getLong(1) == 2 && r(2L).getDouble(3) == math.rint(nll2 * 1e4) / 1e4)
   }
 
-  test("bigramNll: duplicated boilerplate scores lower NLL than unique text") {
+  test("bigramNll: every NLL positive/finite; identical text scores identically") {
     val docs = Tables.documents(spark, sf)
-    val nll = TextAnalysis.bigramNll(docs)
-    // Exact-duplicate docs (same text -> same model probabilities) must get
-    // identical NLL; and every doc's NLL is positive and finite.
-    val dupGroups = docs.groupBy(md5(col("text"))).agg(
-      min(col("doc_id")).as("a"), max(col("doc_id")).as("b"),
-      count(lit(1)).as("c")).filter(col("c") >= 2).limit(5).collect()
-    val byId = nll.collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    val byId = TextAnalysis.bigramNll(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
     assert(byId.values.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
-    dupGroups.foreach { g =>
-      assert(byId(g.getLong(1)) == byId(g.getLong(2)))
-    }
+    // the corpus has no byte-identical docs (verified — an earlier version
+    // of this test checked md5 dup groups vacuously), so PLANT a copy:
+    // same text -> same model probabilities -> identical NLL
+    val planted = docs.select(col("doc_id"), col("text")).union(
+      docs.filter(col("doc_id") === 0)
+        .select(lit(99999L).as("doc_id"), col("text")))
+    val byId2 = TextAnalysis.bigramNll(planted).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(byId2(0L) == byId2(99999L))
   }
 
   test("tfidfTopTerms: smooth idf, rank by score then term") {
@@ -103,6 +104,25 @@ class TextPipelineSpec extends SparkTestBase {
     assert(t.zip(t.tail).forall { case (a, b) => b <= a }, t.mkString(","))
     // lang, quality, span and sampling all genuinely cut at sf0.001
     assert(d(1) < d(0) && d(2) < d(1) && d(4) < d(3) && d(5) < d(4) && d(5) > 0)
+  }
+
+  test("curation funnel: wide-scan persist path gives identical results and releases") {
+    import graft.operators.Curation
+    // the harness tables are single parquet files, so the width-gated
+    // persist branch never fires elsewhere in the suite; build a multi-file
+    // copy (8 files >= local[4] parallelism) to exercise it
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide_docs").toFile.getAbsolutePath
+    Tables.documents(spark, sf).repartition(8).write.mode("overwrite").parquet(dir)
+    val wideDocs = spark.read.parquet(dir)
+    assert(wideDocs.inputFiles.length >= spark.sparkContext.defaultParallelism)
+    val narrow = Curation.funnel(Tables.documents(spark, sf), Seq("the", "a", "of", "and"))
+      .collect().map(_.toString).toSeq
+    val wide = Curation.funnel(wideDocs, Seq("the", "a", "of", "and"))
+      .collect().map(_.toString).toSeq
+    assert(wide == narrow, "persisted path must produce identical stage counts")
+    // release drops the tracked frame; a second release is a no-op
+    Curation.release(spark)
+    Curation.release(spark)
   }
 
   test("piiRedact: real PII in text is scrubbed and counted alongside planted") {
