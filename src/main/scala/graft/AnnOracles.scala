@@ -211,7 +211,8 @@ pc AS (
   GROUP BY 1, 2),
 r AS (
   SELECT cell, label, cnt,
-    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS rn,
+    row_number() OVER (PARTITION BY cell
+                       ORDER BY cnt DESC, label NULLS FIRST) AS rn,
     CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS vec_count
   FROM pc)
 SELECT cell, vec_count, label AS majority_label, cnt AS majority_count,

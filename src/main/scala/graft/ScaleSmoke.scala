@@ -111,6 +111,10 @@ object ScaleSmoke {
       val planeBits = (math.log(16.0 * scale) / math.log(2)).ceil.toInt
       time("semantic_dedup_lsh", scale)(
         Similarity.semanticDedupLsh(emb, planeBits).count())
+      time("embedding_quantize", scale)(
+        Similarity.quantizeAudit(emb).count())
+      time("embedding_clusters", scale)(
+        Similarity.clusterAudit(emb).count())
       emb.unpersist()
     }
 

@@ -90,7 +90,8 @@ object Curation {
       spanMax: Double = 0.95,
       spanK: Int = 8,
       rates: Map[String, Double] = Mixture.DriverRates,
-      defaultRate: Double = Mixture.DriverDefaultRate): DataFrame = {
+      defaultRate: Double = Mixture.DriverDefaultRate,
+      persistThresholdBytes: Long = 1L << 30): DataFrame = {
     val toks = split(col("text"), " ")
     // Stage membership as cumulative per-row FLAGS over ONE scan (not six
     // recomputed subtrees): stages 0-3 need the scan and the dedup window
@@ -107,14 +108,26 @@ object Curation {
       .withColumn("exact_ok", col("quality_ok") &&
         col("doc_id") === min(when(col("quality_ok"), col("doc_id")))
           .over(Window.partitionBy(md5(col("text")))))
-    val wide = documents.inputFiles.length >=
-      documents.sparkSession.sparkContext.defaultParallelism
+    // Gate on estimated SCAN SIZE (optimizer statistics — file bytes for
+    // file-backed corpora, cached-plan stats for in-memory ones), not file
+    // count: file count anti-correlates with cost (500 huge files on a
+    // 1024-core cluster is "narrow" by count but very expensive to scan
+    // three times; a cached generator frame has zero files but cheap
+    // cache-backed recompute). Threshold: recompute under ~1 GiB costs
+    // less than materializing the cache (measured +1.1 s at the 5 MB
+    // local scale); above it the two avoided scans dominate.
+    val scanBytes = documents.queryExecution.optimizedPlan.stats.sizeInBytes
     val base =
-      if (wide) {
+      if (scanBytes >= persistThresholdBytes) {
         val b = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         trackPersisted(b)
         b
-      } else base0
+      } else {
+        // lifecycle still holds on the recompute path: a narrow funnel
+        // call must not leave a PREVIOUS wide call's frame pinned
+        release(documents.sparkSession)
+        base0
+      }
 
     def stageRow(id: Int, name: String, docsCol: Column, toksCol: Column) =
       struct(lit(id).as("stage_id"), lit(name).as("stage"),
