@@ -55,6 +55,26 @@ class LayoutStatefulSpec extends SparkTestBase {
       s"pruned scan lists $prunedFiles of $totalFiles files")
   }
 
+  test("zorderKey matches a reference bit interleave over the full 64x64 grid") {
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L; var i = 0
+      while (i < bits) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val rows = spark.range(4096).select(
+        (col("id") % 64).as("x"), expr("id DIV 64").as("y"),
+        Layout.zorderKey(col("id") % 64, expr("id DIV 64"), 6).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1), 6),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("z-order layout prunes row groups on BOTH dimensions; 1-d sort on one") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
