@@ -234,19 +234,21 @@ object TextAnalysis {
     val bi = documents
       .select(col("doc_id"), explode(bigrams).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // One explode pass: corpus bigram counts and context counts both fold
-    // from the per-doc counts (sum of counts == count of occurrences), so
-    // the token stream is scanned once, not three times.
+    // One explode pass, and the model counts as count-only WINDOWS over
+    // the per-doc frame (sum of per-doc counts == count of occurrences)
+    // instead of groupBy+join-back — the join formulation re-derives the
+    // aggregate subtree per side (same reasoning as crossDocNgramOverlap
+    // and tfidf df). Window sums of longs are integer-exact.
     val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_doc"))
-    val corpusBi = docBi.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("c_doc")).as("c12"))
-    val context = corpusBi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = documents
       .select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
+    import org.apache.spark.sql.expressions.Window
     docBi
-      .join(corpusBi, Seq("w1", "w2"))
-      .join(context, Seq("w1"))
+      .withColumn("c12",
+        sum(col("c_doc")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("c1",
+        sum(col("c_doc")).over(Window.partitionBy(col("w1"))))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(
