@@ -250,6 +250,32 @@ object SparkEntry {
     // Temporal profile: events by hour-of-day x day-of-week.
     "events_time_profile" -> ((s, dir) =>
       Analytics.eventsTimeProfile(Tables.events(s, dir))),
+    // S2+S3 as an ORACLED query: serialize events to JSON in-query
+    // (deterministic concat; every 97th record truncated = corrupt),
+    // parse through the REAL permissive from_json path with the observed
+    // corrupt counter, aggregate the survivors. The oracle computes the
+    // expected result relationally from ground truth — the engine only
+    // matches if the parser round-trips every field and drops exactly
+    // the corrupt records.
+    "json_ingest_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("user_id", LongType)))
+      val raw = Tables.events(s, dir).select(
+        when(col("event_id") % 97 === 0, lit("{\"event_id\":"))
+          .otherwise(concat(
+            lit("{\"event_id\":"), col("event_id").cast("string"),
+            lit(",\"event_type\":\""), col("event_type"),
+            lit("\",\"user_id\":"), col("user_id").cast("string"), lit("}")))
+          .as("value"))
+      graft.sources.Sources.parseJsonEvents(raw, schema)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("parsed_count"),
+          countDistinct(col("user_id")).as("distinct_users"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy(col("event_type"))
+    }),
     // Z-order locality audit: Morton keys over (user_id, event_id) mod
     // 1024, bucketed by key prefix — per-bucket min/max of BOTH dims stay
     // tile-tight, the property the z-sorted layout's file skipping rests
@@ -723,6 +749,16 @@ object SparkEntry {
         |       min(x) AS min_x, max(x) AS max_x,
         |       min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Ground truth computed relationally — the ENGINE must round-trip the
+    // JSON and drop exactly the event_id % 97 == 0 corrupt records.
+    "json_ingest_agg" ->
+      """SELECT event_type,
+        |  count(*) AS parsed_count,
+        |  count(DISTINCT user_id) AS distinct_users,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id % 97 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_time_profile" ->
       """SELECT hour(ts) AS hour_of_day,
