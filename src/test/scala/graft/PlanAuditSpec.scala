@@ -95,6 +95,23 @@ class PlanAuditSpec extends SparkTestBase {
         stringExchange.mkString)
   }
 
+  test("funnel persist path reads the cache, not three corpus scans") {
+    val df = graft.operators.Curation.funnel(
+      Tables.documents(spark, sf), Seq("the", "a", "of", "and"),
+      persistThresholdBytes = 0L)
+    val ls = deepLeaves(finalPlan(df))
+    val cacheScans = ls.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    val fileScans = ls.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.FileSourceScanExec])
+    graft.operators.Curation.release(spark)
+    assert(cacheScans >= 2,
+      s"stage branches must read the persisted frame: $cacheScans cache scans")
+    // the only parquet scan allowed is the one materializing the cache
+    assert(fileScans <= 1,
+      s"persisted funnel must not rescan the corpus: $fileScans file scans")
+  }
+
   test("tfidf top-k plans as WindowGroupLimit (rank pushdown, bounded sort)") {
     val df = graft.functions.TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf))
     val plan = executed(df)
