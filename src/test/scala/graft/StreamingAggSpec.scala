@@ -153,6 +153,41 @@ class StreamingAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("RocksDB state store: doc-curation digest dedup matches the heap provider") {
+    // dropDuplicatesWithinWatermark state (the 16-byte digest set) must
+    // round-trip RocksDB's serialization exactly like the agg state does.
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "the " + (1 to 50).map(i => s"w$i").mkString(" ")
+    val good2 = "the " + (1 to 50).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      Doc(1, Timestamp.valueOf("2024-01-01 10:00:00"), good1, "srcA"),
+      Doc(2, Timestamp.valueOf("2024-01-01 10:03:00"), good1, "srcA"),
+      Doc(3, Timestamp.valueOf("2024-01-01 10:06:00"), good2, "srcA"))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    def run(tag: String): Set[String] = {
+      val mem = MemoryStream[Doc]
+      val q = StreamingAgg.curatedDocStream(mem.toDF(), Seq("the", "a", "of", "and"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"rocksdb_doc_$tag").start()
+      try {
+        docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+        spark.table(s"rocksdb_doc_$tag").collect()
+          .map(_.getAs[String]("text")).toSet
+      } finally q.stop()
+    }
+    try {
+      val default = run("default")
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = run("rocks")
+      assert(default == Set(good1, good2) && rocks == default)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup drops replayed event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
