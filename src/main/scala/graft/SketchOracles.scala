@@ -163,6 +163,45 @@ WHERE pick_rank <= ($quotaCase)
 ORDER BY source, pick_rank"""
   }
 
+  /** gen_events_audit: replay the splitmix64 event generator itself —
+    * three mix chains (user/type/value streams, inputs id*8+k+(seed<<40))
+    * over a plain range(), then the same per-type aggregate the engine
+    * computes. The ORACLE generates the events independently: the engine
+    * matches only if its distributed generation is exactly the documented
+    * function of the row id. Mirrors graft.gen.EventGen.batch.
+    */
+  def genEventsSql(
+      n: Long,
+      userPool: Int,
+      seed: Long,
+      eventTypes: Seq[String]): String = {
+    val s = seed << 40
+    val typeList = eventTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+  SELECT id,
+    ((id * 8 + ${s + 1})::HUGEINT + 11400714819323198485::HUGEINT) % $U64 AS xu,
+    ((id * 8 + ${s + 2})::HUGEINT + 11400714819323198485::HUGEINT) % $U64 AS xt,
+    ((id * 8 + ${s + 3})::HUGEINT + 11400714819323198485::HUGEINT) % $U64 AS xv
+  FROM range(0, $n) t(id)),
+${mixChain("gu", "d", Seq("id", "xt", "xv"), "xu")},
+ru AS (SELECT id, xt, xv, CAST(mx // 2048 AS BIGINT) % $userPool AS user_id
+       FROM gu4),
+${mixChain("gt", "ru", Seq("id", "user_id", "xv"), "xt")},
+rt AS (SELECT id, user_id, xv,
+         [$typeList][CAST(CAST(mx // 2048 AS BIGINT)
+                          % ${eventTypes.size} AS INTEGER) + 1] AS event_type
+       FROM gt4),
+${mixChain("gv", "rt", Seq("id", "user_id", "event_type"), "xv")},
+rv AS (SELECT id, user_id, event_type,
+         round(CAST(mx // 2048 AS BIGINT)::DOUBLE
+               / 9007199254740992.0 * 200.0, 2) AS value
+       FROM gv4)
+SELECT event_type, count(*) AS n,
+  count(DISTINCT user_id) AS distinct_users,
+  round(sum(value), 2) AS value_sum
+FROM rv GROUP BY event_type ORDER BY event_type"""
+  }
+
   /** curation_funnel: the staged loss curve — the same CTE chain as
     * graft.operators.Curation.funnel, stage for stage: lang-marker argmax
     * gate, docStats quality score, md5 keep-lowest-id, shingle-df span

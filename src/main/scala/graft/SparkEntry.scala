@@ -250,6 +250,18 @@ object SparkEntry {
     // Temporal profile: events by hour-of-day x day-of-week.
     "events_time_profile" -> ((s, dir) =>
       Analytics.eventsTimeProfile(Tables.events(s, dir))),
+    // G1 as an ORACLED query: the oracle REGENERATES the events from the
+    // splitmix64 streams independently (SketchOracles.genEventsSql) and
+    // aggregates — the engine matches only if distributed generation is
+    // exactly the documented function of the row id. Fixed n: the
+    // generator doesn't scale with the harness tables.
+    "gen_events_audit" -> ((s, dir) =>
+      graft.gen.EventGen.batch(s, 50000)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("distinct_users"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("event_type"))),
     // S2+S3 as an ORACLED query: serialize events to JSON in-query
     // (deterministic concat; every 97th record truncated = corrupt),
     // parse through the REAL permissive from_json path with the observed
@@ -749,6 +761,9 @@ object SparkEntry {
         |       min(x) AS min_x, max(x) AS max_x,
         |       min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "gen_events_audit" -> SketchOracles.genEventsSql(
+      n = 50000, userPool = 150, seed = 42L, eventTypes = graft.gen.EventGen.eventTypes),
 
     // Ground truth computed relationally — the ENGINE must round-trip the
     // JSON and drop exactly the event_id % 97 == 0 corrupt records.

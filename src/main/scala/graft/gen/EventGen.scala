@@ -17,7 +17,14 @@ object EventGen {
   val eventTypes: Seq[String] = Seq("view", "click", "purchase", "signup", "error")
 
   /** `n` events spread uniformly over `days` days from `startDate`, user ids
-    * uniform in [0, userPool). Deterministic for a fixed seed.
+    * uniform in [0, userPool). Deterministic for a fixed seed AND invariant
+    * to physical partitioning: every column derives from the splitmix64
+    * family over the row id (`rand(seed)` seeds per PARTITION, so the old
+    * formulation changed values under repartition — and was inherently
+    * un-emulatable by the DuckDB oracle; mix64 streams are both stable and
+    * replayed bit-exactly by SketchOracles' HUGEINT emitter). Column k's
+    * stream input is id*8 + k + (seed << 40): disjoint across columns and
+    * across seeds for any n < 2^37.
     */
   def batch(
       spark: SparkSession,
@@ -26,17 +33,20 @@ object EventGen {
       days: Int = 30,
       startDate: String = "2024-01-01",
       seed: Long = 42L): DataFrame = {
+    import graft.functions.GraftColumns.mix64
     val typeArr = array(eventTypes.map(lit): _*)
+    def uni(k: Int) = // 53-bit uniform integer stream for column k
+      shiftrightunsigned(mix64(col("id") * 8 + lit((seed << 40) + k)), 11)
     spark.range(n).select(
       col("id").as("event_id"),
       timestamp_seconds(
         unix_timestamp(to_timestamp(lit(s"$startDate 00:00:00"))) +
-          floor(rand(seed) * days * 86400L).cast("long")).as("ts"),
-      floor(rand(seed + 1) * userPool).cast("long").as("user_id"),
-      element_at(typeArr, (floor(rand(seed + 2) * eventTypes.size) + 1).cast("int"))
+          uni(0) % (days * 86400L)).as("ts"),
+      (uni(1) % userPool).as("user_id"),
+      element_at(typeArr, ((uni(2) % eventTypes.size) + 1).cast("int"))
         .as("event_type"),
-      round(rand(seed + 3) * 200.0, 2).as("value"),
-      concat(lit("""{"k": """), floor(rand(seed + 4) * 100).cast("int"), lit("}"))
+      round(uni(3).cast("double") / lit(9007199254740992.0) * 200.0, 2).as("value"),
+      concat(lit("""{"k": """), (uni(4) % 100).cast("int"), lit("}"))
         .as("props"))
   }
 

@@ -67,6 +67,12 @@ REQUIRED = {
         "mx // 2048",
         "cum_tokens - tokens <",                    # admission cut
     ],
+    "gen_events_audit": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "11400714819323198485::HUGEINT",            # golden gamma pre-add
+        "mx // 2048",                               # 53-bit stream
+        "9007199254740992.0",                       # 2^53 dyadic uniform
+    ],
     "curation_funnel": [
         mulm("a1x", C1), mulm("a2", C2),
         "(xor(h, b) * 1099511628211::HUGEINT)",
