@@ -274,12 +274,12 @@ object SparkEntry {
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("event_type", StringType),
         StructField("user_id", LongType)))
+      // to_json(struct(...)) rather than hand-concat: correct escaping if
+      // the data ever grows quotes/backslashes/nulls in a string field
       val raw = Tables.events(s, dir).select(
         when(col("event_id") % 97 === 0, lit("{\"event_id\":"))
-          .otherwise(concat(
-            lit("{\"event_id\":"), col("event_id").cast("string"),
-            lit(",\"event_type\":\""), col("event_type"),
-            lit("\",\"user_id\":"), col("user_id").cast("string"), lit("}")))
+          .otherwise(to_json(struct(
+            col("event_id"), col("event_type"), col("user_id"))))
           .as("value"))
       graft.sources.Sources.parseJsonEvents(raw, schema)
         .groupBy(col("event_type"))

@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * producer/src/domain/event_generator.py:33-61 — uniform user pool, uniform
   * event-type enum, conditional optional fields).
   *
-  * Batch: `spark.range(n)` + seeded `rand` — fully distributed, no driver
-  * loop, reproducible via the seed. Streaming: the `rate` source with the
+  * Batch: `spark.range(n)` + splitmix64 streams over the row id — fully
+  * distributed, no driver loop, reproducible via the seed AND invariant to
+  * partitioning (see [[EventGen.batch]]; do NOT add rand()-based columns —
+  * they seed per partition and break the oracle-replayability contract
+  * gen_events_audit depends on). Streaming: the `rate` source with the
   * same projection. Used to fabricate test fixtures at arbitrary scale
   * (never to replace the harness tables, which stay canonical for oracles).
   */

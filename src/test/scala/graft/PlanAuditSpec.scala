@@ -99,12 +99,14 @@ class PlanAuditSpec extends SparkTestBase {
     val df = graft.operators.Curation.funnel(
       Tables.documents(spark, sf), Seq("the", "a", "of", "and"),
       persistThresholdBytes = 0L)
-    val ls = deepLeaves(finalPlan(df))
-    val cacheScans = ls.count(_.isInstanceOf[
-      org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
-    val fileScans = ls.count(_.isInstanceOf[
-      org.apache.spark.sql.execution.FileSourceScanExec])
-    graft.operators.Curation.release(spark)
+    val (cacheScans, fileScans) =
+      try {
+        val ls = deepLeaves(finalPlan(df))
+        (ls.count(_.isInstanceOf[
+            org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+          ls.count(_.isInstanceOf[
+            org.apache.spark.sql.execution.FileSourceScanExec]))
+      } finally graft.operators.Curation.release(spark) // never leak the cache
     assert(cacheScans >= 2,
       s"stage branches must read the persisted frame: $cacheScans cache scans")
     // the only parquet scan allowed is the one materializing the cache
