@@ -250,6 +250,10 @@ object SparkEntry {
     // Temporal profile: events by hour-of-day x day-of-week.
     "events_time_profile" -> ((s, dir) =>
       Analytics.eventsTimeProfile(Tables.events(s, dir))),
+    // Time-based RANGE frame: trailing-hour per-user count + DECIMAL-exact
+    // value mass (frame membership by order-key VALUE, not row position).
+    "user_trailing_window" -> ((s, dir) =>
+      Analytics.userTrailingWindow(Tables.events(s, dir))),
     // G1 as an ORACLED query: the oracle REGENERATES the events from the
     // splitmix64 streams independently (SketchOracles.genEventsSql) and
     // aggregates — the engine matches only if distributed generation is
@@ -761,6 +765,16 @@ object SparkEntry {
         |       min(x) AS min_x, max(x) AS max_x,
         |       min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "user_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS trailing_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS trailing_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "gen_events_audit" -> SketchOracles.genEventsSql(
       n = 50000, userPool = 150, seed = 42L, eventTypes = graft.gen.EventGen.eventTypes),

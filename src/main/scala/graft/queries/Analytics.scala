@@ -309,6 +309,28 @@ object Analytics {
       .orderBy(col("user_id"), col("event_index"))
   }
 
+  /** Time-based RANGE window frame: per-event trailing-interval aggregate
+    * (events and value mass in the preceding `seconds` per user) — the
+    * sliding time-window primitive of monitoring/feature pipelines, and a
+    * genuinely different frame kind from [[userRunningTotals]]'s ROWS
+    * frame: membership is defined by the ORDER KEY's value (epoch micros),
+    * not row position, so ties (peer rows) enter the frame together.
+    * The sum rides the same DECIMAL(18,2) cast as the running totals —
+    * order-independent exact, so the oracle comparison is bit-exact
+    * regardless of how either engine walks the frame.
+    */
+  def userTrailingWindow(events: DataFrame, seconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-seconds * 1000000L, 0L)
+    events.select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("trailing_events"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double")
+          .as("trailing_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Decorrelated-subquery shape: customers above their nation's average
     * balance — a partition-wide window aggregate (DECIMAL-exact) compared
     * against the row value, no self-join.
