@@ -8,6 +8,32 @@ import graft.queries.Analytics
   */
 class AnalyticsSpec extends SparkTestBase {
 
+  test("userTrailingWindow: RANGE frame matches brute force; peers enter together") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1: spread over 2.5 hours; events 3+4 share a timestamp (peers)
+      (1L, "2024-01-01 10:00:00", 1L, 10.0),
+      (2L, "2024-01-01 10:30:00", 1L, 20.0),
+      (3L, "2024-01-01 11:15:00", 1L, 5.0),
+      (4L, "2024-01-01 11:15:00", 1L, 7.0),
+      (5L, "2024-01-01 12:31:00", 1L, 1.0),
+      // user 2: one event
+      (6L, "2024-01-01 10:05:00", 2L, 3.0)
+    ).map { case (id, t, u, v) => (id, Timestamp.valueOf(t), u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = graft.queries.Analytics.userTrailingWindow(ev)
+      .collect().map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(3))).toMap
+    // brute force: rows of the same user within [t-1h, t]
+    assert(r(1L) == (1L, 10.0))
+    assert(r(2L) == (2L, 30.0)) // 10:00 within the hour
+    // RANGE semantics: the two 11:15 peers see EACH OTHER (and 10:30)
+    assert(r(3L) == (3L, 32.0), s"got ${r(3L)}")
+    assert(r(4L) == (3L, 32.0))
+    assert(r(5L) == (1L, 1.0)) // nothing within the trailing hour
+    assert(r(6L) == (1L, 3.0))
+  }
+
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
