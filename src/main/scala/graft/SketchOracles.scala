@@ -135,6 +135,25 @@ SELECT source, docs_before, docs_after, tokens_before, tokens_after,
 FROM agg ORDER BY source"""
   }
 
+  /** quality_weighted_sample: the per-document-rate gate — same fnv+mix64
+    * text uniform as the mixture gate, but the rate is computed from the
+    * document (inverse token length, `LEAST(1.0, target/tokens)`) instead
+    * of a per-source CASE. Mirrors graft.operators.Mixture.weightedSample;
+    * `targetTokens` comes from the same default.
+    */
+  def weightedSampleSql(targetTokens: Double = 40.0): String =
+    s"""WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tokens,
+    ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents WHERE $asciiGuard = 0),
+${mixChain("ws", "d", Seq("doc_id", "source", "tokens"), "z0")},
+g AS (SELECT doc_id, source, tokens,
+  LEAST(CAST(1.0 AS DOUBLE), CAST(${dlit(targetTokens)} AS DOUBLE) / tokens::DOUBLE) AS rate,
+  CAST(mx // 2048 AS BIGINT)::DOUBLE / 9007199254740992.0 AS u
+  FROM ws4)
+SELECT doc_id, source, tokens, rate, u FROM g
+WHERE u < rate ORDER BY doc_id"""
+
   /** stratified_sample: the exact-quota selection — same fnv+mix64 text
     * uniform as the mixture gate (ordering by the 53-bit integer is the
     * same order as the engine's dyadic double: the map is monotone),

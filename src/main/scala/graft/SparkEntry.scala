@@ -564,7 +564,36 @@ object SparkEntry {
           element_at(col("q"), 3).as("p99"),
           col("p50_exact"),
           col("line_count"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- round 8: session/interval/indexing/sampling surface -----------
+
+    // Native session_window batch aggregation (the merging-window operator
+    // Structured Streaming shares); boundary contract ts >= prev + gap.
+    "session_window_stats" -> ((s, dir) =>
+      Sessionize.sessionWindows(Tables.events(s, dir))),
+    // SCD2-style run compaction: event log -> validity-interval dimension.
+    "event_type_intervals" -> ((s, dir) =>
+      Analytics.eventTypeIntervals(Tables.events(s, dir))),
+    // Explicit GROUPING SETS: two independent one-dim aggregates, one pass.
+    "grouping_sets_revenue" -> ((s, dir) =>
+      Analytics.groupingSetsRevenue(Tables.orders(s, dir))),
+    // TPC-H Q17 shape: correlated per-part avg via a window on the joined
+    // frame (no second scan), brand filter pushed to the part scan.
+    "tpch_q17_small_qty" -> ((s, dir) =>
+      Analytics.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // Per-dimension embedding stats (normalization/whitening audit).
+    "embedding_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir))),
+    // Padding-efficiency audit over power-of-two length buckets.
+    "length_buckets" -> ((s, dir) =>
+      TextAnalysis.lengthBuckets(Tables.documents(s, dir))),
+    // Inverted-index build: df/tf + capped posting lists per token.
+    "token_postings" -> ((s, dir) =>
+      TextAnalysis.tokenPostings(Tables.documents(s, dir))),
+    // Per-document-rate hash gate (inverse-length weighted sampling).
+    "quality_weighted_sample" -> ((s, dir) =>
+      graft.operators.Mixture.weightedSample(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -1671,7 +1700,132 @@ object SparkEntry {
     "curation_funnel" -> SketchOracles.funnelSql(
       stopwordsSqlList, qualityMin = 0.5, spanMax = 0.95, spanK = 8),
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
-    "source_mixture_sample" -> SketchOracles.mixtureSql()
+    "source_mixture_sample" -> SketchOracles.mixtureSql(),
+
+    // ---- round 8 ---------------------------------------------------------
+
+    // Gap-islands mirror of Spark's session_window merge semantics: windows
+    // [ts, ts+gap) merge when they overlap or touch, so a new session iff
+    // ts > prev + gap (strict); session_end = last event + gap.
+    "session_window_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "event_type_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR event_type <> lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current,
+        |  n_events
+        |FROM g ORDER BY user_id, run_id""".stripMargin,
+
+    // GROUPING() bit order (first column = MSB) is the convention Spark's
+    // grouping_id() shares with Postgres/DuckDB.
+    "grouping_sets_revenue" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "tpch_q17_small_qty" ->
+      """WITH j AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4')
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(7.0 AS DOUBLE) AS avg_yearly,
+        |  count(*) AS line_count
+        |FROM j WHERE l_quantity < CAST(0.5 AS DOUBLE) * avg_qty""".stripMargin,
+
+    "embedding_dim_stats" ->
+      """WITH x0 AS (
+        |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE})) AS s
+        |  FROM embeddings),
+        |x AS (SELECT CAST(s.dim AS INT) AS dim, s.x AS x FROM x0),
+        |fp AS (
+        |  SELECT dim, x,
+        |    CAST(CAST(x AS DECIMAL(16,15)) * 1000000000000000 AS BIGINT) AS x_fp,
+        |    CAST(CAST(x * x AS DECIMAL(16,15)) * 1000000000000000 AS BIGINT) AS xx_fp
+        |  FROM x),
+        |a AS (
+        |  SELECT dim, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+        |    CAST(sum(x_fp) AS BIGINT) AS sum_fp, CAST(sum(xx_fp) AS BIGINT) AS ssq_fp
+        |  FROM fp GROUP BY dim),
+        |d AS (
+        |  SELECT dim, n, min_x, max_x,
+        |    CAST(sum_fp AS DOUBLE) / 1e15 AS sx, CAST(ssq_fp AS DOUBLE) / 1e15 AS sxx
+        |  FROM a)
+        |SELECT dim, n, min_x, max_x,
+        |  sx / n AS mean_x,
+        |  (sxx - sx * sx / n) / n AS var_x
+        |FROM d ORDER BY dim""".stripMargin,
+
+    "length_buckets" ->
+      """WITH d AS (
+        |  SELECT len(string_split(text, ' '))::BIGINT AS tokens FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN tokens <= 16 THEN 16 WHEN tokens <= 32 THEN 32
+        |    WHEN tokens <= 64 THEN 64 WHEN tokens <= 128 THEN 128
+        |    WHEN tokens <= 256 THEN 256 WHEN tokens <= 512 THEN 512
+        |    WHEN tokens <= 1024 THEN 1024 ELSE 2048 END AS bucket, tokens
+        |  FROM d),
+        |a AS (
+        |  SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+        |    CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tokens,
+        |  CAST(bucket AS BIGINT) * n_docs AS padded_tokens,
+        |  CAST(CAST(bucket AS BIGINT) * n_docs - sum_tokens AS DOUBLE)
+        |    / CAST(CAST(bucket AS BIGINT) * n_docs AS DOUBLE) AS waste_frac
+        |FROM a ORDER BY bucket""".stripMargin,
+
+    "token_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |r AS (SELECT token, doc_id, tf,
+        |  row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf)
+        |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  string_agg(CASE WHEN rn <= 5 THEN doc_id || ':' || tf END, ','
+        |    ORDER BY tf DESC, doc_id) AS top_postings
+        |FROM r GROUP BY token ORDER BY token""".stripMargin,
+
+    "quality_weighted_sample" -> SketchOracles.weightedSampleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -185,6 +185,67 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occurrences"))
       .orderBy(desc("occurrences"), asc("token"))
 
+  /** Length-bucket packing audit — the padding-efficiency table a training
+    * pipeline reviews when batching variable-length documents: docs are
+    * assigned to power-of-two token-length buckets and each bucket reports
+    * the token mass it would pad to. The bucket is an integer CASE chain
+    * (never `ceil(log2(x))` — float log at exact powers of two is an
+    * engine-dependent coin flip); `waste_frac` is one division of exact
+    * BIGINTs, bit-deterministic cross-engine. Map-side combine bounds the
+    * shuffle at partitions x buckets rows.
+    */
+  def lengthBuckets(documents: DataFrame): DataFrame = {
+    val t = wsTokenCount(col("text"))
+    val bucket = when(t <= 16, 16)
+      .when(t <= 32, 32)
+      .when(t <= 64, 64)
+      .when(t <= 128, 128)
+      .when(t <= 256, 256)
+      .when(t <= 512, 512)
+      .when(t <= 1024, 1024)
+      .otherwise(2048)
+    documents
+      .select(bucket.cast("int").as("bucket"), t.as("tokens"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("bucket").cast("long") * col("n_docs"))
+      .withColumn("waste_frac",
+        (col("padded_tokens") - col("sum_tokens")).cast("double")
+          / col("padded_tokens").cast("double"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Inverted-index construction: per token its document frequency, total
+    * term frequency, and a capped posting list (top-`k` docs by tf, doc_id
+    * tie-break) serialized as `doc:tf` pairs. Two keyed aggregations with
+    * map-side combine — the (token, doc) frame is the explode bounded by
+    * sum-of-doc-lengths, the token frame by vocabulary. The posting list is
+    * collected UNORDERED (collect_list order is partition-dependent) and
+    * totally ordered inside the row by array_sort on (-tf, doc_id) structs,
+    * so the output is deterministic under any partitioning.
+    */
+  def tokenPostings(documents: DataFrame, k: Int = 5): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(
+            slice(
+              array_sort(collect_list(struct((-col("tf")).as("ntf"), col("doc_id").as("d")))),
+              1, k),
+            s => concat(
+              s.getField("d").cast("string"), lit(":"),
+              (-s.getField("ntf")).cast("string"))),
+          ",").as("top_postings"))
+      .orderBy(col("token"))
+
   /** Document fingerprints via the native [[RollingHash]] expression.
     * Verified against an independent pure-SQL fold in the DuckDB oracle.
     */

@@ -186,6 +186,27 @@ object Mixture {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** Per-document weighted sampling — the rate is computed FROM the
+    * document instead of looked up by source: here inverse-length
+    * (`min(1, targetTokens/tokens)`), the standard correction that stops
+    * long documents from dominating the token mass of a sampled corpus
+    * (each doc contributes ~`targetTokens` expected tokens regardless of
+    * length). Same content-keyed gate as [[sampleBySource]] — map-only,
+    * reorder/growth-stable, monotone in `targetTokens`, duplicate-
+    * consistent — and every float is deterministic: the rate is one
+    * double division of exact integers, the uniform is an exact dyadic.
+    */
+  def weightedSample(documents: DataFrame, targetTokens: Double = 40.0): DataFrame = {
+    val tokens = graft.functions.TextAnalysis.wsTokenCount(col("text"))
+    documents
+      .select(
+        col("doc_id"), col("source"), tokens.as("tokens"),
+        least(lit(1.0), lit(targetTokens) / tokens.cast("double")).as("rate"),
+        textUniform(col("text")).as("u"))
+      .filter(col("u") < col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The driver query's stratified budget: five quota tiers cycled across
     * the generator's sources; unknown sources contribute nothing. Shared
     * with the oracle generator.

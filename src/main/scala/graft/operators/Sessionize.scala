@@ -44,4 +44,36 @@ object Sessionize {
         count(lit(1)).as("event_count"),
         (count(lit(1)) / max(col("session_index"))).as("events_per_session"))
       .orderBy(col("user_id"))
+
+  /** Per-session rows via Spark's NATIVE `session_window` operator — the
+    * built-in merging-window aggregate (one shuffle on the group key, then
+    * in-partition window merging; the same operator Structured Streaming
+    * uses for stateful session aggregation, so this batch query and a
+    * streaming variant share semantics by construction).
+    *
+    * Boundary semantics (fixture-verified, not just read off the docs):
+    * each event opens a window [ts, ts+gap) and per-user windows merge when
+    * they overlap OR TOUCH — an event at exactly `prev_ts + gap` is merged,
+    * so a new session starts iff `ts > prev_ts + gap`. That is the SAME
+    * break rule as [[withSessionIndex]]'s reconstruction; what differs is
+    * the reported boundary: `session_end` is `last_ts + gap`, not the last
+    * event time.
+    *
+    * The value mass rides a DECIMAL(18,2) cast: order-independent exact,
+    * bit-reproducible against the gap-islands oracle.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("value_sum"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_types"), col("value_sum"))
+      .orderBy(col("user_id"), col("session_start"))
 }

@@ -714,6 +714,45 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Per-dimension corpus statistics — the normalization/whitening audit a
+    * vector pipeline runs before indexing (detects dead dimensions, scale
+    * imbalance, outlier dims that dominate the metric). posexplode fans the
+    * corpus to (dim, value) rows — 64 accumulators per partition after
+    * map-side combine, so the shuffle carries partitions x dims rows, not
+    * the corpus. Sums are EXACT fixed-point int64: each per-row double
+    * (identical cross-engine) rounds once to DECIMAL(16,15) and is scaled
+    * to a scale-15 integer, so the aggregate never touches a decimal →
+    * double cast (DuckDB converts big decimals through a multiply-by-1e-15
+    * that is 1 ulp off Java's correctly-rounded BigDecimal.doubleValue —
+    * measured on this very query). Mean and variance then derive from the
+    * exact integers in straight-line, correctly-rounded double math.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame = {
+    val fp = (c: Column) =>
+      (c.cast(org.apache.spark.sql.types.DecimalType(16, 15))
+        * lit(1000000000000000L)).cast("long")
+    embeddings
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x"),
+        fp(col("x")).as("x_fp"), fp(col("x") * col("x")).as("xx_fp"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"),
+        sum(col("x_fp")).as("sum_fp"),
+        sum(col("xx_fp")).as("ssq_fp"))
+      .withColumn("sx", col("sum_fp").cast("double") / lit(1.0e15))
+      .withColumn("sxx", col("ssq_fp").cast("double") / lit(1.0e15))
+      .withColumn("mean_x", col("sx") / col("n"))
+      .withColumn("var_x",
+        (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+      .select(
+        col("dim"), col("n"), col("min_x"), col("max_x"),
+        col("mean_x"), col("var_x"))
+      .orderBy(col("dim"))
+  }
+
   /** Int8 symmetric quantization audit — the embedding-compression step a
     * corpus-scale vector store runs before ANN/storage (8x smaller than
     * float32, 4x smaller than the PQ codes' input): per-vector scale =

@@ -359,6 +359,85 @@ object Analytics {
         round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("hour_of_day"), col("dow"))
 
+  /** SCD2-style run compaction of the event stream: consecutive same-type
+    * events per user collapse into validity intervals
+    * (`valid_from`, `valid_to`) — the change-data-capture shape that turns
+    * an event log into a slowly-changing dimension snapshot. Two window
+    * passes over ONE shuffle on user_id (lag → run-id prefix sum, then a
+    * keyed aggregate and a lead over the compacted frame — the second
+    * window re-partitions on the same key, so AQE coalesces it onto the
+    * same exchange). `valid_to` of the last run is NULL (`is_current`).
+    */
+  def eventTypeIntervals(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevType = lag(col("event_type"), 1).over(byUser)
+    val runs = events
+      .withColumn("chg",
+        when(prevType.isNull || col("event_type") =!= prevType, 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(
+        col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("n_events"))
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  /** Explicit GROUPING SETS — two INDEPENDENT one-dimension aggregates
+    * (by status, by priority) in a single pass/shuffle, a shape neither
+    * ROLLUP nor CUBE can express (both would add the (status, priority)
+    * cross term). `grouping_id` disambiguates which set a row belongs to
+    * (bit per grouping column, first column = MSB — the convention Spark
+    * and DuckDB share).
+    */
+  def groupingSetsRevenue(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        decSum(col("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("order_count"))
+      .select(
+        col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("revenue"), col("order_count"))
+      .orderBy(
+        asc("gid"),
+        asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: lineitems of one
+    * brand's parts whose quantity is below `factor` x that part's average
+    * quantity; yearly-ized revenue. The correlated per-part average is a
+    * partition window over the joined frame (every lineitem of a surviving
+    * part survives the brand equi-join, so the window average equals the
+    * correlated subquery's) — no second scan, no self-join, and the brand
+    * filter prunes the part side before the join. DECIMAL-exact sums; the
+    * quantity comparison is double-deterministic (exact decimal sum → one
+    * division → one multiply).
+    */
+  def smallQuantityRevenue(
+      lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#4", factor: Double = 0.5): DataFrame = {
+    val byPart = Window.partitionBy(col("p_partkey"))
+    lineitem
+      .join(part.filter(col("p_brand") === brand),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast(DecimalType(18, 2))).over(byPart).cast("double")
+          / count(lit(1)).over(byPart))
+      .filter(col("l_quantity") < lit(factor) * col("avg_qty"))
+      .agg(
+        (decSum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("line_count"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.

@@ -1,0 +1,171 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Mixture, Sessionize, Similarity}
+import graft.functions.TextAnalysis
+import graft.queries.Analytics
+
+/** Fixture-level contracts for the round-8 surface, beside the DuckDB
+  * oracles (which hash-verify the corpus results): boundary semantics,
+  * partitioning-invariance, and monotonicity properties the oracle compare
+  * can't isolate.
+  */
+class Round8SurfaceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ---- session_window ------------------------------------------------------
+
+  test("sessionWindows: touching windows merge (ts == prev+gap); strict overshoot breaks") {
+    val events = Seq(
+      // user 1: 10:00, 10:29 merge; 10:59 is EXACTLY 30m after 10:29 ->
+      // windows touch -> still the same session (inclusive merge)
+      (1L, "e1", ts("2024-01-01 10:00:00"), "view", Some(1.0)),
+      (1L, "e2", ts("2024-01-01 10:29:00"), "click", Some(2.0)),
+      (1L, "e3", ts("2024-01-01 10:59:00"), "view", None),
+      // user 2: second event 30m 1s after the first -> strict break
+      (2L, "e4", ts("2024-01-01 00:00:00"), "purchase", Some(5.5)),
+      (2L, "e5", ts("2024-01-01 00:30:01"), "view", Some(1.0))
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Sessionize.sessionWindows(events).collect()
+    assert(got.length == 3, s"expected 3 sessions, got ${got.toSeq}")
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.length == 1, "touching windows must merge into one session")
+    assert(u1(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    assert(u1(0).getTimestamp(2) == ts("2024-01-01 11:29:00")) // last(10:59)+30m
+    assert(u1(0).getLong(3) == 3 && u1(0).getLong(4) == 2)
+    assert(u1(0).getDouble(5) == 3.0, "null value must not poison the sum")
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.length == 2, "an event strictly past the gap starts a new session")
+    assert(u2(0).getTimestamp(2) == ts("2024-01-01 00:30:00"))
+    assert(u2(1).getTimestamp(1) == ts("2024-01-01 00:30:01"))
+  }
+
+  // ---- event_type_intervals ------------------------------------------------
+
+  test("eventTypeIntervals: runs compact; intervals tile; last run open") {
+    val events = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), "view"),
+      (1L, "b", ts("2024-01-01 00:01:00"), "view"),
+      (1L, "c", ts("2024-01-01 00:02:00"), "click"),
+      (1L, "d", ts("2024-01-01 00:03:00"), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Analytics.eventTypeIntervals(events).collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("view", "click", "view"))
+    assert(got.map(r => r.getLong(6)).toSeq == Seq(2L, 1L, 1L))
+    // tiling: valid_to(run i) == valid_from(run i+1); last is NULL/current
+    assert(got(0).getTimestamp(4) == got(1).getTimestamp(3))
+    assert(got(1).getTimestamp(4) == got(2).getTimestamp(3))
+    assert(got(2).isNullAt(4) && got(2).getBoolean(5))
+    assert(!got(0).getBoolean(5) && !got(1).getBoolean(5))
+  }
+
+  // ---- grouping sets -------------------------------------------------------
+
+  test("groupingSetsRevenue: exactly two grouping ids; each set partitions the order count") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val got = Analytics.groupingSetsRevenue(orders).collect()
+    val total = orders.count()
+    val byGid = got.groupBy(_.getLong(0))
+    assert(byGid.keySet == Set(1L, 2L), s"gids: ${byGid.keySet}")
+    // gid=1: grouped by status (priority aggregated -> NULL); gid=2 mirror
+    assert(byGid(1L).forall(r => !r.isNullAt(1) && r.isNullAt(2)))
+    assert(byGid(2L).forall(r => r.isNullAt(1) && !r.isNullAt(2)))
+    assert(byGid(1L).map(_.getLong(4)).sum == total)
+    assert(byGid(2L).map(_.getLong(4)).sum == total)
+  }
+
+  // ---- TPC-H Q17 shape -----------------------------------------------------
+
+  test("smallQuantityRevenue: window formulation equals the correlated-subquery formulation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val got = Analytics.smallQuantityRevenue(li, part).collect()(0)
+    // independent formulation: aggregate per-part averages, then join back
+    val avgs = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    val ref = li
+      .join(part.filter(col("p_brand") === "Brand#4"), col("l_partkey") === col("p_partkey"))
+      .join(avgs, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(sum(col("l_extendedprice")).cast("double").as("rev"), count(lit(1)).as("n"))
+      .collect()(0)
+    assert(got.getLong(1) == ref.getLong(1), "line_count differs between formulations")
+    assert(math.abs(got.getDouble(0) - ref.getDouble(0) / 7.0) < 1e-6)
+  }
+
+  // ---- embedding dim stats -------------------------------------------------
+
+  test("dimStats: exact fixed-point sums match brute-force mean/var on a fixture") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f)),
+      (2L, Array(0.125f, 0.75f)),
+      (3L, Array(-0.5f, 0.0f))
+    ).toDF("id", "embedding")
+    val got = Similarity.dimStats(vecs).collect()
+    val xs0 = Seq(0.5, 0.125, -0.5)
+    val xs1 = Seq(-0.25, 0.75, 0.0)
+    for ((r, xs) <- got.zip(Seq(xs0, xs1))) {
+      val n = xs.length
+      val mean = xs.sum / n
+      val varx = (xs.map(x => x * x).sum - xs.sum * xs.sum / n) / n
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == xs.min && r.getDouble(3) == xs.max)
+      assert(math.abs(r.getDouble(4) - mean) < 1e-12)
+      assert(math.abs(r.getDouble(5) - varx) < 1e-12)
+    }
+  }
+
+  // ---- length buckets ------------------------------------------------------
+
+  test("lengthBuckets: power-of-two boundaries are inclusive; waste accounts exactly") {
+    val docs = Seq(
+      ("d1", "one " * 15 + "x"),          // 16 tokens -> bucket 16, waste 0
+      ("d2", "one " * 16 + "x"),          // 17 tokens -> bucket 32
+      ("d3", "a b c")                     // 3 tokens  -> bucket 16
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBuckets(docs).collect()
+    val m = got.map(r => r.getInt(0) -> r).toMap
+    assert(m.keySet == Set(16, 32))
+    assert(m(16).getLong(1) == 2 && m(16).getLong(2) == 19)
+    assert(m(16).getLong(3) == 32 && math.abs(m(16).getDouble(4) - 13.0 / 32) < 1e-15)
+    assert(m(32).getLong(1) == 1 && m(32).getLong(2) == 17)
+  }
+
+  // ---- token postings ------------------------------------------------------
+
+  test("tokenPostings: deterministic under repartitioning; posting list capped and tf-ordered") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = TextAnalysis.tokenPostings(docs).collect()
+    val b = TextAnalysis.tokenPostings(docs.repartition(7, col("source"))).collect()
+    assert(a.toSeq == b.toSeq, "postings depend on input partitioning")
+    // per-row contract: <=5 postings, tf non-increasing, df >= #postings
+    a.foreach { r =>
+      val posts = r.getString(3).split(",").toSeq
+      assert(posts.length <= 5)
+      val tfs = posts.map(_.split(":")(1).toLong)
+      assert(tfs == tfs.sorted.reverse, s"postings not tf-ordered: $posts")
+      assert(r.getLong(1) >= posts.length)
+    }
+  }
+
+  // ---- quality-weighted sample --------------------------------------------
+
+  test("weightedSample: monotone in targetTokens; short docs always kept") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s20 = Mixture.weightedSample(docs, 20.0).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s40 = Mixture.weightedSample(docs, 40.0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s20.subsetOf(s40), "sample must grow monotonically with the token budget")
+    // rate clamps to 1 for docs at/below the budget: they are always kept
+    val short = docs
+      .filter(TextAnalysis.wsTokenCount(col("text")) <= 40)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(short.subsetOf(s40), "docs within budget must never be dropped")
+    // expected token mass per kept doc is bounded by the budget in rate terms:
+    // every kept row has rate in (0, 1]
+    val rates = Mixture.weightedSample(docs, 40.0).select("rate").collect().map(_.getDouble(0))
+    assert(rates.forall(r => r > 0.0 && r <= 1.0))
+  }
+}
