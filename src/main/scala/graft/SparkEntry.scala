@@ -593,7 +593,38 @@ object SparkEntry {
       TextAnalysis.tokenPostings(Tables.documents(s, dir))),
     // Per-document-rate hash gate (inverse-length weighted sampling).
     "quality_weighted_sample" -> ((s, dir) =>
-      graft.operators.Mixture.weightedSample(Tables.documents(s, dir)))
+      graft.operators.Mixture.weightedSample(Tables.documents(s, dir))),
+
+    // ---- round 8 phase 2: classic analytics shapes ----------------------
+
+    // TPC-H Q2 shape: min-cost supplier per part within a region (window
+    // min over the filtered frame, ties kept, dims broadcast).
+    "min_cost_supplier" -> ((s, dir) =>
+      Analytics.minCostSupplier(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    // TPC-H Q7 shape: directional cross-border volume by nation pair/year.
+    "nation_trade_volume" -> ((s, dir) =>
+      Analytics.nationTradeVolume(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q8 shape: one nation's share of a region's yearly volume.
+    "market_share" -> ((s, dir) =>
+      Analytics.marketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    // TPC-H Q13 shape: order-count histogram incl. the zero bucket
+    // (left join with the predicate ON the join).
+    "order_count_distribution" -> ((s, dir) =>
+      Analytics.orderCountDistribution(Tables.orders(s, dir), Tables.customer(s, dir))),
+    // TPC-H Q14 shape: promo revenue percent for one shipping month.
+    "promo_revenue_share" -> ((s, dir) =>
+      Analytics.promoRevenueShare(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // TPC-H Q15 shape: top supplier(s) by quarter revenue, ties kept.
+    "top_supplier_revenue" -> ((s, dir) =>
+      Analytics.topSupplierRevenue(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // TPC-H Q19 shape: OR'd bracket predicates with the explicit
+    // per-side pushdown rewrite.
+    "disjunctive_brackets" -> ((s, dir) =>
+      Analytics.disjunctiveBracketRevenue(Tables.lineitem(s, dir), Tables.part(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -1825,7 +1856,121 @@ object SparkEntry {
         |    ORDER BY tf DESC, doc_id) AS top_postings
         |FROM r GROUP BY token ORDER BY token""".stripMargin,
 
-    "quality_weighted_sample" -> SketchOracles.weightedSampleSql()
+    "quality_weighted_sample" -> SketchOracles.weightedSampleSql(),
+
+    // ---- round 8 phase 2 -------------------------------------------------
+
+    "min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, ps.cost
+        |  FROM ps
+        |  JOIN part p ON ps.l_partkey = p.p_partkey AND p.p_size = 15
+        |  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region rg ON n.n_regionkey = rg.r_regionkey
+        |    AND rg.r_name = 'EUROPE'),
+        |m AS (
+        |  SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS min_cost
+        |  FROM r)
+        |SELECT p_partkey, p_brand, s_name, n_name, cost
+        |FROM m WHERE cost = min_cost
+        |ORDER BY p_partkey, s_name""".stripMargin,
+
+    "nation_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN supplier s ON l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS total_volume,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN part p ON l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |JOIN supplier s ON l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region rg ON cn.n_regionkey = rg.r_regionkey
+        |  AND rg.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "order_count_distribution" ->
+      """WITH cc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "promo_revenue_share" ->
+      """SELECT
+        |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |      ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS line_count
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+
+    "top_supplier_revenue" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT *, max(total_revenue) OVER () AS max_revenue FROM r)
+        |SELECT m.l_suppkey AS s_suppkey, s.s_name, m.total_revenue
+        |FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+        |WHERE m.total_revenue = m.max_revenue
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "disjunctive_brackets" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS line_count
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

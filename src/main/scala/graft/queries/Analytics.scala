@@ -438,6 +438,213 @@ object Analytics {
         count(lit(1)).as("line_count"))
   }
 
+  /** TPC-H Q2 shape — min-cost supplier per part within a region: the
+    * observed unit cost (min `l_extendedprice / l_quantity` over a
+    * part-supplier's lineitems — the harness has no partsupp table, so the
+    * lineitem history IS the cost book) is minimized per part ACROSS the
+    * region's suppliers, keeping ties. The correlated min is a partition
+    * window over the already-filtered frame (one shuffle on p_partkey; no
+    * second scan, no self-join); region/nation are broadcast; the p_size
+    * filter prunes the part scan. The unit cost is one IEEE division of
+    * identical doubles and min() is order-independent, so the `cost ==
+    * min_cost` equality is bit-deterministic cross-engine.
+    */
+  def minCostSupplier(
+      lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame,
+      regionName: String = "EUROPE", size: Int = 15): DataFrame = {
+    val unitCost = col("l_extendedprice") / col("l_quantity")
+    val costBook = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(unitCost).as("cost"))
+    val inRegion = costBook
+      .join(part.filter(col("p_size") === size),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+    inRegion
+      .withColumn("min_cost",
+        min(col("cost")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("cost") === col("min_cost"))
+      .select(
+        col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  /** TPC-H Q7 shape — directional trade volume between supplier and
+    * customer nations over a two-year shipping window. The two nation
+    * lookups are independent broadcast joins (aliased dims); the fact
+    * table shuffles once for the final (supp, cust, year) aggregate.
+    * Same-nation flows are excluded (the interesting signal is
+    * cross-border volume).
+    */
+  def nationTradeVolume(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      from: String = "1995-01-01", until: String = "1997-01-01"): DataFrame = {
+    val suppNation = nation.select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNation = nation.select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(s"$from 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit(s"$until 00:00:00")))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("volume"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape — market share: the fraction of a region's yearly
+    * order volume (for one part type) supplied by one target nation.
+    * Numerator and denominator are both order-independent DECIMAL sums
+    * (the conditional numerator sums `0.0000` for non-target rows, NOT
+    * NULL — share must be 0, not NULL, in years the nation sold nothing);
+    * the share is then one double division of two cross-engine-identical
+    * doubles.
+    */
+  def marketShare(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, part: DataFrame, nation: DataFrame,
+      region: DataFrame, targetNation: String = "NATION_2",
+      regionName: String = "ASIA", partType: String = "ECONOMY"): DataFrame = {
+    val suppNation = nation.select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNation = nation.select(
+      col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val volume = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    lineitem
+      .join(part.filter(col("p_type") === partType),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("cn_region") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === targetNation, volume)
+          .otherwise(lit(0.0).cast(DecimalType(18, 4)))).cast("double")
+          / sum(volume).cast("double")).as("mkt_share"),
+        sum(volume).cast("double").as("total_volume"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution INCLUDING the
+    * zero bucket: a left outer join with the filter ON the join condition
+    * (an inner join or a post-join filter would silently drop order-less
+    * customers), `count(o_orderkey)` counting only matched rows, then a
+    * second aggregate over the per-customer counts. Two shuffles by
+    * construction (custkey, then c_count — the second is dim-sized).
+    */
+  def orderCountDistribution(
+      orders: DataFrame, customer: DataFrame,
+      excludePriority: String = "1-URGENT"): DataFrame =
+    customer
+      .join(orders,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= excludePriority,
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q14 shape — promo revenue share of one shipping month: a
+    * conditional DECIMAL sum over the part-type flag against the total,
+    * scaled to percent. The month filter reaches the lineitem scan; part
+    * rides the join (AQE broadcasts it while it fits).
+    */
+  def promoRevenueShare(
+      lineitem: DataFrame, part: DataFrame,
+      from: String = "1996-01-01", until: String = "1996-02-01"): DataFrame = {
+    val volume = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(s"$from 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit(s"$until 00:00:00")))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", volume)
+          .otherwise(lit(0.0).cast(DecimalType(18, 4)))).cast("double")
+          / sum(volume).cast("double")).as("promo_pct"),
+        sum(volume).cast("double").as("total_revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
+  /** TPC-H Q15 shape — top supplier(s) by revenue over one quarter, ties
+    * kept: per-supplier DECIMAL-exact revenue, then a global-max window.
+    * The window is over an UNPARTITIONED frame but it runs on the
+    * supplier-level aggregate (dim-sized, thousands of rows at any SF),
+    * not the fact table — the same shape as the reference's "max of an
+    * aggregate" view, without a second scan.
+    */
+  def topSupplierRevenue(
+      lineitem: DataFrame, supplier: DataFrame,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val perSupplier = lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(s"$from 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit(s"$until 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("total_revenue"))
+    perSupplier
+      .withColumn("max_revenue",
+        max(col("total_revenue")).over(Window.partitionBy()))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive bracket predicates: revenue from three
+    * OR'd (brand, size-range, quantity-range) brackets. The OR spans both
+    * join sides, which no engine can push as-is, so the standard Q19
+    * rewrite is applied EXPLICITLY: the part-only disjunction prunes the
+    * part scan, the quantity envelope prunes the lineitem scan, and the
+    * full bracket predicate re-checks the survivors after the equi-join —
+    * semantics-preserving because each derived filter is implied by the
+    * original OR.
+    */
+  def disjunctiveBracketRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val b1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val b2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val b3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    val partSide = part.filter(
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)))
+    lineitem
+      .filter(col("l_quantity").between(1, 30))
+      .join(partSide, col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.

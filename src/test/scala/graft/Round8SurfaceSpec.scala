@@ -151,6 +151,85 @@ class Round8SurfaceSpec extends SparkTestBase {
     }
   }
 
+  // ---- classic analytics shapes (phase 2) ----------------------------------
+
+  test("orderCountDistribution: zero bucket present; histogram covers every customer") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val got = Analytics.orderCountDistribution(orders, customer).collect()
+    // left-join shape: the histogram partitions ALL customers, including
+    // those with no (non-excluded) orders
+    assert(got.map(_.getLong(1)).sum == customer.count())
+    // the corpus has no order-less customers at this SF, so the zero-bucket
+    // contract is pinned on a fixture: c2 has only an excluded order, c3
+    // has none at all -> both land in bucket 0
+    val fixOrders = Seq(
+      (100L, 1L, "5-LOW"), (101L, 1L, "2-HIGH"), (102L, 2L, "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val fixCust = Seq((1L, "c1"), (2L, "c2"), (3L, "c3")).toDF("c_custkey", "c_name")
+    val fix = Analytics.orderCountDistribution(fixOrders, fixCust).collect()
+    assert(fix.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 2L), (2L, 1L)),
+      s"zero bucket must hold the excluded-only and order-less customers: ${fix.toSeq}")
+  }
+
+  test("disjunctiveBracketRevenue: derived single-side filters reach both parquet scans") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val df = Analytics.disjunctiveBracketRevenue(li, part)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.toString
+    // quantity envelope pushed to the lineitem scan; brand/size disjunction
+    // pushed to the part scan (both appear in PushedFilters)
+    assert(scans.contains("PushedFilters"), scans)
+    assert(scans.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+      scans.contains("GreaterThanOrEqual(l_quantity,1)"),
+      s"lineitem quantity envelope not pushed:\n$scans")
+    assert(scans.contains("Or(And(EqualTo(p_brand,Brand#1)"),
+      s"part-side bracket disjunction not pushed:\n$scans")
+  }
+
+  test("minCostSupplier / topSupplierRevenue: ties kept, min/max correct on a fixture") {
+    val li = Seq(
+      // part 1: supplier 10 cost 2.0, supplier 11 cost 2.0 (tie), supplier 12 cost 3.0
+      (1L, 1L, 10L, 4.0, 2.0), (1L, 1L, 11L, 8.0, 4.0), (1L, 1L, 12L, 3.0, 1.0),
+      // part 2: supplier 10 only
+      (2L, 2L, 10L, 10.0, 2.0)
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .withColumn("l_shipdate", lit(ts("1996-01-15 00:00:00")))
+      .withColumn("l_discount", lit(0.0))
+    val part = Seq((1L, "Brand#1", 15), (2L, "Brand#2", 15))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val supplier = Seq((10L, "S10", 0L), (11L, "S11", 0L), (12L, "S12", 0L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((0L, "NATION_0", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0L, "EUROPE")).toDF("r_regionkey", "r_name")
+    val mc = Analytics.minCostSupplier(li, part, supplier, nation, region)
+      .collect()
+    assert(mc.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "S10"), (1L, "S11"), (2L, "S10")),
+      s"tie at the min cost must keep both suppliers: ${mc.toSeq}")
+    val ts15 = Analytics.topSupplierRevenue(li, supplier).collect()
+    // revenue: S10 4+10=14, S11 8, S12 3 -> single max S10
+    assert(ts15.map(r => (r.getLong(0), r.getDouble(2))).toSeq == Seq((10L, 14.0)))
+  }
+
+  test("marketShare: share is 0.0 (not NULL) in years the target nation sold nothing") {
+    val got = Analytics.marketShare(
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      spark.read.parquet(s"$sf/orders.parquet"),
+      spark.read.parquet(s"$sf/customer.parquet"),
+      spark.read.parquet(s"$sf/supplier.parquet"),
+      spark.read.parquet(s"$sf/part.parquet"),
+      spark.read.parquet(s"$sf/nation.parquet"),
+      spark.read.parquet(s"$sf/region.parquet")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(!r.isNullAt(1), s"mkt_share must never be NULL: $r")
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"share out of range: $r")
+    }
+  }
+
   // ---- quality-weighted sample --------------------------------------------
 
   test("weightedSample: monotone in targetTokens; short docs always kept") {
