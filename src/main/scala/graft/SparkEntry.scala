@@ -624,7 +624,19 @@ object SparkEntry {
     // TPC-H Q19 shape: OR'd bracket predicates with the explicit
     // per-side pushdown rewrite.
     "disjunctive_brackets" -> ((s, dir) =>
-      Analytics.disjunctiveBracketRevenue(Tables.lineitem(s, dir), Tables.part(s, dir)))
+      Analytics.disjunctiveBracketRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // Native unpivot/melt of a wide metrics rollup to tidy rows.
+    "event_metrics_unpivot" -> ((s, dir) =>
+      Analytics.eventMetricsUnpivot(Tables.events(s, dir))),
+    // Native sliding (hopping) windows: 1h windows every 15min.
+    "sliding_window_counts" -> ((s, dir) =>
+      Analytics.slidingWindowCounts(Tables.events(s, dir))),
+    // Dyadic-exact exponential time decay (half-life 1 day).
+    "time_decay_totals" -> ((s, dir) =>
+      Analytics.timeDecayTotals(Tables.events(s, dir))),
+    // Exact k-NN graph with mutual-edge flag.
+    "knn_graph" -> ((s, dir) =>
+      graft.operators.Similarity.knnGraph(Tables.embeddings(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -1970,7 +1982,83 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Counts widen to double losslessly (< 2^53); the UNION ALL is the
+    // portable spelling of UNPIVOT with a deterministic metric order.
+    "event_metrics_unpivot" ->
+      """WITH a AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, metric, value FROM (
+        |  SELECT event_type, 'n_events' AS metric, n_events AS value FROM a
+        |  UNION ALL
+        |  SELECT event_type, 'n_users', n_users FROM a
+        |  UNION ALL
+        |  SELECT event_type, 'value_sum', value_sum FROM a)
+        |ORDER BY event_type, metric""".stripMargin,
+
+    // Spark's hopping windows are epoch-aligned at multiples of the slide:
+    // event ts lands in the 4 windows starting at
+    // 900s * (floor(epoch/900) - k), k = 0..3 — integer micro-arithmetic,
+    // no float time math.
+    "sliding_window_counts" ->
+      """WITH w AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000)
+        |           AS window_start,
+        |         user_id, value
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT window_start,
+        |  window_start + INTERVAL 1 HOUR AS window_end,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM w GROUP BY window_start
+        |ORDER BY window_start""".stripMargin,
+
+    // Mirror of the dyadic-exact decay: integer cents, weight as a shifted
+    // integer division (no libm pow), one final /100.0.
+    "time_decay_totals" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    datediff('day', CAST(ts AS DATE), DATE '2024-01-31') AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts <= TIMESTAMP '2024-01-31 00:00:00'),
+        |d AS (
+        |  SELECT user_id, k, CAST(sum(cents) AS BIGINT) AS day_cents,
+        |    count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, k, n,
+        |    CAST(day_cents AS DOUBLE) / CAST(1::BIGINT << k AS DOUBLE) AS term
+        |  FROM d)
+        |SELECT user_id, sum(term) / 100.0 AS decayed_value,
+        |  CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_days,
+        |  CAST(min(k) AS INT) AS newest_day
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Exact graph: cross pairs, rank window, reverse-edge left join for the
+    // mutual flag — list_cosine_similarity matches the native expression's
+    // sequential fold (same contract ann_bruteforce relies on).
+    "knn_graph" ->
+      """WITH p AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p),
+        |e AS (SELECT vec_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3)
+        |SELECT e.vec_id, e.neighbor_id, e.sim, e.rnk,
+        |  (m.vec_id IS NOT NULL) AS mutual
+        |FROM e LEFT OUTER JOIN e m
+        |  ON e.vec_id = m.neighbor_id AND e.neighbor_id = m.vec_id
+        |ORDER BY e.vec_id, e.rnk""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

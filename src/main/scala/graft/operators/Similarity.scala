@@ -753,6 +753,40 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Exact k-NN graph over the corpus — the neighbor structure graph-based
+    * ANN (HNSW, NN-Descent) and graph dedup start from: every vector's
+    * top-`k` cosine neighbors, plus the `mutual` flag (is the reverse edge
+    * also a top-`k` edge?) that symmetrization uses. The corpus side
+    * streams partition-parallel against a broadcast of the (id, vector)
+    * pairs — right while the vector set fits a broadcast (an index-build
+    * primitive over a bounded corpus, same envelope as [[bruteForceTopK]]);
+    * at corpus scales past that, candidates come from the banded/bucketed
+    * paths ([[lshTopK]]/[[ivfTopK]]) and this exact graph is the per-bucket
+    * finishing step. The mutual flag is a self-join of the edge list on the
+    * reversed key — |V| x k rows, not pairs.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val emb = embeddings.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rhs = emb.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    val edges = emb
+      .join(broadcast(rhs), col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid").as("neighbor_id"),
+        cosine(col("embedding"), col("ne")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val reverse = edges.select(
+      col("vec_id").as("r_src"), col("neighbor_id").as("r_dst"))
+    edges
+      .join(reverse,
+        col("vec_id") === col("r_dst") && col("neighbor_id") === col("r_src"),
+        "left_outer")
+      .withColumn("mutual", col("r_src").isNotNull)
+      .select(col("vec_id"), col("neighbor_id"), col("sim"), col("rnk"), col("mutual"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   /** Int8 symmetric quantization audit — the embedding-compression step a
     * corpus-scale vector store runs before ANN/storage (8x smaller than
     * float32, 4x smaller than the PQ codes' input): per-vector scale =

@@ -645,6 +645,81 @@ object Analytics {
         count(lit(1)).as("line_count"))
   }
 
+  /** Relational UNPIVOT (melt) of a metrics rollup: per event type the
+    * wide aggregate row (n_events, n_users, value_sum) is melted into
+    * (metric, value) rows via Spark's native `unpivot` operator — the
+    * long/tidy shape metric stores and plotting layers ingest. All three
+    * metrics are exact doubles (counts < 2^53 widen losslessly; the sum is
+    * DECIMAL-exact before its single cast), so one common value column
+    * loses nothing. Unpivot is a per-row expand of an already dim-sized
+    * aggregate — no extra shuffle.
+    */
+  def eventMetricsUnpivot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        countDistinct(col("user_id")).cast("double").as("n_users"),
+        decSum(col("value"), 2).as("value_sum"))
+      .unpivot(
+        Array(col("event_type")),
+        Array(col("n_events"), col("n_users"), col("value_sum")),
+        "metric", "value")
+      .orderBy(col("event_type"), col("metric"))
+
+  /** Sliding (hopping) windows via Spark's native `window(ts, len, slide)`
+    * operator: each event lands in `len/slide` overlapping windows (4 here)
+    * and the expand happens BEFORE the keyed aggregate, so map-side combine
+    * still bounds the shuffle at windows x partitions rows. Windows are
+    * epoch-aligned at multiples of the slide — the contract the oracle
+    * reproduces with integer micro-arithmetic.
+    */
+  def slidingWindowCounts(
+      events: DataFrame, len: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), len, slide))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        decSum(col("value"), 2).as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("n_users"), col("value_sum"))
+      .orderBy(col("window_start"))
+
+  /** Exponentially time-decayed per-user value mass — the recency-weighted
+    * engagement score a ranking/retention pipeline keeps per entity:
+    * half-life = 1 day, weight 2^-k for an event k days before `anchor`.
+    * Every float is deterministic BY CONSTRUCTION, not by tolerance:
+    * per-(user, day) masses are exact integer cents; the weight is
+    * `1.0 / (1L << k)` (an exact dyadic — no libm `pow`, whose last ulp is
+    * engine-dependent); each product and every partial sum stays exactly
+    * representable (numerators < 2^53, denominators <= 2^30), so the sum is
+    * order-independent; the single final /100.0 is one correctly-rounded
+    * IEEE division. Two keyed aggregates, both with map-side combine; the
+    * second input is |users| x |days| rows at most.
+    */
+  def timeDecayTotals(events: DataFrame, anchor: String = "2024-01-31"): DataFrame = {
+    val k = datediff(to_date(lit(anchor)), to_date(col("ts")))
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    events
+      .filter(col("value").isNotNull && col("ts") <= to_timestamp(lit(s"$anchor 00:00:00")))
+      .groupBy(col("user_id"), k.as("k"))
+      .agg(sum(cents).as("day_cents"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("k"), col("n"),
+        (col("day_cents").cast("double") /
+          expr("CAST(shiftleft(1L, k) AS DOUBLE)")).as("term"))
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("term")) / lit(100.0)).as("decayed_value"),
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_days"),
+        min(col("k")).as("newest_day"))
+      .orderBy(col("user_id"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.

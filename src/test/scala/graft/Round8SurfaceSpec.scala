@@ -230,6 +230,68 @@ class Round8SurfaceSpec extends SparkTestBase {
     }
   }
 
+  // ---- unpivot / sliding windows / decay / knn graph -----------------------
+
+  test("eventMetricsUnpivot: three metric rows per type; values match the wide row") {
+    val events = Tables.events(spark, sf)
+    val got = Analytics.eventMetricsUnpivot(events).collect()
+    val types = events.select("event_type").distinct().count()
+    assert(got.length == types * 3)
+    val m = got.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val perType = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perType.foreach { case (t, n) =>
+      assert(m((t, "n_events")) == n.toDouble, s"n_events mismatch for $t")
+    }
+  }
+
+  test("slidingWindowCounts: every event lands in exactly len/slide windows of the right span") {
+    val events = Tables.events(spark, sf)
+    val got = Analytics.slidingWindowCounts(events).collect()
+    assert(got.map(_.getLong(2)).sum == events.count() * 4,
+      "1h/15min hopping windows must expand each event exactly 4x")
+    got.foreach { r =>
+      assert(r.getTimestamp(1).getTime - r.getTimestamp(0).getTime == 3600 * 1000L)
+      assert(r.getTimestamp(0).getTime % (900 * 1000L) == 0,
+        s"window start must align to the slide: ${r.getTimestamp(0)}")
+    }
+  }
+
+  test("timeDecayTotals: hand-computed dyadic decay on a fixture") {
+    val events = Seq(
+      // user 1: 100.00 one day before anchor, 50.00 two days before
+      (1L, ts("2024-01-30 10:00:00"), Some(100.0)),
+      (1L, ts("2024-01-29 09:00:00"), Some(50.0)),
+      // user 2: null value (dropped) + 8.00 four days before
+      (2L, ts("2024-01-28 00:00:00"), None),
+      (2L, ts("2024-01-27 12:00:00"), Some(8.0))
+    ).toDF("user_id", "ts", "value")
+    val got = Analytics.timeDecayTotals(events).collect()
+    val m = got.map(r => r.getLong(0) -> r).toMap
+    // u1: 100/2^1 + 50/2^2 = 50 + 12.5 = 62.5 ; u2: 8/2^4 = 0.5
+    assert(m(1L).getDouble(1) == 62.5 && m(1L).getLong(2) == 2 && m(1L).getLong(3) == 2)
+    assert(m(1L).getInt(4) == 1)
+    assert(m(2L).getDouble(1) == 0.5 && m(2L).getLong(2) == 1, "null value must be dropped")
+  }
+
+  test("knnGraph: ranks ordered by sim; mutual flag matches the reverse-edge set") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Similarity.knnGraph(emb, k = 3).collect()
+    val edges = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { r =>
+      val mutual = r.getBoolean(4)
+      assert(mutual == edges.contains((r.getLong(1), r.getLong(0))),
+        s"mutual flag wrong for ${(r.getLong(0), r.getLong(1))}")
+    }
+    // per-source: ranks are 1..3 and sims non-increasing
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   // ---- quality-weighted sample --------------------------------------------
 
   test("weightedSample: monotone in targetTokens; short docs always kept") {
