@@ -77,6 +77,16 @@ object ScaleSmoke {
         DistributedRank.withRankStats(
           ev, Seq(col("value").desc, col("event_id")), 4,
           "tile", "pct", "cume").count())
+      // round-8 event operators: the native merging-window aggregate, the
+      // 4x-expand hopping windows (+ exact distinct), the two-window run
+      // compaction, and the dyadic decay (two keyed aggregates)
+      time("session_window_stats", scale)(Sessionize.sessionWindows(ev).count())
+      time("sliding_window_counts", scale)(
+        graft.queries.Analytics.slidingWindowCounts(ev).count())
+      time("event_type_intervals", scale)(
+        graft.queries.Analytics.eventTypeIntervals(ev).count())
+      time("time_decay_totals", scale)(
+        graft.queries.Analytics.timeDecayTotals(ev).count())
       ev.unpersist()
 
       val docs = DocGen.documents(spark, nDocs).cache()
@@ -98,6 +108,10 @@ object ScaleSmoke {
         graft.functions.TextAnalysis.tfidfTopTerms(docs).count())
       time("curation_funnel", scale)(
         graft.operators.Curation.funnel(docs, Seq("the", "a", "of", "and")).count())
+      // round-8: inverted-index build (explode + two keyed aggregates with
+      // an in-row posting sort — vocabulary-bounded output)
+      time("token_postings", scale)(
+        graft.functions.TextAnalysis.tokenPostings(docs).count())
       pairs.unpersist()
       docs.unpersist()
 
@@ -115,6 +129,11 @@ object ScaleSmoke {
         Similarity.quantizeAudit(emb).count())
       time("embedding_clusters", scale)(
         Similarity.clusterAudit(emb).count())
+      // round-8: per-dimension stats (posexplode fan-out, dim-bounded
+      // shuffle). knn_graph is deliberately NOT here: the exact graph is
+      // a bounded index-build primitive (quadratic by construction); its
+      // scale path is ann_lsh/ann_ivf candidates, measured above.
+      time("embedding_dim_stats", scale)(Similarity.dimStats(emb).count())
       emb.unpersist()
     }
 

@@ -2041,14 +2041,24 @@ object SparkEntry {
         |  CAST(min(k) AS INT) AS newest_day
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    // Exact graph: cross pairs, rank window, reverse-edge left join for the
-    // mutual flag — list_cosine_similarity matches the native expression's
-    // sequential fold (same contract ann_bruteforce relies on).
+    // Exact graph: per-vector inverse norms, one score per unordered pair
+    // mirrored to both directions, rank window, reverse-edge left join for
+    // the mutual flag. list_dot_product is the same sequential fold as the
+    // native dot_product expression; sim replays the engine's exact op
+    // sequence (dot * inv_a) * inv_b.
     "knn_graph" ->
-      """WITH p AS (
-        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
-        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.e, b.e) * a.inv * b.inv AS sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT src AS vec_id, dst AS neighbor_id, sim FROM h
+        |  UNION ALL
+        |  SELECT dst, src, sim FROM h),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY sim DESC, neighbor_id) AS rnk

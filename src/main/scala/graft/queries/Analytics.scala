@@ -454,12 +454,16 @@ object Analytics {
       nation: DataFrame, region: DataFrame,
       regionName: String = "EUROPE", size: Int = 15): DataFrame = {
     val unitCost = col("l_extendedprice") / col("l_quantity")
+    // prune BEFORE aggregating: the p_size filter keeps ~1/50 of parts, and
+    // joining the (AQE-broadcastable) filtered part first cuts the cost-book
+    // aggregate's input by the same factor — at 100 TB the aggregate over
+    // unfiltered lineitem would dominate the query
     val costBook = lineitem
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(unitCost).as("cost"))
-    val inRegion = costBook
       .join(part.filter(col("p_size") === size),
         col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("p_partkey"), col("p_brand"))
+      .agg(min(unitCost).as("cost"))
+    val inRegion = costBook
       .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === regionName)),
