@@ -127,6 +127,62 @@ object StreamingAgg {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** Streaming counterpart of [[graft.operators.Sessionize.sessionWindows]]:
+    * the SAME native `session_window` merging aggregate over a watermarked
+    * stream (append mode — a session row emits once the watermark passes
+    * its end, i.e. once no in-horizon event can extend or merge it). State
+    * is one open session range per active (user, session), evicted on
+    * emission — bounded by concurrently-active sessions, not history.
+    * The aggregate list mirrors the batch operator except exact distinct
+    * (streaming forbids countDistinct; `size(collect_set(...))` has the
+    * same exact-set semantics with state bounded by the enumerable type
+    * domain), so batch and stream move together — the parity
+    * StreamingAggSpec asserts row-for-row.
+    */
+  def sessionWindowStream(
+      spark: SparkSession, events: DataFrame,
+      gap: String = "30 minutes", grace: String = "60 seconds"): DataFrame = {
+    events
+      .withWatermark("ts", s"$gap $grace")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("value_sum"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_types"), col("value_sum"))
+  }
+
+  /** Streaming counterpart of
+    * [[graft.queries.Analytics.slidingWindowCounts]]: the same native
+    * hopping `window(len, slide)` aggregate, watermarked, append mode.
+    * Each event updates len/slide open windows; a window emits (and its
+    * state evicts) when the watermark passes its end, so standing state is
+    * (len/slide) x windows-in-horizon rows regardless of history.
+    */
+  def slidingCountsStream(
+      spark: SparkSession, events: DataFrame,
+      len: String = "1 hour", slide: String = "15 minutes",
+      grace: String = "60 seconds"): DataFrame = {
+    registerExactDistinct(spark)
+    events
+      .withWatermark("ts", s"$len $grace")
+      .groupBy(window(col("ts"), len, slide))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("exact_distinct_long(user_id)").as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("n_users"), col("value_sum"))
+  }
+
   /** Stream-stream interval join: (error, purchase) pairs within `hours`
     * of each other for the same user — the streaming counterpart of
     * [[graft.operators.RangeJoin.errorsNearPurchases]]. Both sides carry

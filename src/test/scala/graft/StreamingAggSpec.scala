@@ -73,6 +73,63 @@ class StreamingAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session_window (append) matches batch sessionWindows on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val real = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:20:00", 1, "click", 2.0),
+      ev(3, "2024-01-01 11:30:00", 1, "view", 3.0),   // new session (> gap)
+      ev(4, "2024-01-01 10:05:00", 2, "purchase", 5.5))
+    val agg = StreamingAgg.sessionWindowStream(spark, mem.toDF())
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("session_stream_out").start()
+    try {
+      mem.addData(real: _*)
+      q.processAllAvailable()
+      // sentinel far past every session end pushes the watermark so all
+      // real sessions close and emit; its own (open) session must not
+      mem.addData(ev(99, "2024-01-03 00:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(ev(100, "2024-01-03 00:00:01", 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("session_stream_out")
+        .filter(col("user_id") =!= 9)
+        .orderBy("user_id", "session_start").collect()
+      val expected = graft.operators.Sessionize.sessionWindows(real.toDF())
+        .collect()
+      assert(got.length == expected.length, s"${got.toSeq} vs ${expected.toSeq}")
+      got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    } finally q.stop()
+  }
+
+  test("streaming hopping windows (append) match batch slidingWindowCounts on closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val real = Seq(
+      ev(1, "2024-01-01 10:07:00", 1, "view", 1.0),
+      ev(2, "2024-01-01 10:22:00", 2, "click", 2.0),
+      ev(3, "2024-01-01 10:47:00", 1, "view", 4.0))
+    val agg = StreamingAgg.slidingCountsStream(spark, mem.toDF())
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sliding_stream_out").start()
+    try {
+      mem.addData(real: _*)
+      q.processAllAvailable()
+      mem.addData(ev(99, "2024-01-02 00:00:00", 9, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(ev(100, "2024-01-02 00:00:01", 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sliding_stream_out")
+        .filter(col("window_start") < to_timestamp(lit("2024-01-01 23:00:00")))
+        .orderBy("window_start").collect()
+      val expected = graft.queries.Analytics.slidingWindowCounts(real.toDF())
+        .collect()
+      assert(got.length == expected.length, s"${got.toSeq} vs ${expected.toSeq}")
+      got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    } finally q.stop()
+  }
+
   test("full pipeline: file stream -> windowed agg -> foreachBatch upsert == batch result") {
     val root = java.nio.file.Files.createTempDirectory("graft_e2e").toFile
     val srcDir = new java.io.File(root, "src").getAbsolutePath
