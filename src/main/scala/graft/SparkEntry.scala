@@ -636,7 +636,17 @@ object SparkEntry {
       Analytics.timeDecayTotals(Tables.events(s, dir))),
     // Exact k-NN graph with mutual-edge flag.
     "knn_graph" -> ((s, dir) =>
-      graft.operators.Similarity.knnGraph(Tables.embeddings(s, dir)))
+      graft.operators.Similarity.knnGraph(Tables.embeddings(s, dir))),
+    // Relational division: users who did every event type.
+    "users_all_event_types" -> ((s, dir) =>
+      Analytics.usersAllEventTypes(Tables.events(s, dir))),
+    // Unbounded-frame first/last/nth window functions.
+    "user_first_last" -> ((s, dir) =>
+      Analytics.userFirstLast(Tables.events(s, dir))),
+    // TPC-H Q16 shape: distinct-supplier variety with a NOT-IN denylist.
+    "part_supplier_variety" -> ((s, dir) =>
+      Analytics.partSupplierVariety(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2068,7 +2078,41 @@ object SparkEntry {
         |  (m.vec_id IS NOT NULL) AS mutual
         |FROM e LEFT OUTER JOIN e m
         |  ON e.vec_id = m.neighbor_id AND e.neighbor_id = m.vec_id
-        |ORDER BY e.vec_id, e.rnk""".stripMargin
+        |ORDER BY e.vec_id, e.rnk""".stripMargin,
+
+    "users_all_event_types" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id
+        |HAVING count(DISTINCT event_type) =
+        |  (SELECT count(DISTINCT event_type) FROM events)
+        |ORDER BY user_id""".stripMargin,
+
+    "user_first_last" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    first_value(event_type) OVER f AS first_type,
+        |    last_value(event_type) OVER f AS last_type,
+        |    nth_value(event_type, 2) OVER f AS second_type,
+        |    CAST(count(*) OVER f AS BIGINT) AS n_events,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, last_type, second_type, n_events
+        |FROM w WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "part_supplier_variety" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (5, 15, 25, 35, 45)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -724,6 +724,74 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Relational division — "users who did EVERY event type": per-user
+    * distinct-type counts compared against the corpus-wide distinct-type
+    * count. The divisor is a ONE-ROW aggregate broadcast into the join (no
+    * driver collect, no correlated re-scan); the dividend is a two-level
+    * keyed aggregate with map-side combine. The classic double-NOT-EXISTS
+    * spelling decorrelates to exactly this plan — we declare it directly.
+    */
+  def usersAllEventTypes(events: DataFrame): DataFrame = {
+    val total = events.agg(
+      countDistinct(col("event_type")).as("total_types"))
+    events
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"))
+      .join(broadcast(total), col("n_types") === col("total_types"))
+      .select(col("user_id"), col("n_types"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Unbounded-frame window functions — first/last/nth over each user's
+    * full history: first event type, last event type, second event type
+    * (NULL for single-event users). `last_value`/`nth_value` need the
+    * explicit UNBOUNDED FOLLOWING frame (the default frame stops at
+    * CURRENT ROW, where last_value degenerates to the current row); one
+    * row survives per user via a row_number filter on the SAME window
+    * ordering — still a single shuffle + sort on user_id.
+    */
+  def userFirstLast(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(
+        col("user_id"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        nth_value(col("event_type"), 2).over(full).as("second_type"),
+        count(lit(1)).over(full).as("n_events"),
+        row_number().over(order).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("user_id"))
+  }
+
+  /** TPC-H Q16 shape — supplier variety per part attribute: how many
+    * DISTINCT suppliers have shipped each (brand, type, size) combination,
+    * excluding a denylisted supplier set (NOT IN → anti-join, the
+    * decorrelated form). The (part, supplier) pair set is distinct-reduced
+    * BEFORE the attribute rollup — the pair frame is the harness's stand-in
+    * for partsupp, and the early distinct bounds the rollup input by
+    * |parts| x |suppliers| regardless of lineitem volume.
+    */
+  def partSupplierVariety(
+      lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      sizes: Seq[Int] = Seq(5, 15, 25, 35, 45)): DataFrame = {
+    val excluded = supplier
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("x_suppkey"))
+    val pairs = lineitem
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+    pairs
+      .join(part.filter(col("p_size").isInCollection(sizes)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.

@@ -292,6 +292,51 @@ class Round8SurfaceSpec extends SparkTestBase {
     }
   }
 
+  // ---- division / window frames / supplier variety -------------------------
+
+  test("usersAllEventTypes: division bites — a user missing one type is excluded") {
+    // the corpus generator gives every user every type (the oracle passes
+    // vacuously there), so the exclusion semantics are pinned on a fixture
+    val events = Seq(
+      (1L, "view"), (1L, "click"), (1L, "purchase"),
+      (2L, "view"), (2L, "click"),               // missing purchase
+      (3L, "purchase"), (3L, "view"), (3L, "click"), (3L, "click")
+    ).toDF("user_id", "event_type")
+    val got = Analytics.usersAllEventTypes(events).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L), s"got ${got.toSeq}")
+    assert(got.forall(_.getLong(1) == 3L))
+  }
+
+  test("userFirstLast: frame covers the whole partition; nth is NULL for short histories") {
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, 12L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, 20L, ts("2024-01-01 09:00:00"), "error")   // single event
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Analytics.userFirstLast(events).collect()
+    val m = got.map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getString(1) == "view" && m(1L).getString(2) == "purchase")
+    assert(m(1L).getString(3) == "click" && m(1L).getLong(4) == 3)
+    assert(m(2L).getString(1) == "error" && m(2L).getString(2) == "error")
+    assert(m(2L).isNullAt(3), "nth_value(2) must be NULL for a single-event user")
+  }
+
+  test("partSupplierVariety: denylisted supplier never counts; pair dedup precedes rollup") {
+    val li = Seq(
+      (1L, 10L), (1L, 10L), (1L, 11L),  // part 1: suppliers 10 (dup), 11
+      (2L, 12L)                          // part 2: supplier 12 (denylisted)
+    ).toDF("l_partkey", "l_suppkey")
+    val part = Seq((1L, "Brand#1", "PROMO", 5), (2L, "Brand#2", "LARGE", 15))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supplier = Seq((10L, 100.0), (11L, 50.0), (12L, -5.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val got = Analytics.partSupplierVariety(li, part, supplier).collect()
+    assert(got.length == 1, s"denylisted-only part must vanish: ${got.toSeq}")
+    assert(got(0).getString(0) == "Brand#1" && got(0).getLong(3) == 2,
+      "duplicate lineitem pairs must count a supplier once")
+  }
+
   // ---- quality-weighted sample --------------------------------------------
 
   test("weightedSample: monotone in targetTokens; short docs always kept") {
