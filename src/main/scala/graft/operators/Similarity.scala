@@ -762,41 +762,47 @@ object Similarity {
     * primitive over a bounded corpus, same envelope as [[bruteForceTopK]]);
     * at corpus scales past that, candidates come from the banded/bucketed
     * paths ([[lshTopK]]/[[ivfTopK]]) and this exact graph is the per-bucket
-    * finishing step. The mutual flag is a self-join of the edge list on the
-    * reversed key — |V| x k rows, not pairs.
+    * finishing step. The whole operator is ONE linear plan — no self-join,
+    * no union of a shared subplan (either would re-execute the quadratic
+    * scoring scan: Spark does not reuse common subplans below an
+    * exchange): both edge directions explode out of a single scored row,
+    * and the mutual flag is a count-2 window over the unordered pair key
+    * of the already-filtered |V| x k edge list.
     */
   def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
     import graft.functions.GraftColumns.dotProduct
     // cosine(a,b) is symmetric and its norms are per-ROW quantities:
     // precompute 1/sqrt(<e,e>) once per vector and score each UNORDERED
-    // pair once (vec_id < nid), then mirror the edge list — 6x less float
-    // work than naive per-ordered-pair cosine (measured 5.1 s -> ~1 s at
-    // 2k vectors x 64 dims). sim = (<a,b> * inv_a) * inv_b, left-assoc —
-    // the exact op sequence the oracle replays.
+    // pair once (vec_id < nid) — 6x less float work than naive
+    // per-ordered-pair cosine (measured 5.1 s -> ~1 s at 2k vectors x 64
+    // dims). sim = (<a,b> * inv_a) * inv_b, left-assoc — the exact op
+    // sequence the oracle replays.
     val emb = embeddings.select(
       col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .withColumn("inv",
         lit(1.0) / sqrt(dotProduct(col("embedding"), col("embedding"))))
     val rhs = emb.select(
       col("vec_id").as("nid"), col("embedding").as("ne"), col("inv").as("ninv"))
-    val half = emb
+    val both = emb
       .join(broadcast(rhs), col("vec_id") < col("nid"))
-      .select(col("vec_id"), col("nid"),
-        (dotProduct(col("embedding"), col("ne")) * col("inv") * col("ninv"))
-          .as("sim"))
+      .select(explode(array(
+        struct(col("vec_id"), col("nid").as("neighbor_id"),
+          (dotProduct(col("embedding"), col("ne")) * col("inv") * col("ninv"))
+            .as("sim")),
+        struct(col("nid").as("vec_id"), col("vec_id").as("neighbor_id"),
+          (dotProduct(col("embedding"), col("ne")) * col("inv") * col("ninv"))
+            .as("sim")))).as("e"))
+      .select(col("e.vec_id"), col("e.neighbor_id"), col("e.sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), asc("neighbor_id"))
-    val edges = half
-      .select(col("vec_id"), col("nid").as("neighbor_id"), col("sim"))
-      .union(half.select(col("nid"), col("vec_id"), col("sim")))
+    val wPair = Window.partitionBy(
+      least(col("vec_id"), col("neighbor_id")),
+      greatest(col("vec_id"), col("neighbor_id")))
+    both
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-    val reverse = edges.select(
-      col("vec_id").as("r_src"), col("neighbor_id").as("r_dst"))
-    edges
-      .join(reverse,
-        col("vec_id") === col("r_dst") && col("neighbor_id") === col("r_src"),
-        "left_outer")
-      .withColumn("mutual", col("r_src").isNotNull)
+      // an edge list has each (src,dst) once, so the unordered pair key
+      // holds 2 rows iff BOTH directions survived the top-k filter
+      .withColumn("mutual", count(lit(1)).over(wPair) === 2)
       .select(col("vec_id"), col("neighbor_id"), col("sim"), col("rnk"), col("mutual"))
       .orderBy(col("vec_id"), col("rnk"))
   }

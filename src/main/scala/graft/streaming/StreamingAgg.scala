@@ -140,7 +140,7 @@ object StreamingAgg {
     * StreamingAggSpec asserts row-for-row.
     */
   def sessionWindowStream(
-      spark: SparkSession, events: DataFrame,
+      events: DataFrame,
       gap: String = "30 minutes", grace: String = "60 seconds"): DataFrame = {
     events
       .withWatermark("ts", s"$gap $grace")

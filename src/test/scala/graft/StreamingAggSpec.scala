@@ -81,7 +81,7 @@ class StreamingAggSpec extends SparkTestBase {
       ev(2, "2024-01-01 10:20:00", 1, "click", 2.0),
       ev(3, "2024-01-01 11:30:00", 1, "view", 3.0),   // new session (> gap)
       ev(4, "2024-01-01 10:05:00", 2, "purchase", 5.5))
-    val agg = StreamingAgg.sessionWindowStream(spark, mem.toDF())
+    val agg = StreamingAgg.sessionWindowStream(mem.toDF())
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName("session_stream_out").start()
     try {
