@@ -646,7 +646,40 @@ object SparkEntry {
     // TPC-H Q16 shape: distinct-supplier variety with a NOT-IN denylist.
     "part_supplier_variety" -> ((s, dir) =>
       Analytics.partSupplierVariety(Tables.lineitem(s, dir), Tables.part(s, dir),
-        Tables.supplier(s, dir)))
+        Tables.supplier(s, dir))),
+
+    // ---- round 8 phase 4: EXISTS shapes, exact moments, packing ---------
+
+    // TPC-H Q4 shape: EXISTS -> left-semi with a residual date predicate.
+    "late_shipment_priority" -> ((s, dir) =>
+      Analytics.lateShipmentPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q6 shape: pure pushed-scan scalar aggregate.
+    "forecast_revenue_delta" -> ((s, dir) =>
+      Analytics.forecastRevenueDelta(Tables.lineitem(s, dir))),
+    // TPC-H Q12 shape: conditional CASE aggregation on a pruned join.
+    "priority_mix_by_flag" -> ((s, dir) =>
+      Analytics.priorityMixByFlag(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated to one agg + window.
+    "sole_late_supplier" -> ((s, dir) =>
+      Analytics.soleLateSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // Pearson corr/covar from exact DECIMAL(38,0) moment sums.
+    "price_qty_corr" -> ((s, dir) =>
+      Analytics.priceQtyCorr(Tables.lineitem(s, dir))),
+    // Ordered LISTAGG: top-5 customers per nation as a deterministic CSV.
+    "nation_top_customers" -> ((s, dir) =>
+      Analytics.nationTopCustomerList(Tables.customer(s, dir), Tables.nation(s, dir))),
+    // Mode per group via a rank window on pre-collapsed counts.
+    "user_top_event" -> ((s, dir) =>
+      Analytics.userTopEvent(Tables.events(s, dir))),
+    // CEP shape: cart -> purchase within 30 min, no logout between.
+    "cart_purchase_pattern" -> ((s, dir) =>
+      Analytics.cartToPurchase(Tables.events(s, dir))),
+    // Pretraining sequence packing: concat-and-chunk per source, exact fill.
+    "token_pack_bins" -> ((s, dir) =>
+      TextAnalysis.tokenPackBins(Tables.documents(s, dir))),
+    // Fixed-weight logistic quality gate (classifier inference surface).
+    "quality_logit" -> ((s, dir) =>
+      TextAnalysis.qualityLogit(Tables.documents(s, dir), stopwords))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2112,7 +2145,183 @@ object SparkEntry {
         |FROM pairs JOIN part ON l_partkey = p_partkey
         |WHERE p_size IN (5, 15, 25, 35, 45)
         |GROUP BY 1, 2, 3
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // ---- round 8 phase 4 -------------------------------------------------
+
+    // The literal correlated-EXISTS spelling (the engine runs the
+    // decorrelated left-semi form).
+    "late_shipment_priority" ->
+      """SELECT o_orderpriority, count(*) AS late_order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "forecast_revenue_delta" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue_delta,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "priority_mix_by_flag" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Independent check via the literal EXISTS + NOT EXISTS spelling the
+    // engine's agg+window plan decorrelates.
+    "sole_late_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last_ship
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p.l_suppkey AS s_suppkey, s.s_name,
+        |  CAST(count(*) AS BIGINT) AS numwait
+        |FROM ps p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM ps o
+        |    WHERE o.l_orderkey = p.l_orderkey AND o.l_suppkey <> p.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM ps o
+        |    WHERE o.l_orderkey = p.l_orderkey AND o.l_suppkey <> p.l_suppkey
+        |      AND o.supp_last_ship >= p.supp_last_ship)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 50""".stripMargin,
+
+    // Exact HUGEINT moment sums -> one correctly-rounded cast each -> the
+    // identical fixed IEEE op sequence as the engine.
+    "price_qty_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(q AS HUGEINT) * c) AS DOUBLE) AS sxy
+        |  FROM m GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |    AS qty_price_corr,
+        |  round((sxy - sx * sy / n) / n / 100.0, 4) AS qty_price_covar_pop
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "nation_top_customers" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_name) AS rn
+        |  FROM customer)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name)
+        |    AS top_customers
+        |FROM r JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rn <= 5
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "user_top_event" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS top_event, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cart_purchase_pattern" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'add_to_cart' THEN ts END)
+        |      OVER b AS last_cart_ts,
+        |    max(CASE WHEN event_type = 'logout' THEN ts END)
+        |      OVER b AS last_logout_ts
+        |  FROM events
+        |  WINDOW b AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (
+        |  SELECT user_id,
+        |    CASE WHEN last_cart_ts IS NOT NULL
+        |      AND ts <= last_cart_ts + INTERVAL 30 MINUTE
+        |      AND (last_logout_ts IS NULL OR last_logout_ts < last_cart_ts)
+        |      THEN 1 ELSE 0 END AS m
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(m) AS BIGINT) AS n_matched
+        |FROM p GROUP BY user_id
+        |HAVING sum(m) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "token_pack_bins" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |s AS (
+        |  SELECT source, tokens, CAST(cum - tokens AS BIGINT) AS first_tok,
+        |    CAST(cum - 1 AS BIGINT) AS last_tok
+        |  FROM c),
+        |e AS (
+        |  SELECT source, first_tok, last_tok,
+        |    unnest(generate_series(first_tok // 2048, last_tok // 2048)) AS bin
+        |  FROM s)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN first_tok // 2048 = bin THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_starting,
+        |  CAST(sum(least(last_tok, (bin + 1) * 2048 - 1)
+        |    - greatest(first_tok, bin * 2048) + 1) AS BIGINT) AS fill_tokens
+        |FROM e GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    "quality_logit" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS token_count,
+         |    CAST(len(list_filter(toks, x -> x IN ($stopwordsSqlList)))
+         |      AS DOUBLE) / len(toks) AS stop_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |      AS distinct_ratio
+         |  FROM t),
+         |z AS (
+         |  SELECT doc_id, token_count, stop_ratio,
+         |    -1.5 + (token_count / 100.0) * 0.8 + stop_ratio * (-3.0)
+         |      + distinct_ratio * 2.0 AS z
+         |  FROM f)
+         |SELECT doc_id, token_count,
+         |  round(stop_ratio, 6) AS stopword_ratio,
+         |  round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+         |  round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

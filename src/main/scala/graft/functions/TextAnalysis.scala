@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization,
@@ -429,4 +430,71 @@ object TextAnalysis {
         (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
         countDistinct(col("source")).as("source_count"))
       .orderBy(col("lang"))
+
+  /** Sequence packing (concat-and-chunk): the pretraining step that lays
+    * documents head-to-tail per source (ordered by doc_id) and cuts the
+    * token stream every `binTokens` tokens. Each document's token span
+    * [cumsum - tokens, cumsum) is exploded over the bins it touches
+    * (`sequence(first_bin, last_bin)` — a doc adds tokens/binTokens + 1
+    * rows at most, so the explode is output-bounded, not input-bounded) and
+    * per (source, bin) we report docs touching, docs starting, and the
+    * exact token fill. Every interior bin must fill to exactly `binTokens`
+    * — an invariant the spec asserts. The prefix sum is one
+    * shuffle+sort per source; at cluster scale the same contract runs as a
+    * two-pass range-partitioned prefix sum (per-partition subtotals
+    * broadcast back), which SCALING.md files under embarrassingly-scalable
+    * windows.
+    */
+  def tokenPackBins(documents: DataFrame, binTokens: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = documents
+      .select(col("source"), col("doc_id"), wsTokenCount(col("text")).as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("first_tok", col("cum") - col("tokens"))
+      .withColumn("last_tok", col("cum") - 1)
+    spans
+      .withColumn("bin",
+        explode(sequence(
+          expr(s"first_tok DIV $binTokens"), expr(s"last_tok DIV $binTokens"))))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(expr(s"first_tok DIV $binTokens") === col("bin"), 1L)
+          .otherwise(0L)).as("n_starting"),
+        sum(
+          least(col("last_tok"), (col("bin") + 1) * binTokens - 1) -
+            greatest(col("first_tok"), col("bin") * binTokens) + 1
+        ).as("fill_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Quality-classifier inference — a fixed-weight logistic model over the
+    * cheap per-document features (length, stopword ratio, lexical
+    * diversity), the fastText-style keep/drop gate of a curation pipeline
+    * with the trained weights pinned as constants. Per-row codegen'd
+    * arithmetic, zero shuffle. Determinism: features are exact rationals of
+    * integer counts; z is a fixed short sequence of IEEE ops; exp() may
+    * differ by 1 ulp across engines, so the score is rounded to 4 decimals
+    * (same grid argument as [[bigramNll]]) and the keep flag compares the
+    * ROUNDED score, never the raw one.
+    */
+  def qualityLogit(documents: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    val tokenCount = size(toks).cast("long")
+    val stopRatio =
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / tokenCount
+    val distinctRatio = size(array_distinct(toks)).cast("double") / tokenCount
+    // w = (bias, tokens/100, stopword_ratio, distinct_ratio)
+    val z = lit(-1.5) + (tokenCount / lit(100.0)) * lit(0.8) +
+      stopRatio * lit(-3.0) + distinctRatio * lit(2.0)
+    documents.select(
+        col("doc_id"),
+        tokenCount.as("token_count"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("quality_score"))
+      .withColumn("keep", col("quality_score") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -792,6 +792,236 @@ object Analytics {
       .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
   }
 
+  /** TPC-H Q4 shape — order-priority check: how many orders per priority
+    * class had at least one LATE line (shipped more than `lateDays` after
+    * the order date; the harness lacks commit/receipt dates, so lateness is
+    * ship-vs-order — reference semantics: EXISTS, counted once per order
+    * however many lines qualify). The EXISTS is a LEFT SEMI join — Spark
+    * stops probing an order on its first qualifying line and never
+    * duplicates the left side, which is exactly the decorrelated plan the
+    * classic subquery spelling lowers to. The date predicate is a residual
+    * on the equi-join (not expressible pre-join — it spans both sides), but
+    * the quarter filter prunes the orders scan at the source.
+    */
+  def lateShipmentPriority(
+      orders: DataFrame, lineitem: DataFrame,
+      from: String = "1995-01-01", until: String = "1995-04-01",
+      lateDays: Int = 60): DataFrame = {
+    val o = orders.filter(
+      col("o_orderdate") >= to_timestamp(lit(s"$from 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit(s"$until 00:00:00")))
+    o.join(lineitem,
+        o("o_orderkey") === lineitem("l_orderkey") &&
+          lineitem("l_shipdate") > o("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6 shape — forecast revenue delta: the revenue change from
+    * hypothetically eliminating a discount band on small-quantity lines in
+    * one year. Pure scan + filter + scalar aggregate — the plan is a single
+    * WholeStageCodegen over the parquet scan with every predicate pushed
+    * (`PushedFilters` shows the date range; quantity/discount prune via
+    * row-group stats), the shape where the scan IS the query and the only
+    * thing that matters at 100 TB is that nothing but the 4 needed columns
+    * is read.
+    */
+  def forecastRevenueDelta(
+      lineitem: DataFrame,
+      from: String = "1995-01-01", until: String = "1996-01-01"): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit(s"$from 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit(s"$until 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        decSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue_delta"),
+        count(lit(1)).as("line_count"))
+
+  /** TPC-H Q12 shape — priority mix by return flag (the harness's stand-in
+    * for ship mode): per flag, how many lines belong to critical-priority
+    * orders vs not, over one shipping year. The CASE/sum conditional
+    * aggregation runs on the joined frame with map-side combine; the fact
+    * side is pruned by the pushed date range before the join, and the
+    * orders side carries only (key, priority).
+    */
+  def priorityMixByFlag(
+      lineitem: DataFrame, orders: DataFrame,
+      from: String = "1995-01-01", until: String = "1996-01-01"): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(s"$from 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit(s"$until 00:00:00")))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q21 shape — the sole late supplier: suppliers who, in
+    * multi-supplier orders, were STRICTLY the last to ship (their latest
+    * line postdates every other supplier's). The classic spelling is a
+    * correlated EXISTS (another supplier exists) plus NOT EXISTS (none
+    * shipped later-or-equal); both decorrelate to per-order extremes, so we
+    * declare that form directly: one keyed aggregate to (order, supplier,
+    * max ship), one window over order computing the order-wide max and how
+    * many suppliers attain it — a supplier is sole-late iff it attains the
+    * max, alone, among >= 2 suppliers. One shuffle on orderkey serves both
+    * the aggregate and the window (same key), vs the 3 lineitem self-joins
+    * of the literal EXISTS plan — the DuckDB oracle runs the literal
+    * EXISTS/NOT-EXISTS spelling as the independent check.
+    */
+  def soleLateSupplier(
+      lineitem: DataFrame, supplier: DataFrame, k: Int = 50): DataFrame = {
+    val perSupp = lineitem
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_last_ship"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val flagged = perSupp
+      .withColumn("order_last_ship", max(col("supp_last_ship")).over(w))
+      .withColumn("n_suppliers", count(lit(1)).over(w))
+      .withColumn("n_at_last",
+        sum(when(col("supp_last_ship") === col("order_last_ship"), 1L)
+          .otherwise(0L)).over(w))
+      .filter(col("n_suppliers") >= 2 &&
+        col("supp_last_ship") === col("order_last_ship") &&
+        col("n_at_last") === 1)
+    flagged
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_suppkey"))
+      .limit(k)
+  }
+
+  /** Pearson correlation without cross-engine float drift: quantity vs
+    * extended price per return flag, computed from EXACT integer moment
+    * sums — prices in cents, quantities as integers, every power sum
+    * accumulated in DECIMAL(38,0) (syy reaches ~6e19, past the int64
+    * range, never past 38 digits) — then ONE correctly-rounded cast of each
+    * exact sum to double and an identical, fixed sequence of IEEE ops on
+    * both engines. corr/covar built-ins differ across engines in summation
+    * order (doubles) and normalization (sample vs population); explicit
+    * moments sidestep both. Single scan, map-side combine, 3-row output.
+    */
+  def priceQtyCorr(lineitem: DataFrame): DataFrame = {
+    val qty = col("l_quantity").cast(DecimalType(18, 0))
+    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0))
+    val big = DecimalType(38, 0)
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qty.cast(big)).cast("double").as("sx"),
+        sum(cents.cast(big)).cast("double").as("sy"),
+        sum((qty * qty).cast(big)).cast("double").as("sxx"),
+        sum((cents * cents).cast(big)).cast("double").as("syy"),
+        sum((qty * cents).cast(big)).cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
+          6).as("qty_price_corr"),
+        round(
+          (col("sxy") - col("sx") * col("sy") / col("n")) / col("n") / lit(100.0),
+          4).as("qty_price_covar_pop"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered string aggregation (LISTAGG) — per nation, its top-5
+    * customers by account balance as one deterministic CSV. Top-5 is a
+    * rank-window filter (per-partition heap semantics, ties broken by
+    * name); the CSV is collect_list -> array_sort -> transform -> join,
+    * sorted by the SAME (balance desc, name) key via a sortable composite
+    * string, so the aggregation order is data-independent. Output is
+    * |nations| rows; the bounded k caps the list payload at scale.
+    */
+  def nationTopCustomerList(customer: DataFrame, nation: DataFrame,
+      k: Int = 5): DataFrame = {
+    val rn = row_number().over(
+      Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), asc("c_name")))
+    // Sortable composite key: balance in cents, zero-padded, DESCENDING via
+    // (5*10^12 - cents) so lexicographic order == (balance desc, name asc).
+    // The offset keeps every key (negative balances included) a CONSTANT
+    // 13 digits — mixed widths would break lexicographic = numeric.
+    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+    val keyed = format_string("%013d|%s", lit(5000000000000L) - cents, col("c_name"))
+    customer
+      .withColumn("rn", rn)
+      .filter(col("rn") <= k)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_top"),
+        array_join(
+          transform(array_sort(collect_list(keyed)),
+            s => substring_index(s, "|", -1)),
+          ",").as("top_customers"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_top"), col("top_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Sequenced-event pattern match (the CEP shape): purchases preceded by
+    * an add_to_cart within `maxGap`, with no logout between — matched
+    * per-user with ONE ordered window pass carrying the latest cart/logout
+    * timestamps into each row (running max over a conditional), instead of
+    * a per-purchase backward self-join. Interval arithmetic, not epoch
+    * casts, does the gap test (identical across engines); (ts, event_id)
+    * ordering makes equal-timestamp frames deterministic. Single shuffle
+    * on user_id; output is a per-user rollup.
+    */
+  def cartToPurchase(events: DataFrame, maxGap: String = "30 minutes"): DataFrame = {
+    val before = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = events
+      .withColumn("last_cart_ts",
+        max(when(col("event_type") === "add_to_cart", col("ts"))).over(before))
+      .withColumn("last_logout_ts",
+        max(when(col("event_type") === "logout", col("ts"))).over(before))
+      .filter(col("event_type") === "purchase")
+    val matched = col("last_cart_ts").isNotNull &&
+      col("ts") <= col("last_cart_ts") + expr(s"INTERVAL $maxGap") &&
+      (col("last_logout_ts").isNull || col("last_logout_ts") < col("last_cart_ts"))
+    purchases
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  /** Mode per group — each user's most frequent event type (ties to the
+    * lexicographically smallest type, so the answer is deterministic).
+    * count-per-(user,type) then a rank window on the counts: both steps
+    * shuffle on user_id only, and the window input is already collapsed to
+    * |users| x |types| rows.
+    */
+  def userTopEvent(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(desc("n"), asc("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_event"), col("n"))
+      .orderBy(col("user_id"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.

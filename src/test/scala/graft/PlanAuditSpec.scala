@@ -270,4 +270,26 @@ class PlanAuditSpec extends SparkTestBase {
       .count(_.toString.contains("events.parquet"))
     assert(scans == 1, s"expected exactly one events scan, got $scans")
   }
+
+  test("Q4 EXISTS plans as a left-semi join with the date range pushed") {
+    val plan = executed(Analytics.lateShipmentPriority(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS must lower to a semi join (probe stops at first match):\n$plan")
+    val scan = leaves(Analytics.lateShipmentPriority(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)))
+    assert(scan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter must prune the orders scan:\n$scan")
+  }
+
+  test("Q21 shape stays on equi-shuffles: no nested-loop, no self-join explosion") {
+    val df = Analytics.soleLateSupplier(
+      Tables.lineitem(spark, sf), Tables.supplier(spark, sf))
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"decorrelated Q21 must not plan a product:\n$plan")
+    val scans = deepLeaves(finalPlan(df)).count(_.toString.contains("lineitem.parquet"))
+    assert(scans == 1,
+      s"agg+window form must scan lineitem ONCE (vs 3 in the literal EXISTS), got $scans")
+  }
 }
