@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextAnalysis
-import graft.operators.{AsOfJoin, Dedup, HourlyAggregation, Sessionize, Similarity, Upsert}
+import graft.operators.{AsOfJoin, Centrality, DataQuality, Dedup, HourlyAggregation, Sessionize, Similarity, Upsert}
 import graft.queries.{Analytics, ReadQueries}
 import org.apache.spark.sql.functions._
 
@@ -679,7 +679,30 @@ object SparkEntry {
       TextAnalysis.tokenPackBins(Tables.documents(s, dir))),
     // Fixed-weight logistic quality gate (classifier inference surface).
     "quality_logit" -> ((s, dir) =>
-      TextAnalysis.qualityLogit(Tables.documents(s, dir), stopwords))
+      TextAnalysis.qualityLogit(Tables.documents(s, dir), stopwords)),
+
+    // ---- round 8 phase 5: graph centrality, skyline, gapfill, DQ --------
+
+    // Fixed-point integer PageRank over the shared-8-gram doc graph.
+    "doc_pagerank" -> ((s, dir) =>
+      Centrality.docPagerank(Tables.documents(s, dir))),
+    // Skyline / Pareto frontier on (unit price, ship delay) fixed-point axes.
+    "pareto_suppliers" -> ((s, dir) =>
+      Analytics.paretoSuppliers(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.supplier(s, dir))),
+    // Dense hourly spine with zero-fill, running totals, and LOCF.
+    "hourly_gapfill" -> ((s, dir) =>
+      Analytics.hourlyGapfill(Tables.events(s, dir))),
+    // FULL OUTER reconciliation of pre-aggregated per-key counts.
+    "order_event_reconcile" -> ((s, dir) =>
+      Analytics.orderEventReconcile(Tables.orders(s, dir), Tables.events(s, dir))),
+    // Exact median + MAD robust outlier counts on integer cents.
+    "median_mad_outliers" -> ((s, dir) =>
+      Analytics.medianMadOutliers(Tables.orders(s, dir))),
+    // Deequ-style one-scan-per-table constraint report.
+    "dq_report" -> ((s, dir) =>
+      DataQuality.report(s, Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.customer(s, dir), Tables.events(s, dir), Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2321,7 +2344,211 @@ object SparkEntry {
          |  round(stop_ratio, 6) AS stopword_ratio,
          |  round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
          |  round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep
-         |FROM z ORDER BY doc_id""".stripMargin
+         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // ---- round 8 phase 5 -------------------------------------------------
+
+    // The whole fixed-point recurrence replayed on STRING shingles (the
+    // engine groups on xxhash64 of the same shingles — identical
+    // equivalence classes, same precedent as cross_doc_ngrams). Integer //
+    // and DIV agree (all values non-negative).
+    "doc_pagerank" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 6),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+        |         toks[i+6] || ' ' || toks[i+7]))) AS shingle
+        |  FROM tk),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
+        |        WHERE df BETWEEN 2 AND 50),
+        |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |       FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id),
+        |ed AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+        |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+        |r0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS rank FROM dg),
+        |c1 AS (SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS inflow
+        |       FROM ed e JOIN r0 r ON e.src = r.doc_id
+        |       JOIN dg d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT dst AS doc_id,
+        |       CAST(150000 + (85 * inflow) // 100 AS BIGINT) AS rank FROM c1),
+        |c2 AS (SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS inflow
+        |       FROM ed e JOIN r1 r ON e.src = r.doc_id
+        |       JOIN dg d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT dst AS doc_id,
+        |       CAST(150000 + (85 * inflow) // 100 AS BIGINT) AS rank FROM c2),
+        |c3 AS (SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS inflow
+        |       FROM ed e JOIN r2 r ON e.src = r.doc_id
+        |       JOIN dg d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT dst AS doc_id,
+        |       CAST(150000 + (85 * inflow) // 100 AS BIGINT) AS rank FROM c3)
+        |SELECT d.doc_id, CAST(COALESCE(dg.deg, 0) AS BIGINT) AS degree,
+        |  CAST(COALESCE(r3.rank, 150000) AS BIGINT) AS rank_micro
+        |FROM documents d
+        |LEFT JOIN dg ON d.doc_id = dg.src
+        |LEFT JOIN r3 ON d.doc_id = r3.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Independent dominance spelling: literal NOT EXISTS over the same
+    // fixed-point metrics (the engine runs the sort-filter window form).
+    "pareto_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_suppkey, count(*) AS n_lines,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(18,0))) AS BIGINT) AS total_cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |    CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+        |      AS total_delay
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT l_suppkey, CAST(n_lines AS BIGINT) AS n_lines,
+        |    total_cents // total_qty AS unit_price_cents,
+        |    (total_delay * 1000000) // n_lines AS delay_micro_days
+        |  FROM ps)
+        |SELECT s_suppkey, s_name, n_lines, unit_price_cents, delay_micro_days,
+        |  NOT EXISTS (
+        |    SELECT 1 FROM m o
+        |    WHERE o.unit_price_cents <= m.unit_price_cents
+        |      AND o.delay_micro_days <= m.delay_micro_days
+        |      AND (o.unit_price_cents < m.unit_price_cents
+        |        OR o.delay_micro_days < m.delay_micro_days)) AS on_frontier
+        |FROM m JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "hourly_gapfill" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR))
+        |      AS hour
+        |  FROM h GROUP BY event_type),
+        |j AS (
+        |  SELECT sp.event_type, sp.hour, COALESCE(h.n, 0) AS n_events
+        |  FROM sp LEFT JOIN h ON sp.event_type = h.event_type
+        |    AND sp.hour = h.hour)
+        |SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY hour)
+        |    AS BIGINT) AS cum_events,
+        |  max(CASE WHEN n_events > 0 THEN hour END)
+        |    OVER (PARTITION BY event_type ORDER BY hour) AS last_active_hour,
+        |  n_events = 0 AS is_gap
+        |FROM j ORDER BY event_type, hour""".stripMargin,
+
+    "order_event_reconcile" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT COALESCE(o_custkey, user_id) AS user_id,
+        |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        |  CASE WHEN o_custkey IS NOT NULL AND user_id IS NOT NULL THEN 'both'
+        |       WHEN o_custkey IS NOT NULL THEN 'orders_only'
+        |       ELSE 'events_only' END AS presence
+        |FROM o FULL OUTER JOIN e ON o_custkey = user_id
+        |ORDER BY 1""".stripMargin,
+
+    // quantile_cont == Spark's exact percentile: both interpolate at
+    // (n-1)*p on sorted values; inputs are integer cents so every
+    // interpolated double is exact (half-integer grid).
+    "median_mad_outliers" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderpriority, quantile_cont(cents, 0.5) AS median_cents,
+        |    count(*) AS n
+        |  FROM o GROUP BY 1),
+        |d AS (
+        |  SELECT o.o_orderpriority, m.n, m.median_cents,
+        |    abs(o.cents - m.median_cents) AS adev
+        |  FROM o JOIN m USING (o_orderpriority)),
+        |md AS (
+        |  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad_cents
+        |  FROM d GROUP BY 1),
+        |f AS (
+        |  SELECT d.o_orderpriority, CAST(any_value(d.n) AS BIGINT) AS n,
+        |    any_value(d.median_cents) AS median_cents,
+        |    any_value(md.mad_cents) AS mad_cents,
+        |    CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * md.mad_cents
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM d JOIN md USING (o_orderpriority) GROUP BY 1)
+        |SELECT o_orderpriority, n, median_cents, mad_cents, n_outliers,
+        |  (n_outliers * 1000000) // n AS outlier_ppm
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
+
+    "dq_report" ->
+      """WITH r AS (
+        |  SELECT 'orders' AS table_name, 'orderkey_not_null' AS check_name,
+        |    count(*) AS checked,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'orderkey_unique', count(*),
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'totalprice_positive', count(*),
+        |    CAST(sum(CASE WHEN NOT (o_totalprice > 0.0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'orderdate_in_range', count(*),
+        |    CAST(sum(CASE WHEN o_orderdate NOT BETWEEN
+        |      TIMESTAMP '1992-01-01 00:00:00' AND TIMESTAMP '1998-12-31 23:59:59'
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'quantity_in_1_50', count(*),
+        |    CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'discount_in_range', count(*),
+        |    CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'price_positive', count(*),
+        |    CAST(sum(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'orderkey_fk_orders', count(*),
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'customer', 'custkey_unique', count(*),
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'mktsegment_not_empty', count(*),
+        |    CAST(sum(CASE WHEN c_mktsegment IS NULL OR length(c_mktsegment) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |  UNION ALL
+        |  SELECT 'events', 'ts_not_null', count(*),
+        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'user_not_null', count(*),
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'event_id_unique', count(*),
+        |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'documents', 'text_not_empty', count(*),
+        |    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'n_chars_consistent', count(*),
+        |    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM documents)
+        |SELECT table_name, check_name, CAST(checked AS BIGINT) AS checked,
+        |  violations, violations = 0 AS pass
+        |FROM r ORDER BY table_name, check_name""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

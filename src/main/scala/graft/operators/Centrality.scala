@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the document corpus — ranks documents by how
+  * embedded they are in the duplicated-span graph (docs sharing verbatim
+  * word k-grams), the signal a curation pipeline uses to find template/
+  * boilerplate hubs: a doc connected to many other span-sharing docs is
+  * much more likely machine-generated filler than an organic document.
+  *
+  * Reference analogue: the reference has no graph operator — this extends
+  * the near-dup cluster surface (`Dedup.nearDupClusters`) from connectivity
+  * (which component) to centrality (how important within it), the same
+  * public PageRank recurrence (Page et al. 1999) every large-scale dedup
+  * stack (e.g. web-graph-based quality weighting) runs beside clustering.
+  *
+  * All arithmetic is FIXED-POINT INTEGER (ranks in micro-units, BIGINT),
+  * so the result is bit-exact across engines — float PageRank sums are
+  * summation-order-dependent and cannot be oracle-checked; integer
+  * `DIV`/floor semantics are identical in Spark and DuckDB for the
+  * non-negative values used here. The deliberate spec divergence from
+  * textbook PageRank: per-edge contributions floor-truncate (rank DIV
+  * degree), so a little mass evaporates each round — fine for a RANKING
+  * (monotone per-node), essential for determinism.
+  */
+object Centrality {
+
+  /** Rank in micro-units: initial rank 1.0 == 1,000,000. */
+  val Scale = 1000000L
+
+  /** PageRank over the shared-span graph, a fixed number of rounds.
+    *
+    * Graph construction (one explode + one self-join on hashed k-grams —
+    * the `Dedup.crossDocNgramOverlap` shuffle discipline: 8-byte hashes,
+    * never shingle strings):
+    *   - nodes: all documents (isolated docs keep rank = damping base);
+    *   - edges: unordered doc pairs sharing >= 1 word-`k`-gram whose
+    *     document frequency is in [2, dfCap] — the cap drops boilerplate
+    *     spans occurring in more than `dfCap` docs, which would otherwise
+    *     create O(df^2) pair blow-up (the standard stop-span rule; the
+    *     drop is logged in the `degree` column, not silent: capped spans
+    *     contribute no edges at all).
+    *
+    * Iteration: `r' = 0.15*Scale + 0.85 * sum_in(r DIV deg)` with every
+    * op on BIGINT. The edge list (with out-degree attached) is built once
+    * and `localCheckpoint`ed — each of the `iterations` rounds is then one
+    * shuffle on dst (the join with the current rank frame); the rank frame
+    * scales with the PAIR graph's node set, not the corpus, and isolated
+    * docs join back once at the end (same shape as
+    * `Dedup.nearDupClusters`). At 1000 executors each round is a keyed
+    * equi-join + aggregate — no driver-side state, no collect.
+    */
+  def docPagerank(
+      documents: DataFrame,
+      k: Int = 8,
+      dfCap: Int = 50,
+      iterations: Int = 3): DataFrame = {
+    val sh = graft.operators.Dedup.shingles(documents, k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // df via a count-only window: one explode pass, one shuffle on the
+    // hash (the groupBy+join-back formulation re-derives the explode
+    // subtree per side — see Dedup.crossDocNgramOverlap).
+    val shared = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df").between(2, dfCap))
+      .select(col("sh"), col("doc_id"))
+    val pairs = shared
+      .join(shared.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
+      .filter(col("doc_id") < col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // Degree rides on every edge row so each round needs no extra join;
+    // built once, materialized once.
+    val degW = Window.partitionBy(col("src"))
+    val edgesDeg = edges
+      .withColumn("deg", count(lit(1)).over(degW))
+      .localCheckpoint()
+    var rank = edgesDeg.select(col("src").as("doc_id")).distinct()
+      .withColumn("rank", lit(Scale))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(rank, edgesDeg("src") === rank("doc_id"))
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("inflow"))
+      rank = contrib.select(
+        col("dst").as("doc_id"),
+        (lit(15L * Scale / 100) +
+          expr(s"85 * inflow DIV 100")).as("rank"))
+    }
+    val degrees = edgesDeg.groupBy(col("src")).agg(max(col("deg")).as("degree"))
+    documents.select(col("doc_id"))
+      .join(degrees.withColumnRenamed("src", "d"), col("doc_id") === col("d"), "left")
+      .join(rank.withColumnRenamed("doc_id", "r"), col("doc_id") === col("r"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        // isolated docs (and pure sources, which don't exist in an
+        // undirected graph) sit at the damping base
+        coalesce(col("rank"), lit(15L * Scale / 100)).as("rank_micro"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1022,6 +1022,143 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Skyline (Pareto frontier) — suppliers not dominated on the
+    * (unit price, shipping delay) tradeoff: s is dominated iff some s' is
+    * no worse on both axes and strictly better on one. Both metrics are
+    * FIXED-POINT integers (cents per unit, micro-days), so the frontier is
+    * bit-exact across engines. The dominance test is NOT the O(n^2)
+    * NOT-EXISTS self-join (that's the DuckDB oracle's independent
+    * spelling): sorted by price, a supplier is dominated iff some
+    * strictly-cheaper supplier has delay <= its own (a RANGE window
+    * running-min), or some equal-priced supplier has strictly lower delay
+    * (a per-price partition min) — one sort, O(n log n), the textbook
+    * sort-filter skyline (Borzsony et al. ICDE'01) as two window passes.
+    */
+  def paretoSuppliers(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(18, 0))
+    val perSupp = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(cents).cast("long").as("total_cents"),
+        sum(col("l_quantity").cast("long")).as("total_qty"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .as("total_delay_days"))
+      .select(
+        col("l_suppkey"), col("n_lines"),
+        expr("total_cents DIV total_qty").as("unit_price_cents"),
+        expr("total_delay_days * 1000000 DIV n_lines").as("delay_micro_days"))
+    val strictlyCheaper = Window.orderBy(col("unit_price_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy(col("unit_price_cents"))
+    val flagged = perSupp
+      .withColumn("best_delay_cheaper", min(col("delay_micro_days")).over(strictlyCheaper))
+      .withColumn("best_delay_same", min(col("delay_micro_days")).over(samePrice))
+      .withColumn("on_frontier",
+        (col("best_delay_cheaper").isNull ||
+          col("best_delay_cheaper") > col("delay_micro_days")) &&
+          col("best_delay_same") === col("delay_micro_days"))
+    flagged
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_lines"),
+        col("unit_price_cents"), col("delay_micro_days"), col("on_frontier"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Time-series gap filling — the dense hourly spine per event type, with
+    * empty hours zero-filled, a running total, and last-observation-
+    * carried-forward (the hour of the most recent nonempty bucket). The
+    * spine is generated relationally (per-type min/max + `sequence` +
+    * explode — no driver loop), so it scales as |types| x |hours|, and the
+    * fill joins are per-type equi-joins. LOCF is `max(CASE...)` over the
+    * ordered window — one pass, no self-join.
+    */
+  def hourlyGapfill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    spine
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .withColumn("last_active_hour",
+        max(when(col("n_events") > 0, col("hour"))).over(w))
+      .withColumn("is_gap", col("n_events") === 0)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("cum_events"), col("last_active_hour"), col("is_gap"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Cross-source reconciliation — the FULL OUTER join shape: every key
+    * appearing in either the order system or the event stream, with
+    * per-side counts and a presence class. Both sides pre-aggregate to one
+    * row per key BEFORE the join (the full-outer then joins |users|-sized
+    * frames, not raw facts — at 100 TB the join input is the distinct key
+    * set, orders of magnitude smaller than either fact table).
+    */
+  def orderEventReconcile(orders: DataFrame, events: DataFrame): DataFrame = {
+    val o = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val e = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    o.join(e, col("o_custkey") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("user_id")).as("user_id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("o_custkey").isNotNull && col("user_id").isNotNull, "both")
+          .when(col("o_custkey").isNotNull, "orders_only")
+          .otherwise("events_only").as("presence"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Robust outlier detection — exact median + MAD (median absolute
+    * deviation) of order totals per priority class, and the count outside
+    * median +/- 3 * 1.4826 * MAD (the normal-consistent MAD z-score). Money
+    * is integer cents, so both percentiles interpolate on an exact
+    * half-integer grid and the doubles are bit-identical across engines;
+    * the threshold is one fixed IEEE product applied to identical
+    * operands. Three passes over a 2-column projection (median -> MAD ->
+    * count), each a grouped aggregate with map-side combine — the one-pass
+    * approximate alternative is the existing `quantiles_approx` sketch
+    * path; exact-median-per-group is inherently a sort-based aggregate.
+    */
+  def medianMadOutliers(orders: DataFrame): DataFrame = {
+    val o = orders.select(
+      col("o_orderpriority"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val med = o.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(cents, 0.5)").as("median_cents"),
+        count(lit(1)).as("n"))
+    val dev = o.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("adev", abs(col("cents") - col("median_cents")))
+    val mad = dev.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(adev, 0.5)").as("mad_cents"))
+    dev
+      .join(broadcast(mad), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("median_cents")).as("median_cents"),
+        first(col("mad_cents")).as("mad_cents"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("o_orderpriority"), col("n"), col("median_cents"),
+        col("mad_cents"), col("n_outliers"),
+        expr("n_outliers * 1000000 DIV n").as("outlier_ppm"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.

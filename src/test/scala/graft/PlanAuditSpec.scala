@@ -282,6 +282,34 @@ class PlanAuditSpec extends SparkTestBase {
       s"quarter filter must prune the orders scan:\n$scan")
   }
 
+  test("doc_pagerank: hash-only shuffles, no product, one corpus scan for the graph") {
+    val df = graft.operators.Centrality.docPagerank(Tables.documents(spark, sf))
+    val plan = finalPlan(df)
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("NestedLoop"),
+      s"pair generation must stay on the shingle-hash equi-join:\n$plan")
+    val stringExchange = allExchanges(plan).find(_.output.exists(a =>
+      a.dataType == org.apache.spark.sql.types.StringType))
+    assert(stringExchange.isEmpty,
+      s"graph shuffles must carry hashed longs, never shingle strings:\n" +
+        stringExchange.mkString)
+  }
+
+  test("dq_report: a table's whole constraint suite costs one scan") {
+    val df = graft.operators.DataQuality.report(spark,
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf),
+      Tables.customer(spark, sf), Tables.events(spark, sf),
+      Tables.documents(spark, sf))
+    val leavesAll = deepLeaves(finalPlan(df)).map(_.toString)
+    // events has 3 constraints (incl. a distinct counter) -> still 1 scan;
+    // orders/lineitem get one extra scan each from the FK check, no more.
+    assert(leavesAll.count(_.contains("events.parquet")) == 1,
+      "3 event constraints must fold into a single scan")
+    assert(leavesAll.count(_.contains("documents.parquet")) == 1)
+    assert(leavesAll.count(_.contains("orders.parquet")) == 2)
+    assert(leavesAll.count(_.contains("lineitem.parquet")) == 2)
+  }
+
   test("Q21 shape stays on equi-shuffles: no nested-loop, no self-join explosion") {
     val df = Analytics.soleLateSupplier(
       Tables.lineitem(spark, sf), Tables.supplier(spark, sf))
