@@ -112,6 +112,14 @@ object ScaleSmoke {
       // an in-row posting sort — vocabulary-bounded output)
       time("token_postings", scale)(
         graft.functions.TextAnalysis.tokenPostings(docs).count())
+      // round-8 phase 5: 3 rounds of keyed join+aggregate over the
+      // shared-span graph (edge build once + localCheckpoint; the curve
+      // should track the EDGE count, which the df-cap keeps ~linear in docs)
+      time("doc_pagerank", scale)(
+        graft.operators.Centrality.docPagerank(docs).count())
+      // round-8 phase 4: per-source prefix sum + output-bounded explode
+      time("token_pack_bins", scale)(
+        graft.functions.TextAnalysis.tokenPackBins(docs).count())
       pairs.unpersist()
       docs.unpersist()
 
