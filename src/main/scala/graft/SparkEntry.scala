@@ -701,7 +701,7 @@ object SparkEntry {
       Analytics.medianMadOutliers(Tables.orders(s, dir))),
     // Deequ-style one-scan-per-table constraint report.
     "dq_report" -> ((s, dir) =>
-      DataQuality.report(s, Tables.orders(s, dir), Tables.lineitem(s, dir),
+      DataQuality.report(Tables.orders(s, dir), Tables.lineitem(s, dir),
         Tables.customer(s, dir), Tables.events(s, dir), Tables.documents(s, dir)))
   )
 

@@ -57,14 +57,7 @@ object Centrality {
       k: Int = 8,
       dfCap: Int = 50,
       iterations: Int = 3): DataFrame = {
-    val sh = graft.operators.Dedup.shingles(documents, k)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    // df via a count-only window: one explode pass, one shuffle on the
-    // hash (the groupBy+join-back formulation re-derives the explode
-    // subtree per side — see Dedup.crossDocNgramOverlap).
-    val shared = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    val shared = Dedup.hashedShingleDf(documents, k)
       .filter(col("df").between(2, dfCap))
       .select(col("sh"), col("doc_id"))
     val pairs = shared

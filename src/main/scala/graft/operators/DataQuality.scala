@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraint checking (the Deequ/dbt-test shape):
@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * single scalar aggregate over that table (violations are `sum(CASE)`),
   * so N constraints on a table cost one scan with map-side combine — not N
   * scans. The one cross-table constraint (referential integrity) is a
-  * left-anti join on the key, the standard orphan check. The report itself
-  * is O(constraints) rows.
+  * left join against the distinct key set with a null-probe counter, the
+  * standard orphan check. The report itself is O(constraints) rows.
   */
 object DataQuality {
 
@@ -22,7 +22,7 @@ object DataQuality {
   /** One-scan constraint evaluation: `checks` become parallel counters in a
     * single aggregate; the result is unpivoted to report rows.
     */
-  private def tableReport(spark: SparkSession, table: String, df: DataFrame,
+  private def tableReport(table: String, df: DataFrame,
       checks: Seq[Check]): DataFrame = {
     val aggs = count(lit(1)).as("checked") +:
       checks.map(c => c.violations.as(c.name))
@@ -44,9 +44,9 @@ object DataQuality {
     * integrity. Constraint names are stable identifiers (they key the
     * report and the oracle).
     */
-  def report(spark: SparkSession, orders: DataFrame, lineitem: DataFrame,
+  def report(orders: DataFrame, lineitem: DataFrame,
       customer: DataFrame, events: DataFrame, documents: DataFrame): DataFrame = {
-    val ordersR = tableReport(spark, "orders", orders, Seq(
+    val ordersR = tableReport("orders", orders, Seq(
       Check("orderkey_not_null", cnt(col("o_orderkey").isNull)),
       Check("orderkey_unique",
         (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("long")),
@@ -54,23 +54,23 @@ object DataQuality {
       Check("orderdate_in_range", cnt(!col("o_orderdate").between(
         to_timestamp(lit("1992-01-01 00:00:00")),
         to_timestamp(lit("1998-12-31 23:59:59")))))))
-    val lineitemR = tableReport(spark, "lineitem", lineitem, Seq(
+    val lineitemR = tableReport("lineitem", lineitem, Seq(
       Check("quantity_in_1_50",
         cnt(!col("l_quantity").between(1.0, 50.0))),
       Check("discount_in_range",
         cnt(!col("l_discount").between(0.0, 0.1))),
       Check("price_positive", cnt(!(col("l_extendedprice") > 0.0)))))
-    val customerR = tableReport(spark, "customer", customer, Seq(
+    val customerR = tableReport("customer", customer, Seq(
       Check("custkey_unique",
         (count(lit(1)) - countDistinct(col("c_custkey"))).cast("long")),
       Check("mktsegment_not_empty",
         cnt(col("c_mktsegment").isNull || length(col("c_mktsegment")) === 0))))
-    val eventsR = tableReport(spark, "events", events, Seq(
+    val eventsR = tableReport("events", events, Seq(
       Check("ts_not_null", cnt(col("ts").isNull)),
       Check("user_not_null", cnt(col("user_id").isNull)),
       Check("event_id_unique",
         (count(lit(1)) - countDistinct(col("event_id"))).cast("long"))))
-    val documentsR = tableReport(spark, "documents", documents, Seq(
+    val documentsR = tableReport("documents", documents, Seq(
       Check("text_not_empty",
         cnt(col("text").isNull || length(col("text")) === 0)),
       Check("n_chars_consistent",

@@ -503,17 +503,24 @@ object Dedup {
     * combined. Per-doc shingle sets are distinct (WordShingles), so
     * df == number of documents containing the shingle.
     */
-  def crossDocNgramOverlap(documents: DataFrame, k: Int = 3): DataFrame = {
-    val sh = shingles(documents, k)
+  /** (doc_id, sh, df): per-doc distinct word-k-gram hashes with the corpus
+    * document frequency attached. df comes from a count-only window, not
+    * groupBy+join-back: ONE explode pass and one shuffle on the 8-byte
+    * hash key (the join formulation re-explodes the corpus for each side —
+    * the two exchange subtrees differ by the partial aggregate, so AQE
+    * cannot reuse the stage). Shared by the span-overlap signal and the
+    * shared-span graph build ([[graft.operators.Centrality.docPagerank]]).
+    */
+  private[graft] def hashedShingleDf(documents: DataFrame, k: Int): DataFrame =
+    shingles(documents, k)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    // df via a count-only window, not groupBy+join-back: ONE explode pass
-    // and one shuffle on the hash key (the join formulation re-explodes
-    // the corpus for each side — the two exchange subtrees differ by the
-    // partial aggregate, so AQE cannot reuse the stage)
-    sh.withColumn("df",
+      .withColumn("df",
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+
+  def crossDocNgramOverlap(documents: DataFrame, k: Int = 3): DataFrame = {
+    hashedShingleDf(documents, k)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),

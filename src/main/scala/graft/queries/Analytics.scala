@@ -35,6 +35,15 @@ object Analytics {
   def decSum(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Exact money-to-cents fixed point: one deterministic per-row rounding
+    * of the double into DECIMAL(18,2), then the integral cents value as
+    * DECIMAL(18,0) — the cross-engine contract every cents-based oracle
+    * (`CAST(CAST(x AS DECIMAL(18,2)) * 100 AS ...)`) replays. Cast further
+    * (`.cast("long")`) at sites that need a BIGINT.
+    */
+  def centsOf(c: Column): Column =
+    (c.cast(DecimalType(18, 2)) * 100).cast(DecimalType(18, 0))
+
   /** TPC-H Q1-shaped pricing summary over lineitem (scan + hash agg only). */
   def pricingSummary(lineitem: DataFrame, shipdateCutoff: String = "1998-09-02"): DataFrame = {
     val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -707,7 +716,7 @@ object Analytics {
     */
   def timeDecayTotals(events: DataFrame, anchor: String = "2024-01-31"): DataFrame = {
     val k = datediff(to_date(lit(anchor)), to_date(col("ts")))
-    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val cents = centsOf(col("value")).cast("long")
     events
       .filter(col("value").isNotNull && col("ts") <= to_timestamp(lit(s"$anchor 00:00:00")))
       .groupBy(col("user_id"), k.as("k"))
@@ -913,8 +922,7 @@ object Analytics {
     */
   def priceQtyCorr(lineitem: DataFrame): DataFrame = {
     val qty = col("l_quantity").cast(DecimalType(18, 0))
-    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-      .cast(DecimalType(18, 0))
+    val cents = centsOf(col("l_extendedprice"))
     val big = DecimalType(38, 0)
     lineitem
       .groupBy(col("l_returnflag"))
@@ -955,7 +963,7 @@ object Analytics {
     // (5*10^12 - cents) so lexicographic order == (balance desc, name asc).
     // The offset keeps every key (negative balances included) a CONSTANT
     // 13 digits — mixed widths would break lexicographic = numeric.
-    val cents = (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+    val cents = centsOf(col("c_acctbal")).cast("long")
     val keyed = format_string("%013d|%s", lit(5000000000000L) - cents, col("c_name"))
     customer
       .withColumn("rn", rn)
@@ -1000,7 +1008,10 @@ object Analytics {
         count(lit(1)).as("n_purchases"),
         sum(when(matched, 1L).otherwise(0L)).as("n_matched"))
       .filter(col("n_matched") > 0)
-      .orderBy(col("user_id"))
+      // nulls_last matches DuckDB's ORDER BY default (Spark ASC defaults
+      // to NULLS FIRST) — moot on the harness data, load-bearing the day a
+      // null key appears
+      .orderBy(col("user_id").asc_nulls_last)
   }
 
   /** Mode per group — each user's most frequent event type (ties to the
@@ -1019,7 +1030,7 @@ object Analytics {
           .orderBy(desc("n"), asc("event_type"))))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type").as("top_event"), col("n"))
-      .orderBy(col("user_id"))
+      .orderBy(col("user_id").asc_nulls_last)
   }
 
   /** Skyline (Pareto frontier) — suppliers not dominated on the
@@ -1036,8 +1047,7 @@ object Analytics {
     */
   def paretoSuppliers(lineitem: DataFrame, orders: DataFrame,
       supplier: DataFrame): DataFrame = {
-    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-      .cast(DecimalType(18, 0))
+    val cents = centsOf(col("l_extendedprice"))
     val perSupp = lineitem
       .join(orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
@@ -1118,7 +1128,7 @@ object Analytics {
         when(col("o_custkey").isNotNull && col("user_id").isNotNull, "both")
           .when(col("o_custkey").isNotNull, "orders_only")
           .otherwise("events_only").as("presence"))
-      .orderBy(col("user_id"))
+      .orderBy(col("user_id").asc_nulls_last)
   }
 
   /** Robust outlier detection — exact median + MAD (median absolute
@@ -1135,8 +1145,7 @@ object Analytics {
   def medianMadOutliers(orders: DataFrame): DataFrame = {
     val o = orders.select(
       col("o_orderpriority"),
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-        .cast("long").as("cents"))
+      centsOf(col("o_totalprice")).cast("long").as("cents"))
     val med = o.groupBy(col("o_orderpriority"))
       .agg(expr("percentile(cents, 0.5)").as("median_cents"),
         count(lit(1)).as("n"))

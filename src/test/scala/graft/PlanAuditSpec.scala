@@ -296,7 +296,7 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("dq_report: a table's whole constraint suite costs one scan") {
-    val df = graft.operators.DataQuality.report(spark,
+    val df = graft.operators.DataQuality.report(
       Tables.orders(spark, sf), Tables.lineitem(spark, sf),
       Tables.customer(spark, sf), Tables.events(spark, sf),
       Tables.documents(spark, sf))

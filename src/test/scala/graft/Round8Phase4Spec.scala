@@ -54,7 +54,7 @@ class Round8Phase4Spec extends SparkTestBase {
       (3L, 2L, ts("1995-03-01 00:00:00")),
       (3L, 3L, ts("1995-03-01 00:00:00")),
       (3L, 1L, ts("1995-02-20 00:00:00")),
-      // order 4: s2 last again -> s2 gets a second... no, first count
+      // order 4: s2 is strictly last -> its first (and only) blame count
       (4L, 2L, ts("1995-04-02 00:00:00")),
       (4L, 3L, ts("1995-04-01 00:00:00"))
     ).toDF("l_orderkey", "l_suppkey", "l_shipdate")

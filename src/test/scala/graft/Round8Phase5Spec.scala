@@ -142,7 +142,7 @@ class Round8Phase5Spec extends SparkTestBase {
       .toDF("event_id", "ts", "user_id")
     val documents = Seq((1L, "abc", 3L), (2L, "abc", 5L), (3L, "", 0L))
       .toDF("doc_id", "text", "n_chars")
-    val got = DataQuality.report(spark, orders, lineitem, customer, events, documents)
+    val got = DataQuality.report(orders, lineitem, customer, events, documents)
       .as[(String, String, Long, Long, Boolean)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
     assert(got(("orders", "orderkey_unique")) == ((3L, 1L, false)))
