@@ -702,7 +702,12 @@ object SparkEntry {
     // Deequ-style one-scan-per-table constraint report.
     "dq_report" -> ((s, dir) =>
       DataQuality.report(Tables.orders(s, dir), Tables.lineitem(s, dir),
-        Tables.customer(s, dir), Tables.events(s, dir), Tables.documents(s, dir)))
+        Tables.customer(s, dir), Tables.events(s, dir), Tables.documents(s, dir))),
+    // Order-independent per-table content checksums (anti-entropy).
+    "table_fingerprints" -> ((s, dir) =>
+      DataQuality.tableFingerprints(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.customer(s, dir),
+        Tables.events(s, dir), Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -714,6 +719,33 @@ object SparkEntry {
     * the dataset it verified.
     */
   def oracleSql: Map[String, String] = oracleSqlStatic ++ AnnOracles.pinned
+
+  /** DuckDB spelling of the exact cents fixed point, as VARCHAR (the
+    * serialization form [[graft.operators.DataQuality.tableFingerprints]]
+    * uses for every double column).
+    */
+  private def sqlCents(c: String): String =
+    s"CAST(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+
+  private def sqlStr(c: String): String = s"CAST($c AS VARCHAR)"
+
+  /** One table's fingerprint row: pipe-join the canonical column forms,
+    * hash each row with the RollingHash polynomial ((a*31+b) mod 1e9+7
+    * over ASCII codes — the corpus is ASCII; same per-char fold as the
+    * doc_fingerprints oracle), then count / sum-mod-p / min / max.
+    */
+  private def fpOracle(table: String, serCols: Seq[String]): String = {
+    val s = serCols.mkString(" || '|' || ")
+    s"""SELECT '$table' AS table_name, count(*) AS n_rows,
+       |  CAST(sum(CAST(h AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum_mod,
+       |  min(h) AS min_hash, max(h) AS max_hash
+       |FROM (SELECT list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(s) + 1),
+       |                     i -> CAST(ascii(s[i]) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS h
+       |  FROM (SELECT $s AS s FROM $table))""".stripMargin
+  }
 
   /** Oracle map with the ANN pins resolved for the given data directory —
     * immune to other ANN fits having run in the same JVM.
@@ -2482,6 +2514,27 @@ object SparkEntry {
         |SELECT o_orderpriority, n, median_cents, mad_cents, n_outliers,
         |  (n_outliers * 1000000) // n AS outlier_ppm
         |FROM f ORDER BY o_orderpriority""".stripMargin,
+
+    // Replays the engine's canonical serialization (cents fixed point,
+    // epoch micros, pipe-delimited) and the RollingHash polynomial per
+    // row, then the same sum-mod-p fold — HUGEINT keeps the sum exact.
+    "table_fingerprints" -> Seq(
+      fpOracle("customer", Seq(sqlStr("c_custkey"), "c_name",
+        sqlStr("c_nationkey"), sqlCents("c_acctbal"), "c_mktsegment")),
+      fpOracle("documents", Seq(sqlStr("doc_id"), "lang", "source",
+        sqlStr("n_chars"), "text")),
+      fpOracle("events", Seq(sqlStr("event_id"),
+        "CAST(epoch_us(ts) AS VARCHAR)", sqlStr("user_id"), "event_type",
+        sqlCents("value"), "props")),
+      fpOracle("lineitem", Seq(sqlStr("l_orderkey"), sqlStr("l_linenumber"),
+        sqlStr("l_partkey"), sqlStr("l_suppkey"), sqlCents("l_quantity"),
+        sqlCents("l_extendedprice"), sqlCents("l_discount"),
+        sqlCents("l_tax"), "l_returnflag", "l_linestatus",
+        "CAST(epoch_us(l_shipdate) AS VARCHAR)")),
+      fpOracle("orders", Seq(sqlStr("o_orderkey"), sqlStr("o_custkey"),
+        "o_orderstatus", sqlCents("o_totalprice"),
+        "CAST(epoch_us(o_orderdate) AS VARCHAR)", "o_orderpriority")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
 
     "dq_report" ->
       """WITH r AS (

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Declarative data-quality constraint checking (the Deequ/dbt-test shape):
   * a suite of table invariants evaluated in ONE pass per table, emitted as
@@ -92,5 +93,73 @@ object DataQuality {
     Seq(ordersR, lineitemR, customerR, eventsR, documentsR, fkR)
       .reduce(_.unionByName(_))
       .orderBy(col("table_name"), col("check_name"))
+  }
+
+  // ---- order-independent content fingerprints -----------------------------
+
+  /** Canonical ASCII row serialization: every double goes through the
+    * exact cents fixed point and every timestamp through epoch micros —
+    * NEVER raw double/timestamp-to-string rendering, which differs across
+    * engines (e-notation thresholds, fraction padding). Pipe-delimited;
+    * the harness columns are null-free (dq_report proves it) so concat_ws
+    * null-skipping never fires.
+    */
+  private def ser(cols: Column*): Column =
+    concat_ws("|", cols.map(_.cast("string")): _*)
+
+  /** Epoch micros of a (NTZ) timestamp — the session is pinned UTC, so the
+    * NTZ->instant cast is the identity wall-clock mapping DuckDB's
+    * epoch_us applies to naive timestamps.
+    */
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  private def fingerprint(table: String, df: DataFrame, s: Column): DataFrame =
+    df.select(graft.functions.GraftColumns.rollingHash(s).as("h"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        // each row hash < 1e9+7; the sum is exact in DECIMAL(38,0) at any
+        // row count, and the mod keeps the published checksum in int64
+        (sum(col("h").cast(DecimalType(38, 0))) % 1000000007L)
+          .cast("long").as("checksum_mod"),
+        min(col("h")).as("min_hash"),
+        max(col("h")).as("max_hash"))
+      .select(lit(table).as("table_name"), col("n_rows"),
+        col("checksum_mod"), col("min_hash"), col("max_hash"))
+
+  /** Order-independent table content checksums — the anti-entropy /
+    * cross-system reconciliation primitive: two systems compare
+    * (n_rows, checksum) per table WITHOUT moving rows. The checksum is the
+    * sum of per-row polynomial hashes mod p — commutative and associative,
+    * so it is partitioning-invariant and MERGEABLE (shard checksums add:
+    * validate 100 TB shard-by-shard, then fold). One scan per table with
+    * map-side combine; the row hash is the registered native RollingHash
+    * expression (codegen, scan-speed). min/max row hashes ride along as a
+    * cheap first-divergence locator.
+    */
+  def tableFingerprints(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame, events: DataFrame, documents: DataFrame): DataFrame = {
+    import graft.queries.Analytics.centsOf
+    Seq(
+      fingerprint("orders", orders, ser(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), centsOf(col("o_totalprice")).cast("long"),
+        micros(col("o_orderdate")), col("o_orderpriority"))),
+      fingerprint("lineitem", lineitem, ser(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        centsOf(col("l_quantity")).cast("long"),
+        centsOf(col("l_extendedprice")).cast("long"),
+        centsOf(col("l_discount")).cast("long"),
+        centsOf(col("l_tax")).cast("long"),
+        col("l_returnflag"), col("l_linestatus"),
+        micros(col("l_shipdate")))),
+      fingerprint("customer", customer, ser(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), centsOf(col("c_acctbal")).cast("long"),
+        col("c_mktsegment"))),
+      fingerprint("events", events, ser(col("event_id"),
+        micros(col("ts")), col("user_id"), col("event_type"),
+        centsOf(col("value")).cast("long"), col("props"))),
+      fingerprint("documents", documents, ser(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text"))))
+      .reduce(_.unionByName(_))
+      .orderBy(col("table_name"))
   }
 }

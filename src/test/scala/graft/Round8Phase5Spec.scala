@@ -160,4 +160,55 @@ class Round8Phase5Spec extends SparkTestBase {
     assert(got(("documents", "text_not_empty")) == ((3L, 1L, false)))
     assert(got.size == 15, s"15 constraint rows expected, got ${got.size}")
   }
+
+  // ---- table_fingerprints --------------------------------------------------
+
+  private def fpOf(orders: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val empty = Seq.empty[(Long, Double, Double, Double)]
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_tax")
+      .withColumn("l_linenumber", lit(1))
+      .withColumn("l_partkey", lit(1L)).withColumn("l_suppkey", lit(1L))
+      .withColumn("l_extendedprice", lit(1.0))
+      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", lit(ts("1995-01-01 00:00:00")))
+    val cust = Seq.empty[(Long, String, Int, Double, String)]
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val ev = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val docs = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .withColumn("text", lit("x"))
+    val r = DataQuality.tableFingerprints(orders, empty, cust, ev, docs)
+      .filter(col("table_name") === "orders")
+      .select(col("n_rows"), col("checksum_mod"))
+      .as[(Long, Long)].head()
+    r
+  }
+
+  private def ordersFixture(rows: Seq[(Long, Long, String, Double, String)]) =
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .withColumn("o_orderdate", lit(ts("1995-06-01 12:00:00")))
+
+  test("tableFingerprints: checksum is row-order and partitioning invariant") {
+    val rows = (1L to 97L).map(i =>
+      (i, i % 7, s"S$i", i * 1.25, s"P${i % 3}"))
+    val a = fpOf(ordersFixture(rows))
+    val b = fpOf(ordersFixture(scala.util.Random.shuffle(rows)).repartition(13))
+    assert(a == b, s"order/partitioning must not change the checksum: $a vs $b")
+  }
+
+  test("tableFingerprints: a single-cell edit flips the checksum; merge adds mod p") {
+    val rows = (1L to 50L).map(i => (i, i, "O", 10.0 + i, "HIGH"))
+    val (n1, c1) = fpOf(ordersFixture(rows))
+    val edited = rows.updated(24, (25L, 25L, "O", 35.01, "HIGH"))
+    val (n2, c2) = fpOf(ordersFixture(edited))
+    assert(n1 == n2 && c1 != c2, "a one-cent change must flip the checksum")
+    // Mergeability: checksum(A union B) == (checksum(A)+checksum(B)) mod p.
+    val (left, right) = rows.splitAt(20)
+    val (_, cl) = fpOf(ordersFixture(left))
+    val (_, cr) = fpOf(ordersFixture(right))
+    assert((cl + cr) % 1000000007L == c1,
+      "shard checksums must fold to the whole-table checksum")
+  }
 }
