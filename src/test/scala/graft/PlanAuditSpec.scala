@@ -319,5 +319,10 @@ class PlanAuditSpec extends SparkTestBase {
     val scans = deepLeaves(finalPlan(df)).count(_.toString.contains("lineitem.parquet"))
     assert(scans == 1,
       s"agg+window form must scan lineitem ONCE (vs 3 in the literal EXISTS), got $scans")
+    // the orderkey repartition must serve BOTH the (ok, sk) aggregate and
+    // the window: repartition + final per-supplier agg + top-k sort = 3
+    val exchanges = allExchanges(finalPlan(df)).size
+    assert(exchanges <= 3,
+      s"one exchange must feed aggregate AND window, got $exchanges:\n${executed(df)}")
   }
 }
