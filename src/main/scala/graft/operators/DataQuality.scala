@@ -126,6 +126,43 @@ object DataQuality {
       .select(lit(table).as("table_name"), col("n_rows"),
         col("checksum_mod"), col("min_hash"), col("max_hash"))
 
+  /** The canonical serialization per harness table (single source of
+    * truth for batch fingerprints AND incremental maintenance).
+    */
+  private def canonicalSer(table: String): Column = {
+    import graft.queries.Analytics.centsOf
+    table match {
+      case "orders" => ser(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), centsOf(col("o_totalprice")).cast("long"),
+        micros(col("o_orderdate")), col("o_orderpriority"))
+      case "lineitem" => ser(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        centsOf(col("l_quantity")).cast("long"),
+        centsOf(col("l_extendedprice")).cast("long"),
+        centsOf(col("l_discount")).cast("long"),
+        centsOf(col("l_tax")).cast("long"),
+        col("l_returnflag"), col("l_linestatus"),
+        micros(col("l_shipdate")))
+      case "customer" => ser(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), centsOf(col("c_acctbal")).cast("long"),
+        col("c_mktsegment"))
+      case "events" => ser(col("event_id"),
+        micros(col("ts")), col("user_id"), col("event_type"),
+        centsOf(col("value")).cast("long"), col("props"))
+      case "documents" => ser(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text"))
+    }
+  }
+
+  /** One table's (or one BATCH's) fingerprint row under its canonical
+    * serialization — the incremental-maintenance entry point: because the
+    * checksum folds by modular addition, a stream maintains the running
+    * table checksum by fingerprinting each micro-batch and adding
+    * (spec-verified in StreamingAggSpec).
+    */
+  def fingerprintTable(table: String, df: DataFrame): DataFrame =
+    fingerprint(table, df, canonicalSer(table))
+
   /** Order-independent table content checksums — the anti-entropy /
     * cross-system reconciliation primitive: two systems compare
     * (n_rows, checksum) per table WITHOUT moving rows. The checksum is the
@@ -137,29 +174,10 @@ object DataQuality {
     * cheap first-divergence locator.
     */
   def tableFingerprints(orders: DataFrame, lineitem: DataFrame,
-      customer: DataFrame, events: DataFrame, documents: DataFrame): DataFrame = {
-    import graft.queries.Analytics.centsOf
-    Seq(
-      fingerprint("orders", orders, ser(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), centsOf(col("o_totalprice")).cast("long"),
-        micros(col("o_orderdate")), col("o_orderpriority"))),
-      fingerprint("lineitem", lineitem, ser(col("l_orderkey"),
-        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        centsOf(col("l_quantity")).cast("long"),
-        centsOf(col("l_extendedprice")).cast("long"),
-        centsOf(col("l_discount")).cast("long"),
-        centsOf(col("l_tax")).cast("long"),
-        col("l_returnflag"), col("l_linestatus"),
-        micros(col("l_shipdate")))),
-      fingerprint("customer", customer, ser(col("c_custkey"), col("c_name"),
-        col("c_nationkey"), centsOf(col("c_acctbal")).cast("long"),
-        col("c_mktsegment"))),
-      fingerprint("events", events, ser(col("event_id"),
-        micros(col("ts")), col("user_id"), col("event_type"),
-        centsOf(col("value")).cast("long"), col("props"))),
-      fingerprint("documents", documents, ser(col("doc_id"), col("lang"),
-        col("source"), col("n_chars"), col("text"))))
+      customer: DataFrame, events: DataFrame, documents: DataFrame): DataFrame =
+    Seq("orders" -> orders, "lineitem" -> lineitem, "customer" -> customer,
+      "events" -> events, "documents" -> documents)
+      .map { case (t, df) => fingerprintTable(t, df) }
       .reduce(_.unionByName(_))
       .orderBy(col("table_name"))
-  }
 }

@@ -163,27 +163,10 @@ class Round8Phase5Spec extends SparkTestBase {
 
   // ---- table_fingerprints --------------------------------------------------
 
-  private def fpOf(orders: org.apache.spark.sql.DataFrame): (Long, Long) = {
-    val empty = Seq.empty[(Long, Double, Double, Double)]
-      .toDF("l_orderkey", "l_quantity", "l_discount", "l_tax")
-      .withColumn("l_linenumber", lit(1))
-      .withColumn("l_partkey", lit(1L)).withColumn("l_suppkey", lit(1L))
-      .withColumn("l_extendedprice", lit(1.0))
-      .withColumn("l_returnflag", lit("N")).withColumn("l_linestatus", lit("O"))
-      .withColumn("l_shipdate", lit(ts("1995-01-01 00:00:00")))
-    val cust = Seq.empty[(Long, String, Int, Double, String)]
-      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-    val ev = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val docs = Seq.empty[(Long, String, String, Long)]
-      .toDF("doc_id", "lang", "source", "n_chars")
-      .withColumn("text", lit("x"))
-    val r = DataQuality.tableFingerprints(orders, empty, cust, ev, docs)
-      .filter(col("table_name") === "orders")
+  private def fpOf(orders: org.apache.spark.sql.DataFrame): (Long, Long) =
+    DataQuality.fingerprintTable("orders", orders)
       .select(col("n_rows"), col("checksum_mod"))
       .as[(Long, Long)].head()
-    r
-  }
 
   private def ordersFixture(rows: Seq[(Long, Long, String, Double, String)]) =
     rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -210,5 +193,50 @@ class Round8Phase5Spec extends SparkTestBase {
     val (_, cr) = fpOf(ordersFixture(right))
     assert((cl + cr) % 1000000007L == c1,
       "shard checksums must fold to the whole-table checksum")
+  }
+
+  // ---- corpus-level properties --------------------------------------------
+
+  test("docPagerank properties: rank bounds, isolation floor, mass never grows") {
+    val docs = (1 to 80).map { i =>
+      // clique groups of 4 sharing an 8-token body + distinct tail
+      val body = (1 to 8).map(t => s"g${i / 4}w$t").mkString(" ")
+      (i.toLong, s"$body tail$i")
+    }.toDF("doc_id", "text")
+    val got = Centrality.docPagerank(docs, k = 8, dfCap = 50, iterations = 3)
+      .as[(Long, Long, Long)].collect()
+    val scale = Centrality.Scale
+    got.foreach { case (id, deg, rank) =>
+      assert(rank >= 15L * scale / 100, s"doc $id below damping floor")
+      if (deg == 0L) assert(rank == 15L * scale / 100, s"isolated doc $id")
+    }
+    // floor truncation + damping only ever LOSE mass vs the uniform start
+    assert(got.map(_._3).sum <= got.length * scale, "rank mass must not grow")
+    // symmetric positions inside a clique get identical ranks
+    val byDeg = got.groupBy(_._2)
+    byDeg.get(3L).foreach(g =>
+      assert(g.map(_._3).distinct.length == 1,
+        "all degree-3 clique members must tie"))
+  }
+
+  test("hourlyGapfill properties: dense spine, non-gap endpoints, conservation") {
+    val events = (1 to 200).map { i =>
+      (i.toLong, ts(f"2024-03-01 ${(i * 7) % 24}%02d:${(i * 13) % 60}%02d:00"),
+        s"t${i % 3}")
+    }.toDF("event_id", "ts", "event_type")
+    val got = Analytics.hourlyGapfill(events)
+      .as[(String, Timestamp, Long, Long, Timestamp, Boolean)].collect()
+    got.groupBy(_._1).foreach { case (typ, rows) =>
+      val hours = rows.map(_._2.getTime).sorted
+      assert(hours.sliding(2).forall {
+        case Array(a, b) => b - a == 3600000L
+        case _ => true
+      }, s"$typ spine must be dense hourly")
+      assert(!rows.minBy(_._2.getTime)._6 && !rows.maxBy(_._2.getTime)._6,
+        s"$typ endpoints are observed hours, never gaps")
+      assert(rows.map(_._3).sum ==
+        events.filter(col("event_type") === typ).count(),
+        s"$typ conservation: gap-filled counts must sum to the raw count")
+    }
   }
 }

@@ -443,6 +443,41 @@ class StreamingAggSpec extends SparkTestBase {
     ev.unpersist()
   }
 
+  test("streaming incremental checksum: batch folds equal the whole-table fingerprint") {
+    // The table_fingerprints checksum is sum-of-row-hashes mod p, so a
+    // stream maintains the running table checksum WITHOUT reprocessing:
+    // fingerprint each micro-batch, fold by modular addition. Three
+    // uneven micro-batches must fold to exactly the batch checksum of the
+    // union — the streaming face of the shard-merge identity.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val all = (1 to 30).map(i =>
+      ev(i, f"2024-01-01 ${9 + i % 3}%02d:00:00", i % 5, s"t${i % 4}", i * 1.25))
+    var running = 0L
+    var rows = 0L
+    val q = mem.toDS().toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (n, c) = graft.operators.DataQuality
+          .fingerprintTable("events", batch.withColumn("props", lit("{}")))
+          .select(col("n_rows"), col("checksum_mod")).as[(Long, Long)].head()
+        running = (running + c) % 1000000007L
+        rows += n
+        ()
+      }
+      .start()
+    try {
+      mem.addData(all.take(7)); q.processAllAvailable()
+      mem.addData(all.slice(7, 8)); q.processAllAvailable()
+      mem.addData(all.drop(8)); q.processAllAvailable()
+    } finally q.stop()
+    val (nb, cb) = graft.operators.DataQuality
+      .fingerprintTable("events", all.toDF().withColumn("props", lit("{}")))
+      .select(col("n_rows"), col("checksum_mod")).as[(Long, Long)].head()
+    assert(rows == nb && running == cb,
+      s"incremental fold ($rows, $running) != batch fingerprint ($nb, $cb)")
+  }
+
   test("foreachBatch upsert is idempotent under replay (at-least-once x LWW)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
     val target = new java.io.File(dir, "agg").getAbsolutePath
