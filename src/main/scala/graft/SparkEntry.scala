@@ -720,31 +720,45 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = oracleSqlStatic ++ AnnOracles.pinned
 
-  /** DuckDB spelling of the exact cents fixed point, as VARCHAR (the
-    * serialization form [[graft.operators.DataQuality.tableFingerprints]]
-    * uses for every double column).
+  /** DuckDB spelling of the exact cents fixed point (BIGINT) — the single
+    * lockstep partner of [[graft.queries.Analytics.centsOf]] for every
+    * oracle that does cents math.
+    */
+  private def sqlCentsLong(c: String): String =
+    s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** The cents fixed point as VARCHAR (the serialization form
+    * [[graft.operators.DataQuality.tableFingerprints]] uses for every
+    * double column).
     */
   private def sqlCents(c: String): String =
-    s"CAST(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+    s"CAST(${sqlCentsLong(c)} AS VARCHAR)"
 
   private def sqlStr(c: String): String = s"CAST($c AS VARCHAR)"
 
   /** One table's fingerprint row: pipe-join the canonical column forms,
     * hash each row with the RollingHash polynomial ((a*31+b) mod 1e9+7
-    * over ASCII codes — the corpus is ASCII; same per-char fold as the
-    * doc_fingerprints oracle), then count / sum-mod-p / min / max.
+    * over ASCII codes — same per-char fold as the doc_fingerprints
+    * oracle), then count / coalesced-sum-mod-p / min / max. `where` lets
+    * the documents table carry the mandatory asciiGuard: the engine folds
+    * UTF-8 BYTES while this oracle folds codepoints, so a non-ASCII row
+    * must surface as a LOUD n_rows mismatch, never a silent checksum
+    * divergence (the repo-wide ascii()/ord() oracle rule).
     */
-  private def fpOracle(table: String, serCols: Seq[String]): String = {
+  private def fpOracle(table: String, serCols: Seq[String],
+      where: String = ""): String = {
     val s = serCols.mkString(" || '|' || ")
+    val guard = if (where.isEmpty) "" else s" WHERE $where"
     s"""SELECT '$table' AS table_name, count(*) AS n_rows,
-       |  CAST(sum(CAST(h AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum_mod,
+       |  CAST(COALESCE(sum(CAST(h AS HUGEINT)), 0) % 1000000007 AS BIGINT)
+       |    AS checksum_mod,
        |  min(h) AS min_hash, max(h) AS max_hash
        |FROM (SELECT list_reduce(
        |    list_prepend(CAST(0 AS BIGINT),
        |      list_transform(range(1, length(s) + 1),
        |                     i -> CAST(ascii(s[i]) AS BIGINT))),
        |    (a, b) -> (a * 31 + b) % 1000000007) AS h
-       |  FROM (SELECT $s AS s FROM $table))""".stripMargin
+       |  FROM (SELECT $s AS s FROM $table$guard))""".stripMargin
   }
 
   /** Oracle map with the ANN pins resolved for the given data directory —
@@ -2264,10 +2278,10 @@ object SparkEntry {
     // Exact HUGEINT moment sums -> one correctly-rounded cast each -> the
     // identical fixed IEEE op sequence as the engine.
     "price_qty_corr" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT l_returnflag,
         |    CAST(l_quantity AS BIGINT) AS q,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |    ${sqlCentsLong("l_extendedprice")} AS c
         |  FROM lineitem),
         |a AS (
         |  SELECT l_returnflag, count(*) AS n,
@@ -2489,9 +2503,9 @@ object SparkEntry {
     // (n-1)*p on sorted values; inputs are integer cents so every
     // interpolated double is exact (half-integer grid).
     "median_mad_outliers" ->
-      """WITH o AS (
+      s"""WITH o AS (
         |  SELECT o_orderpriority,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |    ${sqlCentsLong("o_totalprice")} AS cents
         |  FROM orders),
         |m AS (
         |  SELECT o_orderpriority, quantile_cont(cents, 0.5) AS median_cents,
@@ -2522,7 +2536,7 @@ object SparkEntry {
       fpOracle("customer", Seq(sqlStr("c_custkey"), "c_name",
         sqlStr("c_nationkey"), sqlCents("c_acctbal"), "c_mktsegment")),
       fpOracle("documents", Seq(sqlStr("doc_id"), "lang", "source",
-        sqlStr("n_chars"), "text")),
+        sqlStr("n_chars"), "text"), where = asciiGuard),
       fpOracle("events", Seq(sqlStr("event_id"),
         "CAST(epoch_us(ts) AS VARCHAR)", sqlStr("user_id"), "event_type",
         sqlCents("value"), "props")),

@@ -100,12 +100,15 @@ object DataQuality {
   /** Canonical ASCII row serialization: every double goes through the
     * exact cents fixed point and every timestamp through epoch micros —
     * NEVER raw double/timestamp-to-string rendering, which differs across
-    * engines (e-notation thresholds, fraction padding). Pipe-delimited;
-    * the harness columns are null-free (dq_report proves it) so concat_ws
-    * null-skipping never fires.
+    * engines (e-notation thresholds, fraction padding). Pipe-delimited via
+    * NULL-PROPAGATING concat (matching the oracle's `||`): a NULL in any
+    * column nulls the row's hash, which drops it from the checksum on BOTH
+    * engines identically — concat_ws would instead skip the column,
+    * making (a,NULL,c) and (a,c,NULL) collide and diverging from `||`.
     */
   private def ser(cols: Column*): Column =
-    concat_ws("|", cols.map(_.cast("string")): _*)
+    concat(cols.map(_.cast("string"))
+      .flatMap(c => Seq(c, lit("|"))).dropRight(1): _*)
 
   /** Epoch micros of a (NTZ) timestamp — the session is pinned UTC, so the
     * NTZ->instant cast is the identity wall-clock mapping DuckDB's
@@ -118,8 +121,10 @@ object DataQuality {
       .agg(
         count(lit(1)).as("n_rows"),
         // each row hash < 1e9+7; the sum is exact in DECIMAL(38,0) at any
-        // row count, and the mod keeps the published checksum in int64
-        (sum(col("h").cast(DecimalType(38, 0))) % 1000000007L)
+        // row count, and the mod keeps the published checksum in int64.
+        // coalesce(,0): the EMPTY batch/shard checksums to the additive
+        // identity, so streaming/shard folds never see a null
+        coalesce(sum(col("h").cast(DecimalType(38, 0))) % 1000000007L, lit(0L))
           .cast("long").as("checksum_mod"),
         min(col("h")).as("min_hash"),
         max(col("h")).as("max_hash"))
@@ -151,6 +156,9 @@ object DataQuality {
         centsOf(col("value")).cast("long"), col("props"))
       case "documents" => ser(col("doc_id"), col("lang"),
         col("source"), col("n_chars"), col("text"))
+      case other => throw new IllegalArgumentException(
+        s"no canonical serialization for table '$other' — known tables: " +
+          "orders, lineitem, customer, events, documents")
     }
   }
 
