@@ -707,7 +707,10 @@ object SparkEntry {
     "table_fingerprints" -> ((s, dir) =>
       DataQuality.tableFingerprints(Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.customer(s, dir),
-        Tables.events(s, dir), Tables.documents(s, dir)))
+        Tables.events(s, dir), Tables.documents(s, dir))),
+    // BPE TRAINING step: corpus-weighted adjacent-symbol-pair counts.
+    "bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2549,6 +2552,22 @@ object SparkEntry {
         "o_orderstatus", sqlCents("o_totalprice"),
         "CAST(epoch_us(o_orderdate) AS VARCHAR)", "o_orderpriority")))
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"),
+
+    // The corpus collapses to word frequencies first; pair explode runs
+    // on distinct words only (the engine's map-reduce BPE shape).
+    "bpe_pair_counts" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2
+        |  GROUP BY 1)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM (SELECT freq, unnest(list_transform(range(1, length(word)),
+        |        i -> word[i:i+1])) AS pair
+        |      FROM wf)
+        |GROUP BY 1
+        |ORDER BY pair_count DESC, pair
+        |LIMIT 20""".stripMargin,
 
     "dq_report" ->
       """WITH r AS (

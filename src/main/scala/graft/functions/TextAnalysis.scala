@@ -470,6 +470,36 @@ object TextAnalysis {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** BPE merge-candidate counting — the TRAINING step of byte-pair
+    * encoding (Sennrich et al. 2016): corpus-weighted counts of adjacent
+    * symbol pairs, whose argmax is the next merge rule
+    * (`token_counts_bpe` is the inference side — applying fixed merges).
+    *
+    * Scale shape: the corpus collapses to the word-frequency table FIRST
+    * (one token explode + one vocabulary-bounded aggregate — the only
+    * corpus-sized work), and the character-pair explode runs on DISTINCT
+    * words only, weighted by their frequencies. At 100 TB the pair
+    * counting is vocabulary-side arithmetic, not corpus-side — the
+    * standard map-reduce BPE formulation. The higher-order char-pair
+    * lambda runs interpreted, which is fine precisely because its input is
+    * the vocabulary, not the corpus (the inverse of the WordShingles
+    * trade).
+    */
+  def bpePairCounts(documents: DataFrame, k: Int = 20): DataFrame = {
+    val wordFreq = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wordFreq
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("pair"))
+      .limit(k)
+  }
+
   /** Quality-classifier inference — a fixed-weight logistic model over the
     * cheap per-document features (length, stopword ratio, lexical
     * diversity), the fastText-style keep/drop gate of a curation pipeline

@@ -195,6 +195,20 @@ class Round8Phase5Spec extends SparkTestBase {
       "shard checksums must fold to the whole-table checksum")
   }
 
+  // ---- bpe_pair_counts -----------------------------------------------------
+
+  test("bpePairCounts: frequency-weighted pairs, 1-char words excluded, ties by pair") {
+    val docs = Seq(
+      (1L, "abab ab cd"),  // abab: pairs ab,ba,ab; ab: ab; cd: cd
+      (2L, "ab x cd")      // ab again (freq 2 now); x is sub-2-char -> dropped
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.bpePairCounts(docs)
+      .as[(String, Long)].collect().toList
+    // weighted counts: ab = 2(from abab) + 2x1(word ab, freq 2) = 4;
+    // ba = 1; cd = 2. Order: count desc, then pair asc.
+    assert(got == List(("ab", 4L), ("cd", 2L), ("ba", 1L)), s"got $got")
+  }
+
   // ---- corpus-level properties --------------------------------------------
 
   test("docPagerank properties: rank bounds, isolation floor, mass never grows") {
