@@ -282,6 +282,28 @@ class PlanAuditSpec extends SparkTestBase {
       s"quarter filter must prune the orders scan:\n$scan")
   }
 
+  test("Q6 shape: predicates pushed to the scan, only the needed columns read") {
+    // read the scan's metadata MAP, not the rendered node string — Spark
+    // truncates the PushedFilters rendering at maxMetadataStringLength
+    // (the round-5 red-spec lesson)
+    val scans = deepLeaves(finalPlan(
+      Analytics.forecastRevenueDelta(Tables.lineitem(spark, sf)))).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet file scan")
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"the ship-year range must reach PushedFilters: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount") &&
+      pushed.contains("LessThan(l_quantity"),
+      s"discount band and quantity bound must push too: $pushed")
+    val schema = scans.map(_.metadata("ReadSchema")).mkString
+    assert(schema.contains("struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"),
+      s"the scan must read exactly the 4 referenced columns: $schema")
+  }
+
   test("doc_pagerank: hash-only shuffles, no product, one corpus scan for the graph") {
     val df = graft.operators.Centrality.docPagerank(Tables.documents(spark, sf))
     val plan = finalPlan(df)
