@@ -304,6 +304,25 @@ class PlanAuditSpec extends SparkTestBase {
       s"the scan must read exactly the 4 referenced columns: $schema")
   }
 
+  test("robust stats and Q12 read pruned scans (2-column projection, pushed dates)") {
+    val madScans = deepLeaves(finalPlan(
+      Analytics.medianMadOutliers(Tables.orders(spark, sf)))).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(madScans.nonEmpty && madScans.forall(_.metadata("ReadSchema")
+      .contains("struct<o_totalprice:double,o_orderpriority:string>")),
+      s"every median/MAD pass must read only the 2 referenced columns:\n" +
+        madScans.map(_.metadata("ReadSchema")).mkString("\n"))
+    val mixScans = deepLeaves(finalPlan(Analytics.priorityMixByFlag(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf)))).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("lineitem") => f
+    }
+    assert(mixScans.nonEmpty && mixScans.forall(_.metadata("PushedFilters")
+      .contains("GreaterThanOrEqual(l_shipdate")),
+      "the fact side must be pruned by the pushed ship-year before the join")
+  }
+
   test("doc_pagerank: hash-only shuffles, no product, one corpus scan for the graph") {
     val df = graft.operators.Centrality.docPagerank(Tables.documents(spark, sf))
     val plan = finalPlan(df)
