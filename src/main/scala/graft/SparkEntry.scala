@@ -750,7 +750,9 @@ object SparkEntry {
     */
   private def fpOracle(table: String, serCols: Seq[String],
       where: String = ""): String = {
-    val s = serCols.mkString(" || '|' || ")
+    // every cell null-coalesces to the \N sentinel (lockstep with
+    // DataQuality.ser) so rows with NULLs still hash
+    val s = serCols.map(c => s"COALESCE($c, '\\N')").mkString(" || '|' || ")
     val guard = if (where.isEmpty) "" else s" WHERE $where"
     s"""SELECT '$table' AS table_name, count(*) AS n_rows,
        |  CAST(COALESCE(sum(CAST(h AS HUGEINT)), 0) % 1000000007 AS BIGINT)
@@ -2293,22 +2295,28 @@ object SparkEntry {
         |    CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sxx,
         |    CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS syy,
         |    CAST(sum(CAST(q AS HUGEINT) * c) AS DOUBLE) AS sxy
-        |  FROM m GROUP BY 1)
+        |  FROM m GROUP BY 1),
+        |b AS (
+        |  SELECT *, sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+        |    AS denom FROM a)
         |SELECT l_returnflag, n,
-        |  round((n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  CASE WHEN denom > 0.0
+        |    THEN round((n * sxy - sx * sy) / denom, 6) END
         |    AS qty_price_corr,
         |  round((sxy - sx * sy / n) / n / 100.0, 4) AS qty_price_covar_pop
-        |FROM a ORDER BY l_returnflag""".stripMargin,
+        |FROM b ORDER BY l_returnflag""".stripMargin,
 
+    // rank and CSV share ONE sort key (the cents fixed point), matching
+    // the engine's single cents_key
     "nation_top_customers" ->
-      """WITH r AS (
-        |  SELECT c_nationkey, c_name, c_acctbal,
+      s"""WITH r AS (
+        |  SELECT c_nationkey, c_name,
+        |    ${sqlCentsLong("c_acctbal")} AS cents_key,
         |    row_number() OVER (PARTITION BY c_nationkey
-        |      ORDER BY c_acctbal DESC, c_name) AS rn
+        |      ORDER BY ${sqlCentsLong("c_acctbal")} DESC, c_name) AS rn
         |  FROM customer)
         |SELECT n_name, CAST(count(*) AS BIGINT) AS n_top,
-        |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name)
+        |  string_agg(c_name, ',' ORDER BY cents_key DESC, c_name)
         |    AS top_customers
         |FROM r JOIN nation ON c_nationkey = n_nationkey
         |WHERE rn <= 5
@@ -2444,10 +2452,10 @@ object SparkEntry {
     // Independent dominance spelling: literal NOT EXISTS over the same
     // fixed-point metrics (the engine runs the sort-filter window form).
     "pareto_suppliers" ->
-      """WITH ps AS (
+      s"""WITH ps AS (
         |  SELECT l_suppkey, count(*) AS n_lines,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-        |      AS DECIMAL(18,0))) AS BIGINT) AS total_cents,
+        |    CAST(sum(${sqlCentsLong("l_extendedprice")}) AS BIGINT)
+        |      AS total_cents,
         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
         |    CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
         |      AS total_delay
@@ -2496,8 +2504,9 @@ object SparkEntry {
         |SELECT COALESCE(o_custkey, user_id) AS user_id,
         |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
         |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
-        |  CASE WHEN o_custkey IS NOT NULL AND user_id IS NOT NULL THEN 'both'
-        |       WHEN o_custkey IS NOT NULL THEN 'orders_only'
+        |  CASE WHEN COALESCE(n_orders, 0) > 0 AND COALESCE(n_events, 0) > 0
+        |         THEN 'both'
+        |       WHEN COALESCE(n_orders, 0) > 0 THEN 'orders_only'
         |       ELSE 'events_only' END AS presence
         |FROM o FULL OUTER JOIN e ON o_custkey = user_id
         |ORDER BY 1""".stripMargin,
@@ -2573,7 +2582,7 @@ object SparkEntry {
       """WITH r AS (
         |  SELECT 'orders' AS table_name, 'orderkey_not_null' AS check_name,
         |    count(*) AS checked,
-        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    CAST(COALESCE(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
         |      AS BIGINT) AS violations
         |  FROM orders
         |  UNION ALL
@@ -2581,28 +2590,28 @@ object SparkEntry {
         |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
         |  UNION ALL
         |  SELECT 'orders', 'totalprice_positive', count(*),
-        |    CAST(sum(CASE WHEN NOT (o_totalprice > 0.0) THEN 1 ELSE 0 END)
+        |    CAST(COALESCE(sum(CASE WHEN NOT (o_totalprice > 0.0) THEN 1 ELSE 0 END), 0)
         |      AS BIGINT) FROM orders
         |  UNION ALL
         |  SELECT 'orders', 'orderdate_in_range', count(*),
-        |    CAST(sum(CASE WHEN o_orderdate NOT BETWEEN
+        |    CAST(COALESCE(sum(CASE WHEN o_orderdate NOT BETWEEN
         |      TIMESTAMP '1992-01-01 00:00:00' AND TIMESTAMP '1998-12-31 23:59:59'
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
         |  UNION ALL
         |  SELECT 'lineitem', 'quantity_in_1_50', count(*),
-        |    CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |    CAST(COALESCE(sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'lineitem', 'discount_in_range', count(*),
-        |    CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |    CAST(COALESCE(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'lineitem', 'price_positive', count(*),
-        |    CAST(sum(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END)
+        |    CAST(COALESCE(sum(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END), 0)
         |      AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'lineitem', 'orderkey_fk_orders', count(*),
-        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    CAST(COALESCE(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
         |      AS BIGINT)
         |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
         |    ON l.l_orderkey = o.o_orderkey
@@ -2611,26 +2620,26 @@ object SparkEntry {
         |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
         |  UNION ALL
         |  SELECT 'customer', 'mktsegment_not_empty', count(*),
-        |    CAST(sum(CASE WHEN c_mktsegment IS NULL OR length(c_mktsegment) = 0
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |    CAST(COALESCE(sum(CASE WHEN c_mktsegment IS NULL OR length(c_mktsegment) = 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM customer
         |  UNION ALL
         |  SELECT 'events', 'ts_not_null', count(*),
-        |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    CAST(COALESCE(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
         |  FROM events
         |  UNION ALL
         |  SELECT 'events', 'user_not_null', count(*),
-        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    CAST(COALESCE(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
         |  FROM events
         |  UNION ALL
         |  SELECT 'events', 'event_id_unique', count(*),
         |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
         |  UNION ALL
         |  SELECT 'documents', 'text_not_empty', count(*),
-        |    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |    CAST(COALESCE(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) FROM documents
         |  UNION ALL
         |  SELECT 'documents', 'n_chars_consistent', count(*),
-        |    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |    CAST(COALESCE(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END), 0)
         |      AS BIGINT) FROM documents)
         |SELECT table_name, check_name, CAST(checked AS BIGINT) AS checked,
         |  violations, violations = 0 AS pass

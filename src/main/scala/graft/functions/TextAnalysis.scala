@@ -467,7 +467,7 @@ object TextAnalysis {
           least(col("last_tok"), (col("bin") + 1) * binTokens - 1) -
             greatest(col("first_tok"), col("bin") * binTokens) + 1
         ).as("fill_tokens"))
-      .orderBy(col("source"), col("bin"))
+      .orderBy(col("source").asc_nulls_last, col("bin"))
   }
 
   /** BPE merge-candidate counting — the TRAINING step of byte-pair

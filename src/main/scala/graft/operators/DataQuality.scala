@@ -38,8 +38,11 @@ object DataQuality {
         col("violations"), (col("violations") === 0L).as("pass"))
   }
 
+  // coalesce(,0): sum over an EMPTY table is NULL, which would emit
+  // (violations=NULL, pass=NULL) — an empty batch passes every counter
+  // check with (0, true), like the count-distinct checks already do
   private def cnt(pred: org.apache.spark.sql.Column) =
-    sum(when(pred, 1L).otherwise(0L))
+    coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
 
   /** The harness suite: per-table invariants + lineitem->orders referential
     * integrity. Constraint names are stable identifiers (they key the
@@ -97,18 +100,25 @@ object DataQuality {
 
   // ---- order-independent content fingerprints -----------------------------
 
+  /** The NULL sentinel in canonical serializations. A genuine string cell
+    * equal to this collides with NULL — accepted and documented (harness
+    * strings never contain backslashes; a full escape scheme would buy
+    * nothing here).
+    */
+  private[operators] val NullTok = "\\N"
+
   /** Canonical ASCII row serialization: every double goes through the
     * exact cents fixed point and every timestamp through epoch micros —
     * NEVER raw double/timestamp-to-string rendering, which differs across
-    * engines (e-notation thresholds, fraction padding). Pipe-delimited via
-    * NULL-PROPAGATING concat (matching the oracle's `||`): a NULL in any
-    * column nulls the row's hash, which drops it from the checksum on BOTH
-    * engines identically — concat_ws would instead skip the column,
-    * making (a,NULL,c) and (a,c,NULL) collide and diverging from `||`.
+    * engines (e-notation thresholds, fraction padding). Pipe-delimited;
+    * each NULL cell serializes to the `\N` sentinel so a row with NULLs
+    * still HASHES (a null-propagating concat would drop the whole row
+    * from the checksum, blinding the anti-entropy comparison to every
+    * other column of that row; concat_ws's null-SKIPPING is worse still —
+    * (a,NULL,c) and (a,c,NULL) would collide).
     */
   private def ser(cols: Column*): Column =
-    concat(cols.map(_.cast("string"))
-      .flatMap(c => Seq(c, lit("|"))).dropRight(1): _*)
+    concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(NullTok))): _*)
 
   /** Epoch micros of a (NTZ) timestamp — the session is pinned UTC, so the
     * NTZ->instant cast is the identity wall-clock mapping DuckDB's

@@ -488,21 +488,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Cross-document duplicated n-gram fraction — the document-level signal of
-    * the exact-substring-dedup family (Lee et al. 2021, "Deduplicating
-    * Training Data Makes Language Models Better"): for each document, what
-    * fraction of its distinct word k-grams also occurs in at least one OTHER
-    * document. Pair-free: unlike [[ngramJaccardPairs]] this never joins doc
-    * against doc — corpus-wide document frequency per shingle, then one
-    * equi-join back to each document's shingles, so cost is linear in total
-    * shingle volume regardless of how duplicated the corpus is.
-    *
-    * Scale shape: shingles collapse to an 8-byte xxhash64 key before leaving
-    * the scan stage — the document-frequency shuffle and the per-doc join
-    * carry longs, never n-gram strings. The df aggregation is map-side
-    * combined. Per-doc shingle sets are distinct (WordShingles), so
-    * df == number of documents containing the shingle.
-    */
   /** (doc_id, sh, df): per-doc distinct word-k-gram hashes with the corpus
     * document frequency attached. df comes from a count-only window, not
     * groupBy+join-back: ONE explode pass and one shuffle on the 8-byte
@@ -519,6 +504,17 @@ object Dedup {
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
 
+  /** Cross-document duplicated n-gram fraction — the document-level signal of
+    * the exact-substring-dedup family (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): for each document, what
+    * fraction of its distinct word k-grams also occurs in at least one OTHER
+    * document. Pair-free: unlike [[ngramJaccardPairs]] this never joins doc
+    * against doc — corpus-wide document frequency per shingle
+    * ([[hashedShingleDf]]: 8-byte hashed keys, map-side combined), so cost
+    * is linear in total shingle volume regardless of how duplicated the
+    * corpus is. Per-doc shingle sets are distinct (WordShingles), so
+    * df == number of documents containing the shingle.
+    */
   def crossDocNgramOverlap(documents: DataFrame, k: Int = 3): DataFrame = {
     hashedShingleDf(documents, k)
       .groupBy(col("doc_id"))

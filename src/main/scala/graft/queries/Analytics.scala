@@ -825,7 +825,7 @@ object Analytics {
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("late_order_count"))
-      .orderBy(col("o_orderpriority"))
+      .orderBy(col("o_orderpriority").asc_nulls_last)
   }
 
   /** TPC-H Q6 shape — forecast revenue delta: the revenue change from
@@ -870,7 +870,7 @@ object Analytics {
       .agg(
         sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
         sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
-      .orderBy(col("l_returnflag"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
   /** TPC-H Q21 shape — the sole late supplier: suppliers who, in
@@ -941,17 +941,21 @@ object Analytics {
         sum((qty * qty).cast(big)).cast("double").as("sxx"),
         sum((cents * cents).cast(big)).cast("double").as("syy"),
         sum((qty * cents).cast(big)).cast("double").as("sxy"))
+      // zero-variance guard: Spark's 0.0/0.0 is NULL while DuckDB's is
+      // IEEE nan — corr of a constant column is undefined; emit NULL on
+      // BOTH engines explicitly
+      .withColumn("denom",
+        sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")))
       .select(
         col("l_returnflag"), col("n"),
-        round(
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
-          6).as("qty_price_corr"),
+        when(col("denom") > 0.0, round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("denom"),
+          6)).as("qty_price_corr"),
         round(
           (col("sxy") - col("sx") * col("sy") / col("n")) / col("n") / lit(100.0),
           4).as("qty_price_covar_pop"))
-      .orderBy(col("l_returnflag"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
   }
 
   /** Ordered string aggregation (LISTAGG) — per nation, its top-5
@@ -964,16 +968,24 @@ object Analytics {
     */
   def nationTopCustomerList(customer: DataFrame, nation: DataFrame,
       k: Int = 5): DataFrame = {
+    // ONE sort key for both the rank window and the CSV: the cents fixed
+    // point. Ranking on raw c_acctbal while the CSV sorts on rounded cents
+    // would let sub-cent precision diverge the two orders (dormant on
+    // 2-decimal harness money, but the contract should not depend on it).
+    val cents = centsOf(col("c_acctbal")).cast("long")
     val rn = row_number().over(
       Window.partitionBy(col("c_nationkey"))
-        .orderBy(desc("c_acctbal"), asc("c_name")))
+        .orderBy(desc("cents_key"), asc("c_name")))
     // Sortable composite key: balance in cents, zero-padded, DESCENDING via
     // (5*10^12 - cents) so lexicographic order == (balance desc, name asc).
     // The offset keeps every key (negative balances included) a CONSTANT
-    // 13 digits — mixed widths would break lexicographic = numeric.
-    val cents = centsOf(col("c_acctbal")).cast("long")
-    val keyed = format_string("%013d|%s", lit(5000000000000L) - cents, col("c_name"))
+    // 13 digits — mixed widths would break lexicographic = numeric. A '|'
+    // inside c_name would truncate at substring_index — harness names
+    // ("Customer#...") never contain one.
+    val keyed = format_string("%013d|%s",
+      lit(5000000000000L) - col("cents_key"), col("c_name"))
     customer
+      .withColumn("cents_key", cents)
       .withColumn("rn", rn)
       .filter(col("rn") <= k)
       .groupBy(col("c_nationkey"))
@@ -1052,6 +1064,12 @@ object Analytics {
     * running-min), or some equal-priced supplier has strictly lower delay
     * (a per-price partition min) — one sort, O(n log n), the textbook
     * sort-filter skyline (Borzsony et al. ICDE'01) as two window passes.
+    *
+    * Non-negativity assumption (same as [[graft.operators.Centrality]]):
+    * the fixed-point `DIV`s require non-negative operands — Spark DIV
+    * truncates toward zero while DuckDB `//` floors, so a shipment dated
+    * BEFORE its order (negative delay) would diverge across engines.
+    * Ship-after-order holds by construction in the harness.
     */
   def paretoSuppliers(lineitem: DataFrame, orders: DataFrame,
       supplier: DataFrame): DataFrame = {
@@ -1115,7 +1133,7 @@ object Analytics {
       .withColumn("is_gap", col("n_events") === 0)
       .select(col("event_type"), col("hour"), col("n_events"),
         col("cum_events"), col("last_active_hour"), col("is_gap"))
-      .orderBy(col("event_type"), col("hour"))
+      .orderBy(col("event_type").asc_nulls_last, col("hour"))
   }
 
   /** Cross-source reconciliation — the FULL OUTER join shape: every key
@@ -1132,10 +1150,14 @@ object Analytics {
       .select(
         coalesce(col("o_custkey"), col("user_id")).as("user_id"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        when(col("o_custkey").isNotNull && col("user_id").isNotNull, "both")
-          .when(col("o_custkey").isNotNull, "orders_only")
-          .otherwise("events_only").as("presence"))
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      // presence derives from the COUNTS, not key nullness: a NULL-key
+      // group (null o_custkey with n_orders > 0) would otherwise
+      // misclassify as events_only — internally contradictory output
+      .withColumn("presence",
+        when(col("n_orders") > 0 && col("n_events") > 0, "both")
+          .when(col("n_orders") > 0, "orders_only")
+          .otherwise("events_only"))
       .orderBy(col("user_id").asc_nulls_last)
   }
 
@@ -1173,7 +1195,7 @@ object Analytics {
       .select(col("o_orderpriority"), col("n"), col("median_cents"),
         col("mad_cents"), col("n_outliers"),
         expr("n_outliers * 1000000 DIV n").as("outlier_ppm"))
-      .orderBy(col("o_orderpriority"))
+      .orderBy(col("o_orderpriority").asc_nulls_last)
   }
 
   /** Star-schema enrichment of the event stream: events joined to customer
