@@ -710,7 +710,29 @@ object SparkEntry {
         Tables.events(s, dir), Tables.documents(s, dir))),
     // BPE TRAINING step: corpus-weighted adjacent-symbol-pair counts.
     "bpe_pair_counts" -> ((s, dir) =>
-      TextAnalysis.bpePairCounts(Tables.documents(s, dir)))
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir))),
+
+    // ---- round 8 phase 7: the remaining TPC-H shapes --------------------
+
+    // TPC-H Q9 shape: profit by supplier nation x order year.
+    "product_profit" -> ((s, dir) =>
+      Analytics.productProfit(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q11 shape: per-part value above a per-mille of a nation total.
+    "important_part_values" -> ((s, dir) =>
+      Analytics.importantPartValues(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q18 shape: IN (GROUP BY HAVING) large-volume orders.
+    "large_volume_customers" -> ((s, dir) =>
+      Analytics.largeVolumeCustomers(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q20 shape: half-of-lifetime-in-one-year supplier concentration.
+    "supplier_year_concentration" -> ((s, dir) =>
+      Analytics.supplierYearConcentration(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.part(s, dir))),
+    // TPC-H Q22 shape: above-average balances with no recent orders.
+    "idle_customer_balances" -> ((s, dir) =>
+      Analytics.idleCustomerBalances(Tables.customer(s, dir), Tables.orders(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2577,6 +2599,88 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY pair_count DESC, pair
         |LIMIT 20""".stripMargin,
+
+    // ---- round 8 phase 7: the remaining TPC-H shapes ---------------------
+
+    "product_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |     - sum(CAST(p_retailprice * 0.1 * l_quantity AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS profit,
+        |  count(*) AS line_count
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // The literal scalar-subquery spelling of the per-mille threshold the
+    // engine computes via a broadcast 1-row total.
+    "important_part_values" ->
+      """WITH np AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_cents FROM np
+        |WHERE value_cents > (SELECT 1 * sum(value_cents) // 1000 FROM np)
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    // The literal IN (GROUP BY HAVING) spelling.
+    "large_volume_customers" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(t.qsum AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qsum
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) t
+        |  ON o_orderkey = t.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "supplier_year_concentration" ->
+      """WITH pq AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total,
+        |    sum(CASE WHEN year(l_shipdate) = 1995
+        |        THEN CAST(l_quantity AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_year
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS concentrated_parts
+        |FROM pq JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty_year * 2 > qty_total
+        |GROUP BY 1, 2
+        |ORDER BY concentrated_parts DESC, s_suppkey""".stripMargin,
+
+    // The literal scalar-average + NOT EXISTS spelling; the average
+    // compare is division-free on both sides (bal*n > sum).
+    "idle_customer_balances" ->
+      """WITH eligible AS (
+        |  SELECT CAST(c_custkey % 10 AS BIGINT) AS cntry_code, c_custkey,
+        |    c_acctbal,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE CAST(c_custkey % 10 AS INTEGER) IN (1, 3, 5, 7, 9)
+        |    AND c_acctbal > 0.0),
+        |st AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |              count(*) AS n_eligible FROM eligible)
+        |SELECT cntry_code, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM eligible, st
+        |WHERE bal_cents * n_eligible > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dq_report" ->
       """WITH r AS (

@@ -1198,6 +1198,169 @@ object Analytics {
       .orderBy(col("o_orderpriority").asc_nulls_last)
   }
 
+  /** TPC-H Q9 shape — product-type profit by nation and year: for every
+    * line whose part name carries a token, profit = discounted revenue
+    * minus a supply-cost proxy (the harness has no partsupp, so cost is
+    * 10% of the part's retail price per unit — a fixed, exact formula),
+    * rolled up by the SUPPLIER's nation and the order year. Exactness:
+    * both per-line measures round once into DECIMAL(18,4) (identical
+    * correctly-rounded cast on both engines) and the two exact sums are
+    * subtracted before one final cast to double. Join order at scale: the
+    * token filter shrinks part to a broadcastable side, lineitem joins it
+    * first (cutting the fact stream ~8x before any shuffle), then one
+    * shuffle join to orders for the year axis; supplier and nation ride
+    * in as broadcasts.
+    */
+  def productProfit(
+      lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+      nation: DataFrame, orders: DataFrame,
+      nameToken: String = "red"): DataFrame = {
+    val gross = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val cost = col("p_retailprice") * lit(0.1) * col("l_quantity")
+    lineitem
+      .join(part.filter(col("p_name").contains(nameToken))
+        .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(gross.cast(DecimalType(18, 4))) - sum(cost.cast(DecimalType(18, 4))))
+          .cast("double").as("profit"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** TPC-H Q11 shape — important part values: within ONE nation's
+    * suppliers, the parts whose shipped value exceeds a fixed fraction of
+    * that nation's total shipped value. The classic spelling is a HAVING
+    * against a scalar subquery; declared here as an aggregate + a
+    * broadcast of the 1-row total + an integer-exact threshold compare
+    * (value_cents > total_cents DIV 1000 — no float fraction, so the
+    * cut is bit-identical on every engine). The nation filter prunes the
+    * supplier dim BEFORE the fact join, and the per-part rollup
+    * map-side-combines; the 1-row total re-aggregates the per-part frame
+    * (tiny), not the fact stream a second time.
+    */
+  def importantPartValues(
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationName: String = "NATION_7", perMille: Int = 1): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(centsOf(col("l_extendedprice"))).cast("long").as("value_cents"))
+    val total = perPart
+      .agg(sum(col("value_cents")).as("total_cents"))
+    perPart
+      .join(broadcast(total))
+      .filter(col("value_cents") > expr(s"$perMille * total_cents DIV 1000"))
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(desc("value_cents"), asc("l_partkey"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: customers whose single order
+    * accumulated more than `minQty` units across its lines. The classic
+    * spelling is `o_orderkey IN (GROUP BY HAVING)`; here the HAVING frame
+    * is computed once and joined back — at any scale the qualifying set
+    * is a tiny fraction of orders (sum-of-quantity tails), so AQE
+    * broadcasts it into both the orders and customer probes and no
+    * full-size shuffle survives. Quantity sums are DECIMAL-exact; the
+    * final ordering (totalprice desc) tiebreaks on orderkey for a
+    * deterministic hash.
+    */
+  def largeVolumeCustomers(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Int = 300, k: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qsum"))
+      .filter(col("qsum") > minQty)
+      .select(col("l_orderkey"), col("qsum").cast("double").as("total_qty"))
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q20 shape — year-concentrated suppliers: for (supplier, part)
+    * pairs on a name-filtered part family, flag pairs whose `year`
+    * shipments exceed half their all-time shipments, then count flagged
+    * parts per supplier. The classic spelling correlates a scalar
+    * half-of-sum subquery per pair; both the year slice and the lifetime
+    * total come out of ONE conditional aggregation pass here (no second
+    * scan, no self-join), and the half comparison is exact DECIMAL
+    * (2*year_qty > total_qty — quantities are integral).
+    */
+  def supplierYearConcentration(
+      lineitem: DataFrame, supplier: DataFrame, part: DataFrame,
+      namePrefix: String = "small", inYear: Int = 1995): DataFrame = {
+    val pairs = lineitem
+      .join(part.filter(col("p_name").startsWith(namePrefix))
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_total"),
+        sum(when(year(col("l_shipdate")) === inYear,
+          col("l_quantity").cast(DecimalType(18, 2))).otherwise(lit(0)))
+          .as("qty_year"))
+      .filter(col("qty_year") * 2 > col("qty_total"))
+    pairs
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("concentrated_parts"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("concentrated_parts"))
+      .orderBy(desc("concentrated_parts"), asc("s_suppkey"))
+  }
+
+  /** TPC-H Q22 shape — idle high-balance customers: customers in a set of
+    * "country code" buckets (custkey mod 10 — the harness has no phone
+    * column) whose balance beats the bucket-set's average positive
+    * balance and who placed NO order since `cutoff`, rolled up per
+    * bucket. The two classic subqueries become: (a) the average —
+    * a 1-row exact aggregate broadcast back, compared WITHOUT division
+    * (bal_cents * n > sum_cents, integer-exact on both engines); (b) the
+    * NOT EXISTS — a left-anti join against the distinct recent-orderer
+    * set, which at scale is the decorrelated plan Catalyst would pick
+    * anyway (broadcast the distinct custkeys if small, shuffled anti
+    * otherwise, both correct).
+    */
+  def idleCustomerBalances(
+      customer: DataFrame, orders: DataFrame,
+      codes: Seq[Int] = Seq(1, 3, 5, 7, 9),
+      cutoff: String = "1999-01-01"): DataFrame = {
+    val cntry = (col("c_custkey") % 10).cast("int")
+    val eligible = customer
+      .filter(cntry.isInCollection(codes) && col("c_acctbal") > 0.0)
+      .withColumn("cntry_code", cntry.cast("long"))
+      .withColumn("bal_cents", centsOf(col("c_acctbal")).cast("long"))
+    val stats = eligible.agg(
+      sum(col("bal_cents")).as("sum_cents"),
+      count(lit(1)).as("n_eligible"))
+    val recent = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(s"$cutoff 00:00:00")))
+      .select(col("o_custkey")).distinct()
+    eligible
+      .join(broadcast(stats))
+      .filter(col("bal_cents") * col("n_eligible") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntry_code"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        decSum(col("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy(col("cntry_code"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.
