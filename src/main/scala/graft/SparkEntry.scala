@@ -732,7 +732,22 @@ object SparkEntry {
         Tables.supplier(s, dir), Tables.part(s, dir))),
     // TPC-H Q22 shape: above-average balances with no recent orders.
     "idle_customer_balances" -> ((s, dir) =>
-      Analytics.idleCustomerBalances(Tables.customer(s, dir), Tables.orders(s, dir)))
+      Analytics.idleCustomerBalances(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // Gaps-and-islands: per-user consecutive-day activity streaks.
+    "activity_streaks" -> ((s, dir) =>
+      Analytics.activityStreaks(Tables.events(s, dir))),
+    // First-order Markov transition matrix with exact ppm probabilities.
+    "event_transitions" -> ((s, dir) =>
+      Analytics.eventTransitions(Tables.events(s, dir))),
+    // Most common session journeys (first-5-event paths).
+    "session_paths" -> ((s, dir) =>
+      Analytics.sessionPaths(Tables.events(s, dir))),
+    // Exact one-pass distributed variance/skewness numerators on cents.
+    "value_moments" -> ((s, dir) =>
+      Analytics.valueMoments(Tables.events(s, dir))),
+    // MOSS winnowing fingerprints (char 8-grams, window 4).
+    "winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2626,10 +2641,10 @@ object SparkEntry {
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_7'
+        |  WHERE n_name = 'NATION_3'
         |  GROUP BY 1)
         |SELECT l_partkey, value_cents FROM np
-        |WHERE value_cents > (SELECT 1 * sum(value_cents) // 1000 FROM np)
+        |WHERE value_cents > (SELECT 1 * sum(value_cents) // 10000 FROM np)
         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
 
     // The literal IN (GROUP BY HAVING) spelling.
@@ -2681,6 +2696,144 @@ object SparkEntry {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The same islands construction (day - row_number) replayed verbatim.
+    "activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS island
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, island, count(*) AS len, min(day) AS start_day
+        |  FROM isl GROUP BY 1, 2),
+        |mx AS (SELECT *, max(len) OVER (PARTITION BY user_id) AS maxlen
+        |       FROM st)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  min(CASE WHEN len = maxlen THEN start_day END) AS longest_start
+        |FROM mx GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n_transitions
+        |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n_transitions,
+        |  CAST(sum(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS from_total,
+        |  CAST(n_transitions * 1000000
+        |    // sum(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS prob_ppm
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+
+    // DuckDB has a true ordered string_agg; the engine emulates it with
+    // rank-prefixed sortable keys inside the aggregation.
+    "session_paths" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_index
+        |  FROM tagged),
+        |rn AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, session_index
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, session_index) AS n_events
+        |  FROM sess),
+        |pth AS (
+        |  SELECT user_id, session_index, n_events,
+        |    string_agg(CASE WHEN rn <= 5 THEN event_type END, '->' ORDER BY rn)
+        |      AS path
+        |  FROM rn GROUP BY 1, 2, 3)
+        |SELECT path, count(*) AS n_sessions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events
+        |FROM pth GROUP BY 1 ORDER BY n_sessions DESC, path""".stripMargin,
+
+    // All integer math in HUGEINT (max ~1.7e38; terms bounded ~5e32).
+    "value_moments" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+        |      AS d
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(d) AS s1, sum(d*d) AS s2, sum(d*d*d) AS s3
+        |  FROM v GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n, s1,
+        |    n*s2 - s1*s1 AS m2n,
+        |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS m3n2
+        |  FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(s1 AS BIGINT) AS sum_cents,
+        |  CAST(s1 * 1000000 // n AS BIGINT) AS mean_cents_micro,
+        |  CAST(m2n AS VARCHAR) AS m2_n_str,
+        |  CAST(m2n // (n*n) AS BIGINT) AS var_cents2,
+        |  CAST(m3n2 AS VARCHAR) AS m3_n2_str,
+        |  CAST(CASE WHEN m3n2 > 0 THEN 1 WHEN m3n2 < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS skew_sign
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // The WHOLE winnowing pipeline replayed: per-position FNV-1a folds
+    // (HUGEINT mod 2^64, signed view for min-ordering parity), frame
+    // window minima, rightmost-tie selection join, distinct, checksum.
+    "winnow_fingerprints" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS m
+        |  FROM documents WHERE length(text) >= 8 AND $asciiGuard),
+        |g AS (
+        |  SELECT doc_id, m, i,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END
+        |      AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id, m, i,
+        |      list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          list_transform(range(0, 8),
+        |            j -> ord(substr(text, CAST(i + j AS INTEGER), 1))::HUGEINT)),
+        |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS hu
+        |    FROM (SELECT doc_id, m, text, unnest(range(1, m + 1)) AS i
+        |          FROM d0))),
+        |wd AS (
+        |  SELECT doc_id, i AS t, winmin FROM (
+        |    SELECT doc_id, m, i,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+        |    FROM g)
+        |  WHERE i <= greatest(m - 3, 1)),
+        |sel AS (
+        |  SELECT g.doc_id AS doc_id, wd.t, wd.winmin, max(g.i) AS selpos
+        |  FROM g JOIN wd ON g.doc_id = wd.doc_id AND g.h = wd.winmin
+        |    AND g.i BETWEEN wd.t AND wd.t + 3
+        |  GROUP BY 1, 2, 3),
+        |fp AS (SELECT DISTINCT doc_id, selpos, winmin FROM sel),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_fingerprints,
+        |    CAST(sum((winmin % 1000000007 + 1000000007) % 1000000007)
+        |      % 1000000007 AS BIGINT) AS fp_checksum
+        |  FROM fp GROUP BY 1)
+        |SELECT d0.doc_id, m AS n_grams,
+        |  greatest(m - 3, 1) AS n_windows,
+        |  n_fingerprints, fp_checksum,
+        |  CAST(n_fingerprints * 1000000 // greatest(m - 3, 1) AS BIGINT)
+        |    AS density_ppm
+        |FROM d0 JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dq_report" ->
       """WITH r AS (

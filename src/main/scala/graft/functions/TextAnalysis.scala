@@ -527,4 +527,89 @@ object TextAnalysis {
       .withColumn("keep", col("quality_score") >= 0.5)
       .orderBy(col("doc_id"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every character `k`-gram, then
+    * in each sliding window of `w` consecutive hashes select the minimum,
+    * ties to the RIGHTMOST position; the distinct selected (position,
+    * hash) pairs are the document's fingerprints. Winnowing guarantees
+    * any shared substring of length >= k+w-1 yields at least one shared
+    * fingerprint — the local sampling property plain 0-mod-p hash
+    * sampling lacks — which is why plagiarism/near-dup detectors sample
+    * this way instead of keeping all k-gram hashes (density ~2/(w+1)).
+    *
+    * Declarative construction, no per-partition imperative scan:
+    *   1. explode positions, hash each k-gram with the native
+    *      [[GraftColumns.fnv1a64]] expression (codegen, public FNV-1a —
+    *      the whole pipeline replays bit-exactly in the DuckDB oracle);
+    *   2. per-window minimum = a frame window function (`ROWS CURRENT TO
+    *      w-1 FOLLOWING`) evaluated at each window start `t <=
+    *      max(m-w+1, 1)` (trailing partial windows are not starts; a doc
+    *      with fewer than `w` grams gets one clipped window — it still
+    *      fingerprints);
+    *   3. rightmost-min selection = equi-join back on (doc_id, hash =
+    *      window min) with the position-in-window residual, `max(pos)`
+    *      per window, then distinct over selected pairs.
+    * Everything shuffles on doc_id only and per-doc cost is O(len * w);
+    * the checksum folds the selected hashes mod 1e9+7 so the whole
+    * fingerprint SET is oracle-comparable as one value per doc.
+    * Docs shorter than `k` characters have no k-gram and are excluded
+    * (same filter in the oracle).
+    */
+  def winnowFingerprints(
+      documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val P = 1000000007L
+    val docs = documents
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - (k - 1)).cast("long").as("m"))
+    val perDoc = winnowSelected(documents, k, w)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fingerprints"),
+        expr(s"sum((winmin % $P + $P) % $P) % $P").as("fp_checksum"))
+    docs
+      .select(col("doc_id"), col("m").as("n_grams"),
+        greatest(col("m") - (w - 1), lit(1L)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_windows"),
+        col("n_fingerprints"),
+        col("fp_checksum"),
+        expr("n_fingerprints * 1000000 DIV n_windows").as("density_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The selected winnowing fingerprints themselves — one row per distinct
+    * (doc, position, hash) selection (see [[winnowFingerprints]] for the
+    * algorithm and shuffle shape). Exposed so the guarantee the scheme
+    * exists FOR — any shared substring of length >= k+w-1 produces a
+    * shared fingerprint hash — is directly testable on the pair frame.
+    */
+  def winnowSelected(documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = documents
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        (length(col("text")) - (k - 1)).cast("long").as("m"),
+        col("text"))
+      .select(col("doc_id"), col("m"),
+        explode(expr("sequence(1L, m)")).as("i"), col("text"))
+      .withColumn("h",
+        GraftColumns.fnv1a64(col("text").substr(col("i").cast("int"), lit(k))))
+      .select(col("doc_id"), col("m"), col("i"), col("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    val wins = grams
+      .withColumn("winmin", min(col("h")).over(frame))
+      .filter(col("i") <= greatest(col("m") - (w - 1), lit(1L)))
+      .select(col("doc_id"), col("i").as("t"), col("winmin"))
+    grams.alias("g")
+      .join(wins.alias("tw"),
+        col("g.doc_id") === col("tw.doc_id") &&
+          col("g.h") === col("tw.winmin") &&
+          col("g.i").between(col("tw.t"), col("tw.t") + (w - 1)))
+      .groupBy(col("g.doc_id").as("doc_id"), col("tw.t"), col("tw.winmin"))
+      .agg(max(col("g.i")).as("selpos"))
+      .select(col("doc_id"), col("selpos"), col("winmin"))
+      .distinct()
+  }
 }

@@ -1239,15 +1239,17 @@ object Analytics {
     * that nation's total shipped value. The classic spelling is a HAVING
     * against a scalar subquery; declared here as an aggregate + a
     * broadcast of the 1-row total + an integer-exact threshold compare
-    * (value_cents > total_cents DIV 1000 — no float fraction, so the
-    * cut is bit-identical on every engine). The nation filter prunes the
-    * supplier dim BEFORE the fact join, and the per-part rollup
-    * map-side-combines; the 1-row total re-aggregates the per-part frame
-    * (tiny), not the fact stream a second time.
+    * (value_cents > total_cents DIV 10000 — no float fraction, so the
+    * cut is bit-identical on every engine; 0.1 per-mille keeps the cut
+    * selective-but-nonempty as the part population scales with SF — the
+    * same reason TPC-H divides its Q11 fraction by SF). The nation
+    * filter prunes the supplier dim BEFORE the fact join, and the
+    * per-part rollup map-side-combines; the 1-row total re-aggregates
+    * the per-part frame (tiny), not the fact stream a second time.
     */
   def importantPartValues(
       lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
-      nationName: String = "NATION_7", perMille: Int = 1): DataFrame = {
+      nationName: String = "NATION_3", perTenMille: Int = 1): DataFrame = {
     val natSupp = supplier
       .join(broadcast(nation.filter(col("n_name") === nationName)),
         col("s_nationkey") === col("n_nationkey"))
@@ -1260,7 +1262,7 @@ object Analytics {
       .agg(sum(col("value_cents")).as("total_cents"))
     perPart
       .join(broadcast(total))
-      .filter(col("value_cents") > expr(s"$perMille * total_cents DIV 1000"))
+      .filter(col("value_cents") > expr(s"$perTenMille * total_cents DIV 10000"))
       .select(col("l_partkey"), col("value_cents"))
       .orderBy(desc("value_cents"), asc("l_partkey"))
   }
@@ -1359,6 +1361,147 @@ object Analytics {
         count(lit(1)).as("n_customers"),
         decSum(col("c_acctbal"), 2).as("total_acctbal"))
       .orderBy(col("cntry_code"))
+  }
+
+  /** Gaps-and-islands — per-user daily activity streaks: the longest run
+    * of CONSECUTIVE active days, how many runs, and when the longest one
+    * started. The classic trick: on the distinct (user, day) frame,
+    * `day - row_number() days` is constant within a consecutive run, so
+    * one groupBy on that island key collapses each run. Two shuffles on
+    * user_id (distinct + window) and the frames after the distinct are
+    * |user x active-day|, far smaller than the event stream. The longest
+    * streak's start tiebreaks to the EARLIEST such run (min over a
+    * same-length window compare), keeping the answer deterministic.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = days
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val wu = Window.partitionBy(col("user_id"))
+    streaks
+      .withColumn("maxlen", max(col("len")).over(wu))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min(when(col("len") === col("maxlen"), col("start_day")))
+          .as("longest_start"))
+      .orderBy(col("user_id").asc_nulls_last)
+  }
+
+  /** First-order Markov transition matrix over the event stream: per-user
+    * time-ordered successor pairs (lead window), collapsed to
+    * (from, to) counts, with the per-from transition probability as an
+    * EXACT ppm fixed point (count * 1e6 DIV row total — integer math, no
+    * float division to drift cross-engine). One shuffle on user_id for
+    * the lead, one on event_type for the rollup; output is |types|^2.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("from_total",
+        sum(col("n_transitions")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("prob_ppm", expr("n_transitions * 1000000 DIV from_total"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  /** Session path analysis: the most common event-type journeys, where a
+    * journey is the '->'-joined sequence of a session's first 5 events
+    * ([[graft.operators.Sessionize.withSessionIndex]] reconstructs the
+    * session axis). The path string is built ORDER-DETERMINISTICALLY
+    * without an ordered string_agg (Spark has none): each kept event
+    * carries a rank-prefixed sortable key, array_sort recovers the order
+    * inside the aggregation, and the prefix is stripped after sorting —
+    * the same composite-key trick as [[nationTopCustomerList]]. Cost:
+    * the two sessionize windows (one user_id shuffle), then a rollup on
+    * the tiny |distinct path| frame.
+    */
+  def sessionPaths(events: DataFrame, maxLen: Int = 5): DataFrame = {
+    val bySess = Window.partitionBy(col("user_id"), col("session_index"))
+    val ordered = bySess.orderBy(col("ts"), col("event_id"))
+    val tagged = graft.operators.Sessionize.withSessionIndex(events)
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n_events", count(lit(1)).over(bySess))
+    tagged
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("user_id"), col("session_index"), col("n_events"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              format_string("%02d|%s", col("rn"), col("event_type")))),
+            s => substring_index(s, "|", -1)),
+          "->").as("path"))
+      .groupBy(col("path"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("total_events"))
+      .orderBy(desc("n_sessions"), col("path"))
+  }
+
+  /** Exact distributed higher moments in ONE pass: per event_type, the
+    * variance and skewness NUMERATORS from raw integer power sums on the
+    * cents fixed point — `m2*n = n*S2 - S1^2` and
+    * `m3*n^2 = n^2*S3 - 3n*S1*S2 + 2*S1^3` are integers whenever the
+    * inputs are, so the classic single-pass moment trick (map-side
+    * combined sums, no second centering pass) stays BIT-EXACT across
+    * engines — float skewness is summation-order-dependent and could
+    * never oracle-check. Every intermediate carries an explicitly
+    * declared DECIMAL precision sized from the data envelope (cents <=
+    * 5e4, group rows <= 1e6 -> every term <= ~5e32, inside DECIMAL(38,0)
+    * and DuckDB's HUGEINT); the numerators emit as STRINGS (exact at any
+    * magnitude), alongside LONG-safe derived scalars (mean in
+    * micro-cents, variance floor-divided). Envelope: safe to ~1e9 rows
+    * per group, past which S1^3 leaves 38 digits — at that scale a
+    * production caller shards the group (salt + re-combine: the sums are
+    * associative) before the final combine.
+    */
+  def valueMoments(events: DataFrame): DataFrame = {
+    val d = centsOf(col("value")).cast(DecimalType(6, 0))
+    val d2 = (d * d).cast(DecimalType(13, 0))
+    val d3 = (d2 * d).cast(DecimalType(20, 0))
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), d.as("d"), d2.as("d2"), d3.as("d3"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("d")).cast(DecimalType(11, 0)).as("s1"),
+        sum(col("d2")).cast(DecimalType(16, 0)).as("s2"),
+        sum(col("d3")).cast(DecimalType(21, 0)).as("s3"))
+      .withColumn("n_big", col("n").cast(DecimalType(7, 0)))
+      // variance numerator: n*S2 - S1^2  (<= ~2.5e21 -> DECIMAL(25,0))
+      .withColumn("m2_n", expr(
+        "n_big * s2 - CAST(s1 * s1 AS DECIMAL(23,0))"))
+      // skewness numerator: n^2*S3 - 3n*S1*S2 + 2*S1^3 (<= ~5e32)
+      .withColumn("m3_n2", expr(
+        """CAST(n_big * n_big AS DECIMAL(13,0)) * s3
+          |  - CAST(3 AS DECIMAL(1,0)) * CAST(n_big * s1 AS DECIMAL(19,0)) * s2
+          |  + CAST(2 AS DECIMAL(1,0)) * CAST(s1 * s1 AS DECIMAL(23,0)) * s1"""
+          .stripMargin))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("s1").cast("long").as("sum_cents"),
+        expr("CAST(s1 AS DECIMAL(17,0)) * 1000000 DIV n_big")
+          .cast("long").as("mean_cents_micro"),
+        col("m2_n").cast("string").as("m2_n_str"),
+        expr("m2_n DIV CAST(n_big * n_big AS DECIMAL(13,0))")
+          .cast("long").as("var_cents2"),
+        col("m3_n2").cast("string").as("m3_n2_str"),
+        signum(col("m3_n2")).cast("long").as("skew_sign"))
+      .orderBy(col("event_type"))
   }
 
   /** Star-schema enrichment of the event stream: events joined to customer
