@@ -747,7 +747,14 @@ object SparkEntry {
       Analytics.valueMoments(Tables.events(s, dir))),
     // MOSS winnowing fingerprints (char 8-grams, window 4).
     "winnow_fingerprints" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprints(Tables.documents(s, dir)))
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
+    // Exact triangle counts + clustering coefficient on the doc graph.
+    "doc_triangles" -> ((s, dir) =>
+      Centrality.docTriangles(Tables.documents(s, dir))),
+    // Keep-best (highest-quality) member per near-dup cluster.
+    "dedup_keep_best" -> ((s, dir) =>
+      graft.operators.Curation.keepBestPerCluster(
+        Tables.documents(s, dir), stopwords))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2834,6 +2841,76 @@ object SparkEntry {
         |  CAST(n_fingerprints * 1000000 // greatest(m - 3, 1) AS BIGINT)
         |    AS density_ppm
         |FROM d0 JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Same closure as dedup_clusters, then the quality_logit score and a
+    // rank window pick each cluster's keeper (rounded score desc, doc_id).
+    "dedup_keep_best" -> (clustersCte +
+      s""", cl AS (
+        |  SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY v),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f2 AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS token_count,
+        |    CAST(len(list_filter(toks, x -> x IN ($stopwordsSqlList)))
+        |      AS DOUBLE) / len(toks) AS stop_ratio,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      AS distinct_ratio
+        |  FROM t2),
+        |q2 AS (
+        |  SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(-1.5 + (token_count / 100.0) * 0.8
+        |      + stop_ratio * (-3.0) + distinct_ratio * 2.0))), 4)
+        |      AS quality_score
+        |  FROM f2),
+        |rk AS (
+        |  SELECT cl.cluster_id, cl.doc_id, q2.quality_score,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY q2.quality_score DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN q2 ON cl.doc_id = q2.doc_id)
+        |SELECT cluster_id, doc_id, quality_score, rn = 1 AS is_kept
+        |FROM rk ORDER BY doc_id""".stripMargin),
+
+    // Same edge construction as the doc_pagerank oracle (string shingles
+    // stand in for the engine's xxhash64 equivalence classes), then the
+    // ordered-orientation triangle join replayed literally.
+    "doc_triangles" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 6),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+        |         toks[i+6] || ' ' || toks[i+7]))) AS shingle
+        |  FROM tk),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
+        |        WHERE df BETWEEN 2 AND 50),
+        |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |       FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM pr e1
+        |  JOIN pr e2 ON e1.dst = e2.src
+        |  JOIN pr e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |crn AS (SELECT a AS doc_id FROM tri
+        |        UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT doc_id, count(*) AS tri_cnt FROM crn GROUP BY 1),
+        |ed AS (SELECT src AS doc_id FROM pr UNION ALL SELECT dst FROM pr),
+        |dg AS (SELECT doc_id, count(*) AS deg FROM ed GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(dg.deg, 0) AS BIGINT) AS degree,
+        |  CAST(COALESCE(tc.tri_cnt, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN COALESCE(dg.deg, 0) >= 2
+        |    THEN 2 * COALESCE(tc.tri_cnt, 0) * 1000000
+        |         // (dg.deg * (dg.deg - 1))
+        |    ELSE 0 END AS BIGINT) AS clustering_ppm
+        |FROM documents d
+        |LEFT JOIN dg ON d.doc_id = dg.doc_id
+        |LEFT JOIN tc ON d.doc_id = tc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dq_report" ->
       """WITH r AS (

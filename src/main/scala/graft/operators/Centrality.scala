@@ -98,4 +98,58 @@ object Centrality {
         coalesce(col("rank"), lit(15L * Scale / 100)).as("rank_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** Exact triangle counting + local clustering coefficient over the same
+    * shared-span graph as [[docPagerank]] — the complementary cohesion
+    * signal: a high-degree doc whose neighbors also link each OTHER (high
+    * clustering) sits inside a template FAMILY, not just near one, which
+    * is a stronger machine-generated-boilerplate tell than degree alone.
+    *
+    * Algorithm: the classic ordered-edge-orientation MapReduce scheme
+    * (Suri & Vassilvitskii, WWW'11): keep each undirected edge once as
+    * (lo, hi); a triangle {i<j<k} is found exactly once as
+    * e(i,j) |x| e(j,k) |x| e(i,k) — two equi-joins on the oriented edge
+    * list, never an explicit neighborhood cross product, so the shuffle
+    * volume is edges + wedge checks, the standard distributed bound. The
+    * clustering coefficient is an EXACT ppm fixed point:
+    * 2*T*1e6 DIV (deg*(deg-1)) — no float division to drift.
+    */
+  def docTriangles(
+      documents: DataFrame, k: Int = 8, dfCap: Int = 50): DataFrame = {
+    val shared = Dedup.hashedShingleDf(documents, k)
+      .filter(col("df").between(2, dfCap))
+      .select(col("sh"), col("doc_id"))
+    val pairs = shared
+      .join(shared.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
+      .filter(col("doc_id") < col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+      .distinct()
+      .localCheckpoint() // reused 5x below; triangle joins must not rebuild it
+    val tri = pairs.select(col("src").as("a"), col("dst").as("b"))
+      .join(pairs.select(col("src").as("b2"), col("dst").as("c")),
+        col("b") === col("b2"))
+      .join(pairs.select(col("src").as("a3"), col("dst").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val perDocTri = tri.select(col("a").as("doc_id"))
+      .union(tri.select(col("b")))
+      .union(tri.select(col("c")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tri_cnt"))
+    val degrees = pairs.select(col("src").as("doc_id"))
+      .union(pairs.select(col("dst")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    documents.select(col("doc_id"))
+      .join(degrees, Seq("doc_id"), "left")
+      .join(perDocTri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") >= 2,
+          expr("2 * n_triangles * 1000000 DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
 }

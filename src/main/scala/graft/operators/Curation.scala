@@ -169,4 +169,33 @@ object Curation {
 
     s03.union(s45).orderBy(col("stage_id"))
   }
+
+  /** Keep-best near-dup resolution: within every near-dup cluster
+    * ([[Dedup.nearDupClusters]] over the verified Jaccard pairs), keep the
+    * HIGHEST-QUALITY member instead of the default min-id — the policy a
+    * real curation pipeline wants, since the duplicate that survives is
+    * the one that trains. Quality is the fixed-weight logistic score
+    * ([[graft.functions.TextAnalysis.qualityLogit]]); the argmax runs on
+    * the ROUNDED score with doc_id as the tiebreak, so the winner is
+    * deterministic and the whole verdict frame replays in the oracle
+    * (same recursive-closure + logit CTEs). Cost beyond clustering: one
+    * per-doc score scan + a rank window partitioned by cluster — both
+    * shuffle-bounded by the doc count, never the pair count.
+    */
+  def keepBestPerCluster(
+      documents: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val clusters = Dedup.nearDupClusters(
+      documents, Dedup.ngramJaccardPairs(documents))
+    val quality = graft.functions.TextAnalysis
+      .qualityLogit(documents, stopwords)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(desc("quality_score"), asc("doc_id"))
+    clusters
+      .join(quality, Seq("doc_id"))
+      .withColumn("is_kept", row_number().over(w) === 1)
+      .select(col("cluster_id"), col("doc_id"), col("quality_score"),
+        col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
 }

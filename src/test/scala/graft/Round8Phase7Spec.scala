@@ -162,6 +162,57 @@ class Round8Phase7Spec extends SparkTestBase {
     assert(got(1L) != got(3L), "different text diverges")
   }
 
+  // ---- doc_triangles -------------------------------------------------------
+
+  test("docTriangles: three docs sharing a span form exactly one triangle") {
+    val span = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta"),
+      (2L, s"prefix one two three $span"),
+      (3L, s"$span other words entirely here"),
+      (4L, "an isolated document with no shared span at all ok")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Centrality.docTriangles(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (d <- Seq(1L, 2L, 3L))
+      assert(got(d) == (2L, 1L, 1000000L),
+        s"doc $d: degree 2, one triangle, clustering 1.0 in ppm")
+    assert(got(4L) == (0L, 0L, 0L), "isolated doc")
+  }
+
+  test("docTriangles: a path (no closing edge) has zero triangles") {
+    val spanA = (1 to 8).map(i => s"aa$i").mkString(" ")
+    val spanB = (1 to 8).map(i => s"bb$i").mkString(" ")
+    // 1-2 share spanA, 2-3 share spanB, 1-3 share nothing: wedge, no triangle
+    val docs = Seq(
+      (1L, s"$spanA filler words here now"),
+      (2L, s"$spanA and also $spanB"),
+      (3L, s"$spanB trailing content words here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Centrality.docTriangles(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.forall(_ == 0L), s"wedge must not count as triangle: $got")
+  }
+
+  // ---- dedup_keep_best -----------------------------------------------------
+
+  test("keepBestPerCluster: the higher-quality duplicate survives, not the min id") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val extra = (41 to 55).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), // near-dup of 2, shorter -> lower logit score
+      (2L, s"$base $extra"), // same prefix + more tokens -> higher score
+      (3L, "completely different text about some other topic entirely here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .keepBestPerCluster(docs, Seq("the", "a", "of", "and")).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getBoolean(3))).toMap
+    assert(got(1L)._1 == got(2L)._1, "docs 1 and 2 cluster together")
+    assert(!got(1L)._2 && got(2L)._2,
+      "keeper is the higher-quality member even though doc 1 has the smaller id")
+    assert(got(3L)._2, "a singleton cluster keeps itself")
+  }
+
   // ---- TPC-H phase-7 shapes ------------------------------------------------
 
   test("idleCustomerBalances: threshold is strict and order-free; anti-join removes recent orderers") {
