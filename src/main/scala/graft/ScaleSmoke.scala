@@ -67,6 +67,14 @@ object ScaleSmoke {
       time("funnel_conversion", scale)(graft.queries.Analytics.funnel(ev).count())
       time("errors_near_purchases", scale)(
         graft.operators.RangeJoin.errorsNearPurchases(ev).count())
+      // round-8 phase 7: the sequence shapes (lead window / islands /
+      // session-path rollup) — all user_id-keyed window passes
+      time("activity_streaks", scale)(
+        graft.queries.Analytics.activityStreaks(ev).count())
+      time("event_transitions", scale)(
+        graft.queries.Analytics.eventTransitions(ev).count())
+      time("session_paths", scale)(
+        graft.queries.Analytics.sessionPaths(ev).count())
       val withW = ev
         .withColumn("w", window(col("ts"), "1 hour"))
         .select(col("w.start").as("window_start"), col("event_type"), col("user_id"))
@@ -120,6 +128,14 @@ object ScaleSmoke {
       // round-8 phase 4: per-source prefix sum + output-bounded explode
       time("token_pack_bins", scale)(
         graft.functions.TextAnalysis.tokenPackBins(docs).count())
+      // round-8 phase 7: triangle join on the same df-capped edge list
+      // (edges grow ~linearly under the cap, wedge checks bound the join)
+      time("doc_triangles", scale)(
+        graft.operators.Centrality.docTriangles(docs).count())
+      // round-8 phase 7: per-doc O(len*w) winnowing — embarrassingly
+      // parallel, doc_id-keyed shuffles only
+      time("winnow_fingerprints", scale)(
+        graft.functions.TextAnalysis.winnowFingerprints(docs).count())
       pairs.unpersist()
       docs.unpersist()
 

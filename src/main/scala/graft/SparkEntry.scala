@@ -754,7 +754,10 @@ object SparkEntry {
     // Keep-best (highest-quality) member per near-dup cluster.
     "dedup_keep_best" -> ((s, dir) =>
       graft.operators.Curation.keepBestPerCluster(
-        Tables.documents(s, dir), stopwords))
+        Tables.documents(s, dir), stopwords)),
+    // Sweep-line interval concurrency: max simultaneous sessions per day.
+    "concurrent_sessions" -> ((s, dir) =>
+      Analytics.concurrentSessions(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2841,6 +2844,52 @@ object SparkEntry {
         |  CAST(n_fingerprints * 1000000 // greatest(m - 3, 1) AS BIGINT)
         |    AS density_ppm
         |FROM d0 JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The same clip-to-day sweep: -1 sorts before +1 at equal t (touching
+    // sessions are not concurrent); the peak is tie-order invariant.
+    "concurrent_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |sw AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM s GROUP BY user_id, sid),
+        |bd AS (
+        |  SELECT user_id, session_start, session_end,
+        |    CAST(unnest(generate_series(CAST(session_start AS DATE),
+        |      CAST(session_end - INTERVAL 1 MICROSECOND AS DATE),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM sw),
+        |bd2 AS (
+        |  SELECT user_id, day,
+        |    greatest(session_start, CAST(day AS TIMESTAMP)) AS st,
+        |    least(session_end, CAST(day + 1 AS TIMESTAMP)) AS en
+        |  FROM bd),
+        |sweep AS (
+        |  SELECT day, st AS t, 1 AS delta FROM bd2
+        |  UNION ALL
+        |  SELECT day, en, -1 FROM bd2 WHERE en < CAST(day + 1 AS TIMESTAMP)),
+        |run AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |    ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM sweep),
+        |pk AS (SELECT day, CAST(max(running) AS BIGINT) AS max_concurrent
+        |       FROM run GROUP BY 1)
+        |SELECT bd2.day, count(*) AS n_sessions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  pk.max_concurrent
+        |FROM bd2 JOIN pk USING (day)
+        |GROUP BY bd2.day, pk.max_concurrent
+        |ORDER BY bd2.day""".stripMargin,
 
     // Same closure as dedup_clusters, then the quality_logit score and a
     // rank window pick each cluster's keeper (rounded score desc, doc_id).

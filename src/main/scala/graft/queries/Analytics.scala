@@ -1504,6 +1504,53 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Sweep-line interval concurrency: the maximum number of SIMULTANEOUS
+    * sessions per day (capacity planning's load question). Each session
+    * window ([[graft.operators.Sessionize.sessionWindows]]) explodes to
+    * the days it overlaps and is CLIPPED to each day, then the classic
+    * sweep: +1 at (clipped) start, -1 at end, running sum ordered by
+    * (t, delta) — the -1-first tie order makes touching sessions (one
+    * ends exactly when another starts) NOT concurrent, matching the
+    * half-open [start, end) window semantics. Partitioning by day keeps
+    * the ordered window PARALLEL (no single-partition global sort — the
+    * trap a naive global sweep falls into); a midnight-straddling session
+    * counts into both days via the clip. The PEAK of the running sum is
+    * invariant to ordering among equal (t, delta) rows, so the per-day
+    * max is deterministic even though interior prefix values are not.
+    */
+  def concurrentSessions(events: DataFrame): DataFrame = {
+    val sessions = graft.operators.Sessionize.sessionWindows(events)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val byDay = sessions
+      .withColumn("day",
+        explode(expr(
+          "sequence(to_date(session_start), to_date(session_end - INTERVAL 1 MICROSECOND))")))
+      .withColumn("s", greatest(col("session_start"), col("day").cast("timestamp")))
+      .withColumn("e",
+        least(col("session_end"), (col("day") + expr("INTERVAL 1 DAY")).cast("timestamp")))
+    val sweep = byDay.select(col("day"), col("s").as("t"), lit(1).as("delta"),
+        col("user_id"))
+      .union(
+        // a -1 landing exactly on the next-day boundary can be dropped:
+        // it cannot change any prefix inside this day
+        byDay.filter(col("e") < (col("day") + expr("INTERVAL 1 DAY")).cast("timestamp"))
+          .select(col("day"), col("e").as("t"), lit(-1).as("delta"),
+            col("user_id")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = sweep
+      .withColumn("running", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("max_concurrent"))
+    byDay
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .join(peaks, Seq("day"))
+      .orderBy(col("day"))
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.

@@ -366,4 +366,51 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges <= 3,
       s"one exchange must feed aggregate AND window, got $exchanges:\n${executed(df)}")
   }
+
+  test("winnowing selection joins on (doc, hash) equi-keys, never a product") {
+    val df = graft.functions.TextAnalysis.winnowFingerprints(
+      Tables.documents(spark, sf))
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"rightmost-min selection must be an equi-join with a position residual:\n$plan")
+    // the position band rides as a residual condition on the hash equi-join
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("triangle join stays on oriented-edge equi-keys; edge list built once") {
+    val df = graft.operators.Centrality.docTriangles(Tables.documents(spark, sf))
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"ordered-orientation scheme must never plan a product:\n$plan")
+    // localCheckpoint materializes the oriented edges: the corpus is not
+    // re-scanned for each of the 3 triangle sides + 2 rollups
+    val scans = deepLeaves(finalPlan(df)).count(_.toString.contains("documents.parquet"))
+    assert(scans == 1,
+      s"edge list is checkpointed once; only the doc_id spine rescans, got $scans")
+  }
+
+  test("TPC-H Q9/Q11/Q18 shapes: pruned scans and no product joins") {
+    val q9 = Analytics.productProfit(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      Tables.orders(spark, sf))
+    assert(!executed(q9).contains("CartesianProduct") &&
+      !executed(q9).contains("NestedLoop"))
+    // part scan reads only the join key + retailprice and pushes the name
+    // filter; Contains pushes as a parquet string predicate
+    assert(leaves(q9).contains("StartsWith") || leaves(q9).contains("p_name"),
+      s"name-token filter must reach the part scan:\n${leaves(q9)}")
+    val q11 = Analytics.importantPartValues(
+      Tables.lineitem(spark, sf), Tables.supplier(spark, sf),
+      Tables.nation(spark, sf))
+    // the 1-row total joins back via broadcast, not a shuffle
+    assert(executed(q11).contains("BroadcastNestedLoopJoin") ||
+      executed(q11).contains("BroadcastExchange"),
+      "the scalar total must broadcast")
+    val q18 = Analytics.largeVolumeCustomers(
+      Tables.customer(spark, sf), Tables.orders(spark, sf),
+      Tables.lineitem(spark, sf))
+    assert(executed(q18).contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject, not a global sort")
+  }
 }

@@ -213,6 +213,28 @@ class Round8Phase7Spec extends SparkTestBase {
     assert(got(3L)._2, "a singleton cluster keeps itself")
   }
 
+  // ---- concurrent_sessions -------------------------------------------------
+
+  test("concurrentSessions: overlap counts, touching does not, midnight splits") {
+    val events = Seq(
+      // u1 session [10:00, 10:30); u2 [10:15, 10:45) -> overlap (peak 2)
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (2L, 2L, ts("2024-01-01 10:15:00"), "view", 1.0),
+      // u4 [09:00, 09:30) and u5 [09:30, 10:00): touching, NOT concurrent
+      (4L, 3L, ts("2024-01-01 09:00:00"), "view", 1.0),
+      (5L, 4L, ts("2024-01-01 09:30:00"), "view", 1.0),
+      // u6 [23:50, 00:20 next day): counts into BOTH days
+      (6L, 5L, ts("2024-01-01 23:50:00"), "view", 1.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Analytics.concurrentSessions(events).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("2024-01-01") == (5L, 5L, 2L),
+      s"day 1: 5 sessions, 5 users, peak 2 (only the true overlap), got $got")
+    assert(got("2024-01-02") == (1L, 1L, 1L),
+      "the midnight straddler opens day 2 alone")
+  }
+
   // ---- TPC-H phase-7 shapes ------------------------------------------------
 
   test("idleCustomerBalances: threshold is strict and order-free; anti-join removes recent orderers") {
