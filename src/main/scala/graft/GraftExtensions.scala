@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, Fnv1a64, Mix64, RollingHash, SimHash64, WordShingles}
+import graft.functions.{CosineSim, DotProduct, Fnv1a64, Mix64, RollingHash, SimHash64, WinnowStats, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -43,6 +43,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("mix64"),
       new ExpressionInfo(classOf[Mix64].getName, "mix64"),
       exprs => Mix64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("winnow_stats"),
+      new ExpressionInfo(classOf[WinnowStats].getName, "winnow_stats"),
+      exprs =>
+        if (exprs.length == 1) WinnowStats(exprs.head, 8, 4)
+        else {
+          def toInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+            e.eval(null) match {
+              case i: Int => i
+              case l: Long => l.toInt
+            }
+          WinnowStats(exprs.head, toInt(exprs(1)), toInt(exprs(2)))
+        }))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

@@ -757,7 +757,11 @@ object SparkEntry {
         Tables.documents(s, dir), stopwords)),
     // Sweep-line interval concurrency: max simultaneous sessions per day.
     "concurrent_sessions" -> ((s, dir) =>
-      Analytics.concurrentSessions(Tables.events(s, dir)))
+      Analytics.concurrentSessions(Tables.events(s, dir))),
+    // Winnowing via the native one-pass WinnowStats expression (same
+    // output, same oracle — the hot-path variant).
+    "winnow_fingerprints_native" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprintsNative(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -785,6 +789,55 @@ object SparkEntry {
     s"CAST(${sqlCentsLong(c)} AS VARCHAR)"
 
   private def sqlStr(c: String): String = s"CAST($c AS VARCHAR)"
+
+  /** The winnowing oracle (shared by the declarative and native-expression
+    * query spellings): per-position FNV-1a folds (HUGEINT mod 2^64, signed
+    * view for min-ordering parity), frame window minima, rightmost-tie
+    * selection join, distinct, checksum — k=8, w=4 literal.
+    */
+  private lazy val winnowOracleSql: String =
+    s"""WITH d0 AS (
+      |  SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS m
+      |  FROM documents WHERE length(text) >= 8 AND $asciiGuard),
+      |g AS (
+      |  SELECT doc_id, m, i,
+      |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END
+      |      AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id, m, i,
+      |      list_reduce(
+      |        list_prepend(14695981039346656037::HUGEINT,
+      |          list_transform(range(0, 8),
+      |            j -> ord(substr(text, CAST(i + j AS INTEGER), 1))::HUGEINT)),
+      |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) AS hu
+      |    FROM (SELECT doc_id, m, text, unnest(range(1, m + 1)) AS i
+      |          FROM d0))),
+      |wd AS (
+      |  SELECT doc_id, i AS t, winmin FROM (
+      |    SELECT doc_id, m, i,
+      |      min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+      |    FROM g)
+      |  WHERE i <= greatest(m - 3, 1)),
+      |sel AS (
+      |  SELECT g.doc_id AS doc_id, wd.t, wd.winmin, max(g.i) AS selpos
+      |  FROM g JOIN wd ON g.doc_id = wd.doc_id AND g.h = wd.winmin
+      |    AND g.i BETWEEN wd.t AND wd.t + 3
+      |  GROUP BY 1, 2, 3),
+      |fp AS (SELECT DISTINCT doc_id, selpos, winmin FROM sel),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_fingerprints,
+      |    CAST(sum((winmin % 1000000007 + 1000000007) % 1000000007)
+      |      % 1000000007 AS BIGINT) AS fp_checksum
+      |  FROM fp GROUP BY 1)
+      |SELECT d0.doc_id, m AS n_grams,
+      |  greatest(m - 3, 1) AS n_windows,
+      |  n_fingerprints, fp_checksum,
+      |  CAST(n_fingerprints * 1000000 // greatest(m - 3, 1) AS BIGINT)
+      |    AS density_ppm
+      |FROM d0 JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** One table's fingerprint row: pipe-join the canonical column forms,
     * hash each row with the RollingHash polynomial ((a*31+b) mod 1e9+7
@@ -2801,49 +2854,10 @@ object SparkEntry {
     // The WHOLE winnowing pipeline replayed: per-position FNV-1a folds
     // (HUGEINT mod 2^64, signed view for min-ordering parity), frame
     // window minima, rightmost-tie selection join, distinct, checksum.
-    "winnow_fingerprints" ->
-      s"""WITH d0 AS (
-        |  SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS m
-        |  FROM documents WHERE length(text) >= 8 AND $asciiGuard),
-        |g AS (
-        |  SELECT doc_id, m, i,
-        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
-        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END
-        |      AS BIGINT) AS h
-        |  FROM (
-        |    SELECT doc_id, m, i,
-        |      list_reduce(
-        |        list_prepend(14695981039346656037::HUGEINT,
-        |          list_transform(range(0, 8),
-        |            j -> ord(substr(text, CAST(i + j AS INTEGER), 1))::HUGEINT)),
-        |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
-        |                  % 18446744073709551616::HUGEINT) AS hu
-        |    FROM (SELECT doc_id, m, text, unnest(range(1, m + 1)) AS i
-        |          FROM d0))),
-        |wd AS (
-        |  SELECT doc_id, i AS t, winmin FROM (
-        |    SELECT doc_id, m, i,
-        |      min(h) OVER (PARTITION BY doc_id ORDER BY i
-        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
-        |    FROM g)
-        |  WHERE i <= greatest(m - 3, 1)),
-        |sel AS (
-        |  SELECT g.doc_id AS doc_id, wd.t, wd.winmin, max(g.i) AS selpos
-        |  FROM g JOIN wd ON g.doc_id = wd.doc_id AND g.h = wd.winmin
-        |    AND g.i BETWEEN wd.t AND wd.t + 3
-        |  GROUP BY 1, 2, 3),
-        |fp AS (SELECT DISTINCT doc_id, selpos, winmin FROM sel),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_fingerprints,
-        |    CAST(sum((winmin % 1000000007 + 1000000007) % 1000000007)
-        |      % 1000000007 AS BIGINT) AS fp_checksum
-        |  FROM fp GROUP BY 1)
-        |SELECT d0.doc_id, m AS n_grams,
-        |  greatest(m - 3, 1) AS n_windows,
-        |  n_fingerprints, fp_checksum,
-        |  CAST(n_fingerprints * 1000000 // greatest(m - 3, 1) AS BIGINT)
-        |    AS density_ppm
-        |FROM d0 JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // The same SQL oracles BOTH spellings (declarative and native
+    // expression) — they are output-identical by contract.
+    "winnow_fingerprints" -> winnowOracleSql,
+    "winnow_fingerprints_native" -> winnowOracleSql,
 
     // The same clip-to-day sweep: -1 sorts before +1 at equal t (touching
     // sessions are not concurrent); the peak is tie-order invariant.

@@ -758,6 +758,8 @@ object GraftColumns {
     ColumnBridge.column(WordShingles(child(c), k))
   def fnv1a64(c: Column): Column =
     ColumnBridge.column(Fnv1a64(child(c)))
+  def winnowStats(c: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowStats(child(c), k, w))
   def mix64(c: Column): Column =
     ColumnBridge.column(Mix64(child(c)))
   def bloomMightContainLong(
@@ -784,6 +786,94 @@ object GraftColumns {
 /** SQL registration for the custom expressions (usable via `expr(...)` and
   * `spark.sql(...)`; avoids version-coupling to Column's internal ctor).
   */
+/** One-pass winnowing fingerprint statistics (Schleimer et al. SIGMOD'03)
+  * over a document's UTF-8 bytes: [n_grams, n_windows, n_fingerprints,
+  * fp_checksum] as a 4-element BIGINT array — the NATIVE counterpart of
+  * [[graft.functions.TextAnalysis.winnowFingerprints]]'s declarative
+  * explode + frame-window + selection-join pipeline, equality-tested
+  * against it (Round8Phase7Spec). The monotonic-deque sliding minimum
+  * (pop `>=` on insert, so the rightmost of equal hashes survives at the
+  * front) gives O(len) per document with zero shuffle, zero explode —
+  * each selection is the window's rightmost min, and because winnowing
+  * selections advance monotonically with the window, consecutive dedup
+  * equals global dedup. Byte-based k-grams == character k-grams on ASCII
+  * corpora (the same ascii-guard contract every FNV oracle carries).
+  */
+case class WinnowStats(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_stats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0 && w > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and positive k, w")
+
+  protected override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      WinnowStats.compute(input.asInstanceOf[UTF8String].getBytes, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = WinnowStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($cls.compute($c.getBytes(), $k, $w));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowStats =
+    copy(child = newChild)
+}
+
+object WinnowStats {
+  private val P = 1000000007L
+
+  private def fnv1aAt(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var h = -3750763034362895579L // 14695981039346656037 as signed
+    var i = off
+    val end = off + len
+    while (i < end) {
+      h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L
+      i += 1
+    }
+    h
+  }
+
+  /** [m, windows, n_fingerprints, checksum]; all zeros when len < k. */
+  def compute(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
+    val n = bytes.length
+    if (n < k) return Array(0L, 0L, 0L, 0L)
+    val m = n - k + 1
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) { h(i) = fnv1aAt(bytes, i, k); i += 1 }
+    val windows = math.max(m - w + 1, 1)
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var nfp = 0L
+    var checksum = 0L
+    var lastSel = -1
+    var idx = 0
+    while (idx < m) {
+      while (tail > head && h(deque(tail - 1)) >= h(idx)) tail -= 1
+      deque(tail) = idx; tail += 1
+      // window t ends at t+w-1 (or at m-1 for the single clipped window)
+      val isWindowEnd = idx >= w - 1 || idx == m - 1
+      if (isWindowEnd) {
+        val t = math.max(idx - w + 1, 0)
+        while (deque(head) < t) head += 1
+        val sel = deque(head)
+        if (sel != lastSel) {
+          nfp += 1
+          checksum = (checksum + ((h(sel) % P) + P) % P) % P
+          lastSel = sel
+        }
+      }
+      idx += 1
+    }
+    Array(m.toLong, windows.toLong, nfp, checksum)
+  }
+}
+
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -806,5 +896,15 @@ object GraftFunctions {
       "fnv1a64", exprs => Fnv1a64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mix64", exprs => Mix64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_stats", {
+        case Seq(text) => WinnowStats(text, 8, 4)
+        case Seq(text, k, w) =>
+          def toInt(e: Expression): Int = e.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+          }
+          WinnowStats(text, toInt(k), toInt(w))
+      }, "built-in")
   }
 }

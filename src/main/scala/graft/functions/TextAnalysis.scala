@@ -555,6 +555,15 @@ object TextAnalysis {
     * fingerprint SET is oracle-comparable as one value per doc.
     * Docs shorter than `k` characters have no k-gram and are excluded
     * (same filter in the oracle).
+    *
+    * POSITIONING: this declarative spelling is the oracle-replayable
+    * REFERENCE implementation (every step is plain SQL an independent
+    * engine re-executes); the production hot path is
+    * [[winnowFingerprintsNative]] — the [[GraftColumns.winnowStats]]
+    * one-pass deque expression, output-identical (equality spec) and
+    * ~20x cheaper because nothing explodes and nothing joins. The same
+    * declarative-verifier / native-scale-path split as
+    * `Dedup.ngramJaccardPairs` vs the MinHash corpus path.
     */
   def winnowFingerprints(
       documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
@@ -578,6 +587,28 @@ object TextAnalysis {
         expr("n_fingerprints * 1000000 DIV n_windows").as("density_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[winnowFingerprints]] through the NATIVE one-pass expression
+    * ([[graft.functions.WinnowStats]]: monotonic-deque sliding minimum,
+    * O(len) per doc, no explode/window/join) — identical output by
+    * construction (equality spec + the same DuckDB oracle), kept beside
+    * the declarative pipeline as the hot-path variant: a map-only scan
+    * whose only shuffle is the final ORDER BY.
+    */
+  def winnowFingerprintsNative(
+      documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    documents
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        GraftColumns.winnowStats(col("text"), k, w).as("ws"))
+      .select(
+        col("doc_id"),
+        col("ws").getItem(0).as("n_grams"),
+        col("ws").getItem(1).as("n_windows"),
+        col("ws").getItem(2).as("n_fingerprints"),
+        col("ws").getItem(3).as("fp_checksum"),
+        expr("ws[2] * 1000000 DIV ws[1]").as("density_ppm"))
+      .orderBy(col("doc_id"))
 
   /** The selected winnowing fingerprints themselves — one row per distinct
     * (doc, position, hash) selection (see [[winnowFingerprints]] for the

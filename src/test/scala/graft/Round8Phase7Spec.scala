@@ -153,6 +153,26 @@ class Round8Phase7Spec extends SparkTestBase {
     assert(got(0).getLong(3) == 1, "the clipped window selects exactly one fingerprint")
   }
 
+  test("winnowing: native one-pass expression == declarative pipeline, row for row") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = TextAnalysis.winnowFingerprints(docs).collect().toSeq
+    val b = TextAnalysis.winnowFingerprintsNative(docs).collect().toSeq
+    assert(a == b, "the monotonic-deque path must reproduce the join path exactly")
+    // and on the adversarial all-ties doc
+    val ties = Seq((1L, "a" * 20), (2L, "exactly09")).toDF("doc_id", "text")
+    assert(TextAnalysis.winnowFingerprints(ties).collect().toSeq ==
+      TextAnalysis.winnowFingerprintsNative(ties).collect().toSeq)
+  }
+
+  test("winnow_stats is reachable from SQL text (parser path)") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT winnow_stats('aaaaaaaaaaaaaaaaaaaa') AS ws").collect()(0)
+      .getSeq[Long](0)
+    // 20 chars, k=8 -> m=13 grams, 10 windows, rightmost ties -> 10 fps
+    assert(got == Seq(13L, 10L, 10L, got(3)))
+  }
+
   test("winnowing: identical docs produce identical fingerprint checksums") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq((1L, text), (2L, text), (3L, text.reverse)).toDF("doc_id", "text")
