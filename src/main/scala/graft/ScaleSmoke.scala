@@ -132,10 +132,11 @@ object ScaleSmoke {
       // (edges grow ~linearly under the cap, wedge checks bound the join)
       time("doc_triangles", scale)(
         graft.operators.Centrality.docTriangles(docs).count())
-      // round-8 phase 7: per-doc O(len*w) winnowing — embarrassingly
-      // parallel, doc_id-keyed shuffles only
-      time("winnow_fingerprints", scale)(
-        graft.functions.TextAnalysis.winnowFingerprints(docs).count())
+      // round-8 phase 7: per-doc O(len) native winnowing (the production
+      // path — map-only scan; the declarative verifier is not the scale
+      // candidate, same as ngram_jaccard_pairs)
+      time("winnow_native", scale)(
+        graft.functions.TextAnalysis.winnowFingerprintsNative(docs).count())
       pairs.unpersist()
       docs.unpersist()
 

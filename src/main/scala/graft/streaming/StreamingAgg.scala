@@ -127,6 +127,23 @@ object StreamingAgg {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** Map-only streaming winnowing: the native
+    * [[graft.functions.WinnowStats]] expression runs UNCHANGED on a
+    * stream — a stateless per-row projection (no watermark, no state, no
+    * output-mode constraint), which is the point of pushing the whole
+    * fingerprint algorithm into one codegen expression: ingest-side
+    * fingerprinting costs exactly a map over the stream. Batch parity is
+    * structural (same expression node) and spec-asserted.
+    */
+  def winnowStream(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        graft.functions.GraftColumns.winnowStats(col("text"), k, w).as("ws"))
+      .select(col("doc_id"),
+        col("ws").getItem(2).as("n_fingerprints"),
+        col("ws").getItem(3).as("fp_checksum"))
+
   /** Streaming counterpart of [[graft.operators.Sessionize.sessionWindows]]:
     * the SAME native `session_window` merging aggregate over a watermarked
     * stream (append mode — a session row emits once the watermark passes

@@ -491,4 +491,31 @@ class StreamingAggSpec extends SparkTestBase {
     assert(result.count() == 1)
     assert(result.select("event_count").as[Long].head == 2L)
   }
+
+  test("streaming winnowing: the native expression fingerprints a stream statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "a completely different document body with its own words here"
+    val mem = MemoryStream[Doc]
+    val q = StreamingAgg.winnowStream(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("winnow_stream_out").start()
+    try {
+      mem.addData(Doc(1, Timestamp.valueOf("2024-01-01 10:00:00"), t1, "srcA"),
+        Doc(2, Timestamp.valueOf("2024-01-01 10:01:00"), "short", "srcA"))
+      q.processAllAvailable()
+      mem.addData(Doc(3, Timestamp.valueOf("2024-01-01 10:02:00"), t2, "srcA"))
+      q.processAllAvailable()
+      val got = spark.table("winnow_stream_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // len("short") < k -> filtered in-stream; 2 rows out
+      assert(got.keySet == Set(1L, 3L))
+      // batch parity on the union of arrivals
+      val batchFp = graft.functions.TextAnalysis.winnowFingerprints(
+        Seq((1L, t1), (2L, "short"), (3L, t2)).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(got == batchFp,
+        "stream rows must equal the batch operator's (count, checksum) per doc")
+    } finally q.stop()
+  }
 }
