@@ -1528,6 +1528,10 @@ object Analytics {
       .withColumn("s", greatest(col("session_start"), col("day").cast("timestamp")))
       .withColumn("e",
         least(col("session_end"), (col("day") + expr("INTERVAL 1 DAY")).cast("timestamp")))
+      // consumed 3x (two sweep legs + the per-day rollup): materialize the
+      // clipped session frame once instead of re-running sessionization —
+      // it is |sessions|-sized, the smallest frame in the query
+      .localCheckpoint()
     val sweep = byDay.select(col("day"), col("s").as("t"), lit(1).as("delta"),
         col("user_id"))
       .union(
