@@ -761,7 +761,10 @@ object SparkEntry {
     // Winnowing via the native one-pass WinnowStats expression (same
     // output, same oracle — the hot-path variant).
     "winnow_fingerprints_native" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprintsNative(Tables.documents(s, dir)))
+      TextAnalysis.winnowFingerprintsNative(Tables.documents(s, dir))),
+    // Winnowing-based near-dup candidate pairs (df-capped hash join).
+    "winnow_candidate_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowCandidatePairs(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -790,12 +793,13 @@ object SparkEntry {
 
   private def sqlStr(c: String): String = s"CAST($c AS VARCHAR)"
 
-  /** The winnowing oracle (shared by the declarative and native-expression
-    * query spellings): per-position FNV-1a folds (HUGEINT mod 2^64, signed
+  /** The winnowing pipeline CTE prefix (through the distinct fingerprint
+    * frame `fp`), shared by the per-doc stats oracle and the candidate-
+    * pair oracle: per-position FNV-1a folds (HUGEINT mod 2^64, signed
     * view for min-ordering parity), frame window minima, rightmost-tie
-    * selection join, distinct, checksum — k=8, w=4 literal.
+    * selection join, distinct — k=8, w=4 literal.
     */
-  private lazy val winnowOracleSql: String =
+  private lazy val winnowFpCte: String =
     s"""WITH d0 AS (
       |  SELECT doc_id, text, CAST(length(text) - 7 AS BIGINT) AS m
       |  FROM documents WHERE length(text) >= 8 AND $asciiGuard),
@@ -826,8 +830,11 @@ object SparkEntry {
       |  FROM g JOIN wd ON g.doc_id = wd.doc_id AND g.h = wd.winmin
       |    AND g.i BETWEEN wd.t AND wd.t + 3
       |  GROUP BY 1, 2, 3),
-      |fp AS (SELECT DISTINCT doc_id, selpos, winmin FROM sel),
-      |agg AS (
+      |fp AS (SELECT DISTINCT doc_id, selpos, winmin FROM sel)
+      |""".stripMargin
+
+  private lazy val winnowOracleSql: String = winnowFpCte +
+    """, agg AS (
       |  SELECT doc_id, count(*) AS n_fingerprints,
       |    CAST(sum((winmin % 1000000007 + 1000000007) % 1000000007)
       |      % 1000000007 AS BIGINT) AS fp_checksum
@@ -838,6 +845,24 @@ object SparkEntry {
       |  CAST(n_fingerprints * 1000000 // greatest(m - 3, 1) AS BIGINT)
       |    AS density_ppm
       |FROM d0 JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The candidate-pair oracle: distinct per-doc fingerprint hashes,
+    * doc-frequency cap (the stop-fingerprint rule), ordered pair join,
+    * shared-fingerprint counts.
+    */
+  private lazy val winnowPairsOracleSql: String = winnowFpCte +
+    """, dh AS (SELECT DISTINCT doc_id, winmin FROM fp),
+      |hdf AS (
+      |  SELECT winmin, count(*) AS df FROM dh GROUP BY 1),
+      |dhf AS (
+      |  SELECT dh.doc_id, dh.winmin FROM dh JOIN hdf USING (winmin)
+      |  WHERE hdf.df BETWEEN 2 AND 50)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  count(*) AS shared_fps
+      |FROM dhf a JOIN dhf b
+      |  ON a.winmin = b.winmin AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin
 
   /** One table's fingerprint row: pipe-join the canonical column forms,
     * hash each row with the RollingHash polynomial ((a*31+b) mod 1e9+7
@@ -2858,6 +2883,7 @@ object SparkEntry {
     // expression) — they are output-identical by contract.
     "winnow_fingerprints" -> winnowOracleSql,
     "winnow_fingerprints_native" -> winnowOracleSql,
+    "winnow_candidate_pairs" -> winnowPairsOracleSql,
 
     // The same clip-to-day sweep: -1 sorts before +1 at equal t (touching
     // sessions are not concurrent); the peak is tie-order invariant.

@@ -760,6 +760,8 @@ object GraftColumns {
     ColumnBridge.column(Fnv1a64(child(c)))
   def winnowStats(c: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowStats(child(c), k, w))
+  def winnowHashes(c: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowHashes(child(c), k, w))
   def mix64(c: Column): Column =
     ColumnBridge.column(Mix64(child(c)))
   def bloomMightContainLong(
@@ -823,6 +825,36 @@ case class WinnowStats(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** The selected winnowing fingerprint HASHES as an array (positions
+  * dropped, selection-order; values may repeat when distinct positions
+  * select equal hashes) — the candidate-generation companion of
+  * [[WinnowStats]]: explode + distinct + equi-join replaces the
+  * declarative selection pipeline for pair mining. Same deque pass.
+  */
+case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0 && w > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and positive k, w")
+
+  protected override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      WinnowStats.hashes(input.asInstanceOf[UTF8String].getBytes, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = WinnowStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($cls.hashes($c.getBytes(), $k, $w));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
 object WinnowStats {
   private val P = 1000000007L
 
@@ -871,6 +903,36 @@ object WinnowStats {
       idx += 1
     }
     Array(m.toLong, windows.toLong, nfp, checksum)
+  }
+
+  /** The selected hashes themselves (one per distinct selected position,
+    * in selection order) — the same deque pass as [[compute]].
+    */
+  def hashes(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
+    val n = bytes.length
+    if (n < k) return Array.emptyLongArray
+    val m = n - k + 1
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) { h(i) = fnv1aAt(bytes, i, k); i += 1 }
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var lastSel = -1
+    var idx = 0
+    while (idx < m) {
+      while (tail > head && h(deque(tail - 1)) >= h(idx)) tail -= 1
+      deque(tail) = idx; tail += 1
+      if (idx >= w - 1 || idx == m - 1) {
+        val t = math.max(idx - w + 1, 0)
+        while (deque(head) < t) head += 1
+        val sel = deque(head)
+        if (sel != lastSel) { out += h(sel); lastSel = sel }
+      }
+      idx += 1
+    }
+    out.toArray
   }
 }
 

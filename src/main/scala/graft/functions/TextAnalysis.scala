@@ -610,6 +610,42 @@ object TextAnalysis {
         expr("ws[2] * 1000000 DIV ws[1]").as("density_ppm"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing-based near-dup candidate generation — the downstream the
+    * fingerprints exist FOR: documents sharing at least one selected
+    * fingerprint hash become candidate pairs, ranked by how many they
+    * share. By the winnowing guarantee, any pair sharing a substring of
+    * >= k+w-1 chars appears here (structural recall); the doc-frequency
+    * cap on fingerprint hashes (the stop-fingerprint rule, same as the
+    * shingle dfCap in `Dedup`) kills boilerplate hubs before the pair
+    * join can go quadratic in them. Shuffle discipline: the join carries
+    * (doc_id, 8-byte hash) only — positions are dropped and hashes
+    * deduped per doc before the self-join. Fingerprinting itself is the
+    * NATIVE [[GraftColumns.winnowHashes]] pass (one codegen loop per
+    * doc), not the declarative selection pipeline — the hash sets are
+    * identical by the [[winnowSelected]] equality spec.
+    */
+  def winnowCandidatePairs(
+      documents: DataFrame, k: Int = 8, w: Int = 4,
+      dfCap: Int = 50): DataFrame = {
+    val dh = documents
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(GraftColumns.winnowHashes(col("text"), k, w)).as("winmin"))
+      .distinct()
+    val capped = dh
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("winmin"))))
+      .filter(col("df").between(2, dfCap))
+      .select(col("doc_id"), col("winmin"))
+    capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.winmin") === col("b.winmin") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .orderBy(desc("shared_fps"), col("doc_a"), col("doc_b"))
+  }
+
   /** The selected winnowing fingerprints themselves — one row per distinct
     * (doc, position, hash) selection (see [[winnowFingerprints]] for the
     * algorithm and shuffle shape). Exposed so the guarantee the scheme

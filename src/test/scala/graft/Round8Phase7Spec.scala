@@ -162,6 +162,17 @@ class Round8Phase7Spec extends SparkTestBase {
     val ties = Seq((1L, "a" * 20), (2L, "exactly09")).toDF("doc_id", "text")
     assert(TextAnalysis.winnowFingerprints(ties).collect().toSeq ==
       TextAnalysis.winnowFingerprintsNative(ties).collect().toSeq)
+    // the native hash LIST carries the same distinct hash set per doc
+    // as the declarative selection frame (candidate-pair input contract)
+    val declSets = TextAnalysis.winnowSelected(docs)
+      .select(col("doc_id"), col("winmin")).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    val nativeSets = docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftColumns.winnowHashes(col("text"))).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert(declSets == nativeSets)
   }
 
   test("winnow_stats is reachable from SQL text (parser path)") {
