@@ -141,6 +141,44 @@ FROM agg ORDER BY source"""
     * of a per-source CASE. Mirrors graft.operators.Mixture.weightedSample;
     * `targetTokens` comes from the same default.
     */
+  /** rendezvous_shards: both shard assignments (N and N+1) replayed from
+    * the same fnv+mix64 weights — per (doc, shard) candidate rows, the
+    * mix chain, a signed view of each weight (the engine ranks JVM
+    * longs), and rank windows picking argmax(w) with ties to the smallest
+    * shard id. The final rollup proves the HRW minimal-movement
+    * guarantee: n_illegal_moves (old-to-old relocations) must be zero.
+    */
+  def rendezvousSql(shards: Int = 32): String =
+    s"""WITH d AS (
+  SELECT doc_id, (${fnvExpr("text")}) AS hu
+  FROM documents WHERE $asciiGuard = 0),
+e AS (SELECT doc_id, unnest(range(0, ${shards + 1})) AS s, hu FROM d),
+z AS (SELECT doc_id, s,
+  (xor(hu, CAST(s AS HUGEINT)) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM e),
+${mixChain("rz", "z", Seq("doc_id", "s"), "z0")},
+sg AS (SELECT doc_id, s,
+  CAST(CASE WHEN mx >= 9223372036854775808::HUGEINT
+       THEN mx - 18446744073709551616::HUGEINT ELSE mx END AS BIGINT) AS w
+  FROM rz4),
+a_now AS (
+  SELECT doc_id, s AS shard_now FROM (
+    SELECT doc_id, s,
+      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+    FROM sg WHERE s < $shards) WHERE rn = 1),
+a_grown AS (
+  SELECT doc_id, s AS shard_grown FROM (
+    SELECT doc_id, s,
+      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+    FROM sg) WHERE rn = 1)
+SELECT shard_now AS shard, count(*) AS n_docs,
+  CAST(sum(CASE WHEN shard_grown = $shards THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moving_to_new,
+  CAST(sum(CASE WHEN shard_grown <> shard_now AND shard_grown <> $shards
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_illegal_moves
+FROM a_now JOIN a_grown USING (doc_id)
+GROUP BY 1 ORDER BY 1"""
+
   def weightedSampleSql(targetTokens: Double = 40.0): String =
     s"""WITH d AS (
   SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tokens,

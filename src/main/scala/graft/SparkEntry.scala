@@ -764,7 +764,13 @@ object SparkEntry {
       TextAnalysis.winnowFingerprintsNative(Tables.documents(s, dir))),
     // Winnowing-based near-dup candidate pairs (df-capped hash join).
     "winnow_candidate_pairs" -> ((s, dir) =>
-      TextAnalysis.winnowCandidatePairs(Tables.documents(s, dir)))
+      TextAnalysis.winnowCandidatePairs(Tables.documents(s, dir))),
+    // Eval-integrity audit: near-dup pairs straddling train/val/test.
+    "split_leakage" -> ((s, dir) =>
+      TextAnalysis.splitLeakage(Tables.documents(s, dir))),
+    // Rendezvous (HRW) sharding + the minimal-movement expansion audit.
+    "rendezvous_shards" -> ((s, dir) =>
+      graft.operators.Mixture.rendezvousShards(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -846,23 +852,57 @@ object SparkEntry {
       |    AS density_ppm
       |FROM d0 JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
 
-  /** The candidate-pair oracle: distinct per-doc fingerprint hashes,
-    * doc-frequency cap (the stop-fingerprint rule), ordered pair join,
-    * shared-fingerprint counts.
+  /** Candidate-pair CTE extension (through `wpairs`): distinct per-doc
+    * fingerprint hashes, doc-frequency cap (the stop-fingerprint rule),
+    * ordered pair join, shared-fingerprint counts. Shared by the pair
+    * oracle and the split-leakage oracle.
     */
-  private lazy val winnowPairsOracleSql: String = winnowFpCte +
+  private lazy val winnowPairsCte: String = winnowFpCte +
     """, dh AS (SELECT DISTINCT doc_id, winmin FROM fp),
       |hdf AS (
       |  SELECT winmin, count(*) AS df FROM dh GROUP BY 1),
       |dhf AS (
       |  SELECT dh.doc_id, dh.winmin FROM dh JOIN hdf USING (winmin)
-      |  WHERE hdf.df BETWEEN 2 AND 50)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  count(*) AS shared_fps
-      |FROM dhf a JOIN dhf b
-      |  ON a.winmin = b.winmin AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2
+      |  WHERE hdf.df BETWEEN 2 AND 50),
+      |wpairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    count(*) AS shared_fps
+      |  FROM dhf a JOIN dhf b
+      |    ON a.winmin = b.winmin AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |""".stripMargin
+
+  private lazy val winnowPairsOracleSql: String = winnowPairsCte +
+    """SELECT doc_a, doc_b, shared_fps FROM wpairs
       |ORDER BY shared_fps DESC, doc_a, doc_b""".stripMargin
+
+  /** Split-leakage oracle: the winnow candidate pairs joined to each
+    * side's content-hash split assignment (the doc_splits rule), kept
+    * where the sides straddle different splits.
+    */
+  private lazy val splitLeakageOracleSql: String = winnowPairsCte +
+    s""", sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(text) + 1),
+      |                         i -> CAST(ascii(text[i]) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |    FROM documents WHERE $asciiGuard))
+      |SELECT sa.split AS split_a, sb.split AS split_b,
+      |  count(*) AS n_pairs,
+      |  CAST(sum(shared_fps) AS BIGINT) AS total_shared_fps,
+      |  CAST(max(shared_fps) AS BIGINT) AS max_shared_fps
+      |FROM wpairs
+      |JOIN sp sa ON doc_a = sa.doc_id
+      |JOIN sp sb ON doc_b = sb.doc_id
+      |WHERE sa.split <> sb.split
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 
   /** One table's fingerprint row: pipe-join the canonical column forms,
     * hash each row with the RollingHash polynomial ((a*31+b) mod 1e9+7
@@ -2884,6 +2924,8 @@ object SparkEntry {
     "winnow_fingerprints" -> winnowOracleSql,
     "winnow_fingerprints_native" -> winnowOracleSql,
     "winnow_candidate_pairs" -> winnowPairsOracleSql,
+    "split_leakage" -> splitLeakageOracleSql,
+    "rendezvous_shards" -> SketchOracles.rendezvousSql(),
 
     // The same clip-to-day sweep: -1 sorts before +1 at equal t (touching
     // sessions are not concurrent); the peak is tie-order invariant.

@@ -646,6 +646,35 @@ object TextAnalysis {
       .orderBy(desc("shared_fps"), col("doc_a"), col("doc_b"))
   }
 
+  /** Train/val/test LEAKAGE audit — the eval-integrity question every
+    * training pipeline must answer: how many near-duplicate pairs
+    * STRADDLE split boundaries (a test doc with a near-dup in train is a
+    * leaked eval). Composes the winnowing candidate pairs with the
+    * content-hash split rule (same rolling-hash bucket as `doc_splits`;
+    * identical duplicates land in the same split by construction, so
+    * every row here is a NEAR-dup that content hashing alone cannot
+    * catch — exactly the residual risk class). Output is the split-pair
+    * leak matrix with pair counts and shared-fingerprint mass.
+    */
+  def splitLeakage(documents: DataFrame): DataFrame = {
+    val bucket = GraftColumns.rollingHash(col("text")) % 100
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "val").otherwise("test")
+    val splits = documents.select(col("doc_id"), split.as("split"))
+    winnowCandidatePairs(documents)
+      .join(splits.select(col("doc_id").as("da"), col("split").as("split_a")),
+        col("doc_a") === col("da"))
+      .join(splits.select(col("doc_id").as("db"), col("split").as("split_b")),
+        col("doc_b") === col("db"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("shared_fps")).as("total_shared_fps"),
+        max(col("shared_fps")).as("max_shared_fps"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** The selected winnowing fingerprints themselves — one row per distinct
     * (doc, position, hash) selection (see [[winnowFingerprints]] for the
     * algorithm and shuffle shape). Exposed so the guarantee the scheme

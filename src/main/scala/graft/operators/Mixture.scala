@@ -230,4 +230,44 @@ object Mixture {
   val DriverRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (0.2 + 0.15 * (i % 5))).toMap
   val DriverDefaultRate: Double = 1.0
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * coordination-free sharding rule (Thaler & Ravishankar 1998): a doc
+    * lands on `argmax over s of mix64(fnv1a64(text) XOR s)`, ties to the
+    * smallest shard id. The HRW guarantee is MINIMAL MOVEMENT: adding
+    * shard N+1 relocates only the docs whose new argmax IS the new shard
+    * (expected fraction 1/(N+1)); no doc ever moves BETWEEN old shards.
+    * This operator audits exactly that: per current shard, the
+    * population, how many leave for the new shard on expansion, and a
+    * count of illegal old-to-old moves (structurally zero — the oracle
+    * proves it by replaying both assignments).
+    *
+    * Map-only: the argmax over `shards+1` candidate weights is one
+    * in-row array expression (sort of (weight, -id) structs — max weight,
+    * tie to min id), so assignment costs a scan at any corpus size; the
+    * rollup is |shards| rows. Weights compare as SIGNED longs on both
+    * engines (the oracle converts its HUGEINT mix to the two's-complement
+    * view before ranking).
+    */
+  def rendezvousShards(documents: DataFrame, shards: Int = 32): DataFrame = {
+    val h = GraftColumns.fnv1a64(col("text"))
+    def best(n: Int): Column = {
+      val cand = transform(
+        sequence(lit(0L), lit(n.toLong - 1)),
+        s => struct(GraftColumns.mix64(h.bitwiseXOR(s)).as("w"), (-s).as("ns")))
+      (element_at(array_sort(cand), -1).getField("ns") * -1).as(s"shard$n")
+    }
+    documents
+      .select(col("doc_id"), best(shards).as("shard_now"),
+        best(shards + 1).as("shard_grown"))
+      .groupBy(col("shard_now").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("shard_grown") === shards, 1L).otherwise(0L))
+          .as("n_moving_to_new"),
+        sum(when(col("shard_grown") =!= col("shard_now") &&
+          col("shard_grown") =!= shards, 1L).otherwise(0L))
+          .as("n_illegal_moves"))
+      .orderBy(col("shard"))
+  }
 }

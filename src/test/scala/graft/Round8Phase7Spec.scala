@@ -266,6 +266,44 @@ class Round8Phase7Spec extends SparkTestBase {
       "the midnight straddler opens day 2 alone")
   }
 
+  // ---- rendezvous_shards ---------------------------------------------------
+
+  test("rendezvous sharding: zero illegal moves, plausible movement fraction, full coverage") {
+    val docs = (1 to 400)
+      .map(i => (i.toLong, s"document number $i with some distinct content ${i * 37}"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Mixture.rendezvousShards(docs).collect()
+    val totalDocs = got.map(_.getLong(1)).sum
+    val moving = got.map(_.getLong(2)).sum
+    val illegal = got.map(_.getLong(3)).sum
+    assert(totalDocs == 400, "every doc is assigned to exactly one shard")
+    assert(illegal == 0, "HRW guarantee: no doc relocates between OLD shards")
+    // expected moving fraction 1/33 ~ 3%; allow a generous band for n=400
+    assert(moving > 0 && moving < 40,
+      s"adding one shard should move ~1/33 of docs, moved $moving of 400")
+  }
+
+  test("rendezvous sharding is assignment-stable under corpus reorder") {
+    val docs = (1 to 50)
+      .map(i => (i.toLong, s"stable content $i")).toDF("doc_id", "text")
+    val a = graft.operators.Mixture.rendezvousShards(docs).collect().toSeq
+    val b = graft.operators.Mixture.rendezvousShards(
+      docs.orderBy(desc("doc_id")).repartition(7)).collect().toSeq
+    assert(a == b, "assignment is a pure function of content")
+  }
+
+  // ---- split_leakage -------------------------------------------------------
+
+  test("splitLeakage: only cross-split pairs survive; counts bounded by the pair frame") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val leaks = TextAnalysis.splitLeakage(docs).collect()
+    assert(leaks.forall(r => r.getString(0) != r.getString(1)))
+    val leakPairs = leaks.map(_.getLong(2)).sum
+    val allPairs = TextAnalysis.winnowCandidatePairs(docs).count()
+    assert(leakPairs <= allPairs,
+      "leak matrix is a filter of the candidate-pair frame")
+  }
+
   // ---- TPC-H phase-7 shapes ------------------------------------------------
 
   test("idleCustomerBalances: threshold is strict and order-free; anti-join removes recent orderers") {
