@@ -770,7 +770,10 @@ object SparkEntry {
       TextAnalysis.splitLeakage(Tables.documents(s, dir))),
     // Rendezvous (HRW) sharding + the minimal-movement expansion audit.
     "rendezvous_shards" -> ((s, dir) =>
-      graft.operators.Mixture.rendezvousShards(Tables.documents(s, dir)))
+      graft.operators.Mixture.rendezvousShards(Tables.documents(s, dir))),
+    // Business-day (weekend-excluded) shipping SLA per priority.
+    "shipping_business_sla" -> ((s, dir) =>
+      Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2926,6 +2929,28 @@ object SparkEntry {
     "winnow_candidate_pairs" -> winnowPairsOracleSql,
     "split_leakage" -> splitLeakageOracleSql,
     "rendezvous_shards" -> SketchOracles.rendezvousSql(),
+
+    // The same closed-form business-day prefix count B(d) (epoch day 0 =
+    // Thursday; g walks Thu,Fri,Sat,Sun,Mon,Tue) — no dayofweek(), whose
+    // numbering differs across engines.
+    "shipping_business_sla" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ds,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |b AS (
+        |  SELECT o_orderpriority,
+        |    ((ds // 7) * 5 + ([0,1,2,2,2,3,4])[ds % 7 + 1])
+        |    - ((od // 7) * 5 + ([0,1,2,2,2,3,4])[od % 7 + 1]) AS bus_delay
+        |  FROM j)
+        |SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(bus_delay) * 1000000 // count(*) AS BIGINT)
+        |    AS avg_delay_micro,
+        |  CAST(max(bus_delay) AS BIGINT) AS max_delay,
+        |  CAST(sum(CASE WHEN bus_delay <= 5 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS within_sla_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The same clip-to-day sweep: -1 sorts before +1 at equal t (touching
     // sessions are not concurrent); the peak is tie-order invariant.

@@ -869,40 +869,22 @@ object WinnowStats {
     h
   }
 
-  /** [m, windows, n_fingerprints, checksum]; all zeros when len < k. */
+  /** [m, windows, n_fingerprints, checksum]; all zeros when len < k.
+    * Derived from [[hashes]] (one selection per distinct position, so
+    * the list length IS the fingerprint count).
+    */
   def compute(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
     val n = bytes.length
     if (n < k) return Array(0L, 0L, 0L, 0L)
     val m = n - k + 1
-    val h = new Array[Long](m)
-    var i = 0
-    while (i < m) { h(i) = fnv1aAt(bytes, i, k); i += 1 }
-    val windows = math.max(m - w + 1, 1)
-    val deque = new Array[Int](m)
-    var head = 0
-    var tail = 0
-    var nfp = 0L
+    val hs = hashes(bytes, k, w)
     var checksum = 0L
-    var lastSel = -1
-    var idx = 0
-    while (idx < m) {
-      while (tail > head && h(deque(tail - 1)) >= h(idx)) tail -= 1
-      deque(tail) = idx; tail += 1
-      // window t ends at t+w-1 (or at m-1 for the single clipped window)
-      val isWindowEnd = idx >= w - 1 || idx == m - 1
-      if (isWindowEnd) {
-        val t = math.max(idx - w + 1, 0)
-        while (deque(head) < t) head += 1
-        val sel = deque(head)
-        if (sel != lastSel) {
-          nfp += 1
-          checksum = (checksum + ((h(sel) % P) + P) % P) % P
-          lastSel = sel
-        }
-      }
-      idx += 1
+    var i = 0
+    while (i < hs.length) {
+      checksum = (checksum + ((hs(i) % P) + P) % P) % P
+      i += 1
     }
-    Array(m.toLong, windows.toLong, nfp, checksum)
+    Array(m.toLong, math.max(m - w + 1, 1).toLong, hs.length.toLong, checksum)
   }
 
   /** The selected hashes themselves (one per distinct selected position,

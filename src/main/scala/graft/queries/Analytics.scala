@@ -1555,6 +1555,47 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Business-day shipping SLA: per order priority, the shipping delay
+    * measured in BUSINESS days (weekends excluded) — the calendar
+    * arithmetic every fulfillment report needs and every engine spells
+    * differently. Done here with a closed-form prefix count instead of a
+    * calendar explode: with d = days since 1970-01-01 (a THURSDAY),
+    * B(d) = 5*(d DIV 7) + g(d MOD 7) counts business days in [0, d),
+    * where g = [0,1,2,2,2,3,4] walks Thu,Fri,(Sat),(Sun),Mon,Tue — so a
+    * delay is B(ship) - B(order), pure integer math identical on both
+    * engines (no dayofweek() — Spark and DuckDB number weekdays
+    * differently, the classic cross-engine trap). Averages and SLA rates
+    * emit as exact micro/ppm fixed points.
+    */
+  def shippingBusinessSla(
+      lineitem: DataFrame, orders: DataFrame, slaDays: Int = 5): DataFrame = {
+    // B(d) over a named epoch-day column (integer DIV/MOD only)
+    def busIndex(c: String): String =
+      s"(($c DIV 7) * 5 + element_at(array(0L,1L,2L,2L,2L,3L,4L), CAST($c % 7 + 1 AS INT)))"
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ds",
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("od",
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).cast("long"))
+      .select(col("o_orderpriority"),
+        expr(s"${busIndex("ds")} - ${busIndex("od")}").as("bus_delay"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("bus_delay")).as("delay_sum"),
+        max(col("bus_delay")).as("max_delay"),
+        sum(when(col("bus_delay") <= slaDays, 1L).otherwise(0L)).as("n_within"))
+      .select(
+        col("o_orderpriority"), col("n_lines"),
+        expr("delay_sum * 1000000 DIV n_lines").as("avg_delay_micro"),
+        col("max_delay"),
+        expr("n_within * 1000000 DIV n_lines").as("within_sla_ppm"))
+      .orderBy(col("o_orderpriority").asc_nulls_last)
+  }
+
   /** Star-schema enrichment of the event stream: events joined to customer
     * (user_id = c_custkey in the harness), rolled up by segment x
     * event_type.

@@ -304,6 +304,33 @@ class Round8Phase7Spec extends SparkTestBase {
       "leak matrix is a filter of the candidate-pair frame")
   }
 
+  // ---- shipping_business_sla -----------------------------------------------
+
+  test("business-day delay: weekends excluded, hand-checked calendar cases") {
+    // 1995-01-05 = Thursday, 1995-01-06 = Friday, 1995-01-07 = Saturday,
+    // 1995-01-09 = Monday, 1995-01-12 = Thursday
+    def li(ok: Long, ship: String) =
+      (ok, 1L, 1L, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", ts(s"$ship 00:00:00"))
+    val lineitem = Seq(
+      li(1, "1995-01-12"), // Thu -> Thu+7d: exactly 5 business days
+      li(2, "1995-01-09"), // Fri -> Mon: 1 business day (Friday elapses)
+      li(3, "1995-01-09")  // Sat -> Mon: 0 business days
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val orders = Seq(
+      (1L, 1L, "O", 1.0, ts("1995-01-05 00:00:00"), "P1"),
+      (2L, 1L, "O", 1.0, ts("1995-01-06 00:00:00"), "P2"),
+      (3L, 1L, "O", 1.0, ts("1995-01-07 00:00:00"), "P3")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val got = Analytics.shippingBusinessSla(lineitem, orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("P1") == (5000000L, 5L, 1000000L), "Thu->Thu+7 is 5 business days")
+    assert(got("P2") == (1000000L, 1L, 1000000L), "Fri->Mon is 1 business day")
+    assert(got("P3") == (0L, 0L, 1000000L), "Sat->Mon crosses no business day")
+  }
+
   // ---- TPC-H phase-7 shapes ------------------------------------------------
 
   test("idleCustomerBalances: threshold is strict and order-free; anti-join removes recent orderers") {
