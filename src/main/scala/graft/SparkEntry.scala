@@ -773,7 +773,10 @@ object SparkEntry {
       graft.operators.Mixture.rendezvousShards(Tables.documents(s, dir))),
     // Business-day (weekend-excluded) shipping SLA per priority.
     "shipping_business_sla" -> ((s, dir) =>
-      Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir)))
+      Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // Exact cross-source vocabulary Jaccard matrix (mixture diagnostics).
+    "source_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceVocabOverlap(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2951,6 +2954,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN bus_delay <= 5 THEN 1 ELSE 0 END) * 1000000
         |    // count(*) AS BIGINT) AS within_sla_ppm
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "source_vocab_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        |iv AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_common
+        |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common,
+        |  CAST(sa.n AS BIGINT) AS vocab_a, CAST(sb.n AS BIGINT) AS vocab_b,
+        |  CAST(sa.n + sb.n - n_common AS BIGINT) AS vocab_union,
+        |  CAST(n_common * 1000000 // (sa.n + sb.n - n_common) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM iv
+        |JOIN sz sa ON source_a = sa.source
+        |JOIN sz sb ON source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // The same clip-to-day sweep: -1 sorts before +1 at equal t (touching
     // sessions are not concurrent); the peak is tie-order invariant.

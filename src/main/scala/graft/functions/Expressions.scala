@@ -900,7 +900,10 @@ object WinnowStats {
     val deque = new Array[Int](m)
     var head = 0
     var tail = 0
-    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    // selections are distinct positions, so at most m — primitive buffer,
+    // no boxing on the per-row hot path
+    val out = new Array[Long](m)
+    var nOut = 0
     var lastSel = -1
     var idx = 0
     while (idx < m) {
@@ -910,11 +913,11 @@ object WinnowStats {
         val t = math.max(idx - w + 1, 0)
         while (deque(head) < t) head += 1
         val sel = deque(head)
-        if (sel != lastSel) { out += h(sel); lastSel = sel }
+        if (sel != lastSel) { out(nOut) = h(sel); nOut += 1; lastSel = sel }
       }
       idx += 1
     }
-    out.toArray
+    java.util.Arrays.copyOf(out, nOut)
   }
 }
 

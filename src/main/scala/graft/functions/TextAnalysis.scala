@@ -646,6 +646,41 @@ object TextAnalysis {
       .orderBy(desc("shared_fps"), col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-source vocabulary overlap matrix: exact Jaccard between the
+    * DISTINCT token sets of every source pair — the corpus-composition
+    * diagnostic (how lexically redundant are two ingest sources?) that
+    * informs mixture weights before any model sees the data. The
+    * (source, token) frame is distinct-reduced FIRST, so the pair join
+    * is bounded by |vocabulary| x |source pairs|, never by document
+    * volume; similarity is an exact ppm fixed point from integer
+    * intersection/union counts (inclusion-exclusion on the per-source
+    * vocab sizes). At open source counts the same frame feeds a MinHash
+    * per source instead (the `Dedup` sketch machinery) — with the
+    * harness's 20 sources the exact join IS the scale path.
+    */
+  def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    st.alias("a")
+      .join(st.alias("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("sa"), col("n").as("vocab_a")),
+        col("source_a") === col("sa"))
+      .join(sizes.select(col("source").as("sb"), col("n").as("vocab_b")),
+        col("source_b") === col("sb"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("vocab_a"), col("vocab_b"),
+        (col("vocab_a") + col("vocab_b") - col("n_common")).as("vocab_union"),
+        expr("n_common * 1000000 DIV (vocab_a + vocab_b - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Train/val/test LEAKAGE audit — the eval-integrity question every
     * training pipeline must answer: how many near-duplicate pairs
     * STRADDLE split boundaries (a test doc with a near-dup in train is a

@@ -1427,6 +1427,8 @@ object Analytics {
     * the tiny |distinct path| frame.
     */
   def sessionPaths(events: DataFrame, maxLen: Int = 5): DataFrame = {
+    // the sortable key zero-pads the rank to 2 digits
+    require(maxLen >= 1 && maxLen <= 99, s"maxLen must be in [1, 99], got $maxLen")
     val bySess = Window.partitionBy(col("user_id"), col("session_index"))
     val ordered = bySess.orderBy(col("ts"), col("event_id"))
     val tagged = graft.operators.Sessionize.withSessionIndex(events)
