@@ -184,6 +184,44 @@ class Round8Phase7Spec extends SparkTestBase {
     assert(got == Seq(13L, 10L, 10L, got(3)))
   }
 
+  test("winnowing deque == independent naive reference on 500 random strings") {
+    // brute-force reference: per window, min then rightmost tie — written
+    // from the SIGMOD'03 definition, sharing NO code with the deque path
+    def fnv(bs: Array[Byte], off: Int, len: Int): Long = {
+      var h = -3750763034362895579L
+      for (i <- off until off + len) h = (h ^ (bs(i) & 0xffL)) * 1099511628211L
+      h
+    }
+    def naive(bytes: Array[Byte], k: Int, w: Int): Seq[Long] = {
+      val n = bytes.length
+      if (n < k) return Seq.empty
+      val m = n - k + 1
+      val h = (0 until m).map(i => fnv(bytes, i, k))
+      val sels = for (t <- 0 until math.max(m - w + 1, 1)) yield {
+        val win = t to math.min(t + w - 1, m - 1)
+        val mn = win.map(h).min
+        val sel = win.filter(i => h(i) == mn).max
+        (sel, h(sel))
+      }
+      sels.distinct.map(_._2)
+    }
+    val rnd = new scala.util.Random(42)
+    val cases =
+      Seq("", "a", "aaaaaaaaaa", "abababababab", "abcdefghijkl") ++
+        (1 to 500).map { _ =>
+          val len = rnd.nextInt(60)
+          (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        }
+    for (s <- cases; (k, w) <- Seq((4, 3), (8, 4), (2, 5))) {
+      val bytes = s.getBytes("UTF-8")
+      val expect = naive(bytes, k, w)
+      val got = graft.functions.WinnowStats.hashes(bytes, k, w).toSeq
+      assert(got == expect, s"k=$k w=$w text='$s'")
+      val stats = graft.functions.WinnowStats.compute(bytes, k, w)
+      assert(stats(2) == expect.length, s"count mismatch k=$k w=$w '$s'")
+    }
+  }
+
   test("winnowing: identical docs produce identical fingerprint checksums") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq((1L, text), (2L, text), (3L, text.reverse)).toDF("doc_id", "text")
