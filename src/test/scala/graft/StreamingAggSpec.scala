@@ -492,6 +492,42 @@ class StreamingAggSpec extends SparkTestBase {
     assert(result.select("event_count").as[Long].head == 2L)
   }
 
+  test("stateful streaming transitions match the batch lead() operator across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = graft.streaming.StatefulTransitions.transitions(spark, mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transitions_out").start()
+    def e(u: Long, id: Long, t: String, tp: String) =
+      (u, id, Timestamp.valueOf(t), tp)
+    try {
+      mem.addData(
+        e(1, 1, "2024-01-01 10:00:00", "a"), e(1, 2, "2024-01-01 10:01:00", "b"),
+        e(2, 3, "2024-01-01 10:00:00", "x"))
+      q.processAllAvailable()
+      // batch 2 continues user 1 from state (b -> a) and user 2 (x -> x)
+      mem.addData(
+        e(1, 4, "2024-01-01 10:02:00", "a"),
+        e(2, 5, "2024-01-01 10:03:00", "x"))
+      q.processAllAvailable()
+      val got = spark.table("transitions_out").collect()
+        .groupBy(r => (r.getString(1), r.getString(2)))
+        .view.mapValues(_.length.toLong).toMap
+      // batch parity over the union of arrivals
+      val all = Seq(
+        (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a", 0.0),
+        (1L, 2L, Timestamp.valueOf("2024-01-01 10:01:00"), "b", 0.0),
+        (2L, 3L, Timestamp.valueOf("2024-01-01 10:00:00"), "x", 0.0),
+        (1L, 4L, Timestamp.valueOf("2024-01-01 10:02:00"), "a", 0.0),
+        (2L, 5L, Timestamp.valueOf("2024-01-01 10:03:00"), "x", 0.0))
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+      val batch = graft.queries.Analytics.eventTransitions(all).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch,
+        s"cross-batch stateful pairs must equal batch lead() counts: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming winnowing: the native expression fingerprints a stream statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
