@@ -776,7 +776,12 @@ object SparkEntry {
       Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // Exact cross-source vocabulary Jaccard matrix (mixture diagnostics).
     "source_vocab_overlap" -> ((s, dir) =>
-      TextAnalysis.sourceVocabOverlap(Tables.documents(s, dir)))
+      TextAnalysis.sourceVocabOverlap(Tables.documents(s, dir))),
+    // Bounded-hop BFS distance from seed docs over the shared-span graph.
+    "doc_seed_distance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Centrality.docSeedDistance(docs, docs.filter(col("doc_id") < 10))
+    })
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3050,6 +3055,35 @@ object SparkEntry {
         |  FROM cl JOIN q2 ON cl.doc_id = q2.doc_id)
         |SELECT cluster_id, doc_id, quality_score, rn = 1 AS is_kept
         |FROM rk ORDER BY doc_id""".stripMargin),
+
+    // Same string-shingle edges; a depth-capped recursive BFS collects
+    // (node, depth) pairs, min per node, -1 past the hop budget.
+    "doc_seed_distance" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 6),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+        |         toks[i+6] || ' ' || toks[i+7]))) AS shingle
+        |  FROM tk),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
+        |        WHERE df BETWEEN 2 AND 50),
+        |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |       FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id),
+        |ed AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+        |bfs(v, d) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id < 10
+        |  UNION
+        |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN ed e ON e.src = bfs.v
+        |  WHERE bfs.d < 3),
+        |md AS (SELECT v, min(d) AS distance FROM bfs GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  CAST(COALESCE(md.distance, -1) AS BIGINT) AS distance
+        |FROM documents doc LEFT JOIN md ON doc.doc_id = md.v
+        |ORDER BY doc.doc_id""".stripMargin,
 
     // Same edge construction as the doc_pagerank oracle (string shingles
     // stand in for the engine's xxhash64 equivalence classes), then the

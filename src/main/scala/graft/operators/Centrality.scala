@@ -99,6 +99,52 @@ object Centrality {
       .orderBy(col("doc_id"))
   }
 
+  /** Bounded-hop BFS from a seed set over the shared-span graph — the
+    * graph-traversal member of the family (components tell you WHICH
+    * cluster, pagerank HOW CENTRAL, this HOW CLOSE to known-bad): given
+    * seed documents (e.g. confirmed spam/boilerplate), every doc's
+    * minimum hop distance within `maxHops`, -1 beyond. The
+    * guilt-by-association signal curation pipelines use to expand a
+    * blocklist one audited hop at a time.
+    *
+    * Each hop is ONE keyed equi-join (frontier x edges) + a min
+    * aggregate — the pagerank round shape, with the frame bounded by
+    * reached nodes; the edge list builds once (same df-capped
+    * construction, localCheckpointed). Fixed `maxHops` = fixed round
+    * count: no driver-side convergence loop, no unbounded recursion.
+    */
+  def docSeedDistance(
+      documents: DataFrame, seeds: DataFrame,
+      k: Int = 8, dfCap: Int = 50, maxHops: Int = 3): DataFrame = {
+    val shared = Dedup.hashedShingleDf(documents, k)
+      .filter(col("df").between(2, dfCap))
+      .select(col("sh"), col("doc_id"))
+    val pairs = shared
+      .join(shared.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
+      .filter(col("doc_id") < col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var dist = seeds.select(col("doc_id")).distinct()
+      .withColumn("distance", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val next = edges
+        .join(dist, edges("src") === dist("doc_id"))
+        .select(col("dst").as("doc_id"), (col("distance") + 1L).as("distance"))
+      dist = dist.union(next)
+        .groupBy(col("doc_id"))
+        .agg(min(col("distance")).as("distance"))
+    }
+    documents.select(col("doc_id"))
+      .join(dist.withColumnRenamed("doc_id", "r"), col("doc_id") === col("r"), "left")
+      .select(col("doc_id"),
+        coalesce(col("distance"), lit(-1L)).as("distance"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact triangle counting + local clustering coefficient over the same
     * shared-span graph as [[docPagerank]] — the complementary cohesion
     * signal: a high-degree doc whose neighbors also link each OTHER (high

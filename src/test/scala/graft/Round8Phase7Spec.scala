@@ -263,6 +263,24 @@ class Round8Phase7Spec extends SparkTestBase {
     assert(got.values.forall(_ == 0L), s"wedge must not count as triangle: $got")
   }
 
+  test("docSeedDistance: hop distances along a path, -1 past the budget") {
+    def span(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    // path 1 -11 -12 -13 -14 via exclusive shared spans; 15 isolated
+    val docs = Seq(
+      (1L, s"${span("a")} filler words here now one"),
+      (11L, s"${span("a")} and then ${span("b")}"),
+      (12L, s"${span("b")} and then ${span("c")}"),
+      (13L, s"${span("c")} and then ${span("d")}"),
+      (14L, s"${span("d")} trailing body words here"),
+      (15L, "isolated text with no shared span at all ok")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Centrality
+      .docSeedDistance(docs, docs.filter(col("doc_id") === 1L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 3L,
+      14L -> -1L, 15L -> -1L), s"got $got")
+  }
+
   // ---- dedup_keep_best -----------------------------------------------------
 
   test("keepBestPerCluster: the higher-quality duplicate survives, not the min id") {
