@@ -781,6 +781,62 @@ object SparkEntry {
     "doc_seed_distance" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Centrality.docSeedDistance(docs, docs.filter(col("doc_id") < 10))
+    }),
+    // The SAME BFS through the SQL PARSER as a Spark 4 recursive CTE
+    // (WITH RECURSIVE, UNION ALL + depth bound + final min-group — the
+    // UNION-ALL-only dialect materializes WALKS, fine here because walks
+    // <= seeds * deg^maxHops and the hop budget is 3; the production
+    // path is the iterative operator above). Shares that query's oracle.
+    "doc_seed_distance_sql" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_q_documents")
+      s.sql(
+        """WITH RECURSIVE tk AS (
+          |  SELECT doc_id, split(text, ' ') AS toks FROM graft_q_documents),
+          |sh AS (
+          |  SELECT doc_id, explode(array_distinct(transform(
+          |    CASE WHEN size(toks) >= 8 THEN sequence(1, size(toks) - 7)
+          |         ELSE array() END,
+          |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+          |      element_at(toks, i+2), element_at(toks, i+3),
+          |      element_at(toks, i+4), element_at(toks, i+5),
+          |      element_at(toks, i+6), element_at(toks, i+7))))) AS shingle
+          |  FROM tk),
+          |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+          |shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df USING (shingle)
+          |        WHERE df BETWEEN 2 AND 50),
+          |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          |       FROM shf a JOIN shf b
+          |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+          |ed AS (SELECT src, dst FROM pr
+          |       UNION ALL SELECT dst AS src, src AS dst FROM pr),
+          |walks(v, d) AS (
+          |  SELECT doc_id AS v, 0 AS d FROM graft_q_documents WHERE doc_id < 10
+          |  UNION ALL
+          |  SELECT e.dst, walks.d + 1 FROM walks JOIN ed e ON e.src = walks.v
+          |  WHERE walks.d < 3),
+          |md AS (SELECT v, min(d) AS distance FROM walks GROUP BY v)
+          |SELECT doc.doc_id,
+          |  CAST(COALESCE(md.distance, -1) AS BIGINT) AS distance
+          |FROM graft_q_documents doc LEFT JOIN md ON doc.doc_id = md.v
+          |ORDER BY doc.doc_id""".stripMargin)
+    }),
+    // Spark 4 VARIANT over the semi-structured props column: parse once,
+    // typed variant_get extraction, grouped aggregates.
+    "props_variant_agg" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("graft_q_events")
+      s.sql(
+        """SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
+          |    AS k_sum,
+          |  CAST(min(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
+          |    AS k_min,
+          |  CAST(max(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
+          |    AS k_max,
+          |  CAST(count(DISTINCT variant_get(parse_json(props), '$.k', 'long'))
+          |    AS BIGINT) AS k_distinct
+          |FROM graft_q_events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
     })
   )
 
@@ -809,6 +865,37 @@ object SparkEntry {
     s"CAST(${sqlCentsLong(c)} AS VARCHAR)"
 
   private def sqlStr(c: String): String = s"CAST($c AS VARCHAR)"
+
+  /** Seed-distance BFS oracle (shared by the iterative-operator and
+    * recursive-CTE query spellings): string-shingle edges, depth-capped
+    * recursion, min depth per node, -1 past the hop budget.
+    */
+  private lazy val seedDistanceOracleSql: String =
+    """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(toks) - 6),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |         toks[i+6] || ' ' || toks[i+7]))) AS shingle
+      |  FROM tk),
+      |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      |shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
+      |        WHERE df BETWEEN 2 AND 50),
+      |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |       FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id),
+      |ed AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+      |bfs(v, d) AS (
+      |  SELECT doc_id, 0 FROM documents WHERE doc_id < 10
+      |  UNION
+      |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN ed e ON e.src = bfs.v
+      |  WHERE bfs.d < 3),
+      |md AS (SELECT v, min(d) AS distance FROM bfs GROUP BY 1)
+      |SELECT doc.doc_id,
+      |  CAST(COALESCE(md.distance, -1) AS BIGINT) AS distance
+      |FROM documents doc LEFT JOIN md ON doc.doc_id = md.v
+      |ORDER BY doc.doc_id""".stripMargin
 
   /** The winnowing pipeline CTE prefix (through the distinct fingerprint
     * frame `fp`), shared by the per-doc stats oracle and the candidate-
@@ -3057,33 +3144,23 @@ object SparkEntry {
         |FROM rk ORDER BY doc_id""".stripMargin),
 
     // Same string-shingle edges; a depth-capped recursive BFS collects
-    // (node, depth) pairs, min per node, -1 past the hop budget.
-    "doc_seed_distance" ->
-      """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |            FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(toks) - 6),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-        |         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
-        |         toks[i+6] || ' ' || toks[i+7]))) AS shingle
-        |  FROM tk),
-        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-        |shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
-        |        WHERE df BETWEEN 2 AND 50),
-        |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-        |       FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id),
-        |ed AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
-        |bfs(v, d) AS (
-        |  SELECT doc_id, 0 FROM documents WHERE doc_id < 10
-        |  UNION
-        |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN ed e ON e.src = bfs.v
-        |  WHERE bfs.d < 3),
-        |md AS (SELECT v, min(d) AS distance FROM bfs GROUP BY 1)
-        |SELECT doc.doc_id,
-        |  CAST(COALESCE(md.distance, -1) AS BIGINT) AS distance
-        |FROM documents doc LEFT JOIN md ON doc.doc_id = md.v
-        |ORDER BY doc.doc_id""".stripMargin,
+    // (node, depth) pairs, min per node, -1 past the hop budget. The
+    // _sql variant runs the SAME semantics through Spark's recursive-CTE
+    // parser path, so one oracle serves both.
+    "doc_seed_distance" -> seedDistanceOracleSql,
+    "doc_seed_distance_sql" -> seedDistanceOracleSql,
+
+    // DuckDB replays the VARIANT extraction with its JSON operators.
+    "props_variant_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+        |  CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+        |    AS k_distinct
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // Same edge construction as the doc_pagerank oracle (string shingles
     // stand in for the engine's xxhash64 equivalence classes), then the
