@@ -383,6 +383,54 @@ SELECT doc_id, shard, CAST(tokens AS BIGINT) AS tokens, start_offset,
 FROM o ORDER BY doc_id"""
   }
 
+  /** daily_agg_approx_merged: the DIRECT daily relational HLL — valid as
+    * the oracle for the engine's hourly-register MERGE because max(rho)
+    * is associative: merging hourly registers into daily ones yields
+    * bit-identical register rows to building daily registers directly
+    * (the engine-side equality is separately spec-asserted).
+    */
+  def hllDailySql: String = {
+    val m = Hll.M
+    val lcList = Hll.LinearCounting.map(dlit).mkString("[", ", ", "]")
+    s"""WITH l1 AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+ux AS (SELECT day, event_type,
+  ((CASE WHEN user_id < 0 THEN CAST(user_id AS HUGEINT) + $U64
+         ELSE CAST(user_id AS HUGEINT) END)
+   + 11400714819323198485::HUGEINT) % $U64 AS z0 FROM l1),
+${mixChain("md", "ux", Seq("day", "event_type"), "z0")},
+rw AS (SELECT day, event_type,
+  CAST(mx % $m AS BIGINT) AS bucket, CAST(mx // $m AS BIGINT) AS w FROM md4),
+t1 AS (SELECT day, event_type, bucket, w | (w >> 1) AS v FROM rw),
+t2 AS (SELECT day, event_type, bucket, v | (v >> 2) AS v FROM t1),
+t3 AS (SELECT day, event_type, bucket, v | (v >> 4) AS v FROM t2),
+t4 AS (SELECT day, event_type, bucket, v | (v >> 8) AS v FROM t3),
+t5 AS (SELECT day, event_type, bucket, v | (v >> 16) AS v FROM t4),
+t6 AS (SELECT day, event_type, bucket, v | (v >> 32) AS v FROM t5),
+rh AS (SELECT day, event_type, bucket,
+  least(52, ${64 - Hll.P + 1} - bit_count(v)) AS rho FROM t6),
+regs AS (SELECT day, event_type, bucket, max(rho) AS rho
+  FROM rh GROUP BY 1, 2, 3),
+agg AS (SELECT day, event_type,
+  count(rho) AS present,
+  CAST(sum(1::BIGINT << (52 - rho)) AS BIGINT) AS sum_present
+  FROM regs GROUP BY 1, 2),
+calc AS (SELECT day, event_type, $m - present AS v,
+  ${dlit(Hll.EstNumerator)}
+    / CAST(sum_present + ($m - present) * 4503599627370496::BIGINT AS DOUBLE)
+    AS eraw
+  FROM agg),
+ex AS (SELECT CAST(ts AS DATE) AS day, event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS users_exact
+  FROM events GROUP BY 1, 2)
+SELECT ex.day, ex.event_type, ex.users_exact,
+  CASE WHEN v > 0 AND eraw <= ${dlit(2.5 * m)} THEN ($lcList)[v] ELSE eraw END
+    AS approx_users
+FROM ex JOIN calc ON ex.day = calc.day AND ex.event_type = calc.event_type
+ORDER BY ex.day, ex.event_type"""
+  }
+
   /** hourly_agg_approx: the relational HLL — mix64 of each distinct user,
     * bucket/rho split, per-bucket max registers, exact fixed-point
     * harmonic fold, JVM-shared linear-counting literals. Mirrors

@@ -820,6 +820,26 @@ object SparkEntry {
           |FROM graft_q_documents doc LEFT JOIN md ON doc.doc_id = md.v
           |ORDER BY doc.doc_id""".stripMargin)
     }),
+    // HLL register MERGE: hourly sketches rolled up to daily estimates
+    // (groupBy-max on register rows — the mergeability the row-based
+    // sketch exists for), beside exact daily distincts.
+    "daily_agg_approx_merged" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("window_start", date_trunc("hour", col("ts")))
+      val regs = graft.operators.Hll.registers(
+        hourly, Seq("day", "window_start", "event_type"), "user_id")
+      val merged = graft.operators.Hll.mergeAndEstimate(
+        regs, Seq("day", "event_type"))
+      val exact = ev
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users_exact"))
+      merged.join(exact, Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("users_exact"),
+          col("approx_users"))
+        .orderBy(col("day"), col("event_type"))
+    }),
     // Spark 4 VARIANT over the semi-structured props column: parse once,
     // typed variant_get extraction, grouped aggregates.
     "props_variant_agg" -> ((s, dir) => {
@@ -3149,6 +3169,10 @@ object SparkEntry {
     // parser path, so one oracle serves both.
     "doc_seed_distance" -> seedDistanceOracleSql,
     "doc_seed_distance_sql" -> seedDistanceOracleSql,
+
+    // Direct-daily HLL fold — oracle-valid for the hourly-register merge
+    // because max(rho) is associative (see SketchOracles.hllDailySql).
+    "daily_agg_approx_merged" -> SketchOracles.hllDailySql,
 
     // DuckDB replays the VARIANT extraction with its JSON operators.
     "props_variant_agg" ->

@@ -92,7 +92,6 @@ object Hll {
         max(col("rho")).as("rho"),
         count(col("bucket")).as("bucket_users"), // 0 for the null-bucket group
         sum(col("user_events")).as("events"))
-    val lcLit = array(LinearCounting.map(lit).toIndexedSeq: _*)
     l2
       .groupBy(g: _*)
       .agg(
@@ -100,14 +99,61 @@ object Hll {
         sum(col("bucket_users")).as("users_exact"),
         count(col("rho")).as("present"), // null-rho (null-user) row not a register
         sum(expr("shiftleft(1L, 52 - rho)")).as("sum_present"))
-      .select(g ++ Seq(col("event_count"), col("users_exact")) ++ Seq {
-        val v = (lit(M) - col("present")).cast("int")
-        val sumNum = col("sum_present") + v.cast("long") * lit(1L << 52)
-        val eRaw = lit(EstNumerator) / sumNum.cast("double")
-        when(v > lit(0) && eRaw <= lit(2.5 * M), element_at(lcLit, v))
-          .otherwise(eRaw)
-          .as("approx_users")
-      }: _*)
+      .select(g ++ Seq(col("event_count"), col("users_exact"),
+        estimator.as("approx_users")): _*)
+  }
+
+  /** The HLL estimate from the folded register stats (`present` register
+    * rows, `sum_present` = Σ 2^(52-rho)) — the single definition every
+    * estimating query shares (harmonic fold + linear-counting branch).
+    */
+  private def estimator: Column = {
+    val lcLit = array(LinearCounting.map(lit).toIndexedSeq: _*)
+    val v = (lit(M) - col("present")).cast("int")
+    val sumNum = col("sum_present") + v.cast("long") * lit(1L << 52)
+    val eRaw = lit(EstNumerator) / sumNum.cast("double")
+    when(v > lit(0) && eRaw <= lit(2.5 * M), element_at(lcLit, v))
+      .otherwise(eRaw)
+  }
+
+  /** The sketch STATE itself: one (group..., bucket, rho) row per
+    * non-empty register — the mergeable representation. Null users
+    * produce no register (count(DISTINCT) semantics).
+    */
+  def registers(
+      df: DataFrame, groupNames: Seq[String], userCol: String): DataFrame = {
+    val g = groupNames.map(col)
+    val h = graft.functions.GraftColumns.mix64(col(userCol))
+    df
+      .filter(col(userCol).isNotNull)
+      .select(g ++ Seq(
+        h.bitwiseAND(lit((M - 1).toLong)).as("bucket"),
+        rho(shiftrightunsigned(h, P)).as("rho")): _*)
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge register frames down to a COARSER grouping and estimate — the
+    * property the row-based sketch exists for: max(rho) is associative /
+    * commutative / idempotent, so rolling hourly registers into daily
+    * ones (or shard sketches into a global one) is the same groupBy-max
+    * that built them, and the merged estimate EQUALS the estimate built
+    * directly at the coarse grain (spec-asserted; the oracle replays the
+    * direct computation). At scale this is the streaming/warehouse
+    * rollup pattern: keep |groups| x m tiny register rows, never
+    * re-touch the raw 100 TB to re-aggregate a coarser window.
+    */
+  def mergeAndEstimate(
+      regs: DataFrame, coarseNames: Seq[String]): DataFrame = {
+    val g = coarseNames.map(col)
+    regs
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+      .groupBy(g: _*)
+      .agg(
+        count(col("rho")).as("present"),
+        sum(expr("shiftleft(1L, 52 - rho)")).as("sum_present"))
+      .select(g :+ estimator.as("approx_users"): _*)
   }
 
   /** The estimator alone (no row count): same fused pipeline, count

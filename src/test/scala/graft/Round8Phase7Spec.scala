@@ -360,6 +360,27 @@ class Round8Phase7Spec extends SparkTestBase {
       "leak matrix is a filter of the candidate-pair frame")
   }
 
+  // ---- HLL merge -----------------------------------------------------------
+
+  test("HLL register merge equals the direct coarse sketch (max-associativity)") {
+    val ev = Tables.events(spark, sf)
+    val hourly = ev
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+    val viaHourly = graft.operators.Hll.mergeAndEstimate(
+      graft.operators.Hll.registers(
+        hourly, Seq("day", "window_start", "event_type"), "user_id"),
+      Seq("day", "event_type")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getDouble(2)).toMap
+    val direct = graft.operators.Hll.mergeAndEstimate(
+      graft.operators.Hll.registers(
+        hourly, Seq("day", "event_type"), "user_id"),
+      Seq("day", "event_type")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getDouble(2)).toMap
+    assert(viaHourly == direct,
+      "merging hourly registers must be BIT-identical to sketching daily directly")
+  }
+
   // ---- shipping_business_sla -----------------------------------------------
 
   test("business-day delay: weekends excluded, hand-checked calendar cases") {
