@@ -13,8 +13,17 @@ import org.apache.spark.sql.types.LongType
   * materialization happens at this layer.
   */
 object Tables {
-  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The harness parquet stores naive timestamps (isAdjustedToUTC=false,
+    // micros since the 2026-08-13 regeneration), which Spark 4 would infer
+    // as TIMESTAMP_NTZ by default. Read them as session-TZ TIMESTAMP
+    // instead: every session here pins UTC, so the instant is identical,
+    // downstream code keeps the TIMESTAMP type it was written against
+    // (unix_micros, getAs[java.sql.Timestamp], window()), and DuckDB's
+    // naive reading of the same files stays value-aligned.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `events` — the stream-shaped fact table (reference: UserActivityEvent,
     * utils/domain/events.py:7-18). Harness schema: event_id long, ts
