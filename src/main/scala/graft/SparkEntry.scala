@@ -857,7 +857,22 @@ object SparkEntry {
           |FROM graft_q_events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin)
-    })
+    }),
+
+    // ---- retrieval + collocations ---------------------------------------
+
+    // Okapi BM25 top-k: one stats pass (1-row broadcast) + one stateless
+    // scoring scan, tf per term via array_remove (no explode, no postings
+    // shuffle), top-k via TakeOrderedAndProject.
+    "bm25_top_docs" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(Tables.documents(s, dir))),
+    // Conjunctive boolean retrieval: pure scan+filter, zero shuffle.
+    "boolean_retrieval" -> ((s, dir) =>
+      TextAnalysis.booleanRetrieval(Tables.documents(s, dir))),
+    // PMI collocations: one bigram explode into a vocab²-bounded count,
+    // marginals as windows over the counted frame, T broadcast.
+    "collocations_pmi" -> ((s, dir) =>
+      TextAnalysis.collocationsPmi(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3292,7 +3307,106 @@ object SparkEntry {
         |      AS BIGINT) FROM documents)
         |SELECT table_name, check_name, CAST(checked AS BIGINT) AS checked,
         |  violations, violations = 0 AS pass
-        |FROM r ORDER BY table_name, check_name""".stripMargin
+        |FROM r ORDER BY table_name, check_name""".stripMargin,
+
+    // BM25 replayed literally. Float literals are CAST(... AS DOUBLE)
+    // compositions mirroring the Scala runtime arithmetic exactly
+    // (DuckDB parses bare 1.2 as DECIMAL; and (1.2::DOUBLE + 1.0) is the
+    // value Scala's k1 + 1.0 computes, which is NOT bitwise the literal
+    // 2.2 — the sum lands on a round-to-even halfway case).
+    "bm25_top_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'dup'))
+        |      AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'key'))
+        |      AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'fast'))
+        |      AS BIGINT) AS tf2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM d),
+        |scored AS (
+        |  SELECT doc_id, dl,
+        |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df0 + CAST(0.5 AS DOUBLE))
+        |        / (df0 + CAST(0.5 AS DOUBLE)))
+        |      * (CAST(tf0 AS DOUBLE)
+        |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |    + ln(CAST(1.0 AS DOUBLE) + (n_docs - df1 + CAST(0.5 AS DOUBLE))
+        |        / (df1 + CAST(0.5 AS DOUBLE)))
+        |      * (CAST(tf1 AS DOUBLE)
+        |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |    + ln(CAST(1.0 AS DOUBLE) + (n_docs - df2 + CAST(0.5 AS DOUBLE))
+        |        / (df2 + CAST(0.5 AS DOUBLE)))
+        |      * (CAST(tf2 AS DOUBLE)
+        |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |    AS score_raw,
+        |    (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms_hit
+        |  FROM d, stats)
+        |SELECT doc_id, dl, n_terms_hit, round(score_raw, 4) AS score
+        |FROM (SELECT * FROM scored WHERE score_raw > CAST(0.0 AS DOUBLE)
+        |      ORDER BY score_raw DESC, doc_id LIMIT 20) topk
+        |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "boolean_retrieval" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'dup'))
+        |      AS BIGINT) AS tf_dup,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'key'))
+        |      AS BIGINT) AS tf_key,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'fast'))
+        |      AS BIGINT) AS tf_fast
+        |  FROM documents)
+        |SELECT doc_id, dl, tf_dup, tf_key, tf_fast FROM d
+        |WHERE tf_dup > 0 AND tf_key > 0 AND tf_fast > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // PMI over adjacent pairs: marginals are windows over the counted
+    // (w1,w2) frame — counts include the sub-floor tail (the filter
+    // applies after the marginal windows, matching the engine).
+    "collocations_pmi" ->
+      """WITH bi AS (
+        |  SELECT
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i])) AS w1,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i+1])) AS w2
+        |  FROM documents),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM bi GROUP BY 1, 2),
+        |m AS (SELECT w1, w2, c12,
+        |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |    CAST(sum(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2
+        |  FROM pc),
+        |t AS (SELECT CAST(sum(c12) AS BIGINT) AS t_total FROM pc),
+        |s AS (SELECT w1, w2, c12, c1, c2,
+        |    ln(CAST(c12 AS DOUBLE) * CAST(t_total AS DOUBLE)
+        |       / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS pmi_raw
+        |  FROM m, t WHERE c12 >= 5)
+        |SELECT w1, w2, c12, c1, c2, round(pmi_raw, 4) AS pmi
+        |FROM (SELECT * FROM s ORDER BY pmi_raw DESC, w1, w2 LIMIT 30) topk
+        |ORDER BY pmi DESC, w1, w2""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -743,4 +743,135 @@ object TextAnalysis {
       .select(col("doc_id"), col("selpos"), col("winmin"))
       .distinct()
   }
+
+  /** Per-term term frequency without exploding the corpus:
+    * tf = |toks| - |toks with the term removed|. `array_remove` is a plain
+    * collection expression (codegen, no lambda), so a fixed small query
+    * term set costs one extra array traversal per term per row — the whole
+    * scoring pass stays inside the document scan with zero shuffle.
+    */
+  private def tfOf(toks: Column, term: String): Column =
+    (size(toks) - size(array_remove(toks, lit(term)))).cast("long")
+
+  /** Okapi BM25 top-k retrieval for a fixed conjunctive-free query
+    * (Robertson & Walker SIGIR'94; Lucene's non-negative idf variant
+    * ln(1 + (N - df + 0.5)/(df + 0.5))).
+    *
+    * Distributed shape — the part that matters at 100 TB: corpus
+    * statistics (N, sum(dl) for avgdl, per-term df) are ONE map-side-
+    * combined aggregate over the scan (a single 1-row result broadcast
+    * back), and scoring is a second stateless scan pass — per-term tf via
+    * [[tfOf]] (no explode, no posting-list shuffle), top-k via
+    * TakeOrderedAndProject (per-partition heaps, no global sort). Nothing
+    * shuffles but one row of stats and k result rows.
+    *
+    * Scores are emitted rounded to 4 decimals; ordering uses the unrounded
+    * double. Cross-engine drift is ~1 ulp in ln() — argument-identical on
+    * both engines since all idf/tf/dl inputs are exact integers and avgdl
+    * is an exact-integer ratio — far below the score separation of
+    * distinct (tf*, dl) tuples (same argument as [[tfidfTopTerms]]).
+    */
+  def bm25TopDocs(
+      documents: DataFrame,
+      queryTerms: Seq[String] = Seq("dup", "key", "fast"),
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = tokens(col("text"))
+    val perDoc = documents.select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) => tfOf(toks, t).as(s"tf$i") }: _*)
+    val statAggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def idf(i: Int): Column = log(
+      lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+    def termScore(i: Int): Column =
+      idf(i) * (col(s"tf$i").cast("double") * lit(k1 + 1.0)) /
+        (col(s"tf$i").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    val score = queryTerms.indices.map(termScore).reduce(_ + _)
+    val hits = queryTerms.indices.map(i => when(col(s"tf$i") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score_raw", score)
+      .filter(col("score_raw") > 0.0)
+      .orderBy(col("score_raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dl"), hits.as("n_terms_hit"),
+        round(col("score_raw"), 4).as("score"))
+      // re-sort on the ROUNDED emitted value: the driver compares row
+      // order, and the rounded grid is cross-engine-stable where the raw
+      // double's last ulp is not
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Conjunctive (AND-semantics) boolean retrieval: documents containing
+    * EVERY query term, with per-term tfs. The inverted-index consumer
+    * query — but evaluated as a pure scan+filter (tf per term via
+    * [[tfOf]], conjunction of tf>0 predicates): zero shuffle, zero
+    * explode, trivially parallel over 100 TB of parquet splits. An index
+    * would only win when the query term set is rare AND the index already
+    * exists; the scan shape is the right default for ad-hoc corpus audits.
+    */
+  def booleanRetrieval(
+      documents: DataFrame,
+      queryTerms: Seq[String] = Seq("dup", "key", "fast")): DataFrame = {
+    val toks = tokens(col("text"))
+    val withTf = documents.select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) => tfOf(toks, t).as(s"tf_$t") }: _*)
+    withTf
+      .filter(queryTerms.map(t => col(s"tf_$t") > 0L).reduce(_ && _))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Collocation extraction by pointwise mutual information over adjacent
+    * token pairs (Church & Hanks, Comp. Linguistics 1990):
+    * pmi(w1,w2) = ln(c12 * T / (c1 * c2)) with c1/c2 the corpus counts of
+    * w1-as-left / w2-as-right and T the total bigram count. A minimum
+    * pair-count floor drops the unstable low-frequency tail (standard
+    * practice — PMI explodes for hapax pairs).
+    *
+    * Distributed shape: ONE bigram explode pass feeding a map-side-combined
+    * (w1,w2) count (bounded by vocab², not corpus size); the marginals are
+    * count-only windows over that aggregate (two vocab²-bounded shuffles of
+    * the counted frame, not of the corpus — same reasoning as
+    * [[bigramNll]]); T rides a 1-row broadcast. All pmi inputs are exact
+    * longs, so the double is argument-identical cross-engine; rounded to 4
+    * decimals, ordered on the unrounded value.
+    */
+  def collocationsPmi(
+      documents: DataFrame,
+      minCount: Long = 5L,
+      k: Int = 30): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = arrays_zip(
+      slice(toks, lit(1), n - 1).as("w1"),
+      slice(toks, lit(2), n - 1).as("w2"))
+    val pairCounts = documents
+      .select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val total = pairCounts.agg(sum(col("c12")).as("t_total"))
+    pairCounts
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy(col("w2"))))
+      .filter(col("c12") >= minCount)
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_raw",
+        log(col("c12").cast("double") * col("t_total").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))))
+      .orderBy(col("pmi_raw").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(col("pmi_raw"), 4).as("pmi"))
+      // rounded-grid re-sort, same reasoning as [[bm25TopDocs]]
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
 }
