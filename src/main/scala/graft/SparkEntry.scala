@@ -872,7 +872,24 @@ object SparkEntry {
     // PMI collocations: one bigram explode into a vocab²-bounded count,
     // marginals as windows over the counted frame, T broadcast.
     "collocations_pmi" -> ((s, dir) =>
-      TextAnalysis.collocationsPmi(Tables.documents(s, dir)))
+      TextAnalysis.collocationsPmi(Tables.documents(s, dir))),
+    // Spark 4 LATERAL correlated subquery with per-row ORDER BY + LIMIT:
+    // the SQL-parser-path spelling of top-k-per-group (the DataFrame
+    // equivalent is a rank window; Catalyst decorrelates the lateral into
+    // a WindowGroupLimit-style plan rather than per-row re-execution).
+    // DuckDB runs the same dialect, so one statement serves both engines.
+    "lateral_topk_sql" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("graft_q_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_q_customer")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+          |FROM graft_q_nation n,
+          |LATERAL (SELECT c_custkey, c_name, c_acctbal
+          |         FROM graft_q_customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    })
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3406,7 +3423,17 @@ object SparkEntry {
         |  FROM m, t WHERE c12 >= 5)
         |SELECT w1, w2, c12, c1, c2, round(pmi_raw, 4) AS pmi
         |FROM (SELECT * FROM s ORDER BY pmi_raw DESC, w1, w2 LIMIT 30) topk
-        |ORDER BY pmi DESC, w1, w2""".stripMargin
+        |ORDER BY pmi DESC, w1, w2""".stripMargin,
+
+    // Same LATERAL dialect runs verbatim on DuckDB (view names aside).
+    "lateral_topk_sql" ->
+      """SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_name, c_acctbal
+        |         FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

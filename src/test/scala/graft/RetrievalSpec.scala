@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.TextAnalysis
+
+/** Hand-computed fixtures for the retrieval/collocation operators (BM25,
+  * conjunctive boolean retrieval, PMI collocations). The driver's DuckDB
+  * oracle covers these at corpus scale; these pin the semantics on inputs
+  * small enough to verify by hand.
+  */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def half4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25TopDocs: hand-computed Okapi scores, zero-hit docs dropped") {
+    val docs = Seq(
+      (1L, "q w w"), //   dl 3, tf 1
+      (2L, "q q x"), //   dl 3, tf 2
+      (3L, "y y y y") //  dl 4, tf 0 -> excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopDocs(docs, Seq("q"), k = 10).collect()
+    // N=3, sum_dl=10, df=2: idf = ln(1 + 1.5/2.5); avgdl = 10/3
+    val k1 = 1.2; val b = 0.75
+    val idf = math.log(1.0 + (3L - 2L + 0.5) / (2L + 0.5))
+    val avgdl = 10.0 / 3.0
+    def s(tf: Long, dl: Long): Double =
+      idf * (tf.toDouble * (k1 + 1.0)) /
+        (tf.toDouble + k1 * (1.0 - b + b * dl.toDouble / avgdl))
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 1L)) // tf 2 outscores tf 1
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getDouble(3) == half4(s(2, 3)))
+    assert(byId(1L).getDouble(3) == half4(s(1, 3)))
+    assert(byId(2L).getInt(2) == 1 && byId(1L).getLong(1) == 3L)
+  }
+
+  test("bm25TopDocs: multi-term scores add; k truncates on (score, doc_id)") {
+    val docs = Seq(
+      (1L, "q r"), (2L, "q x"), (3L, "r x"), (4L, "x x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopDocs(docs, Seq("q", "r"), k = 2).collect()
+    // doc 1 hits both terms — strictly above docs 2 and 3 (one term each,
+    // same dl) which tie; doc_id breaks the tie for the k=2 cutoff.
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.head.getInt(2) == 2 && got(1).getInt(2) == 1)
+  }
+
+  test("booleanRetrieval: AND semantics, per-term tfs, doc order") {
+    val docs = Seq(
+      (3L, "a b c"), (1L, "a a b"), (2L, "b c"), (4L, "a c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.booleanRetrieval(docs, Seq("a", "b")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // ordered by doc_id
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(2) == 2L && byId(1L).getLong(3) == 1L) // tf_a, tf_b
+    assert(byId(3L).getLong(2) == 1L && byId(3L).getLong(3) == 1L)
+    assert(byId(3L).getLong(1) == 3L) // dl
+  }
+
+  test("collocationsPmi: hand-computed marginals; ties order by (w1, w2)") {
+    // pc: (a,b)=2 (b,a)=1 (c,a)=1; T=4; c1: a=2 b=1 c=1; c2: b=2 a=2.
+    // pmi(a,b) = ln(2*4/(2*2)) = ln2; (b,a) = (c,a) = ln(1*4/(1*2)) = ln2.
+    val docs = Seq((1L, "a b a b"), (2L, "c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocationsPmi(docs, minCount = 1L, k = 10).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("b", "a"), ("c", "a")))
+    assert(got.forall(_.getDouble(5) == half4(math.log(2.0))))
+    val ab = got.head
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 2L && ab.getLong(4) == 2L)
+  }
+
+  test("collocationsPmi: the count floor prunes rows but not marginals") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "c a")).toDF("doc_id", "text")
+    // (a,b)=3 survives minCount=2; (b,a)=2 survives; (c,a)=1 pruned, but
+    // its occurrence still counts in T and in c2(a).
+    val got = TextAnalysis.collocationsPmi(docs, minCount = 2L, k = 10).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("b", "a")))
+    val ba = got.map(r => (r.getString(0), r.getString(1)) -> r)
+      .toMap.apply(("b", "a"))
+    assert(ba.getLong(4) == 3L) // c2(a) includes the pruned (c,a) pair
+  }
+}

@@ -31,6 +31,20 @@ class Spark4SurfaceProbe extends SparkTestBase {
       s"dialect bound moved: ${e.getMessage}")
   }
 
+  test("LATERAL correlated subquery supports ORDER BY + LIMIT (top-k per row)") {
+    import spark.implicits._
+    Seq((1, "A"), (2, "B")).toDF("k", "name").createOrReplaceTempView("lp_dim")
+    Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("k", "v")
+      .createOrReplaceTempView("lp_fact")
+    val got = spark.sql(
+      """SELECT d.name, t.v FROM lp_dim d,
+        |LATERAL (SELECT v FROM lp_fact f WHERE f.k = d.k
+        |         ORDER BY v DESC LIMIT 2) t
+        |ORDER BY d.name, t.v""".stripMargin).collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("A", 20), ("A", 30), ("B", 5)))
+  }
+
   test("VARIANT parse_json / variant_get typed extraction") {
     val got = spark.sql(
       """SELECT variant_get(parse_json('{"a": {"b": 7}}'), '$.a.b', 'int')"""
