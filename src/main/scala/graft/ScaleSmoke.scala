@@ -95,6 +95,13 @@ object ScaleSmoke {
         graft.queries.Analytics.eventTypeIntervals(ev).count())
       time("time_decay_totals", scale)(
         graft.queries.Analytics.timeDecayTotals(ev).count())
+      // market-basket pairs over (user, event_type) baskets: one keyed
+      // shuffle into baskets, in-row pair expansion (≤ C(10,2) per user),
+      // pair/marginal aggregates bounded by type²
+      time("copurchase_pairs", scale)(
+        graft.queries.Analytics.copurchasePairs(
+          ev.select(col("user_id").as("l_orderkey"),
+            xxhash64(col("event_type")).as("l_partkey"))).count())
       ev.unpersist()
 
       val docs = DocGen.documents(spark, nDocs).cache()
@@ -137,6 +144,14 @@ object ScaleSmoke {
       // candidate, same as ngram_jaccard_pairs)
       time("winnow_native", scale)(
         graft.functions.TextAnalysis.winnowFingerprintsNative(docs).count())
+      // retrieval additions: BM25 is two stateless scan passes (stats
+      // 1-row broadcast + scoring top-k) — the curve should be pure scan;
+      // PMI is the bigram explode into a vocab²-bounded aggregate, so its
+      // curve tracks token volume with a constant-size shuffle frame
+      time("bm25_top_docs", scale)(
+        graft.functions.TextAnalysis.bm25TopDocs(docs).count())
+      time("collocations_pmi", scale)(
+        graft.functions.TextAnalysis.collocationsPmi(docs).count())
       pairs.unpersist()
       docs.unpersist()
 

@@ -889,7 +889,11 @@ object SparkEntry {
           |         WHERE c.c_nationkey = n.n_nationkey
           |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
           |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
-    })
+    }),
+    // Market-basket co-purchase pairs + lift: per-order baskets, in-row
+    // pair expansion (bounded by lines/order), no corpus self-join.
+    "copurchase_pairs" -> ((s, dir) =>
+      Analytics.copurchasePairs(Tables.lineitem(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3433,7 +3437,29 @@ object SparkEntry {
         |         FROM customer c
         |         WHERE c.c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
-        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
+
+    // Baskets as DISTINCT (orderkey, partkey); the self-join spelling is
+    // the oracle's simplest equivalent of the engine's in-row expansion.
+    "copurchase_pairs" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_ok FROM po GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM po),
+        |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+        |            CAST(count(*) AS BIGINT) AS support
+        |          FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+        |          GROUP BY 1, 2),
+        |s AS (SELECT part_a, part_b, support, ca.n_ok AS n_a, cb.n_ok AS n_b,
+        |        CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |          / (CAST(ca.n_ok AS DOUBLE) * CAST(cb.n_ok AS DOUBLE))
+        |          AS lift_raw
+        |      FROM pairs JOIN pc ca ON part_a = ca.pk
+        |                 JOIN pc cb ON part_b = cb.pk, n
+        |      WHERE support >= 2)
+        |SELECT part_a, part_b, support, n_a, n_b, round(lift_raw, 4) AS lift
+        |FROM (SELECT * FROM s ORDER BY support DESC, part_a, part_b LIMIT 50) t
+        |ORDER BY support DESC, part_a, part_b""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1611,4 +1611,56 @@ object Analytics {
         countDistinct(col("user_id")).as("unique_user_count"),
         round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("c_mktsegment"), col("event_type"))
+
+  /** Market-basket co-purchase pairs with lift (the association-rule
+    * primitive: support(a,b), marginals, lift = P(ab)/(P(a)P(b))).
+    *
+    * Distributed shape: ONE lineitem shuffle into per-order baskets
+    * (collect_set, map-side partial sets), then pair expansion INSIDE each
+    * row — a double explode bounded by lines-per-order (TPC-H ≤ 7, so
+    * ≤ 21 pairs/order), never a corpus self-join. Pair counts are a
+    * map-side-combined aggregate bounded by observed pairs; marginals come
+    * from the same basket frame (one exploded count, part-dimension-sized,
+    * exchange-reused); the order total rides a 1-row broadcast. The
+    * part-marginal join is left to AQE: it broadcasts while the part
+    * dimension fits and falls back to a shuffle join at 100 TB scale.
+    *
+    * Top-k cutoff orders on exact longs (support DESC, then the pair key)
+    * — no float in the ordering; lift is emitted rounded, computed from
+    * exact-long operands so the double is argument-identical cross-engine.
+    */
+  def copurchasePairs(
+      lineitem: DataFrame,
+      minSupport: Long = 2L,
+      k: Int = 50): DataFrame = {
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = baskets
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"), explode(col("parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+    val partCounts = baskets
+      .select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_ok"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    pairs
+      .filter(col("support") >= minSupport)
+      .join(partCounts.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("n_ok", "n_a"), Seq("part_a"))
+      .join(partCounts.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("n_ok", "n_b"), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_raw",
+        col("support").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(k)
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("n_a"), col("n_b"), round(col("lift_raw"), 4).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+  }
 }

@@ -80,4 +80,22 @@ class RetrievalSpec extends SparkTestBase {
       .toMap.apply(("b", "a"))
     assert(ba.getLong(4) == 3L) // c2(a) includes the pruned (c,a) pair
   }
+
+  test("copurchasePairs: baskets dedup lines; lift from hand-computed marginals") {
+    // Orders: 1 {10,20,30} (part 10 twice — dedups), 2 {10,20}, 3 {10,30},
+    // 4 {40}. Pairs: (10,20)=2 (10,30)=2 (20,30)=1(<minSupport).
+    // N=4, n(10)=3 n(20)=2 n(30)=2: lift(10,20) = 2*4/(3*2) = 4/3.
+    val li = Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L), (4L, 40L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = graft.queries.Analytics.copurchasePairs(li, minSupport = 2L, k = 10)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 20L), (10L, 30L))) // support ties order by pair key
+    val p = got.head
+    assert(p.getLong(2) == 2L && p.getLong(3) == 3L && p.getLong(4) == 2L)
+    assert(p.getDouble(5) == half4(2.0 * 4.0 / (3.0 * 2.0)))
+    assert(got(1).getDouble(5) == half4(2.0 * 4.0 / (3.0 * 2.0)))
+  }
 }
