@@ -893,7 +893,15 @@ object SparkEntry {
     // Market-basket co-purchase pairs + lift: per-order baskets, in-row
     // pair expansion (bounded by lines/order), no corpus self-join.
     "copurchase_pairs" -> ((s, dir) =>
-      Analytics.copurchasePairs(Tables.lineitem(s, dir)))
+      Analytics.copurchasePairs(Tables.lineitem(s, dir))),
+    // Chi-square independence audit of source x lang (drift/association
+    // check): cell counts one scan, marginals as windows over the
+    // category-bounded cell frame.
+    "chi_square_source_lang" -> ((s, dir) =>
+      DataQuality.chiSquareIndependence(Tables.documents(s, dir), "source", "lang")),
+    // Per-source token-distribution Shannon entropy (mixture diversity).
+    "source_token_entropy" -> ((s, dir) =>
+      TextAnalysis.sourceTokenEntropy(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3459,7 +3467,51 @@ object SparkEntry {
         |      WHERE support >= 2)
         |SELECT part_a, part_b, support, n_a, n_b, round(lift_raw, 4) AS lift
         |FROM (SELECT * FROM s ORDER BY support DESC, part_a, part_b LIMIT 50) t
-        |ORDER BY support DESC, part_a, part_b""".stripMargin
+        |ORDER BY support DESC, part_a, part_b""".stripMargin,
+
+    "chi_square_source_lang" ->
+      """WITH cells AS (
+        |  SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS observed
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT a, b, observed,
+        |    CAST(sum(observed) OVER (PARTITION BY a) AS BIGINT) AS row_tot,
+        |    CAST(sum(observed) OVER (PARTITION BY b) AS BIGINT) AS col_tot
+        |  FROM cells),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM cells),
+        |e AS (SELECT a, b, observed, row_tot, col_tot,
+        |    CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |      / CAST(n_total AS DOUBLE) AS expected_raw
+        |  FROM m, n)
+        |SELECT a, b, observed, row_tot, col_tot,
+        |  round(expected_raw, 4) AS expected,
+        |  round((CAST(observed AS DOUBLE) - expected_raw)
+        |        * (CAST(observed AS DOUBLE) - expected_raw)
+        |        / expected_raw, 4) AS chi2_contrib
+        |FROM e ORDER BY a, b""".stripMargin,
+
+    // The c*ln(c) fold is an order-dependent double sum on both engines
+    // (~1e-13 relative); the 4-decimal rounding grid absorbs it.
+    "source_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |           FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT source,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab_size,
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+        |  FROM counts GROUP BY 1),
+        |e AS (SELECT source, n_tokens, vocab_size,
+        |    ln(CAST(n_tokens AS DOUBLE)) - clogc / CAST(n_tokens AS DOUBLE)
+        |      AS entropy_raw
+        |  FROM agg)
+        |SELECT source, n_tokens, vocab_size,
+        |  round(entropy_raw, 4) AS entropy,
+        |  CASE WHEN vocab_size > 1
+        |    THEN round(entropy_raw / ln(CAST(vocab_size AS DOUBLE)), 4)
+        |  END AS entropy_norm
+        |FROM e ORDER BY source""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -874,4 +874,41 @@ object TextAnalysis {
       // rounded-grid re-sort, same reasoning as [[bm25TopDocs]]
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
+
+  /** Shannon entropy of each source's token distribution (the corpus-
+    * diversity audit a mixture designer reads before weighting sources):
+    * H = ln(n) - (Σ c·ln c)/n over the source's token counts, plus the
+    * normalized variant H/ln(vocab) in [0,1].
+    *
+    * Distributed shape: one token explode into a map-side-combined
+    * (source, token) count — bounded by |sources|·|vocab|, not corpus
+    * size — then one aggregate per source over that tiny frame. The
+    * Σ c·ln c double sum is order-dependent at the ~1e-13 relative level
+    * (same hazard class as [[bigramNll]]); emitted rounded to 4 decimals,
+    * far above the drift.
+    */
+  def sourceTokenEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clogc"))
+      .withColumn("entropy_raw",
+        log(col("n_tokens").cast("double")) -
+          col("clogc") / col("n_tokens").cast("double"))
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        round(col("entropy_raw"), 4).as("entropy"),
+        // NULL for a single-token vocabulary: 0/0 is NaN on Spark but
+        // NULL on DuckDB — make the degenerate case engine-agnostic
+        when(col("vocab_size") > 1L,
+          round(col("entropy_raw") / log(col("vocab_size").cast("double")), 4))
+          .as("entropy_norm"))
+      .orderBy(col("source"))
+  }
 }

@@ -198,4 +198,41 @@ object DataQuality {
       .map { case (t, df) => fingerprintTable(t, df) }
       .reduce(_.unionByName(_))
       .orderBy(col("table_name"))
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns (the drift/association audit: "is language distribution
+    * independent of source?"). Per-cell observed counts, expected counts
+    * under independence E = row_tot * col_tot / N, and the cell's chi2
+    * contribution (O-E)²/E.
+    *
+    * Distributed shape: ONE scan into a map-side-combined (a, b) count —
+    * the cell frame is bounded by |A|x|B| (category cardinalities), not
+    * corpus size — then marginals as count-only windows over that tiny
+    * frame and N as a 1-row broadcast. All doubles derive from exact
+    * longs (argument-identical cross-engine); emitted rounded.
+    */
+  def chiSquareIndependence(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val withMarginals = cells
+      .withColumn("row_tot", sum(col("observed")).over(Window.partitionBy(col("a"))))
+      .withColumn("col_tot", sum(col("observed")).over(Window.partitionBy(col("b"))))
+    val total = cells.agg(sum(col("observed")).as("n_total"))
+    withMarginals
+      .crossJoin(broadcast(total))
+      .withColumn("expected_raw",
+        col("row_tot").cast("double") * col("col_tot").cast("double") /
+          col("n_total").cast("double"))
+      .withColumn("contrib_raw",
+        (col("observed").cast("double") - col("expected_raw")) *
+          (col("observed").cast("double") - col("expected_raw")) /
+          col("expected_raw"))
+      .select(col("a"), col("b"), col("observed"), col("row_tot"),
+        col("col_tot"),
+        round(col("expected_raw"), 4).as("expected"),
+        round(col("contrib_raw"), 4).as("chi2_contrib"))
+      .orderBy(col("a"), col("b"))
+  }
 }

@@ -98,4 +98,40 @@ class RetrievalSpec extends SparkTestBase {
     assert(p.getDouble(5) == half4(2.0 * 4.0 / (3.0 * 2.0)))
     assert(got(1).getDouble(5) == half4(2.0 * 4.0 / (3.0 * 2.0)))
   }
+
+  test("chiSquareIndependence: 2x2 hand-computed expected counts and contribs") {
+    // a\b   x  y | row
+    //  p    3  1 |  4      N=10, col x=5, col y=5
+    //  q    2  3 |  5      E(p,x) = 4*5/10 = 2 -> contrib (3-2)^2/2 = 0.5
+    //  r    0  1 |  1      (r,x) cell absent: no zero-fill row emitted
+    val df = (Seq.fill(3)(("p", "x")) ++ Seq(("p", "y")) ++
+      Seq.fill(2)(("q", "x")) ++ Seq.fill(3)(("q", "y")) ++ Seq(("r", "y")))
+      .toDF("source", "lang")
+    val got = graft.operators.DataQuality
+      .chiSquareIndependence(df, "source", "lang").collect()
+    val byCell = got.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.length == 5) // observed cells only, no cartesian fill
+    val px = byCell(("p", "x"))
+    assert(px.getLong(2) == 3L && px.getLong(3) == 4L && px.getLong(4) == 5L)
+    assert(px.getDouble(5) == 2.0 && px.getDouble(6) == 0.5)
+    val ry = byCell(("r", "y"))
+    assert(ry.getDouble(5) == 0.5) // E = 1*5/10
+    assert(ry.getDouble(6) == half4((1.0 - 0.5) * (1.0 - 0.5) / 0.5))
+  }
+
+  test("sourceTokenEntropy: uniform=ln(k); single-token vocab norm is NULL") {
+    val df = Seq(
+      ("s1", 1L, "a b c d"), //   uniform over 4 -> H = ln 4, norm 1.0
+      ("s2", 2L, "a a a a"), //   vocab 1 -> H = 0, norm NULL
+      ("s3", 3L, "a a b b b c") // H = ln 6 - (2ln2 + 3ln3)/6
+    ).toDF("source", "doc_id", "text")
+    val got = graft.functions.TextAnalysis.sourceTokenEntropy(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getDouble(3) == half4(math.log(4.0)))
+    assert(got("s1").getDouble(4) == 1.0)
+    assert(got("s2").getDouble(3) == 0.0 && got("s2").isNullAt(4))
+    val h3 = math.log(6.0) - (2 * math.log(2.0) + 3 * math.log(3.0)) / 6.0
+    assert(got("s3").getDouble(3) == half4(h3))
+    assert(got("s3").getLong(1) == 6L && got("s3").getLong(2) == 3L)
+  }
 }
