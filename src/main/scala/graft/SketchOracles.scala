@@ -98,6 +98,43 @@ WHERE $asciiGuard = 0
 ORDER BY exact_count DESC, token"""
   }
 
+  /** dsir_weights: hashed-unigram importance log-weights (DSIR). Each
+    * DISTINCT token is FNV-hashed ONCE (vocab-bounded) and joined back;
+    * bucket models, totals, per-bucket ln-ratio weights and the per-doc
+    * fold mirror TextAnalysis.dsirWeights stage for stage.
+    */
+  def dsirSql(
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      buckets: Int = 256): String = {
+    val tgt = targetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+vocab AS (SELECT DISTINCT token FROM toks),
+vh AS (SELECT token,
+  CAST((${fnvExpr("token")}) % ${buckets}::HUGEINT AS BIGINT) AS b FROM vocab),
+tb AS (SELECT t.doc_id, t.source, vh.b FROM toks t JOIN vh USING (token)),
+db AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c_db
+       FROM tb GROUP BY 1, 2, 3),
+bc AS (SELECT b, CAST(sum(c_db) AS BIGINT) AS c_all,
+         CAST(sum(CASE WHEN source IN ($tgt) THEN c_db ELSE 0 END)
+           AS BIGINT) AS c_tgt
+       FROM db GROUP BY 1),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+               CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM bc),
+w AS (SELECT b,
+        ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + $buckets AS DOUBLE))
+      - ln(CAST(c_all + 1 AS DOUBLE) / CAST(t_all + $buckets AS DOUBLE)) AS w
+      FROM bc, tot)
+SELECT d.doc_id, CAST(sum(d.c_db) AS BIGINT) AS n_tokens,
+  round(sum(CAST(d.c_db AS DOUBLE) * w.w), 4) AS log_weight,
+  round(sum(CAST(d.c_db AS DOUBLE) * w.w) / CAST(sum(d.c_db) AS DOUBLE), 4)
+    AS log_weight_per_token
+FROM db d JOIN w USING (b)
+WHERE $asciiGuard = 0
+GROUP BY 1 ORDER BY 1"""
+  }
+
   /** source_mixture_sample: the deterministic mixture gate — FNV+mix64 of
     * each text, top-53-bits/2^53 uniform, CASE rate per source, then the
     * before/after audit aggregation. Mirrors

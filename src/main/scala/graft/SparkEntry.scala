@@ -901,7 +901,10 @@ object SparkEntry {
       DataQuality.chiSquareIndependence(Tables.documents(s, dir), "source", "lang")),
     // Per-source token-distribution Shannon entropy (mixture diversity).
     "source_token_entropy" -> ((s, dir) =>
-      TextAnalysis.sourceTokenEntropy(Tables.documents(s, dir)))
+      TextAnalysis.sourceTokenEntropy(Tables.documents(s, dir))),
+    // DSIR importance log-weights: hashed-unigram target/raw ln-ratio.
+    "dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3511,7 +3514,9 @@ object SparkEntry {
         |  CASE WHEN vocab_size > 1
         |    THEN round(entropy_raw / ln(CAST(vocab_size AS DOUBLE)), 4)
         |  END AS entropy_norm
-        |FROM e ORDER BY source""".stripMargin
+        |FROM e ORDER BY source""".stripMargin,
+
+    "dsir_weights" -> SketchOracles.dsirSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

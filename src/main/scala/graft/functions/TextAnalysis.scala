@@ -875,6 +875,65 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** DSIR-style importance log-weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): score each
+    * document by the log-likelihood ratio of a target-domain hashed-unigram
+    * model against the raw-corpus model,
+    * log w(d) = Σ_tokens [ln p̂_tgt(b(t)) - ln q̂_raw(b(t))], with
+    * add-one-smoothed bucket probabilities over B fnv1a64 hash buckets.
+    * Downstream, mixture sampling resamples ∝ exp(log w) — this emits the
+    * per-doc weights plus a per-token normalization.
+    *
+    * Distributed shape: one token explode into a (doc, source, bucket)
+    * map-side-combined count; the B-bounded bucket model (target + raw
+    * counts in one pass over that frame — the two models share one
+    * aggregate) and the 1-row totals ride broadcasts; the per-doc fold is
+    * one aggregate over the (doc, bucket) frame joined to the broadcast
+    * weight table. The doc-frame subtree feeds both branches — identical
+    * Exchange, so AQE reuses it rather than re-scanning. The c·w double
+    * sum is order-dependent (~1e-13, [[bigramNll]] hazard class); per-
+    * bucket weights are ln() of exact-long rationals — argument-identical
+    * cross-engine; emitted rounded.
+    */
+  def dsirWeights(
+      documents: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      buckets: Int = 256): DataFrame = {
+    val docBuckets = documents
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("token"))
+      .withColumn("b",
+        pmod(GraftColumns.fnv1a64(col("token")), lit(buckets.toLong)))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c_db"))
+    val isTarget = col("source").isInCollection(targetSources)
+    val bucketCounts = docBuckets
+      .groupBy(col("b"))
+      .agg(
+        sum(col("c_db")).as("c_all"),
+        sum(when(isTarget, col("c_db")).otherwise(0L)).as("c_tgt"))
+    val totals = bucketCounts
+      .agg(sum(col("c_all")).as("t_all"), sum(col("c_tgt")).as("t_tgt"))
+    val weights = bucketCounts
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("c_tgt") + 1L).cast("double") /
+            (col("t_tgt") + buckets.toLong).cast("double")) -
+          log((col("c_all") + 1L).cast("double") /
+            (col("t_all") + buckets.toLong).cast("double"))).as("w"))
+    docBuckets
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c_db")).as("n_tokens"),
+        sum(col("c_db").cast("double") * col("w")).as("lw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lw"), 4).as("log_weight"),
+        round(col("lw") / col("n_tokens").cast("double"), 4)
+          .as("log_weight_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shannon entropy of each source's token distribution (the corpus-
     * diversity audit a mixture designer reads before weighting sources):
     * H = ln(n) - (Σ c·ln c)/n over the source's token counts, plus the

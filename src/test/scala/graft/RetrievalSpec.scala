@@ -134,4 +134,26 @@ class RetrievalSpec extends SparkTestBase {
     assert(got("s3").getDouble(3) == half4(h3))
     assert(got("s3").getLong(1) == 6L && got("s3").getLong(2) == 3L)
   }
+
+  test("dsirWeights: target-exclusive text scores above raw-exclusive; " +
+    "weight depends on content, not on the doc's own source") {
+    val df = Seq(
+      (1L, "tgt", "aaa aaa aaa aaa"),
+      (2L, "raw", "bbb bbb bbb bbb"),
+      (3L, "raw", "aaa aaa aaa aaa"), // same content as doc 1, raw source
+      (4L, "raw", "bbb bbb bbb bbb")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.functions.TextAnalysis
+      .dsirWeights(df, targetSources = Seq("tgt"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 4 && got(1L).getLong(1) == 4L)
+    // 'aaa' dominates the target model, 'bbb' never appears in it
+    assert(got(1L).getDouble(2) > got(2L).getDouble(2))
+    // the weight is a function of content: doc 3 scores exactly like doc 1
+    assert(got(3L).getDouble(2) == got(1L).getDouble(2))
+    assert(got(3L).getDouble(3) == got(1L).getDouble(3))
+    // per-token normalization: log_weight / n_tokens on the same grid
+    val lw = got(1L).getDouble(2)
+    assert(math.abs(got(1L).getDouble(3) - lw / 4.0) < 2e-4)
+  }
 }
