@@ -103,6 +103,23 @@ object StreamingAgg {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Chained stateful operators in ONE streaming query (Spark's
+    * multi-stateful pipeline support): replay-safe event dedup feeding the
+    * windowed aggregate with no intermediate sink — both state stores live
+    * in the same checkpoint, so exactly-once holds across the pair (an
+    * intermediate Kafka/parquet hop would reintroduce the at-least-once
+    * seam the dedup exists to close). The dedup horizon is pinned to the
+    * aggregate's watermark delay so one event-time watermark bounds both
+    * stores.
+    */
+  def dedupedHourlyAggStream(
+      spark: SparkSession,
+      events: DataFrame,
+      grace: String = "60 seconds"): DataFrame = {
+    registerExactDistinct(spark)
+    hourlyWindowAgg(dedupEvents(events, s"1 hour $grace"))
+  }
+
   /** Streaming document curation — the ingest-side slice of
     * [[graft.operators.Curation.funnel]] as a stream: the stateless
     * language/quality gates run FIRST (cheap row filters, and they shrink
@@ -237,8 +254,16 @@ object StreamingAgg {
     */
   def hourlyAggStream(spark: SparkSession, events: DataFrame, grace: String = "60 seconds"): DataFrame = {
     registerExactDistinct(spark)
+    hourlyWindowAgg(events.withWatermark("ts", s"1 hour $grace"))
+  }
+
+  /** The windowed-aggregate body over an ALREADY-watermarked frame —
+    * shared by [[hourlyAggStream]] and the chained pipeline
+    * [[dedupedHourlyAggStream]] (a streaming query may define its
+    * event-time watermark only once, so composition must not re-stamp it).
+    */
+  private def hourlyWindowAgg(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", s"1 hour $grace")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("event_count"),
@@ -249,7 +274,6 @@ object StreamingAgg {
         col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("event_count"), col("unique_user_count"),
         col("total_value"), col("avg_value"))
-  }
 
   /** O10 — the reference's periodic flush gate (60 s default): start the
     * streaming aggregation with `Trigger.ProcessingTime(cadence)`, so

@@ -245,6 +245,36 @@ class StreamingAggSpec extends SparkTestBase {
     }
   }
 
+  test("chained stateful ops: dedup -> windowed agg in one query, dup counted once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamingAgg.dedupedHourlyAggStream(spark, mem.toDF())
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("chained_out").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 2.0),
+        ev(1, "2024-01-01 10:05:00", 1, "click", 2.0), // same-batch dup
+        ev(2, "2024-01-01 10:15:00", 2, "click", 3.5))
+      q.processAllAvailable()
+      mem.addData(ev(1, "2024-01-01 10:05:00", 1, "click", 2.0)) // replay
+      q.processAllAvailable()
+      // advance the watermark past 10:00 + 1h + grace; extra batch finalizes
+      mem.addData(ev(9, "2024-01-01 12:02:00", 9, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(ev(10, "2024-01-01 12:03:00", 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("chained_out")
+        .filter(col("window_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      // the replayed event_id 1 contributes exactly once to every measure
+      assert(rows.head.getAs[Long]("event_count") == 2L)
+      assert(rows.head.getAs[Long]("unique_user_count") == 2L)
+      assert(rows.head.getAs[Double]("total_value") == 5.5)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
