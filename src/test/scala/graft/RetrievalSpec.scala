@@ -156,4 +156,125 @@ class RetrievalSpec extends SparkTestBase {
     val lw = got(1L).getDouble(2)
     assert(math.abs(got(1L).getDouble(3) - lw / 4.0) < 2e-4)
   }
+
+  // ---- randomized naive-reference properties ------------------------------
+  // A seeded random corpus, checked against independent plain-Scala
+  // implementations. The arithmetic is replicated in the operator's
+  // evaluation order, so score comparisons are EXACT (same JVM doubles)
+  // except where a fold's order is partition-dependent (DSIR — tolerance
+  // one grid step).
+
+  private val rnd = new scala.util.Random(42)
+  private val vocabP = Vector("qq", "ww", "ee", "rr", "tt", "yy", "uu",
+    "ii", "oo", "pp", "kk", "ff")
+  private val corpus: Seq[(Long, String, String)] = (0 until 120).map { i =>
+    val n = 1 + rnd.nextInt(40)
+    val text = Seq.fill(n)(vocabP(rnd.nextInt(vocabP.size))).mkString(" ")
+    (i.toLong, s"s${rnd.nextInt(5)}", text)
+  }
+
+  test("property: bm25TopDocs matches a naive reference on a random corpus") {
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val terms = Seq("qq", "kk", "ff")
+    val k1 = 1.2; val b = 0.75; val k = 15
+    val toks = corpus.map { case (id, _, t) => id -> t.split(" ").toSeq }.toMap
+    val nDocs = corpus.size.toLong
+    val sumDl = corpus.map { case (id, _, _) => toks(id).size.toLong }.sum
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val dfT = terms.map(t => t -> corpus.count { case (id, _, _) => toks(id).contains(t) }.toLong).toMap
+    def score(id: Long): Double = terms.map { t =>
+      val tf = toks(id).count(_ == t).toLong
+      val idf = math.log(1.0 + (nDocs - dfT(t) + 0.5) / (dfT(t) + 0.5))
+      idf * (tf.toDouble * (k1 + 1.0)) /
+        (tf.toDouble + k1 * (1.0 - b + b * toks(id).size.toDouble / avgdl))
+    }.sum
+    val expect = corpus.map(_._1).map(id => (id, score(id)))
+      .filter(_._2 > 0.0)
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+      .map { case (id, s) => (id, half4(s)) }
+      .sortBy { case (id, s) => (-s, id) }
+    val got = graft.functions.TextAnalysis.bm25TopDocs(docs, terms, k = k)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("property: collocationsPmi matches a naive reference on a random corpus") {
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val bigrams = corpus.flatMap { case (_, _, t) =>
+      val w = t.split(" "); w.dropRight(1).zip(w.drop(1))
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = bigrams.size.toLong
+    val expect = c12.toSeq.filter(_._2 >= 3L)
+      .map { case ((a, bb), c) =>
+        val pmi = math.log(c.toDouble * t.toDouble / (c1(a).toDouble * c2(bb).toDouble))
+        (a, bb, c, c1(a), c2(bb), pmi)
+      }
+      .sortBy { case (a, bb, _, _, _, p) => (-p, a, bb) }.take(20)
+      .map { case (a, bb, c, ca, cb, p) => (a, bb, c, ca, cb, half4(p)) }
+      .sortBy { case (a, bb, _, _, _, p) => (-p, a, bb) }
+    val got = graft.functions.TextAnalysis
+      .collocationsPmi(docs, minCount = 3L, k = 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("property: copurchasePairs matches a naive reference on random baskets") {
+    val lines = (0 until 400).map { _ =>
+      (rnd.nextInt(60).toLong + 1L, rnd.nextInt(25).toLong + 1L)
+    }
+    val li = lines.toDF("l_orderkey", "l_partkey")
+    val baskets = lines.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nOrders = baskets.size.toLong
+    val nOk = baskets.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val support = baskets.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = support.toSeq.filter(_._2 >= 2L)
+      .map { case ((a, bb), s) =>
+        val lift = s.toDouble * nOrders.toDouble / (nOk(a).toDouble * nOk(bb).toDouble)
+        (a, bb, s, nOk(a), nOk(bb), half4(lift))
+      }
+      .sortBy { case (a, bb, s, _, _, _) => (-s, a, bb) }.take(30)
+    val got = graft.queries.Analytics.copurchasePairs(li, minSupport = 2L, k = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("property: dsirWeights matches a naive reference within one grid step") {
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val buckets = 64
+    def bucket(tok: String): Long = {
+      val h = graft.functions.SimHash64.fnv1a(tok.getBytes("UTF-8"))
+      ((h % buckets) + buckets) % buckets
+    }
+    val occ = corpus.flatMap { case (id, src, t) =>
+      t.split(" ").map(tok => (id, src, bucket(tok)))
+    }
+    val cAll = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cTgt = occ.filter(o => o._2 == "s0" || o._2 == "s1")
+      .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tAll = occ.size.toLong
+    val tTgt = occ.count(o => o._2 == "s0" || o._2 == "s1").toLong
+    def w(b: Long): Double =
+      math.log((cTgt.getOrElse(b, 0L) + 1).toDouble / (tTgt + buckets).toDouble) -
+        math.log((cAll(b) + 1).toDouble / (tAll + buckets).toDouble)
+    val expect = occ.groupBy(_._1).view.mapValues { os =>
+      (os.size.toLong, os.map(o => w(o._3)).sum)
+    }.toMap
+    val got = graft.functions.TextAnalysis
+      .dsirWeights(docs, targetSources = Seq("s0", "s1"), buckets = buckets)
+      .collect()
+    assert(got.length == corpus.size)
+    got.foreach { r =>
+      val (n, lw) = expect(r.getLong(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - lw) < 1.01e-4, s"doc ${r.getLong(0)}")
+    }
+  }
 }
