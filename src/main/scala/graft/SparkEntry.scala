@@ -904,7 +904,10 @@ object SparkEntry {
       TextAnalysis.sourceTokenEntropy(Tables.documents(s, dir))),
     // DSIR importance log-weights: hashed-unigram target/raw ln-ratio.
     "dsir_weights" -> ((s, dir) =>
-      TextAnalysis.dsirWeights(Tables.documents(s, dir)))
+      TextAnalysis.dsirWeights(Tables.documents(s, dir))),
+    // Last-touch attribution: merge-formulation as-of carry, no pair join.
+    "purchase_attribution" -> ((s, dir) =>
+      AsOfJoin.lastTouchAttribution(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3516,7 +3519,33 @@ object SparkEntry {
         |  END AS entropy_norm
         |FROM e ORDER BY source""".stripMargin,
 
-    "dsir_weights" -> SketchOracles.dsirSql()
+    "dsir_weights" -> SketchOracles.dsirSql(),
+
+    // Same union + carry-forward window, replayed with IGNORE NULLS
+    // last_value; lookback as interval arithmetic (exact micros).
+    "purchase_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts AS t, 0 AS side, event_type AS touch_type,
+        |         ts AS touch_ts, event_id, CAST(NULL AS DOUBLE) AS value
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, ts AS t, 1 AS side, CAST(NULL AS VARCHAR) AS touch_type,
+        |         CAST(NULL AS TIMESTAMP) AS touch_ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM t UNION ALL SELECT * FROM p),
+        |w AS (SELECT user_id, t, side, value,
+        |        last_value(touch_type IGNORE NULLS) OVER win AS lt_type,
+        |        last_value(touch_ts IGNORE NULLS) OVER win AS lt_ts
+        |      FROM u
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY t, side, event_id
+        |                     ROWS UNBOUNDED PRECEDING)),
+        |a AS (SELECT CASE WHEN lt_ts IS NOT NULL AND lt_ts >= t - INTERVAL 1 HOUR
+        |               THEN lt_type ELSE 'none' END AS attributed_to, value
+        |      FROM w WHERE side = 1)
+        |SELECT attributed_to, count(*) AS n_purchases,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -57,4 +57,47 @@ object AsOfJoin {
       .select(col("event_id"), col("user_id"), col("matched_orderkey"))
       .orderBy(col("event_id"))
   }
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent click/view at or before it, provided the touch falls inside
+    * the lookback window; purchases with no such touch report as 'none'.
+    * The marketing-attribution shape, built on the same merge formulation
+    * as [[eventsToLatestOrder]]: one union, one shuffle on user, one
+    * per-partition sort, carry-forward via last(ignoreNulls) — no
+    * purchases x touches pair join at any scale. The lookback compares
+    * TIMESTAMPS (interval arithmetic, exact micros on both engines),
+    * never epoch-seconds floats. Sort key includes event_id so two
+    * touches at an identical timestamp break ties deterministically.
+    * Attributed value is the exact cents fixed point.
+    */
+  def lastTouchAttribution(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
+    val touches = events
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("t"), lit(0).as("side"),
+        col("event_type").as("touch_type"), col("ts").as("touch_ts"),
+        col("event_id"), lit(null).cast("double").as("value"))
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("side"),
+        lit(null).cast("string").as("touch_type"),
+        lit(null).cast("timestamp").as("touch_ts"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(purchases)
+      .withColumn("lt_type", last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("lt_ts", last(col("touch_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("attributed_to",
+        when(col("lt_ts").isNotNull &&
+          col("lt_ts") >= col("t") - expr(s"INTERVAL $lookback"),
+          col("lt_type")).otherwise(lit("none")))
+      .groupBy(col("attributed_to"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(graft.queries.Analytics.centsOf(col("value"))).cast("long")
+          .as("value_cents"))
+      .orderBy(col("attributed_to"))
+  }
 }

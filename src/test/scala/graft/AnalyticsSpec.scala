@@ -8,6 +8,32 @@ import graft.queries.Analytics
   */
 class AnalyticsSpec extends SparkTestBase {
 
+  test("lastTouchAttribution: lookback, same-ts touch, and no-touch cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      // user 1: view then click then purchase 15m later -> click;
+      // a second purchase 90m after the click -> outside 1h -> none
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:45:00", 1L, "purchase", 10.0),
+      (4L, "2024-01-01 12:00:00", 1L, "purchase", 20.0),
+      // user 2: purchase with no prior touch -> none
+      (5L, "2024-01-01 09:00:00", 2L, "purchase", 5.0),
+      // user 3: touch at the exact purchase timestamp counts (side order)
+      (6L, "2024-01-01 11:00:00", 3L, "view", 0.0),
+      (7L, "2024-01-01 11:00:00", 3L, "purchase", 7.5)
+    ).map { case (id, t, u, tp, v) =>
+      (id, java.sql.Timestamp.valueOf(t), u, tp, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.AsOfJoin.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "click" -> (1L, 1000L), // purchase 3
+      "none" -> (2L, 2500L), //  purchases 4 + 5
+      "view" -> (1L, 750L))) //  purchase 7 (same-ts touch visible)
+  }
+
   test("userTrailingWindow: RANGE frame matches brute force; peers enter together") {
     import spark.implicits._
     import java.sql.Timestamp
