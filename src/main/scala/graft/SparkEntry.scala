@@ -907,7 +907,10 @@ object SparkEntry {
       TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     // Last-touch attribution: merge-formulation as-of carry, no pair join.
     "purchase_attribution" -> ((s, dir) =>
-      AsOfJoin.lastTouchAttribution(Tables.events(s, dir)))
+      AsOfJoin.lastTouchAttribution(Tables.events(s, dir))),
+    // Batch BM25: many queries in one pass over query-pruned postings.
+    "bm25_batch_topk" -> ((s, dir) =>
+      TextAnalysis.bm25BatchTopK(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3545,7 +3548,49 @@ object SparkEntry {
         |SELECT attributed_to, count(*) AS n_purchases,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         |    AS value_cents
-        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Queries as VALUES; postings pruned to the query vocabulary before
+    // any aggregation, mirroring the engine's semi-join.
+    "bm25_batch_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1, 'dup'), (1, 'key'),
+        |  (2, 'fast'), (2, 'merge'), (2, 'join'),
+        |  (3, 'spark')),
+        |qv AS (SELECT DISTINCT term FROM q),
+        |toks AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |      FROM toks JOIN qv USING (term) GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |sc AS (
+        |  SELECT q.query_id, p.doc_id, p.dl,
+        |    sum(
+        |      ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+        |          / (df + CAST(0.5 AS DOUBLE)))
+        |      * (CAST(tf AS DOUBLE)
+        |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |    ) AS score_raw,
+        |    CAST(count(*) AS INTEGER) AS n_terms_hit
+        |  FROM p JOIN q USING (term) JOIN dfc USING (term), stats
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT query_id, doc_id, dl, n_terms_hit, score_raw,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_raw DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, dl,
+        |  n_terms_hit, round(score_raw, 4) AS score
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -246,6 +246,26 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("property: batch BM25 with one query == single-query bm25TopDocs") {
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val terms = Seq("qq", "kk", "ff")
+    val single = graft.functions.TextAnalysis.bm25TopDocs(docs, terms, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val batch = graft.functions.TextAnalysis
+      .bm25BatchTopK(docs, Seq(7 -> terms), k = 12)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getInt(4), r.getDouble(5)))
+    // same docs in the same order with the same rounded scores — the two
+    // formulations (rescan vs postings join) must agree exactly on the grid
+    assert(batch.toSeq == single.toSeq)
+  }
+
+  test("plan: batch BM25 top-k per query plans as WindowGroupLimit") {
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val plan = graft.functions.TextAnalysis.bm25BatchTopK(docs)
+      .queryExecution.optimizedPlan.treeString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("property: dsirWeights matches a naive reference within one grid step") {
     val docs = corpus.toDF("doc_id", "source", "text")
     val buckets = 64
