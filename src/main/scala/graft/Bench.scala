@@ -78,8 +78,14 @@ object Bench {
     val drift = pre.zip(post).collect {
       case ((_, a), (_, b)) if a > 0 && b > 0 => b / a
     }.foldLeft(1.0)(math.max)
+    // JSON must be locale-independent: the f-interpolator honors the JVM
+    // default locale (comma decimal separators under de_DE/fr_FR would
+    // yield unparseable JSON) — format via Locale.ROOT only.
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        java.lang.Double.valueOf(v))
     def sentJson(s: Seq[(String, Double)]) =
-      s.map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f") }
+      s.map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else num(v, 3)) }
         .mkString("{", ",", "}")
 
     val results = passes.head.map { case (name, _) =>
@@ -91,7 +97,7 @@ object Bench {
     // to the total, which would otherwise read as a speedup in trend
     // tracking; failed > 0 marks the total as not comparable
     val failed = results.count { case (_, v) => v < 0 }
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def r3(v: Double): String = if (v < 0) "-1" else num(v, 3)
 
     // The harness that records this run keeps only the LAST ~2000 chars of
     // stdout; a per-query map over the full suite (~150 queries, ~6 KB) was
@@ -116,14 +122,14 @@ object Bench {
       .map(k => "\"" + k + "\":" + r3(rmap(k))).mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val nfJson = s"""{"pre":${sentJson(pre)},"post":${sentJson(post)},"drift":${f"$drift%.2f"}}"""
-    val fullLine = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed,"query_count":${results.size},"queries":$fullQs,"sf":"$sfDir","passes":3,"agg":"min","noise_floor":$nfJson}"""
+    val nfJson = s"""{"pre":${sentJson(pre)},"post":${sentJson(post)},"drift":${num(drift, 2)}}"""
+    val fullLine = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","failed":$failed,"query_count":${results.size},"queries":$fullQs,"sf":"$sfDir","passes":3,"agg":"min","noise_floor":$nfJson}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => } // cwd not writable: detail rides stdout only
     println(fullLine)
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed,"query_count":${results.size},"detail":"BENCH_DETAIL.json","queries":$headQs,"sf":"$sfDir","passes":3,"agg":"min","noise_floor":$nfJson}""")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","failed":$failed,"query_count":${results.size},"detail":"BENCH_DETAIL.json","queries":$headQs,"sf":"$sfDir","passes":3,"agg":"min","noise_floor":$nfJson}""")
     spark.stop()
   }
 }

@@ -3570,7 +3570,7 @@ object SparkEntry {
         |  FROM documents),
         |sc AS (
         |  SELECT q.query_id, p.doc_id, p.dl,
-        |    sum(
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
         |      ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
         |          / (df + CAST(0.5 AS DOUBLE)))
         |      * (CAST(tf AS DOUBLE)
@@ -3579,7 +3579,7 @@ object SparkEntry {
         |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
         |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
         |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-        |    ) AS score_raw,
+        |      ORDER BY p.term)), (acc, x) -> acc + x) AS score_raw,
         |    CAST(count(*) AS INTEGER) AS n_terms_hit
         |  FROM p JOIN q USING (term) JOIN dfc USING (term), stats
         |  GROUP BY 1, 2, 3),

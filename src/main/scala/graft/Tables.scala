@@ -21,6 +21,10 @@ object Tables {
     // downstream code keeps the TIMESTAMP type it was written against
     // (unix_micros, getAs[java.sql.Timestamp], window()), and DuckDB's
     // naive reading of the same files stays value-aligned.
+    // Set per-load, not at session build: the DRIVER constructs its own
+    // SparkSession and calls SparkEntry.queries directly — this loader is
+    // the only seam the library controls (same reason the nanos conf
+    // below lives here). Re-setting an unchanged conf is a no-op.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
   }

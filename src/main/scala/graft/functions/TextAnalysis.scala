@@ -855,12 +855,23 @@ object TextAnalysis {
         (col("tf").cast("double") * lit(k1 + 1.0)) /
         (col("tf").cast("double") +
           lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    // Deterministic score fold: sum(double) aggregates in partition order,
+    // which can differ by 1 ulp run-to-run AND cross-engine — and rank
+    // cuts on the raw value, where no rounding grid can absorb it. Fold
+    // the per-term contributions in TERM order instead (sorted struct
+    // array + left fold); the oracle mirrors with an ORDER BY term list
+    // fold, so the sum is bit-identical on both engines.
     val scored = postings
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"), col("dl"))
-      .agg(sum(termScore).as("score_raw"), count(lit(1)).as("n_terms_hit"))
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), termScore.as("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("score_raw"),
+        count(lit(1)).as("n_terms_hit"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_raw").desc, col("doc_id"))
     scored
@@ -883,12 +894,15 @@ object TextAnalysis {
   def booleanRetrieval(
       documents: DataFrame,
       queryTerms: Seq[String] = Seq("dup", "key", "fast")): DataFrame = {
+    // distinct: a repeated query term would mint two identically-named tf
+    // columns and the filter would die on an ambiguous reference
+    val terms = queryTerms.distinct
     val toks = tokens(col("text"))
     val withTf = documents.select(
       col("doc_id") +: size(toks).cast("long").as("dl") +:
-        queryTerms.zipWithIndex.map { case (t, i) => tfOf(toks, t).as(s"tf_$t") }: _*)
+        terms.map(t => tfOf(toks, t).as(s"tf_$t")): _*)
     withTf
-      .filter(queryTerms.map(t => col(s"tf_$t") > 0L).reduce(_ && _))
+      .filter(terms.map(t => col(s"tf_$t") > 0L).reduce(_ && _))
       .orderBy(col("doc_id"))
   }
 
@@ -962,6 +976,11 @@ object TextAnalysis {
       documents: DataFrame,
       targetSources: Seq[String] = Seq("src0", "src1"),
       buckets: Int = 256): DataFrame = {
+    // power-of-two only: the engine buckets pmod(SIGNED long, buckets)
+    // while the oracle buckets the UNSIGNED u64 — the two agree exactly
+    // when buckets divides 2^64 and silently diverge otherwise
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two (got $buckets)")
     val docBuckets = documents
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("token"))
