@@ -229,6 +229,25 @@ g AS (SELECT doc_id, source, tokens,
 SELECT doc_id, source, tokens, rate, u FROM g
 WHERE u < rate ORDER BY doc_id"""
 
+  /** weighted_reservoir: the A-ES log-domain key — same fnv+mix64 text
+    * uniform, ln(u)/tokens, top-k by the raw key with doc_id ties,
+    * rounded-grid re-sort. Mirrors graft.operators.Mixture
+    * .weightedReservoir.
+    */
+  def weightedReservoirSql(k: Int = 100): String =
+    s"""WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tokens,
+    ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents WHERE $asciiGuard = 0),
+${mixChain("es", "d", Seq("doc_id", "source", "n_tokens"), "z0")},
+g AS (SELECT doc_id, source, n_tokens,
+  ln(CAST(mx // 2048 AS BIGINT)::DOUBLE / 9007199254740992.0)
+    / n_tokens::DOUBLE AS es_key_raw
+  FROM es4)
+SELECT doc_id, source, n_tokens, round(es_key_raw, 6) AS es_key
+FROM (SELECT * FROM g ORDER BY es_key_raw DESC, doc_id LIMIT $k) t
+ORDER BY es_key DESC, doc_id"""
+
   /** stratified_sample: the exact-quota selection — same fnv+mix64 text
     * uniform as the mixture gate (ordering by the 53-bit integer is the
     * same order as the engine's dyadic double: the map is monotone),

@@ -910,7 +910,10 @@ object SparkEntry {
       AsOfJoin.lastTouchAttribution(Tables.events(s, dir))),
     // Batch BM25: many queries in one pass over query-pruned postings.
     "bm25_batch_topk" -> ((s, dir) =>
-      TextAnalysis.bm25BatchTopK(Tables.documents(s, dir)))
+      TextAnalysis.bm25BatchTopK(Tables.documents(s, dir))),
+    // A-ES weighted reservoir: exact-k token-mass sample, map-only + top-k.
+    "weighted_reservoir" -> ((s, dir) =>
+      graft.operators.Mixture.weightedReservoir(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3523,6 +3526,8 @@ object SparkEntry {
         |FROM e ORDER BY source""".stripMargin,
 
     "dsir_weights" -> SketchOracles.dsirSql(),
+
+    "weighted_reservoir" -> SketchOracles.weightedReservoirSql(),
 
     // Same union + carry-forward window, replayed with IGNORE NULLS
     // last_value; lookback as interval arithmetic (exact micros).

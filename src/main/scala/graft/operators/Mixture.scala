@@ -207,6 +207,33 @@ object Mixture {
       .orderBy(col("doc_id"))
   }
 
+  /** Efraimidis-Spirakis weighted reservoir (A-ES, IPL 2006): a
+    * deterministic weighted sample WITHOUT replacement of exactly k
+    * documents, inclusion probability proportional to token count — the
+    * principled "sample by mass" companion to the rate gate
+    * ([[weightedSample]], Bernoulli, no size guarantee) and the quota
+    * samplers (exact size, uniform within source). Key = u^(1/w) ranked
+    * in the LOG domain: ln(u)/w orders identically (ln is monotone,
+    * w > 0) and stays in the ~1-ulp cross-engine class where pow() is
+    * several-ulp; u is the content-hash dyadic ([[textUniform]]), so the
+    * sample is reorder-stable and duplicate-consistent like every other
+    * gate here. Top-k is TakeOrderedAndProject — per-partition heaps over
+    * a map-only scan, no shuffle of the corpus at any scale.
+    */
+  def weightedReservoir(documents: DataFrame, k: Int = 100): DataFrame = {
+    val w = graft.functions.TextAnalysis.wsTokenCount(col("text"))
+    documents
+      .select(col("doc_id"), col("source"), w.as("n_tokens"),
+        textUniform(col("text")).as("u"))
+      .withColumn("es_key_raw", log(col("u")) / col("n_tokens").cast("double"))
+      .orderBy(col("es_key_raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("es_key_raw"), 6).as("es_key"))
+      // rounded-grid re-sort (same reasoning as the retrieval top-ks)
+      .orderBy(col("es_key").desc, col("doc_id"))
+  }
+
   /** The driver query's stratified budget: five quota tiers cycled across
     * the generator's sources; unknown sources contribute nothing. Shared
     * with the oracle generator.

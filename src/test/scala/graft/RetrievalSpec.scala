@@ -266,6 +266,36 @@ class RetrievalSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("property: weightedReservoir — exact k, layout-invariant, mass-biased") {
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val k = 30
+    val got = graft.operators.Mixture.weightedReservoir(docs, k).collect()
+    assert(got.length == k)
+    // content-keyed: physical layout must not change the selection
+    val reshuffled = graft.operators.Mixture
+      .weightedReservoir(docs.repartition(13), k).collect()
+    assert(got.map(_.getLong(0)).toSeq == reshuffled.map(_.getLong(0)).toSeq)
+    // P(select) ∝ tokens: the sample's mean length must exceed the corpus'
+    val corpusMean = corpus.map(_._3.split(" ").length).sum.toDouble / corpus.size
+    val sampleMean = got.map(_.getLong(2)).sum.toDouble / k
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean <= corpus mean $corpusMean")
+    // naive reference: same key formula, same selection
+    def u(text: String): Double = {
+      val h = graft.functions.Mix64.mix(
+        graft.functions.SimHash64.fnv1a(text.getBytes("UTF-8")))
+      (h >>> 11).toDouble / 9007199254740992.0
+    }
+    val expect = corpus.map { case (id, _, t) =>
+      (id, math.log(u(t)) / t.split(" ").length.toDouble)
+    }.sortBy { case (id, key) => (-key, id) }.take(k).map(_._1)
+    // SELECTION must match the naive raw-key top-k exactly; emitted order
+    // re-sorts on the rounded grid, so compare as sets plus sortedness
+    assert(got.map(_.getLong(0)).toSet == expect.toSet)
+    val emitted = got.map(r => (r.getDouble(3), r.getLong(0)))
+    assert(emitted.sortBy { case (key, id) => (-key, id) }.toSeq == emitted.toSeq)
+  }
+
   test("property: dsirWeights matches a naive reference within one grid step") {
     val docs = corpus.toDF("doc_id", "source", "text")
     val buckets = 64
