@@ -275,6 +275,31 @@ class StreamingAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mixture gate runs UNCHANGED on a stream; union of batches == batch of union") {
+    // the content-keyed hash gate is stateless, so the same operator body
+    // streams with no watermark, no state store, and batch/stream parity
+    // holds by construction — pin it
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 60L).map(i =>
+      Doc(i, Timestamp.valueOf("2024-01-01 10:00:00"),
+        s"tok$i " * (1 + (i % 7).toInt), s"src${i % 3}"))
+    val rates = Map("src0" -> 0.8, "src1" -> 0.4, "src2" -> 0.1)
+    val mem = MemoryStream[Doc]
+    val q = graft.operators.Mixture.sampleBySource(mem.toDF(), rates, 0.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_stream_out").start()
+    try {
+      docs.grouped(17).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val streamed = spark.table("gate_stream_out")
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      import spark.implicits._
+      val batch = graft.operators.Mixture
+        .sampleBySource(docs.toDF(), rates, 0.0)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
