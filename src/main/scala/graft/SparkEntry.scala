@@ -913,7 +913,11 @@ object SparkEntry {
       TextAnalysis.bm25BatchTopK(Tables.documents(s, dir))),
     // A-ES weighted reservoir: exact-k token-mass sample, map-only + top-k.
     "weighted_reservoir" -> ((s, dir) =>
-      graft.operators.Mixture.weightedReservoir(Tables.documents(s, dir)))
+      graft.operators.Mixture.weightedReservoir(Tables.documents(s, dir))),
+    // Feature-store point-in-time join: as-of carry of cumulative
+    // order-history features into purchase events (no future leakage).
+    "pit_features" -> ((s, dir) =>
+      AsOfJoin.pointInTimeFeatures(Tables.events(s, dir), Tables.orders(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3529,6 +3533,7 @@ object SparkEntry {
 
     "weighted_reservoir" -> SketchOracles.weightedReservoirSql(),
 
+
     // Same union + carry-forward window, replayed with IGNORE NULLS
     // last_value; lookback as interval arithmetic (exact micros).
     "purchase_attribution" ->
@@ -3554,6 +3559,32 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         |    AS value_cents
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB ASOF LEFT JOIN as the independent formulation of the same
+    // inclusive point-in-time lookup; zeros (not drops) for no-history.
+    "pit_features" ->
+      """WITH cum0 AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    count(*) OVER w AS n_orders_cum,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      OVER w AS BIGINT) AS spend_cents_cum,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                       ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS UNBOUNDED PRECEDING)),
+        |cum AS (SELECT o_custkey, o_orderdate,
+        |          CAST(n_orders_cum AS BIGINT) AS n_orders_cum, spend_cents_cum
+        |        FROM cum0 WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  CAST(COALESCE(c.n_orders_cum, 0) AS BIGINT) AS n_orders_pit,
+        |  CAST(COALESCE(c.spend_cents_cum, 0) AS BIGINT) AS spend_cents_pit
+        |FROM p ASOF LEFT JOIN cum c
+        |  ON p.user_id = c.o_custkey AND c.o_orderdate <= p.ts
+        |ORDER BY event_id""".stripMargin,
+
 
     // Queries as VALUES; postings pruned to the query vocabulary before
     // any aggregation, mirroring the engine's semi-join.

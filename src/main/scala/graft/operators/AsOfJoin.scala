@@ -70,6 +70,57 @@ object AsOfJoin {
     * touches at an identical timestamp break ties deterministically.
     * Attributed value is the exact cents fixed point.
     */
+  /** Feature-store POINT-IN-TIME-correct join: each purchase event is
+    * enriched with the user's order-history features (orders so far,
+    * spend so far in exact cents) AS OF the event's timestamp — the
+    * no-future-leakage primitive for training-example assembly (a
+    * feature computed over data later than the label's timestamp leaks
+    * the future into training). Same merge formulation: cumulative
+    * features via one per-user window over orders, one union, one keyed
+    * shuffle, carry-forward — never an events x orders pair join. Orders
+    * dated exactly at the event timestamp are visible (inclusive as-of,
+    * side ordering); several orders on one date collapse to that date's
+    * final cumulative row before the carry. Users with no prior orders
+    * report zeros (a real feature value, not a dropped row).
+    */
+  def pointInTimeFeatures(events: DataFrame, orders: DataFrame): DataFrame = {
+    val cumW = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = orders
+      .withColumn("n_orders_cum", count(lit(1)).over(cumW))
+      .withColumn("spend_cents_cum",
+        sum(graft.queries.Analytics.centsOf(col("o_totalprice"))).over(cumW)
+          .cast("long"))
+      // date-final row only: the as-of carry must see one cumulative per
+      // (user, date), the one including every order of that date
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+    val right = cum.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+      lit(0).as("side"), col("n_orders_cum"), col("spend_cents_cum"),
+      lit(null).cast("long").as("event_id"))
+    val left = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("side"),
+        lit(null).cast("long").as("n_orders_cum"),
+        lit(null).cast("long").as("spend_cents_cum"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    right.unionByName(left)
+      .withColumn("pit_orders", last(col("n_orders_cum"), ignoreNulls = true).over(w))
+      .withColumn("pit_spend", last(col("spend_cents_cum"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("pit_orders"), lit(0L)).as("n_orders_pit"),
+        coalesce(col("pit_spend"), lit(0L)).as("spend_cents_pit"))
+      .orderBy(col("event_id"))
+  }
+
   def lastTouchAttribution(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
     val touches = events
       .filter(col("event_type").isin("click", "view"))

@@ -34,6 +34,35 @@ class AnalyticsSpec extends SparkTestBase {
       "view" -> (1L, 750L))) //  purchase 7 (same-ts touch visible)
   }
 
+  test("pointInTimeFeatures: inclusive as-of, same-date collapse, zero history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    val orders = Seq(
+      // user 1: two orders on the same date (must collapse to the date-
+      // final cumulative), one later order AFTER the event (must not leak)
+      (101L, 1L, "2024-01-01 00:00:00", 10.0),
+      (102L, 1L, "2024-01-01 00:00:00", 20.0),
+      (103L, 1L, "2024-03-01 00:00:00", 40.0),
+      // user 3: order dated exactly at the event timestamp (inclusive)
+      (104L, 3L, "2024-02-01 12:00:00", 15.0)
+    ).map { case (ok, ck, d, v) => (ok, ck, Timestamp.valueOf(d), v) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val events = Seq(
+      (1L, "2024-02-01 12:00:00", 1L, "purchase", 1.0),
+      (2L, "2024-02-01 12:00:00", 2L, "purchase", 1.0), // no history -> zeros
+      (3L, "2024-02-01 12:00:00", 3L, "purchase", 1.0),
+      (4L, "2024-02-01 12:00:00", 1L, "view", 1.0) // not a purchase -> absent
+    ).map { case (id, t, u, tp, v) => (id, Timestamp.valueOf(t), u, tp, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.AsOfJoin.pointInTimeFeatures(events, orders)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> (2L, 3000L), // both 2024-01-01 orders, NOT the march one
+      2L -> (0L, 0L),
+      3L -> (1L, 1500L))) // the same-instant order is visible
+  }
+
   test("userTrailingWindow: RANGE frame matches brute force; peers enter together") {
     import spark.implicits._
     import java.sql.Timestamp
