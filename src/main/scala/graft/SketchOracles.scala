@@ -248,6 +248,31 @@ SELECT doc_id, source, n_tokens, round(es_key_raw, 6) AS es_key
 FROM (SELECT * FROM g ORDER BY es_key_raw DESC, doc_id LIMIT $k) t
 ORDER BY es_key DESC, doc_id"""
 
+  /** negative_samples: the (anchor, rank) mix64 draw reduced by the TRUE
+    * unsigned u64 % N in HUGEINT (the engine reconstructs the same value
+    * from the signed long via the 2^64-mod-N correction), self-hit shift,
+    * metadata join. Mirrors graft.operators.Mixture.negativeSamples.
+    */
+  def negativeSamplesSql(k: Int = 4): String =
+    s"""WITH n AS (SELECT count(*)::HUGEINT AS n_docs FROM documents),
+c AS (SELECT doc_id, unnest(range(1, ${k + 1})) AS neg_rank FROM documents),
+z AS (SELECT doc_id, neg_rank,
+  (((CAST(doc_id AS HUGEINT) * 1000003) % $U64
+    + CAST(neg_rank AS HUGEINT)) % $U64
+   + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM c),
+${mixChain("ng", "z", Seq("doc_id", "neg_rank"), "z0")},
+g AS (SELECT doc_id, neg_rank, CAST(mx % n_docs AS BIGINT) AS u FROM ng4, n),
+s AS (SELECT doc_id, neg_rank,
+  CASE WHEN u = doc_id
+       THEN CAST(CAST(u + 1 AS HUGEINT) % n_docs AS BIGINT) ELSE u
+  END AS neg_doc_id
+  FROM g, n)
+SELECT s.doc_id, CAST(s.neg_rank AS INTEGER) AS neg_rank, s.neg_doc_id,
+  d2.source AS neg_source
+FROM s JOIN documents d2 ON s.neg_doc_id = d2.doc_id
+ORDER BY s.doc_id, s.neg_rank"""
+
   /** stratified_sample: the exact-quota selection — same fnv+mix64 text
     * uniform as the mixture gate (ordering by the 53-bit integer is the
     * same order as the engine's dyadic double: the map is monotone),

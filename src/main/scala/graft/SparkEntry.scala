@@ -917,7 +917,10 @@ object SparkEntry {
     // Feature-store point-in-time join: as-of carry of cumulative
     // order-history features into purchase events (no future leakage).
     "pit_features" -> ((s, dir) =>
-      AsOfJoin.pointInTimeFeatures(Tables.events(s, dir), Tables.orders(s, dir)))
+      AsOfJoin.pointInTimeFeatures(Tables.events(s, dir), Tables.orders(s, dir))),
+    // Deterministic contrastive negative sampling (hash draw, id-dense).
+    "negative_samples" -> ((s, dir) =>
+      graft.operators.Mixture.negativeSamples(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3532,6 +3535,8 @@ object SparkEntry {
     "dsir_weights" -> SketchOracles.dsirSql(),
 
     "weighted_reservoir" -> SketchOracles.weightedReservoirSql(),
+
+    "negative_samples" -> SketchOracles.negativeSamplesSql(),
 
 
     // Same union + carry-forward window, replayed with IGNORE NULLS

@@ -234,6 +234,42 @@ object Mixture {
       .orderBy(col("es_key").desc, col("doc_id"))
   }
 
+  /** Deterministic negative sampling for contrastive pairs: k pseudo-
+    * random OTHER documents per anchor, drawn by hashing (anchor, rank) —
+    * reproducible across runs and layouts (no rand()), which is what
+    * makes a contrastive dataset re-buildable. Relies on the harness's
+    * dense doc_id domain [0, N): the draw is mix64(id·P + rank) reduced
+    * mod N, self-hits shifted by one. Sampling is WITH replacement across
+    * ranks (collisions keep the hash pure); the negative's metadata comes
+    * from one id-keyed join (AQE: broadcast while the id-side fits).
+    *
+    * The mod-N reduction emulates UNSIGNED u64 % N from the JVM's signed
+    * long — pmod of the signed value only matches when N divides 2^64
+    * (the DSIR lesson), so the 2^64 mod N correction term is applied
+    * explicitly; the oracle reduces the true u64 in HUGEINT.
+    */
+  def negativeSamples(documents: DataFrame, k: Int = 4): DataFrame = {
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val cands = documents.select(col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_docs"),
+        explode(array((1 to k).map(lit): _*)).as("neg_rank"))
+    val h = GraftColumns.mix64(col("doc_id") * lit(1000003L) + col("neg_rank"))
+    // 2^64 mod N, built from column arithmetic: 2^63 mod N = (MaxLong mod N) + 1 (mod N)
+    val r63 = pmod(pmod(lit(Long.MaxValue), col("n_docs")) + 1L, col("n_docs"))
+    val r64 = pmod(r63 * 2L, col("n_docs"))
+    val u = pmod(
+      pmod(h, col("n_docs")) + when(h < 0L, r64).otherwise(lit(0L)),
+      col("n_docs"))
+    val neg = when(u === col("doc_id"), pmod(u + 1L, col("n_docs"))).otherwise(u)
+    cands
+      .select(col("doc_id"), col("neg_rank"), neg.as("neg_doc_id"))
+      .join(documents.select(col("doc_id").as("neg_doc_id"),
+        col("source").as("neg_source")), Seq("neg_doc_id"))
+      .select(col("doc_id"), col("neg_rank"), col("neg_doc_id"), col("neg_source"))
+      .orderBy(col("doc_id"), col("neg_rank"))
+  }
+
   /** The driver query's stratified budget: five quota tiers cycled across
     * the generator's sources; unknown sources contribute nothing. Shared
     * with the oracle generator.

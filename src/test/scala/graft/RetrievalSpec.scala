@@ -296,6 +296,19 @@ class RetrievalSpec extends SparkTestBase {
     assert(emitted.sortBy { case (key, id) => (-key, id) }.toSeq == emitted.toSeq)
   }
 
+  test("property: negativeSamples — k per anchor, never self, layout-invariant") {
+    val docs = corpus.toDF("doc_id", "source", "text")
+    val k = 3
+    val got = graft.operators.Mixture.negativeSamples(docs, k).collect()
+    assert(got.length == corpus.size * k)
+    got.foreach(r => assert(r.getLong(0) != r.getLong(2), s"self-negative: $r"))
+    assert(got.forall(r => r.getLong(2) >= 0 && r.getLong(2) < corpus.size))
+    val reshuffled = graft.operators.Mixture
+      .negativeSamples(docs.repartition(11), k).collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      reshuffled.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
   test("property: dsirWeights matches a naive reference within one grid step") {
     val docs = corpus.toDF("doc_id", "source", "text")
     val buckets = 64
