@@ -241,7 +241,8 @@ WHERE u < rate ORDER BY doc_id"""
   FROM documents WHERE $asciiGuard = 0),
 ${mixChain("es", "d", Seq("doc_id", "source", "n_tokens"), "z0")},
 g AS (SELECT doc_id, source, n_tokens,
-  ln(CAST(mx // 2048 AS BIGINT)::DOUBLE / 9007199254740992.0)
+  ln(GREATEST(CAST(mx // 2048 AS BIGINT)::DOUBLE / 9007199254740992.0,
+              CAST(1.0 AS DOUBLE) / CAST(9007199254740992.0 AS DOUBLE)))
     / n_tokens::DOUBLE AS es_key_raw
   FROM es4)
 SELECT doc_id, source, n_tokens, round(es_key_raw, 6) AS es_key

@@ -58,18 +58,6 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
-  /** Last-touch attribution: each purchase is credited to the user's most
-    * recent click/view at or before it, provided the touch falls inside
-    * the lookback window; purchases with no such touch report as 'none'.
-    * The marketing-attribution shape, built on the same merge formulation
-    * as [[eventsToLatestOrder]]: one union, one shuffle on user, one
-    * per-partition sort, carry-forward via last(ignoreNulls) — no
-    * purchases x touches pair join at any scale. The lookback compares
-    * TIMESTAMPS (interval arithmetic, exact micros on both engines),
-    * never epoch-seconds floats. Sort key includes event_id so two
-    * touches at an identical timestamp break ties deterministically.
-    * Attributed value is the exact cents fixed point.
-    */
   /** Feature-store POINT-IN-TIME-correct join: each purchase event is
     * enriched with the user's order-history features (orders so far,
     * spend so far in exact cents) AS OF the event's timestamp — the
@@ -121,6 +109,18 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent click/view at or before it, provided the touch falls inside
+    * the lookback window; purchases with no such touch report as 'none'.
+    * The marketing-attribution shape, built on the same merge formulation
+    * as [[eventsToLatestOrder]]: one union, one shuffle on user, one
+    * per-partition sort, carry-forward via last(ignoreNulls) — no
+    * purchases x touches pair join at any scale. The lookback compares
+    * TIMESTAMPS (interval arithmetic, exact micros on both engines),
+    * never epoch-seconds floats. Sort key includes event_id so two
+    * touches at an identical timestamp break ties deterministically.
+    * Attributed value is the exact cents fixed point.
+    */
   def lastTouchAttribution(events: DataFrame, lookback: String = "1 hour"): DataFrame = {
     val touches = events
       .filter(col("event_type").isin("click", "view"))

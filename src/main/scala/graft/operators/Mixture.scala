@@ -225,7 +225,13 @@ object Mixture {
     documents
       .select(col("doc_id"), col("source"), w.as("n_tokens"),
         textUniform(col("text")).as("u"))
-      .withColumn("es_key_raw", log(col("u")) / col("n_tokens").cast("double"))
+      // floor at 2^-53 (one dyadic step, exact on both engines): u = 0 has
+      // probability 2^-53 per doc, but Spark's log(0) is NULL (row sorted
+      // last silently) while DuckDB's ln(0) errors — the floor makes the
+      // degenerate case identical instead of divergent
+      .withColumn("es_key_raw",
+        log(greatest(col("u"), lit(1.0) / lit(9007199254740992.0)))
+          / col("n_tokens").cast("double"))
       .orderBy(col("es_key_raw").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("source"), col("n_tokens"),
@@ -242,6 +248,8 @@ object Mixture {
     * mod N, self-hits shifted by one. Sampling is WITH replacement across
     * ranks (collisions keep the hash pure); the negative's metadata comes
     * from one id-keyed join (AQE: broadcast while the id-side fits).
+    * Requires N >= 2: on a single-document corpus the self-hit shift
+    * wraps back to the anchor and every pair degenerates to (0, r, 0).
     *
     * The mod-N reduction emulates UNSIGNED u64 % N from the JVM's signed
     * long — pmod of the signed value only matches when N divides 2^64

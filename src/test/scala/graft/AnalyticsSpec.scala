@@ -10,7 +10,6 @@ class AnalyticsSpec extends SparkTestBase {
 
   test("lastTouchAttribution: lookback, same-ts touch, and no-touch cases") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     val ev = Seq(
       // user 1: view then click then purchase 15m later -> click;
       // a second purchase 90m after the click -> outside 1h -> none
@@ -36,7 +35,6 @@ class AnalyticsSpec extends SparkTestBase {
 
   test("pointInTimeFeatures: inclusive as-of, same-date collapse, zero history") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     import java.sql.Timestamp
     val orders = Seq(
       // user 1: two orders on the same date (must collapse to the date-
