@@ -920,7 +920,35 @@ object SparkEntry {
       AsOfJoin.pointInTimeFeatures(Tables.events(s, dir), Tables.orders(s, dir))),
     // Deterministic contrastive negative sampling (hash draw, id-dense).
     "negative_samples" -> ((s, dir) =>
-      graft.operators.Mixture.negativeSamples(Tables.documents(s, dir)))
+      graft.operators.Mixture.negativeSamples(Tables.documents(s, dir))),
+
+    // ---- table evolution (SCD2 / CDC diff / incremental maintenance) ----
+
+    // SCD Type-2 reconstruction: islands-and-gaps in ONE custkey shuffle.
+    "scd2_history" -> ((s, dir) =>
+      graft.operators.Evolution.scd2History(Tables.orders(s, dir))),
+    // Snapshot CDC diff: both as-of states from ONE indicator scan.
+    "snapshot_diff" -> ((s, dir) =>
+      graft.operators.Evolution.snapshotDiff(Tables.orders(s, dir),
+        t1 = "1999-01-01 00:00:00", t2 = "2000-01-01 00:00:00")),
+    // Partial-aggregate merge == full recompute (the IVM contract); the
+    // split lands mid-hour so boundary windows exercise the merge.
+    "incremental_agg_merge" -> ((s, dir) =>
+      graft.operators.Evolution.incrementalMerge(Tables.events(s, dir),
+        splitTs = "2024-01-16 12:30:00")),
+
+    // ---- distribution drift + mixture temperature ----
+
+    // Source-vs-rest two-sample KS over the domain-bounded value grid.
+    "ks_drift" -> ((s, dir) =>
+      graft.operators.Drift.ksDrift(Tables.documents(s, dir))),
+    // Binned PSI between month halves (baseline-range bins, edge clamp).
+    "psi_drift" -> ((s, dir) =>
+      graft.operators.Drift.psiDrift(Tables.events(s, dir),
+        splitTs = "2024-01-16 00:00:00")),
+    // α-temperature source reweighting (α=0.3, 1M-token budget).
+    "temperature_mixture" -> ((s, dir) =>
+      graft.operators.Drift.temperatureMixture(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3631,7 +3659,191 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, dl,
         |  n_terms_hit, round(score_raw, 4) AS score
         |FROM r WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Islands-and-gaps SCD2: lag-compare -> running change-flag sum = run
+    // id, runs grouped, valid_to as the next run's valid_from.
+    "scd2_history" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |runs0 AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM base),
+        |runs AS (
+        |  SELECT o_custkey, CAST(version AS BIGINT) AS version,
+        |    o_orderpriority AS status,
+        |    min(o_orderdate) AS valid_from,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM runs0 GROUP BY 1, 2, 3)
+        |SELECT o_custkey, version, status, valid_from,
+        |  lead(valid_from) OVER v AS valid_to,
+        |  (lead(valid_from) OVER v IS NULL) AS is_current,
+        |  n_orders
+        |FROM runs
+        |WINDOW v AS (PARTITION BY o_custkey ORDER BY version)
+        |ORDER BY o_custkey, version""".stripMargin,
+
+    // Both as-of snapshots from one indicator scan of the < t2 slice;
+    // exact cents; 'unchanged' filtered after classification.
+    "snapshot_diff" ->
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(count(*) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |          THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          ELSE 0 END) AS BIGINT) AS spend_old_cents,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS spend_new_cents
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT *, CASE WHEN n_old = 0 THEN 'added'
+        |                 WHEN n_new = n_old THEN 'unchanged'
+        |                 ELSE 'changed' END AS change_type
+        |  FROM s)
+        |SELECT o_custkey, change_type, n_old, n_new,
+        |  n_new - n_old AS delta_orders,
+        |  spend_old_cents, spend_new_cents,
+        |  spend_new_cents - spend_old_cents AS delta_spend_cents
+        |FROM c WHERE change_type <> 'unchanged'
+        |ORDER BY o_custkey""".stripMargin,
+
+    // The IVM correctness statement: the oracle is the FULL recompute —
+    // merged partials must equal it bit-for-bit.
+    "incremental_agg_merge" ->
+      """WITH g AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sum_cents,
+        |    CAST(min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS min_cents,
+        |    CAST(max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS max_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, sum_cents, min_cents, max_cents,
+        |  round(CAST(sum_cents AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 4)
+        |    AS avg_value
+        |FROM g ORDER BY window_start, event_type""".stripMargin,
+
+    // Source-vs-rest KS: CDFs over the distinct-value grid; every double
+    // derives from exact cumulative longs by the same expression tree.
+    "ks_drift" ->
+      """WITH counts AS (
+        |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM documents GROUP BY 1),
+        |grand AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        |grid AS (SELECT x, sum(c) AS g FROM counts GROUP BY 1),
+        |gcum AS (
+        |  SELECT x, CAST(sum(g) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_g
+        |  FROM grid),
+        |crossed AS (
+        |  SELECT t.source, t.n_source, gc.x, gc.cum_g,
+        |    CAST(sum(COALESCE(c.c, 0)) OVER (PARTITION BY t.source
+        |      ORDER BY gc.x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+        |  FROM gcum gc CROSS JOIN totals t
+        |  LEFT JOIN counts c ON c.source = t.source AND c.x = gc.x),
+        |diffs AS (
+        |  SELECT cr.source, cr.n_source,
+        |    g.n_total - cr.n_source AS n_rest,
+        |    abs(CAST(cr.cum_s AS DOUBLE) / CAST(cr.n_source AS DOUBLE)
+        |      - CAST(cr.cum_g - cr.cum_s AS DOUBLE)
+        |        / CAST(g.n_total - cr.n_source AS DOUBLE)) AS diff
+        |  FROM crossed cr CROSS JOIN grand g),
+        |d AS (
+        |  SELECT source, n_source, n_rest, max(diff) AS d_raw
+        |  FROM diffs GROUP BY 1, 2, 3)
+        |SELECT source, n_source, n_rest,
+        |  round(d_raw, 4) AS ks_d,
+        |  round(sqrt(CAST(n_source AS DOUBLE) * CAST(n_rest AS DOUBLE)
+        |    / CAST(n_source + n_rest AS DOUBLE)) * d_raw, 4) AS ks_stat
+        |FROM d ORDER BY source""".stripMargin,
+
+    // Baseline-range equal-width bins with edge clamp; ε-floored
+    // proportions; psi_cum as a SEQUENTIAL bin-order fold (engine-agnostic
+    // double summation).
+    "psi_drift" ->
+      """WITH rng AS (
+        |  SELECT min(value) AS bmin, max(value) AS bmax
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |b AS (
+        |  SELECT least(9, greatest(0, CAST(floor(
+        |      (value - bmin) / (bmax - bmin) * 10) AS INTEGER))) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+        |      AS is_base
+        |  FROM events CROSS JOIN rng),
+        |g AS (
+        |  SELECT bin, CAST(sum(is_base) AS BIGINT) AS n_base,
+        |    CAST(sum(1 - is_base) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT bin, n_base, n_cur,
+        |    CAST(sum(n_base) OVER () AS BIGINT) AS tot_base,
+        |    CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur
+        |  FROM g),
+        |p AS (
+        |  SELECT bin, n_base, n_cur,
+        |    greatest(CAST(n_base AS DOUBLE) / CAST(tot_base AS DOUBLE), 1e-6)
+        |      AS p_raw,
+        |    greatest(CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE), 1e-6)
+        |      AS q_raw
+        |  FROM t),
+        |x AS (
+        |  SELECT bin, n_base, n_cur, p_raw, q_raw,
+        |    (p_raw - q_raw) * ln(p_raw / q_raw) AS term
+        |  FROM p)
+        |SELECT bin, n_base, n_cur,
+        |  round(p_raw, 4) AS p_base, round(q_raw, 4) AS p_cur,
+        |  round(term, 4) AS psi_term,
+        |  round(sum(term) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING), 4)
+        |    AS psi_cum
+        |FROM x ORDER BY bin""".stripMargin,
+
+    // α-temperature reweighting: q ∝ p^α normalized by a cumulative-then-
+    // max fold (sequential, so the irrational-double sum is order-pinned).
+    "temperature_mixture" ->
+      """WITH m AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT source, n_tokens,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS n_total
+        |  FROM m),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_raw
+        |  FROM t),
+        |w AS (
+        |  SELECT source, n_tokens, p_raw, power(p_raw, 0.3) AS w FROM p),
+        |c AS (
+        |  SELECT source, n_tokens, p_raw, w,
+        |    sum(w) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS w_cum
+        |  FROM w),
+        |f AS (
+        |  SELECT source, n_tokens, p_raw, w, max(w_cum) OVER () AS w_tot
+        |  FROM c)
+        |SELECT source, n_tokens,
+        |  round(p_raw, 4) AS p_natural,
+        |  round(w / w_tot, 4) AS p_temperature,
+        |  round(w / w_tot * 1000000.0, 1) AS expected_tokens,
+        |  round(w / w_tot / p_raw, 4) AS oversample
+        |FROM f ORDER BY source""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring: the statistical gates a training-data
+  * pipeline runs per ingest batch to detect when a source's distribution
+  * has shifted — two-sample Kolmogorov–Smirnov per source, binned PSI
+  * (population stability index) between time periods, and α-temperature
+  * mixture reweighting (the multilingual-sampling correction of
+  * Conneau et al. 2020 / the mC4 recipe). Companion to the categorical
+  * chi-square audit in [[DataQuality.chiSquareIndependence]].
+  *
+  * Numeric discipline: every double derives from exact long counts by an
+  * expression tree spelled identically in the DuckDB oracle; where a SUM
+  * of irrational doubles would make the fold order observable, the fold
+  * is a cumulative window (sequential in ORDER BY order on both engines)
+  * instead of an unordered aggregate.
+  */
+object Drift {
+
+  /** Two-sample KS statistic of each source's `n_chars` distribution vs
+    * the REST of the corpus: D_s = sup_x |F_s(x) − F_rest(x)|, evaluated
+    * at every observed value (the sup of a step-function difference is
+    * attained at a sample point). Reports D and the scaled statistic
+    * sqrt(n_s·n_r/(n_s+n_r))·D (the quantity compared against c(α) in the
+    * classical test).
+    *
+    * Distributed shape: one scan folds to a (source, value) count frame
+    * bounded by |sources|×|value domain|, NOT corpus size; the evaluation
+    * grid is the distinct-value frame crossed with the (broadcast,
+    * |sources|-row) totals, so the windowed CDF passes run over a
+    * domain-bounded frame. The one single-partition window (global value
+    * CDF) is over the |domain|-row grid only — at 100 TB the corpus never
+    * passes through it, only the distinct-value histogram does. Skew-free:
+    * the candidate frame is uniform by construction.
+    */
+  def ksDrift(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+    val totals = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+    val grand = documents.agg(count(lit(1)).as("n_total"))
+    // Global CDF over the distinct-value grid (domain-bounded frame).
+    val grid = counts.groupBy(col("x")).agg(sum(col("c")).as("g"))
+      .withColumn("cum_g", sum(col("g")).over(
+        Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Every (source, grid point), with the source's own cumulative count
+    // carried across grid points where the source has no observation.
+    val bySourceX = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crossed = grid.crossJoin(broadcast(totals))
+      .join(counts, Seq("source", "x"), "left")
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(bySourceX))
+    val diffs = crossed.crossJoin(broadcast(grand))
+      .withColumn("n_rest", col("n_total") - col("n_source"))
+      .withColumn("diff", abs(
+        col("cum_s").cast("double") / col("n_source").cast("double") -
+          (col("cum_g") - col("cum_s")).cast("double") /
+            col("n_rest").cast("double")))
+    diffs
+      .groupBy(col("source"), col("n_source"), col("n_rest"))
+      .agg(max(col("diff")).as("d_raw"))
+      .select(
+        col("source"), col("n_source"), col("n_rest"),
+        round(col("d_raw"), 4).as("ks_d"),
+        round(sqrt(col("n_source").cast("double") *
+          col("n_rest").cast("double") /
+          (col("n_source") + col("n_rest")).cast("double")) *
+          col("d_raw"), 4).as("ks_stat"))
+      .orderBy(col("source"))
+  }
+
+  /** Binned PSI between a baseline period (`ts < splitTs`) and the current
+    * period, over `value`: `bins` equal-width bins spanning the BASELINE
+    * min/max (current-period outliers clamp into the edge bins — the
+    * standard scorecard-monitoring convention, which makes out-of-range
+    * drift visible as edge-bin mass instead of silently widening the
+    * grid). Per-bin term (p−q)·ln(p/q) with ε-floored proportions;
+    * `psi_cum` is the running total in bin order — its last row is the
+    * PSI (a cumulative window, so the double fold is sequential and
+    * engine-agnostic; the conventional alert thresholds are 0.1 / 0.25).
+    *
+    * Distributed shape: one 1-row baseline-range aggregate broadcast into
+    * one full-scan conditional hash aggregate bounded by `bins` rows;
+    * both periods bin in the SAME pass via indicator counters. The window
+    * passes run on the ≤`bins`-row frame.
+    */
+  def psiDrift(events: DataFrame, splitTs: String, bins: Int = 10,
+      eps: Double = 1e-6): DataFrame = {
+    val split = to_timestamp(lit(splitTs))
+    val range = events.filter(col("ts") < split)
+      .agg(min(col("value")).as("bmin"), max(col("value")).as("bmax"))
+    val binned = events.crossJoin(broadcast(range))
+      .withColumn("bin",
+        least(lit(bins - 1), greatest(lit(0),
+          floor((col("value") - col("bmin")) / (col("bmax") - col("bmin")) *
+            lit(bins)).cast("int"))))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("ts") < split, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("ts") >= split, 1L).otherwise(0L)).as("n_cur"))
+    val totals = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ordered = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("tot_base", sum(col("n_base")).over(totals))
+      .withColumn("tot_cur", sum(col("n_cur")).over(totals))
+      .withColumn("p_raw",
+        greatest(col("n_base").cast("double") / col("tot_base").cast("double"),
+          lit(eps)))
+      .withColumn("q_raw",
+        greatest(col("n_cur").cast("double") / col("tot_cur").cast("double"),
+          lit(eps)))
+      .withColumn("term", (col("p_raw") - col("q_raw")) *
+        log(col("p_raw") / col("q_raw")))
+      .select(
+        col("bin"), col("n_base"), col("n_cur"),
+        round(col("p_raw"), 4).as("p_base"),
+        round(col("q_raw"), 4).as("p_cur"),
+        round(col("term"), 4).as("psi_term"),
+        round(sum(col("term")).over(ordered), 4).as("psi_cum"))
+      .orderBy(col("bin"))
+  }
+
+  /** α-temperature mixture reweighting: from per-source token masses n_i,
+    * the sampling distribution q_i ∝ (n_i/N)^α (α<1 upsamples the tail —
+    * the multilingual/low-resource correction), the expected token draw at
+    * a fixed budget, and the oversample factor q_i/p_i a sampler must
+    * apply per source.
+    *
+    * Distributed shape: one scan folds token counts (a per-row `size
+    * (split(...))`, no explode) to a |sources|-row frame; the q
+    * normalizer is a cumulative-then-last window fold over that tiny
+    * frame (sequential double fold — the unordered-SUM-of-powers is the
+    * one place a plain agg could diverge cross-engine in the last ulp).
+    */
+  def temperatureMixture(documents: DataFrame, alpha: Double = 0.3,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    val masses = documents
+      .groupBy(col("source"))
+      .agg(sum(size(graft.functions.TextAnalysis.tokens(col("text")))
+        .cast("long")).as("n_tokens"))
+    val totals = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ordered = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    masses
+      .withColumn("n_total", sum(col("n_tokens")).over(totals))
+      .withColumn("p_raw",
+        col("n_tokens").cast("double") / col("n_total").cast("double"))
+      .withColumn("w", pow(col("p_raw"), lit(alpha)))
+      // Sequential fold + max-picks-last: w > 0 so the cumulative sum is
+      // strictly increasing and its max IS the final normalizer.
+      .withColumn("w_cum", sum(col("w")).over(ordered))
+      .withColumn("w_tot", max(col("w_cum")).over(totals))
+      .withColumn("q_raw", col("w") / col("w_tot"))
+      .select(
+        col("source"), col("n_tokens"),
+        round(col("p_raw"), 4).as("p_natural"),
+        round(col("q_raw"), 4).as("p_temperature"),
+        round(col("q_raw") * lit(budgetTokens.toDouble), 1)
+          .as("expected_tokens"),
+        round(col("q_raw") / col("p_raw"), 4).as("oversample"))
+      .orderBy(col("source"))
+  }
+}
