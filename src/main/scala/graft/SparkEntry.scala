@@ -948,7 +948,11 @@ object SparkEntry {
         splitTs = "2024-01-16 00:00:00")),
     // α-temperature source reweighting (α=0.3, 1M-token budget).
     "temperature_mixture" -> ((s, dir) =>
-      graft.operators.Drift.temperatureMixture(Tables.documents(s, dir)))
+      graft.operators.Drift.temperatureMixture(Tables.documents(s, dir))),
+    // Record linkage: multi-pass blocking (recall 1.0 by construction)
+    // + Fellegi–Sunter scoring over the bounded candidate set.
+    "entity_matches" -> ((s, dir) =>
+      graft.operators.EntityResolution.entityMatches(Tables.customer(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3843,7 +3847,11 @@ object SparkEntry {
         |  round(w / w_tot, 4) AS p_temperature,
         |  round(w / w_tot * 1000000.0, 1) AS expected_tokens,
         |  round(w / w_tot / p_raw, 4) AS oversample
-        |FROM f ORDER BY source""".stripMargin
+        |FROM f ORDER BY source""".stripMargin,
+
+    // Full-pipeline replay (corruption, two blocking passes, FS scoring)
+    // generated beside the operator so the log-weight doubles are shared.
+    "entity_matches" -> graft.operators.EntityResolution.oracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution): match a clean registry against a
+  * "dirty" feed of the same entities under multi-pass blocking, scored by
+  * the Fellegi–Sunter log-likelihood model (Fellegi & Sunter, JASA 1969;
+  * blocking analysis as in Christen's survey, TKDE 2012). The training-data
+  * version of this is joining the same document/user across feeds whose
+  * keys were mangled in transit.
+  *
+  * The harness has no naturally-dirty twin table, so the dirty side is a
+  * DETERMINISTIC corruption of the clean side (drop one character of a
+  * synthesized word-name at a key-derived position) — fully replayable in
+  * SQL, so the whole pipeline (corruption, blocking, scoring, threshold)
+  * is oracle-checked end to end, including that no false pair leaks
+  * through the threshold.
+  *
+  * Scale design — the two load-bearing choices:
+  *  - **Multi-pass blocking with a recall proof.** Candidates come from
+  *    TWO equi-join passes, (nation, first word) and (nation, last word).
+  *    A single dropped character damages at most one of {first word, last
+  *    word} (dropping the first separator merges words 1+2 but leaves the
+  *    last word intact; dropping the second leaves the first intact), so
+  *    every true pair survives at least one pass: recall is 1.0 BY
+  *    CONSTRUCTION, not sampling. Each pass is a plain shuffle-hash
+  *    equi-join whose block sizes are bounded by |nations|×|lexicon|
+  *    buckets — the quadratic explosion of naive linkage never happens,
+  *    and a hot block would be visible as a key-count histogram before
+  *    the join (same salting remedy as any skewed join).
+  *  - **Score-then-threshold, never threshold-then-inspect.** The
+  *    edit-distance and agreement weights are computed only on the
+  *    blocked candidate set (O(blocks × block²), bounded), with the
+  *    constant m/u log-weights folded at plan time.
+  */
+object EntityResolution {
+
+  /** 32-word lexicon for synthesized word-names (NATO-style, all ≥4 chars
+    * so a single char drop never empties a word).
+    */
+  private val lexicon = Seq(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "amber", "birch",
+    "cedar", "dune", "ember", "flint")
+
+  private[operators] val lexiconSqlValues: String =
+    lexicon.zipWithIndex.map { case (w, i) => s"($i, '$w')" }.mkString(", ")
+
+  /** Key-indexed three-word name: low-order digit first so the blocking
+    * buckets stay uniform at every scale factor (the high-order word is
+    * low-cardinality on small keyspaces).
+    */
+  private def wordName(k: Column): Column = {
+    val lex = array(lexicon.map(lit): _*)
+    // floor(k/n) == k DIV n for the non-negative key domain (keys are far
+    // below 2^53, so the double division is exact).
+    def idx(c: Column): Column = (pmod(c, lit(32)) + 1).cast("int")
+    concat_ws("-",
+      element_at(lex, idx(k)),
+      element_at(lex, idx(floor(k / 32))),
+      element_at(lex, idx(floor(k / 1024))))
+  }
+
+  // Fellegi–Sunter agreement/disagreement log-weights from fixed m/u
+  // probabilities (m = P(agree | match), u = P(agree | non-match)).
+  // Computed ONCE here and injected as identical double literals into both
+  // the Spark plan and the oracle SQL — `1 - 0.95` is a double roundoff in
+  // Scala but exact DECIMAL arithmetic in DuckDB, so re-deriving the
+  // weights per-engine would diverge in the last ulps.
+  private[operators] val nameWeights = (math.log(0.95 / 0.001), math.log(0.05 / 0.999))
+  private[operators] val segWeights = (math.log(0.98 / 0.2), math.log(0.02 / 0.8))
+  private[operators] val balWeights = (math.log(0.9 / 0.01), math.log(0.1 / 0.99))
+
+  private def fsWeight(agree: Column, w: (Double, Double)): Column =
+    when(agree, lit(w._1)).otherwise(lit(w._2))
+
+  /** Link the customer registry against its deterministically-corrupted
+    * twin. Emits every blocked candidate pair scoring above `threshold`,
+    * with the per-field evidence (edit distance, agreement flags) and the
+    * FS log-likelihood score.
+    */
+  def entityMatches(customer: DataFrame, threshold: Double = 5.0): DataFrame = {
+    val base = customer.select(
+      col("c_custkey").as("k"),
+      col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal"),
+      wordName(col("c_custkey")).as("nm"))
+    // Dirty twin: drop ONE character at a key-derived position. substring
+    // is 1-based; p in [0, len) selects the (p+1)-th char to drop.
+    val p = pmod(col("k"), length(col("nm"))).cast("int")
+    val dirty = base.select(
+      col("k"), col("nat"), col("seg"), col("bal"),
+      concat(
+        col("nm").substr(lit(1), p),
+        col("nm").substr(p + lit(2), length(col("nm")))).as("nm"))
+
+    def firstWord(c: Column): Column = element_at(split(c, "-"), 1)
+    def lastWord(c: Column): Column = element_at(split(c, "-"), -1)
+
+    val a = base.select(
+      col("k").as("c_custkey"), col("nat"), col("seg").as("seg_a"),
+      col("bal").as("bal_a"), col("nm").as("nm_a"),
+      firstWord(col("nm")).as("fw"), lastWord(col("nm")).as("lw"))
+    val b = dirty.select(
+      col("k").as("matched_key"), col("nat").as("nat_b"),
+      col("seg").as("seg_b"), col("bal").as("bal_b"), col("nm").as("nm_b"),
+      firstWord(col("nm")).as("fw_b"), lastWord(col("nm")).as("lw_b"))
+
+    val pass1 = a.join(b,
+      col("nat") === col("nat_b") && col("fw") === col("fw_b"))
+    val pass2 = a.join(b,
+      col("nat") === col("nat_b") && col("lw") === col("lw_b"))
+    val keep = Seq("c_custkey", "matched_key", "seg_a", "seg_b",
+      "bal_a", "bal_b", "nm_a", "nm_b").map(col)
+    // Rows are functions of the pair key, so row-level distinct IS
+    // pair-level dedup across the two blocking passes.
+    val cand = pass1.select(keep: _*)
+      .unionByName(pass2.select(keep: _*)).distinct()
+
+    val nameAgree = levenshtein(col("nm_a"), col("nm_b")) <= 1
+    val segAgree = col("seg_a") === col("seg_b")
+    val balAgree = abs(col("bal_a") - col("bal_b")) < 1.0
+    cand
+      .withColumn("name_lev", levenshtein(col("nm_a"), col("nm_b")))
+      .withColumn("seg_agree", segAgree)
+      .withColumn("bal_agree", balAgree)
+      .withColumn("score_raw",
+        fsWeight(nameAgree, nameWeights) +
+          fsWeight(segAgree, segWeights) +
+          fsWeight(balAgree, balWeights))
+      .filter(col("score_raw") > threshold)
+      .select(
+        col("c_custkey"), col("matched_key"),
+        col("name_lev"), col("seg_agree"), col("bal_agree"),
+        round(col("score_raw"), 4).as("score"))
+      .orderBy(col("c_custkey"), col("matched_key"))
+  }
+
+  /** DuckDB replay of the whole pipeline — corruption, both blocking
+    * passes, FS scoring, threshold — with the Scala-computed log-weights
+    * injected as round-trip-exact double literals.
+    */
+  def oracleSql(threshold: Double = 5.0): String = {
+    def d(x: Double): String = java.lang.Double.toString(x)
+    def fsCase(pred: String, w: (Double, Double)): String =
+      s"CASE WHEN $pred THEN ${d(w._1)} ELSE ${d(w._2)} END"
+    s"""WITH lex(i, w) AS (VALUES $lexiconSqlValues),
+       |base AS (
+       |  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+       |    c_acctbal AS bal, l1.w || '-' || l2.w || '-' || l3.w AS nm
+       |  FROM customer
+       |  JOIN lex l1 ON l1.i = c_custkey % 32
+       |  JOIN lex l2 ON l2.i = CAST(floor(c_custkey / 32) AS BIGINT) % 32
+       |  JOIN lex l3 ON l3.i = CAST(floor(c_custkey / 1024) AS BIGINT) % 32),
+       |dirty AS (
+       |  SELECT k, nat, seg, bal,
+       |    substr(nm, 1, CAST(k % length(nm) AS INTEGER)) ||
+       |    substr(nm, CAST(k % length(nm) AS INTEGER) + 2) AS nm
+       |  FROM base),
+       |a AS (
+       |  SELECT k AS c_custkey, nat, seg AS seg_a, bal AS bal_a, nm AS nm_a,
+       |    string_split(nm, '-')[1] AS fw, string_split(nm, '-')[-1] AS lw
+       |  FROM base),
+       |b AS (
+       |  SELECT k AS matched_key, nat AS nat_b, seg AS seg_b, bal AS bal_b,
+       |    nm AS nm_b, string_split(nm, '-')[1] AS fw_b,
+       |    string_split(nm, '-')[-1] AS lw_b
+       |  FROM dirty),
+       |cand AS (
+       |  SELECT c_custkey, matched_key, seg_a, seg_b, bal_a, bal_b,
+       |    nm_a, nm_b
+       |  FROM a JOIN b ON a.nat = b.nat_b AND a.fw = b.fw_b
+       |  UNION
+       |  SELECT c_custkey, matched_key, seg_a, seg_b, bal_a, bal_b,
+       |    nm_a, nm_b
+       |  FROM a JOIN b ON a.nat = b.nat_b AND a.lw = b.lw_b),
+       |sc AS (
+       |  SELECT c_custkey, matched_key,
+       |    CAST(levenshtein(nm_a, nm_b) AS INTEGER) AS name_lev,
+       |    (seg_a = seg_b) AS seg_agree,
+       |    (abs(bal_a - bal_b) < 1.0) AS bal_agree,
+       |    ${fsCase("levenshtein(nm_a, nm_b) <= 1", nameWeights)}
+       |    + ${fsCase("seg_a = seg_b", segWeights)}
+       |    + ${fsCase("abs(bal_a - bal_b) < 1.0", balWeights)} AS score_raw
+       |  FROM cand)
+       |SELECT c_custkey, matched_key, name_lev, seg_agree, bal_agree,
+       |  round(score_raw, 4) AS score
+       |FROM sc WHERE score_raw > ${d(threshold)}
+       |ORDER BY c_custkey, matched_key""".stripMargin
+  }
+}
