@@ -952,7 +952,13 @@ object SparkEntry {
     // Record linkage: multi-pass blocking (recall 1.0 by construction)
     // + Fellegi–Sunter scoring over the bounded candidate set.
     "entity_matches" -> ((s, dir) =>
-      graft.operators.EntityResolution.entityMatches(Tables.customer(s, dir)))
+      graft.operators.EntityResolution.entityMatches(Tables.customer(s, dir))),
+    // k-anonymity/l-diversity audit over QI tuples (one scan).
+    "k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityAudit(Tables.customer(s, dir))),
+    // Fixed-depth full-domain generalization ladder (publish-or-suppress).
+    "k_anonymize" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymize(Tables.customer(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3851,7 +3857,44 @@ object SparkEntry {
 
     // Full-pipeline replay (corruption, two blocking passes, FS scoring)
     // generated beside the operator so the log-weight doubles are shared.
-    "entity_matches" -> graft.operators.EntityResolution.oracleSql()
+    "entity_matches" -> graft.operators.EntityResolution.oracleSql(),
+
+    "k_anonymity" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  'b1k:' || CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+        |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Group-level promotion: level-0 and level-1 group counts joined back
+    // by QI key; a record publishes at its finest k-satisfying level.
+    "k_anonymize" ->
+      """WITH recs AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |    'b1k:' || CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b0,
+        |    'b5k:' || CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS b1
+        |  FROM customer),
+        |k0 AS (SELECT nation, segment, b0, count(*) AS k0
+        |       FROM recs GROUP BY 1, 2, 3),
+        |k1 AS (SELECT nation, segment, b1, count(*) AS k1
+        |       FROM recs GROUP BY 1, 2, 3),
+        |lv AS (
+        |  SELECT r.nation, r.segment,
+        |    CASE WHEN k0.k0 >= 5 THEN 0 WHEN k1.k1 >= 5 THEN 1
+        |         ELSE 2 END AS level,
+        |    CASE WHEN k0.k0 >= 5 THEN r.b0 WHEN k1.k1 >= 5 THEN r.b1
+        |         ELSE '*' END AS bal_bucket
+        |  FROM recs r
+        |  JOIN k0 ON k0.nation = r.nation AND k0.segment = r.segment
+        |         AND k0.b0 = r.b0
+        |  JOIN k1 ON k1.nation = r.nation AND k1.segment = r.segment
+        |         AND k1.b1 = r.b1)
+        |SELECT nation, segment, bal_bucket, level,
+        |  CAST(count(*) AS BIGINT) AS group_size
+        |FROM lv GROUP BY 1, 2, 3, 4
+        |ORDER BY nation, segment, level, bal_bucket""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
