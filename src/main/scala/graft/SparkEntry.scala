@@ -958,7 +958,11 @@ object SparkEntry {
       graft.operators.Privacy.kAnonymityAudit(Tables.customer(s, dir))),
     // Fixed-depth full-domain generalization ladder (publish-or-suppress).
     "k_anonymize" -> ((s, dir) =>
-      graft.operators.Privacy.kAnonymize(Tables.customer(s, dir)))
+      graft.operators.Privacy.kAnonymize(Tables.customer(s, dir))),
+    // Two-sided CUSUM over hourly ingest volumes: sequential clamp fold
+    // on the time-domain-bounded count frame (recursive-CTE oracle).
+    "cusum_changepoints" -> ((s, dir) =>
+      graft.operators.Changepoint.cusumChangepoints(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3894,7 +3898,11 @@ object SparkEntry {
         |SELECT nation, segment, bal_bucket, level,
         |  CAST(count(*) AS BIGINT) AS group_size
         |FROM lv GROUP BY 1, 2, 3, 4
-        |ORDER BY nation, segment, level, bal_bucket""".stripMargin
+        |ORDER BY nation, segment, level, bal_bucket""".stripMargin,
+
+    // Recursive-CTE replay of the sequential CUSUM clamp fold, generated
+    // beside the operator so the baseline split stays single-sourced.
+    "cusum_changepoints" -> graft.operators.Changepoint.oracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
