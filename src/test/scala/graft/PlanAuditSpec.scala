@@ -413,4 +413,61 @@ class PlanAuditSpec extends SparkTestBase {
     assert(executed(q18).contains("TakeOrderedAndProject"),
       "top-k must plan as TakeOrderedAndProject, not a global sort")
   }
+
+  test("snapshotDiff: one pushed-filter scan, no join (indicator formulation)") {
+    val q = graft.operators.Evolution.snapshotDiff(Tables.orders(spark, sf),
+      "1999-01-01 00:00:00", "2000-01-01 00:00:00")
+    val scans = deepLeaves(finalPlan(q))
+    assert(scans.length == 1, s"both snapshots must come from ONE scan:\n$scans")
+    assert(scans.head.toString.contains("LessThan(o_orderdate"),
+      s"t2 bound must push to the scan:\n${scans.head}")
+    assert(!executed(q).contains("Join"), "diff must not join snapshots")
+  }
+
+  test("scd2History: all exchanges hash on the entity key, none single-partition") {
+    val q = graft.operators.Evolution.scd2History(Tables.orders(spark, sf))
+    val ex = allExchanges(finalPlan(q)).map(_.outputPartitioning.toString)
+    // rangepartitioning comes from the final presentation ORDER BY only
+    val hashEx = ex.filterNot(_.startsWith("range"))
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("o_custkey")),
+      s"every computational shuffle must key on o_custkey:\n$ex")
+    assert(!ex.exists(_.contains("SinglePartition")), ex.toString)
+  }
+
+  test("entityMatches: blocking passes are equi-joins, never a product") {
+    val q = graft.operators.EntityResolution.entityMatches(
+      Tables.customer(spark, sf))
+    val p = executed(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"blocked linkage must stay on equi-joins:\n$p")
+  }
+
+  test("kAnonymize: per-level group counts broadcast back onto the records") {
+    val p = executed(graft.operators.Privacy.kAnonymize(
+      Tables.customer(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"domain-bounded count frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cusumChangepoints: baseline stats broadcast; counts keep partial agg") {
+    val q = graft.operators.Changepoint.cusumChangepoints(
+      Tables.events(spark, sf))
+    val p = executed(q)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-key baseline stats must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("HashAggregate"),
+      s"hourly counts must combine map-side:\n$p")
+  }
+
+  test("ksDrift: corpus-side aggregates stay hash joins; only bounded frames broadcast") {
+    val q = graft.operators.Drift.ksDrift(Tables.documents(spark, sf))
+    val p = executed(q)
+    // the two crossJoins carry 1-row / |sources|-row broadcast frames;
+    // the counts join onto the grid must be an equi-join
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"bounded frames must ride broadcasts, not shuffled products:\n$p")
+  }
 }
