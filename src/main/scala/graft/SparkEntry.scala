@@ -962,7 +962,12 @@ object SparkEntry {
     // Two-sided CUSUM over hourly ingest volumes: sequential clamp fold
     // on the time-domain-bounded count frame (recursive-CTE oracle).
     "cusum_changepoints" -> ((s, dir) =>
-      graft.operators.Changepoint.cusumChangepoints(Tables.events(s, dir)))
+      graft.operators.Changepoint.cusumChangepoints(Tables.events(s, dir))),
+    // ANALYZE-style per-column profile (one pass per table, canonical
+    // min/max serializations).
+    "column_stats" -> ((s, dir) =>
+      graft.operators.TableStats.columnStats(
+        Tables.orders(s, dir), Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3902,7 +3907,11 @@ object SparkEntry {
 
     // Recursive-CTE replay of the sequential CUSUM clamp fold, generated
     // beside the operator so the baseline split stays single-sourced.
-    "cusum_changepoints" -> graft.operators.Changepoint.oracleSql()
+    "cusum_changepoints" -> graft.operators.Changepoint.oracleSql(),
+
+    // Wide-aggregate-then-unpivot replay, generated beside the operator
+    // so the column list and canonical forms are single-sourced.
+    "column_stats" -> graft.operators.TableStats.oracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

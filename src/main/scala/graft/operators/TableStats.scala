@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style column statistics — the table profile a cost-based
+  * optimizer (and a data-quality dashboard) consumes: per column, the row
+  * count, null count, exact distinct count, and canonical min/max. The
+  * reference leaves statistics to Postgres' ANALYZE; an engine that owns
+  * its scans has to produce them itself.
+  *
+  * Serialization discipline: min/max are emitted as STRINGS in canonical
+  * forms that both engines render identically — longs as-is, doubles via
+  * the exact cents fixed point, timestamps via epoch micros — never raw
+  * double/timestamp rendering (e-notation and fraction padding differ
+  * across engines).
+  *
+  * Scale: ONE pass per table. The multi-column distinct counts share the
+  * scan via Spark's expand (each input row fans to one row per distinct
+  * aggregate — the standard multi-distinct plan); everything else is
+  * plain min/max/count counters with map-side combine. The report is
+  * O(columns), not O(rows).
+  */
+object TableStats {
+
+  private case class ColSpec(name: String, value: Column, canon: Column)
+
+  private def profile(table: String, df: DataFrame,
+      specs: Seq[ColSpec]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: specs.flatMap { s =>
+      Seq(
+        sum(when(s.value.isNull, 1L).otherwise(0L)).as(s"${s.name}__nulls"),
+        countDistinct(s.value).as(s"${s.name}__ndv"),
+        min(s.canon).as(s"${s.name}__min"),
+        max(s.canon).as(s"${s.name}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = specs.map(s =>
+      s"'${s.name}', cast(`${s.name}__nulls` as bigint), " +
+        s"cast(`${s.name}__ndv` as bigint), " +
+        s"cast(`${s.name}__min` as string), cast(`${s.name}__max` as string)")
+      .mkString(", ")
+    wide.select(
+      lit(table).as("table_name"),
+      col("n_rows"),
+      expr(s"stack(${specs.size}, $stacked) " +
+        "as (column_name, n_nulls, ndv, min_canon, max_canon)"))
+      .select(col("table_name"), col("column_name"), col("n_rows"),
+        col("n_nulls"), col("ndv"), col("min_canon"), col("max_canon"))
+  }
+
+  private def cents(c: Column): Column =
+    graft.queries.Analytics.centsOf(c).cast("long")
+
+  /** The harness profile: orders + events, every column in its canonical
+    * form.
+    */
+  def columnStats(orders: DataFrame, events: DataFrame): DataFrame = {
+    val ordersP = profile("orders", orders, Seq(
+      ColSpec("o_orderkey", col("o_orderkey"), col("o_orderkey")),
+      ColSpec("o_custkey", col("o_custkey"), col("o_custkey")),
+      ColSpec("o_orderstatus", col("o_orderstatus"), col("o_orderstatus")),
+      ColSpec("o_totalprice", col("o_totalprice"), cents(col("o_totalprice"))),
+      ColSpec("o_orderdate", col("o_orderdate"),
+        unix_micros(col("o_orderdate"))),
+      ColSpec("o_orderpriority", col("o_orderpriority"),
+        col("o_orderpriority"))))
+    val eventsP = profile("events", events, Seq(
+      ColSpec("event_id", col("event_id"), col("event_id")),
+      ColSpec("ts", col("ts"), unix_micros(col("ts"))),
+      ColSpec("user_id", col("user_id"), col("user_id")),
+      ColSpec("event_type", col("event_type"), col("event_type")),
+      ColSpec("value", col("value"), cents(col("value")))))
+    ordersP.unionByName(eventsP)
+      .orderBy(col("table_name"), col("column_name"))
+  }
+
+  // ---- oracle generation (single-sourced column list) ----------------------
+
+  private val centsSql = (c: String) =>
+    s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+  private val orderCols: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "o_orderkey",
+    "o_custkey" -> "o_custkey",
+    "o_orderstatus" -> "o_orderstatus",
+    "o_totalprice" -> centsSql("o_totalprice"),
+    "o_orderdate" -> "epoch_us(o_orderdate)",
+    "o_orderpriority" -> "o_orderpriority")
+  private val eventCols: Seq[(String, String)] = Seq(
+    "event_id" -> "event_id",
+    "ts" -> "epoch_us(ts)",
+    "user_id" -> "user_id",
+    "event_type" -> "event_type",
+    "value" -> centsSql("value"))
+
+  /** DuckDB replay: one wide aggregate per table, unpivoted to the same
+    * (table, column) report rows.
+    */
+  def oracleSql: String = {
+    def wide(table: String, cols: Seq[(String, String)]): String = {
+      val aggs = cols.zipWithIndex.map { case ((name, canon), i) =>
+        s"""CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS c${i}_nulls,
+           |    CAST(count(DISTINCT $name) AS BIGINT) AS c${i}_ndv,
+           |    CAST(min($canon) AS VARCHAR) AS c${i}_min,
+           |    CAST(max($canon) AS VARCHAR) AS c${i}_max""".stripMargin
+      }.mkString(",\n    ")
+      s"SELECT CAST(count(*) AS BIGINT) AS n_rows,\n    $aggs\n  FROM $table"
+    }
+    def rows(table: String, wideName: String,
+        cols: Seq[(String, String)]): String =
+      cols.zipWithIndex.map { case ((name, _), i) =>
+        s"""SELECT '$table' AS table_name, '$name' AS column_name, n_rows,
+           |  c${i}_nulls AS n_nulls, c${i}_ndv AS ndv,
+           |  c${i}_min AS min_canon, c${i}_max AS max_canon FROM $wideName"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ow AS (
+       |  ${wide("orders", orderCols)}),
+       |ew AS (
+       |  ${wide("events", eventCols)}),
+       |u AS (
+       |  ${rows("orders", "ow", orderCols)}
+       |  UNION ALL
+       |  ${rows("events", "ew", eventCols)})
+       |SELECT * FROM u ORDER BY table_name, column_name""".stripMargin
+  }
+}
