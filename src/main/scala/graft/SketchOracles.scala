@@ -564,4 +564,79 @@ SELECT window_start, event_type, event_count, approx_users, users_exact,
 FROM appx
 ORDER BY window_start, event_type"""
   }
+
+  /** hll_set_algebra: per-type registers (same mix64/smear pipeline),
+    * pair-merged union registers, inclusion–exclusion intersection, and
+    * the exact counts in-row. Mirrors graft.operators.Hll.setAlgebra.
+    */
+  def hllSetAlgebraSql: String = {
+    val m = Hll.M
+    val lcList = Hll.LinearCounting.map(dlit).mkString("[", ", ", "]")
+    /** Estimator from (present, sum_present) — shared by both folds. */
+    def estSelect(keys: String, from: String, out: String): String =
+      s"""SELECT $keys,
+  CASE WHEN ($m - present) > 0
+        AND ${dlit(Hll.EstNumerator)}
+          / CAST(sum_present + ($m - present) * 4503599627370496::BIGINT
+                 AS DOUBLE) <= ${dlit(2.5 * m)}
+       THEN ($lcList)[$m - present]
+       ELSE ${dlit(Hll.EstNumerator)}
+          / CAST(sum_present + ($m - present) * 4503599627370496::BIGINT
+                 AS DOUBLE) END AS $out
+  FROM $from"""
+    s"""WITH l1 AS (
+  SELECT event_type, user_id FROM events GROUP BY 1, 2),
+ux AS (SELECT event_type,
+  ((CASE WHEN user_id < 0 THEN CAST(user_id AS HUGEINT) + $U64
+         ELSE CAST(user_id AS HUGEINT) END)
+   + 11400714819323198485::HUGEINT) % $U64 AS z0 FROM l1),
+${mixChain("mh", "ux", Seq("event_type"), "z0")},
+rw AS (SELECT event_type, CAST(mx % $m AS BIGINT) AS bucket,
+  CAST(mx // $m AS BIGINT) AS w FROM mh4),
+s1 AS (SELECT event_type, bucket, w | (w >> 1) AS v FROM rw),
+s2 AS (SELECT event_type, bucket, v | (v >> 2) AS v FROM s1),
+s3 AS (SELECT event_type, bucket, v | (v >> 4) AS v FROM s2),
+s4 AS (SELECT event_type, bucket, v | (v >> 8) AS v FROM s3),
+s5 AS (SELECT event_type, bucket, v | (v >> 16) AS v FROM s4),
+s6 AS (SELECT event_type, bucket, v | (v >> 32) AS v FROM s5),
+rh AS (SELECT event_type, bucket,
+  least(52, ${64 - Hll.P + 1} - bit_count(v)) AS rho FROM s6),
+regs AS (SELECT event_type, bucket, max(rho) AS rho FROM rh GROUP BY 1, 2),
+agg1 AS (SELECT event_type, count(rho) AS present,
+  CAST(sum(1::BIGINT << (52 - rho)) AS BIGINT) AS sum_present
+  FROM regs GROUP BY 1),
+est1 AS (${estSelect("event_type", "agg1", "est")}),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (SELECT a.event_type AS t_a, b.event_type AS t_b
+  FROM types a JOIN types b ON a.event_type < b.event_type),
+members AS (SELECT t_a, t_b, unnest([t_a, t_b]) AS m FROM pairs),
+pregs AS (SELECT t_a, t_b, bucket, max(rho) AS rho
+  FROM members JOIN regs ON regs.event_type = members.m GROUP BY 1, 2, 3),
+aggu AS (SELECT t_a, t_b, count(rho) AS present,
+  CAST(sum(1::BIGINT << (52 - rho)) AS BIGINT) AS sum_present
+  FROM pregs GROUP BY 1, 2),
+estu AS (${estSelect("t_a, t_b", "aggu", "est_u")}),
+u AS (SELECT DISTINCT event_type, user_id FROM events),
+ex1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+exi AS (SELECT a.event_type AS t_a, b.event_type AS t_b,
+  CAST(count(*) AS BIGINT) AS exact_inter
+  FROM u a JOIN u b ON a.user_id = b.user_id
+    AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.t_a, p.t_b, xa.n AS exact_a, xb.n AS exact_b,
+  COALESCE(exi.exact_inter, 0) AS exact_inter,
+  xa.n + xb.n - COALESCE(exi.exact_inter, 0) AS exact_union,
+  round(ea.est, 4) AS approx_a, round(eb.est, 4) AS approx_b,
+  round(eu.est_u, 4) AS approx_union,
+  round(ea.est + eb.est - eu.est_u, 4) AS approx_inter,
+  round((ea.est + eb.est - eu.est_u) / eu.est_u, 4) AS jaccard_approx
+FROM pairs p
+JOIN ex1 xa ON xa.event_type = p.t_a
+JOIN ex1 xb ON xb.event_type = p.t_b
+LEFT JOIN exi ON exi.t_a = p.t_a AND exi.t_b = p.t_b
+JOIN est1 ea ON ea.event_type = p.t_a
+JOIN est1 eb ON eb.event_type = p.t_b
+JOIN estu eu ON eu.t_a = p.t_a AND eu.t_b = p.t_b
+ORDER BY p.t_a, p.t_b"""
+  }
 }

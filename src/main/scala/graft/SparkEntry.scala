@@ -967,7 +967,11 @@ object SparkEntry {
     // min/max serializations).
     "column_stats" -> ((s, dir) =>
       graft.operators.TableStats.columnStats(
-        Tables.orders(s, dir), Tables.events(s, dir)))
+        Tables.orders(s, dir), Tables.events(s, dir))),
+    // HLL set algebra: audience union from merged registers, intersection
+    // by inclusion–exclusion, exact counts in-row as the self-check.
+    "hll_set_algebra" -> ((s, dir) =>
+      graft.operators.Hll.setAlgebra(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3911,7 +3915,10 @@ object SparkEntry {
 
     // Wide-aggregate-then-unpivot replay, generated beside the operator
     // so the column list and canonical forms are single-sourced.
-    "column_stats" -> graft.operators.TableStats.oracleSql
+    "column_stats" -> graft.operators.TableStats.oracleSql,
+
+    // Full sketch replay: register build, pair merge, inclusion–exclusion.
+    "hll_set_algebra" -> SketchOracles.hllSetAlgebraSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
