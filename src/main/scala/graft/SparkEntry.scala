@@ -971,7 +971,11 @@ object SparkEntry {
     // HLL set algebra: audience union from merged registers, intersection
     // by inclusion–exclusion, exact counts in-row as the self-check.
     "hll_set_algebra" -> ((s, dir) =>
-      graft.operators.Hll.setAlgebra(Tables.events(s, dir)))
+      graft.operators.Hll.setAlgebra(Tables.events(s, dir))),
+    // Greedy longest-match WordPiece: distinct words tokenized once via a
+    // codegen'd expression fold, weighted by the word-frequency frame.
+    "wordpiece_tokens" -> ((s, dir) =>
+      TextAnalysis.wordpieceTokenCounts(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3918,7 +3922,10 @@ object SparkEntry {
     "column_stats" -> graft.operators.TableStats.oracleSql,
 
     // Full sketch replay: register build, pair merge, inclusion–exclusion.
-    "hll_set_algebra" -> SketchOracles.hllSetAlgebraSql
+    "hll_set_algebra" -> SketchOracles.hllSetAlgebraSql,
+
+    // Recursive-CTE longest-match peel, vocab single-sourced in Scala.
+    "wordpiece_tokens" -> TextAnalysis.wordpieceOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -21,6 +21,103 @@ object TextAnalysis {
     */
   def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  // ---- WordPiece (greedy longest-match subword tokenization) --------------
+
+  /** Fixed WordPiece vocabulary (Wu et al. 2016 / BERT's tokenizer):
+    * every lowercase letter (so no word is untokenizable) plus multi-char
+    * pieces. Continuations emit with the `##` marker; the same piece set
+    * serves both positions. Single-sourced: the Spark fold and the DuckDB
+    * recursive-CTE oracle both derive from THIS list.
+    */
+  val wordpieceVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq(
+      "spark", "data", "join", "merge", "stream", "batch", "wind", "ow",
+      "qu", "ery", "cust", "omer", "tab", "le", "th", "er", "ing", "an",
+      "ar", "or", "st", "ta", "sc", "row", "key", "val", "ue")
+
+  /** Greedy longest-match encode of one word as a SQL-expression fold:
+    * at each step take the LONGEST vocab piece prefixing the remainder
+    * (unique — two same-length prefixes of the same string are equal),
+    * mark continuations with `##`, emit `[UNK]` and stop if nothing
+    * matches. The fold unrolls over sequence(1, maxLen); a finished word
+    * passes through untouched. Pure codegen'd array expressions — no UDF.
+    */
+  private def wordpieceExpr(wordCol: String, maxLen: Int = 16): String = {
+    val vocabArr = wordpieceVocab.map(v => s"'$v'").mkString("array(", ", ", ")")
+    val best = s"aggregate(filter($vocabArr, v -> startswith(acc.rem, v)), " +
+      "'', (b, v) -> if(length(v) > length(b), v, b))"
+    s"""aggregate(
+       |  sequence(1, $maxLen),
+       |  named_struct('rem', $wordCol, 'out',
+       |               cast(array() as array<string>)),
+       |  (acc, i) -> if(acc.rem = '', acc,
+       |    if($best = '',
+       |      named_struct('rem', '',
+       |                   'out', concat(acc.out, array('[UNK]'))),
+       |      named_struct(
+       |        'rem', substr(acc.rem, length($best) + 1),
+       |        'out', concat(acc.out, array(
+       |          if(size(acc.out) = 0, $best, concat('##', $best))))))),
+       |  acc -> acc.out)""".stripMargin
+  }
+
+  /** Corpus subword frequencies under the greedy WordPiece encode.
+    *
+    * Scale shape: tokenize each DISTINCT word once — the encode cost is
+    * O(|corpus vocabulary| × word length × |piece vocab|), bounded by the
+    * language, not the corpus — then weight by the word-frequency frame.
+    * The corpus itself is touched once (the word-count explode); 100 TB
+    * changes the weights, not the tokenization work.
+    */
+  def wordpieceTokenCounts(documents: DataFrame): DataFrame = {
+    val wc = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    wc
+      .withColumn("pieces", expr(wordpieceExpr("w")))
+      .select(explode(col("pieces")).as("token"), col("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n"))
+      .orderBy(col("token"))
+  }
+
+  /** DuckDB replay: recursive CTE peeling the longest matching piece per
+    * step — the max-length prefix is recovered as substr(rem, 1, blen),
+    * needing no argmax join (same-length prefix matches are identical).
+    */
+  def wordpieceOracleSql: String = {
+    val vocabValues = wordpieceVocab.map(v => s"('$v')").mkString(", ")
+    s"""WITH RECURSIVE
+       |vocab(piece) AS (VALUES $vocabValues),
+       |words AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |steps(w, rem, idx, piece) AS (
+       |  SELECT w, w, 0, CAST(NULL AS VARCHAR) FROM words
+       |  UNION ALL
+       |  SELECT s.w,
+       |    CASE WHEN s.blen IS NULL THEN '' ELSE substr(s.rem, s.blen + 1)
+       |      END,
+       |    s.idx + 1,
+       |    CASE WHEN s.blen IS NULL THEN '[UNK]'
+       |         WHEN s.idx = 0 THEN substr(s.rem, 1, s.blen)
+       |         ELSE '##' || substr(s.rem, 1, s.blen) END
+       |  FROM (SELECT st.w, st.rem, st.idx,
+       |          CAST(max(length(v.piece)) AS INTEGER) AS blen
+       |        FROM steps st
+       |        LEFT JOIN vocab v ON starts_with(st.rem, v.piece)
+       |        WHERE st.rem <> '' GROUP BY 1, 2, 3) s)
+       |SELECT st.piece AS token, CAST(sum(wc.c) AS BIGINT) AS n
+       |FROM steps st JOIN wc ON wc.w = st.w
+       |WHERE st.piece IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-document stats + a composite quality score (length, lexical
     * diversity, stopword presence — the standard cheap quality heuristics).
     * All doubles are IEEE ops on integer-derived operands: bit-deterministic.
