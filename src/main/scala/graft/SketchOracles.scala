@@ -565,6 +565,49 @@ FROM appx
 ORDER BY window_start, event_type"""
   }
 
+  /** join_cardinality_est: Count-Min inner-product join-size estimate.
+    * Key hash = mix64(key), bucket_d = mix64(kh ^ seed_d) % width —
+    * mirrors graft.operators.TableStats.joinCardinalityEst stage for
+    * stage (the double mix chain; the same seed table as the token CMS).
+    */
+  def joinCardSql(depth: Int = graft.functions.TextAnalysis.CmsDepth,
+      width: Int = graft.functions.TextAnalysis.CmsWidth): String = {
+    val seedRows = graft.functions.TextAnalysis.cmsSeeds(depth).zipWithIndex
+      .map { case (s, d) => s"    ($d, ${ulit(s)})" }.mkString(",\n")
+    def side(p: String, table: String, key: String): String =
+      s"""c$p AS (SELECT $key AS key, CAST(count(*) AS BIGINT) AS c
+  FROM $table GROUP BY 1),
+u$p AS (SELECT key, c,
+  ((CASE WHEN key < 0 THEN CAST(key AS HUGEINT) + $U64
+         ELSE CAST(key AS HUGEINT) END)
+   + 11400714819323198485::HUGEINT) % $U64 AS z0 FROM c$p),
+${mixChain(s"k$p", s"u$p", Seq("key", "c"), "z0")},
+x$p AS (SELECT key, c, d, (xor(mx, su) + 11400714819323198485::HUGEINT) % $U64
+  AS z0 FROM k${p}4, sd),
+${mixChain(s"b$p", s"x$p", Seq("key", "c", "d"), "z0")},
+ctr$p AS (SELECT d, mx % $width AS bucket, CAST(sum(c) AS BIGINT) AS counter
+  FROM b${p}4 GROUP BY 1, 2)"""
+    s"""WITH sd(d, su) AS (VALUES
+$seedRows),
+${side("a", "orders", "o_custkey")},
+${side("b", "events", "user_id")},
+estd AS (
+  SELECT a.d, CAST(sum(a.counter * b.counter) AS BIGINT) AS est_d
+  FROM ctra a JOIN ctrb b ON a.d = b.d AND a.bucket = b.bucket
+  GROUP BY 1),
+est AS (SELECT CAST(min(est_d) AS BIGINT) AS cms_estimate FROM estd),
+ex AS (SELECT CAST(COALESCE(sum(a.c * b.c), 0) AS BIGINT)
+    AS exact_join_rows
+  FROM ca a JOIN cb b ON a.key = b.key),
+sa AS (SELECT CAST(sum(c) AS BIGINT) AS n_a,
+  CAST(count(*) AS BIGINT) AS distinct_a FROM ca),
+sb AS (SELECT CAST(sum(c) AS BIGINT) AS n_b,
+  CAST(count(*) AS BIGINT) AS distinct_b FROM cb)
+SELECT n_a, n_b, distinct_a, distinct_b, exact_join_rows, cms_estimate,
+  cms_estimate - exact_join_rows AS overestimate
+FROM sa, sb, ex, est"""
+  }
+
   /** hll_set_algebra: per-type registers (same mix64/smear pipeline),
     * pair-merged union registers, inclusion–exclusion intersection, and
     * the exact counts in-row. Mirrors graft.operators.Hll.setAlgebra.

@@ -975,7 +975,11 @@ object SparkEntry {
     // Greedy longest-match WordPiece: distinct words tokenized once via a
     // codegen'd expression fold, weighted by the word-frequency frame.
     "wordpiece_tokens" -> ((s, dir) =>
-      TextAnalysis.wordpieceTokenCounts(Tables.documents(s, dir)))
+      TextAnalysis.wordpieceTokenCounts(Tables.documents(s, dir))),
+    // CMS inner-product join-size estimate, exact join rows in-row.
+    "join_cardinality_est" -> ((s, dir) =>
+      graft.operators.TableStats.joinCardinalityEst(
+        Tables.orders(s, dir), Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3925,7 +3929,10 @@ object SparkEntry {
     "hll_set_algebra" -> SketchOracles.hllSetAlgebraSql,
 
     // Recursive-CTE longest-match peel, vocab single-sourced in Scala.
-    "wordpiece_tokens" -> TextAnalysis.wordpieceOracleSql
+    "wordpiece_tokens" -> TextAnalysis.wordpieceOracleSql,
+
+    // Double-mix CMS replay; shared seed table with the token sketch.
+    "join_cardinality_est" -> SketchOracles.joinCardSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -75,6 +75,62 @@ object TableStats {
       .orderBy(col("table_name"), col("column_name"))
   }
 
+  /** Equi-join cardinality estimation from Count-Min inner products
+    * (Cormode & Muthukrishnan, J.Alg 2005 §4.2) — the optimizer question
+    * "how big is orders ⋈ events on user?" answered from two
+    * constant-size sketches: est_d = Σ_b A_d[b]·B_d[b], estimate =
+    * min_d est_d, with exact ≤ estimate ≤ exact + (e/width)·|A|·|B| w.h.p.
+    * The EXACT join size rides along in-row as the self-check — computed
+    * from the per-key COUNT frames (Σ c_a·c_b over shared keys), never by
+    * materializing the join.
+    *
+    * Scale: each table folds to (key, count) with map-side combine, then
+    * to depth×width counters — the sketches are constant-size state a
+    * catalog can keep per column and intersect at plan time without
+    * touching data. The hash family is the established mix64 chain
+    * (key-mix, then seed-xor-mix per row), bit-exact in the oracle.
+    */
+  def joinCardinalityEst(orders: DataFrame, events: DataFrame,
+      depth: Int = graft.functions.TextAnalysis.CmsDepth,
+      width: Int = graft.functions.TextAnalysis.CmsWidth): DataFrame = {
+    import graft.functions.GraftColumns.mix64
+    val seeds = graft.functions.TextAnalysis.cmsSeeds(depth)
+    def cnts(df: DataFrame, key: String): DataFrame = df
+      .groupBy(col(key).as("key")).agg(count(lit(1)).as("c"))
+    val ca = cnts(orders, "o_custkey")
+    val cb = cnts(events, "user_id")
+    def counters(cnt: DataFrame): DataFrame = cnt
+      .select(col("key"), col("c"),
+        explode(array((0 until depth).map(lit): _*)).as("d"))
+      .withColumn("bucket",
+        mix64(mix64(col("key")).bitwiseXOR(
+          element_at(array(seeds.map(lit).toIndexedSeq: _*), col("d") + 1)))
+          .bitwiseAND(lit((width - 1).toLong)))
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("c")).as("counter"))
+    val est = counters(ca).withColumnRenamed("counter", "counter_a")
+      .join(counters(cb).withColumnRenamed("counter", "counter_b"),
+        Seq("d", "bucket"))
+      .groupBy(col("d"))
+      .agg(sum(col("counter_a") * col("counter_b")).as("est_d"))
+      .agg(min(col("est_d")).as("cms_estimate"))
+    val exact = ca.withColumnRenamed("c", "c_a")
+      .join(cb.withColumnRenamed("c", "c_b"), Seq("key"))
+      .agg(coalesce(sum(col("c_a") * col("c_b")), lit(0L))
+        .as("exact_join_rows"))
+    val statsA = ca.agg(sum(col("c")).as("n_a"),
+      count(lit(1)).as("distinct_a"))
+    val statsB = cb.agg(sum(col("c")).as("n_b"),
+      count(lit(1)).as("distinct_b"))
+    statsA.crossJoin(broadcast(statsB))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(est))
+      .select(
+        col("n_a"), col("n_b"), col("distinct_a"), col("distinct_b"),
+        col("exact_join_rows"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_join_rows")).as("overestimate"))
+  }
+
   // ---- oracle generation (single-sourced column list) ----------------------
 
   private val centsSql = (c: String) =>
