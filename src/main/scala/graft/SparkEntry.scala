@@ -979,7 +979,10 @@ object SparkEntry {
     // CMS inner-product join-size estimate, exact join rows in-row.
     "join_cardinality_est" -> ((s, dir) =>
       graft.operators.TableStats.joinCardinalityEst(
-        Tables.orders(s, dir), Tables.events(s, dir)))
+        Tables.orders(s, dir), Tables.events(s, dir))),
+    // Reciprocal-rank fusion of BM25 + coverage rankers (rank-space merge).
+    "rrf_fusion" -> ((s, dir) =>
+      TextAnalysis.rrfFusion(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3932,7 +3935,71 @@ object SparkEntry {
     "wordpiece_tokens" -> TextAnalysis.wordpieceOracleSql,
 
     // Double-mix CMS replay; shared seed table with the token sketch.
-    "join_cardinality_est" -> SketchOracles.joinCardSql()
+    "join_cardinality_est" -> SketchOracles.joinCardSql(),
+
+    // Same postings/score CTEs as bm25_batch_topk (term-ordered fold),
+    // both rank windows, then the rank-space fusion join.
+    "rrf_fusion" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1, 'dup'), (1, 'key'),
+        |  (2, 'fast'), (2, 'merge'), (2, 'join'),
+        |  (3, 'spark')),
+        |qv AS (SELECT DISTINCT term FROM q),
+        |toks AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |      FROM toks JOIN qv USING (term) GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |sc AS (
+        |  SELECT q.query_id, p.doc_id, p.dl,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
+        |      ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+        |          / (df + CAST(0.5 AS DOUBLE)))
+        |      * (CAST(tf AS DOUBLE)
+        |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |      ORDER BY p.term)), (acc, x) -> acc + x) AS score_raw,
+        |    CAST(count(*) AS INTEGER) AS n_terms_hit
+        |  FROM p JOIN q USING (term) JOIN dfc USING (term), stats
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT query_id, doc_id, dl, n_terms_hit, score_raw,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_raw DESC, doc_id) AS rank_bm25,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY n_terms_hit DESC, dl, doc_id) AS rank_cov
+        |      FROM sc),
+        |a AS (SELECT query_id, doc_id,
+        |        CAST(rank_bm25 AS INTEGER) AS rank_bm25
+        |      FROM r WHERE rank_bm25 <= 10),
+        |b AS (SELECT query_id, doc_id,
+        |        CAST(rank_cov AS INTEGER) AS rank_cov
+        |      FROM r WHERE rank_cov <= 10),
+        |f AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+        |        COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |        a.rank_bm25, b.rank_cov,
+        |        COALESCE(CAST(1.0 AS DOUBLE)
+        |            / CAST(60 + a.rank_bm25 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |        + COALESCE(CAST(1.0 AS DOUBLE)
+        |            / CAST(60 + b.rank_cov AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |          AS rrf
+        |      FROM a FULL OUTER JOIN b
+        |        ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+        |g AS (SELECT query_id, doc_id, rank_bm25, rank_cov, rrf,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rrf DESC, doc_id) AS INTEGER) AS fused_rank
+        |      FROM f)
+        |SELECT query_id, fused_rank, doc_id, rank_bm25, rank_cov,
+        |  round(rrf, 6) AS rrf_score
+        |FROM g WHERE fused_rank <= 5
+        |ORDER BY query_id, fused_rank""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -980,6 +980,52 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * two rankers over the same query batch: BM25 and a coverage ranker
+    * (terms hit desc, then shorter docs first) — the standard way to
+    * merge lexical + secondary signals without score calibration:
+    * rrf(d) = Σ_r 1/(kRrf + rank_r(d)) over the rankers that retrieved d
+    * in their top-`kList`.
+    *
+    * Scale: both rankers derive from ONE pass over the query-pruned
+    * postings (the scored frame is |queries|×|matching docs|, bounded by
+    * the semi-join); fusion is a full-outer join of two top-k frames —
+    * k·|queries| rows a side. Rank positions, not raw scores, cross the
+    * fusion boundary, so the two rankers never need comparable scales.
+    */
+  def rrfFusion(
+      documents: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Seq(
+        1 -> Seq("dup", "key"),
+        2 -> Seq("fast", "merge", "join"),
+        3 -> Seq("spark")),
+      kList: Int = 10,
+      kRrf: Int = 60,
+      kOut: Int = 5): DataFrame = {
+    val scored = bm25BatchTopK(documents, queries, k = Integer.MAX_VALUE)
+    val a = scored
+      .filter(col("rank") <= kList)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_bm25"))
+    val covW = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_terms_hit").desc, col("dl"), col("doc_id"))
+    val b = scored
+      .withColumn("rank_cov", row_number().over(covW))
+      .filter(col("rank_cov") <= kList)
+      .select(col("query_id"), col("doc_id"), col("rank_cov"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(kRrf) + r).cast("double"), lit(0.0))
+    val fusedW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", contrib(col("rank_bm25")) + contrib(col("rank_cov")))
+      .withColumn("fused_rank", row_number().over(fusedW))
+      .filter(col("fused_rank") <= kOut)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("rank_bm25"), col("rank_cov"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
   /** Conjunctive (AND-semantics) boolean retrieval: documents containing
     * EVERY query term, with per-term tfs. The inverted-index consumer
     * query — but evaluated as a pure scan+filter (tf per term via

@@ -340,4 +340,48 @@ class RetrievalSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(2) - lw) < 1.01e-4, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("rrfFusion: hand-computed rank-space merge of two rankers") {
+    // One query 'q r': doc 1 hits both terms (bm25 + coverage leader);
+    // doc 2 hits q with high tf (bm25 strong, coverage rank by dl);
+    // doc 3 hits r once in a long doc (bm25 weak, coverage ties dl).
+    val docs = Seq(
+      (1L, "q r x"),
+      (2L, "q q q"),
+      (3L, "r y z")
+    ).toDF("doc_id", "text")
+    val qs = Seq(1 -> Seq("q", "r"))
+    val got = TextAnalysis.rrfFusion(docs, qs, kList = 10, kRrf = 60,
+      kOut = 3).collect()
+    assert(got.length == 3)
+    // coverage ranking: doc1 (2 hits) then doc2/doc3 (1 hit, dl 3 tie ->
+    // doc_id). bm25: doc1 hits both terms; its summed score leads.
+    val byDoc = got.map(r => r.getLong(2) -> r).toMap
+    assert(got.head.getLong(2) == 1L) // fused leader hits both rankers high
+    val r1 = byDoc(1L)
+    assert(r1.getInt(3) == 1 && r1.getInt(4) == 1)
+    assert(r1.getDouble(5) ==
+      BigDecimal(1.0 / 61 + 1.0 / 61)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // every fused score equals the sum of its two reciprocal terms
+    got.foreach { r =>
+      val e = (if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3))) +
+        (if (r.isNullAt(4)) 0.0 else 1.0 / (60 + r.getInt(4)))
+      assert(r.getDouble(5) ==
+        BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("rrfFusion: a doc outside one ranker's top-k still fuses") {
+    // 12 docs hit 'q'; kList=3 keeps only 3 per ranker, fusion union <= 6
+    val docs = (1L to 12L).map(i =>
+      (i, ("q " * i.toInt).trim)).toDF("doc_id", "text")
+    val got = TextAnalysis.rrfFusion(docs, Seq(1 -> Seq("q")), kList = 3,
+      kRrf = 60, kOut = 12).collect()
+    assert(got.length <= 6 && got.nonEmpty)
+    // coverage prefers SHORT docs (dl asc), bm25 prefers high tf (long):
+    // both contribute members the other ranker dropped
+    assert(got.exists(r => r.isNullAt(3) && !r.isNullAt(4)))
+    assert(got.exists(r => !r.isNullAt(3) && r.isNullAt(4)))
+  }
 }
