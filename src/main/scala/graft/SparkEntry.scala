@@ -982,7 +982,13 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.events(s, dir))),
     // Reciprocal-rank fusion of BM25 + coverage rankers (rank-space merge).
     "rrf_fusion" -> ((s, dir) =>
-      TextAnalysis.rrfFusion(Tables.documents(s, dir)))
+      TextAnalysis.rrfFusion(Tables.documents(s, dir))),
+    // nDCG@10 of the BM25 ranking with coverage as graded relevance.
+    "ndcg_eval" -> ((s, dir) =>
+      TextAnalysis.ndcgEval(Tables.documents(s, dir))),
+    // Easy-first, source-interleaved curriculum head (no global window).
+    "curriculum_order" -> ((s, dir) =>
+      graft.operators.Curation.curriculumOrder(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -3999,7 +4005,79 @@ object SparkEntry {
         |SELECT query_id, fused_rank, doc_id, rank_bm25, rank_cov,
         |  round(rrf, 6) AS rrf_score
         |FROM g WHERE fused_rank <= 5
-        |ORDER BY query_id, fused_rank""".stripMargin
+        |ORDER BY query_id, fused_rank""".stripMargin,
+
+    // Same bm25 CTEs; DCG/IDCG as cumulative position-order folds (the
+    // ln spelling keeps both engines on one expression tree; the base
+    // cancels in nDCG anyway).
+    "ndcg_eval" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1, 'dup'), (1, 'key'),
+        |  (2, 'fast'), (2, 'merge'), (2, 'join'),
+        |  (3, 'spark')),
+        |qv AS (SELECT DISTINCT term FROM q),
+        |toks AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |      FROM toks JOIN qv USING (term) GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |sc AS (
+        |  SELECT q.query_id, p.doc_id, p.dl,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
+        |      ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE))
+        |          / (df + CAST(0.5 AS DOUBLE)))
+        |      * (CAST(tf AS DOUBLE)
+        |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+        |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |      ORDER BY p.term)), (acc, x) -> acc + x) AS score_raw,
+        |    CAST(count(*) AS INTEGER) AS n_terms_hit
+        |  FROM p JOIN q USING (term) JOIN dfc USING (term), stats
+        |  GROUP BY 1, 2, 3),
+        |r AS (SELECT query_id, n_terms_hit,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_raw DESC, doc_id) AS rank
+        |      FROM sc),
+        |t AS (SELECT query_id, CAST(rank AS INTEGER) AS rank, n_terms_hit
+        |      FROM r WHERE rank <= 10),
+        |ip AS (SELECT query_id, rank, n_terms_hit,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY n_terms_hit DESC, rank) AS INTEGER) AS ipos
+        |      FROM t),
+        |c AS (SELECT query_id, rank, ipos,
+        |        (power(CAST(2.0 AS DOUBLE), CAST(n_terms_hit AS DOUBLE))
+        |          - CAST(1.0 AS DOUBLE)) / ln(CAST(rank + 1 AS DOUBLE))
+        |          AS dc,
+        |        (power(CAST(2.0 AS DOUBLE), CAST(n_terms_hit AS DOUBLE))
+        |          - CAST(1.0 AS DOUBLE)) / ln(CAST(ipos + 1 AS DOUBLE))
+        |          AS ic
+        |      FROM ip),
+        |w AS (SELECT query_id,
+        |        sum(dc) OVER (PARTITION BY query_id ORDER BY rank
+        |          ROWS UNBOUNDED PRECEDING) AS cum_dcg,
+        |        sum(ic) OVER (PARTITION BY query_id ORDER BY ipos
+        |          ROWS UNBOUNDED PRECEDING) AS cum_idcg
+        |      FROM c)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_retrieved,
+        |  round(max(cum_dcg), 6) AS dcg,
+        |  round(max(cum_idcg), 6) AS idcg,
+        |  round(max(cum_dcg) / max(cum_idcg), 6) AS ndcg
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "curriculum_order" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS INTEGER) AS phase
+        |FROM documents
+        |ORDER BY phase, source, doc_id
+        |LIMIT 100""".stripMargin
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

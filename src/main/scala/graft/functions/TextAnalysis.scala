@@ -1026,6 +1026,54 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("fused_rank"))
   }
 
+  /** nDCG@k evaluation of the BM25 ranking (Järvelin & Kekäläinen, TOIS
+    * 2002) with the coverage count as graded relevance: DCG =
+    * Σ_pos (2^rel − 1)/ln(pos+1), IDCG from the same multiset sorted by
+    * relevance, nDCG = DCG/IDCG. The log BASE cancels in the ratio, so
+    * the ln spelling keeps both engines on identical expression trees
+    * (log2 would pit Java's log(x)/log(2) against libm's log2 in the
+    * last ulp).
+    *
+    * Numeric discipline: per-position contributions are exact-int-derived
+    * doubles; both DCG folds are CUMULATIVE windows in position order
+    * (sequential, engine-agnostic) finished with max() — never an
+    * unordered SUM of irrational doubles.
+    */
+  def ndcgEval(
+      documents: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Seq(
+        1 -> Seq("dup", "key"),
+        2 -> Seq("fast", "merge", "join"),
+        3 -> Seq("spark")),
+      k: Int = 10): DataFrame = {
+    val ranked = bm25BatchTopK(documents, queries, k)
+      .select(col("query_id"), col("rank"), col("n_terms_hit"))
+    val contrib = (pos: Column) =>
+      (pow(lit(2.0), col("n_terms_hit").cast("double")) - lit(1.0)) /
+        log((pos + lit(1)).cast("double"))
+    val byRank = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idealOrder = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_terms_hit").desc, col("rank"))
+    ranked
+      .withColumn("ipos", row_number().over(idealOrder))
+      .withColumn("cum_dcg", sum(contrib(col("rank"))).over(byRank))
+      .withColumn("cum_idcg", sum(contrib(col("ipos"))).over(
+        Window.partitionBy(col("query_id")).orderBy(col("ipos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_retrieved"),
+        max(col("cum_dcg")).as("dcg_raw"),
+        max(col("cum_idcg")).as("idcg_raw"))
+      .select(
+        col("query_id"), col("n_retrieved"),
+        round(col("dcg_raw"), 6).as("dcg"),
+        round(col("idcg_raw"), 6).as("idcg"),
+        round(col("dcg_raw") / col("idcg_raw"), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Conjunctive (AND-semantics) boolean retrieval: documents containing
     * EVERY query term, with per-term tfs. The inverted-index consumer
     * query — but evaluated as a pure scan+filter (tf per term via

@@ -50,6 +50,26 @@ object Curation {
     if (prev != null) prev.unpersist(blocking = false)
   }
 
+  /** Curriculum ordering (Bengio et al., ICML 2009): easy-first training
+    * order with round-robin source interleaving, so no source clumps at
+    * any difficulty phase. Difficulty proxy = document length; the
+    * curriculum KEY is (phase, source) where phase = the doc's easy-rank
+    * WITHIN its source — a training loader range-partitions on that key,
+    * and the global sort is never materialized (this report emits the
+    * head via TakeOrderedAndProject). One source-keyed window shuffle;
+    * no global window.
+    */
+  def curriculumOrder(documents: DataFrame, take: Int = 100): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("phase", row_number().over(bySource))
+      .orderBy(col("phase"), col("source"), col("doc_id"))
+      .limit(take)
+  }
+
   /** Quality score column — MUST stay aligned with TextAnalysis.docStats
     * (and its oracle fragment): length, lexical diversity, stopword mass.
     */
