@@ -988,7 +988,16 @@ object SparkEntry {
       TextAnalysis.ndcgEval(Tables.documents(s, dir))),
     // Easy-first, source-interleaved curriculum head (no global window).
     "curriculum_order" -> ((s, dir) =>
-      graft.operators.Curation.curriculumOrder(Tables.documents(s, dir)))
+      graft.operators.Curation.curriculumOrder(Tables.documents(s, dir))),
+    // Wald SPRT on conversion rates: exact counter walk, no clamp.
+    "sprt_ab_test" -> ((s, dir) =>
+      graft.operators.Sprt.sprtAbTest(Tables.events(s, dir))),
+    // One-pass Pearson matrix from exact integer moment sums.
+    "corr_matrix" -> ((s, dir) =>
+      graft.operators.TableStats.corrMatrix(Tables.lineitem(s, dir))),
+    // Moving-average seasonal decomposition (scaled-integer residuals).
+    "seasonal_decompose" -> ((s, dir) =>
+      graft.operators.Changepoint.seasonalDecompose(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4077,7 +4086,15 @@ object SparkEntry {
         |    ORDER BY n_chars, doc_id) AS INTEGER) AS phase
         |FROM documents
         |ORDER BY phase, source, doc_id
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    // Injected-constant replay (same hazard family as entity_matches).
+    "sprt_ab_test" -> graft.operators.Sprt.oracleSql,
+
+    // HUGEINT moment sums; only the final corr touches floating point.
+    "corr_matrix" -> graft.operators.TableStats.corrMatrixOracleSql,
+
+    "seasonal_decompose" -> graft.operators.Changepoint.seasonalOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -92,6 +92,89 @@ object Changepoint {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * method, Kendall & Stuart) of per-type hourly volumes:
+    * trend = centered 25-hour moving average (NULL until the window is
+    * full), seasonal = per hour-of-day mean residual, remainder = what's
+    * left. The daily-rhythm baseline a volume monitor subtracts before
+    * alerting.
+    *
+    * Exactness trick: residuals are kept as the SCALED integers
+    * x·25 − Σwindow (exact longs), so the per-hour-of-day seasonal mean
+    * is an exact-integer sum divided once — no unordered double
+    * summation anywhere; the only floating point is three final
+    * divisions on identically-derived operands.
+    *
+    * Scale: one corpus scan to the hourly frame; everything else runs on
+    * time-domain-bounded frames (the seasonal join broadcasts a
+    * |types|×24 frame).
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-12, 12)
+    val trended = hourly
+      .withColumn("tnum0", sum(col("x")).over(w))
+      .withColumn("tcnt", count(lit(1)).over(w))
+      .withColumn("tnum", when(col("tcnt") === 25L, col("tnum0")))
+      .withColumn("hod", hour(col("h")).cast("int"))
+    val seasonal = trended
+      .filter(col("tnum").isNotNull)
+      .groupBy(col("event_type"), col("hod"))
+      .agg(
+        sum(col("x") * lit(25L) - col("tnum")).as("snum"),
+        (count(lit(1)) * lit(25L)).as("sden"))
+    val trend = col("tnum").cast("double") / lit(25.0)
+    val seas = col("snum").cast("double") / col("sden").cast("double")
+    trended
+      .join(broadcast(seasonal), Seq("event_type", "hod"), "left")
+      .select(
+        col("event_type"), col("h").as("window_start"), col("x"),
+        round(trend, 4).as("trend"),
+        round(seas, 4).as("seasonal"),
+        round(col("x").cast("double") - trend - seas, 4).as("remainder"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** DuckDB replay of [[seasonalDecompose]] (same scaled-integer
+    * residuals).
+    */
+  def seasonalOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, h, x,
+      |    CAST(sum(x) OVER w AS BIGINT) AS tnum0,
+      |    CAST(count(*) OVER w AS BIGINT) AS tcnt
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |t2 AS (
+      |  SELECT event_type, h, x,
+      |    CASE WHEN tcnt = 25 THEN tnum0 END AS tnum,
+      |    CAST(hour(h) AS INTEGER) AS hod
+      |  FROM tr),
+      |seas AS (
+      |  SELECT event_type, hod,
+      |    CAST(sum(x * 25 - tnum) AS BIGINT) AS snum,
+      |    CAST(count(*) AS BIGINT) * 25 AS sden
+      |  FROM t2 WHERE tnum IS NOT NULL GROUP BY 1, 2)
+      |SELECT t2.event_type, t2.h AS window_start, t2.x,
+      |  round(CAST(t2.tnum AS DOUBLE) / 25.0, 4) AS trend,
+      |  round(CAST(s.snum AS DOUBLE) / CAST(s.sden AS DOUBLE), 4)
+      |    AS seasonal,
+      |  round(CAST(t2.x AS DOUBLE) - CAST(t2.tnum AS DOUBLE) / 25.0
+      |    - CAST(s.snum AS DOUBLE) / CAST(s.sden AS DOUBLE), 4)
+      |    AS remainder
+      |FROM t2 LEFT JOIN seas s
+      |  ON s.event_type = t2.event_type AND s.hod = t2.hod
+      |ORDER BY t2.event_type, window_start""".stripMargin
+
   /** The recursive-CTE replay of the same fold (DuckDB dialect). */
   def oracleSql(baselineEnd: String = "2024-01-08 00:00:00"): String =
     s"""WITH RECURSIVE hourly AS (

@@ -131,6 +131,88 @@ object TableStats {
         (col("cms_estimate") - col("exact_join_rows")).as("overestimate"))
   }
 
+  /** Pearson correlation matrix over lineitem's numeric measures in ONE
+    * pass, with EXACT integer moment sums: every value goes through the
+    * cents fixed point, so Σx, Σx², Σxy are exact (DECIMAL(38,0) here,
+    * HUGEINT in the oracle) and the only floating-point work is the final
+    * corr = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) on
+    * identically-derived operands — corr() builtins are banned from the
+    * result path because their streaming formulations differ per engine.
+    *
+    * Scale: 15 parallel counters in one scan with map-side combine; the
+    * report is O(pairs). This is the co-occurrence statistic an optimizer
+    * wants for correlated-column cardinality corrections.
+    */
+  def corrMatrix(lineitem: DataFrame): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def c(name: String): Column =
+      graft.queries.Analytics.centsOf(col(name)).cast(dec38)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      count(lit(1)).as("n") +:
+        (cols.map(x => sum(c(x)).as(s"s_$x")) ++
+          cols.map(x => sum((c(x) * c(x)).cast(dec38)).as(s"ss_$x")) ++
+          pairs.map { case (x, y) =>
+            sum((c(x) * c(y)).cast(dec38)).as(s"sp_${x}__$y")
+          })
+    val wide = lineitem.agg(aggs.head, aggs.tail: _*)
+    val corrCols = pairs.map { case (x, y) =>
+      val n = col("n").cast(dec38)
+      val num = (n * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y"))
+        .cast("double")
+      val dx = (n * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")).cast("double")
+      val dy = (n * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")).cast("double")
+      // NULL for a zero-variance column: 0/0 is NaN on Spark but the
+      // engines disagree on rendering — make the degenerate case NULL
+      when(dx > lit(0.0) && dy > lit(0.0),
+        round(num / (sqrt(dx) * sqrt(dy)), 6)).as(s"corr_${x}__$y")
+    }
+    val stacked = pairs.map { case (x, y) =>
+      s"'$x', '$y', `corr_${x}__$y`"
+    }.mkString(", ")
+    wide.select(col("n") +: corrCols: _*)
+      .select(col("n"),
+        expr(s"stack(${pairs.size}, $stacked) as (col_x, col_y, corr)"))
+      .select(col("col_x"), col("col_y"), col("n"), col("corr"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** DuckDB replay of [[corrMatrix]] with HUGEINT moment sums. */
+  def corrMatrixOracleSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def c(name: String) =
+      s"CAST(CAST(CAST($name AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)"
+    val aggs =
+      s"CAST(count(*) AS HUGEINT) AS n" +:
+        (cols.map(x => s"sum(${c(x)}) AS s_$x") ++
+          cols.map(x => s"sum(${c(x)} * ${c(x)}) AS ss_$x") ++
+          pairs.map { case (x, y) =>
+            s"sum(${c(x)} * ${c(y)}) AS sp_${x}__$y"
+          })
+    val rows = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, CAST(n AS BIGINT) AS n,
+         |    CASE WHEN CAST(n * ss_$x - s_$x * s_$x AS DOUBLE) > 0.0
+         |          AND CAST(n * ss_$y - s_$y * s_$y AS DOUBLE) > 0.0
+         |    THEN round(CAST(n * sp_${x}__$y - s_$x * s_$y AS DOUBLE)
+         |      / (sqrt(CAST(n * ss_$x - s_$x * s_$x AS DOUBLE))
+         |         * sqrt(CAST(n * ss_$y - s_$y * s_$y AS DOUBLE))), 6)
+         |    END AS corr
+         |  FROM w""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (
+       |  SELECT ${aggs.mkString(",\n    ")}
+       |  FROM lineitem)
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   // ---- oracle generation (single-sourced column list) ----------------------
 
   private val centsSql = (c: String) =>
