@@ -3782,8 +3782,7 @@ object SparkEntry {
         |      AS BIGINT) AS max_cents
         |  FROM events GROUP BY 1, 2)
         |SELECT window_start, event_type, n, sum_cents, min_cents, max_cents,
-        |  round(CAST(sum_cents AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 4)
-        |    AS avg_value
+        |  CAST(sum_cents AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS avg_value
         |FROM g ORDER BY window_start, event_type""".stripMargin,
 
     // Source-vs-rest KS: CDFs over the distinct-value grid; every double
@@ -3818,7 +3817,7 @@ object SparkEntry {
         |  SELECT source, n_source, n_rest, max(diff) AS d_raw
         |  FROM diffs GROUP BY 1, 2, 3)
         |SELECT source, n_source, n_rest,
-        |  round(d_raw, 4) AS ks_d,
+        |  d_raw AS ks_d,
         |  round(sqrt(CAST(n_source AS DOUBLE) * CAST(n_rest AS DOUBLE)
         |    / CAST(n_source + n_rest AS DOUBLE)) * d_raw, 4) AS ks_stat
         |FROM d ORDER BY source""".stripMargin,
@@ -3857,7 +3856,7 @@ object SparkEntry {
         |    (p_raw - q_raw) * ln(p_raw / q_raw) AS term
         |  FROM p)
         |SELECT bin, n_base, n_cur,
-        |  round(p_raw, 4) AS p_base, round(q_raw, 4) AS p_cur,
+        |  p_raw AS p_base, q_raw AS p_cur,
         |  round(term, 4) AS psi_term,
         |  round(sum(term) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING), 4)
         |    AS psi_cum
@@ -3888,7 +3887,7 @@ object SparkEntry {
         |  SELECT source, n_tokens, p_raw, w, max(w_cum) OVER () AS w_tot
         |  FROM c)
         |SELECT source, n_tokens,
-        |  round(p_raw, 4) AS p_natural,
+        |  p_raw AS p_natural,
         |  round(w / w_tot, 4) AS p_temperature,
         |  round(w / w_tot * 1000000.0, 1) AS expected_tokens,
         |  round(w / w_tot / p_raw, 4) AS oversample

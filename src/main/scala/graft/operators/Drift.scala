@@ -66,7 +66,10 @@ object Drift {
       .agg(max(col("diff")).as("d_raw"))
       .select(
         col("source"), col("n_source"), col("n_rest"),
-        round(col("d_raw"), 4).as("ks_d"),
+        // RAW: an integer-ratio quotient lands near round()'s 4-decimal
+        // tie boundaries at realistic rates, where the engines' rounding
+        // paths disagree; the raw IEEE value is bit-identical instead
+        col("d_raw").as("ks_d"),
         round(sqrt(col("n_source").cast("double") *
           col("n_rest").cast("double") /
           (col("n_source") + col("n_rest")).cast("double")) *
@@ -120,8 +123,9 @@ object Drift {
         log(col("p_raw") / col("q_raw")))
       .select(
         col("bin"), col("n_base"), col("n_cur"),
-        round(col("p_raw"), 4).as("p_base"),
-        round(col("q_raw"), 4).as("p_cur"),
+        // RAW integer-ratio quotients (see ksDrift note on round() ties)
+        col("p_raw").as("p_base"),
+        col("q_raw").as("p_cur"),
         round(col("term"), 4).as("psi_term"),
         round(sum(col("term")).over(ordered), 4).as("psi_cum"))
       .orderBy(col("bin"))
@@ -161,7 +165,8 @@ object Drift {
       .withColumn("q_raw", col("w") / col("w_tot"))
       .select(
         col("source"), col("n_tokens"),
-        round(col("p_raw"), 4).as("p_natural"),
+        // RAW integer-ratio quotient (see ksDrift note on round() ties)
+        col("p_raw").as("p_natural"),
         round(col("q_raw"), 4).as("p_temperature"),
         round(col("q_raw") * lit(budgetTokens.toDouble), 1)
           .as("expected_tokens"),

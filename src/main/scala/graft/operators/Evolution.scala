@@ -149,8 +149,13 @@ object Evolution {
       .select(
         col("window_start"), col("event_type"), col("n"),
         col("sum_cents"), col("min_cents"), col("max_cents"),
-        round(col("sum_cents").cast("double") / lit(100.0) /
-          col("n").cast("double"), 4).as("avg_value"))
+        // RAW division, never round(quotient): the operands are exact
+        // longs so the IEEE result is bit-identical cross-engine, while
+        // cents-quotients land on round()'s tie boundaries routinely
+        // (caught by the sf0.1 sweep: 47.25375 rounds differently on
+        // Spark's BigDecimal HALF_UP vs DuckDB's multiply path)
+        (col("sum_cents").cast("double") / lit(100.0) /
+          col("n").cast("double")).as("avg_value"))
       .orderBy(col("window_start"), col("event_type"))
   }
 }
