@@ -19,6 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Optimizer rule: cost-order Filter conjuncts so cheap comparisons
+    // short-circuit ahead of regex/edit-distance/hash predicates.
+    e.injectOptimizerRule(_ => graft.plans.PredicateCostReorder)
     e.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
