@@ -997,7 +997,11 @@ object SparkEntry {
       graft.operators.TableStats.corrMatrix(Tables.lineitem(s, dir))),
     // Moving-average seasonal decomposition (scaled-integer residuals).
     "seasonal_decompose" -> ((s, dir) =>
-      graft.operators.Changepoint.seasonalDecompose(Tables.events(s, dir)))
+      graft.operators.Changepoint.seasonalDecompose(Tables.events(s, dir))),
+    // BPE merge learning: distributed word counts, exact merge loop on
+    // the language-bounded vocab frame; oracle recomputes end to end.
+    "bpe_learn_merges" -> ((s, dir) =>
+      graft.operators.BpeTrainer.learnMerges(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4093,7 +4097,10 @@ object SparkEntry {
     // HUGEINT moment sums; only the final corr touches floating point.
     "corr_matrix" -> graft.operators.TableStats.corrMatrixOracleSql,
 
-    "seasonal_decompose" -> graft.operators.Changepoint.seasonalOracleSql
+    "seasonal_decompose" -> graft.operators.Changepoint.seasonalOracleSql,
+
+    // Per-stage recursive-CTE merge walks; argmax tie-break in SQL.
+    "bpe_learn_merges" -> graft.operators.BpeTrainer.oracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

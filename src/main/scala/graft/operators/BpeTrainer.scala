@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** BPE merge learning (Sennrich, Haddow & Birch, ACL 2016): learn the
+  * top-N merge rules from corpus word frequencies — the TRAINING side of
+  * subword tokenization (the applying side is the WordPiece encode).
+  * Each round counts adjacent symbol pairs weighted by word frequency,
+  * picks the most frequent pair (ties broken lexicographically), and
+  * merges its leftmost non-overlapping occurrences in every word.
+  *
+  * Architecture (the same split production tokenizer trainers use): the
+  * CORPUS pass is distributed — one scan folds to the (word, count)
+  * frame with map-side combine — and the merge loop runs on that frame,
+  * which is bounded by the LANGUAGE's vocabulary, not the corpus: at
+  * 100 TB the scan is the only thing that grows. The loop itself is
+  * exact integer arithmetic on the collected vocab (same
+  * bounded-driver-frame pattern as the IVF k-means fit), so merges are
+  * deterministic regardless of partitioning.
+  *
+  * The DuckDB oracle recomputes EVERYTHING from the raw documents —
+  * pair counts, argmax with tie-break, and the leftmost-non-overlap
+  * merge application as a per-stage recursive-CTE walk — so the learned
+  * rules are cross-checked end to end, not just replayed.
+  */
+object BpeTrainer {
+
+  /** Leftmost-non-overlapping merge of (l, r) -> l+r, as a left fold:
+    * a merged symbol can never re-match `l` in the same pass (l+r != l),
+    * so no skip flag is needed. The oracle's recursive walk and this
+    * fold are the same automaton.
+    */
+  private[graft] def applyMerge(
+      syms: List[String], l: String, r: String): List[String] =
+    syms.foldLeft(List.empty[String]) { (out, s) =>
+      if (out.nonEmpty && out.last == l && s == r)
+        out.init :+ (l + r)
+      else out :+ s
+    }
+
+  /** Learn `numMerges` rules; emits (step, left, right, pair_count). */
+  def learnMerges(documents: DataFrame, numMerges: Int = 6): DataFrame = {
+    val spark = documents.sparkSession
+    val wordCounts = documents
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // language-bounded vocab frame (see scaladoc)
+      .map(row => (row.getString(0), row.getLong(1)))
+    var vocab: Array[(List[String], Long)] =
+      wordCounts.map { case (w, c) => (w.split("").toList, c) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = pairCounts.minBy { case ((a, b), n) =>
+          (-n, a, b) // max count, then lexicographic (a, b)
+        }
+        merges += ((step, l, r, cnt))
+        vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        step += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("merge_left", StringType, nullable = false),
+      StructField("merge_right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.result().map { case (s, l, r, c) => Row(s, l, r, c) }, 1),
+      schema)
+      .orderBy(col("step"))
+  }
+
+  /** Full recompute in DuckDB: per stage, pair counts over the current
+    * symbolization, argmax with the same tie-break, and the merge as a
+    * recursive position walk (the same leftmost-non-overlap automaton as
+    * [[applyMerge]]).
+    */
+  def oracleSql(numMerges: Int = 6): String = {
+    def stage(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+  FROM $prev, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  GROUP BY 1, 2),
+b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+m$i(w, c, idx, out) AS (
+  SELECT w, c, 0, CAST([] AS VARCHAR[]) FROM $prev
+  UNION ALL
+  SELECT m.w, m.c, m.idx + 1,
+    CASE WHEN len(m.out) > 0 AND m.out[-1] = b.l
+          AND s.syms[m.idx + 1] = b.r
+         THEN list_append(m.out[1:len(m.out) - 1], b.l || b.r)
+         ELSE list_append(m.out, s.syms[m.idx + 1]) END
+  FROM m$i m JOIN $prev s ON s.w = m.w CROSS JOIN b$i b
+  WHERE m.idx < len(s.syms)),
+w$i AS MATERIALIZED (
+  SELECT m.w, m.c, m.out AS syms
+  FROM m$i m JOIN $prev s ON s.w = m.w
+  WHERE m.idx = len(s.syms))"""
+    }
+    val stages = (1 to numMerges).map(stage).mkString(",\n")
+    val unions = (1 to numMerges).map(i =>
+      s"SELECT $i AS step, l AS merge_left, r AS merge_right, " +
+        s"cnt AS pair_count FROM b$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
+  SELECT w, c, string_split_regex(w, '') AS syms FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY 1)),
+$stages
+SELECT CAST(step AS INTEGER) AS step, merge_left, merge_right, pair_count
+FROM (
+  $unions)
+ORDER BY step"""
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.BpeTrainer
+
+/** Hand-computed BPE merge-learning fixtures. */
+class BpeTrainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def learn(n: Int, texts: String*) = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    BpeTrainer.learnMerges(docs, numMerges = n).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+  }
+
+  test("learnMerges: textbook low/lower/newest/widest example") {
+    // Sennrich et al.'s canonical corpus (frequencies as words):
+    // low x5, lower x2, newest x6, widest x3
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val got = learn(4, corpus)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (w,e)=8(2 lower+6 newest)...
+    // tie (e,s)/(s,t) at 9 -> lexicographic picks (e,s)
+    assert(got(0) == ((1, "e", "s", 9L)))
+    // round 2: (es,t)=9 wins
+    assert(got(1) == ((2, "es", "t", 9L)))
+    // round 3: (l,o)=7 vs (est ends)... (l,o)=7, (o,w)=7, (n,e)=6,
+    //          (w,est)=6, (i,d)=3... tie (l,o)/(o,w) -> (l,o)
+    assert(got(2) == ((3, "l", "o", 7L)))
+    assert(got(3) == ((4, "lo", "w", 7L)))
+  }
+
+  test("applyMerge: leftmost non-overlapping occurrences") {
+    assert(BpeTrainer.applyMerge(List("a", "a", "a"), "a", "a") ==
+      List("aa", "a"))
+    assert(BpeTrainer.applyMerge(List("a", "a", "a", "a"), "a", "a") ==
+      List("aa", "aa"))
+    assert(BpeTrainer.applyMerge(List("a", "b", "a", "b"), "a", "b") ==
+      List("ab", "ab"))
+    assert(BpeTrainer.applyMerge(List("x", "a", "b", "y"), "a", "b") ==
+      List("x", "ab", "y"))
+    assert(BpeTrainer.applyMerge(List("a", "b"), "b", "a") ==
+      List("a", "b"))
+  }
+
+  test("learnMerges: merge count caps at available pairs") {
+    val got = learn(10, "ab ab")
+    // 'ab' -> one merge (a,b) with count 2, then no pairs remain
+    assert(got.length == 1)
+    assert(got(0) == ((1, "a", "b", 2L)))
+  }
+}
