@@ -1001,7 +1001,11 @@ object SparkEntry {
     // BPE merge learning: distributed word counts, exact merge loop on
     // the language-bounded vocab frame; oracle recomputes end to end.
     "bpe_learn_merges" -> ((s, dir) =>
-      graft.operators.BpeTrainer.learnMerges(Tables.documents(s, dir)))
+      graft.operators.BpeTrainer.learnMerges(Tables.documents(s, dir))),
+    // Apply the learned merges distributed (chained folds, encode each
+    // distinct word once); fertility/compression per source.
+    "bpe_encode_stats" -> ((s, dir) =>
+      graft.operators.BpeTrainer.encodeStats(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4100,7 +4104,10 @@ object SparkEntry {
     "seasonal_decompose" -> graft.operators.Changepoint.seasonalOracleSql,
 
     // Per-stage recursive-CTE merge walks; argmax tie-break in SQL.
-    "bpe_learn_merges" -> graft.operators.BpeTrainer.oracleSql()
+    "bpe_learn_merges" -> graft.operators.BpeTrainer.oracleSql(),
+
+    // Same chain, final symbolization weighted by per-source counts.
+    "bpe_encode_stats" -> graft.operators.BpeTrainer.encodeStatsOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

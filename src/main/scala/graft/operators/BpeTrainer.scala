@@ -85,6 +85,51 @@ object BpeTrainer {
       .orderBy(col("step"))
   }
 
+  /** Apply the learned merges to the corpus and report per-source
+    * encoding statistics (token counts after merging, chars/token) —
+    * the fertility/compression report that decides whether a tokenizer
+    * is worth its vocab budget.
+    *
+    * Shape: merges are learned once (bounded driver loop, see
+    * [[learnMerges]]) and then applied DISTRIBUTED as `numMerges`
+    * chained expression folds over the distinct-word frame — each
+    * distinct word encodes once, then the per-source word-count frame
+    * weights the totals (the wordpiece argument: encode cost is bounded
+    * by the language). The oracle extends the recursive merge chain
+    * with the same per-source weighting.
+    */
+  def encodeStats(documents: DataFrame, numMerges: Int = 6): DataFrame = {
+    val merges = learnMerges(documents, numMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val sw = documents
+      .select(col("source"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val foldExpr = merges.foldLeft("split(w, '')") { case (prev, (l, r)) =>
+      s"""aggregate($prev, slice(split(w, ''), 1, 0),
+         |  (acc, s) -> if(size(acc) > 0 AND element_at(acc, -1) = '$l'
+         |                 AND s = '$r',
+         |    concat(slice(acc, 1, size(acc) - 1), array('$l$r')),
+         |    concat(acc, array(s))))""".stripMargin
+    }
+    val enc = sw.select(col("w")).distinct()
+      .withColumn("n_syms", size(expr(foldExpr)).cast("long"))
+    sw.join(enc, Seq("w"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        sum(col("c") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("c") * col("n_syms")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+        // RAW integer-ratio quotients (round() tie hazard)
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   /** Full recompute in DuckDB: per stage, pair counts over the current
     * symbolization, argmax with the same tie-break, and the merge as a
     * recursive position walk (the same leftmost-non-overlap automaton as
@@ -128,5 +173,30 @@ SELECT CAST(step AS INTEGER) AS step, merge_left, merge_right, pair_count
 FROM (
   $unions)
 ORDER BY step"""
+  }
+
+  /** Oracle for [[encodeStats]]: the same merge chain, then per-source
+    * weighting of the final symbolization.
+    */
+  def encodeStatsOracleSql(numMerges: Int = 6): String = {
+    val chain = oracleSql(numMerges)
+    val prefix = chain.substring(0, chain.indexOf("\nSELECT CAST(step"))
+    s"""$prefix,
+sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY 1, 2)
+SELECT source,
+  CAST(sum(sw.c) AS BIGINT) AS n_words,
+  CAST(sum(sw.c * length(w)) AS BIGINT) AS n_chars,
+  CAST(sum(sw.c * len(syms)) AS BIGINT) AS n_tokens,
+  CAST(CAST(sum(sw.c * len(syms)) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(sum(sw.c) AS BIGINT) AS DOUBLE) AS tokens_per_word,
+  CAST(CAST(sum(sw.c * length(w)) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(sum(sw.c * len(syms)) AS BIGINT) AS DOUBLE)
+    AS chars_per_token
+FROM sw JOIN w$numMerges USING (w)
+GROUP BY 1 ORDER BY 1"""
   }
 }

@@ -49,4 +49,22 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(got.length == 1)
     assert(got(0) == ((1, "a", "b", 2L)))
   }
+
+  test("encodeStats: counts reflect the applied merges per source") {
+    val docs = Seq(
+      (1L, "abab abab cd"), // source A
+      (2L, "ab xy")
+    ).toDF("doc_id", "text")
+      .withColumn("source",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("doc_id") === 1L, "A")
+          .otherwise("B"))
+    val got = graft.operators.BpeTrainer.encodeStats(docs, numMerges = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // merges: (a,b) count 5 -> then (ab,ab) count 2:
+    // 'abab' -> [abab]x1 sym; 'ab' -> [ab]; 'cd' -> [c,d]; 'xy' -> [x,y]
+    assert(got("A") == ((3L, 10L, 1L + 1L + 2L)))
+    assert(got("B") == ((2L, 4L, 1L + 2L)))
+  }
 }
