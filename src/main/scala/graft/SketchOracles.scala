@@ -18,7 +18,7 @@ import graft.operators.Hll
   */
 object SketchOracles {
 
-  private val U64 = "18446744073709551616::HUGEINT"
+  private[graft] val U64 = "18446744073709551616::HUGEINT"
 
   /** Unsigned-decimal literal of a JVM Long's two's-complement bits. */
   private def ulit(x: Long): String =
@@ -37,7 +37,7 @@ object SketchOracles {
     * here are the three avalanche rounds: multiplier limbs are
     * 0xBF58476D1CE4E5B9 and 0x94D049BB133111EB split at 2^32.
     */
-  private def mixChain(p: String, from: String, carry: Seq[String], xExpr: String): String = {
+  private[graft] def mixChain(p: String, from: String, carry: Seq[String], xExpr: String): String = {
     val c = carry.mkString(", ")
     s"""${p}0 AS (SELECT $c, xor(($xExpr), ($xExpr) // 1073741824) AS a1x FROM $from),
 ${p}1 AS (SELECT $c, ((a1x * 484763065::HUGEINT) % $U64 + ((a1x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U64 AS z1 FROM ${p}0),

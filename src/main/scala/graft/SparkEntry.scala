@@ -1005,7 +1005,16 @@ object SparkEntry {
     // Apply the learned merges distributed (chained folds, encode each
     // distinct word once); fertility/compression per source.
     "bpe_encode_stats" -> ((s, dir) =>
-      graft.operators.BpeTrainer.encodeStats(Tables.documents(s, dir)))
+      graft.operators.BpeTrainer.encodeStats(Tables.documents(s, dir))),
+
+    // KMV order-statistics distinct sketch (bounded mergeable state);
+    // exact distinct rides in-row.
+    "kmv_distinct" -> ((s, dir) =>
+      graft.operators.Kmv.kmvDistinct(Tables.events(s, dir))),
+    // Sketch-only audience-overlap Jaccard (union-k match counting),
+    // exact Jaccard in-row.
+    "kmv_jaccard" -> ((s, dir) =>
+      graft.operators.Kmv.kmvJaccard(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4107,7 +4116,12 @@ object SparkEntry {
     "bpe_learn_merges" -> graft.operators.BpeTrainer.oracleSql(),
 
     // Same chain, final symbolization weighted by per-source counts.
-    "bpe_encode_stats" -> graft.operators.BpeTrainer.encodeStatsOracleSql()
+    "bpe_encode_stats" -> graft.operators.BpeTrainer.encodeStatsOracleSql(),
+
+    // Full KMV replay: mix64 per distinct user, k-smallest window,
+    // integer-micros estimate (HUGEINT //), union-k match counting.
+    "kmv_distinct" -> graft.operators.Kmv.kmvDistinctOracleSql,
+    "kmv_jaccard" -> graft.operators.Kmv.kmvJaccardOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
