@@ -1007,6 +1007,39 @@ object SparkEntry {
     "bpe_encode_stats" -> ((s, dir) =>
       graft.operators.BpeTrainer.encodeStats(Tables.documents(s, dir))),
 
+    // S2/S3 CSV edge: round-trip events through CSV lines with planted
+    // malformed rows (event_id % 89 == 0); permissive from_csv must
+    // drop exactly those. Mirrors json_ingest_agg for the other wire
+    // format a batch ingest actually sees.
+    "csv_ingest_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("user_id", LongType)))
+      val raw = Tables.events(s, dir).select(
+        when(col("event_id") % 89 === 0, lit("not_a_long,truncated"))
+          .otherwise(concat_ws(",",
+            col("event_id"), col("event_type"), col("user_id")))
+          .as("value"))
+      graft.sources.Sources.parseCsvEvents(raw, schema)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("parsed_count"),
+          countDistinct(col("user_id")).as("distinct_users"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Leave-one-out + smoothed target encoding (exact integer micros;
+    // category frame broadcast back, fact table never shuffles).
+    "target_encode" -> ((s, dir) =>
+      graft.operators.FeatureEng.targetEncode(Tables.orders(s, dir))),
+    // One-scan Poisson bootstrap of the mean order price: 32 replicate
+    // means from deterministic per-(row, replicate) Poisson(1) weights,
+    // CI from order statistics — no row explosion, no reshuffle.
+    "bootstrap_ci" -> ((s, dir) =>
+      graft.operators.FeatureEng.bootstrapCi(Tables.orders(s, dir))),
+
     // KMV order-statistics distinct sketch (bounded mergeable state);
     // exact distinct rides in-row.
     "kmv_distinct" -> ((s, dir) =>
@@ -4117,6 +4150,22 @@ object SparkEntry {
 
     // Same chain, final symbolization weighted by per-source counts.
     "bpe_encode_stats" -> graft.operators.BpeTrainer.encodeStatsOracleSql(),
+
+    // Ground truth relational — the ENGINE must round-trip CSV and drop
+    // exactly the event_id % 89 == 0 malformed lines.
+    "csv_ingest_agg" ->
+      """SELECT event_type,
+        |  count(*) AS parsed_count,
+        |  count(DISTINCT user_id) AS distinct_users,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id % 89 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Exact integer-micros encodings; HUGEINT clears the rational mean.
+    "target_encode" -> graft.operators.FeatureEng.targetEncodeOracleSql,
+    // Full bootstrap replay: double mix chain per (key, replicate),
+    // shared Poisson(1) threshold literals, order-statistic CI.
+    "bootstrap_ci" -> graft.operators.FeatureEng.bootstrapCiOracleSql,
 
     // Full KMV replay: mix64 per distinct user, k-smallest window,
     // integer-micros estimate (HUGEINT //), union-k match counting.

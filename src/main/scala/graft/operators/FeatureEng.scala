@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.SketchOracles.{mixChain, U64}
+import graft.functions.Mix64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature engineering for model-training pipelines: leave-one-out target
+  * encoding and Poisson-bootstrap confidence intervals. Both are EXACT
+  * integer pipelines end-to-end (cents fixed point, micros via integral
+  * division, splitmix64 randomness) so the DuckDB oracle replays every
+  * value bit-exactly — no float leaves either engine.
+  *
+  * Scale designs:
+  *  - Target encoding folds the fact table to |categories| rows
+  *    (map-side combine) and broadcasts them back — the fact table never
+  *    shuffles. That is the only shape that survives a 100 TB fact side.
+  *  - The bootstrap computes ALL replicate weights per row in one scan
+  *    (B pairs of counters, no row explosion): replicate b's Poisson(1)
+  *    weight is a pure function of mix64(mix64(key) ^ seed_b), so the
+  *    whole resample is one aggregate over B·2 counters — the standard
+  *    "Poisson bootstrap for massive data" formulation (Chamandy et al.,
+  *    Google 2012) where per-row multinomial sampling is replaced by
+  *    independent Poisson draws.
+  */
+object FeatureEng {
+
+  // ---- target encoding ----------------------------------------------------
+
+  /** Smoothing pseudo-count for the shrunk encoding. */
+  val SmoothM = 10
+
+  /** Leave-one-out + smoothed target encoding of o_orderpriority against
+    * the o_totalprice cents target. Exact micros:
+    *   loo    = (Σ_g − x) · 10^6 DIV (n_g − 1)        (global mean if n_g = 1)
+    *   smooth = (Σ_g·N + m·Σ) · 10^6 DIV ((n_g + m)·N)
+    * the second is (Σ_g + m·μ)/(n_g + m) cleared of the rational μ = Σ/N.
+    */
+  def targetEncode(orders: DataFrame): DataFrame = {
+    val cents = graft.queries.Analytics.centsOf(col("o_totalprice"))
+      .cast("long")
+    val stats = orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_g"), sum(cents).as("sum_g"))
+    val glob = orders.agg(
+      count(lit(1)).as("gn"), sum(cents).as("gsum"))
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents.as("price_cents"))
+      .join(broadcast(stats), Seq("o_orderpriority"))
+      .crossJoin(broadcast(glob))
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("price_cents"),
+        when(col("n_g") > 1,
+          expr("CAST((sum_g - price_cents) AS DECIMAL(38,0)) * 1000000" +
+            " DIV (n_g - 1)"))
+          .otherwise(expr(
+            "CAST(gsum AS DECIMAL(38,0)) * 1000000 DIV gn"))
+          .as("te_loo_micros"),
+        expr(s"(CAST(sum_g AS DECIMAL(38,0)) * gn + $SmoothM *" +
+          " CAST(gsum AS DECIMAL(38,0))) * 1000000" +
+          s" DIV (CAST(n_g + $SmoothM AS DECIMAL(38,0)) * gn)")
+          .as("te_smooth_micros"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def targetEncodeOracleSql: String =
+    s"""WITH c AS (SELECT o_orderkey, o_orderpriority,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+  FROM orders),
+g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_g,
+  CAST(sum(price_cents) AS HUGEINT) AS sum_g FROM c GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS gn,
+  CAST(sum(price_cents) AS HUGEINT) AS gsum FROM c)
+SELECT c.o_orderkey, c.o_orderpriority, c.price_cents,
+  CAST(CASE WHEN g.n_g > 1
+    THEN (sum_g - price_cents) * 1000000 // (g.n_g - 1)
+    ELSE gsum * 1000000 // gn END AS BIGINT) AS te_loo_micros,
+  CAST((sum_g * gn + $SmoothM * gsum) * 1000000
+    // ((g.n_g + $SmoothM) * gn) AS BIGINT) AS te_smooth_micros
+FROM c JOIN g USING (o_orderpriority), t
+ORDER BY c.o_orderkey"""
+
+  // ---- Poisson bootstrap --------------------------------------------------
+
+  /** Replicate count. 32 keeps the order-statistic CI crude but real
+    * (2nd/31st ≈ 5%/95%) while the per-scan counter count stays small.
+    */
+  val B = 32
+
+  /** Per-replicate seeds — arbitrary fixed splitmix64 points, single-
+    * sourced for both engines.
+    */
+  def bootSeeds: Seq[Long] =
+    (1 to B).map(b => Mix64.mix(0x0B007B007B007L * b + 0x5EED5EED5EEDL))
+
+  /** Poisson(1) inverse-CDF thresholds scaled to u64: u < t_k ⟹ weight k,
+    * capped at [[PoissonCap]]. Computed once from the double CDF and
+    * embedded as exact integer literals on BOTH engines.
+    */
+  val PoissonCap = 6
+  def poissonThresholds: Seq[BigInt] = {
+    val invE = math.exp(-1.0)
+    val pmf = (0 until PoissonCap).scanLeft(invE) { case (p, k) =>
+      p / (k + 1.0)
+    }.take(PoissonCap) // p_0 .. p_{cap-1}
+    val cdf = pmf.scanLeft(0.0)(_ + _).drop(1)
+    cdf.map(p =>
+      (BigDecimal(p) * BigDecimal(BigInt(1) << 64)).toBigInt)
+  }
+
+  private def thresholdFlipped: Seq[Long] =
+    poissonThresholds.map { t =>
+      val signed = if (t >= (BigInt(1) << 63)) t - (BigInt(1) << 64) else t
+      signed.toLong ^ Long.MinValue
+    }
+
+  /** Poisson(1) weight of replicate `b` for key column `key` — flipped-
+    * domain unsigned threshold compare on mix64(mix64(key) ^ seed_b).
+    */
+  private def poissonW(key: Column, seed: Long): Column = {
+    import graft.functions.GraftColumns.mix64
+    val uf = mix64(mix64(key).bitwiseXOR(lit(seed)))
+      .bitwiseXOR(lit(Long.MinValue))
+    val tf = thresholdFlipped
+    tf.zipWithIndex.foldRight(lit(PoissonCap): Column) {
+      case ((t, k), elseC) => when(uf < lit(t), lit(k)).otherwise(elseC)
+    }
+  }
+
+  /** One-scan Poisson bootstrap of the mean order price: B resampled
+    * means as exact micros, CI = 2nd/31st order statistics, the exact
+    * full-sample mean in-row.
+    */
+  def bootstrapCi(orders: DataFrame): DataFrame = {
+    val cents = graft.queries.Analytics.centsOf(col("o_totalprice"))
+      .cast("long")
+    val base = orders.select(col("o_orderkey").as("k"), cents.as("x"))
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(col("x")).as("sx")) ++
+        bootSeeds.zipWithIndex.flatMap { case (seed, b) =>
+          val w = poissonW(col("k"), seed).cast("long")
+          Seq(sum(w * col("x")).as(s"bs_$b"), sum(w).as(s"bn_$b"))
+        }
+    val wide = base.agg(aggs.head, aggs.tail: _*)
+    val meanCols = (0 until B).map(b =>
+      expr(s"CAST(bs_$b AS DECIMAL(38,0)) * 1000000 DIV bn_$b"))
+    wide
+      .withColumn("means", array_sort(array(meanCols: _*)))
+      .select(
+        col("n"),
+        expr("CAST(sx AS DECIMAL(38,0)) * 1000000 DIV n")
+          .as("mean_micros"),
+        lit(B).cast("long").as("replicates"),
+        element_at(col("means"), 2).as("boot_lo_micros"),
+        element_at(col("means"), B - 1).as("boot_hi_micros"))
+  }
+
+  def bootstrapCiOracleSql: String = {
+    val seedRows = bootSeeds.zipWithIndex
+      .map { case (s, b) =>
+        val u = (BigInt(s) & ((BigInt(1) << 64) - 1)).toString
+        s"    ($b, $u::HUGEINT)"
+      }.mkString(",\n")
+    val ts = poissonThresholds
+    val wCase = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN mx < $t::HUGEINT THEN $k" }
+      .mkString(" ") + s" ELSE $PoissonCap"
+    s"""WITH c AS (SELECT o_orderkey AS k,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders),
+sd(b, su) AS (VALUES
+$seedRows),
+u1 AS (SELECT k, x,
+  ((CASE WHEN k < 0 THEN CAST(k AS HUGEINT) + $U64
+         ELSE CAST(k AS HUGEINT) END)
+   + 11400714819323198485::HUGEINT) % $U64 AS z0 FROM c),
+${mixChain("k1", "u1", Seq("k", "x"), "z0")},
+x1 AS (SELECT x, b, (xor(mx, su) + 11400714819323198485::HUGEINT) % $U64
+  AS z0 FROM k14, sd),
+${mixChain("b1", "x1", Seq("x", "b"), "z0")},
+w AS (SELECT x, b, CASE $wCase END AS w FROM b14),
+reps AS (SELECT b,
+  CAST(sum(w * x) AS HUGEINT) * 1000000 // CAST(sum(w) AS HUGEINT)
+    AS mean_b
+  FROM w GROUP BY b),
+ordered AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rn
+  FROM reps),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(sum(x) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+    AS mean_micros FROM c)
+SELECT t.n, t.mean_micros, CAST($B AS BIGINT) AS replicates,
+  CAST((SELECT mean_b FROM ordered WHERE rn = 2) AS BIGINT)
+    AS boot_lo_micros,
+  CAST((SELECT mean_b FROM ordered WHERE rn = ${B - 1}) AS BIGINT)
+    AS boot_hi_micros
+FROM tot t"""
+  }
+}

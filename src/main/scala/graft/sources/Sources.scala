@@ -50,6 +50,22 @@ object Sources {
       .select(col("e.*"))
   }
 
+  /** S2/S3 CSV variant — `from_csv` deserialize with the same permissive
+    * bad-record contract as [[parseJsonEvents]]: malformed lines parse to
+    * a null required field, are counted via observe(), and dropped. CSV
+    * is the other wire format a batch ingest edge actually sees; the
+    * parse is a codegen'd expression, no RDD hop.
+    */
+  def parseCsvEvents(raw: DataFrame, schema: StructType): DataFrame = {
+    val corrupt = col("e").isNull || col(s"e.${schema.head.name}").isNull
+    raw
+      .select(from_csv(col("value").cast("string"), schema,
+        Map("mode" -> "PERMISSIVE")).as("e"))
+      .observe("csv_parse", count(when(corrupt, 1)).as("corrupt_records"))
+      .filter(!corrupt)
+      .select(col("e.*"))
+  }
+
   /** S1 — Kafka streaming source (earliest offsets, like the reference's
     * `auto.offset.reset=earliest`). Requires the spark-sql-kafka connector
     * on the cluster classpath (not present in this harness — wiring is

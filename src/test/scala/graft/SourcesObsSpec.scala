@@ -41,6 +41,28 @@ class SourcesObsSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("CSV parse is permissive: malformed lines counted and dropped (S2/S3)") {
+    import org.apache.spark.sql.types._
+    val listener = Metrics.registerBatchListener(spark)
+    try {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("user_id", LongType)))
+      val raw = Seq(
+        "1,click,7",
+        "not_a_long,truncated",
+        "2,view,8").toDF("value")
+      val parsed = Sources.parseCsvEvents(raw, schema)
+      val rows = parsed.collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(1L, 2L))
+      assert(rows.map(_.getAs[String]("event_type")).toSet == Set("click", "view"))
+      val m = awaitMetric(listener, "csv_parse")
+      assert(m.isDefined, s"metrics: ${listener.collected}")
+      assert(m.get._2("corrupt_records") == 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("observed() pipeline gauges piggyback on the action") {
     val listener = Metrics.registerBatchListener(spark)
     try {
