@@ -1030,6 +1030,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Positional-index phrase search: most-frequent-bigram query
+    // evaluated index-only (shifted position-list intersection).
+    "phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(Tables.documents(s, dir))),
+
+    // JL ±1 random projection (Achlioptas) with the distortion
+    // self-check; bit-identical fold chains on both engines.
+    "embedding_rp" -> ((s, dir) =>
+      graft.operators.FeatureEng.rpProject(Tables.embeddings(s, dir))),
+
+    // t-closeness EMD audit over the ordered balance-band domain —
+    // completes the k-anonymity / l-diversity / t-closeness triad.
+    "t_closeness" -> ((s, dir) =>
+      graft.operators.Privacy.tCloseness(Tables.customer(s, dir))),
+
     // Leave-one-out + smoothed target encoding (exact integer micros;
     // category frame broadcast back, fact table never shuffles).
     "target_encode" -> ((s, dir) =>
@@ -4160,6 +4175,15 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE event_id % 89 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Direct adjacent-pair rescan must equal the index-only evaluation.
+    "phrase_search" -> TextAnalysis.phraseSearchOracleSql,
+
+    // Same literal sign matrix, same left-assoc fold chain.
+    "embedding_rp" -> graft.operators.FeatureEng.rpProjectOracleSql,
+
+    // Exact CDF-difference EMD, denominators cleared into HUGEINT.
+    "t_closeness" -> graft.operators.Privacy.tClosenessOracleSql(),
 
     // Exact integer-micros encodings; HUGEINT clears the rational mean.
     "target_encode" -> graft.operators.FeatureEng.targetEncodeOracleSql,

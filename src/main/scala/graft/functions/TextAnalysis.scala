@@ -344,6 +344,67 @@ object TextAnalysis {
           ",").as("top_postings"))
       .orderBy(col("token"))
 
+  /** Positional-postings phrase search — the IR split a search engine
+    * actually runs: build a positional index once (token → doc →
+    * sorted positions), then evaluate a phrase query INDEX-ONLY by
+    * intersecting shifted position lists, never rescanning documents.
+    * The query here is the corpus's most frequent word bigram (argmax
+    * pinned by count DESC, then lexicographic), so the query itself is
+    * data-derived and deterministic.
+    *
+    * Scale: the index build is one explode + groupBy (the same shuffle
+    * any inverted index costs); query evaluation touches only the two
+    * posting lists (filter pushed to the token key), joins them on
+    * doc_id, and counts matches with one array intersect — work
+    * proportional to the posting lists, not the corpus. The oracle
+    * recomputes occurrences by direct adjacent-pair scan; index
+    * evaluation and rescan must agree exactly.
+    */
+  def phraseSearch(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val bigrams = documents
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val top = broadcast(
+      bigrams.orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+        .select(col("w1"), col("w2")))
+    val postings = documents
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(array_sort(collect_list(col("pos"))).as("ps"))
+    val h1 = postings.join(top, col("token") === col("w1"))
+      .select(col("doc_id"), col("ps").as("ps1"), col("w1"), col("w2"))
+    val h2 = postings.join(top.select(col("w2").as("qw2")),
+        col("token") === col("qw2"))
+      .select(col("doc_id").as("doc_id2"), col("ps").as("ps2"))
+    h1.join(h2, col("doc_id") === col("doc_id2"))
+      .select(col("doc_id"), col("w1"), col("w2"),
+        size(array_intersect(
+          transform(col("ps1"), p => p + 1), col("ps2")))
+          .cast("long").as("occurrences"))
+      .filter(col("occurrences") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  def phraseSearchOracleSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |              unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      |       FROM tk),
+      |cnt AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+      |q AS (SELECT w1, w2 FROM cnt ORDER BY n DESC, w1, w2 LIMIT 1),
+      |hits AS (SELECT tk.doc_id, q.w1, q.w2,
+      |  CAST(len(list_filter(range(1, len(t)),
+      |    i -> t[i] = q.w1 AND t[i+1] = q.w2)) AS BIGINT) AS occurrences
+      |  FROM tk, q)
+      |SELECT doc_id, w1, w2, occurrences FROM hits
+      |WHERE occurrences > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprints via the native [[RollingHash]] expression.
     * Verified against an independent pure-SQL fold in the DuckDB oracle.
     */

@@ -156,6 +156,81 @@ ORDER BY c.o_orderkey"""
         element_at(col("means"), B - 1).as("boot_hi_micros"))
   }
 
+  // ---- Johnson–Lindenstrauss ±1 random projection -------------------------
+
+  /** Projection dims; input embeddings are 64-dim float. */
+  val RpDim = 16
+  val SrcDim = 64
+
+  /** The ±1 projection matrix (Achlioptas, JCSS 2003: database-friendly
+    * random projections — Rademacher entries preserve JL), derived from
+    * mix64 parity so both engines share the SAME literal matrix.
+    */
+  def rpSigns: IndexedSeq[IndexedSeq[Int]] =
+    IndexedSeq.tabulate(RpDim, SrcDim) { (d, i) =>
+      if ((Mix64.mix(0x4A11C0DEL + (d * SrcDim + i).toLong) & 1L) == 0L) 1
+      else -1
+    }
+
+  /** Project each embedding to RpDim dims: p_d = Σ_i s_di·x_i folded in
+    * FIXED index order (a left-associated add chain generated from the
+    * same sign matrix on both engines — bit-identical doubles, so the
+    * raw doubles are emitted unrounded). Emits the first 4 components
+    * plus the JL distortion self-check ‖p‖²/(D·‖x‖²), whose expectation
+    * is 1.
+    *
+    * Scale: a pure stateless scan — 16 codegen'd multiply-add chains per
+    * row, no shuffle, no UDF; exactly the shape a 100 TB embedding
+    * compaction wants (usually fused into the scan that writes the
+    * compressed table).
+    */
+  def rpProject(embeddings: DataFrame): DataFrame = {
+    val s = rpSigns
+    def x(i: Int): Column =
+      element_at(col("embedding"), i + 1).cast("double")
+    def proj(d: Int): Column =
+      (0 until SrcDim).map(i => x(i) * lit(s(d)(i).toDouble))
+        .reduceLeft(_ + _)
+    val normSq = (0 until SrcDim).map(i => x(i) * x(i)).reduceLeft(_ + _)
+    val withP = embeddings.select(
+      col("vec_id") +:
+        (0 until RpDim).map(d => proj(d).as(s"p$d")) :+
+        normSq.as("norm_sq"): _*)
+    val rpNormSq = (0 until RpDim).map(d => col(s"p$d") * col(s"p$d"))
+      .reduceLeft(_ + _)
+    withP
+      .withColumn("rp_norm_sq", rpNormSq)
+      .select(
+        col("vec_id"), col("p0"), col("p1"), col("p2"), col("p3"),
+        col("norm_sq"), col("rp_norm_sq"),
+        when(col("norm_sq") > 0.0,
+          col("rp_norm_sq") / (lit(RpDim.toDouble) * col("norm_sq")))
+          .as("distortion"))
+      .orderBy(col("vec_id"))
+  }
+
+  def rpProjectOracleSql: String = {
+    val s = rpSigns
+    def x(i: Int): String = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    def proj(d: Int): String =
+      (0 until SrcDim).map(i => s"${x(i)} * ${s(d)(i)}.0")
+        .mkString(" + ")
+    val normSq = (0 until SrcDim).map(i => s"${x(i)} * ${x(i)}")
+      .mkString(" + ")
+    val ps = (0 until RpDim).map(d => s"(${proj(d)}) AS p$d")
+      .mkString(",\n  ")
+    val rpNorm = (0 until RpDim).map(d => s"p$d * p$d").mkString(" + ")
+    s"""WITH pr AS (SELECT vec_id,
+  $ps,
+  ($normSq) AS norm_sq
+  FROM embeddings),
+n2 AS (SELECT *, ($rpNorm) AS rp_norm_sq FROM pr)
+SELECT vec_id, p0, p1, p2, p3, norm_sq, rp_norm_sq,
+  CASE WHEN norm_sq > 0.0
+    THEN rp_norm_sq / (${RpDim}.0 * norm_sq) END AS distortion
+FROM n2 ORDER BY vec_id"""
+  }
+
   def bootstrapCiOracleSql: String = {
     val seedRows = bootSeeds.zipWithIndex
       .map { case (s, b) =>

@@ -87,4 +87,102 @@ object Privacy {
       .agg(count(lit(1)).as("group_size"))
       .orderBy(col("nation"), col("segment"), col("level"), col("bal_bucket"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    * completes the k-anonymity / l-diversity / t-closeness triad: for
+    * each QI group (nation, segment), the Earth-Mover's Distance between
+    * the group's sensitive-attribute distribution ($1000 balance bands,
+    * an ORDERED domain) and the global distribution. For 1-D ordered
+    * categories EMD is the mean absolute difference of the two CDFs:
+    *   EMD = Σ_b |cumP_g(b) − cumP(b)| / (m − 1)
+    * computed EXACTLY by clearing denominators:
+    *   emd_micros = (Σ_b |cum_g(b)·N − cum(b)·n_g|) · 10^6
+    *                  DIV (n_g · N · (m−1)).
+    *
+    * Scale: three hash aggregates bounded by the QI × band domain, a
+    * broadcast cross of groups × bands (so zero-count bands enter the
+    * CDF), and windows over that bounded frame — the record table is
+    * scanned once and never reshuffled.
+    */
+  def tCloseness(customer: DataFrame, tMicros: Long = 200000): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = customer.select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("bucket"))
+    val cells = base.groupBy(col("nation"), col("segment"), col("bucket"))
+      .agg(count(lit(1)).as("c_gb"))
+    val groups = base.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n_g"))
+    val bands = base.groupBy(col("bucket")).agg(count(lit(1)).as("c_b"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nation"), col("segment"))
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val gwin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bandsCum = bands
+      .withColumn("cum_b", sum(col("c_b")).over(gwin))
+      .withColumn("n_total", sum(col("c_b")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+    groups
+      .crossJoin(broadcast(bandsCum))
+      .join(cells, Seq("nation", "segment", "bucket"), "left")
+      .withColumn("c_gb", coalesce(col("c_gb"), lit(0L)))
+      .withColumn("cum_g", sum(col("c_gb")).over(win))
+      .groupBy(col("nation"), col("segment"))
+      .agg(
+        first(col("n_g")).as("n_g"),
+        sum(abs(col("cum_g").cast(dec38) * col("n_total") -
+          col("cum_b").cast(dec38) * col("n_g"))).as("num"),
+        first(col("n_total")).as("n_total"),
+        first(col("m")).as("m"))
+      .select(
+        col("nation"), col("segment"), col("n_g"),
+        expr("CAST(num AS DECIMAL(38,0)) * 1000000" +
+          " DIV (CAST(n_g AS DECIMAL(38,0)) * n_total * (m - 1))")
+          .as("emd_micros"))
+      .withColumn("t_violation", col("emd_micros") > tMicros)
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  def tClosenessOracleSql(tMicros: Long = 200000): String =
+    s"""WITH base AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+  CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bucket
+  FROM customer),
+cells AS (SELECT nation, segment, bucket, CAST(count(*) AS BIGINT) AS c_gb
+  FROM base GROUP BY 1, 2, 3),
+groups AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS n_g
+  FROM base GROUP BY 1, 2),
+bands AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_b
+  FROM base GROUP BY 1),
+bc AS (SELECT bucket, c_b,
+  CAST(sum(c_b) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+  CAST(sum(c_b) OVER () AS BIGINT) AS n_total,
+  CAST(count(*) OVER () AS BIGINT) AS m FROM bands),
+full_grid AS (SELECT g.nation, g.segment, g.n_g, b.bucket, b.cum_b,
+  b.n_total, b.m, COALESCE(c.c_gb, 0) AS c_gb
+  FROM groups g CROSS JOIN bc b
+  LEFT JOIN cells c ON c.nation = g.nation AND c.segment = g.segment
+    AND c.bucket = b.bucket),
+cg AS (SELECT *, CAST(sum(c_gb) OVER (PARTITION BY nation, segment
+  ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  AS BIGINT) AS cum_g FROM full_grid),
+agg AS (SELECT nation, segment, any_value(n_g) AS n_g,
+  CAST(sum(abs(CAST(cum_g AS HUGEINT) * n_total
+    - CAST(cum_b AS HUGEINT) * n_g)) AS HUGEINT) AS num,
+  any_value(n_total) AS n_total, any_value(m) AS m
+  FROM cg GROUP BY 1, 2)
+SELECT nation, segment, n_g,
+  CAST(num * 1000000 // (CAST(n_g AS HUGEINT) * n_total * (m - 1))
+    AS BIGINT) AS emd_micros,
+  (CAST(num * 1000000 // (CAST(n_g AS HUGEINT) * n_total * (m - 1))
+    AS BIGINT) > $tMicros) AS t_violation
+FROM agg ORDER BY nation, segment"""
 }
