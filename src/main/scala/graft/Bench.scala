@@ -48,8 +48,14 @@ object Bench {
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
     }
+    // optional arg: comma-separated query subset (local iteration only —
+    // recorded artifacts always come from full runs)
+    val subset: Option[Set[String]] =
+      args.headOption.map(_.split(",").toSet)
     def onePass(): Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> runOne(fn) }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => subset.forall(_.contains(name)) }
+        .map { case (name, fn) => name -> runOne(fn) }
 
     // Noise floor: three fixed sentinel queries (scan-bound, shuffle-bound,
     // sketch-bound) timed once right after warmup and once after the last

@@ -1030,6 +1030,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Exact OLS daily-revenue trend per segment (sign-separated integer
+    // micros; r² from identically-derived double casts).
+    "ols_trend" -> ((s, dir) =>
+      graft.operators.TableStats.olsTrend(
+        Tables.orders(s, dir), Tables.customer(s, dir))),
+    // Group-aware K-fold CV assignment + structural leakage audit.
+    "cv_folds" -> ((s, dir) =>
+      graft.operators.Folds.cvFolds(Tables.events(s, dir))),
+    // RFM quintile grid via exact distributed ranks (no global-sort task).
+    "rfm_segments" -> ((s, dir) =>
+      Analytics.rfmSegments(Tables.orders(s, dir))),
+
     // Positional-index phrase search: most-frequent-bigram query
     // evaluated index-only (shifted position-list intersection).
     "phrase_search" -> ((s, dir) =>
@@ -4175,6 +4187,13 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE event_id % 89 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // HUGEINT moment sums; magnitude-division slope/intercept.
+    "ols_trend" -> graft.operators.TableStats.olsTrendOracleSql,
+    // mix64-fold assignment replayed per distinct user.
+    "cv_folds" -> graft.operators.Folds.cvFoldsOracleSql,
+    // ntile(5) windows over the per-customer frame.
+    "rfm_segments" -> Analytics.rfmSegmentsOracleSql,
 
     // Direct adjacent-pair rescan must equal the index-only evaluation.
     "phrase_search" -> TextAnalysis.phraseSearchOracleSql,

@@ -43,30 +43,33 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
-  /** The one live ranged-frame cache per session. Each ranking call persists
-    * a fresh range-partitioned frame; without cleanup a long-lived service
-    * calling ranking repeatedly pins one MEMORY_AND_DISK dataset per call for
-    * the application lifetime. Registering the handle here bounds that to at
-    * most ONE lingering frame per session: a new call releases the previous
-    * one (safe even if a straggling consumer is still reading it — persist
-    * keeps lineage, so evicted blocks recompute into the same deterministic
-    * layout), and [[release]] drops the last one explicitly.
+  /** Live ranged-frame cache per session. Each ranking call persists a
+    * fresh range-partitioned frame; [[release]] returns the blocks when
+    * the caller is done ranking (e.g. at the end of a service request).
+    *
+    * Every live frame stays pinned until release() — an earlier policy
+    * kept only the LATEST frame and unpersisted the previous one on each
+    * new call, on the theory that eviction just recomputes the same
+    * deterministic layout. That theory is FALSE: the rank offsets are
+    * captured from the per-partition counts of the frame's FIRST
+    * materialization, and a recompute's range boundaries (sampled at job
+    * time) need not reproduce that layout — chained rankings (e.g. the
+    * RFM triple-quintile) then emit offset+row_number ranks beyond n
+    * (observed as ntile(5) producing tile 6 at sf0.1). Correctness
+    * requires the pin for as long as any downstream plan may re-read the
+    * frame; the memory bound is release()'s job, not an auto-eviction's.
     */
-  private val liveCache = new ConcurrentHashMap[SparkSession, DataFrame]()
+  private val liveCache =
+    new ConcurrentHashMap[SparkSession, List[DataFrame]]()
 
-  /** Unpersist the session's lingering ranged frame (no-op if none).
-    * Call when done ranking — e.g. at the end of a service request —
-    * to return the cached blocks immediately.
-    */
+  /** Unpersist ALL of the session's ranged frames (no-op if none). */
   def release(spark: SparkSession): Unit = {
     val prev = liveCache.remove(spark)
-    if (prev != null) prev.unpersist(blocking = false)
+    if (prev != null) prev.foreach(_.unpersist(blocking = false))
   }
 
-  private def trackPersisted(ranged: DataFrame): Unit = {
-    val prev = liveCache.put(ranged.sparkSession, ranged)
-    if (prev != null) prev.unpersist(blocking = false)
-  }
+  private def trackPersisted(ranged: DataFrame): Unit =
+    liveCache.merge(ranged.sparkSession, List(ranged), (a, b) => b ::: a)
 
   /** (df + rankCol [1..n], n) — n comes from the same per-partition
     * counts that build the offsets, so ranking costs exactly one

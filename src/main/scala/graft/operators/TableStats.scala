@@ -213,6 +213,92 @@ object TableStats {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Exact OLS trend of daily revenue per market segment: regress the
+    * day's revenue cents on the day index (days since 1992-01-01) from
+    * exact integer moment sums — slope/intercept as integer micros via
+    * sign-separated magnitude division (Spark DIV truncates toward zero,
+    * DuckDB // floors: they agree only on non-negative operands, so the
+    * quotient is always computed on magnitudes and re-signed). r² is the
+    * only double: computed from casts of the SAME exact integers on both
+    * engines, identical op order, emitted raw.
+    *
+    *   slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+    *   r²        = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    *
+    * Scale: orders fold to (segment, day) partials with map-side combine,
+    * then to five moment counters per segment — the daily frame is
+    * |segments| × |days| bounded, and the final report is O(segments).
+    */
+  def olsTrend(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("c_mktsegment").as("segment"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(sum(graft.queries.Analytics.centsOf(col("o_totalprice"))
+        .cast("long")).as("y"))
+    val m = daily.groupBy(col("segment")).agg(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("x")).cast(dec38).as("sx"),
+      sum(col("y")).cast(dec38).as("sy"),
+      sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+      sum((col("x").cast(dec38) * col("y"))).as("sxy"),
+      sum((col("y").cast(dec38) * col("y"))).as("syy"))
+    m.select(
+        col("segment"), col("n").cast("long").as("n_days"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("ssxy"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("ssxx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("ssyy"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("bnum"))
+      .select(
+        col("segment"), col("n_days"),
+        expr("CAST(CASE WHEN ssxy < 0 THEN -1 ELSE 1 END" +
+          " * (abs(ssxy) * 1000000 DIV ssxx) AS BIGINT)")
+          .as("slope_micros"),
+        expr("CAST(CASE WHEN bnum < 0 THEN -1 ELSE 1 END" +
+          " * (abs(bnum) * 1000000 DIV ssxx) AS BIGINT)")
+          .as("intercept_micros"),
+        when(col("ssyy") > 0,
+          (col("ssxy").cast("double") * col("ssxy").cast("double")) /
+            (col("ssxx").cast("double") * col("ssyy").cast("double")))
+          .as("r2"))
+      .orderBy(col("segment"))
+  }
+
+  def olsTrendOracleSql: String =
+    """WITH daily AS (SELECT c_mktsegment AS segment,
+      |  CAST(date_diff('day', DATE '1992-01-01',
+      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT segment,
+      |  CAST(count(*) AS HUGEINT) AS n,
+      |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |  CAST(sum(x * x) AS HUGEINT) AS sxx,
+      |  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM daily GROUP BY 1),
+      |d AS (SELECT segment, CAST(n AS BIGINT) AS n_days,
+      |  n * sxy - sx * sy AS ssxy,
+      |  n * sxx - sx * sx AS ssxx,
+      |  n * syy - sy * sy AS ssyy,
+      |  sy * sxx - sx * sxy AS bnum FROM m)
+      |SELECT segment, n_days,
+      |  CAST(CASE WHEN ssxy < 0 THEN -1 ELSE 1 END
+      |    * (abs(ssxy) * 1000000 // ssxx) AS BIGINT) AS slope_micros,
+      |  CAST(CASE WHEN bnum < 0 THEN -1 ELSE 1 END
+      |    * (abs(bnum) * 1000000 // ssxx) AS BIGINT) AS intercept_micros,
+      |  CASE WHEN ssyy > 0 THEN
+      |    (CAST(ssxy AS DOUBLE) * CAST(ssxy AS DOUBLE))
+      |      / (CAST(ssxx AS DOUBLE) * CAST(ssyy AS DOUBLE)) END AS r2
+      |FROM d ORDER BY segment""".stripMargin
+
   // ---- oracle generation (single-sourced column list) ----------------------
 
   private val centsSql = (c: String) =>

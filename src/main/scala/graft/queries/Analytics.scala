@@ -216,6 +216,62 @@ object Analytics {
       .orderBy(col("o_custkey"))
   }
 
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * customer, reported as the 5×5×5 segment grid with exact average
+    * spend. Quintiles come from [[graft.operators.DistributedRank
+    * .withRankStats]] (exact distributed ranks, ntile arithmetic — no
+    * single-partition window), tie-broken by customer key into a total
+    * order; the DuckDB ntile(5) window oracle matches row-for-row
+    * because the arithmetic IS ntile's definition.
+    *
+    * Scale: one orders fold to the per-customer frame, then three
+    * range-partitioned rankings of that dimension-sized frame; the
+    * report is ≤ 125 rows.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val cust = orders.groupBy(col("o_custkey")).agg(
+      datediff(lit("1998-08-02").cast("date"),
+        max(to_date(col("o_orderdate")))).cast("long").as("recency_days"),
+      count(lit(1)).as("frequency"),
+      sum(centsOf(col("o_totalprice")).cast("long")).as("monetary_cents"))
+    def tile(df: org.apache.spark.sql.DataFrame, metric: String,
+        out: String) =
+      graft.operators.DistributedRank
+        .withRankStats(df, Seq(col(metric), col("o_custkey")), k = 5,
+          tileCol = out, pctCol = s"__p_$out", cumeCol = s"__c_$out")
+        .drop(s"__p_$out", s"__c_$out")
+    val tiled = tile(tile(tile(cust, "recency_days", "rq"),
+      "frequency", "fq"), "monetary_cents", "mq")
+    tiled
+      .groupBy(col("rq"), col("fq"), col("mq"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("seg_cents"))
+      .select(col("rq"), col("fq"), col("mq"), col("n_customers"),
+        expr("CAST(seg_cents AS DECIMAL(38,0)) * 1000000" +
+          " DIV n_customers").as("avg_monetary_micros"))
+      .orderBy(col("rq"), col("fq"), col("mq"))
+  }
+
+  def rfmSegmentsOracleSql: String =
+    """WITH cust AS (SELECT o_custkey,
+      |  CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |    DATE '1998-08-02') AS BIGINT) AS recency_days,
+      |  CAST(count(*) AS BIGINT) AS frequency,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT *,
+      |  CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+      |    AS INTEGER) AS rq,
+      |  CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+      |    AS INTEGER) AS fq,
+      |  CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+      |    AS INTEGER) AS mq FROM cust)
+      |SELECT rq, fq, mq, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(CAST(sum(monetary_cents) AS HUGEINT) * 1000000
+      |    // count(*) AS BIGINT) AS avg_monetary_micros
+      |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Retention cohorts: users grouped by first-seen day, counted on each
     * subsequent activity-day offset — the classic triangle. Two aggregates
     * (first-seen per user; distinct active users per (cohort, offset)),

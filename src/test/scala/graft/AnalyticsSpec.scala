@@ -189,7 +189,7 @@ class AnalyticsSpec extends SparkTestBase {
       s"global ranking must not funnel rows through one task:\n$plan")
   }
 
-  test("repeated ranking does not accumulate persisted frames; release drops the last") {
+  test("ranked frames stay pinned until release(); release drops them all") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     graft.operators.DistributedRank.release(spark) // clean slate for the delta
@@ -201,14 +201,44 @@ class AnalyticsSpec extends SparkTestBase {
       graft.operators.DistributedRank
         .withGlobalRank(df, Seq(col("v"), col("id")), rankCol = "r")
         .count() // materialize: the ranged frame is cached during this call
-      assert(persisted() <= before + 1,
-        s"round $round leaked cached frames: ${spark.sparkContext.getPersistentRDDs.keys}")
+      // every live frame MUST stay pinned (auto-evicting the previous one
+      // corrupted chained rankings — see the liveCache scaladoc), and the
+      // count must stay bounded by the number of ranking calls
+      assert(persisted() <= before + round,
+        s"round $round over-cached: ${spark.sparkContext.getPersistentRDDs.keys}")
     }
     graft.operators.DistributedRank.release(spark)
     // unpersist(blocking = false) is async; poll briefly for the drop
     val deadline = System.nanoTime() + 10e9.toLong
     while (persisted() > before && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(persisted() == before, "release() left the ranged frame cached")
+    assert(persisted() == before, "release() left a ranged frame cached")
+  }
+
+  test("chained rankings (RFM shape) match independent window ntiles") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    graft.operators.DistributedRank.release(spark)
+    // three metrics with heavy ties, tie-broken by id — the exact shape
+    // that exposed the auto-eviction bug (first two tile columns were
+    // computed from an evicted, re-laid-out ranged frame)
+    val df = (0 until 5003).map { i =>
+      (i.toLong, (i * 131 % 23).toLong, (i * 17 % 7).toLong, (i * 997 % 4999).toLong)
+    }.toDF("id", "a", "b", "c")
+    def tile(d: org.apache.spark.sql.DataFrame, m: String, out: String) =
+      graft.operators.DistributedRank
+        .withRankStats(d, Seq(col(m), col("id")), 5, out, s"__p$out", s"__c$out")
+        .drop(s"__p$out", s"__c$out")
+    val got = tile(tile(tile(df, "a", "ta"), "b", "tb"), "c", "tc")
+      .orderBy(col("id"))
+      .select(col("id"), col("ta"), col("tb"), col("tc")).collect().toSeq
+    val ref = df.select(col("id"),
+        ntile(5).over(Window.orderBy(col("a"), col("id"))).as("ta"),
+        ntile(5).over(Window.orderBy(col("b"), col("id"))).as("tb"),
+        ntile(5).over(Window.orderBy(col("c"), col("id"))).as("tc"))
+      .orderBy(col("id")).collect().toSeq
+    assert(got == ref)
+    graft.operators.DistributedRank.release(spark)
   }
 
   test("withGlobalRank: ranks are 1..n in sort order under a custom layout") {
