@@ -102,6 +102,35 @@ object ScaleSmoke {
         graft.queries.Analytics.copurchasePairs(
           ev.select(col("user_id").as("l_orderkey"),
             xxhash64(col("event_type")).as("l_partkey"))).count())
+      // KMV sketch: bounded (≤2K longs) mergeable agg state — the curve
+      // must be pure scan+combine
+      time("kmv_distinct", scale)(
+        graft.operators.Kmv.kmvDistinct(ev).count())
+      // grouped CV folds: one scan + K-bounded aggregate + the
+      // (user, fold) distinct audit frame
+      time("cv_folds", scale)(graft.operators.Folds.cvFolds(ev).count())
+      // orders-shaped slices mapped from the event generator: bootstrap
+      // is one scan with 2B counters; target encoding folds to
+      // |categories| and broadcasts back; OLS folds to |segments| moments
+      val pseudoOrders = ev.select(
+        col("event_id").as("o_orderkey"),
+        col("user_id").as("o_custkey"),
+        col("event_type").as("o_orderpriority"),
+        coalesce(col("value"), lit(0.0)).as("o_totalprice"),
+        col("ts").as("o_orderdate"))
+      val pseudoCust = ev.select(col("user_id").as("c_custkey"),
+          col("event_type").as("c_mktsegment"))
+        .groupBy(col("c_custkey")).agg(first(col("c_mktsegment")).as("c_mktsegment"))
+      time("bootstrap_ci", scale)(
+        graft.operators.FeatureEng.bootstrapCi(pseudoOrders).count())
+      time("target_encode", scale)(
+        graft.operators.FeatureEng.targetEncode(pseudoOrders).count())
+      time("ols_trend", scale)(
+        graft.operators.TableStats.olsTrend(pseudoOrders, pseudoCust).count())
+      // RFM: three range-partitioned rankings of the per-customer frame
+      time("rfm_segments", scale)(
+        graft.queries.Analytics.rfmSegments(pseudoOrders).count())
+      DistributedRank.release(spark)
       ev.unpersist()
 
       val docs = DocGen.documents(spark, nDocs).cache()
@@ -152,6 +181,14 @@ object ScaleSmoke {
         graft.functions.TextAnalysis.bm25TopDocs(docs).count())
       time("collocations_pmi", scale)(
         graft.functions.TextAnalysis.collocationsPmi(docs).count())
+      // positional-index phrase search: index build (explode + groupBy)
+      // + posting-list-proportional query evaluation
+      time("phrase_search", scale)(
+        graft.functions.TextAnalysis.phraseSearch(docs).count())
+      // k-core peeling: R rounds of two semi-joins against a shrinking
+      // alive set over the df-capped (≈linear) edge list
+      time("doc_kcore", scale)(
+        graft.operators.Centrality.docKcore(docs).count())
       pairs.unpersist()
       docs.unpersist()
 
@@ -174,6 +211,9 @@ object ScaleSmoke {
       // a bounded index-build primitive (quadratic by construction); its
       // scale path is ann_lsh/ann_ivf candidates, measured above.
       time("embedding_dim_stats", scale)(Similarity.dimStats(emb).count())
+      // JL ±1 projection: stateless codegen scan, the curve is pure scan
+      time("embedding_rp", scale)(
+        graft.operators.FeatureEng.rpProject(emb).count())
       emb.unpersist()
     }
 

@@ -1030,6 +1030,11 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // k-core of the shared-span graph: synchronous peeling, fixed
+    // rounds, convergence flag — template-cluster hubs beyond degree.
+    "doc_kcore" -> ((s, dir) =>
+      graft.operators.Centrality.docKcore(Tables.documents(s, dir))),
+
     // Exact OLS daily-revenue trend per segment (sign-separated integer
     // micros; r² from identically-derived double casts).
     "ols_trend" -> ((s, dir) =>
@@ -4187,6 +4192,9 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events WHERE event_id % 89 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Unrolled peel rounds over the pagerank oracle's edge CTE.
+    "doc_kcore" -> graft.operators.Centrality.docKcoreOracleSql(),
 
     // HUGEINT moment sums; magnitude-division slope/intercept.
     "ols_trend" -> graft.operators.TableStats.olsTrendOracleSql,

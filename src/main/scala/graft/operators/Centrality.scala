@@ -198,4 +198,113 @@ object Centrality {
           .otherwise(lit(0L)))
       .orderBy(col("doc_id"))
   }
+
+  /** k-core of the shared-span graph by synchronous peeling (Seidman,
+    * Social Networks 1983; the distributed formulation of Montresor et
+    * al., TPDS 2013): each round drops every node whose degree among
+    * still-alive nodes is < k, a FIXED number of rounds. Peeling is
+    * order-independent (the k-core is the unique maximal subgraph with
+    * min degree ≥ k), so synchronous rounds are deterministic; with a
+    * fixed round budget the operator is exactly "R-round k-peel", and a
+    * `converged` flag (alive set unchanged over the last round) reports
+    * whether the fixpoint was reached — the spec pins convergence at
+    * harness scales, and the oracle replays the same R rounds either way.
+    *
+    * The survivors' hub meaning for a curation pipeline: a doc in a
+    * dense k-core of the duplicated-span graph sits inside a tightly
+    * cross-copied template cluster — stronger evidence than raw degree
+    * (which one viral quote inflates).
+    *
+    * Scale: the edge list is built once (df-capped candidate join, the
+    * Dedup shuffle discipline) and localCheckpointed; each round is two
+    * semi-joins against the SHRINKING alive set plus one count aggregate
+    * — alive is checkpointed per round so lineage stays linear (it is
+    * consumed twice per round). Driver work is R row-counts of
+    * checkpointed frames.
+    */
+  def docKcore(
+      documents: DataFrame,
+      k: Int = 2,
+      kgram: Int = 8,
+      dfCap: Int = 50,
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 2, "need two rounds to report convergence")
+    val shared = Dedup.hashedShingleDf(documents, kgram)
+      .filter(col("df").between(2, dfCap))
+      .select(col("sh"), col("doc_id"))
+    val pairs = shared
+      .join(shared.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
+      .filter(col("doc_id") < col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    def aliveEdges(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("doc_id").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("doc_id").as("dst")), Seq("dst"), "left_semi")
+    var alive = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint()
+    val counts = scala.collection.mutable.ArrayBuffer(alive.count())
+    for (_ <- 1 to rounds) {
+      alive = aliveEdges(alive)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("doc_id"))
+        .localCheckpoint()
+      counts += alive.count()
+    }
+    val converged = counts(rounds) == counts(rounds - 1)
+    aliveEdges(alive)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("core_degree"))
+      .select(
+        col("src").as("doc_id"), col("core_degree"),
+        lit(k).as("k"), lit(converged).as("converged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[docKcore]]: same string-shingle edge CTE as the
+    * doc_pagerank oracle, R peel rounds unrolled, convergence from the
+    * last two alive counts.
+    */
+  def docKcoreOracleSql(
+      k: Int = 2, dfCap: Int = 50, rounds: Int = 6): String = {
+    // every alive set is referenced twice by the next round (src and dst
+    // semi-joins) and the edge list by every round: without MATERIALIZED,
+    // DuckDB inlines CTEs and the plan re-evaluates the shingle self-join
+    // 2^rounds times (measured ~3 min at sf0.01; ~1 s materialized)
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT e.src, count(*) AS deg
+  FROM ed e JOIN a${r - 1} s ON e.src = s.doc_id
+  JOIN a${r - 1} t ON e.dst = t.doc_id GROUP BY 1),
+a$r AS MATERIALIZED (SELECT src AS doc_id FROM d$r WHERE deg >= $k)"""
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(toks) - 6),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         toks[i+6] || ' ' || toks[i+7]))) AS shingle
+  FROM tk),
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
+        WHERE df BETWEEN 2 AND $dfCap),
+pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id),
+ed AS MATERIALIZED (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM ed),
+$peels
+SELECT e.src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree,
+  $k AS k,
+  ((SELECT count(*) FROM a$rounds) =
+   (SELECT count(*) FROM a${rounds - 1})) AS converged
+FROM ed e JOIN a$rounds s ON e.src = s.doc_id
+JOIN a$rounds t ON e.dst = t.doc_id
+GROUP BY 1
+ORDER BY 1"""
+  }
 }
