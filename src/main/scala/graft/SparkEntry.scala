@@ -307,6 +307,20 @@ object SparkEntry {
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("zbucket"))
     }),
+    // Hilbert-curve locality audit on the same grid: per key-range
+    // bucket, both dims stay tile-tight WITHOUT the Z-curve's diagonal
+    // jumps (native codegen'd xy2d expression).
+    "hilbert_locality" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        (col("user_id") % 1024).as("x"), (col("event_id") % 1024).as("y"))
+      ev.select(col("x"), col("y"),
+          graft.operators.Layout.hilbertKey(col("x"), col("y"), 10).as("hkey"))
+        .groupBy(shiftright(col("hkey"), 12).as("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("hbucket"))
+    }),
     // Whitespace + BPE-ish regex token counting + subword estimate.
     "token_counts_bpe" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1443,6 +1457,9 @@ object SparkEntry {
         |  md5(redacted) AS redacted_md5,
         |  right(redacted, 60) AS redacted_tail
         |FROM red ORDER BY doc_id""".stripMargin,
+
+    // The Hilbert rotation recurrence unrolled (one CTE stage per bit).
+    "hilbert_locality" -> graft.operators.Layout.hilbertOracleSql(),
 
     // Morton interleave as an integer fold: bit i of x to 2i, of y to 2i+1.
     "zorder_locality" ->

@@ -407,6 +407,58 @@ object Mix64 {
   }
 }
 
+/** Hilbert-curve index of a 2-D cell (the classic iterative xy2d of
+  * Warren / the Wikipedia formulation): unlike the Morton key's bit
+  * interleave, consecutive Hilbert indices are always Manhattan-adjacent
+  * cells, so range buckets of the key tile the plane without the
+  * Z-curve's diagonal jumps — tighter per-file bounding boxes for
+  * min/max skipping. Pure long bit-twiddling in one codegen'd loop; the
+  * DuckDB oracle replays the SAME rotation recurrence as unrolled CTE
+  * stages.
+  */
+case class HilbertXY2D(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_xy2d"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint arguments")
+
+  protected override def nullSafeEval(x: Any, y: Any): Any =
+    HilbertXY2D.xy2d(1L << bits, x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val cls = HilbertXY2D.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.xy2d(${1L << bits}L, $x, $y);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertXY2D =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertXY2D {
+  /** d ∈ [0, n²) for x, y ∈ [0, n); n a power of two. */
+  def xy2d(n: Long, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+}
+
 /** Product-quantization encoder: assigns each of `m` subvectors to its
   * nearest codebook centroid in ONE pass over the row — argmin over
   * ||x_j - c||² computed as argmax(x_j·c − ½|c|²), so only dot products
@@ -764,6 +816,8 @@ object GraftColumns {
     ColumnBridge.column(WinnowHashes(child(c), k, w))
   def mix64(c: Column): Column =
     ColumnBridge.column(Mix64(child(c)))
+  def hilbertXY2D(x: Column, y: Column, bits: Int = 10): Column =
+    ColumnBridge.column(HilbertXY2D(child(x), child(y), bits))
   def bloomMightContainLong(
       c: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
     ColumnBridge.column(BloomMightContainLong(child(c), filter))

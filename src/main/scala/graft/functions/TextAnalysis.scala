@@ -362,27 +362,38 @@ object TextAnalysis {
     */
   def phraseSearch(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val bigrams = documents
+    // query selection: ONE corpus pass folding bigrams into the
+    // vocab²-bounded count frame; the argmax is a single row, resolved
+    // to the driver (bounded by construction — same discipline as the
+    // ANN sample fits) so the query terms prune the index build below
+    val topRow = documents
       .select(explode(zip_with(
         slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
-    val top = broadcast(
-      bigrams.orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
-        .select(col("w1"), col("w2")))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+      .select(col("w1"), col("w2"))
+      .collect()
+    if (topRow.isEmpty) return documents.sparkSession.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit("").as("w1"), lit("").as("w2"),
+        lit(0L).as("occurrences"))
+    val (w1, w2) = (topRow.head.getString(0), topRow.head.getString(1))
+    // index evaluation: the posting build is pruned to the two query
+    // tokens BEFORE the groupBy (predicate on the explode output — at
+    // scale this is the read path of a persisted inverted index)
     val postings = documents
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token").isin(w1, w2))
       .groupBy(col("token"), col("doc_id"))
       .agg(array_sort(collect_list(col("pos"))).as("ps"))
-    val h1 = postings.join(top, col("token") === col("w1"))
-      .select(col("doc_id"), col("ps").as("ps1"), col("w1"), col("w2"))
-    val h2 = postings.join(top.select(col("w2").as("qw2")),
-        col("token") === col("qw2"))
+    val h1 = postings.filter(col("token") === w1)
+      .select(col("doc_id"), col("ps").as("ps1"))
+    val h2 = postings.filter(col("token") === w2)
       .select(col("doc_id").as("doc_id2"), col("ps").as("ps2"))
     h1.join(h2, col("doc_id") === col("doc_id2"))
-      .select(col("doc_id"), col("w1"), col("w2"),
+      .select(col("doc_id"), lit(w1).as("w1"), lit(w2).as("w2"),
         size(array_intersect(
           transform(col("ps1"), p => p + 1), col("ps2")))
           .cast("long").as("occurrences"))

@@ -85,6 +85,43 @@ object Layout {
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
+  /** Hilbert key via the native [[graft.functions.HilbertXY2D]]
+    * expression — the curve whose consecutive indices are always
+    * Manhattan-adjacent cells, i.e. the Z-curve without diagonal jumps:
+    * bucket bounding boxes stay tiles even across the curve's coarse
+    * quadrant boundaries, where Morton buckets straddle.
+    */
+  def hilbertKey(x: Column, y: Column, bits: Int = 10): Column =
+    graft.functions.GraftColumns.hilbertXY2D(x, y, bits)
+
+  /** DuckDB replay of the Hilbert recurrence as unrolled CTE stages
+    * (each stage consumes the previous once — linear inlining), over the
+    * same (user_id, event_id) mod-1024 grid as the z-order audit.
+    */
+  def hilbertOracleSql(bits: Int = 10): String = {
+    val n = 1L << bits
+    val stages = (0 until bits).map { r =>
+      val s = n >> (r + 1)
+      s"""h${r + 1} AS (SELECT ox, oy,
+  CASE WHEN (y // $s) % 2 = 0 THEN
+    CASE WHEN (x // $s) % 2 = 1 THEN ${n - 1} - y ELSE y END
+  ELSE x END AS x,
+  CASE WHEN (y // $s) % 2 = 0 THEN
+    CASE WHEN (x // $s) % 2 = 1 THEN ${n - 1} - x ELSE x END
+  ELSE y END AS y,
+  d + $s * $s * xor(3 * ((x // $s) % 2), (y // $s) % 2) AS d
+  FROM h$r)"""
+    }.mkString(",\n")
+    s"""WITH b AS (
+  SELECT user_id % $n AS ox, event_id % $n AS oy FROM events),
+h0 AS (SELECT ox, oy, ox AS x, oy AS y, CAST(0 AS BIGINT) AS d FROM b),
+$stages
+SELECT d // 4096 AS hbucket, count(*) AS n,
+  min(ox) AS min_x, max(ox) AS max_x,
+  min(oy) AS min_y, max(oy) AS max_y
+FROM h$bits GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Write `df` clustered by the z-order of (xCol, yCol): range-partition
     * on the interleaved key, sort within partitions, one file per range.
     * With `numFiles` files over a 2·bits-wide key, each file covers one
