@@ -470,4 +470,61 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"),
       s"bounded frames must ride broadcasts, not shuffled products:\n$p")
   }
+
+  test("targetEncode: category/global frames broadcast; fact side never shuffles for the join") {
+    val p = executed(graft.operators.FeatureEng.targetEncode(
+      Tables.orders(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |categories|-row stats frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kmvDistinct: the sketch aggregate keeps map-side partials") {
+    val p = executed(graft.operators.Kmv.kmvDistinct(
+      Tables.events(spark, sf)))
+    assert(p.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate must run as partial+final object agg:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bootstrapCi: one scan, native mix64 counters, no join at all") {
+    val q = graft.operators.FeatureEng.bootstrapCi(Tables.orders(spark, sf))
+    val p = executed(q)
+    assert(p.contains("mix64("),
+      s"replicate weights must come from the native expression:\n$p")
+    assert(!p.contains("Join"), s"the bootstrap is one aggregate:\n$p")
+  }
+
+  test("hilbert_locality: native expression in a single-scan aggregate") {
+    val ev = Tables.events(spark, sf).select(
+      (org.apache.spark.sql.functions.col("user_id") % 1024).as("x"),
+      (org.apache.spark.sql.functions.col("event_id") % 1024).as("y"))
+    import org.apache.spark.sql.functions._
+    val q = ev.select(col("x"), col("y"),
+        graft.operators.Layout.hilbertKey(col("x"), col("y"), 10).as("hkey"))
+      .groupBy(shiftright(col("hkey"), 12).as("hbucket"))
+      .agg(count(lit(1)).as("n"))
+    val p = executed(q)
+    assert(p.contains("hilbert_xy2d"),
+      s"the Hilbert key must be the codegen'd native expression:\n$p")
+    assert(allExchanges(finalPlan(q)).size <= 1,
+      s"bucket audit is scan + one agg exchange:\n$p")
+  }
+
+  test("phraseSearch: posting joins stay equi; no product") {
+    val p = executed(graft.functions.TextAnalysis.phraseSearch(
+      Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"index evaluation must stay on equi-joins:\n$p")
+  }
+
+  test("olsTrend + tCloseness: bounded frames broadcast, no products") {
+    val p1 = executed(graft.operators.TableStats.olsTrend(
+      Tables.orders(spark, sf), Tables.customer(spark, sf)))
+    assert(!p1.contains("CartesianProduct"), p1)
+    val p2 = executed(graft.operators.Privacy.tCloseness(
+      Tables.customer(spark, sf)))
+    assert(!p2.contains("CartesianProduct"),
+      s"the groups x bands grid must ride a broadcast:\n$p2")
+  }
 }
