@@ -47,6 +47,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
+      // ranking queries pin range-partitioned frames until released; a
+      // 3-pass bench would otherwise accumulate them for the process life
+      finally graft.operators.DistributedRank.release(spark)
     }
     // optional arg: comma-separated query subset (local iteration only —
     // recorded artifacts always come from full runs)

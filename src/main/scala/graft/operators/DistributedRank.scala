@@ -36,10 +36,10 @@ import org.apache.spark.sql.functions._
   * with ties across a range boundary the global rank would depend on the
   * partitioner's cut point.
   *
-  * Cache lifecycle: the persisted ranged frame is tracked per session; the
-  * next ranking call on the same session unpersists it, and [[release]]
-  * drops it explicitly — so repeated ranking never accumulates cached
-  * datasets (at most one lingering frame per session).
+  * Cache lifecycle: every persisted ranged frame is tracked per session
+  * and stays PINNED until [[release]] — callers that rank repeatedly
+  * must call release() when done with the results (see the liveCache
+  * scaladoc for why auto-evicting the previous frame is unsound).
   */
 object DistributedRank {
 

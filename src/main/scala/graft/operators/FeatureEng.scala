@@ -42,8 +42,10 @@ object FeatureEng {
     val stats = orders
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_g"), sum(cents).as("sum_g"))
-    val glob = orders.agg(
-      count(lit(1)).as("gn"), sum(cents).as("gsum"))
+    // globals re-aggregate the |categories|-row stats frame — the fact
+    // table is scanned once, not twice
+    val glob = stats.agg(
+      sum(col("n_g")).as("gn"), sum(col("sum_g")).as("gsum"))
     orders
       .select(col("o_orderkey"), col("o_orderpriority"),
         cents.as("price_cents"))
@@ -143,13 +145,22 @@ ORDER BY c.o_orderkey"""
           Seq(sum(w * col("x")).as(s"bs_$b"), sum(w).as(s"bn_$b"))
         }
     val wide = base.agg(aggs.head, aggs.tail: _*)
+    // a replicate whose Poisson(1) weights are ALL zero (P = e^-n per
+    // replicate — real on tiny/filtered inputs) is an empty resample:
+    // fall back to the full-sample mean so the order statistics stay
+    // defined, and guard every division (ANSI DIV throws on zero where
+    // DuckDB's // returns NULL)
     val meanCols = (0 until B).map(b =>
-      expr(s"CAST(bs_$b AS DECIMAL(38,0)) * 1000000 DIV bn_$b"))
+      expr(s"CASE WHEN bn_$b > 0" +
+        s" THEN CAST(bs_$b AS DECIMAL(38,0)) * 1000000 DIV bn_$b" +
+        " WHEN n > 0 THEN CAST(sx AS DECIMAL(38,0)) * 1000000 DIV n" +
+        " END"))
     wide
       .withColumn("means", array_sort(array(meanCols: _*)))
       .select(
         col("n"),
-        expr("CAST(sx AS DECIMAL(38,0)) * 1000000 DIV n")
+        expr("CASE WHEN n > 0" +
+          " THEN CAST(sx AS DECIMAL(38,0)) * 1000000 DIV n END")
           .as("mean_micros"),
         lit(B).cast("long").as("replicates"),
         element_at(col("means"), 2).as("boot_lo_micros"),
@@ -255,15 +266,18 @@ x1 AS (SELECT x, b, (xor(mx, su) + 11400714819323198485::HUGEINT) % $U64
   AS z0 FROM k14, sd),
 ${mixChain("b1", "x1", Seq("x", "b"), "z0")},
 w AS (SELECT x, b, CASE $wCase END AS w FROM b14),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CASE WHEN count(*) > 0 THEN
+    CAST(CAST(sum(x) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+  END AS mean_micros FROM c),
 reps AS (SELECT b,
-  CAST(sum(w * x) AS HUGEINT) * 1000000 // CAST(sum(w) AS HUGEINT)
-    AS mean_b
+  CASE WHEN sum(w) > 0 THEN
+    CAST(sum(w * x) AS HUGEINT) * 1000000 // CAST(sum(w) AS HUGEINT)
+  ELSE (SELECT CAST(mean_micros AS HUGEINT) FROM tot)
+  END AS mean_b
   FROM w GROUP BY b),
 ordered AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rn
-  FROM reps),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-  CAST(CAST(sum(x) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
-    AS mean_micros FROM c)
+  FROM reps)
 SELECT t.n, t.mean_micros, CAST($B AS BIGINT) AS replicates,
   CAST((SELECT mean_b FROM ordered WHERE rn = 2) AS BIGINT)
     AS boot_lo_micros,

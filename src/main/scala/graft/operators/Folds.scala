@@ -34,7 +34,8 @@ object Folds {
     val perFold = assigned.groupBy(col("fold"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
-    val total = assigned.agg(count(lit(1)).as("n_total"))
+    // total from the ≤K-row fold frame — no extra pass over events
+    val total = perFold.agg(sum(col("n_events")).as("n_total"))
     val spanning = assigned
       .select(col("user_id"), col("fold")).distinct()
       .groupBy(col("user_id")).agg(count(lit(1)).as("nf"))

@@ -99,10 +99,11 @@ object Privacy {
     *   emd_micros = (Σ_b |cum_g(b)·N − cum(b)·n_g|) · 10^6
     *                  DIV (n_g · N · (m−1)).
     *
-    * Scale: three hash aggregates bounded by the QI × band domain, a
-    * broadcast cross of groups × bands (so zero-count bands enter the
-    * CDF), and windows over that bounded frame — the record table is
-    * scanned once and never reshuffled.
+    * Scale: ONE record-table hash aggregate (the QI × band cell counts),
+    * two re-aggregates of that bounded cells frame (group sizes, band
+    * totals), a broadcast cross of groups × bands (so zero-count bands
+    * enter the CDF), and windows over that bounded frame — the record
+    * table is scanned once and never reshuffled.
     */
   def tCloseness(customer: DataFrame, tMicros: Long = 200000): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -112,9 +113,11 @@ object Privacy {
       floor(col("c_acctbal") / 1000.0).cast("long").as("bucket"))
     val cells = base.groupBy(col("nation"), col("segment"), col("bucket"))
       .agg(count(lit(1)).as("c_gb"))
-    val groups = base.groupBy(col("nation"), col("segment"))
-      .agg(count(lit(1)).as("n_g"))
-    val bands = base.groupBy(col("bucket")).agg(count(lit(1)).as("c_b"))
+    // group sizes and band totals re-aggregate the BOUNDED cells frame —
+    // the record table is scanned exactly once (the cells aggregate)
+    val groups = cells.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("c_gb")).as("n_g"))
+    val bands = cells.groupBy(col("bucket")).agg(sum(col("c_gb")).as("c_b"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nation"), col("segment"))
       .orderBy(col("bucket"))
@@ -144,8 +147,13 @@ object Privacy {
         first(col("m")).as("m"))
       .select(
         col("nation"), col("segment"), col("n_g"),
-        expr("CAST(num AS DECIMAL(38,0)) * 1000000" +
-          " DIV (CAST(n_g AS DECIMAL(38,0)) * n_total * (m - 1))")
+        // m = 1 (every balance in one band) means every distribution is
+        // the global one: EMD is 0 by definition — and the unguarded
+        // (m - 1) divisor would throw under ANSI where DuckDB NULLs
+        when(col("m") > 1,
+          expr("CAST(num AS DECIMAL(38,0)) * 1000000" +
+            " DIV (CAST(n_g AS DECIMAL(38,0)) * n_total * (m - 1))"))
+          .otherwise(lit(0L))
           .as("emd_micros"))
       .withColumn("t_violation", col("emd_micros") > tMicros)
       .orderBy(col("nation"), col("segment"))
@@ -157,10 +165,10 @@ object Privacy {
   FROM customer),
 cells AS (SELECT nation, segment, bucket, CAST(count(*) AS BIGINT) AS c_gb
   FROM base GROUP BY 1, 2, 3),
-groups AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS n_g
-  FROM base GROUP BY 1, 2),
-bands AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_b
-  FROM base GROUP BY 1),
+groups AS (SELECT nation, segment, CAST(sum(c_gb) AS BIGINT) AS n_g
+  FROM cells GROUP BY 1, 2),
+bands AS (SELECT bucket, CAST(sum(c_gb) AS BIGINT) AS c_b
+  FROM cells GROUP BY 1),
 bc AS (SELECT bucket, c_b,
   CAST(sum(c_b) OVER (ORDER BY bucket
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
@@ -180,9 +188,11 @@ agg AS (SELECT nation, segment, any_value(n_g) AS n_g,
   any_value(n_total) AS n_total, any_value(m) AS m
   FROM cg GROUP BY 1, 2)
 SELECT nation, segment, n_g,
-  CAST(num * 1000000 // (CAST(n_g AS HUGEINT) * n_total * (m - 1))
-    AS BIGINT) AS emd_micros,
-  (CAST(num * 1000000 // (CAST(n_g AS HUGEINT) * n_total * (m - 1))
-    AS BIGINT) > $tMicros) AS t_violation
+  CASE WHEN m > 1 THEN
+    CAST(num * 1000000 // (CAST(n_g AS HUGEINT) * n_total * (m - 1))
+      AS BIGINT) ELSE 0 END AS emd_micros,
+  (CASE WHEN m > 1 THEN
+    CAST(num * 1000000 // (CAST(n_g AS HUGEINT) * n_total * (m - 1))
+      AS BIGINT) ELSE 0 END > $tMicros) AS t_violation
 FROM agg ORDER BY nation, segment"""
 }

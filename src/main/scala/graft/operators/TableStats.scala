@@ -256,13 +256,18 @@ object TableStats {
         (col("sy") * col("sxx") - col("sx") * col("sxy")).as("bnum"))
       .select(
         col("segment"), col("n_days"),
-        expr("CAST(CASE WHEN ssxy < 0 THEN -1 ELSE 1 END" +
-          " * (abs(ssxy) * 1000000 DIV ssxx) AS BIGINT)")
+        // ssxx = 0 (a segment with a single distinct day) has no defined
+        // trend: NULL, guarded on BOTH engines — unguarded, Spark's ANSI
+        // DIV throws where DuckDB's // returns NULL
+        expr("CASE WHEN ssxx > 0 THEN CAST(" +
+          "CASE WHEN ssxy < 0 THEN -1 ELSE 1 END" +
+          " * (abs(ssxy) * 1000000 DIV ssxx) AS BIGINT) END")
           .as("slope_micros"),
-        expr("CAST(CASE WHEN bnum < 0 THEN -1 ELSE 1 END" +
-          " * (abs(bnum) * 1000000 DIV ssxx) AS BIGINT)")
+        expr("CASE WHEN ssxx > 0 THEN CAST(" +
+          "CASE WHEN bnum < 0 THEN -1 ELSE 1 END" +
+          " * (abs(bnum) * 1000000 DIV ssxx) AS BIGINT) END")
           .as("intercept_micros"),
-        when(col("ssyy") > 0,
+        when(col("ssxx") > 0 && col("ssyy") > 0,
           (col("ssxy").cast("double") * col("ssxy").cast("double")) /
             (col("ssxx").cast("double") * col("ssyy").cast("double")))
           .as("r2"))
@@ -290,11 +295,11 @@ object TableStats {
       |  n * syy - sy * sy AS ssyy,
       |  sy * sxx - sx * sxy AS bnum FROM m)
       |SELECT segment, n_days,
-      |  CAST(CASE WHEN ssxy < 0 THEN -1 ELSE 1 END
-      |    * (abs(ssxy) * 1000000 // ssxx) AS BIGINT) AS slope_micros,
-      |  CAST(CASE WHEN bnum < 0 THEN -1 ELSE 1 END
-      |    * (abs(bnum) * 1000000 // ssxx) AS BIGINT) AS intercept_micros,
-      |  CASE WHEN ssyy > 0 THEN
+      |  CASE WHEN ssxx > 0 THEN CAST(CASE WHEN ssxy < 0 THEN -1 ELSE 1 END
+      |    * (abs(ssxy) * 1000000 // ssxx) AS BIGINT) END AS slope_micros,
+      |  CASE WHEN ssxx > 0 THEN CAST(CASE WHEN bnum < 0 THEN -1 ELSE 1 END
+      |    * (abs(bnum) * 1000000 // ssxx) AS BIGINT) END AS intercept_micros,
+      |  CASE WHEN ssxx > 0 AND ssyy > 0 THEN
       |    (CAST(ssxy AS DOUBLE) * CAST(ssxy AS DOUBLE))
       |      / (CAST(ssxx AS DOUBLE) * CAST(ssyy AS DOUBLE)) END AS r2
       |FROM d ORDER BY segment""".stripMargin

@@ -67,6 +67,28 @@ class FoldsOlsRfmSpec extends SparkTestBase {
     assert(r.getLong(3) == 10000L * 1000000L)
   }
 
+  test("olsTrend: a single-day segment yields NULL trend, not an ANSI crash") {
+    val o2 = Seq(
+      (1L, 1L, "O", 10.0, Timestamp.valueOf("1992-01-01 00:00:00"), "P"),
+      (2L, 1L, "O", 20.0, Timestamp.valueOf("1992-01-01 00:00:00"), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val cust = Seq((1L, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val r = TableStats.olsTrend(o2, cust).collect().head
+    assert(r.getLong(1) == 1L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("bootstrapCi: tiny inputs survive empty replicates (full-mean fallback)") {
+    val one = Seq((1L, "P", 10.00))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = graft.operators.FeatureEng.bootstrapCi(one).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1000000000L)
+    // every replicate mean is either the resampled or the full mean of a
+    // single constant row -> both order statistics equal the mean
+    assert(r.getLong(3) == 1000000000L && r.getLong(4) == 1000000000L)
+  }
+
   test("rfmSegments: grid counts partition customers; quintiles balanced") {
     val orders = (0 until 1000).flatMap { c =>
       (0 to c % 5).map { k =>

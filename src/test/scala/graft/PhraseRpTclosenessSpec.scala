@@ -111,4 +111,14 @@ class PhraseRpTclosenessSpec extends SparkTestBase {
       .collect()
     assert(b.length == 1 && b.head.getLong(3) == 0L && !b.head.getBoolean(4))
   }
+
+  test("tCloseness: one balance band (m = 1) is EMD 0, not an ANSI crash") {
+    val df = (1 to 6).map(i => (i.toLong, (i % 2).toLong, "S", 500.0))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Privacy.tCloseness(df).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getLong(3) == 0L && !r.getBoolean(4))
+    }
+  }
 }
