@@ -46,18 +46,22 @@ object TextAnalysis {
     val vocabArr = wordpieceVocab.map(v => s"'$v'").mkString("array(", ", ", ")")
     val best = s"aggregate(filter($vocabArr, v -> startswith(acc.rem, v)), " +
       "'', (b, v) -> if(length(v) > length(b), v, b))"
+    // `best` (a 53-entry vocab scan) is bound ONCE per step by folding a
+    // single-element array — the earlier inline form evaluated it 4x per
+    // step (measured ~4x the whole query's cost at sf0.1)
     s"""aggregate(
        |  sequence(1, $maxLen),
        |  named_struct('rem', $wordCol, 'out',
        |               cast(array() as array<string>)),
        |  (acc, i) -> if(acc.rem = '', acc,
-       |    if($best = '',
-       |      named_struct('rem', '',
-       |                   'out', concat(acc.out, array('[UNK]'))),
-       |      named_struct(
-       |        'rem', substr(acc.rem, length($best) + 1),
-       |        'out', concat(acc.out, array(
-       |          if(size(acc.out) = 0, $best, concat('##', $best))))))),
+       |    aggregate(array($best), acc, (a, b) ->
+       |      if(b = '',
+       |        named_struct('rem', '',
+       |                     'out', concat(a.out, array('[UNK]'))),
+       |        named_struct(
+       |          'rem', substr(a.rem, length(b) + 1),
+       |          'out', concat(a.out, array(
+       |            if(size(a.out) = 0, b, concat('##', b)))))))),
        |  acc -> acc.out)""".stripMargin
   }
 
