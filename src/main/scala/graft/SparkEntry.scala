@@ -1093,7 +1093,44 @@ object SparkEntry {
     // Sketch-only audience-overlap Jaccard (union-k match counting),
     // exact Jaccard in-row.
     "kmv_jaccard" -> ((s, dir) =>
-      graft.operators.Kmv.kmvJaccard(Tables.events(s, dir)))
+      graft.operators.Kmv.kmvJaccard(Tables.events(s, dir))),
+
+    // Directed association rules over order baskets: exact-micros
+    // confidence/lift, in-row pair expansion, broadcast marginals.
+    "assoc_rules" -> ((s, dir) =>
+      graft.operators.Association.assocRules(Tables.lineitem(s, dir))),
+    // Per-item top-5 basket-cosine neighbours ranked by the exact
+    // integer cos²·10^6 (WindowGroupLimit prunes before any sort).
+    "item_cosine_topk" -> ((s, dir) =>
+      graft.operators.Association.itemCosineTopK(Tables.lineitem(s, dir))),
+    // CUPED variance-reduced A/B readout: pooled θ from exact decimal
+    // moment numerators, adjusted means/variances per variant.
+    "cuped_adjust" -> ((s, dir) =>
+      graft.operators.Experiment.cupedAdjust(Tables.events(s, dir))),
+    // Split-conformal coverage audit of the tokens-per-char predictor:
+    // integer-exact residuals, distributed-rank order statistic.
+    "conformal_intervals" -> ((s, dir) =>
+      graft.operators.Experiment.conformalIntervals(Tables.documents(s, dir))),
+    // EWMA control chart over hourly volumes (λ=1/4): sequential fold on
+    // the time-bounded frame, recursive-CTE oracle, asymptotic 3σ limits.
+    "ewma_anomalies" -> ((s, dir) =>
+      graft.operators.Changepoint.ewmaAnomalies(Tables.events(s, dir))),
+    // Benford first-digit screen on order totals (string-derived digits,
+    // no log-boundary hazard).
+    "benford_audit" -> ((s, dir) =>
+      graft.operators.DataQuality.benfordAudit(Tables.orders(s, dir),
+        "o_totalprice")),
+    // PMI/mutual-information cells for source × lang (association
+    // strength beside the chi-square independence audit).
+    "mutual_info_source_lang" -> ((s, dir) =>
+      graft.operators.DataQuality.mutualInformation(
+        Tables.documents(s, dir), "source", "lang")),
+    // GDPR erasure blast-radius: per-table affected-row counts for the
+    // forgotten-user cohort, transitive through orders → lineitem.
+    "deletion_propagation" -> ((s, dir) =>
+      graft.operators.DataQuality.deletionPropagation(
+        Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4238,7 +4275,29 @@ object SparkEntry {
     // Full KMV replay: mix64 per distinct user, k-smallest window,
     // integer-micros estimate (HUGEINT //), union-k match counting.
     "kmv_distinct" -> graft.operators.Kmv.kmvDistinctOracleSql,
-    "kmv_jaccard" -> graft.operators.Kmv.kmvJaccardOracleSql
+    "kmv_jaccard" -> graft.operators.Kmv.kmvJaccardOracleSql,
+
+    // Association mining: baskets as DISTINCT (order, part), `//`
+    // integer micros for confidence/lift/cos².
+    "assoc_rules" -> graft.operators.Association.assocRulesOracleSql(),
+    "item_cosine_topk" -> graft.operators.Association.itemCosineOracleSql(),
+    // CUPED: exact HUGEINT moment numerators, pooled θ, identity-form
+    // adjusted variance.
+    "cuped_adjust" -> graft.operators.Experiment.cupedOracleSql(),
+    // Split conformal: integer rate fit, order-statistic radius, ppm
+    // coverage.
+    "conformal_intervals" -> graft.operators.Experiment.conformalOracleSql(),
+    // EWMA: recursive-CTE walk of the identical IEEE update.
+    "ewma_anomalies" -> graft.operators.Changepoint.ewmaOracleSql(),
+    // Benford screen: digits from decimal strings of floor(), log10
+    // expectation.
+    "benford_audit" -> graft.operators.DataQuality.benfordOracleSql(
+      "orders", "o_totalprice"),
+    "mutual_info_source_lang" ->
+      graft.operators.DataQuality.mutualInformationOracleSql(
+        "documents", "source", "lang"),
+    "deletion_propagation" ->
+      graft.operators.DataQuality.deletionPropagationOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

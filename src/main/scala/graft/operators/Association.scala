@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining beyond raw pair counts (reference
+  * surface: the co-purchase analytics family,
+  * `api/src/application/queries.py` grouped-rollup shape): directed
+  * association rules A→B with support / confidence / lift, and per-item
+  * nearest neighbours by basket-cosine — the two outputs a
+  * recommender-ish curation pipeline actually consumes.
+  *
+  * Exactness: confidence and lift are emitted as exact integer MICROS
+  * (`(support·10^6) DIV n_a`, `(support·n_orders·10^6) DIV (n_a·n_b)`) —
+  * integer division on positive longs truncates identically in Spark
+  * (`DIV`) and DuckDB (`//`), so no float comparison grid is needed.
+  * Cosine is ranked by cos²·10^6 (`supp²·10^6 DIV (n_a·n_b)`) — squaring
+  * keeps the ranking monotone while staying in exact integers.
+  *
+  * Scale: baskets are one `collect_set` shuffle keyed by order; pair
+  * expansion happens IN-ROW on each basket (bounded by lines/order, ~4
+  * here — never a corpus self-join); the item-marginal join is a
+  * broadcast (|parts| rows). At 100 TB the only corpus-scale pass is the
+  * basket build; everything downstream is bounded by |parts|².  Skewed
+  * mega-baskets would blow the in-row expansion quadratically — real
+  * deployments cap basket size upstream; the harness's baskets are
+  * order-line-bounded by construction.
+  */
+object Association {
+
+  /** Directed rules A→B over distinct-(order, part) baskets.
+    * confidence(A→B) = supp(AB)/supp(A); lift = conf/P(B). Top-`k` by
+    * confidence (micros), ties broken on (antecedent, consequent).
+    */
+  def assocRules(lineitem: DataFrame, minSupport: Long = 3L,
+      k: Int = 100): DataFrame = {
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = baskets
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"), explode(col("parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val partCounts = baskets
+      .select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_ok"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    // Each undirected pair yields BOTH directed rules; the union keeps
+    // the pair frame (already tiny) as the only shuffled input.
+    val directed = pairs
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"),
+        col("support"))
+      .union(pairs.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("support")))
+    directed
+      .join(broadcast(partCounts.withColumnRenamed("pk", "antecedent")
+        .withColumnRenamed("n_ok", "n_a")), Seq("antecedent"))
+      .join(broadcast(partCounts.withColumnRenamed("pk", "consequent")
+        .withColumnRenamed("n_ok", "n_b")), Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("antecedent"), col("consequent"), col("support"),
+        col("n_a"), col("n_b"),
+        expr("(support * 1000000L) DIV n_a").as("confidence_micros"),
+        expr("(support * n_orders * 1000000L) DIV (n_a * n_b)")
+          .as("lift_micros"))
+      .orderBy(col("confidence_micros").desc, col("antecedent"),
+        col("consequent"))
+      .limit(k)
+      .orderBy(col("confidence_micros").desc, col("antecedent"),
+        col("consequent"))
+  }
+
+  /** DuckDB replay: same baskets, self-join pair spelling, `//` division. */
+  def assocRulesOracleSql(minSupport: Long = 3L, k: Int = 100): String =
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_ok FROM po GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM po),
+       |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+       |            CAST(count(*) AS BIGINT) AS support
+       |          FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+       |          GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |directed AS (
+       |  SELECT part_a AS antecedent, part_b AS consequent, support FROM pairs
+       |  UNION ALL
+       |  SELECT part_b, part_a, support FROM pairs),
+       |r AS (
+       |  SELECT antecedent, consequent, support, ca.n_ok AS n_a,
+       |    cb.n_ok AS n_b,
+       |    CAST(support * 1000000 // ca.n_ok AS BIGINT) AS confidence_micros,
+       |    CAST(support * n_orders * 1000000 // (ca.n_ok * cb.n_ok) AS BIGINT)
+       |      AS lift_micros
+       |  FROM directed JOIN pc ca ON antecedent = ca.pk
+       |                JOIN pc cb ON consequent = cb.pk, n)
+       |SELECT * FROM (SELECT * FROM r
+       |  ORDER BY confidence_micros DESC, antecedent, consequent LIMIT $k) t
+       |ORDER BY confidence_micros DESC, antecedent, consequent""".stripMargin
+
+  /** Per-item top-`k` basket-cosine neighbours:
+    * cos(A,B) = supp(AB)/√(n_a·n_b), ranked by the exact integer
+    * cos²·10^6. The per-item group-limit prunes before any sort of the
+    * full pair frame (WindowGroupLimit pushes the rank filter into the
+    * shuffle at plan level).
+    */
+  def itemCosineTopK(lineitem: DataFrame, minSupport: Long = 3L,
+      k: Int = 5): DataFrame = {
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = baskets
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"), explode(col("parts")).as("part_b"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val partCounts = baskets
+      .select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_ok"))
+    // Symmetrize so each item sees all its neighbours, then group-limit.
+    val sym = pairs
+      .select(col("part_a").as("item"), col("part_b").as("neighbor"),
+        col("support"))
+      .union(pairs.select(col("part_b").as("item"), col("part_a").as("neighbor"),
+        col("support")))
+      .join(broadcast(partCounts.withColumnRenamed("pk", "item")
+        .withColumnRenamed("n_ok", "n_item")), Seq("item"))
+      .join(broadcast(partCounts.withColumnRenamed("pk", "neighbor")
+        .withColumnRenamed("n_ok", "n_nbr")), Seq("neighbor"))
+      .withColumn("cos2_micros",
+        expr("(support * support * 1000000L) DIV (n_item * n_nbr)"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cos2_micros").desc, col("neighbor"))
+    sym
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("neighbor"), col("support"),
+        col("n_item"), col("n_nbr"), col("cos2_micros"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  def itemCosineOracleSql(minSupport: Long = 3L, k: Int = 5): String =
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_ok FROM po GROUP BY 1),
+       |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+       |            CAST(count(*) AS BIGINT) AS support
+       |          FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+       |          GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |sym AS (
+       |  SELECT part_a AS item, part_b AS neighbor, support FROM pairs
+       |  UNION ALL
+       |  SELECT part_b, part_a, support FROM pairs),
+       |scored AS (
+       |  SELECT item, neighbor, support, ci.n_ok AS n_item, cn.n_ok AS n_nbr,
+       |    CAST(support * support * 1000000 // (ci.n_ok * cn.n_ok) AS BIGINT)
+       |      AS cos2_micros
+       |  FROM sym JOIN pc ci ON item = ci.pk JOIN pc cn ON neighbor = cn.pk),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+       |      ORDER BY cos2_micros DESC, neighbor) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT item, rank, neighbor, support, n_item, n_nbr, cos2_micros
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY item, rank""".stripMargin
+}

@@ -175,6 +175,111 @@ object Changepoint {
       |  ON s.event_type = t2.event_type AND s.hod = t2.hod
       |ORDER BY t2.event_type, window_start""".stripMargin
 
+  /** EWMA control chart (Roberts, Technometrics 1959) over per-type
+    * hourly volumes: z_t = z_{t-1} + λ·(x_t − z_{t-1}), λ = 1/4, seeded
+    * at the baseline mean; alarm when |z_t − μ| exceeds L·σ·√(λ/(2−λ))
+    * (the asymptotic control limit, L = 3). Catches small sustained
+    * drifts faster than per-point z-scores, with a shorter memory than
+    * CUSUM's unbounded walk.
+    *
+    * Same scale/exactness shape as [[cusumChangepoints]]: the corpus
+    * reduces to the time-domain-bounded hourly frame in one scan; the
+    * non-associative recursion folds each key's sorted series with
+    * `aggregate`; μ/σ/limit come from exact long sums. The oracle walks
+    * the identical IEEE update step by step in a recursive CTE, so the
+    * doubles agree bit-for-bit (λ = 0.25 is an exact binary fraction —
+    * each step is one multiply-add chain spelled identically).
+    */
+  def ewmaAnomalies(events: DataFrame,
+      baselineEnd: String = "2024-01-08 00:00:00"): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val base = hourly
+      .filter(col("h") < to_timestamp(lit(baselineEnd)))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(
+        col("event_type"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n").cast("double")) /
+          (col("n") - lit(1)).cast("double")).as("sigma"))
+    val folded = hourly
+      .join(broadcast(base), Seq("event_type"))
+      .groupBy(col("event_type"), col("mu"), col("sigma"))
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("xs"))
+      .withColumn("steps", expr(
+        """aggregate(
+          |  xs,
+          |  struct(cast(array() as array<struct<h timestamp, x bigint,
+          |                                      z double>>) as out,
+          |         mu as z),
+          |  (acc, e) -> struct(
+          |    concat(acc.out, array(named_struct(
+          |      'h', e.h, 'x', e.x,
+          |      'z', acc.z + (cast(e.x as double) - acc.z) * 0.25))),
+          |    acc.z + (cast(e.x as double) - acc.z) * 0.25),
+          |  acc -> acc.out)""".stripMargin))
+    // Asymptotic 3-sigma EWMA limit: sigma * sqrt(lambda / (2 - lambda)).
+    val limit = col("sigma") * lit(3.0) * sqrt(lit(0.25 / 1.75))
+    folded
+      .select(col("event_type"), col("mu"), col("sigma"),
+        explode(col("steps")).as("st"))
+      .select(
+        col("event_type"),
+        col("st.h").as("window_start"),
+        col("st.x").as("x"),
+        round(col("st.z"), 4).as("ewma"),
+        round(col("mu") + limit, 4).as("ucl"),
+        round(col("mu") - limit, 4).as("lcl"),
+        (col("st.z") > col("mu") + limit ||
+          col("st.z") < col("mu") - limit).as("alarm"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Recursive-CTE replay of the EWMA fold (identical update spelling). */
+  def ewmaOracleSql(baselineEnd: String = "2024-01-08 00:00:00"): String =
+    s"""WITH RECURSIVE hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h)
+       |    AS rn
+       |  FROM hourly),
+       |base AS (
+       |  SELECT event_type,
+       |    CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+       |    sqrt((CAST(sum(x * x) AS DOUBLE)
+       |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
+       |        / CAST(count(*) AS DOUBLE))
+       |      / CAST(count(*) - 1 AS DOUBLE)) AS sigma
+       |  FROM hourly WHERE h < TIMESTAMP '$baselineEnd' GROUP BY 1),
+       |walk(event_type, rn, h, x, z) AS (
+       |  SELECT event_type, CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP),
+       |    CAST(NULL AS BIGINT), mu
+       |  FROM base
+       |  UNION ALL
+       |  SELECT w.event_type, i.rn, i.h, i.x,
+       |    w.z + (CAST(i.x AS DOUBLE) - w.z) * 0.25
+       |  FROM walk w
+       |  JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1)
+       |SELECT w.event_type, w.h AS window_start, w.x,
+       |  round(w.z, 4) AS ewma,
+       |  round(b.mu + b.sigma * 3.0 * sqrt(0.25 / 1.75), 4) AS ucl,
+       |  round(b.mu - b.sigma * 3.0 * sqrt(0.25 / 1.75), 4) AS lcl,
+       |  (w.z > b.mu + b.sigma * 3.0 * sqrt(0.25 / 1.75)
+       |   OR w.z < b.mu - b.sigma * 3.0 * sqrt(0.25 / 1.75)) AS alarm
+       |FROM walk w JOIN base b ON b.event_type = w.event_type
+       |WHERE w.rn > 0
+       |ORDER BY w.event_type, window_start""".stripMargin
+
   /** The recursive-CTE replay of the same fold (DuckDB dialect). */
   def oracleSql(baselineEnd: String = "2024-01-08 00:00:00"): String =
     s"""WITH RECURSIVE hourly AS (

@@ -235,4 +235,183 @@ object DataQuality {
         round(col("contrib_raw"), 4).as("chi2_contrib"))
       .orderBy(col("a"), col("b"))
   }
+
+  /** Benford first-significant-digit audit (Newcomb 1881 / Benford 1938;
+    * Nigrini's fraud-screen formulation) over a positive amount column:
+    * observed digit counts vs the n·log10(1+1/d) expectation, with
+    * per-digit chi-square contributions. Fabricated or unit-mixed
+    * amounts bend this curve, which makes it a standard ingest screen.
+    *
+    * Engine-parity trick: the first digit comes from the DECIMAL STRING
+    * of floor(x) (`substring(cast(floor() as bigint) as string), 1, 1)`)
+    * — never from log10 arithmetic, whose boundary cells (x = 10^k)
+    * round differently across engines. floor() of a double is exact in
+    * both. One scan, 9-row report.
+    */
+  def benfordAudit(df: DataFrame, amount: String): DataFrame = {
+    val digits = df
+      .filter(col(amount).isNotNull && col(amount) >= lit(1.0))
+      .select(substring(floor(col(amount)).cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val total = digits.agg(sum(col("observed")).as("n_total"))
+    digits
+      .crossJoin(broadcast(total))
+      .withColumn("expected_raw",
+        col("n_total").cast("double") *
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .select(
+        col("digit"), col("observed"), col("n_total"),
+        round(col("expected_raw"), 4).as("expected"),
+        round((col("observed").cast("double") - col("expected_raw")) *
+          (col("observed").cast("double") - col("expected_raw")) /
+          col("expected_raw"), 4).as("chi2_contrib"))
+      .orderBy(col("digit"))
+  }
+
+  def benfordOracleSql(table: String, amount: String): String =
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(CAST(floor($amount) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM $table WHERE $amount IS NOT NULL AND $amount >= 1.0),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+       |      FROM d GROUP BY 1),
+       |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM c),
+       |e AS (SELECT digit, observed, n_total,
+       |    CAST(n_total AS DOUBLE)
+       |      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected_raw
+       |  FROM c, n)
+       |SELECT digit, observed, n_total,
+       |  round(expected_raw, 4) AS expected,
+       |  round((CAST(observed AS DOUBLE) - expected_raw)
+       |    * (CAST(observed AS DOUBLE) - expected_raw) / expected_raw, 4)
+       |    AS chi2_contrib
+       |FROM e ORDER BY digit""".stripMargin
+
+  /** Pointwise mutual information cells between two categoricals —
+    * the association-strength companion to [[chiSquareIndependence]]:
+    * pmi = ln(N·c_ab/(c_a·c_b)), plus each cell's contribution
+    * c_ab/N · pmi to the total MI. Same frame shape as the chi-square
+    * audit (one scan to category-bounded cells, marginals as windows);
+    * all logs take exact-integer-derived arguments.
+    */
+  def mutualInformation(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val withMarginals = cells
+      .withColumn("row_tot", sum(col("observed")).over(Window.partitionBy(col("a"))))
+      .withColumn("col_tot", sum(col("observed")).over(Window.partitionBy(col("b"))))
+    val total = cells.agg(sum(col("observed")).as("n_total"))
+    withMarginals
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_raw",
+        log(col("n_total").cast("double") * col("observed").cast("double") /
+          (col("row_tot").cast("double") * col("col_tot").cast("double"))))
+      .select(col("a"), col("b"), col("observed"), col("row_tot"),
+        col("col_tot"),
+        round(col("pmi_raw"), 6).as("pmi"),
+        round(col("observed").cast("double") / col("n_total").cast("double") *
+          col("pmi_raw"), 6).as("mi_contrib"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  def mutualInformationOracleSql(table: String, colA: String,
+      colB: String): String =
+    s"""WITH cells AS (
+       |  SELECT $colA AS a, $colB AS b, CAST(count(*) AS BIGINT) AS observed
+       |  FROM $table GROUP BY 1, 2),
+       |m AS (SELECT a, b, observed,
+       |    CAST(sum(observed) OVER (PARTITION BY a) AS BIGINT) AS row_tot,
+       |    CAST(sum(observed) OVER (PARTITION BY b) AS BIGINT) AS col_tot
+       |  FROM cells),
+       |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM cells),
+       |p AS (SELECT a, b, observed, row_tot, col_tot,
+       |    ln(CAST(n_total AS DOUBLE) * CAST(observed AS DOUBLE)
+       |       / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+       |      AS pmi_raw,
+       |    n_total
+       |  FROM m, n)
+       |SELECT a, b, observed, row_tot, col_tot,
+       |  round(pmi_raw, 6) AS pmi,
+       |  round(CAST(observed AS DOUBLE) / CAST(n_total AS DOUBLE)
+       |    * pmi_raw, 6) AS mi_contrib
+       |FROM p ORDER BY a, b""".stripMargin
+
+  /** GDPR/CCPA erasure-scope audit: given a deterministic "right to be
+    * forgotten" cohort (custkey ≡ 0 mod `m`), count the rows each table
+    * would lose — directly keyed (customer, orders, events via the
+    * user_id = c_custkey identity) and transitively keyed (lineitem
+    * through its order) — plus each table's total and the loss in ppm.
+    * This is the blast-radius report a deletion job emits BEFORE it
+    * mutates anything.
+    *
+    * Scale: the cohort predicate is pushed into each scan (no cohort
+    * materialization); lineitem's transitive membership rides a
+    * broadcast semi-join on the affected order keys. Output is 4 rows.
+    */
+  def deletionPropagation(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, events: DataFrame, m: Int = 97): DataFrame = {
+    def isCohort(k: Column) = pmod(k, lit(m.toLong)) === 0L
+    val custRow = customer.agg(
+      count(lit(1)).as("total_rows"),
+      sum(isCohort(col("c_custkey")).cast("bigint")).as("affected_rows"))
+      .select(lit("customer").as("table_name"), col("affected_rows"),
+        col("total_rows"))
+    val ordRow = orders.agg(
+      count(lit(1)).as("total_rows"),
+      sum(isCohort(col("o_custkey")).cast("bigint")).as("affected_rows"))
+      .select(lit("orders").as("table_name"), col("affected_rows"),
+        col("total_rows"))
+    val affOrders = orders.filter(isCohort(col("o_custkey")))
+      .select(col("o_orderkey"))
+    val liAff = lineitem.join(broadcast(affOrders),
+        lineitem("l_orderkey") === affOrders("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("affected_rows"))
+    val liRow = lineitem.agg(count(lit(1)).as("total_rows"))
+      .crossJoin(liAff)
+      .select(lit("lineitem").as("table_name"), col("affected_rows"),
+        col("total_rows"))
+    val evRow = events.agg(
+      count(lit(1)).as("total_rows"),
+      sum(isCohort(col("user_id")).cast("bigint")).as("affected_rows"))
+      .select(lit("events").as("table_name"), col("affected_rows"),
+        col("total_rows"))
+    custRow.unionByName(ordRow).unionByName(liRow).unionByName(evRow)
+      .select(col("table_name"), col("affected_rows"), col("total_rows"),
+        expr("(affected_rows * 1000000L) DIV total_rows").as("loss_ppm"))
+      .orderBy(col("table_name"))
+  }
+
+  def deletionPropagationOracleSql(m: Int = 97): String =
+    s"""WITH rows AS (
+       |  SELECT 'customer' AS table_name,
+       |    CAST(sum(CASE WHEN c_custkey % $m = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS affected_rows,
+       |    CAST(count(*) AS BIGINT) AS total_rows
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'orders',
+       |    CAST(sum(CASE WHEN o_custkey % $m = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT),
+       |    CAST(count(*) AS BIGINT)
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'lineitem',
+       |    CAST((SELECT count(*) FROM lineitem
+       |          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                               WHERE o_custkey % $m = 0)) AS BIGINT),
+       |    CAST(count(*) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'events',
+       |    CAST(sum(CASE WHEN user_id % $m = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT),
+       |    CAST(count(*) AS BIGINT)
+       |  FROM events)
+       |SELECT table_name, affected_rows, total_rows,
+       |  CAST(affected_rows * 1000000 // total_rows AS BIGINT) AS loss_ppm
+       |FROM rows ORDER BY table_name""".stripMargin
 }

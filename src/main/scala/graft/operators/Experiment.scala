@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experimentation / uncertainty-quantification operators: CUPED
+  * variance reduction (Deng et al., WSDM 2013) and split-conformal
+  * prediction intervals (Vovk; Lei et al., JASA 2018) — the two audits a
+  * measurement pipeline runs beside an SPRT monitor ([[Sprt]]).
+  *
+  * Exactness discipline (shared with [[graft.queries.Analytics]]
+  * value_moments): event values become exact integer CENTS via a
+  * DECIMAL(18,2) cast before any aggregation, so every sum/moment
+  * numerator is an exact integer; doubles appear only in final scalar
+  * arithmetic over identically-derived operands (no unordered double
+  * summation anywhere).
+  */
+object Experiment {
+
+  /** CUPED: per-user post-period purchase value adjusted by the
+    * pre-period covariate. θ = cov(X,Y)/var(X) from POOLED exact moment
+    * numerators (n·Σxy − ΣxΣy over n·Σx² − (Σx)²); per-variant
+    * means/variances of the adjusted metric follow from the same exact
+    * sums by the identity var(Y−θX) = var(Y) − 2θ·cov(X,Y) + θ²·var(X).
+    *
+    * Scale: ONE corpus scan folds to per-user (x, y) cents with map-side
+    * combine (users ≪ events); the moment reduction is a scalar agg; the
+    * report is |variants| rows.
+    */
+  def cupedAdjust(events: DataFrame,
+      preEnd: String = "2024-01-08 00:00:00"): DataFrame = {
+    val cents = col("value").cast("decimal(18,2)") * lit(100)
+    val perUser = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < to_timestamp(lit(preEnd)), cents)
+          .otherwise(lit(0))).cast("decimal(38,0)").as("x"),
+        sum(when(col("ts") >= to_timestamp(lit(preEnd)), cents)
+          .otherwise(lit(0))).cast("decimal(38,0)").as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+    // Pooled θ from exact decimal numerators; kept as ONE row and
+    // broadcast onto the (tiny) per-variant frame.
+    val pooled = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"))
+      .select(
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double").as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double").as("var_num"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_x_pool"))
+      .select(col("mean_x_pool"),
+        (col("cov_num") / col("var_num")).as("theta"))
+    val perVariant = perUser
+      .groupBy(col("variant"))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"))
+    val nD = col("n").cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+      (nD * nD)
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+      (nD * nD)
+    val covXY = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (nD * nD)
+    val varAdj = varY - lit(2.0) * col("theta") * covXY +
+      col("theta") * col("theta") * varX
+    perVariant
+      .crossJoin(broadcast(pooled))
+      .select(
+        col("variant"),
+        col("n").cast("bigint").as("n_users"),
+        col("sy").cast("bigint").as("sum_y_cents"),
+        col("sx").cast("bigint").as("sum_x_cents"),
+        expr("cast(sy * 1000000 DIV n as bigint)").as("mean_y_micros"),
+        round(col("theta"), 6).as("theta"),
+        round(col("sy").cast("double") / nD -
+          col("theta") * (col("sx").cast("double") / nD - col("mean_x_pool")),
+          4).as("mean_y_adj"),
+        round(varY, 4).as("var_y"),
+        round(varAdj, 4).as("var_y_adj"),
+        round((varY - varAdj) / varY * lit(100.0), 4)
+          .as("var_reduction_pct"))
+      .orderBy(col("variant"))
+  }
+
+  def cupedOracleSql(preEnd: String = "2024-01-08 00:00:00"): String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ts < TIMESTAMP '$preEnd'
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      ELSE 0 END) AS HUGEINT) AS x,
+       |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$preEnd'
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      ELSE 0 END) AS HUGEINT) AS y,
+       |    CAST(user_id % 2 AS INTEGER) AS variant
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+       |  GROUP BY user_id),
+       |pool AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x*x) AS sxx, sum(x*y) AS sxy
+       |  FROM pu),
+       |theta AS (
+       |  SELECT CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+       |    AS theta,
+       |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_pool
+       |  FROM pool),
+       |pv AS (
+       |  SELECT variant, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+       |    sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+       |  FROM pu GROUP BY variant)
+       |SELECT variant,
+       |  CAST(n AS BIGINT) AS n_users,
+       |  CAST(sy AS BIGINT) AS sum_y_cents,
+       |  CAST(sx AS BIGINT) AS sum_x_cents,
+       |  CAST(sy * 1000000 // n AS BIGINT) AS mean_y_micros,
+       |  round(theta, 6) AS theta,
+       |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - mean_x_pool),
+       |    4) AS mean_y_adj,
+       |  round(CAST(n*syy - sy*sy AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS var_y,
+       |  round(CAST(n*syy - sy*sy AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |    - 2.0 * theta * CAST(n*sxy - sx*sy AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |    + theta * theta * CAST(n*sxx - sx*sx AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS var_y_adj,
+       |  round((CAST(n*syy - sy*sy AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |    - (CAST(n*syy - sy*sy AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |    - 2.0 * theta * CAST(n*sxy - sx*sy AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |    + theta * theta * CAST(n*sxx - sx*sx AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       |    / (CAST(n*syy - sy*sy AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 100.0, 4)
+       |    AS var_reduction_pct
+       |FROM pv, theta
+       |ORDER BY variant""".stripMargin
+
+  /** Split-conformal interval audit for a token-count predictor:
+    * calibration docs (even doc_id) fit a single exact tokens-per-char
+    * rate (micros) and supply the order-statistic radius q̂ =
+    * r_(⌈(n_cal+1)·0.9⌉); held-out docs (odd doc_id) report empirical
+    * coverage of |tokens − pred| ≤ q̂ — globally and per source. The
+    * whole path is integer-exact: predictions via micros DIV, residuals
+    * as longs, coverage as ppm.
+    *
+    * Scale: one scan to per-doc (tokens, chars); the quantile is a
+    * single order-statistic over the calibration half (top-k-by-rank,
+    * not a full sort at scale — here a window rank over the bounded
+    * residual frame); coverage is a counted broadcast-join probe.
+    */
+  def conformalIntervals(documents: DataFrame,
+      alphaPpm: Long = 100000L): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("tokens"),
+        col("n_chars").cast("bigint").as("chars"),
+        pmod(col("doc_id"), lit(2)).as("fold"))
+    val cal = perDoc.filter(col("fold") === 0L)
+    val test = perDoc.filter(col("fold") === 1L)
+    val fit = cal.agg(
+      sum(col("tokens")).as("st"), sum(col("chars")).as("sc"),
+      count(lit(1)).as("n_cal"))
+      .select(expr("(st * 1000000L) DIV sc").as("rate_micros"), col("n_cal"))
+    val calResid = cal.crossJoin(broadcast(fit))
+      .withColumn("pred", expr("(chars * rate_micros) DIV 1000000L"))
+      .withColumn("r", abs(col("tokens") - col("pred")))
+    // k-th smallest residual, k = ceil((n_cal+1) * (1 - alpha)):
+    // ceil(a/b) over positive longs as (a + b - 1) DIV b. The order
+    // statistic rides DistributedRank's range-partitioned rank — no
+    // single-partition global sort (caller releases the pinned frame via
+    // DistributedRank.release, as Verify/Bench already do per query).
+    val qhat = DistributedRank
+      .withGlobalRank(calResid, Seq(col("r"), col("doc_id")), "rk")
+      .withColumn("k", expr(
+        s"((n_cal + 1) * (1000000 - $alphaPpm) + 999999) DIV 1000000"))
+      .filter(col("rk") === col("k"))
+      .select(col("r").as("qhat"), col("n_cal"), col("rate_micros"))
+    val testResid = test.crossJoin(broadcast(qhat))
+      .withColumn("pred", expr("(chars * rate_micros) DIV 1000000L"))
+      .withColumn("covered",
+        (abs(col("tokens") - col("pred")) <= col("qhat")).cast("bigint"))
+    val bySource = testResid
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test"), sum(col("covered")).as("covered"),
+        first(col("qhat")).as("qhat"), first(col("n_cal")).as("n_cal"),
+        first(col("rate_micros")).as("rate_micros"))
+    val overall = testResid
+      .groupBy(lit("__all__").as("source"))
+      .agg(count(lit(1)).as("n_test"), sum(col("covered")).as("covered"),
+        first(col("qhat")).as("qhat"), first(col("n_cal")).as("n_cal"),
+        first(col("rate_micros")).as("rate_micros"))
+    bySource.unionByName(overall)
+      .select(col("source"), col("n_cal"), col("n_test"), col("rate_micros"),
+        col("qhat"), col("covered"),
+        expr("(covered * 1000000L) DIV n_test").as("coverage_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def conformalOracleSql(alphaPpm: Long = 100000L): String =
+    s"""WITH pd AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+       |    CAST(n_chars AS BIGINT) AS chars,
+       |    doc_id % 2 AS fold
+       |  FROM documents),
+       |fit AS (
+       |  SELECT CAST(sum(tokens) * 1000000 // sum(chars) AS BIGINT)
+       |    AS rate_micros, CAST(count(*) AS BIGINT) AS n_cal
+       |  FROM pd WHERE fold = 0),
+       |calr AS (
+       |  SELECT abs(tokens - (chars * rate_micros) // 1000000) AS r, doc_id,
+       |    n_cal, rate_micros
+       |  FROM pd, fit WHERE fold = 0),
+       |q AS (
+       |  SELECT r AS qhat, n_cal, rate_micros
+       |  FROM (SELECT r, n_cal, rate_micros,
+       |          row_number() OVER (ORDER BY r, doc_id) AS rk,
+       |          ((n_cal + 1) * (1000000 - $alphaPpm) + 999999) // 1000000
+       |            AS k
+       |        FROM calr) t
+       |  WHERE rk = k),
+       |tr AS (
+       |  SELECT source,
+       |    CASE WHEN abs(tokens - (chars * rate_micros) // 1000000) <= qhat
+       |      THEN 1 ELSE 0 END AS covered,
+       |    qhat, n_cal, rate_micros
+       |  FROM pd, q WHERE fold = 1),
+       |by_src AS (
+       |  SELECT source, any_value(n_cal) AS n_cal,
+       |    CAST(count(*) AS BIGINT) AS n_test,
+       |    any_value(rate_micros) AS rate_micros, any_value(qhat) AS qhat,
+       |    CAST(sum(covered) AS BIGINT) AS covered
+       |  FROM tr GROUP BY source
+       |  UNION ALL
+       |  SELECT '__all__', any_value(n_cal), CAST(count(*) AS BIGINT),
+       |    any_value(rate_micros), any_value(qhat),
+       |    CAST(sum(covered) AS BIGINT)
+       |  FROM tr)
+       |SELECT source, n_cal, n_test, rate_micros, qhat, covered,
+       |  CAST(covered * 1000000 // n_test AS BIGINT) AS coverage_ppm
+       |FROM by_src ORDER BY source""".stripMargin
+}
