@@ -1130,7 +1130,19 @@ object SparkEntry {
     "deletion_propagation" -> ((s, dir) =>
       graft.operators.DataQuality.deletionPropagation(
         Tables.customer(s, dir), Tables.orders(s, dir),
-        Tables.lineitem(s, dir), Tables.events(s, dir)))
+        Tables.lineitem(s, dir), Tables.events(s, dir))),
+    // Markov next-event predictor: train-fold argmax transitions,
+    // held-out accuracy — all exact integers, lexicographic tie-break.
+    "markov_next_event" -> ((s, dir) =>
+      graft.operators.Eval.markovNextEvent(Tables.events(s, dir))),
+    // Reliability-diagram table for the hour-of-day purchase propensity:
+    // predicted (train) vs observed (test) rate per bucket, micros-exact.
+    "propensity_calibration" -> ((s, dir) =>
+      graft.operators.Eval.propensityCalibration(Tables.events(s, dir))),
+    // Readability-family lexical complexity per source (vowel-group
+    // syllables, polysyllabic share) on the integer micros path.
+    "lexical_complexity" -> ((s, dir) =>
+      TextAnalysis.lexicalComplexity(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4297,7 +4309,10 @@ object SparkEntry {
       graft.operators.DataQuality.mutualInformationOracleSql(
         "documents", "source", "lang"),
     "deletion_propagation" ->
-      graft.operators.DataQuality.deletionPropagationOracleSql()
+      graft.operators.DataQuality.deletionPropagationOracleSql(),
+    "markov_next_event" -> graft.operators.Eval.markovOracleSql,
+    "propensity_calibration" -> graft.operators.Eval.propensityOracleSql,
+    "lexical_complexity" -> TextAnalysis.lexicalComplexityOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1319,4 +1319,67 @@ object TextAnalysis {
           .as("entropy_norm"))
       .orderBy(col("source"))
   }
+
+  /** Per-source lexical-complexity audit on a fully integer path —
+    * the readability-family signals (Flesch/SMOG inputs) that survive a
+    * sentence-less corpus: word counts, vowel-group syllable
+    * approximations, polysyllabic-word share, and micros-exact average
+    * word length / syllables-per-word. The classic readability indices
+    * divide these same numerators by sentence counts; this corpus has no
+    * sentence punctuation (verified — the formula would be vacuous), so
+    * the audit reports the complexity ratios a curation gate actually
+    * thresholds on.
+    *
+    * Syllables ≈ maximal `[aeiouy]+` runs per word — the standard cheap
+    * approximation; the pattern sits in the Java-regex ∩ RE2 subset so
+    * DuckDB replays it verbatim (same discipline as pii_redact).
+    *
+    * Scale: one explode pass to (source, word-shape) counters with
+    * map-side combine; report is |sources| rows.
+    */
+  def lexicalComplexity(documents: DataFrame): DataFrame = {
+    val syl = size(regexp_extract_all(lower(col("w")), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    documents
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .select(col("source"), length(col("w")).cast("long").as("wlen"),
+        syl.as("syl"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("wlen")).as("n_chars"),
+        sum(col("syl")).as("n_syllables"),
+        sum((col("syl") >= 3L).cast("bigint")).as("n_polysyllabic"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_syllables"), col("n_polysyllabic"),
+        expr("(n_chars * 1000000L) DIV n_words").as("avg_word_len_micros"),
+        expr("(n_syllables * 1000000L) DIV n_words")
+          .as("syllables_per_word_micros"),
+        expr("(n_polysyllabic * 1000000L) DIV n_words").as("polysyllabic_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def lexicalComplexityOracleSql: String =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, CAST(length(w) AS BIGINT) AS wlen,
+      |    CAST(len(regexp_extract_all(lower(w), '[aeiouy]+')) AS BIGINT)
+      |      AS syl
+      |  FROM w),
+      |a AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(wlen) AS BIGINT) AS n_chars,
+      |    CAST(sum(syl) AS BIGINT) AS n_syllables,
+      |    CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_polysyllabic
+      |  FROM m GROUP BY source)
+      |SELECT source, n_words, n_chars, n_syllables, n_polysyllabic,
+      |  CAST(n_chars * 1000000 // n_words AS BIGINT) AS avg_word_len_micros,
+      |  CAST(n_syllables * 1000000 // n_words AS BIGINT)
+      |    AS syllables_per_word_micros,
+      |  CAST(n_polysyllabic * 1000000 // n_words AS BIGINT)
+      |    AS polysyllabic_ppm
+      |FROM a ORDER BY source""".stripMargin
 }
