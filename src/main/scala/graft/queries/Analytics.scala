@@ -1693,9 +1693,9 @@ object Analytics {
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
     val pairs = baskets
-      .select(explode(col("parts")).as("part_a"), col("parts"))
-      .select(col("part_a"), explode(col("parts")).as("part_b"))
-      .filter(col("part_a") < col("part_b"))
+      .select(explode(graft.operators.Association.orderedPairs(col("parts")))
+        .as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
     val partCounts = baskets
