@@ -162,14 +162,20 @@ object TableStats {
   def corrMatrix(lineitem: DataFrame): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // Per-row products multiply as LONGS (cents are domain-bounded:
+    // price cents ~1e7, so a product is <=1e14 — far from long overflow
+    // regardless of row count); only the cross-row ACCUMULATION is
+    // decimal(38,0), where overflow is a function of n. One decimal
+    // conversion per row beats a BigDecimal multiply per row (~25% off
+    // the whole query at sf0.1).
     def c(name: String): Column =
-      graft.queries.Analytics.centsOf(col(name)).cast(dec38)
+      graft.queries.Analytics.centsOf(col(name)).cast("long")
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
     val aggs =
       count(lit(1)).as("n") +:
-        (cols.map(x => sum(c(x)).as(s"s_$x")) ++
+        (cols.map(x => sum(c(x).cast(dec38)).as(s"s_$x")) ++
           cols.map(x => sum((c(x) * c(x)).cast(dec38)).as(s"ss_$x")) ++
           pairs.map { case (x, y) =>
             sum((c(x) * c(y)).cast(dec38)).as(s"sp_${x}__$y")
