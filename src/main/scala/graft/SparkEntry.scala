@@ -1142,7 +1142,22 @@ object SparkEntry {
     // Readability-family lexical complexity per source (vowel-group
     // syllables, polysyllabic share) on the integer micros path.
     "lexical_complexity" -> ((s, dir) =>
-      TextAnalysis.lexicalComplexity(Tables.documents(s, dir)))
+      TextAnalysis.lexicalComplexity(Tables.documents(s, dir))),
+    // Poisson overdispersion check of hourly volumes (verdict on
+    // cleared-denominator exact integers).
+    "overdispersion_check" -> ((s, dir) =>
+      graft.operators.Changepoint.overdispersionCheck(Tables.events(s, dir))),
+    // Lag-1 autocorrelation of hourly volumes (exact Pearson on the
+    // lag-joined pairs).
+    "hourly_autocorr" -> ((s, dir) =>
+      graft.operators.Changepoint.hourlyAutocorr(Tables.events(s, dir))),
+    // Pseudo-relevance-feedback expansion terms from the BM25 top-10
+    // (exact-count ranking; floats only inside the scalar BM25 select).
+    "prf_expansion" -> ((s, dir) =>
+      TextAnalysis.prfExpansion(Tables.documents(s, dir))),
+    // Hit-rate@1 of the basket-cosine recommender on held-out orders.
+    "itemrec_hitrate" -> ((s, dir) =>
+      graft.operators.Association.itemrecHitrate(Tables.lineitem(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4312,7 +4327,12 @@ object SparkEntry {
       graft.operators.DataQuality.deletionPropagationOracleSql(),
     "markov_next_event" -> graft.operators.Eval.markovOracleSql,
     "propensity_calibration" -> graft.operators.Eval.propensityOracleSql,
-    "lexical_complexity" -> TextAnalysis.lexicalComplexityOracleSql
+    "lexical_complexity" -> TextAnalysis.lexicalComplexityOracleSql,
+    "overdispersion_check" ->
+      graft.operators.Changepoint.overdispersionOracleSql,
+    "hourly_autocorr" -> graft.operators.Changepoint.hourlyAutocorrOracleSql,
+    "prf_expansion" -> TextAnalysis.prfExpansionOracleSql(),
+    "itemrec_hitrate" -> graft.operators.Association.itemrecHitrateOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1359,6 +1359,112 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3-family shape,
+    * Lavrenko & Croft SIGIR'01 / Abdul-Jaleel TREC'04): take the BM25
+    * top-`kDocs` for the seed query, rank the non-query terms of that
+    * feedback set, and emit the top-`kTerms` expansion candidates with
+    * their feedback mass (tf, df) and corpus df. Ranking is on EXACT
+    * integer feedback counts (ties to the term), so the only floats in
+    * the whole operator live inside the BM25 selection — per-row scalar
+    * arithmetic with identical literal spelling cross-engine, hence
+    * deterministic (same reasoning as [[bm25TopDocs]]'s top-k).
+    *
+    * Scale: the feedback set is k documents — the explode/aggregate
+    * after selection is bounded by k·doclen, not the corpus; corpus df
+    * is the usual distinct-(doc,term) count with map-side combine.
+    */
+  def prfExpansion(documents: DataFrame,
+      queryTerms: Seq[String] = Seq("dup", "key", "fast"),
+      kDocs: Int = 10, kTerms: Int = 15): DataFrame = {
+    val fb = bm25TopDocs(documents, queryTerms, kDocs).select(col("doc_id"))
+    val fbAgg = documents.join(broadcast(fb), Seq("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf_feedback"),
+        countDistinct(col("doc_id")).as("df_feedback"))
+    val corpusDf = documents
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_corpus"))
+    fbAgg.join(corpusDf, Seq("term"))
+      .orderBy(col("tf_feedback").desc, col("term"))
+      .limit(kTerms)
+      .select(col("term"), col("tf_feedback"), col("df_feedback"),
+        col("df_corpus"))
+      .orderBy(col("tf_feedback").desc, col("term"))
+  }
+
+  /** DuckDB replay: the verbatim BM25 scoring CTE selects the feedback
+    * set, then exact-count aggregation.
+    */
+  def prfExpansionOracleSql(kDocs: Int = 10, kTerms: Int = 15): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'dup'))
+       |      AS BIGINT) AS tf0,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'key'))
+       |      AS BIGINT) AS tf1,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'fast'))
+       |      AS BIGINT) AS tf2
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+       |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+       |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df0 + CAST(0.5 AS DOUBLE))
+       |        / (df0 + CAST(0.5 AS DOUBLE)))
+       |      * (CAST(tf0 AS DOUBLE)
+       |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |      / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+       |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |    + ln(CAST(1.0 AS DOUBLE) + (n_docs - df1 + CAST(0.5 AS DOUBLE))
+       |        / (df1 + CAST(0.5 AS DOUBLE)))
+       |      * (CAST(tf1 AS DOUBLE)
+       |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |      / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+       |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |    + ln(CAST(1.0 AS DOUBLE) + (n_docs - df2 + CAST(0.5 AS DOUBLE))
+       |        / (df2 + CAST(0.5 AS DOUBLE)))
+       |      * (CAST(tf2 AS DOUBLE)
+       |         * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |      / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |         * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+       |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |    AS score_raw
+       |  FROM d, stats),
+       |fb AS (
+       |  SELECT doc_id FROM scored WHERE score_raw > CAST(0.0 AS DOUBLE)
+       |  ORDER BY score_raw DESC, doc_id LIMIT $kDocs),
+       |fbt AS (
+       |  SELECT d.doc_id, unnest(d.toks) AS term
+       |  FROM d JOIN fb ON d.doc_id = fb.doc_id),
+       |fba AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS tf_feedback,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df_feedback
+       |  FROM fbt WHERE term NOT IN ('dup', 'key', 'fast')
+       |  GROUP BY term),
+       |cdf AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df_corpus
+       |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d) t
+       |  GROUP BY term)
+       |SELECT term, tf_feedback, df_feedback, df_corpus
+       |FROM (SELECT fba.term, tf_feedback, df_feedback, df_corpus
+       |      FROM fba JOIN cdf ON fba.term = cdf.term
+       |      ORDER BY tf_feedback DESC, fba.term LIMIT $kTerms) t
+       |ORDER BY tf_feedback DESC, term""".stripMargin
+
   def lexicalComplexityOracleSql: String =
     """WITH w AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS w

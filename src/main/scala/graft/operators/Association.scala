@@ -160,6 +160,107 @@ object Association {
       .orderBy(col("item"), col("rank"))
   }
 
+  /** Held-out evaluation of the basket-cosine recommender: the top-1
+    * neighbour model fits on EVEN orders, and for every (odd-order,
+    * item) pair with a model entry we score a hit iff the predicted
+    * neighbour sits in the same held-out basket — leave-one-basket-out
+    * hit-rate@1, the number a recommender ships or doesn't. The whole
+    * path is exact integers (cos²·10^6 ranking, ppm hit-rate).
+    *
+    * Scale: model = the train-side pair frame (|parts|-bounded,
+    * broadcast); the hit probe is an equi-join of the test item frame
+    * against itself on (order, predicted) — one shuffle keyed by order.
+    */
+  def itemrecHitrate(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val po = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val train = po.filter(pmod(col("ok"), lit(2L)) === 0L)
+    val test = po.filter(pmod(col("ok"), lit(2L)) === 1L)
+    val baskets = train.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("parts"))
+    val pairs = baskets
+      .select(explode(orderedPairs(col("parts"))).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val partCounts = train.groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_ok"))
+    val model = pairs
+      .select(col("part_a").as("item"), col("part_b").as("neighbor"),
+        col("support"))
+      .union(pairs.select(col("part_b").as("item"), col("part_a").as("neighbor"),
+        col("support")))
+      .join(broadcast(partCounts.withColumnRenamed("pk", "item")
+        .withColumnRenamed("n_ok", "n_item")), Seq("item"))
+      .join(broadcast(partCounts.withColumnRenamed("pk", "neighbor")
+        .withColumnRenamed("n_ok", "n_nbr")), Seq("neighbor"))
+      .withColumn("cos2_micros",
+        expr("(support * support * 1000000L) DIV (n_item * n_nbr)"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
+        .orderBy(col("cos2_micros").desc, col("neighbor"))))
+      .filter(col("rk") === 1)
+      .select(col("item"), col("neighbor").as("predicted"))
+    val probe = test
+      .join(broadcast(model), test("pk") === model("item"))
+      .join(test.select(col("ok").as("ok2"), col("pk").as("pk2")),
+        col("ok") === col("ok2") && col("predicted") === col("pk2"),
+        "left")
+      .select(col("ok"), col("pk"),
+        col("pk2").isNotNull.cast("bigint").as("hit"))
+    val modelSize = model.agg(count(lit(1)).as("n_model_items"))
+    probe
+      // coalesce + the n_preds guard: an empty probe frame must emit
+      // (0, 0, NULL) identically on both engines — Spark's DIV returns
+      // NULL on a zero divisor where DuckDB's `//` raises.
+      .agg(count(lit(1)).as("n_preds"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .crossJoin(broadcast(modelSize))
+      .select(col("n_model_items"), col("n_preds"), col("hits"),
+        when(col("n_preds") > 0L,
+          expr("(hits * 1000000L) DIV n_preds")).as("hitrate_ppm"))
+  }
+
+  def itemrecHitrateOracleSql(minSupport: Long = 2L): String =
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |train AS (SELECT * FROM po WHERE ok % 2 = 0),
+       |test AS (SELECT * FROM po WHERE ok % 2 = 1),
+       |pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_ok
+       |       FROM train GROUP BY 1),
+       |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+       |            CAST(count(*) AS BIGINT) AS support
+       |          FROM train a JOIN train b ON a.ok = b.ok AND a.pk < b.pk
+       |          GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |sym AS (
+       |  SELECT part_a AS item, part_b AS neighbor, support FROM pairs
+       |  UNION ALL
+       |  SELECT part_b, part_a, support FROM pairs),
+       |model AS (
+       |  SELECT item, neighbor AS predicted
+       |  FROM (SELECT item, neighbor,
+       |          row_number() OVER (PARTITION BY item ORDER BY
+       |            support * support * 1000000 // (ci.n_ok * cn.n_ok) DESC,
+       |            neighbor) AS rk
+       |        FROM sym JOIN pc ci ON item = ci.pk
+       |                 JOIN pc cn ON neighbor = cn.pk) m
+       |  WHERE rk = 1),
+       |probe AS (
+       |  SELECT t.ok, t.pk,
+       |    CASE WHEN EXISTS (SELECT 1 FROM test t2
+       |                      WHERE t2.ok = t.ok AND t2.pk = m.predicted)
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM test t JOIN model m ON t.pk = m.item)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM model) AS n_model_items,
+       |  CAST(count(*) AS BIGINT) AS n_preds,
+       |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS hits,
+       |  CASE WHEN count(*) > 0
+       |    THEN CAST(coalesce(sum(hit), 0) * 1000000 // count(*) AS BIGINT)
+       |  END AS hitrate_ppm
+       |FROM probe""".stripMargin
+
   def itemCosineOracleSql(minSupport: Long = 3L, k: Int = 5): String =
     s"""WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
        |            FROM lineitem),

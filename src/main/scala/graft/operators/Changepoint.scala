@@ -175,6 +175,125 @@ object Changepoint {
       |  ON s.event_type = t2.event_type AND s.hod = t2.hod
       |ORDER BY t2.event_type, window_start""".stripMargin
 
+  /** Poisson overdispersion check of hourly volumes — the modelling
+    * question behind every count-based alert threshold: is var ≈ mean
+    * (Poisson-ish, z-tests valid) or var ≫ mean (bursty; use negative
+    * binomial / wider bands)? Dispersion index = sample var / mean, with
+    * the overdispersion VERDICT decided on cleared-denominator exact
+    * integers (2·(n·SS − S²) > 3·S·(n−1) ⇔ var > 1.5·mean) so the flag
+    * never rides a float comparison.
+    *
+    * Scale: one scan to the time-domain-bounded hourly frame; the rest
+    * is a |types|-row aggregate.
+    */
+  def overdispersionCheck(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    hourly
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .filter(col("n_hours") > 1L)
+      .select(
+        col("event_type"), col("n_hours"), col("s").as("total"),
+        round((col("n_hours") * col("ss") - col("s") * col("s"))
+          .cast("double") /
+          (col("n_hours") * (col("n_hours") - 1L)).cast("double"), 4)
+          .as("var_hourly"),
+        round(col("s").cast("double") / col("n_hours").cast("double"), 4)
+          .as("mean_hourly"),
+        (lit(2L) * (col("n_hours") * col("ss") - col("s") * col("s")) >
+          lit(3L) * col("s") * (col("n_hours") - 1L)).as("overdispersed"))
+      .orderBy(col("event_type"))
+  }
+
+  def overdispersionOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x*x) AS BIGINT) AS ss
+      |  FROM hourly GROUP BY 1)
+      |SELECT event_type, n_hours, s AS total,
+      |  round(CAST(n_hours * ss - s * s AS DOUBLE)
+      |    / CAST(n_hours * (n_hours - 1) AS DOUBLE), 4) AS var_hourly,
+      |  round(CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE), 4)
+      |    AS mean_hourly,
+      |  (2 * (n_hours * ss - s * s) > 3 * s * (n_hours - 1))
+      |    AS overdispersed
+      |FROM a WHERE n_hours > 1 ORDER BY event_type""".stripMargin
+
+  /** Lag-1 autocorrelation of hourly volumes per type, computed as the
+    * exact Pearson correlation of consecutive-hour pairs (x_{t−1}, x_t)
+    * — the "is this series momentum-driven?" diagnostic read next to
+    * [[seasonalDecompose]]. Same exactness shape as
+    * [[TableStats.corrMatrix]]: every moment sum is an exact long over
+    * the lag-joined frame; the one float division happens on
+    * identically-derived operands.
+    *
+    * Scale: one scan to the hourly frame; the lag join is a window over
+    * the calendar-bounded per-type series.
+    */
+  def hourlyAutocorr(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val lagged = hourly
+      .withColumn("x_prev", lag(col("x"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .filter(col("x_prev").isNotNull)
+    lagged
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sa"),
+        sum(col("x_prev")).as("sb"),
+        sum(col("x") * col("x")).as("saa"),
+        sum(col("x_prev") * col("x_prev")).as("sbb"),
+        sum(col("x") * col("x_prev")).as("sab"))
+      .select(
+        col("event_type"), col("m").as("n_pairs"),
+        when(
+          (col("m") * col("saa") - col("sa") * col("sa")) > 0L &&
+            (col("m") * col("sbb") - col("sb") * col("sb")) > 0L,
+          round((col("m") * col("sab") - col("sa") * col("sb")).cast("double") /
+            (sqrt((col("m") * col("saa") - col("sa") * col("sa"))
+              .cast("double")) *
+              sqrt((col("m") * col("sbb") - col("sb") * col("sb"))
+                .cast("double"))), 6)).as("acf_lag1"))
+      .orderBy(col("event_type"))
+  }
+
+  def hourlyAutocorrOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, x,
+      |    lag(x) OVER (PARTITION BY event_type ORDER BY h) AS x_prev
+      |  FROM hourly),
+      |a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(x) AS BIGINT) AS sa, CAST(sum(x_prev) AS BIGINT) AS sb,
+      |    CAST(sum(x*x) AS BIGINT) AS saa,
+      |    CAST(sum(x_prev*x_prev) AS BIGINT) AS sbb,
+      |    CAST(sum(x*x_prev) AS BIGINT) AS sab
+      |  FROM lagged WHERE x_prev IS NOT NULL GROUP BY 1)
+      |SELECT event_type, m AS n_pairs,
+      |  CASE WHEN (m * saa - sa * sa) > 0 AND (m * sbb - sb * sb) > 0
+      |  THEN round(CAST(m * sab - sa * sb AS DOUBLE)
+      |    / (sqrt(CAST(m * saa - sa * sa AS DOUBLE))
+      |       * sqrt(CAST(m * sbb - sb * sb AS DOUBLE))), 6)
+      |  END AS acf_lag1
+      |FROM a ORDER BY event_type""".stripMargin
+
   /** EWMA control chart (Roberts, Technometrics 1959) over per-type
     * hourly volumes: z_t = z_{t-1} + λ·(x_t − z_{t-1}), λ = 1/4, seeded
     * at the baseline mean; alarm when |z_t − μ| exceeds L·σ·√(λ/(2−λ))

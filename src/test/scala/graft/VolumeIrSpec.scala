@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.functions.TextAnalysis
+import graft.operators.{Association, Changepoint}
+
+/** Fixtures for the volume-monitoring statistics (overdispersion,
+  * lag-1 ACF), PRF expansion, and the recommender hit-rate eval.
+  */
+class VolumeIrSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hourlyEvents(perHour: Seq[Int], tp: String = "click") =
+    perHour.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i =>
+        ((h * 1000 + i).toLong,
+          Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+            .plusHours(h.toLong)),
+          i.toLong, tp, 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("overdispersionCheck: constant series var 0; bursty series flags") {
+    val flat = hourlyEvents(Seq.fill(10)(5), "flat")
+    val bursty = hourlyEvents(Seq(1, 19, 1, 19, 1, 19, 1, 19, 1, 19), "burst")
+    val r = Changepoint.overdispersionCheck(flat.union(bursty)).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("flat").getDouble(3) == 0.0)
+    assert(!r("flat").getBoolean(5))
+    // burst: mean 10, sample var = 10*81/9 = 90 > 1.5*10
+    assert(r("burst").getDouble(3) == 90.0)
+    assert(r("burst").getBoolean(5))
+  }
+
+  test("hourlyAutocorr: alternating series has ACF -1, trend +1-ish") {
+    val alt = hourlyEvents(Seq(1, 9, 1, 9, 1, 9, 1, 9), "alt")
+    val ramp = hourlyEvents((1 to 12).map(i => i), "ramp")
+    val r = Changepoint.hourlyAutocorr(alt.union(ramp)).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("alt") == -1.0)
+    assert(r("ramp") == 1.0)
+  }
+
+  test("hourlyAutocorr: zero-variance leg emits NULL not NaN") {
+    val flat = hourlyEvents(Seq.fill(6)(3), "flat")
+    val r = Changepoint.hourlyAutocorr(flat).collect().head
+    assert(r.isNullAt(2))
+  }
+
+  test("prfExpansion: expansion terms come from feedback docs only") {
+    // Docs 1-3 contain the query terms plus planted expansion term
+    // 'shards'; docs 4+ contain unrelated terms and never enter feedback.
+    val docs = (
+      (1L to 3L).map(i => (i, "dup key fast shards shards merge", "en",
+        "s1", 30L)) ++
+      (4L to 20L).map(i => (i, "noise words only here", "en", "s1", 20L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.prfExpansion(docs).collect()
+    val terms = r.map(_.getString(0)).toSet
+    assert(terms.contains("shards") && terms.contains("merge"))
+    assert(!terms.exists(Set("dup", "key", "fast")))
+    assert(!terms.contains("noise"), "non-feedback vocab excluded")
+    val shards = r.find(_.getString(0) == "shards").get
+    assert(shards.getLong(1) == 6L)  // 2 per doc x 3 feedback docs
+    assert(shards.getLong(2) == 3L)  // df_feedback
+    assert(shards.getLong(3) == 3L)  // df_corpus
+  }
+
+  test("itemrecHitrate: planted co-purchase structure is recovered") {
+    // Even (train) orders always pair 1-2; odd (test) orders also pair
+    // 1-2 -> predicting 2 from 1 hits every time.
+    val li = (0L until 40L).flatMap(ok => Seq((ok, 1L), (ok, 2L)))
+      .zipWithIndex.map { case ((ok, pk), i) =>
+        (ok, pk, 1L, i.toLong, 1.0, 1.0, 0.0, 0.0, "N", "O",
+          Timestamp.valueOf("1995-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Association.itemrecHitrate(li).collect().head
+    assert(r.getLong(0) == 2L)        // model: 1->2 and 2->1
+    assert(r.getLong(1) == 40L)       // 20 test orders x 2 items
+    assert(r.getLong(3) == 1000000L)  // every prediction hits
+  }
+
+  test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
+    // Singleton baskets -> no pairs -> empty model/probe.
+    val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
+      0.0, "N", "O", Timestamp.valueOf("1995-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Association.itemrecHitrate(li).collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3))
+  }
+}
