@@ -131,6 +131,30 @@ object ScaleSmoke {
       time("rfm_segments", scale)(
         graft.queries.Analytics.rfmSegments(pseudoOrders).count())
       DistributedRank.release(spark)
+      // round-9 additions over the event/order slices:
+      // column_stats (post-Expand-removal: counters pass + per-column
+      // single-distinct branches — the curve must be scan-bound)
+      time("column_stats", scale)(
+        graft.operators.TableStats.columnStats(
+          pseudoOrders.withColumn("o_orderstatus",
+            substring(col("o_orderpriority"), 1, 1)), ev).count())
+      // Markov next-event: one lag window keyed by user + broadcast model
+      time("markov_next_event", scale)(
+        graft.operators.Eval.markovNextEvent(ev).count())
+      // EWMA chart: corpus scan to the time-bounded hourly frame, then
+      // the sequential fold on |types|x|hours| only
+      time("ewma_anomalies", scale)(
+        graft.operators.Changepoint.ewmaAnomalies(ev).count())
+      // basket mining: in-row i<j pair generation over ~4-line baskets;
+      // part dimension scales with the corpus like a real catalog
+      val pseudoLineitem = ev.select(
+        (col("event_id") / 4).cast("long").as("l_orderkey"),
+        pmod(col("event_id") * 2654435761L,
+          lit(math.max(nEvents / 40L, 50L))).as("l_partkey"))
+      time("assoc_rules", scale)(
+        graft.operators.Association.assocRules(pseudoLineitem).count())
+      time("itemrec_hitrate", scale)(
+        graft.operators.Association.itemrecHitrate(pseudoLineitem).count())
       ev.unpersist()
 
       val docs = DocGen.documents(spark, nDocs).cache()
@@ -189,6 +213,15 @@ object ScaleSmoke {
       // alive set over the df-capped (≈linear) edge list
       time("doc_kcore", scale)(
         graft.operators.Centrality.docKcore(docs).count())
+      // round-9: conformal quantile rides the range-partitioned rank —
+      // the curve must have no single-task sort step
+      time("conformal_intervals", scale)(
+        graft.operators.Experiment.conformalIntervals(docs).count())
+      DistributedRank.release(spark)
+      // round-9: PRF — BM25 select (two scan passes) + k-doc-bounded
+      // feedback aggregate + corpus df; curve should track bm25_top_docs
+      time("prf_expansion", scale)(
+        graft.functions.TextAnalysis.prfExpansion(docs).count())
       pairs.unpersist()
       docs.unpersist()
 

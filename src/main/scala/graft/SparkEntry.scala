@@ -1157,7 +1157,12 @@ object SparkEntry {
       TextAnalysis.prfExpansion(Tables.documents(s, dir))),
     // Hit-rate@1 of the basket-cosine recommender on held-out orders.
     "itemrec_hitrate" -> ((s, dir) =>
-      graft.operators.Association.itemrecHitrate(Tables.lineitem(s, dir)))
+      graft.operators.Association.itemrecHitrate(Tables.lineitem(s, dir))),
+    // Exact Gini concentration of the shuffle keys (skew diagnostic
+    // feeding Skew/AQE decisions; ranked frame rides DistributedRank).
+    "key_skew_gini" -> ((s, dir) =>
+      graft.operators.SkewStats.keySkewGini(Tables.events(s, dir),
+        Tables.lineitem(s, dir), Tables.orders(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4332,7 +4337,8 @@ object SparkEntry {
       graft.operators.Changepoint.overdispersionOracleSql,
     "hourly_autocorr" -> graft.operators.Changepoint.hourlyAutocorrOracleSql,
     "prf_expansion" -> TextAnalysis.prfExpansionOracleSql(),
-    "itemrec_hitrate" -> graft.operators.Association.itemrecHitrateOracleSql()
+    "itemrec_hitrate" -> graft.operators.Association.itemrecHitrateOracleSql(),
+    "key_skew_gini" -> graft.operators.SkewStats.keySkewGiniOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -527,4 +527,51 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p2.contains("CartesianProduct"),
       s"the groups x bands grid must ride a broadcast:\n$p2")
   }
+
+  test("columnStats: no multi-distinct Expand anywhere in the plan") {
+    val q = graft.operators.TableStats.columnStats(
+      Tables.orders(spark, sf), Tables.events(spark, sf))
+    val p = executed(q)
+    assert(!p.contains("Expand"),
+      s"the profile must not fan rows through a multi-distinct Expand:\n$p")
+  }
+
+  test("assocRules: marginals broadcast; single generator per basket row") {
+    val q = graft.operators.Association.assocRules(Tables.lineitem(spark, sf))
+    val p = executed(q)
+    assert(p.contains("BroadcastHashJoin"),
+      s"part marginals must broadcast onto the pair frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // one Generate per pair pipeline (the i<j array), not explode x explode
+    assert(!p.contains("Generate explode(parts")
+      || p.contains("part_a"), p)
+  }
+
+  test("markovNextEvent + itemrecHitrate: model joins broadcast, no product") {
+    val p1 = executed(graft.operators.Eval.markovNextEvent(
+      Tables.events(spark, sf)))
+    assert(p1.contains("BroadcastHashJoin") && !p1.contains("CartesianProduct"),
+      s"the |states|^2 model must broadcast onto test transitions:\n$p1")
+    val p2 = executed(graft.operators.Association.itemrecHitrate(
+      Tables.lineitem(spark, sf)))
+    assert(!p2.contains("CartesianProduct"),
+      s"the hit probe must stay on equi-joins:\n$p2")
+  }
+
+  test("conformalIntervals: no SinglePartition exchange (ranked quantile)") {
+    val q = graft.operators.Experiment.conformalIntervals(
+      Tables.documents(spark, sf))
+    try {
+      val ex = allExchanges(finalPlan(q)).map(_.outputPartitioning.toString)
+      assert(!ex.exists(_.contains("SinglePartition")),
+        s"the order statistic must ride the range-partitioned rank:\n$ex")
+    } finally graft.operators.DistributedRank.release(spark)
+  }
+
+  test("prfExpansion: feedback set broadcasts; corpus joins stay equi") {
+    val p = executed(graft.functions.TextAnalysis.prfExpansion(
+      Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"the k-doc feedback set must broadcast onto the corpus:\n$p")
+  }
 }

@@ -82,6 +82,32 @@ class VolumeIrSpec extends SparkTestBase {
     assert(r.getLong(3) == 1000000L)  // every prediction hits
   }
 
+  test("keySkewGini: hand-computed Gini on planted distributions") {
+    // events: user 9 has 6 rows, users 0-3 one each -> G = 0.4 exactly.
+    val ev = (Seq.fill(6)(9L) ++ Seq(0L, 1L, 2L, 3L)).zipWithIndex.map {
+      case (u, i) => (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), u,
+        "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // lineitem: perfectly uniform keys -> G = 0.
+    val li = (0L until 8L).map(i => (i, i % 4L, 1L, 0L, 1.0, 1.0, 0.0, 0.0,
+      "N", "O", Timestamp.valueOf("1995-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val ord = (0L until 4L).map(ok => (ok, ok, "O", 1.0,
+      Timestamp.valueOf("1995-01-01 00:00:00"), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    try {
+      val r = graft.operators.SkewStats.keySkewGini(ev, li, ord).collect()
+        .map(x => x.getString(0) -> x).toMap
+      assert(r("events.user_id").getLong(5) == 400000L)
+      assert(r("events.user_id").getLong(4) == 600000L)  // top share 6/10
+      assert(r("lineitem.l_partkey").getLong(5) == 0L)
+      assert(r("orders.o_custkey").getLong(5) == 0L)
+    } finally graft.operators.DistributedRank.release(spark)
+  }
+
   test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
     // Singleton baskets -> no pairs -> empty model/probe.
     val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
