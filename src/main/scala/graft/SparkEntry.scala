@@ -1162,7 +1162,11 @@ object SparkEntry {
     // feeding Skew/AQE decisions; ranked frame rides DistributedRank).
     "key_skew_gini" -> ((s, dir) =>
       graft.operators.SkewStats.keySkewGini(Tables.events(s, dir),
-        Tables.lineitem(s, dir), Tables.orders(s, dir)))
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // Per-label centroid shift between vec_id folds on the exact
+    // fixed-point path — multivariate drift beside KS/PSI.
+    "embedding_split_drift" -> ((s, dir) =>
+      graft.operators.Drift.embeddingSplitDrift(Tables.embeddings(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4338,7 +4342,9 @@ object SparkEntry {
     "hourly_autocorr" -> graft.operators.Changepoint.hourlyAutocorrOracleSql,
     "prf_expansion" -> TextAnalysis.prfExpansionOracleSql(),
     "itemrec_hitrate" -> graft.operators.Association.itemrecHitrateOracleSql(),
-    "key_skew_gini" -> graft.operators.SkewStats.keySkewGiniOracleSql
+    "key_skew_gini" -> graft.operators.SkewStats.keySkewGiniOracleSql,
+    "embedding_split_drift" ->
+      graft.operators.Drift.embeddingSplitDriftOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

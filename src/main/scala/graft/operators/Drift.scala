@@ -173,4 +173,102 @@ object Drift {
         round(col("q_raw") / col("p_raw"), 4).as("oversample"))
       .orderBy(col("source"))
   }
+
+  /** Embedding-space drift between two folds (the "did the encoder or
+    * the corpus move?" gate a vector pipeline runs per snapshot): per
+    * label, the per-dimension centroid shift between the even- and
+    * odd-vec_id halves, reported as the mean and max absolute shift with
+    * the worst dimension. Companion to the scalar KS/PSI gates — this is
+    * the multivariate version an index rebuild decision reads.
+    *
+    * Exactness: per-row doubles enter through [[Similarity.dimStats]]'s
+    * DECIMAL(16,15) scale-15 fixed point; per-(label, fold, dim) sums are
+    * exact decimals; the centroid difference clears denominators
+    * (num = s_a·n_b − s_b·n_a over n_a·n_b·10^15), so mean/max shifts
+    * are exact integer micros. No unordered float sum anywhere.
+    *
+    * Scale: posexplode fans the corpus to (label, fold, dim) rows that
+    * aggregate with map-side combine into a |labels|×|folds|×|dims|
+    * frame; everything after is bounded by that grid.
+    */
+  def embeddingSplitDrift(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fp = (c: org.apache.spark.sql.Column) =>
+      (c.cast(org.apache.spark.sql.types.DecimalType(16, 15))
+        * lit(1000000000000000L)).cast("long")
+    val byDim = embeddings
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("fold"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("fold"), col("dim"))
+      .agg(sum(fp(col("x")).cast(dec)).cast(dec).as("s"),
+        count(lit(1)).as("n"))
+    val a = byDim.filter(col("fold") === 0L)
+      .select(col("label"), col("dim"), col("s").as("s_a"), col("n").as("n_a"))
+    val b = byDim.filter(col("fold") === 1L)
+      .select(col("label"), col("dim"), col("s").as("s_b"), col("n").as("n_b"))
+    val diffs = a.join(b, Seq("label", "dim"))
+      .withColumn("num",
+        abs(col("s_a") * col("n_b").cast(dec) - col("s_b") * col("n_a").cast(dec)))
+    diffs
+      .groupBy(col("label"))
+      .agg(
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_dims"),
+        sum(col("num")).cast(dec).as("sum_num"),
+        max(struct(col("num"), (-col("dim")).as("negdim"))).as("mx"))
+      .select(
+        col("label"), col("n_a"), col("n_b"),
+        expr("""cast(sum_num * 1000000
+               |  DIV (cast(n_a as decimal(38,0)) * cast(n_b as decimal(38,0))
+               |       * 1000000000000000 * cast(n_dims as decimal(38,0)))
+               |  as bigint)""".stripMargin).as("mean_shift_micros"),
+        expr("""cast(mx.num * 1000000
+               |  DIV (cast(n_a as decimal(38,0)) * cast(n_b as decimal(38,0))
+               |       * 1000000000000000) as bigint)""".stripMargin)
+          .as("max_shift_micros"),
+        (-col("mx.negdim")).cast("int").as("worst_dim"))
+      .orderBy(col("label"))
+  }
+
+  def embeddingSplitDriftOracleSql: String =
+    """WITH x0 AS (
+      |  SELECT label, vec_id % 2 AS fold,
+      |    unnest(list_transform(range(1, len(embedding) + 1),
+      |      i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE})) AS s
+      |  FROM embeddings),
+      |x AS (SELECT label, fold, CAST(s.dim AS INT) AS dim, s.x AS x
+      |      FROM x0),
+      |fp AS (
+      |  SELECT label, fold, dim,
+      |    CAST(CAST(x AS DECIMAL(16,15)) * 1000000000000000 AS BIGINT)
+      |      AS x_fp
+      |  FROM x),
+      |bd AS (
+      |  SELECT label, fold, dim, CAST(sum(x_fp) AS HUGEINT) AS s,
+      |    CAST(count(*) AS HUGEINT) AS n
+      |  FROM fp GROUP BY 1, 2, 3),
+      |j AS (
+      |  SELECT a.label, a.dim, abs(a.s * b.n - b.s * a.n) AS num,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM bd a JOIN bd b ON a.label = b.label AND a.dim = b.dim
+      |  WHERE a.fold = 0 AND b.fold = 1),
+      |g AS (
+      |  SELECT label, any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+      |    CAST(count(*) AS HUGEINT) AS n_dims,
+      |    sum(num) AS sum_num, max(num) AS max_num
+      |  FROM j GROUP BY label),
+      |w AS (
+      |  SELECT g.label, g.n_a, g.n_b, g.n_dims, g.sum_num, g.max_num,
+      |    min(j.dim) AS worst_dim
+      |  FROM g JOIN j ON j.label = g.label AND j.num = g.max_num
+      |  GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(sum_num * 1000000
+      |    // (n_a * n_b * 1000000000000000 * n_dims) AS BIGINT)
+      |    AS mean_shift_micros,
+      |  CAST(max_num * 1000000 // (n_a * n_b * 1000000000000000) AS BIGINT)
+      |    AS max_shift_micros,
+      |  CAST(worst_dim AS INTEGER) AS worst_dim
+      |FROM w ORDER BY label""".stripMargin
 }

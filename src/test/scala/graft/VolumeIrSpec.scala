@@ -108,6 +108,26 @@ class VolumeIrSpec extends SparkTestBase {
     } finally graft.operators.DistributedRank.release(spark)
   }
 
+  test("embeddingSplitDrift: planted fold shift recovered exactly") {
+    // label 0: identical folds -> zero shift. label 1: dim 2 shifted by
+    // exactly 0.5 in the odd fold -> max shift 500000 micros at dim 2,
+    // mean = 500000/4 over the 4 dims.
+    val rows = (0L until 40L).map { i =>
+      val label = i / 20L
+      val base = Array(0.25f, -0.5f, 0.125f, 0.75f)
+      // fold = vec_id % 2; shift dim 2 for the odd fold of label 1
+      val emb = if (label == 1L && i % 2L == 1L)
+        Array(0.25f, -0.5f, 0.625f, 0.75f) else base
+      (i, emb.toSeq, label)
+    }.toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Drift.embeddingSplitDrift(rows).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(3) == 0L && r(0L).getLong(4) == 0L)
+    assert(r(1L).getLong(4) == 500000L)
+    assert(r(1L).getInt(5) == 2)
+    assert(r(1L).getLong(3) == 125000L)
+  }
+
   test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
     // Singleton baskets -> no pairs -> empty model/probe.
     val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
