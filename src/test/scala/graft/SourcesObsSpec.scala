@@ -183,4 +183,27 @@ class SourcesObsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("ORC round-trip: events survive the other columnar wire format") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    try {
+      val ev = Tables.events(spark, sf).limit(500)
+      ev.write.mode("overwrite").orc(dir)
+      val back = graft.sources.Sources.eventsFromOrc(spark, dir)
+      assert(back.schema.fieldNames.toSeq == ev.schema.fieldNames.toSeq)
+      assert(back.count() == ev.count())
+      // per-type aggregates identical through the round trip
+      val agg = (df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("ids"))
+          .orderBy(col("event_type")).collect().toSeq
+      assert(agg(back) == agg(ev))
+      // predicate pushdown reaches the ORC scan
+      val plan = back.filter(col("user_id") === 7L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
