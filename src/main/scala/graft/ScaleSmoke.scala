@@ -41,7 +41,16 @@ object ScaleSmoke {
     // (op, scale) -> (t1, t2, rows)
     val results = ArrayBuffer[(String, Int, Double, Double, Long)]()
 
+    // optional args: arg0 = comma-separated op subset, arg1 =
+    // comma-separated scale subset (local iteration; recorded SCALING.md
+    // tables come from full runs)
+    val onlyOps: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    val onlyScales: Option[Set[Int]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.toInt).toSet)
+      else None
+
     def time(tag: String, scale: Int)(f: => Long): Unit = {
+      if (!onlyOps.forall(_.contains(tag))) return
       def once(): (Double, Long) = {
         val t0 = System.nanoTime(); val n = f
         ((System.nanoTime() - t0) / 1e9, n)
@@ -51,7 +60,7 @@ object ScaleSmoke {
       println(f"SCALE $scale%3d  $tag%-24s t1=$t1%7.2f s  t2=$t2%7.2f s  rows=$n")
     }
 
-    for (scale <- Seq(1, 10, 100)) {
+    for (scale <- Seq(1, 10, 100).filter(s => onlyScales.forall(_.contains(s)))) {
       val nEvents = 100000L * scale
       val nDocs = 5000L * scale
       val nEmb = 2000L * scale
@@ -257,9 +266,10 @@ object ScaleSmoke {
     for (op <- ops) {
       val ts = byOp(op).sortBy(_._2)
         .map(r => r._2 -> (if (firstRunOnly(op)) r._3 else math.min(r._3, r._4))).toMap
-      val g10 = ts(10) / ts(1)
-      val g100 = ts(100) / ts(10)
-      println(f"$op%-24s ${ts(1)}%8.2f ${ts(10)}%8.2f ${ts(100)}%8.2f $g10%8.1f $g100%9.1f")
+      def t(s: Int): Double = ts.getOrElse(s, Double.NaN)
+      val g10 = t(10) / t(1)
+      val g100 = t(100) / t(10)
+      println(f"$op%-24s ${t(1)}%8.2f ${t(10)}%8.2f ${t(100)}%8.2f $g10%8.1f $g100%9.1f")
     }
     spark.stop()
   }

@@ -73,10 +73,14 @@ object Association {
       .union(pairs.select(col("part_b").as("antecedent"),
         col("part_a").as("consequent"), col("support")))
     directed
-      .join(broadcast(partCounts.withColumnRenamed("pk", "antecedent")
-        .withColumnRenamed("n_ok", "n_a")), Seq("antecedent"))
-      .join(broadcast(partCounts.withColumnRenamed("pk", "consequent")
-        .withColumnRenamed("n_ok", "n_b")), Seq("consequent"))
+      // marginal joins LEFT TO AQE: the part dimension scales with the
+      // catalog, so a forced broadcast is a 100-TB OOM (measured: the
+      // forced spelling went 8x per 10x data at the 100x smoke; AQE
+      // broadcasts while small and shuffles at scale)
+      .join(partCounts.withColumnRenamed("pk", "antecedent")
+        .withColumnRenamed("n_ok", "n_a"), Seq("antecedent"))
+      .join(partCounts.withColumnRenamed("pk", "consequent")
+        .withColumnRenamed("n_ok", "n_b"), Seq("consequent"))
       .crossJoin(broadcast(nOrders))
       .select(
         col("antecedent"), col("consequent"), col("support"),
@@ -144,10 +148,12 @@ object Association {
         col("support"))
       .union(pairs.select(col("part_b").as("item"), col("part_a").as("neighbor"),
         col("support")))
-      .join(broadcast(partCounts.withColumnRenamed("pk", "item")
-        .withColumnRenamed("n_ok", "n_item")), Seq("item"))
-      .join(broadcast(partCounts.withColumnRenamed("pk", "neighbor")
-        .withColumnRenamed("n_ok", "n_nbr")), Seq("neighbor"))
+      // marginal joins left to AQE (catalog-scaled dimension, see
+      // assocRules)
+      .join(partCounts.withColumnRenamed("pk", "item")
+        .withColumnRenamed("n_ok", "n_item"), Seq("item"))
+      .join(partCounts.withColumnRenamed("pk", "neighbor")
+        .withColumnRenamed("n_ok", "n_nbr"), Seq("neighbor"))
       .withColumn("cos2_micros",
         expr("(support * support * 1000000L) DIV (n_item * n_nbr)"))
     val w = Window.partitionBy(col("item"))
@@ -192,10 +198,12 @@ object Association {
         col("support"))
       .union(pairs.select(col("part_b").as("item"), col("part_a").as("neighbor"),
         col("support")))
-      .join(broadcast(partCounts.withColumnRenamed("pk", "item")
-        .withColumnRenamed("n_ok", "n_item")), Seq("item"))
-      .join(broadcast(partCounts.withColumnRenamed("pk", "neighbor")
-        .withColumnRenamed("n_ok", "n_nbr")), Seq("neighbor"))
+      // marginal joins left to AQE (catalog-scaled dimension, see
+      // assocRules)
+      .join(partCounts.withColumnRenamed("pk", "item")
+        .withColumnRenamed("n_ok", "n_item"), Seq("item"))
+      .join(partCounts.withColumnRenamed("pk", "neighbor")
+        .withColumnRenamed("n_ok", "n_nbr"), Seq("neighbor"))
       .withColumn("cos2_micros",
         expr("(support * support * 1000000L) DIV (n_item * n_nbr)"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("item"))
@@ -203,7 +211,8 @@ object Association {
       .filter(col("rk") === 1)
       .select(col("item"), col("neighbor").as("predicted"))
     val probe = test
-      .join(broadcast(model), test("pk") === model("item"))
+      // model is |parts|-bounded — catalog-scaled, so AQE decides
+      .join(model, test("pk") === model("item"))
       .join(test.select(col("ok").as("ok2"), col("pk").as("pk2")),
         col("ok") === col("ok2") && col("predicted") === col("pk2"),
         "left")
