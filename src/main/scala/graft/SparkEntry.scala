@@ -1166,7 +1166,15 @@ object SparkEntry {
     // Per-label centroid shift between vec_id folds on the exact
     // fixed-point path — multivariate drift beside KS/PSI.
     "embedding_split_drift" -> ((s, dir) =>
-      graft.operators.Drift.embeddingSplitDrift(Tables.embeddings(s, dir)))
+      graft.operators.Drift.embeddingSplitDrift(Tables.embeddings(s, dir))),
+    // CEP-lite: per-user ordered event string + unambiguous-regex
+    // pattern counts (adjacent conversions, longest purchase streak).
+    "event_pattern_match" -> ((s, dir) =>
+      Analytics.eventPatternMatch(Tables.events(s, dir))),
+    // Exact equi-depth histogram of line price (rank-based ntile, no
+    // single-task sort) — the selectivity statistic beside column_stats.
+    "equidepth_histogram" -> ((s, dir) =>
+      graft.operators.Histogram.equidepthHistogram(Tables.lineitem(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4344,7 +4352,9 @@ object SparkEntry {
     "itemrec_hitrate" -> graft.operators.Association.itemrecHitrateOracleSql(),
     "key_skew_gini" -> graft.operators.SkewStats.keySkewGiniOracleSql,
     "embedding_split_drift" ->
-      graft.operators.Drift.embeddingSplitDriftOracleSql
+      graft.operators.Drift.embeddingSplitDriftOracleSql,
+    "event_pattern_match" -> Analytics.eventPatternMatchOracleSql,
+    "equidepth_histogram" -> graft.operators.Histogram.equidepthOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

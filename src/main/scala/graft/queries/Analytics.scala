@@ -1719,4 +1719,69 @@ object Analytics {
         col("n_a"), col("n_b"), round(col("lift_raw"), 4).as("lift"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
   }
+
+  /** MATCH_RECOGNIZE-lite event-pattern matching: each user's ordered
+    * event history becomes a one-char-per-event string, and the CEP
+    * questions ("view immediately followed by purchase", "longest
+    * purchase streak") become REGEX COUNTS over it — the cheap-trick
+    * spelling of sequence pattern matching that stays fully relational
+    * and engine-agnostic. Patterns are restricted to the unambiguous
+    * regex subset (fixed literals, maximal `p+` runs) where Java and
+    * RE2 agree on non-overlapping leftmost matching; everything emitted
+    * is an exact integer.
+    *
+    * Scale: one shuffle keyed by user; each user's sequence is bounded
+    * by their own activity (the sessionize-class shape — a pathological
+    * mega-user would need the same per-key cap every sessionizer
+    * applies).
+    */
+  def eventPatternMatch(events: DataFrame): DataFrame = {
+    val code = when(col("event_type") === "click", "c")
+      .when(col("event_type") === "view", "v")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "error", "e")
+      .otherwise("s")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), code.as("__code"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """array_join(transform(
+          |  array_sort(collect_list(struct(ts, event_id, __code))),
+          |  x -> x.__code), '')""".stripMargin).as("seq"))
+      .select(
+        col("user_id"),
+        length(col("seq")).cast("bigint").as("seq_len"),
+        size(expr("regexp_extract_all(seq, 'vp', 0)")).cast("bigint")
+          .as("view_then_buy"),
+        size(expr("regexp_extract_all(seq, 'cp', 0)")).cast("bigint")
+          .as("click_then_buy"),
+        size(expr("regexp_extract_all(seq, 'ep', 0)")).cast("bigint")
+          .as("buy_after_error"),
+        coalesce(expr(
+          """array_max(transform(regexp_extract_all(seq, 'p+', 0),
+            |          x -> length(x)))""".stripMargin).cast("bigint"),
+          lit(0L)).as("max_buy_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  def eventPatternMatchOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+      |      WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+      |      ELSE 's' END AS code
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    string_agg(code, '' ORDER BY ts, event_id) AS seq
+      |  FROM c GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(length(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS view_then_buy,
+      |  CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT) AS click_then_buy,
+      |  CAST(len(regexp_extract_all(seq, 'ep')) AS BIGINT) AS buy_after_error,
+      |  CAST(coalesce(list_max(list_transform(
+      |    regexp_extract_all(seq, 'p+'), x -> length(x))), 0) AS BIGINT)
+      |    AS max_buy_streak
+      |FROM s ORDER BY user_id""".stripMargin
 }

@@ -128,6 +128,50 @@ class VolumeIrSpec extends SparkTestBase {
     assert(r(1L).getLong(3) == 125000L)
   }
 
+  test("eventPatternMatch: hand-counted patterns on a planted sequence") {
+    // user 1: v p c p p p e p  -> vp=1, cp=1, ep=1, max p-run=3
+    val types = Seq("view", "purchase", "click", "purchase", "purchase",
+      "purchase", "error", "purchase")
+    val rows = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0).plusSeconds(i.toLong)), 1L, t, 1.0, "{}")
+    } :+ ((100L, Timestamp.valueOf("2024-01-01 01:00:00"), 2L, "signup",
+      1.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val r = graft.queries.Analytics.eventPatternMatch(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val u1 = r(1L)
+    assert(u1.getLong(1) == 8L)
+    assert(u1.getLong(2) == 1L)  // vp
+    assert(u1.getLong(3) == 1L)  // cp
+    assert(u1.getLong(4) == 1L)  // ep
+    assert(u1.getLong(5) == 3L)  // max p-run
+    val u2 = r(2L)
+    assert(u2.getLong(1) == 1L && u2.getLong(5) == 0L)
+  }
+
+  test("equidepthHistogram: exact bucket sizes and disjoint boundaries") {
+    // 103 rows over values 1..103 cents, k=10: first 3 buckets get 11.
+    val li = (1 to 103).map(i => (i.toLong, 1L, 1L, i.toLong, 1.0,
+      i / 100.0, 0.0, 0.0, "N", "O",
+      Timestamp.valueOf("1995-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    try {
+      val r = graft.operators.Histogram.equidepthHistogram(li).collect()
+      assert(r.length == 10)
+      assert(r.map(_.getLong(1)).toSeq ==
+        Seq(11L, 11L, 11L, 10L, 10L, 10L, 10L, 10L, 10L, 10L))
+      // contiguous, disjoint, exact boundaries
+      assert(r.head.getLong(2) == 1L && r.last.getLong(3) == 103L)
+      r.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) < b.getLong(2))
+      }
+    } finally graft.operators.DistributedRank.release(spark)
+  }
+
   test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
     // Singleton baskets -> no pairs -> empty model/probe.
     val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
