@@ -49,6 +49,11 @@ object Changepoint {
         sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"),
         count(lit(1)).as("n"))
+      // a type with a single baseline hour has no sample variance:
+      // (n-1) = 0 would make sigma NaN and every comparison against it
+      // meaningless — such types are excluded from the chart (same
+      // guard as overdispersionCheck; mirrored as HAVING in the oracle)
+      .filter(col("n") > 1L)
       .select(
         col("event_type"),
         (col("s1").cast("double") / col("n").cast("double")).as("mu"),
@@ -322,6 +327,11 @@ object Changepoint {
         sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"),
         count(lit(1)).as("n"))
+      // a type with a single baseline hour has no sample variance:
+      // (n-1) = 0 would make sigma NaN and every comparison against it
+      // meaningless — such types are excluded from the chart (same
+      // guard as overdispersionCheck; mirrored as HAVING in the oracle)
+      .filter(col("n") > 1L)
       .select(
         col("event_type"),
         (col("s1").cast("double") / col("n").cast("double")).as("mu"),
@@ -379,7 +389,8 @@ object Changepoint {
        |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
        |        / CAST(count(*) AS DOUBLE))
        |      / CAST(count(*) - 1 AS DOUBLE)) AS sigma
-       |  FROM hourly WHERE h < TIMESTAMP '$baselineEnd' GROUP BY 1),
+       |  FROM hourly WHERE h < TIMESTAMP '$baselineEnd' GROUP BY 1
+       |  HAVING count(*) > 1),
        |walk(event_type, rn, h, x, z) AS (
        |  SELECT event_type, CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP),
        |    CAST(NULL AS BIGINT), mu
@@ -416,7 +427,8 @@ object Changepoint {
        |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
        |        / CAST(count(*) AS DOUBLE))
        |      / CAST(count(*) - 1 AS DOUBLE)) AS sigma
-       |  FROM hourly WHERE h < TIMESTAMP '$baselineEnd' GROUP BY 1),
+       |  FROM hourly WHERE h < TIMESTAMP '$baselineEnd' GROUP BY 1
+       |  HAVING count(*) > 1),
        |walk(event_type, rn, h, x, sp, sn) AS (
        |  SELECT event_type, CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP),
        |    CAST(NULL AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)

@@ -367,7 +367,11 @@ object DataQuality {
         col("total_rows"))
     val affOrders = orders.filter(isCohort(col("o_custkey")))
       .select(col("o_orderkey"))
-    val liAff = lineitem.join(broadcast(affOrders),
+    // semi-join strategy left to AQE: the cohort is a FIXED FRACTION of
+    // the orders table (1/m of it), i.e. corpus-scaled — a forced
+    // broadcast would OOM at warehouse scale (the same hazard the basket
+    // queries' marginal joins had)
+    val liAff = lineitem.join(affOrders,
         lineitem("l_orderkey") === affOrders("o_orderkey"), "left_semi")
       .agg(count(lit(1)).as("affected_rows"))
     val liRow = lineitem.agg(count(lit(1)).as("total_rows"))

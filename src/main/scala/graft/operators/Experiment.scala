@@ -53,7 +53,11 @@ object Experiment {
           .cast("double").as("var_num"),
         (col("sx").cast("double") / col("n").cast("double")).as("mean_x_pool"))
       .select(col("mean_x_pool"),
-        (col("cov_num") / col("var_num")).as("theta"))
+        // θ undefined on a zero-variance covariate (e.g. preEnd before
+        // all data): NULL, not 0/0 = NaN — NaN renders differently
+        // across engines and poisons every adjusted column downstream
+        when(col("var_num") > lit(0.0), col("cov_num") / col("var_num"))
+          .as("theta"))
     val perVariant = perUser
       .groupBy(col("variant"))
       .agg(
@@ -85,7 +89,9 @@ object Experiment {
           4).as("mean_y_adj"),
         round(varY, 4).as("var_y"),
         round(varAdj, 4).as("var_y_adj"),
-        round((varY - varAdj) / varY * lit(100.0), 4)
+        // NULL when the variant's raw variance is 0 (0/0 across engines)
+        when(varY > lit(0.0),
+          round((varY - varAdj) / varY * lit(100.0), 4))
           .as("var_reduction_pct"))
       .orderBy(col("variant"))
   }
@@ -107,8 +113,9 @@ object Experiment {
        |    sum(x*x) AS sxx, sum(x*y) AS sxy
        |  FROM pu),
        |theta AS (
-       |  SELECT CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-       |    AS theta,
+       |  SELECT CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0.0
+       |    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+       |         / CAST(n*sxx - sx*sx AS DOUBLE) END AS theta,
        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_pool
        |  FROM pool),
        |pv AS (
@@ -132,6 +139,7 @@ object Experiment {
        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
        |    + theta * theta * CAST(n*sxx - sx*sx AS DOUBLE)
        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS var_y_adj,
+       |  CASE WHEN CAST(n*syy - sy*sy AS DOUBLE) > 0.0 THEN
        |  round((CAST(n*syy - sy*sy AS DOUBLE)
        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
        |    - (CAST(n*syy - sy*sy AS DOUBLE)
@@ -142,7 +150,7 @@ object Experiment {
        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
        |    / (CAST(n*syy - sy*sy AS DOUBLE)
        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 100.0, 4)
-       |    AS var_reduction_pct
+       |  END AS var_reduction_pct
        |FROM pv, theta
        |ORDER BY variant""".stripMargin
 
@@ -180,30 +188,47 @@ object Experiment {
     // statistic rides DistributedRank's range-partitioned rank — no
     // single-partition global sort (caller releases the pinned frame via
     // DistributedRank.release, as Verify/Bench already do per query).
+    // qhat as a GLOBAL aggregate, not a filter: when k > n_cal (tiny
+    // calibration set — k = ceil((n_cal+1)·(1−α)) exceeds n_cal for
+    // n_cal <= 1/α − 1) the order statistic does not exist and split
+    // conformal prescribes an INFINITE radius (trivial full coverage).
+    // The aggregate spelling emits qhat = NULL in that regime instead of
+    // silently producing an empty report, and always yields exactly one
+    // row (matching the oracle's GROUP-BY-less aggregate on the same
+    // path).
     val qhat = DistributedRank
       .withGlobalRank(calResid, Seq(col("r"), col("doc_id")), "rk")
       .withColumn("k", expr(
         s"((n_cal + 1) * (1000000 - $alphaPpm) + 999999) DIV 1000000"))
-      .filter(col("rk") === col("k"))
-      .select(col("r").as("qhat"), col("n_cal"), col("rate_micros"))
+      .agg(max(when(col("rk") === col("k"), col("r"))).as("qhat"),
+        first(col("n_cal")).as("n_cal"),
+        first(col("rate_micros")).as("rate_micros"))
     val testResid = test.crossJoin(broadcast(qhat))
       .withColumn("pred", expr("(chars * rate_micros) DIV 1000000L"))
       .withColumn("covered",
-        (abs(col("tokens") - col("pred")) <= col("qhat")).cast("bigint"))
+        when(col("qhat").isNull, lit(1L))
+          .otherwise((abs(col("tokens") - col("pred")) <= col("qhat"))
+            .cast("bigint")))
     val bySource = testResid
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_test"), sum(col("covered")).as("covered"),
         first(col("qhat")).as("qhat"), first(col("n_cal")).as("n_cal"),
         first(col("rate_micros")).as("rate_micros"))
+    // the '__all__' row is a global aggregate (always exactly ONE row,
+    // even over an empty test frame — groupBy(lit) would emit zero and
+    // diverge from the oracle's GROUP-BY-less branch)
     val overall = testResid
-      .groupBy(lit("__all__").as("source"))
-      .agg(count(lit(1)).as("n_test"), sum(col("covered")).as("covered"),
+      .agg(count(lit(1)).as("n_test"),
+        coalesce(sum(col("covered")), lit(0L)).as("covered"),
         first(col("qhat")).as("qhat"), first(col("n_cal")).as("n_cal"),
         first(col("rate_micros")).as("rate_micros"))
+      .select(lit("__all__").as("source"), col("n_test"), col("covered"),
+        col("qhat"), col("n_cal"), col("rate_micros"))
     bySource.unionByName(overall)
       .select(col("source"), col("n_cal"), col("n_test"), col("rate_micros"),
         col("qhat"), col("covered"),
-        expr("(covered * 1000000L) DIV n_test").as("coverage_ppm"))
+        when(col("n_test") > 0L,
+          expr("(covered * 1000000L) DIV n_test")).as("coverage_ppm"))
       .orderBy(col("source"))
   }
 
@@ -223,16 +248,17 @@ object Experiment {
        |    n_cal, rate_micros
        |  FROM pd, fit WHERE fold = 0),
        |q AS (
-       |  SELECT r AS qhat, n_cal, rate_micros
+       |  SELECT max(CASE WHEN rk = k THEN r END) AS qhat,
+       |    any_value(n_cal) AS n_cal, any_value(rate_micros) AS rate_micros
        |  FROM (SELECT r, n_cal, rate_micros,
        |          row_number() OVER (ORDER BY r, doc_id) AS rk,
        |          ((n_cal + 1) * (1000000 - $alphaPpm) + 999999) // 1000000
        |            AS k
-       |        FROM calr) t
-       |  WHERE rk = k),
+       |        FROM calr) t),
        |tr AS (
        |  SELECT source,
-       |    CASE WHEN abs(tokens - (chars * rate_micros) // 1000000) <= qhat
+       |    CASE WHEN qhat IS NULL THEN 1
+       |         WHEN abs(tokens - (chars * rate_micros) // 1000000) <= qhat
        |      THEN 1 ELSE 0 END AS covered,
        |    qhat, n_cal, rate_micros
        |  FROM pd, q WHERE fold = 1),
@@ -245,9 +271,11 @@ object Experiment {
        |  UNION ALL
        |  SELECT '__all__', any_value(n_cal), CAST(count(*) AS BIGINT),
        |    any_value(rate_micros), any_value(qhat),
-       |    CAST(sum(covered) AS BIGINT)
+       |    CAST(coalesce(sum(covered), 0) AS BIGINT)
        |  FROM tr)
        |SELECT source, n_cal, n_test, rate_micros, qhat, covered,
-       |  CAST(covered * 1000000 // n_test AS BIGINT) AS coverage_ppm
+       |  CASE WHEN n_test > 0
+       |    THEN CAST(covered * 1000000 // n_test AS BIGINT)
+       |  END AS coverage_ppm
        |FROM by_src ORDER BY source""".stripMargin
 }

@@ -70,6 +70,56 @@ class AssociationExperimentSpec extends SparkTestBase {
     }
   }
 
+  test("cupedAdjust: constant pre-period covariate gives NULL theta, not NaN") {
+    // All pre-period spend identical -> var(X) = 0 -> theta undefined.
+    val rows = (0L until 20L).flatMap { u =>
+      Seq(
+        (u * 2, Timestamp.valueOf("2024-01-03 00:00:00"), u, "purchase",
+          5.0, "{}"),
+        (u * 2 + 1, Timestamp.valueOf("2024-01-20 00:00:00"), u, "purchase",
+          10.0 + u, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Experiment.cupedAdjust(rows).collect()
+    assert(r.length == 2)
+    r.foreach { v =>
+      assert(v.isNullAt(5), "theta NULL on zero covariate variance")
+      assert(v.isNullAt(6) && v.isNullAt(8), "adjusted columns NULL too")
+      assert(!v.getDouble(7).isNaN, "raw variance still real")
+    }
+  }
+
+  test("conformalIntervals: tiny calibration set gives infinite radius") {
+    // 4 even-id docs: k = ceil(5 * 0.9) = 5 > 4 -> qhat NULL, full
+    // coverage on the test half (not an empty report).
+    val docs = (0L until 9L).map { i =>
+      val words = (0 until 10).map(_ => "ab").mkString(" ")
+      (i, words, "en", "s0", (20 + i).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Experiment.conformalIntervals(docs).collect()
+    assert(r.nonEmpty, "tiny calibration must not collapse to zero rows")
+    assert(r.forall(_.isNullAt(4)), "qhat NULL in the infinite regime")
+    assert(r.forall(_.getLong(6) == 1000000L), "trivial full coverage")
+    assert(r.map(_.getString(0)).contains("__all__"))
+  }
+
+  test("ewmaAnomalies: single-baseline-hour type is excluded, not NaN") {
+    // 'solo' has one baseline hour; 'ok' has a full baseline.
+    val rows =
+      (0 until 48).flatMap { h =>
+        val ts = Timestamp.valueOf(java.time.LocalDateTime
+          .of(2024, 1, 1, 0, 30).plusHours(h.toLong))
+        (0 until 5).map(i => ((h * 100 + i).toLong, ts, i.toLong, "ok",
+          1.0, "{}"))
+      } :+ ((9999L, Timestamp.valueOf("2024-01-02 10:30:00"), 1L, "solo",
+        1.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val r = Changepoint.ewmaAnomalies(df, "2024-01-03 00:00:00").collect()
+    assert(r.nonEmpty)
+    assert(!r.exists(_.getString(0) == "solo"), "no-variance type excluded")
+    assert(r.forall(v => !v.getDouble(4).isNaN && !v.getDouble(5).isNaN))
+  }
+
   test("conformalIntervals: planted exact-rate corpus covers everywhere") {
     // tokens = chars/10 exactly for every doc: residuals 0, qhat 0,
     // coverage 1e6 ppm.

@@ -542,9 +542,10 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"part marginals must broadcast onto the pair frame:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    // one Generate per pair pipeline (the i<j array), not explode x explode
-    assert(!p.contains("Generate explode(parts")
-      || p.contains("part_a"), p)
+    // the pair pipeline must use the i<j in-row generator, not the
+    // explode x explode + filter spelling (k^2 generator rows)
+    assert(p.contains("flatten(transform("),
+      s"pairs must come from the ordered i<j array generator:\n$p")
   }
 
   test("markovNextEvent + itemrecHitrate: model joins broadcast, no product") {
@@ -558,13 +559,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"the hit probe must stay on equi-joins:\n$p2")
   }
 
-  test("conformalIntervals: no SinglePartition exchange (ranked quantile)") {
+  test("conformalIntervals: quantile sort rides the range partitioning") {
     val q = graft.operators.Experiment.conformalIntervals(
       Tables.documents(spark, sf))
     try {
-      val ex = allExchanges(finalPlan(q)).map(_.outputPartitioning.toString)
-      assert(!ex.exists(_.contains("SinglePartition")),
-        s"the order statistic must ride the range-partitioned rank:\n$ex")
+      val plan = finalPlan(q)
+      // 1-row scalar-aggregate reductions (fit/qhat) legitimately pass
+      // through SinglePartition; the scale hazard is a SORT over a
+      // single partition — assert none exists and the range-partitioned
+      // rank path is present.
+      def allSorts(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SortExec] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => allSorts(a.executedPlan)
+          case s: QueryStageExec => allSorts(s.plan)
+          case s: org.apache.spark.sql.execution.SortExec => Seq(s)
+        }.flatten
+      // (a global SortExec over rangepartitioning is the distributed
+      // sort — only a SinglePartition child means one task does it all)
+      val singleTaskSorts = allSorts(plan).filter(
+        _.child.outputPartitioning.toString.contains("SinglePartition"))
+      assert(singleTaskSorts.isEmpty,
+        s"the order statistic must not sort in one task:\n$singleTaskSorts")
+      val ex = allExchanges(plan).map(_.outputPartitioning.toString)
+      assert(ex.exists(_.contains("rangepartitioning")),
+        s"the ranked quantile must range-partition:\n$ex")
     } finally graft.operators.DistributedRank.release(spark)
   }
 

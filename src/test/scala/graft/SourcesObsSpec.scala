@@ -187,7 +187,9 @@ class SourcesObsSpec extends SparkTestBase {
   test("ORC round-trip: events survive the other columnar wire format") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     try {
-      val ev = Tables.events(spark, sf).limit(500)
+      // deterministic subset: a bare limit() re-evaluates to a possibly
+      // different 500 rows on each plan execution (latent flake)
+      val ev = Tables.events(spark, sf).orderBy(col("event_id")).limit(500)
       ev.write.mode("overwrite").orc(dir)
       val back = graft.sources.Sources.eventsFromOrc(spark, dir)
       assert(back.schema.fieldNames.toSeq == ev.schema.fieldNames.toSeq)
