@@ -1174,7 +1174,14 @@ object SparkEntry {
     // Exact equi-depth histogram of line price (rank-based ntile, no
     // single-task sort) — the selectivity statistic beside column_stats.
     "equidepth_histogram" -> ((s, dir) =>
-      graft.operators.Histogram.equidepthHistogram(Tables.lineitem(s, dir)))
+      graft.operators.Histogram.equidepthHistogram(Tables.lineitem(s, dir))),
+    // First-view -> first-purchase latency, exact order-statistic
+    // quantiles over the per-user lag frame.
+    "conversion_lag_quantiles" -> ((s, dir) =>
+      Analytics.conversionLagQuantiles(Tables.events(s, dir))),
+    // Month-over-month segment revenue growth in exact ppm.
+    "mom_growth" -> ((s, dir) =>
+      Analytics.momGrowth(Tables.orders(s, dir), Tables.customer(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4354,7 +4361,9 @@ object SparkEntry {
     "embedding_split_drift" ->
       graft.operators.Drift.embeddingSplitDriftOracleSql,
     "event_pattern_match" -> Analytics.eventPatternMatchOracleSql,
-    "equidepth_histogram" -> graft.operators.Histogram.equidepthOracleSql()
+    "equidepth_histogram" -> graft.operators.Histogram.equidepthOracleSql(),
+    "conversion_lag_quantiles" -> Analytics.conversionLagOracleSql,
+    "mom_growth" -> Analytics.momGrowthOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1764,6 +1764,109 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Time-to-convert distribution: per user, the lag from FIRST view to
+    * the first purchase AFTER it, summarized as exact quantiles — the
+    * latency histogram growth teams read next to the funnel's
+    * conversion rates. Lags are exact epoch-micros differences; the
+    * quantile is the exact k-th order statistic (k = ceil(q·n)) over
+    * the per-user lag frame, ranked via [[graft.operators
+    * .DistributedRank]] (users ≪ events; no single-task sort). Caller
+    * releases the pinned frame (Verify/Bench do).
+    */
+  def conversionLagQuantiles(events: DataFrame): DataFrame = {
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val lags = events.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .groupBy(col("user_id"))
+      .agg((unix_micros(min(col("ts"))) -
+        unix_micros(first(col("first_view")))).as("lag_micros"))
+    val n = lags.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.DistributedRank
+      .withGlobalRank(lags, Seq(col("lag_micros"), col("user_id")), "rk")
+      .crossJoin(broadcast(n))
+    val qs = Seq(250000L, 500000L, 750000L, 900000L)
+    qs.map { q =>
+      ranked
+        .filter(col("rk") === expr(s"(n * $q + 999999) DIV 1000000"))
+        .select(lit(q).as("q_ppm"), col("n").as("n_users"),
+          col("lag_micros").as("lag_micros"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("q_ppm"))
+  }
+
+  def conversionLagOracleSql: String = {
+    val qs = Seq(250000L, 500000L, 750000L, 900000L)
+    val branches = qs.map { q =>
+      s"""SELECT $q AS q_ppm, n AS n_users, lag_micros
+         |FROM r WHERE rk = (n * $q + 999999) // 1000000""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fv AS (
+       |  SELECT user_id, min(ts) AS first_view
+       |  FROM events WHERE event_type = 'view' GROUP BY 1),
+       |lags AS (
+       |  SELECT e.user_id,
+       |    CAST(epoch_us(min(e.ts)) - epoch_us(any_value(first_view))
+       |      AS BIGINT) AS lag_micros
+       |  FROM events e JOIN fv ON e.user_id = fv.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+       |  GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lags),
+       |r AS (
+       |  SELECT lag_micros,
+       |    CAST(row_number() OVER (ORDER BY lag_micros, user_id) AS BIGINT)
+       |      AS rk, n
+       |  FROM lags, n)
+       |SELECT * FROM (
+       |$branches)
+       |ORDER BY q_ppm""".stripMargin
+  }
+
+  /** Month-over-month revenue growth per market segment: exact cents
+    * sums keyed by (segment, month), the previous month via a lag
+    * window over the calendar-bounded frame, growth in exact ppm
+    * (DIV on cents). The BI staple that exercises date truncation +
+    * windowed deltas on the integer path.
+    */
+  def momGrowth(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val monthly = orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(centsOf(col("o_totalprice"))).cast("long").as("revenue_cents"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("month"))
+    monthly
+      .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(w))
+      .select(col("segment"), col("month"), col("revenue_cents"),
+        col("prev_cents"),
+        when(col("prev_cents") > 0L,
+          expr("((revenue_cents - prev_cents) * 1000000L) DIV prev_cents"))
+          .as("growth_ppm"))
+      .orderBy(col("segment"), col("month"))
+  }
+
+  def momGrowthOracleSql: String =
+    """WITH m AS (
+      |  SELECT c_mktsegment AS segment,
+      |    date_trunc('month', o_orderdate) AS month,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS revenue_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |l AS (
+      |  SELECT segment, month, revenue_cents,
+      |    lag(revenue_cents) OVER (PARTITION BY segment ORDER BY month)
+      |      AS prev_cents
+      |  FROM m)
+      |SELECT segment, month, revenue_cents, prev_cents,
+      |  CASE WHEN prev_cents > 0
+      |    THEN CAST((revenue_cents - prev_cents) * 1000000 // prev_cents
+      |      AS BIGINT)
+      |  END AS growth_ppm
+      |FROM l ORDER BY segment, month""".stripMargin
+
   def eventPatternMatchOracleSql: String =
     """WITH c AS (
       |  SELECT user_id, ts, event_id,
