@@ -1181,7 +1181,16 @@ object SparkEntry {
       Analytics.conversionLagQuantiles(Tables.events(s, dir))),
     // Month-over-month segment revenue growth in exact ppm.
     "mom_growth" -> ((s, dir) =>
-      Analytics.momGrowth(Tables.orders(s, dir), Tables.customer(s, dir)))
+      Analytics.momGrowth(Tables.orders(s, dir), Tables.customer(s, dir))),
+    // Adtributor-style period-over-period mix-shift shares per dimension.
+    "delta_attribution" -> ((s, dir) =>
+      Analytics.deltaAttribution(Tables.events(s, dir))),
+    // Exact p50/p95 purchase value per hour-of-day (partitioned ranks).
+    "hourly_value_percentiles" -> ((s, dir) =>
+      Analytics.hourlyValuePercentiles(Tables.events(s, dir))),
+    // Linear multi-touch attribution via trailing-24h RANGE counts.
+    "linear_attribution" -> ((s, dir) =>
+      Analytics.linearAttribution(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4363,7 +4372,10 @@ object SparkEntry {
     "event_pattern_match" -> Analytics.eventPatternMatchOracleSql,
     "equidepth_histogram" -> graft.operators.Histogram.equidepthOracleSql(),
     "conversion_lag_quantiles" -> Analytics.conversionLagOracleSql,
-    "mom_growth" -> Analytics.momGrowthOracleSql
+    "mom_growth" -> Analytics.momGrowthOracleSql,
+    "delta_attribution" -> Analytics.deltaAttributionOracleSql(),
+    "hourly_value_percentiles" -> Analytics.hourlyValuePercentilesOracleSql,
+    "linear_attribution" -> Analytics.linearAttributionOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

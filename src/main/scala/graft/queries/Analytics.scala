@@ -1867,6 +1867,184 @@ object Analytics {
       |  END AS growth_ppm
       |FROM l ORDER BY segment, month""".stripMargin
 
+  /** Adtributor-style delta attribution (Bhagwan et al., NSDI 2014,
+    * simplified to its exact-share core): when volume shifts between two
+    * periods, which dimension values moved the mix? Per dimension
+    * (event_type, hour-of-day), each value's share of period A vs
+    * period B in exact ppm and the signed delta — the root-cause table
+    * an on-call reads under a volume alarm. Everything is integer
+    * counts and micros DIV.
+    *
+    * Scale: one scan folds to the (dimension, value, period) counts
+    * (dimension-bounded frame); marginals ride count windows over it.
+    */
+  def deltaAttribution(events: DataFrame,
+      splitTs: String = "2024-01-15 00:00:00"): DataFrame = {
+    val period = when(col("ts") < to_timestamp(lit(splitTs)), lit("a"))
+      .otherwise(lit("b"))
+    def dim(name: String, value: Column): DataFrame = events
+      .groupBy(value.cast("string").as("value"), period.as("p"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dimension", lit(name))
+    val cells = dim("event_type", col("event_type"))
+      .unionByName(dim("hour_of_day", hour(col("ts"))))
+    val withTotals = cells
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("dimension"), col("p"))))
+    val a = withTotals.filter(col("p") === "a")
+      .select(col("dimension"), col("value"), col("c").as("count_a"),
+        col("tot").as("tot_a"))
+    val b = withTotals.filter(col("p") === "b")
+      .select(col("dimension"), col("value"), col("c").as("count_b"),
+        col("tot").as("tot_b"))
+    a.join(b, Seq("dimension", "value"), "full_outer")
+      .select(col("dimension"), col("value"),
+        coalesce(col("count_a"), lit(0L)).as("count_a"),
+        coalesce(col("count_b"), lit(0L)).as("count_b"),
+        // coalesce, not greatest: an absent (dimension, value) in one
+        // period carries a NULL total, and the engines disagree on
+        // greatest(NULL, 1); the count is 0 there so any divisor works
+        expr("(coalesce(count_a, 0L) * 1000000L) DIV coalesce(tot_a, 1L)")
+          .as("share_a_ppm"),
+        expr("(coalesce(count_b, 0L) * 1000000L) DIV coalesce(tot_b, 1L)")
+          .as("share_b_ppm"))
+      .withColumn("delta_ppm", col("share_b_ppm") - col("share_a_ppm"))
+      .orderBy(col("dimension"), col("value"))
+  }
+
+  def deltaAttributionOracleSql(splitTs: String = "2024-01-15 00:00:00")
+      : String =
+    s"""WITH cells AS (
+       |  SELECT 'event_type' AS dimension, CAST(event_type AS VARCHAR)
+       |      AS value,
+       |    CASE WHEN ts < TIMESTAMP '$splitTs' THEN 'a' ELSE 'b' END AS p,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'hour_of_day', CAST(CAST(hour(ts) AS INTEGER) AS VARCHAR),
+       |    CASE WHEN ts < TIMESTAMP '$splitTs' THEN 'a' ELSE 'b' END,
+       |    CAST(count(*) AS BIGINT)
+       |  FROM events GROUP BY 2, 3),
+       |t AS (
+       |  SELECT dimension, value, p, c,
+       |    CAST(sum(c) OVER (PARTITION BY dimension, p) AS BIGINT) AS tot
+       |  FROM cells),
+       |j AS (
+       |  SELECT coalesce(a.dimension, b.dimension) AS dimension,
+       |    coalesce(a.value, b.value) AS value,
+       |    coalesce(a.c, 0) AS count_a, coalesce(b.c, 0) AS count_b,
+       |    CAST(coalesce(a.c, 0) * 1000000
+       |      // coalesce(a.tot, 1) AS BIGINT) AS share_a_ppm,
+       |    CAST(coalesce(b.c, 0) * 1000000
+       |      // coalesce(b.tot, 1) AS BIGINT) AS share_b_ppm
+       |  FROM (SELECT * FROM t WHERE p = 'a') a
+       |  FULL OUTER JOIN (SELECT * FROM t WHERE p = 'b') b
+       |    ON a.dimension = b.dimension AND a.value = b.value)
+       |SELECT dimension, value, count_a, count_b, share_a_ppm, share_b_ppm,
+       |  share_b_ppm - share_a_ppm AS delta_ppm
+       |FROM j ORDER BY dimension, value""".stripMargin
+
+  /** Exact per-hour-of-day value percentiles (p50/p95 of purchase value
+    * cents): per group, the k = ceil(q·n)-th order statistic via a
+    * PARTITIONED rank window (24 parallel partitions, each
+    * group-bounded — not a global sort), pivoted to one row per hour.
+    */
+  def hourlyValuePercentiles(events: DataFrame): DataFrame = {
+    val vals = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(hour(col("ts")).cast("int").as("hod"),
+        centsOf(col("value")).cast("long").as("cents"),
+        col("event_id"))
+    val w = Window.partitionBy(col("hod"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = vals
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("hod"))))
+    ranked
+      .groupBy(col("hod"))
+      .agg(
+        first(col("n")).as("n"),
+        max(when(col("rk") === expr("(n * 500000L + 999999L) DIV 1000000L"),
+          col("cents"))).as("p50_cents"),
+        max(when(col("rk") === expr("(n * 950000L + 999999L) DIV 1000000L"),
+          col("cents"))).as("p95_cents"))
+      .orderBy(col("hod"))
+  }
+
+  def hourlyValuePercentilesOracleSql: String =
+    """WITH v AS (
+      |  SELECT CAST(hour(ts) AS INTEGER) AS hod,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    event_id
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |r AS (
+      |  SELECT hod, cents,
+      |    CAST(row_number() OVER (PARTITION BY hod ORDER BY cents, event_id)
+      |      AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY hod) AS BIGINT) AS n
+      |  FROM v)
+      |SELECT hod, any_value(n) AS n,
+      |  CAST(max(CASE WHEN rk = (n * 500000 + 999999) // 1000000
+      |    THEN cents END) AS BIGINT) AS p50_cents,
+      |  CAST(max(CASE WHEN rk = (n * 950000 + 999999) // 1000000
+      |    THEN cents END) AS BIGINT) AS p95_cents
+      |FROM r GROUP BY hod ORDER BY hod""".stripMargin
+
+  /** Linear multi-touch attribution: each purchase splits one unit of
+    * conversion credit equally across the user's click/view touches in
+    * the trailing 24 h (time-RANGE window counts — the as-of merge
+    * formulation, no event×event join). Credit is exact micros
+    * (per-type count · 10^6 DIV total touches, summed over purchases);
+    * the companion to the last-touch model in
+    * [[graft.operators.AsOfJoin.lastTouchAttribution]].
+    */
+  def linearAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-86400000000L, -1L)
+    def trailing(tp: String) = sum(
+      when(col("event_type") === tp, 1L).otherwise(0L)).over(w)
+    val atPurchase = events
+      .withColumn("n_click", trailing("click"))
+      .withColumn("n_view", trailing("view"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("n_touch", col("n_click") + col("n_view"))
+      .filter(col("n_touch") > 0L)
+    atPurchase
+      .select(
+        expr("(n_click * 1000000L) DIV n_touch").as("click_credit"),
+        expr("(n_view * 1000000L) DIV n_touch").as("view_credit"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("click_credit")).as("click_credit_micros"),
+        sum(col("view_credit")).as("view_credit_micros"))
+  }
+
+  def linearAttributionOracleSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus
+      |  FROM events),
+      |p AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      OVER w AS BIGINT) AS n_click,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      OVER w AS BIGINT) AS n_view,
+      |    event_type
+      |  FROM t
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+      |               RANGE BETWEEN 86400000000 PRECEDING
+      |                         AND 1 PRECEDING)),
+      |c AS (
+      |  SELECT n_click * 1000000 // (n_click + n_view) AS click_credit,
+      |    n_view * 1000000 // (n_click + n_view) AS view_credit
+      |  FROM p
+      |  WHERE event_type = 'purchase' AND n_click + n_view > 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(click_credit) AS BIGINT) AS click_credit_micros,
+      |  CAST(sum(view_credit) AS BIGINT) AS view_credit_micros
+      |FROM c""".stripMargin
+
   def eventPatternMatchOracleSql: String =
     """WITH c AS (
       |  SELECT user_id, ts, event_id,

@@ -172,6 +172,60 @@ class VolumeIrSpec extends SparkTestBase {
     } finally graft.operators.DistributedRank.release(spark)
   }
 
+  test("deltaAttribution: planted mix shift lands on the right value") {
+    // Period A: 40 clicks, 40 views. Period B: 60 clicks, 20 views.
+    def ev(n: Int, tp: String, day: Int, off: Int) =
+      (0 until n).map(i => ((day * 100000 + off * 1000 + i).toLong,
+        Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, day, 6, 0)
+          .plusSeconds(i.toLong)), i.toLong, tp, 1.0, "{}"))
+    val rows = ev(40, "click", 2, 0) ++ ev(40, "view", 2, 1) ++
+      ev(60, "click", 20, 0) ++ ev(20, "view", 20, 1)
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val r = graft.queries.Analytics.deltaAttribution(df).collect()
+      .filter(_.getString(0) == "event_type")
+      .map(x => x.getString(1) -> (x.getLong(4), x.getLong(5), x.getLong(6)))
+      .toMap
+    assert(r("click") == (500000L, 750000L, 250000L))
+    assert(r("view") == (500000L, 250000L, -250000L))
+  }
+
+  test("hourlyValuePercentiles: exact order statistics per group") {
+    // Hour 3: purchase values 1..20 cents -> p50 = 10th = 0.10, p95 = 19th.
+    val rows = (1 to 20).map(i =>
+      (i.toLong, Timestamp.valueOf("2024-01-01 03:15:00"), i.toLong,
+        "purchase", i / 100.0, "{}")) :+
+      ((99L, Timestamp.valueOf("2024-01-01 03:20:00"), 99L, "view",
+        999.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val r = graft.queries.Analytics.hourlyValuePercentiles(df).collect()
+    assert(r.length == 1 && r.head.getInt(0) == 3)
+    assert(r.head.getLong(1) == 20L)
+    assert(r.head.getLong(2) == 10L)  // ceil(20*0.5) = 10th smallest
+    assert(r.head.getLong(3) == 19L)  // ceil(20*0.95) = 19th
+  }
+
+  test("linearAttribution: credit splits equally over trailing touches") {
+    // User 1: 3 clicks + 1 view in the hour before one purchase.
+    val rows = Seq(
+      (1L, "click", 0), (2L, "click", 60), (3L, "view", 120),
+      (4L, "click", 180), (5L, "purchase", 240),
+      // user 2: purchase with NO trailing touches -> excluded
+      (6L, "purchase", 0)
+    ).zipWithIndex.map { case ((id, tp, off), i) =>
+      val u = if (id <= 5) 1L else 2L
+      (id, Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 10, 0)
+        .plusSeconds(off.toLong)), u, tp, 1.0, "{}")
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val r = graft.queries.Analytics.linearAttribution(df).collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 750000L)  // 3/4
+    assert(r.getLong(2) == 250000L)  // 1/4
+  }
+
   test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
     // Singleton baskets -> no pairs -> empty model/probe.
     val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
