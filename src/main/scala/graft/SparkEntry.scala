@@ -1190,7 +1190,13 @@ object SparkEntry {
       Analytics.hourlyValuePercentiles(Tables.events(s, dir))),
     // Linear multi-touch attribution via trailing-24h RANGE counts.
     "linear_attribution" -> ((s, dir) =>
-      Analytics.linearAttribution(Tables.events(s, dir)))
+      Analytics.linearAttribution(Tables.events(s, dir))),
+    // ClickHouse-style windowed funnel depth via chained min-aggregations.
+    "window_funnel_depth" -> ((s, dir) =>
+      Analytics.windowFunnelDepth(Tables.events(s, dir))),
+    // Weekly-cohort cumulative LTV curves in exact cents.
+    "clv_cohort_curves" -> ((s, dir) =>
+      Analytics.clvCohortCurves(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4375,7 +4381,9 @@ object SparkEntry {
     "mom_growth" -> Analytics.momGrowthOracleSql,
     "delta_attribution" -> Analytics.deltaAttributionOracleSql(),
     "hourly_value_percentiles" -> Analytics.hourlyValuePercentilesOracleSql,
-    "linear_attribution" -> Analytics.linearAttributionOracleSql
+    "linear_attribution" -> Analytics.linearAttributionOracleSql,
+    "window_funnel_depth" -> Analytics.windowFunnelOracleSql(),
+    "clv_cohort_curves" -> Analytics.clvCohortOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

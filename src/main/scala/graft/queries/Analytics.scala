@@ -2045,6 +2045,145 @@ object Analytics {
       |  CAST(sum(view_credit) AS BIGINT) AS view_credit_micros
       |FROM c""".stripMargin
 
+  /** Windowed funnel depth (the ClickHouse `windowFunnel` semantic):
+    * per user, the deepest prefix of view → click → purchase reached
+    * with each step AFTER the previous one and the WHOLE chain inside
+    * `windowHours` of step 1. Spelled as chained min-aggregations (step
+    * k = earliest qualifying event after step k−1), not a per-user
+    * sequential fold — three user-keyed aggregate+join rounds on
+    * bounded frames, each exact on epoch micros.
+    *
+    * Reported as user counts per depth (0..3) plus the conversion of
+    * each step among users that reached the previous one.
+    */
+  def windowFunnelDepth(events: DataFrame, windowHours: Int = 24)
+      : DataFrame = {
+    val windowMicros = windowHours.toLong * 3600L * 1000000L
+    val t = events.select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("tus"))
+    val s1 = t.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+    val s2 = t.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("tus") > col("t1") &&
+        col("tus") <= col("t1") + lit(windowMicros))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t2"),
+        first(col("t1")).as("t1b"))
+    val s3 = t.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("tus") > col("t2") &&
+        col("tus") <= col("t1b") + lit(windowMicros))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+    val allUsers = t.select(col("user_id")).distinct()
+    val depth = allUsers
+      .join(s1.select(col("user_id"), lit(1L).as("d1")), Seq("user_id"),
+        "left")
+      .join(s2.select(col("user_id"), lit(1L).as("d2")), Seq("user_id"),
+        "left")
+      .join(s3.select(col("user_id"), lit(1L).as("d3")), Seq("user_id"),
+        "left")
+      .select(col("user_id"),
+        (coalesce(col("d1"), lit(0L)) + coalesce(col("d2"), lit(0L)) +
+          coalesce(col("d3"), lit(0L))).as("depth"))
+    depth
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
+  def windowFunnelOracleSql(windowHours: Int = 24): String = {
+    val wm = windowHours.toLong * 3600L * 1000000L
+    s"""WITH t AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |s1 AS (
+       |  SELECT user_id, min(tus) AS t1
+       |  FROM t WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (
+       |  SELECT t.user_id, min(tus) AS t2, any_value(t1) AS t1b
+       |  FROM t JOIN s1 ON t.user_id = s1.user_id
+       |  WHERE event_type = 'click' AND tus > t1 AND tus <= t1 + $wm
+       |  GROUP BY 1),
+       |s3 AS (
+       |  SELECT t.user_id, min(tus) AS t3
+       |  FROM t JOIN s2 ON t.user_id = s2.user_id
+       |  WHERE event_type = 'purchase' AND tus > t2 AND tus <= t1b + $wm
+       |  GROUP BY 1),
+       |d AS (
+       |  SELECT u.user_id,
+       |    (CASE WHEN s1.user_id IS NULL THEN 0 ELSE 1 END
+       |     + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+       |     + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS depth
+       |  FROM (SELECT DISTINCT user_id FROM t) u
+       |  LEFT JOIN s1 ON u.user_id = s1.user_id
+       |  LEFT JOIN s2 ON u.user_id = s2.user_id
+       |  LEFT JOIN s3 ON u.user_id = s3.user_id)
+       |SELECT CAST(depth AS BIGINT) AS depth,
+       |  CAST(count(*) AS BIGINT) AS n_users
+       |FROM d GROUP BY depth ORDER BY depth""".stripMargin
+  }
+
+  /** Customer-lifetime-value cohort curves: users cohorted by SIGNUP
+    * month, cumulative purchase cents per cohort over month index —
+    * the LTV table under every payback-period decision. Exact cents
+    * all the way; the cumulative ride is an integer window sum over the
+    * calendar-bounded (cohort × month-index) frame.
+    */
+  def clvCohortCurves(events: DataFrame): DataFrame = {
+    // weekly cohorts (the harness corpus spans one month); the week
+    // index clears engine week-diff semantics by exact day arithmetic
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val weekly = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .join(signup, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week"))
+          .cast("long") / lit(7L)).cast("long").as("week_index"))
+      .agg(sum(centsOf(col("value"))).cast("long").as("revenue_cents"))
+      .filter(col("week_index") >= 0)
+    val cohortSizes = signup.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_index"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .join(broadcast(cohortSizes), Seq("cohort_week"))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+      .select(col("cohort_week"), col("week_index"), col("cohort_users"),
+        col("revenue_cents"), col("cum_cents"),
+        expr("cum_cents DIV cohort_users").as("clv_cents_per_user"))
+      .orderBy(col("cohort_week"), col("week_index"))
+  }
+
+  def clvCohortOracleSql: String =
+    """WITH signup AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |weekly AS (
+      |  SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, date_trunc('week', e.ts)) // 7
+      |      AS BIGINT) AS week_index,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS revenue_cents
+      |  FROM events e JOIN signup s ON e.user_id = s.user_id
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL
+      |  GROUP BY 1, 2
+      |  HAVING CAST(date_diff('day', cohort_week,
+      |      date_trunc('week', e.ts)) // 7 AS BIGINT) >= 0),
+      |sizes AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      |  FROM signup GROUP BY 1)
+      |SELECT m.cohort_week, m.week_index, z.cohort_users,
+      |  m.revenue_cents,
+      |  CAST(sum(m.revenue_cents) OVER (PARTITION BY m.cohort_week
+      |    ORDER BY m.week_index ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_cents,
+      |  CAST(CAST(sum(m.revenue_cents) OVER (PARTITION BY m.cohort_week
+      |    ORDER BY m.week_index ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    // z.cohort_users AS BIGINT) AS clv_cents_per_user
+      |FROM weekly m JOIN sizes z ON m.cohort_week = z.cohort_week
+      |ORDER BY m.cohort_week, m.week_index""".stripMargin
+
   def eventPatternMatchOracleSql: String =
     """WITH c AS (
       |  SELECT user_id, ts, event_id,

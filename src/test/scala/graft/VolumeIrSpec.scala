@@ -226,6 +226,47 @@ class VolumeIrSpec extends SparkTestBase {
     assert(r.getLong(2) == 250000L)  // 1/4
   }
 
+  test("windowFunnelDepth: ordering and window constraints both bite") {
+    def at(u: Long, tp: String, h: Int) =
+      ((u * 1000 + h).toLong, Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h.toLong)),
+        u, tp, 1.0, "{}")
+    val rows = Seq(
+      // user 1: v -> c -> p inside 24h: depth 3
+      at(1, "view", 0), at(1, "click", 2), at(1, "purchase", 4),
+      // user 2: click BEFORE first view: depth 1 (ordering bites)
+      at(2, "click", 0), at(2, "view", 2), at(2, "purchase", 1),
+      // user 3: click after 24h window: depth 1 (window bites)
+      at(3, "view", 0), at(3, "click", 30), at(3, "purchase", 31),
+      // user 4: no funnel events at all: depth 0
+      at(4, "error", 0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val r = graft.queries.Analytics.windowFunnelDepth(df).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+  }
+
+  test("clvCohortCurves: cumulative cents per cohort hand-checked") {
+    def at(u: Long, tp: String, day: Int, v: Double) =
+      ((u * 1000 + day).toLong, Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, day, 12, 0)), u, tp, v, "{}")
+    // Cohort week of Jan 1 (Mon): users 1, 2 sign up; purchases in week
+    // 0 and week 1.
+    val rows = Seq(
+      at(1, "signup", 1, 0.0), at(2, "signup", 2, 0.0),
+      at(1, "purchase", 3, 10.0), at(2, "purchase", 4, 20.0),
+      at(1, "purchase", 10, 5.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val r = graft.queries.Analytics.clvCohortCurves(df).collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(1) == 0L && r(0).getLong(3) == 3000L)
+    assert(r(0).getLong(4) == 3000L && r(0).getLong(5) == 1500L)
+    assert(r(1).getLong(1) == 1L && r(1).getLong(3) == 500L)
+    assert(r(1).getLong(4) == 3500L && r(1).getLong(5) == 1750L)
+  }
+
   test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
     // Singleton baskets -> no pairs -> empty model/probe.
     val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
