@@ -1196,7 +1196,14 @@ object SparkEntry {
       Analytics.windowFunnelDepth(Tables.events(s, dir))),
     // Weekly-cohort cumulative LTV curves in exact cents.
     "clv_cohort_curves" -> ((s, dir) =>
-      Analytics.clvCohortCurves(Tables.events(s, dir)))
+      Analytics.clvCohortCurves(Tables.events(s, dir))),
+    // Holt linear level+trend fold with one-step forecasts
+    // (recursive-CTE oracle, bit-identical update chain).
+    "holt_forecast" -> ((s, dir) =>
+      graft.operators.Changepoint.holtForecast(Tables.events(s, dir))),
+    // Heaps-law vocabulary growth across doc-order deciles.
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4383,7 +4390,9 @@ object SparkEntry {
     "hourly_value_percentiles" -> Analytics.hourlyValuePercentilesOracleSql,
     "linear_attribution" -> Analytics.linearAttributionOracleSql,
     "window_funnel_depth" -> Analytics.windowFunnelOracleSql(),
-    "clv_cohort_curves" -> Analytics.clvCohortOracleSql
+    "clv_cohort_curves" -> Analytics.clvCohortOracleSql,
+    "holt_forecast" -> graft.operators.Changepoint.holtOracleSql,
+    "vocab_growth" -> TextAnalysis.vocabGrowthOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

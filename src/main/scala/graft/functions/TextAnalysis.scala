@@ -1465,6 +1465,69 @@ object TextAnalysis {
        |      ORDER BY tf_feedback DESC, fba.term LIMIT $kTerms) t
        |ORDER BY tf_feedback DESC, term""".stripMargin
 
+  /** Vocabulary-growth (Heaps'-law) audit: docs in doc_id order split
+    * into exact deciles (range-partitioned ntile), each token attributed
+    * to the decile of its FIRST occurrence — the curve of cumulative
+    * distinct vocabulary vs cumulative token volume that says whether a
+    * corpus is still contributing new types or re-treading (the
+    * "is more data adding anything" question). All exact integers;
+    * caller releases the pinned ranked frame (Verify/Bench do).
+    *
+    * Scale: one explode pass to (token, min doc) and per-doc token
+    * counts (map-side combine); the decile assignment rides
+    * [[graft.operators.DistributedRank]]; the report is 10 rows.
+    */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deciled = graft.operators.DistributedRank.withRankStats(
+      documents.select(col("doc_id"), tokens(col("text")).as("toks")),
+      Seq(col("doc_id")), 10, "decile", "__p", "__c")
+      .select(col("doc_id"), col("toks"), col("decile"))
+    val docTokens = deciled
+      .select(col("decile"), size(col("toks")).cast("long").as("n_toks"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_toks")).as("tokens"))
+    val firstDoc = deciled
+      .select(col("decile"), col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(min(struct(col("doc_id"), col("decile"))).as("first"))
+      .groupBy(col("first.decile").as("decile"))
+      .agg(count(lit(1)).as("vocab_new"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docTokens
+      .join(firstDoc, Seq("decile"), "left")
+      .select(col("decile"), col("docs"), col("tokens"),
+        coalesce(col("vocab_new"), lit(0L)).as("vocab_new"))
+      .withColumn("tokens_cum", sum(col("tokens")).over(w))
+      .withColumn("vocab_cum", sum(col("vocab_new")).over(w))
+      .orderBy(col("decile"))
+  }
+
+  def vocabGrowthOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(ntile(10) OVER (ORDER BY doc_id) AS INTEGER) AS decile
+      |  FROM documents),
+      |dt AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(len(toks)) AS BIGINT) AS tokens
+      |  FROM d GROUP BY 1),
+      |fd AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS vocab_new
+      |  FROM (SELECT tok, min_by(decile, doc_id) AS decile
+      |        FROM (SELECT doc_id, decile, unnest(toks) AS tok FROM d) t
+      |        GROUP BY tok) f
+      |  GROUP BY 1)
+      |SELECT dt.decile, dt.docs, dt.tokens,
+      |  CAST(coalesce(fd.vocab_new, 0) AS BIGINT) AS vocab_new,
+      |  CAST(sum(dt.tokens) OVER (ORDER BY dt.decile
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+      |  CAST(sum(coalesce(fd.vocab_new, 0)) OVER (ORDER BY dt.decile
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+      |FROM dt LEFT JOIN fd ON dt.decile = fd.decile
+      |ORDER BY dt.decile""".stripMargin
+
   def lexicalComplexityOracleSql: String =
     """WITH w AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS w

@@ -299,6 +299,90 @@ object Changepoint {
       |  END AS acf_lag1
       |FROM a ORDER BY event_type""".stripMargin
 
+  /** Holt linear (double-exponential) smoothing (Holt 1957) of hourly
+    * volumes — the trend-aware forecaster between the EWMA's flat level
+    * and the full seasonal decomposition: level l' = λx + (1−λ)(l+b),
+    * trend b' = γ(l'−l) + (1−γ)b, one-step forecast l+b emitted beside
+    * each observation, λ = 1/2 and γ = 1/4 (exact binary fractions —
+    * each step is a multiply-add chain spelled identically in the
+    * recursive-CTE oracle, so the doubles agree bit-for-bit). Seeds:
+    * l₁ = x₁, b₁ = 0.
+    *
+    * Same scale shape as [[cusumChangepoints]]: the corpus reduces to
+    * the time-domain-bounded hourly frame in one scan; the
+    * non-associative recursion folds each key's sorted series with
+    * `aggregate`.
+    */
+  def holtForecast(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val folded = hourly
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("xs"))
+      .withColumn("steps", expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  struct(
+          |    array(named_struct(
+          |      'h', xs[0].h, 'x', xs[0].x,
+          |      'level', cast(xs[0].x as double),
+          |      'trend', cast(0.0 as double),
+          |      'forecast', cast(null as double))) as out,
+          |    cast(xs[0].x as double) as l,
+          |    cast(0.0 as double) as b),
+          |  (acc, e) -> struct(
+          |    concat(acc.out, array(named_struct(
+          |      'h', e.h, 'x', e.x,
+          |      'level', cast(e.x as double) * 0.5 + (acc.l + acc.b) * 0.5,
+          |      'trend',
+          |        ((cast(e.x as double) * 0.5 + (acc.l + acc.b) * 0.5)
+          |          - acc.l) * 0.25 + acc.b * 0.75,
+          |      'forecast', acc.l + acc.b))),
+          |    cast(e.x as double) * 0.5 + (acc.l + acc.b) * 0.5,
+          |    ((cast(e.x as double) * 0.5 + (acc.l + acc.b) * 0.5)
+          |      - acc.l) * 0.25 + acc.b * 0.75),
+          |  acc -> acc.out)""".stripMargin))
+    folded
+      .filter(size(col("xs")) >= 1)
+      .select(col("event_type"), explode(col("steps")).as("st"))
+      .select(col("event_type"),
+        col("st.h").as("window_start"),
+        col("st.x").as("x"),
+        round(col("st.level"), 4).as("level"),
+        round(col("st.trend"), 4).as("trend"),
+        round(col("st.forecast"), 4).as("forecast"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Recursive-CTE replay of the Holt fold (identical update spelling). */
+  def holtOracleSql: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h)
+      |    AS rn
+      |  FROM hourly),
+      |walk(event_type, rn, h, x, l, b, f) AS (
+      |  SELECT event_type, rn, h, x, CAST(x AS DOUBLE),
+      |    CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+      |  FROM idx WHERE rn = 1
+      |  UNION ALL
+      |  SELECT w.event_type, i.rn, i.h, i.x,
+      |    CAST(i.x AS DOUBLE) * 0.5 + (w.l + w.b) * 0.5,
+      |    ((CAST(i.x AS DOUBLE) * 0.5 + (w.l + w.b) * 0.5) - w.l) * 0.25
+      |      + w.b * 0.75,
+      |    w.l + w.b
+      |  FROM walk w
+      |  JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1)
+      |SELECT event_type, h AS window_start, x,
+      |  round(l, 4) AS level, round(b, 4) AS trend,
+      |  round(f, 4) AS forecast
+      |FROM walk
+      |ORDER BY event_type, window_start""".stripMargin
+
   /** EWMA control chart (Roberts, Technometrics 1959) over per-type
     * hourly volumes: z_t = z_{t-1} + λ·(x_t − z_{t-1}), λ = 1/4, seeded
     * at the baseline mean; alarm when |z_t − μ| exceeds L·σ·√(λ/(2−λ))

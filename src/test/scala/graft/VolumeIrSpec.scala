@@ -267,6 +267,41 @@ class VolumeIrSpec extends SparkTestBase {
     assert(r(1).getLong(4) == 3500L && r(1).getLong(5) == 1750L)
   }
 
+  test("holtForecast: hand-computed level/trend on a short ramp") {
+    // x = 10, 20, 30: l1=10 b1=0; l2=15 b2=1.25; l3=23.125 b3=2.96875;
+    // forecasts: null, 10, 16.25.
+    val rows = Seq(10, 20, 30).zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => ((h * 100 + i).toLong,
+        Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, h, 0)),
+        i.toLong, "click", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Changepoint.holtForecast(rows).collect()
+    assert(r.length == 3)
+    assert(r(0).getDouble(3) == 10.0 && r(0).getDouble(4) == 0.0)
+    assert(r(0).isNullAt(5))
+    assert(r(1).getDouble(3) == 15.0 && r(1).getDouble(4) == 1.25)
+    assert(r(1).getDouble(5) == 10.0)
+    assert(r(2).getDouble(3) == 23.125 && r(2).getDouble(4) == 2.9688)
+    assert(r(2).getDouble(5) == 16.25)
+  }
+
+  test("vocabGrowth: new-type attribution to first-occurrence decile") {
+    // 20 docs; token 'zz' appears only from doc 10 on; 'aa' everywhere.
+    val docs = (0L until 20L).map { i =>
+      val text = if (i >= 10L) "aa zz" else "aa"
+      (i, text, "en", "s0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    try {
+      val rows = graft.functions.TextAnalysis.vocabGrowth(docs).collect()
+      assert(rows.length == 10)
+      assert(rows.map(_.getLong(1)).sum == 20L)           // docs partitioned
+      assert(rows.head.getLong(3) == 1L)                  // 'aa' in decile 1
+      assert(rows(5).getLong(3) == 1L)                    // 'zz' first at doc 10
+      assert(rows.last.getLong(5) == 2L)                  // cumulative vocab
+      assert(rows.map(_.getLong(3)).sum == 2L)
+    } finally graft.operators.DistributedRank.release(spark)
+  }
+
   test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
     // Singleton baskets -> no pairs -> empty model/probe.
     val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
