@@ -1203,7 +1203,13 @@ object SparkEntry {
       graft.operators.Changepoint.holtForecast(Tables.events(s, dir))),
     // Heaps-law vocabulary growth across doc-order deciles.
     "vocab_growth" -> ((s, dir) =>
-      TextAnalysis.vocabGrowth(Tables.documents(s, dir)))
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
+    // Daily acquisition-vs-retention mix in exact ppm.
+    "new_vs_returning" -> ((s, dir) =>
+      Analytics.newVsReturning(Tables.events(s, dir))),
+    // Multi-window SLO error-budget burn with the two-window page rule.
+    "slo_burn_rate" -> ((s, dir) =>
+      Analytics.sloBurnRate(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4392,7 +4398,9 @@ object SparkEntry {
     "window_funnel_depth" -> Analytics.windowFunnelOracleSql(),
     "clv_cohort_curves" -> Analytics.clvCohortOracleSql,
     "holt_forecast" -> graft.operators.Changepoint.holtOracleSql,
-    "vocab_growth" -> TextAnalysis.vocabGrowthOracleSql
+    "vocab_growth" -> TextAnalysis.vocabGrowthOracleSql,
+    "new_vs_returning" -> Analytics.newVsReturningOracleSql,
+    "slo_burn_rate" -> Analytics.sloBurnRateOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -2184,6 +2184,101 @@ object Analytics {
       |FROM weekly m JOIN sizes z ON m.cohort_week = z.cohort_week
       |ORDER BY m.cohort_week, m.week_index""".stripMargin
 
+  /** Daily new-vs-returning user split: each user's first-ever event
+    * day marks them "new" that day, "returning" on every later active
+    * day — the growth-accounting curve (acquisition vs retention mix).
+    * Exact counts + ppm share.
+    *
+    * Scale: first-day is one user-keyed min; daily activity is one
+    * (day, user)-distinct aggregate; the join back rides the same user
+    * keying.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first_day"))
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    daily
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum((col("day") === col("first_day")).cast("bigint"))
+          .as("new_users"))
+      .select(col("day"), col("active_users"), col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"),
+        expr("(new_users * 1000000L) DIV active_users").as("new_share_ppm"))
+      .orderBy(col("day"))
+  }
+
+  def newVsReturningOracleSql: String =
+    """WITH fd AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+      |  FROM events GROUP BY 1),
+      |daily AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |a AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS active_users,
+      |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS new_users
+      |  FROM daily JOIN fd ON daily.user_id = fd.user_id
+      |  GROUP BY day)
+      |SELECT day, active_users, new_users,
+      |  active_users - new_users AS returning_users,
+      |  CAST(new_users * 1000000 // active_users AS BIGINT)
+      |    AS new_share_ppm
+      |FROM a ORDER BY day""".stripMargin
+
+  /** Multi-window SLO burn rate (the SRE error-budget alert, Google SRE
+    * workbook ch.5): per hour, the error rate over the short (1 h) and
+    * long (trailing 6 h) windows in exact ppm, and the page condition =
+    * BOTH windows above the burn threshold (fast burn that is not just
+    * a blip). Budget: 2% error target → threshold 20 000 ppm.
+    *
+    * Scale: one scan to the hourly (errors, total) frame; the long
+    * window is a 6-row ROWS frame over the calendar-bounded series.
+    */
+  def sloBurnRate(events: DataFrame,
+      thresholdPpm: Long = 20000L): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum((col("event_type") === "error").cast("bigint")).as("errors"))
+    val w6 = Window.orderBy(col("h")).rowsBetween(-5, 0)
+    hourly
+      .withColumn("total_6h", sum(col("total")).over(w6))
+      .withColumn("errors_6h", sum(col("errors")).over(w6))
+      .select(col("h").as("window_start"), col("total"), col("errors"),
+        expr("(errors * 1000000L) DIV total").as("error_ppm_1h"),
+        expr("(errors_6h * 1000000L) DIV total_6h").as("error_ppm_6h"))
+      .withColumn("page",
+        col("error_ppm_1h") > thresholdPpm &&
+          col("error_ppm_6h") > thresholdPpm)
+      .orderBy(col("window_start"))
+  }
+
+  def sloBurnRateOracleSql(thresholdPpm: Long = 20000L): String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS h,
+       |    CAST(count(*) AS BIGINT) AS total,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS errors
+       |  FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT h, total, errors,
+       |    CAST(sum(total) OVER w AS BIGINT) AS total_6h,
+       |    CAST(sum(errors) OVER w AS BIGINT) AS errors_6h
+       |  FROM hourly
+       |  WINDOW w AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+       |SELECT h AS window_start, total, errors,
+       |  CAST(errors * 1000000 // total AS BIGINT) AS error_ppm_1h,
+       |  CAST(errors_6h * 1000000 // total_6h AS BIGINT) AS error_ppm_6h,
+       |  (errors * 1000000 // total > $thresholdPpm
+       |   AND errors_6h * 1000000 // total_6h > $thresholdPpm) AS page
+       |FROM r ORDER BY window_start""".stripMargin
+
   def eventPatternMatchOracleSql: String =
     """WITH c AS (
       |  SELECT user_id, ts, event_id,

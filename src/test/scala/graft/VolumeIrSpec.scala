@@ -302,6 +302,42 @@ class VolumeIrSpec extends SparkTestBase {
     } finally graft.operators.DistributedRank.release(spark)
   }
 
+  test("newVsReturning: first-day attribution hand-checked") {
+    def at(u: Long, day: Int) = ((u * 100 + day).toLong,
+      Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, day, 9, 0)),
+      u, "click", 1.0, "{}")
+    // day 1: users 1,2 (both new); day 2: users 1 (returning), 3 (new)
+    val df = Seq(at(1, 1), at(2, 1), at(1, 2), at(3, 2), at(1, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.Analytics.newVsReturning(df).collect()
+      .map(x => x.getDate(0).toString ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("2024-01-01") == (2L, 2L, 0L, 1000000L))
+    assert(r("2024-01-02") == (2L, 1L, 1L, 500000L))
+  }
+
+  test("sloBurnRate: page only when both windows burn") {
+    // 10 hours at 1% errors, then one hour at 50%: 1h window pages
+    // immediately, 6h window needs the spike to move the trailing rate.
+    val rows = (0 until 11).flatMap { h =>
+      val ts = Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h.toLong))
+      val errs = if (h < 10) 1 else 50
+      (0 until errs).map(i => ((h * 1000 + i).toLong, ts, i.toLong,
+        "error", 1.0, "{}")) ++
+        (0 until (100 - errs)).map(i => ((h * 1000 + 500 + i).toLong, ts,
+          i.toLong, "view", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.queries.Analytics.sloBurnRate(rows).collect()
+    assert(r.length == 11)
+    assert(r.take(10).forall(x => !x.getBoolean(5)))
+    val spike = r.last
+    assert(spike.getLong(3) == 500000L)
+    // 6h trailing: (5*1 + 50) / 600 = 91666 ppm > 20000 -> page
+    assert(spike.getLong(4) == 91666L)
+    assert(spike.getBoolean(5))
+  }
+
   test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
     // Singleton baskets -> no pairs -> empty model/probe.
     val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
