@@ -164,6 +164,22 @@ object ScaleSmoke {
         graft.operators.Association.assocRules(pseudoLineitem).count())
       time("itemrec_hitrate", scale)(
         graft.operators.Association.itemrecHitrate(pseudoLineitem).count())
+      // round-9 late additions: chained min-agg funnel, RANGE-window
+      // attribution, sequential Holt fold, user-keyed growth split
+      time("window_funnel_depth", scale)(
+        graft.queries.Analytics.windowFunnelDepth(ev).count())
+      time("linear_attribution", scale)(
+        graft.queries.Analytics.linearAttribution(ev).count())
+      time("holt_forecast", scale)(
+        graft.operators.Changepoint.holtForecast(ev).count())
+      time("new_vs_returning", scale)(
+        graft.queries.Analytics.newVsReturning(ev).count())
+      time("equidepth_histogram", scale)(
+        graft.operators.Histogram.equidepthHistogram(
+          pseudoLineitem.withColumn("l_extendedprice",
+              (col("l_partkey") % 997L).cast("double") / 100.0)
+            .withColumn("l_linenumber", col("l_orderkey"))).count())
+      DistributedRank.release(spark)
       ev.unpersist()
 
       val docs = DocGen.documents(spark, nDocs).cache()
@@ -231,6 +247,12 @@ object ScaleSmoke {
       // feedback aggregate + corpus df; curve should track bm25_top_docs
       time("prf_expansion", scale)(
         graft.functions.TextAnalysis.prfExpansion(docs).count())
+      // round-9 late: first-occurrence vocab curve + Zipf-tail profile
+      time("vocab_growth", scale)(
+        graft.functions.TextAnalysis.vocabGrowth(docs).count())
+      DistributedRank.release(spark)
+      time("rare_token_share", scale)(
+        graft.functions.TextAnalysis.rareTokenShare(docs).count())
       pairs.unpersist()
       docs.unpersist()
 

@@ -1209,7 +1209,10 @@ object SparkEntry {
       Analytics.newVsReturning(Tables.events(s, dir))),
     // Multi-window SLO error-budget burn with the two-window page rule.
     "slo_burn_rate" -> ((s, dir) =>
-      Analytics.sloBurnRate(Tables.events(s, dir)))
+      Analytics.sloBurnRate(Tables.events(s, dir))),
+    // Zipf-tail profile: hapax/rare type and mass shares per source.
+    "rare_token_share" -> ((s, dir) =>
+      TextAnalysis.rareTokenShare(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4400,7 +4403,8 @@ object SparkEntry {
     "holt_forecast" -> graft.operators.Changepoint.holtOracleSql,
     "vocab_growth" -> TextAnalysis.vocabGrowthOracleSql,
     "new_vs_returning" -> Analytics.newVsReturningOracleSql,
-    "slo_burn_rate" -> Analytics.sloBurnRateOracleSql()
+    "slo_burn_rate" -> Analytics.sloBurnRateOracleSql(),
+    "rare_token_share" -> TextAnalysis.rareTokenShareOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1528,6 +1528,57 @@ object TextAnalysis {
       |FROM dt LEFT JOIN fd ON dt.decile = fd.decile
       |ORDER BY dt.decile""".stripMargin
 
+  /** Long-tail token profile per source: hapax legomena (count = 1)
+    * and rare (count ≤ 5) type shares of the vocabulary, plus the token
+    * MASS the rare types carry — the Zipf-tail numbers that predict how
+    * a tokenizer's vocab budget and a dedup shingle index will behave
+    * on this source. All exact integers/ppm; one explode pass to the
+    * (source, token) counts.
+    */
+  def rareTokenShare(documents: DataFrame, rareMax: Long = 5L): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("c")).as("tokens"),
+        sum((col("c") === 1L).cast("bigint")).as("hapax_types"),
+        sum((col("c") <= rareMax).cast("bigint")).as("rare_types"),
+        sum(when(col("c") <= rareMax, col("c")).otherwise(0L))
+          .as("rare_mass"))
+      .select(col("source"), col("vocab"), col("tokens"),
+        col("hapax_types"), col("rare_types"),
+        expr("(hapax_types * 1000000L) DIV vocab").as("hapax_ppm"),
+        expr("(rare_types * 1000000L) DIV vocab").as("rare_type_ppm"),
+        expr("(rare_mass * 1000000L) DIV tokens").as("rare_mass_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def rareTokenShareOracleSql(rareMax: Long = 5L): String =
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+       |      FROM t GROUP BY 1, 2),
+       |a AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(c) AS BIGINT) AS tokens,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hapax_types,
+       |    CAST(sum(CASE WHEN c <= $rareMax THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS rare_types,
+       |    CAST(sum(CASE WHEN c <= $rareMax THEN c ELSE 0 END) AS BIGINT)
+       |      AS rare_mass
+       |  FROM c GROUP BY 1)
+       |SELECT source, vocab, tokens, hapax_types, rare_types,
+       |  CAST(hapax_types * 1000000 // vocab AS BIGINT) AS hapax_ppm,
+       |  CAST(rare_types * 1000000 // vocab AS BIGINT) AS rare_type_ppm,
+       |  CAST(rare_mass * 1000000 // tokens AS BIGINT) AS rare_mass_ppm
+       |FROM a ORDER BY source""".stripMargin
+
   def lexicalComplexityOracleSql: String =
     """WITH w AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS w

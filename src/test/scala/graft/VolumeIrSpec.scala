@@ -338,6 +338,20 @@ class VolumeIrSpec extends SparkTestBase {
     assert(spike.getBoolean(5))
   }
 
+  test("rareTokenShare: hapax and rare-mass hand-checked") {
+    // source s1: 'a' x10, 'b' x3, 'c' x1 -> vocab 3, hapax 1,
+    // rare (<=5) types 2, rare mass 4 of 14 tokens.
+    val text = (Seq.fill(10)("a") ++ Seq.fill(3)("b") :+ "c").mkString(" ")
+    val docs = Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.functions.TextAnalysis.rareTokenShare(docs).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 14L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L)
+    assert(r.getLong(5) == 1000000L / 3L)
+    assert(r.getLong(6) == 2000000L / 3L)
+    assert(r.getLong(7) == 4000000L / 14L)
+  }
+
   test("itemrecHitrate: empty model emits (0, 0, NULL) not an error") {
     // Singleton baskets -> no pairs -> empty model/probe.
     val li = (0L until 10L).map(ok => (ok, ok + 1L, 1L, 0L, 1.0, 1.0, 0.0,
