@@ -1111,6 +1111,14 @@ object SparkEntry {
     // integer-exact residuals, distributed-rank order statistic.
     "conformal_intervals" -> ((s, dir) =>
       graft.operators.Experiment.conformalIntervals(Tables.documents(s, dir))),
+    // Mann-Whitney U on purchase values between hash variants: midrank
+    // ties via distributed ranks, doubled-rank integers, exact tie term.
+    "mann_whitney" -> ((s, dir) =>
+      graft.operators.Experiment.mannWhitney(Tables.events(s, dir))),
+    // Kaplan-Meier churn curve with right-censoring: integer product-limit
+    // recurrence at 10^12 scale, recursive-CTE oracle walk.
+    "km_survival" -> ((s, dir) =>
+      graft.operators.Survival.kmSurvival(Tables.orders(s, dir))),
     // EWMA control chart over hourly volumes (λ=1/4): sequential fold on
     // the time-bounded frame, recursive-CTE oracle, asymptotic 3σ limits.
     "ewma_anomalies" -> ((s, dir) =>
@@ -4369,6 +4377,11 @@ object SparkEntry {
     // Split conformal: integer rate fit, order-statistic radius, ppm
     // coverage.
     "conformal_intervals" -> graft.operators.Experiment.conformalOracleSql(),
+    // Mann-Whitney: window prefix-count n_less, HUGEINT doubled ranks,
+    // identical IEEE z spelling.
+    "mann_whitney" -> graft.operators.Experiment.mannWhitneyOracleSql,
+    // Kaplan-Meier: recursive-CTE floor-division survival walk.
+    "km_survival" -> graft.operators.Survival.kmOracleSql(),
     // EWMA: recursive-CTE walk of the identical IEEE update.
     "ewma_anomalies" -> graft.operators.Changepoint.ewmaOracleSql(),
     // Benford screen: digits from decimal strings of floor(), log10

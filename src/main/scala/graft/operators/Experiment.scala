@@ -232,6 +232,121 @@ object Experiment {
       .orderBy(col("source"))
   }
 
+  /** Mann-Whitney U rank test (Mann & Whitney, Ann. Math. Stat. 1947)
+    * comparing purchase values between the two hash variants — the
+    * nonparametric A/B readout a measurement pipeline runs when value
+    * distributions are heavy-tailed enough that the t-statistic behind
+    * CUPED is untrustworthy. Midrank tie handling, exact tie-corrected
+    * variance.
+    *
+    * Exactness: everything until the final z is integer. Doubled rank
+    * sums keep midranks integral (2·avgrank of a tie group member =
+    * 2·n_less + t + 1); the tie term Σ(t³−t) and the rank-biserial
+    * effect size (micros, sign-separated magnitude DIV — Spark DIV
+    * truncates where DuckDB `//` floors) are exact; z is one identically
+    * spelled IEEE expression over those integers on both engines.
+    *
+    * Scale: observation ranks ride [[DistributedRank]]'s
+    * range-partitioned rank (no single-partition window over the value
+    * axis — n_less(v) = min rank of v's tie group − 1, a distributed
+    * groupBy over distinct values, never a global prefix-sum task).
+    * Caller releases the pinned ranked frame via DistributedRank.release
+    * (Verify/Bench already do).
+    */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    val obs = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("v"),
+        pmod(col("user_id"), lit(2)).cast("int").as("g"),
+        col("event_id"))
+    val ranked = DistributedRank.withGlobalRank(
+      obs, Seq(col("v"), col("event_id")), "rk")
+    val grp = ranked
+      .groupBy(col("v"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("cnt1"),
+        (min(col("rk")) - 1L).as("nless"))
+    val agg = grp.agg(
+      sum(col("cnt") - col("cnt1")).cast("decimal(38,0)").as("n0"),
+      sum(col("cnt1")).cast("decimal(38,0)").as("n1"),
+      // operands widened BEFORE the product: cnt1·(2·n_less + t + 1) is
+      // O(N²) and overflows a long past ~3B observations
+      sum(col("cnt1").cast("decimal(38,0)") *
+        (col("nless").cast("decimal(38,0)") * 2L + col("cnt") + 1L))
+        .cast("decimal(38,0)").as("two_r1"),
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+        - col("cnt")).cast("decimal(38,0)").as("tie_cubes"))
+    val nD = (col("n0") + col("n1")).cast("double")
+    val varD = col("n0").cast("double") * col("n1").cast("double") /
+      lit(12.0) *
+      ((nD + lit(1.0)) - col("tie_cubes").cast("double") /
+        (nD * (nD - lit(1.0))))
+    agg
+      .withColumn("u1_x2", col("two_r1") - col("n1") * (col("n1") + 1L))
+      .withColumn("num", col("u1_x2") - col("n0") * col("n1"))
+      .select(
+        col("n0").cast("bigint").as("n0"),
+        col("n1").cast("bigint").as("n1"),
+        col("two_r1").cast("bigint").as("r1_x2"),
+        col("u1_x2").cast("bigint").as("u1_x2"),
+        col("tie_cubes").cast("bigint").as("tie_cubes"),
+        when(col("num") >= 0,
+          expr("(num * 1000000) DIV (n0 * n1)"))
+          .otherwise(-expr("((-num) * 1000000) DIV (n0 * n1)"))
+          .cast("bigint").as("rank_biserial_micros"),
+        // z undefined when every observation ties (variance 0) or a
+        // group is empty — NULL, not NaN/Inf
+        when(col("n0") > 0 && col("n1") > 0 && varD > lit(0.0),
+          round(col("num").cast("double") / (lit(2.0) * sqrt(varD)), 6))
+          .as("z"))
+  }
+
+  def mannWhitneyOracleSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(user_id % 2 AS INTEGER) AS g, event_id
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |grp AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+      |  FROM obs GROUP BY v),
+      |w AS (
+      |  SELECT v, cnt, cnt1,
+      |    CAST(sum(cnt) OVER (ORDER BY v) - cnt AS HUGEINT) AS nless
+      |  FROM grp),
+      |agg AS (
+      |  SELECT CAST(sum(cnt - cnt1) AS HUGEINT) AS n0,
+      |    CAST(sum(cnt1) AS HUGEINT) AS n1,
+      |    CAST(sum(CAST(cnt1 AS HUGEINT) * (nless * 2 + cnt + 1))
+      |      AS HUGEINT) AS two_r1,
+      |    CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT)
+      |      AS tie_cubes
+      |  FROM w),
+      |d AS (
+      |  SELECT *, two_r1 - n1 * (n1 + 1) AS u1_x2,
+      |    two_r1 - n1 * (n1 + 1) - n0 * n1 AS num,
+      |    CAST(n0 + n1 AS DOUBLE) AS nd
+      |  FROM agg)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(two_r1 AS BIGINT) AS r1_x2,
+      |  CAST(u1_x2 AS BIGINT) AS u1_x2,
+      |  CAST(tie_cubes AS BIGINT) AS tie_cubes,
+      |  CAST(CASE WHEN num >= 0 THEN (num * 1000000) // (n0 * n1)
+      |       ELSE -(((-num) * 1000000) // (n0 * n1)) END AS BIGINT)
+      |    AS rank_biserial_micros,
+      |  CASE WHEN n0 > 0 AND n1 > 0 AND
+      |      CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+      |        ((nd + 1.0) - CAST(tie_cubes AS DOUBLE) / (nd * (nd - 1.0)))
+      |        > 0.0
+      |    THEN round(CAST(num AS DOUBLE) /
+      |      (2.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+      |        ((nd + 1.0) - CAST(tie_cubes AS DOUBLE) / (nd * (nd - 1.0))))),
+      |      6)
+      |  END AS z
+      |FROM d""".stripMargin
+
   def conformalOracleSql(alphaPpm: Long = 100000L): String =
     s"""WITH pd AS (
        |  SELECT doc_id, source,
