@@ -1119,6 +1119,20 @@ object SparkEntry {
     // recurrence at 10^12 scale, recursive-CTE oracle walk.
     "km_survival" -> ((s, dir) =>
       graft.operators.Survival.kmSurvival(Tables.orders(s, dir))),
+    // Difference-in-differences on per-user purchase value: exact
+    // dollar-micros cell means, four-term integer estimate.
+    "diff_in_diff" -> ((s, dir) =>
+      graft.operators.Experiment.diffInDiff(Tables.events(s, dir))),
+    // Approximate-FD discovery (g3 error): rows-to-delete per candidate
+    // dependency across four tables, ppm violation rates.
+    "fd_violations" -> ((s, dir) =>
+      graft.operators.DataQuality.fdViolations(
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.events(s, dir), Tables.documents(s, dir))),
+    // Isotonic (PAVA-equivalent) calibration of hourly purchase
+    // propensity via the integer minimax closed form on 24 buckets.
+    "isotonic_calibration" -> ((s, dir) =>
+      graft.operators.FeatureEng.isotonicCalibration(Tables.events(s, dir))),
     // EWMA control chart over hourly volumes (λ=1/4): sequential fold on
     // the time-bounded frame, recursive-CTE oracle, asymptotic 3σ limits.
     "ewma_anomalies" -> ((s, dir) =>
@@ -4382,6 +4396,12 @@ object SparkEntry {
     "mann_whitney" -> graft.operators.Experiment.mannWhitneyOracleSql,
     // Kaplan-Meier: recursive-CTE floor-division survival walk.
     "km_survival" -> graft.operators.Survival.kmOracleSql(),
+    // DiD: HUGEINT cell sums, micros DIV means, integer estimate.
+    "diff_in_diff" -> graft.operators.Experiment.diffInDiffOracleSql(),
+    // FD g3: per-pair Σ max_B count(A,B) vs n, UNION ALL across tables.
+    "fd_violations" -> graft.operators.DataQuality.fdViolationsOracleSql,
+    // Isotonic: identical integer minimax over the 24-bucket frame.
+    "isotonic_calibration" -> graft.operators.FeatureEng.isotonicOracleSql,
     // EWMA: recursive-CTE walk of the identical IEEE update.
     "ewma_anomalies" -> graft.operators.Changepoint.ewmaOracleSql(),
     // Benford screen: digits from decimal strings of floor(), log10

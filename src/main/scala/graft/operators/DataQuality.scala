@@ -418,4 +418,72 @@ object DataQuality {
        |SELECT table_name, affected_rows, total_rows,
        |  CAST(affected_rows * 1000000 // total_rows AS BIGINT) AS loss_ppm
        |FROM rows ORDER BY table_name""".stripMargin
+
+  /** Approximate functional-dependency discovery (Kivinen & Mannila,
+    * TCS 1995 g₃ error; the per-pair primitive behind TANE-style
+    * profilers): for each candidate dependency A → B, the minimum number
+    * of rows to DELETE for the dependency to hold exactly —
+    * n − Σ_A max_B count(A,B) — plus the lhs cardinality and the
+    * violation rate in ppm. A schema-drift audit reads this beside
+    * `column_stats`: a dependency that held yesterday and leaks today is
+    * an upstream join or ingestion bug.
+    *
+    * Scale: each pair costs two shuffles over the (A,B) GROUP BY frame
+    * (map-side combine; frame bounded by pair cardinality, not row
+    * count) and a scalar agg. Pairs are independent — Spark runs the
+    * union's branches concurrently.
+    */
+  def fdViolations(orders: DataFrame, lineitem: DataFrame,
+      events: DataFrame, documents: DataFrame): DataFrame = {
+    def fdOf(df: DataFrame, lhs: String, rhs: String,
+        label: String): DataFrame =
+      df.select(col(lhs).cast("string").as("a"),
+          col(rhs).cast("string").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a")).agg(sum(col("c")).as("na"), max(col("c")).as("mx"))
+        .agg(count(lit(1)).as("n_lhs"), sum(col("na")).as("n_rows"),
+          sum(col("mx")).as("kept"))
+        .select(
+          lit(label).as("dependency"),
+          col("n_rows"), col("n_lhs"),
+          (col("n_rows") - col("kept")).as("violations"),
+          (col("n_rows") === col("kept")).as("holds"),
+          expr("((n_rows - kept) * 1000000) DIV n_rows")
+            .as("violation_ppm"))
+    fdOf(orders, "o_orderkey", "o_orderstatus",
+        "orders.o_orderkey->o_orderstatus")
+      .unionByName(fdOf(orders, "o_custkey", "o_orderpriority",
+        "orders.o_custkey->o_orderpriority"))
+      .unionByName(fdOf(lineitem, "l_partkey", "l_suppkey",
+        "lineitem.l_partkey->l_suppkey"))
+      .unionByName(fdOf(events, "user_id", "event_type",
+        "events.user_id->event_type"))
+      .unionByName(fdOf(documents, "source", "lang",
+        "documents.source->lang"))
+      .orderBy(col("dependency"))
+  }
+
+  def fdViolationsOracleSql: String = {
+    def one(table: String, lhs: String, rhs: String): String =
+      s"""SELECT '$table.$lhs->$rhs' AS dependency,
+         |  CAST(sum(na) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_lhs,
+         |  CAST(sum(na) - sum(mx) AS BIGINT) AS violations,
+         |  sum(na) = sum(mx) AS holds,
+         |  CAST((sum(na) - sum(mx)) * 1000000 // sum(na) AS BIGINT)
+         |    AS violation_ppm
+         |FROM (
+         |  SELECT a, sum(c) AS na, max(c) AS mx FROM (
+         |    SELECT CAST($lhs AS VARCHAR) AS a, CAST($rhs AS VARCHAR) AS b,
+         |      count(*) AS c
+         |    FROM $table GROUP BY 1, 2) g
+         |  GROUP BY a) p""".stripMargin
+    Seq(
+      one("orders", "o_orderkey", "o_orderstatus"),
+      one("orders", "o_custkey", "o_orderpriority"),
+      one("lineitem", "l_partkey", "l_suppkey"),
+      one("events", "user_id", "event_type"),
+      one("documents", "source", "lang"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
+  }
 }

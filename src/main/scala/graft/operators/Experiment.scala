@@ -232,6 +232,83 @@ object Experiment {
       .orderBy(col("source"))
   }
 
+  /** Difference-in-differences readout (Card & Krueger, AER 1994 shape)
+    * on per-user purchase value across the same pre/post split CUPED
+    * uses: DiD = (post₁ − pre₁) − (post₀ − pre₀) over per-variant user
+    * means. Everything is exact: per-user period sums are integer cents,
+    * per-variant means are dollar-micros via `(Σcents·10⁴) DIV n`, and
+    * the estimate is a four-term integer subtraction of those micros —
+    * no float anywhere.
+    *
+    * Scale: identical to [[cupedAdjust]] — one corpus scan to per-user
+    * (pre, post) cents with map-side combine, then a single conditional
+    * aggregate to one row.
+    */
+  def diffInDiff(events: DataFrame,
+      preEnd: String = "2024-01-08 00:00:00"): DataFrame = {
+    val cents = col("value").cast("decimal(18,2)") * lit(100)
+    val perUser = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < to_timestamp(lit(preEnd)), cents)
+          .otherwise(lit(0))).cast("decimal(38,0)").as("x"),
+        sum(when(col("ts") >= to_timestamp(lit(preEnd)), cents)
+          .otherwise(lit(0))).cast("decimal(38,0)").as("y"))
+      .withColumn("v", pmod(col("user_id"), lit(2)).cast("int"))
+    def side(v: Int, c: String) =
+      sum(when(col("v") === v, col(c)).otherwise(lit(0)))
+        .cast("decimal(38,0)")
+    perUser
+      .agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+        side(0, "x").as("sx0"), side(0, "y").as("sy0"),
+        side(1, "x").as("sx1"), side(1, "y").as("sy1"))
+      .select(
+        col("n0"), col("n1"),
+        expr("cast((sx0 * 10000) DIV n0 as bigint)").as("pre0_micros"),
+        expr("cast((sy0 * 10000) DIV n0 as bigint)").as("post0_micros"),
+        expr("cast((sx1 * 10000) DIV n1 as bigint)").as("pre1_micros"),
+        expr("cast((sy1 * 10000) DIV n1 as bigint)").as("post1_micros"))
+      .withColumn("did_micros",
+        (col("post1_micros") - col("pre1_micros")) -
+          (col("post0_micros") - col("pre0_micros")))
+  }
+
+  def diffInDiffOracleSql(preEnd: String = "2024-01-08 00:00:00"): String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ts < TIMESTAMP '$preEnd'
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      ELSE 0 END) AS HUGEINT) AS x,
+       |    CAST(sum(CASE WHEN ts >= TIMESTAMP '$preEnd'
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      ELSE 0 END) AS HUGEINT) AS y,
+       |    CAST(user_id % 2 AS INTEGER) AS v
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+       |  GROUP BY user_id),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS sx0,
+       |    sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS sy0,
+       |    sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS sx1,
+       |    sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS sy1
+       |  FROM pu),
+       |m AS (
+       |  SELECT n0, n1,
+       |    CAST((sx0 * 10000) // n0 AS BIGINT) AS pre0_micros,
+       |    CAST((sy0 * 10000) // n0 AS BIGINT) AS post0_micros,
+       |    CAST((sx1 * 10000) // n1 AS BIGINT) AS pre1_micros,
+       |    CAST((sy1 * 10000) // n1 AS BIGINT) AS post1_micros
+       |  FROM agg)
+       |SELECT n0, n1, pre0_micros, post0_micros, pre1_micros, post1_micros,
+       |  (post1_micros - pre1_micros) - (post0_micros - pre0_micros)
+       |    AS did_micros
+       |FROM m""".stripMargin
+
   /** Mann-Whitney U rank test (Mann & Whitney, Ann. Math. Stat. 1947)
     * comparing purchase values between the two hash variants — the
     * nonparametric A/B readout a measurement pipeline runs when value

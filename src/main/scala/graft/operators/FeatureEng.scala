@@ -285,4 +285,74 @@ SELECT t.n, t.mean_micros, CAST($B AS BIGINT) AS replicates,
     AS boot_hi_micros
 FROM tot t"""
   }
+
+  // ---- isotonic calibration ----------------------------------------------
+
+  /** Isotonic (monotone non-decreasing) calibration of the hourly
+    * purchase propensity — the PAVA-equivalent fit, computed through the
+    * minimax closed form (Robertson/Wright/Dykstra, "Order Restricted
+    * Statistical Inference" 1988):
+    *
+    *   iso(i) = max_{j≤i} min_{k≥i} mean(y over buckets j..k, pooled)
+    *
+    * the exact weighted-L2 isotonic solution. Every interval mean is the
+    * integer `(Σy·10^6) DIV (Σn)`; floor commutes with max and min, so
+    * the floored minimax IS the floor of the exact rational fit — both
+    * engines walk identical integers (no PAVA stack fold needed).
+    *
+    * Scale: ONE scan reduces the corpus to the 24-hour bucket frame with
+    * map-side combine; the O(B³) minimax runs on B = 24 rows of
+    * broadcast-joined constants — corpus size never touches it. The
+    * reliability table `propensity_calibration` reports the RAW rates;
+    * this is the monotone model a serving layer would actually apply.
+    */
+  def isotonicCalibration(events: DataFrame): DataFrame = {
+    val buckets = events
+      .groupBy(hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val hs = buckets.select(col("h"))
+    val intervals = hs.select(col("h").as("j"))
+      .join(hs.select(col("h").as("k")), col("j") <= col("k"))
+      .join(buckets.select(col("h").as("hh"), col("n"), col("y")),
+        col("hh") >= col("j") && col("hh") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg(expr("(sum(y) * 1000000) DIV sum(n)").as("m"))
+    val iso = hs.select(col("h").as("i"))
+      .join(intervals, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("m")).as("inner"))
+      .groupBy(col("i")).agg(max(col("inner")).as("iso_micros"))
+    buckets.join(iso, col("h") === col("i"))
+      .select(col("h").as("hour"), col("n"), col("y"),
+        expr("(y * 1000000) DIV n").as("rate_micros"),
+        col("iso_micros"))
+      .orderBy(col("hour"))
+  }
+
+  def isotonicOracleSql: String =
+    """WITH b AS (
+      |  SELECT CAST(hour(ts) AS BIGINT) AS h,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |iv AS (
+      |  SELECT j.h AS j, k.h AS k,
+      |    CAST(sum(x.y) * 1000000 // sum(x.n) AS BIGINT) AS m
+      |  FROM b j JOIN b k ON j.h <= k.h
+      |    JOIN b x ON x.h BETWEEN j.h AND k.h
+      |  GROUP BY 1, 2),
+      |inner_min AS (
+      |  SELECT i.h AS i, iv.j, min(iv.m) AS inner_m
+      |  FROM b i JOIN iv ON iv.j <= i.h AND i.h <= iv.k
+      |  GROUP BY 1, 2),
+      |iso AS (
+      |  SELECT i, CAST(max(inner_m) AS BIGINT) AS iso_micros
+      |  FROM inner_min GROUP BY 1)
+      |SELECT b.h AS hour, b.n, b.y,
+      |  CAST(b.y * 1000000 // b.n AS BIGINT) AS rate_micros,
+      |  iso.iso_micros
+      |FROM b JOIN iso ON iso.i = b.h
+      |ORDER BY hour""".stripMargin
 }
