@@ -1133,6 +1133,10 @@ object SparkEntry {
     // propensity via the integer minimax closed form on 24 buckets.
     "isotonic_calibration" -> ((s, dir) =>
       graft.operators.FeatureEng.isotonicCalibration(Tables.events(s, dir))),
+    // Exact Shapley channel attribution: cleared-|C|! integer credits
+    // over the 2^|C| subset lattice (channel catalog bounded).
+    "shapley_attribution" -> ((s, dir) =>
+      graft.operators.Shapley.shapleyAttribution(Tables.events(s, dir))),
     // EWMA control chart over hourly volumes (λ=1/4): sequential fold on
     // the time-bounded frame, recursive-CTE oracle, asymptotic 3σ limits.
     "ewma_anomalies" -> ((s, dir) =>
@@ -4402,6 +4406,8 @@ object SparkEntry {
     "fd_violations" -> graft.operators.DataQuality.fdViolationsOracleSql,
     // Isotonic: identical integer minimax over the 24-bucket frame.
     "isotonic_calibration" -> graft.operators.FeatureEng.isotonicOracleSql,
+    // Shapley: recursive subset lattice + factorial CTE, HUGEINT credits.
+    "shapley_attribution" -> graft.operators.Shapley.shapleyOracleSql,
     // EWMA: recursive-CTE walk of the identical IEEE update.
     "ewma_anomalies" -> graft.operators.Changepoint.ewmaOracleSql(),
     // Benford screen: digits from decimal strings of floor(), log10
