@@ -1137,6 +1137,19 @@ object SparkEntry {
     // over the 2^|C| subset lattice (channel catalog bounded).
     "shapley_attribution" -> ((s, dir) =>
       graft.operators.Shapley.shapleyAttribution(Tables.events(s, dir))),
+    // Robust per-segment location: 10% trimmed + winsorized means via
+    // one global ranged rank minus per-segment offsets.
+    "trimmed_means" -> ((s, dir) =>
+      graft.operators.RobustStats.trimmedMeans(
+        Tables.orders(s, dir), Tables.customer(s, dir))),
+    // Theil-Sen median slope of hourly volume: bounded O(H^2) pair
+    // frame, sign-separated floor-micros, ranked lower median.
+    "theil_sen_trend" -> ((s, dir) =>
+      graft.operators.RobustStats.theilSen(Tables.events(s, dir))),
+    // Simpson's-paradox audit: per-stratum vs pooled conversion-sign
+    // comparison on cross-multiplied integer cells.
+    "simpson_reversal" -> ((s, dir) =>
+      graft.operators.Experiment.simpsonReversal(Tables.events(s, dir))),
     // EWMA control chart over hourly volumes (λ=1/4): sequential fold on
     // the time-bounded frame, recursive-CTE oracle, asymptotic 3σ limits.
     "ewma_anomalies" -> ((s, dir) =>
@@ -4408,6 +4421,12 @@ object SparkEntry {
     "isotonic_calibration" -> graft.operators.FeatureEng.isotonicOracleSql,
     // Shapley: recursive subset lattice + factorial CTE, HUGEINT credits.
     "shapley_attribution" -> graft.operators.Shapley.shapleyOracleSql,
+    // Trimmed/winsorized: per-segment row_number window, HUGEINT sums.
+    "trimmed_means" -> graft.operators.RobustStats.trimmedMeansOracleSql,
+    // Theil-Sen: identical pair slopes + lower-median row_number pick.
+    "theil_sen_trend" -> graft.operators.RobustStats.theilSenOracleSql,
+    // Simpson: sign of HUGEINT cross products, pooled row UNION ALL.
+    "simpson_reversal" -> graft.operators.Experiment.simpsonOracleSql,
     // EWMA: recursive-CTE walk of the identical IEEE update.
     "ewma_anomalies" -> graft.operators.Changepoint.ewmaOracleSql(),
     // Benford screen: digits from decimal strings of floor(), log10

@@ -232,6 +232,89 @@ object Experiment {
       .orderBy(col("source"))
   }
 
+  /** Simpson's-paradox audit (Simpson, JRSS-B 1951; Bickel et al.,
+    * Science 1975 shape) of the variant conversion comparison: the sign
+    * of p₁ − p₀ per day-of-week stratum vs the pooled sign, flagging
+    * strata whose direction REVERSES under aggregation — the classic
+    * confounding symptom an experiment readout must surface before
+    * anyone trusts the pooled lift.
+    *
+    * Exactness: rate comparisons never divide — sign(p₁ − p₀) =
+    * sign(y₁·n₀ − y₀·n₁) on decimal-widened integer cells (the cross
+    * product overflows a long near 10⁹ events per cell).
+    *
+    * Scale: one scan folds the corpus to 7×2 cells with map-side
+    * combine; everything downstream is constant-size.
+    */
+  def simpsonReversal(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        pmod(col("user_id"), lit(2)).cast("int").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val strata = cells.groupBy(col("dow"))
+      .agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 0, col("y")).otherwise(lit(0L))).as("y0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 1, col("y")).otherwise(lit(0L))).as("y1"))
+      .select(col("dow").cast("string").as("stratum"),
+        col("n0"), col("y0"), col("n1"), col("y1"))
+    val agg = strata.agg(
+      sum(col("n0")).as("n0"), sum(col("y0")).as("y0"),
+      sum(col("n1")).as("n1"), sum(col("y1")).as("y1"))
+      .select(lit("__agg__").as("stratum"), col("n0"), col("y0"),
+        col("n1"), col("y1"))
+    val signed = strata.unionByName(agg)
+      .withColumn("rate_diff_sign",
+        signum((col("y1").cast("decimal(38,0)") * col("n0") -
+          col("y0").cast("decimal(38,0)") * col("n1")).cast("double"))
+          .cast("int"))
+    val aggSign = signed.filter(col("stratum") === "__agg__")
+      .select(col("rate_diff_sign").as("agg_sign"))
+    signed.crossJoin(broadcast(aggSign))
+      .select(col("stratum"), col("n0"), col("y0"), col("n1"), col("y1"),
+        col("rate_diff_sign"),
+        (col("stratum") =!= "__agg__" && col("rate_diff_sign") =!= 0 &&
+          col("agg_sign") =!= 0 &&
+          col("rate_diff_sign") === -col("agg_sign"))
+          .as("reversed_vs_agg"))
+      .orderBy(col("stratum"))
+  }
+
+  def simpsonOracleSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+      |    CAST(user_id % 2 AS INTEGER) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |strata AS (
+      |  SELECT CAST(dow AS VARCHAR) AS stratum,
+      |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS y0,
+      |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS y1
+      |  FROM cells GROUP BY dow
+      |  UNION ALL
+      |  SELECT '__agg__',
+      |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT)
+      |  FROM cells),
+      |signed AS (
+      |  SELECT *, CAST(sign(CAST(CAST(y1 AS HUGEINT) * n0
+      |    - CAST(y0 AS HUGEINT) * n1 AS DOUBLE)) AS INTEGER)
+      |    AS rate_diff_sign
+      |  FROM strata),
+      |a AS (SELECT rate_diff_sign AS agg_sign FROM signed
+      |      WHERE stratum = '__agg__')
+      |SELECT stratum, n0, y0, n1, y1, rate_diff_sign,
+      |  (stratum <> '__agg__' AND rate_diff_sign <> 0 AND agg_sign <> 0
+      |   AND rate_diff_sign = -agg_sign) AS reversed_vs_agg
+      |FROM signed, a
+      |ORDER BY stratum""".stripMargin
+
   /** Difference-in-differences readout (Card & Krueger, AER 1994 shape)
     * on per-user purchase value across the same pre/post split CUPED
     * uses: DiD = (post₁ − pre₁) − (post₀ − pre₀) over per-variant user

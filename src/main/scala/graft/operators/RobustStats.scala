@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust location/trend statistics — the outlier-resistant siblings of
+  * `value_moments` (exact moments) and `ols_trend` (L2 slope):
+  * 10%-trimmed and winsorized segment means, and the Theil-Sen median
+  * slope over the hourly volume series. All integer-exact: cents fixed
+  * point, rank-based boundaries, sign-separated floor division for
+  * negative quotients (Spark DIV truncates where DuckDB `//` floors).
+  */
+object RobustStats {
+
+  /** Per-mktsegment 10% two-sided trimmed and winsorized means of order
+    * totals. Ranks WITHIN each segment derive from ONE global
+    * [[DistributedRank]] total order (segment, cents, tiebreakers) minus
+    * a per-segment offset — a `Window.partitionBy(segment)` would push
+    * each segment's full row set through a single task (5 segments = 5
+    * straggler tasks at warehouse scale); the ranged rank keeps every
+    * partition parallel. Caller releases the pinned frame via
+    * DistributedRank.release (Verify/Bench already do).
+    *
+    * trimmed = mean of ranks (t, n−t]; winsorized = same sum with the t
+    * lowest replaced by the (t+1)-th value and the t highest by the
+    * (n−t)-th, t = n DIV 10. Means are dollar-micros via integral DIV.
+    */
+  def trimmedMeans(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val cents = graft.queries.Analytics.centsOf(col("o_totalprice"))
+      .cast("long")
+    val vals = orders.join(customer,
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), cents.as("v"),
+        col("o_orderkey"))
+    val ranked = DistributedRank.withGlobalRank(
+      vals, Seq(col("seg"), col("v"), col("o_orderkey")), "gr")
+    val offs = ranked.groupBy(col("seg"))
+      .agg(min(col("gr")).as("off"), count(lit(1)).as("n"))
+    val local = ranked.join(broadcast(offs), Seq("seg"))
+      .withColumn("lr", col("gr") - col("off") + 1L)
+      .withColumn("t", expr("n DIV 10"))
+    local
+      .groupBy(col("seg"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("t")).as("t"),
+        sum(when(col("lr") > col("t") && col("lr") <= col("n") - col("t"),
+          col("v")).otherwise(lit(0L))).cast("decimal(38,0)").as("s_kept"),
+        max(when(col("lr") === col("t") + 1L, col("v"))).as("lo_cents"),
+        max(when(col("lr") === col("n") - col("t"), col("v")))
+          .as("hi_cents"))
+      .select(
+        col("seg"), col("n"), col("t"), col("lo_cents"), col("hi_cents"),
+        expr("cast((s_kept * 10000) DIV (n - 2 * t) as bigint)")
+          .as("trimmed_mean_micros"),
+        expr("""cast(((s_kept + cast(t as decimal(38,0)) * lo_cents
+               |       + cast(t as decimal(38,0)) * hi_cents) * 10000)
+               |  DIV n as bigint)""".stripMargin)
+          .as("winsor_mean_micros"))
+      .orderBy(col("seg"))
+  }
+
+  def trimmedMeansOracleSql: String =
+    """WITH v AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    o_orderkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT seg, v,
+      |    row_number() OVER (PARTITION BY seg ORDER BY v, o_orderkey)
+      |      AS lr,
+      |    count(*) OVER (PARTITION BY seg) AS n
+      |  FROM v),
+      |g AS (
+      |  SELECT seg, CAST(any_value(n) AS BIGINT) AS n,
+      |    CAST(any_value(n) // 10 AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN lr > n // 10 AND lr <= n - n // 10
+      |      THEN v ELSE 0 END) AS HUGEINT) AS s_kept,
+      |    max(CASE WHEN lr = n // 10 + 1 THEN v END) AS lo_cents,
+      |    max(CASE WHEN lr = n - n // 10 THEN v END) AS hi_cents
+      |  FROM r GROUP BY seg)
+      |SELECT seg, n, t, lo_cents, hi_cents,
+      |  CAST((s_kept * 10000) // (n - 2 * t) AS BIGINT)
+      |    AS trimmed_mean_micros,
+      |  CAST(((s_kept + CAST(t AS HUGEINT) * lo_cents
+      |         + CAST(t AS HUGEINT) * hi_cents) * 10000) // n AS BIGINT)
+      |    AS winsor_mean_micros
+      |FROM g ORDER BY seg""".stripMargin
+
+  /** Theil-Sen estimator (Theil 1950; Sen, JASA 1968) of the hourly
+    * event-volume trend: the LOWER MEDIAN of all pairwise slopes
+    * (y_j−y_i)/(j−i) over the hour index, in floor-micros with
+    * sign-separated division. Robust to the volume spikes that drag
+    * `ols_trend`'s L2 fit.
+    *
+    * Scale: the corpus folds to the hourly frame in one scan; the O(H²)
+    * pair frame is bounded by the observation window's hour count
+    * squared (time-domain bounded, never row-count bounded), and the
+    * median is a rank over that bounded frame via [[DistributedRank]]
+    * (caller releases).
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("h"), col("y"))
+    // hour index via epoch-hour delta from the window start: exact,
+    // rank-free, identical in SQL
+    val based = hourly
+      .crossJoin(broadcast(hourly.agg(min(col("h")).as("h0"))))
+      .select(
+        (unix_timestamp(col("h")) - unix_timestamp(col("h0")))
+          .cast("long").as("secs"),
+        col("y"))
+      .select(expr("secs DIV 3600").as("i"), col("y"))
+    val a = based.select(col("i").as("i1"), col("y").as("y1"))
+    val b = based.select(col("i").as("i2"), col("y").as("y2"))
+    val pairs = a.join(b, col("i2") > col("i1"))
+      .select(
+        (col("y2") - col("y1")).as("dy"),
+        (col("i2") - col("i1")).as("dx"))
+      .select(
+        when(col("dy") >= 0L, expr("(dy * 1000000) DIV dx"))
+          .otherwise(-expr("((-dy) * 1000000) DIV dx"))
+          .cast("long").as("slope_micros"))
+    // ties make the rank assignment among EQUAL slopes arbitrary, but the
+    // k-th smallest VALUE is invariant to it — no tiebreaker needed
+    val ranked = DistributedRank.withGlobalRank(
+      pairs, Seq(col("slope_micros")), "r")
+    val cnt = pairs.agg(count(lit(1)).as("n_pairs"))
+    ranked.crossJoin(broadcast(cnt))
+      .filter(col("r") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("n_pairs"),
+        col("slope_micros").as("slope_micros_median"))
+  }
+
+  def theilSenOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |based AS (
+      |  SELECT date_diff('second', (SELECT min(h) FROM hourly), h) // 3600
+      |    AS i, y
+      |  FROM hourly),
+      |pairs AS (
+      |  SELECT CASE WHEN (b.y - a.y) >= 0
+      |      THEN ((b.y - a.y) * 1000000) // (b.i - a.i)
+      |      ELSE -((-(b.y - a.y) * 1000000) // (b.i - a.i)) END
+      |    AS slope_micros
+      |  FROM based a JOIN based b ON b.i > a.i),
+      |r AS (
+      |  SELECT slope_micros, row_number() OVER (ORDER BY slope_micros)
+      |      AS r,
+      |    count(*) OVER () AS n_pairs
+      |  FROM pairs)
+      |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(slope_micros AS BIGINT) AS slope_micros_median
+      |FROM r WHERE r = (n_pairs + 1) // 2""".stripMargin
+}
