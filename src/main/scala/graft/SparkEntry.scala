@@ -1150,6 +1150,13 @@ object SparkEntry {
     // comparison on cross-multiplied integer cells.
     "simpson_reversal" -> ((s, dir) =>
       graft.operators.Experiment.simpsonReversal(Tables.events(s, dir))),
+    // Uplift decile (Qini) table: exact ntile deciles, floor-micros
+    // treated-vs-control lifts, cumulative sums over the 10-row frame.
+    "uplift_deciles" -> ((s, dir) =>
+      graft.operators.Experiment.upliftDeciles(Tables.events(s, dir))),
+    // Per-source Flesch readability: pooled integer counts, micros terms.
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir))),
     // EWMA control chart over hourly volumes (λ=1/4): sequential fold on
     // the time-bounded frame, recursive-CTE oracle, asymptotic 3σ limits.
     "ewma_anomalies" -> ((s, dir) =>
@@ -4427,6 +4434,10 @@ object SparkEntry {
     "theil_sen_trend" -> graft.operators.RobustStats.theilSenOracleSql,
     // Simpson: sign of HUGEINT cross products, pooled row UNION ALL.
     "simpson_reversal" -> graft.operators.Experiment.simpsonOracleSql,
+    // Uplift: window ntile(10) + cumulative window over the decile frame.
+    "uplift_deciles" -> graft.operators.Experiment.upliftOracleSql(),
+    // Readability: identical regexp_extract_all counts + floor DIV terms.
+    "readability" -> TextAnalysis.readabilityOracleSql,
     // EWMA: recursive-CTE walk of the identical IEEE update.
     "ewma_anomalies" -> graft.operators.Changepoint.ewmaOracleSql(),
     // Benford screen: digits from decimal strings of floor(), log10

@@ -1579,6 +1579,78 @@ object TextAnalysis {
        |  CAST(rare_mass * 1000000 // tokens AS BIGINT) AS rare_mass_ppm
        |FROM a ORDER BY source""".stripMargin
 
+  /** Per-source Flesch reading-ease profile (Flesch 1948; the classic
+    * readability screen beside `lexical_complexity`'s type-token and
+    * word-length signals): pooled words / sentences / syllable-group
+    * counts per source, with the 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    * formula carried in exact micros — each rational term is a separate
+    * floor DIV on integer sums, identically spelled in both engines.
+    * Syllables use the standard vowel-group heuristic
+    * (`regexp_extract_all('[aeiou]+')` over the lowercased text —
+    * groups never span the space delimiter, so the text-level count
+    * equals the per-word sum); sentences count terminal-punctuation
+    * runs, floored at 1 per doc.
+    *
+    * Scale: pure per-row codegen'd regex/array work folded by ONE
+    * map-side-combined groupBy to |sources| rows.
+    */
+  def readability(documents: DataFrame): DataFrame = {
+    val perDoc = documents.select(
+      col("source"),
+      wsTokenCount(col("text")).as("w"),
+      greatest(lit(1L),
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+        .as("s"),
+      size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)"))
+        .cast("long").as("y"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).cast("decimal(38,0)").as("words"),
+        sum(col("s")).cast("decimal(38,0)").as("sentences"),
+        sum(col("y")).cast("decimal(38,0)").as("syllables"))
+      .select(
+        col("source"), col("n_docs"),
+        col("words").cast("bigint").as("words"),
+        col("sentences").cast("bigint").as("sentences"),
+        col("syllables").cast("bigint").as("syllables"),
+        expr("cast((words * 1000000) DIV sentences as bigint)")
+          .as("words_per_sentence_micros"),
+        expr("cast((syllables * 1000000) DIV words as bigint)")
+          .as("syllables_per_word_micros"),
+        expr("""cast(206835000 - (words * 1015000) DIV sentences
+               |  - (syllables * 84600000) DIV words as bigint)"""
+          .stripMargin).as("flesch_micros"))
+      .orderBy(col("source"))
+  }
+
+  def readabilityOracleSql: String =
+    """WITH pd AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS s,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+      |      AS BIGINT) AS y
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(w) AS HUGEINT) AS words,
+      |    CAST(sum(s) AS HUGEINT) AS sentences,
+      |    CAST(sum(y) AS HUGEINT) AS syllables
+      |  FROM pd GROUP BY source)
+      |SELECT source, n_docs,
+      |  CAST(words AS BIGINT) AS words,
+      |  CAST(sentences AS BIGINT) AS sentences,
+      |  CAST(syllables AS BIGINT) AS syllables,
+      |  CAST((words * 1000000) // sentences AS BIGINT)
+      |    AS words_per_sentence_micros,
+      |  CAST((syllables * 1000000) // words AS BIGINT)
+      |    AS syllables_per_word_micros,
+      |  CAST(206835000 - (words * 1015000) // sentences
+      |    - (syllables * 84600000) // words AS BIGINT) AS flesch_micros
+      |FROM g ORDER BY source""".stripMargin
+
   def lexicalComplexityOracleSql: String =
     """WITH w AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS w
