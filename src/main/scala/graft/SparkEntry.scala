@@ -1258,7 +1258,13 @@ object SparkEntry {
       Analytics.sloBurnRate(Tables.events(s, dir))),
     // Zipf-tail profile: hapax/rare type and mass shares per source.
     "rare_token_share" -> ((s, dir) =>
-      TextAnalysis.rareTokenShare(Tables.documents(s, dir)))
+      TextAnalysis.rareTokenShare(Tables.documents(s, dir))),
+
+    // RAKE multi-word keyword extraction: stopword-delimited phrase
+    // islands, integer deg/freq micros, corpus top-25.
+    "rake_keywords" -> ((s, dir) =>
+      graft.operators.Keywords.rakeKeywords(
+        Tables.documents(s, dir), stopwords))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4438,6 +4444,9 @@ object SparkEntry {
     "uplift_deciles" -> graft.operators.Experiment.upliftOracleSql(),
     // Readability: identical regexp_extract_all counts + floor DIV terms.
     "readability" -> TextAnalysis.readabilityOracleSql,
+    // RAKE: gaps-and-islands phrases, string_agg, HUGEINT deg/freq.
+    "rake_keywords" ->
+      graft.operators.Keywords.rakeOracleSql(stopwordsSqlList),
     // EWMA: recursive-CTE walk of the identical IEEE update.
     "ewma_anomalies" -> graft.operators.Changepoint.ewmaOracleSql(),
     // Benford screen: digits from decimal strings of floor(), log10
