@@ -1157,6 +1157,14 @@ object SparkEntry {
     // Per-source Flesch readability: pooled integer counts, micros terms.
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir))),
+    // Good-Turing count-of-counts over trigrams: exact N_r table and
+    // floor-micros adjusted counts r*.
+    "good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(Tables.documents(s, dir))),
+    // Dunning G² collocations: 2x2 integer cells, identically spelled
+    // ln terms, rounded-grid top-30 (PMI's significance-based sibling).
+    "collocations_g2" -> ((s, dir) =>
+      TextAnalysis.collocationsG2(Tables.documents(s, dir))),
     // EWMA control chart over hourly volumes (λ=1/4): sequential fold on
     // the time-bounded frame, recursive-CTE oracle, asymptotic 3σ limits.
     "ewma_anomalies" -> ((s, dir) =>
@@ -4447,6 +4455,10 @@ object SparkEntry {
     // RAKE: gaps-and-islands phrases, string_agg, HUGEINT deg/freq.
     "rake_keywords" ->
       graft.operators.Keywords.rakeOracleSql(stopwordsSqlList),
+    // Good-Turing: zipped-unnest trigrams, self-joined N_r table.
+    "good_turing" -> TextAnalysis.goodTuringOracleSql(),
+    // G²: identical four-term ln sum over window marginals.
+    "collocations_g2" -> TextAnalysis.collocationsG2OracleSql(),
     // EWMA: recursive-CTE walk of the identical IEEE update.
     "ewma_anomalies" -> graft.operators.Changepoint.ewmaOracleSql(),
     // Benford screen: digits from decimal strings of floor(), log10

@@ -1579,6 +1579,164 @@ object TextAnalysis {
        |  CAST(rare_mass * 1000000 // tokens AS BIGINT) AS rare_mass_ppm
        |FROM a ORDER BY source""".stripMargin
 
+  /** Good-Turing frequency smoothing (Good, Biometrika 1953; the Gale &
+    * Sampson 1995 simple-GT setting) over word-TRIGRAM counts — the
+    * species-frequency table an LM-data pipeline reads to estimate
+    * unseen-mass and discount rare-count estimates. Unigrams are useless
+    * here (a closed 31-word vocabulary has no tail); trigram space is
+    * large enough to keep singletons at every harness scale.
+    *
+    * For each count r (capped at `maxR` — the smoothing region; larger r
+    * uses the MLE): N_r species, N_{r+1}, and the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r in floor-micros (NULL when N_{r+1} = 0,
+    * where simple GT falls back to r).
+    *
+    * Scale: one explode → two nested map-side-combined GROUP BYs
+    * (trigram counts, then count-of-counts — the second frame is at most
+    * `maxR` rows after the cap).
+    */
+  def goodTuring(documents: DataFrame, maxR: Long = 100L): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val tris = arrays_zip(
+      slice(toks, lit(1), n - 2).as("w1"),
+      slice(toks, lit(2), n - 2).as("w2"),
+      slice(toks, lit(3), n - 2).as("w3"))
+    val counts = documents
+      .select(explode(tris).as("t"))
+      .groupBy(col("t.w1"), col("t.w2"), col("t.w3"))
+      .agg(count(lit(1)).as("r"))
+    val nr = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val next = nr.select((col("r") - 1L).as("r"), col("n_r").as("n_next"))
+    nr.join(next, Seq("r"), "left")
+      .filter(col("r") <= maxR)
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        when(col("n_next").isNotNull,
+          expr("((r + 1) * n_next * 1000000) DIV n_r"))
+          .as("r_star_micros"))
+      .orderBy(col("r"))
+  }
+
+  def goodTuringOracleSql(maxR: Long = 100L): String =
+    s"""WITH tk AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents),
+       |tri AS (
+       |  SELECT unnest(list_transform(range(1, len(t) - 1), i -> t[i]))
+       |      AS w1,
+       |    unnest(list_transform(range(1, len(t) - 1), i -> t[i+1]))
+       |      AS w2,
+       |    unnest(list_transform(range(1, len(t) - 1), i -> t[i+2]))
+       |      AS w3
+       |  FROM tk),
+       |c AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS r
+       |      FROM tri GROUP BY 1, 2, 3),
+       |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+       |       FROM c GROUP BY 1)
+       |SELECT a.r, a.n_r,
+       |  CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_next,
+       |  CASE WHEN b.n_r IS NOT NULL THEN
+       |    CAST(((a.r + 1) * b.n_r * 1000000) // a.n_r AS BIGINT)
+       |  END AS r_star_micros
+       |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+       |WHERE a.r <= $maxR
+       |ORDER BY a.r""".stripMargin
+
+  /** Dunning log-likelihood-ratio (G²) collocations (Dunning, CL 1993)
+    * — the significance-based sibling of [[collocationsPmi]] (PMI
+    * over-weights rare pairs; G² weighs evidence mass). The 2×2 bigram
+    * contingency cells are exact longs from the SAME bigram/marginal
+    * frames as PMI; G² = 2·Σ O·ln(O·N / (row·col)) over the four cells,
+    * each term an identically-spelled IEEE expression on those integers
+    * (zero cells contribute 0), rounded to 4 — the [[dsirWeights]]
+    * ln-of-exact-rational discipline.
+    */
+  def collocationsG2(
+      documents: DataFrame,
+      minCount: Long = 5L,
+      k: Int = 30): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val bigrams = arrays_zip(
+      slice(toks, lit(1), n - 1).as("w1"),
+      slice(toks, lit(2), n - 1).as("w2"))
+    val pairCounts = documents
+      .select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val total = pairCounts.agg(sum(col("c12")).as("nn"))
+    val cells = pairCounts
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("c2", sum(col("c12")).over(Window.partitionBy(col("w2"))))
+      .filter(col("c12") >= minCount)
+      .crossJoin(broadcast(total))
+    def term(o: org.apache.spark.sql.Column,
+        row: org.apache.spark.sql.Column,
+        colm: org.apache.spark.sql.Column) =
+      when(o > 0L,
+        o.cast("double") * log(
+          o.cast("double") * col("nn").cast("double") /
+            (row.cast("double") * colm.cast("double"))))
+        .otherwise(lit(0.0))
+    val o12 = col("c1") - col("c12")
+    val o21 = col("c2") - col("c12")
+    val o22 = col("nn") - col("c1") - col("c2") + col("c12")
+    val g2 = lit(2.0) * (
+      term(col("c12"), col("c1"), col("c2")) +
+        term(o12, col("c1"), col("nn") - col("c2")) +
+        term(o21, col("nn") - col("c1"), col("c2")) +
+        term(o22, col("nn") - col("c1"), col("nn") - col("c2")))
+    cells
+      .withColumn("g2_raw", g2)
+      .orderBy(col("g2_raw").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(col("g2_raw"), 4).as("g2"))
+      // rounded-grid re-sort, same reasoning as [[collocationsPmi]]
+      .orderBy(col("g2").desc, col("w1"), col("w2"))
+  }
+
+  def collocationsG2OracleSql(minCount: Long = 5L, k: Int = 30): String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+       |  FROM tk),
+       |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |       FROM bg GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM pc),
+       |cells AS (
+       |  SELECT w1, w2, c12,
+       |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+       |    CAST(sum(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2
+       |  FROM pc),
+       |g AS (
+       |  SELECT w1, w2, c12, c1, c2,
+       |    2.0 * (
+       |      (CASE WHEN c12 > 0 THEN CAST(c12 AS DOUBLE) *
+       |        ln(CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE) /
+       |           (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+       |        ELSE 0.0 END) +
+       |      (CASE WHEN c1 - c12 > 0 THEN CAST(c1 - c12 AS DOUBLE) *
+       |        ln(CAST(c1 - c12 AS DOUBLE) * CAST(nn AS DOUBLE) /
+       |           (CAST(c1 AS DOUBLE) * CAST(nn - c2 AS DOUBLE)))
+       |        ELSE 0.0 END) +
+       |      (CASE WHEN c2 - c12 > 0 THEN CAST(c2 - c12 AS DOUBLE) *
+       |        ln(CAST(c2 - c12 AS DOUBLE) * CAST(nn AS DOUBLE) /
+       |           (CAST(nn - c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+       |        ELSE 0.0 END) +
+       |      (CASE WHEN nn - c1 - c2 + c12 > 0
+       |        THEN CAST(nn - c1 - c2 + c12 AS DOUBLE) *
+       |        ln(CAST(nn - c1 - c2 + c12 AS DOUBLE) * CAST(nn AS DOUBLE) /
+       |           (CAST(nn - c1 AS DOUBLE) * CAST(nn - c2 AS DOUBLE)))
+       |        ELSE 0.0 END)) AS g2_raw
+       |  FROM cells, tot
+       |  WHERE c12 >= $minCount)
+       |SELECT w1, w2, c12, c1, c2, round(g2_raw, 4) AS g2
+       |FROM (SELECT * FROM g ORDER BY g2_raw DESC, w1, w2 LIMIT $k) t
+       |ORDER BY g2 DESC, w1, w2""".stripMargin
+
   /** Per-source Flesch reading-ease profile (Flesch 1948; the classic
     * readability screen beside `lexical_complexity`'s type-token and
     * word-length signals): pooled words / sentences / syllable-group
