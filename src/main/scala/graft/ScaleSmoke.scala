@@ -179,6 +179,43 @@ object ScaleSmoke {
           pseudoLineitem.withColumn("l_extendedprice",
               (col("l_partkey") % 997L).cast("double") / 100.0)
             .withColumn("l_linenumber", col("l_orderkey"))).count())
+      // round-10 additions — experiment/robust-stat operators:
+      // Mann-Whitney ranks the purchase frame (range-partitioned),
+      // KM folds per-customer min/max to the day-bounded walk,
+      // uplift/trimmed ride the exact ntile, Shapley is catalog-bounded
+      // 2^|C|, Theil-Sen pairs are hour²-bounded, Simpson/DiD/isotonic
+      // fold to constant-size cells
+      time("mann_whitney", scale)(
+        graft.operators.Experiment.mannWhitney(ev).count())
+      time("km_survival", scale)(
+        graft.operators.Survival.kmSurvival(pseudoOrders).count())
+      time("uplift_deciles", scale)(
+        graft.operators.Experiment.upliftDeciles(ev).count())
+      time("simpson_reversal", scale)(
+        graft.operators.Experiment.simpsonReversal(ev).count())
+      time("diff_in_diff", scale)(
+        graft.operators.Experiment.diffInDiff(ev).count())
+      time("theil_sen_trend", scale)(
+        graft.operators.RobustStats.theilSen(ev).count())
+      time("shapley_attribution", scale)(
+        graft.operators.Shapley.shapleyAttribution(ev).count())
+      time("isotonic_calibration", scale)(
+        graft.operators.FeatureEng.isotonicCalibration(ev).count())
+      time("trimmed_means", scale)(
+        graft.operators.RobustStats.trimmedMeans(
+          pseudoOrders, pseudoCust).count())
+      time("fd_violations", scale)(
+        graft.operators.DataQuality.fdViolations(
+          pseudoOrders.withColumn("o_orderstatus",
+            substring(col("o_orderpriority"), 1, 1)),
+          pseudoLineitem.withColumn("l_suppkey",
+            pmod(col("l_partkey"), lit(97L))),
+          ev,
+          ev.select(col("event_id").as("doc_id"),
+            col("event_type").as("source"),
+            substring(col("event_type"), 1, 1).as("lang"))
+            .withColumn("text", lit("")).withColumn("n_chars", lit(0L)))
+          .count())
       DistributedRank.release(spark)
       ev.unpersist()
 
@@ -251,6 +288,21 @@ object ScaleSmoke {
       time("vocab_growth", scale)(
         graft.functions.TextAnalysis.vocabGrowth(docs).count())
       DistributedRank.release(spark)
+      // round-10 text additions: RAKE phrase islands (per-doc windows),
+      // Good-Turing trigram count-of-counts, G² four-term cells,
+      // readability regex folds — all scan-shaped
+      // the generator vocabulary holds no English stopwords — four of its
+      // frequent words stand in as the island delimiters (12.5% stop rate
+      // ≈ mean island ~8, so the scoring stages carry real candidates)
+      time("rake_keywords", scale)(
+        graft.operators.Keywords.rakeKeywords(
+          docs, Seq("data", "join", "key", "row")).count())
+      time("good_turing", scale)(
+        graft.functions.TextAnalysis.goodTuring(docs).count())
+      time("collocations_g2", scale)(
+        graft.functions.TextAnalysis.collocationsG2(docs).count())
+      time("readability", scale)(
+        graft.functions.TextAnalysis.readability(docs).count())
       time("rare_token_share", scale)(
         graft.functions.TextAnalysis.rareTokenShare(docs).count())
       pairs.unpersist()

@@ -593,4 +593,75 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
       s"the k-doc feedback set must broadcast onto the corpus:\n$p")
   }
+
+  test("mannWhitney + trimmedMeans: ranks range-partition, no 1-task sort") {
+    def noSingleTaskSort(df: DataFrame): Unit = {
+      val plan = finalPlan(df)
+      def allSorts(p: SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SortExec] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => allSorts(a.executedPlan)
+          case s: QueryStageExec => allSorts(s.plan)
+          case s: org.apache.spark.sql.execution.SortExec => Seq(s)
+        }.flatten
+      val bad = allSorts(plan).filter(
+        _.child.outputPartitioning.toString.contains("SinglePartition"))
+      assert(bad.isEmpty, s"single-task sort in the rank path:\n$bad")
+      // the range exchange may sit INSIDE the persisted ranged frame's
+      // cached plan (InMemoryTableScan) rather than in this query's own
+      // exchange list — accept either evidence of the ranged rank path
+      val ex = allExchanges(plan).map(_.outputPartitioning.toString)
+      assert(ex.exists(_.contains("rangepartitioning")) ||
+        plan.toString.contains("InMemoryTableScan"),
+        s"expected the range-partitioned rank frame:\n$ex")
+    }
+    try {
+      noSingleTaskSort(graft.operators.Experiment.mannWhitney(
+        Tables.events(spark, sf)))
+      noSingleTaskSort(graft.operators.RobustStats.trimmedMeans(
+        Tables.orders(spark, sf), Tables.customer(spark, sf)))
+    } finally graft.operators.DistributedRank.release(spark)
+  }
+
+  test("shapleyAttribution: lattice joins broadcast, fact side scans once") {
+    val p = executed(graft.operators.Shapley.shapleyAttribution(
+      Tables.events(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 2^|C| lattice frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product in the subset joins:\n$p")
+  }
+
+  test("kmSurvival + rakeKeywords: per-key partials survive (map-side combine)") {
+    // the per-customer (min,max) fold and the per-word deg/freq fold
+    // must keep partial aggregation — a missing partial means the raw
+    // corpus shuffles on the group key
+    val km = executed(graft.operators.Survival.kmSurvival(
+      Tables.orders(spark, sf)))
+    assert(km.contains("partial_min") || km.contains("partial"),
+      s"per-customer reduction must combine map-side:\n$km")
+    val rk = executed(graft.operators.Keywords.rakeKeywords(
+      Tables.documents(spark, sf), Seq("the", "a", "of", "and")))
+    assert(!rk.contains("CartesianProduct"), rk)
+    assert(rk.contains("BroadcastHashJoin"),
+      s"the vocabulary-bounded word-score frame must broadcast:\n$rk")
+  }
+
+  test("readability + goodTuring + isotonic: scan-shaped, no products") {
+    val rd = executed(graft.functions.TextAnalysis.readability(
+      Tables.documents(spark, sf)))
+    assert(!rd.contains("Exchange hashpartitioning") ||
+      allExchanges(finalPlan(graft.functions.TextAnalysis.readability(
+        Tables.documents(spark, sf)))).size <= 2,
+      s"readability is one fold to |sources| rows:\n$rd")
+    val gt = executed(graft.functions.TextAnalysis.goodTuring(
+      Tables.documents(spark, sf)))
+    assert(!gt.contains("CartesianProduct"), gt)
+    val iso = executed(graft.operators.FeatureEng.isotonicCalibration(
+      Tables.events(spark, sf)))
+    assert(!iso.contains("CartesianProduct"), iso)
+    assert(iso.contains("BroadcastHashJoin") ||
+      iso.contains("BroadcastNestedLoopJoin"),
+      s"the 24-row minimax frames must broadcast:\n$iso")
+  }
 }
