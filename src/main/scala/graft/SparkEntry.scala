@@ -1154,6 +1154,14 @@ object SparkEntry {
     // treated-vs-control lifts, cumulative sums over the 10-row frame.
     "uplift_deciles" -> ((s, dir) =>
       graft.operators.Experiment.upliftDeciles(Tables.events(s, dir))),
+    // Delete-a-group jackknife variance of the avg-order-value ratio:
+    // B hash buckets, integer LOO micros, one identical IEEE variance.
+    "jackknife_ratio" -> ((s, dir) =>
+      graft.operators.Experiment.jackknifeRatio(Tables.events(s, dir))),
+    // Deterministic synchronous label propagation over the shared-span
+    // graph: majority-label rounds with min-label ties, honest converged.
+    "doc_communities" -> ((s, dir) =>
+      graft.operators.Centrality.docCommunities(Tables.documents(s, dir))),
     // Per-source Flesch readability: pooled integer counts, micros terms.
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir))),
@@ -4450,6 +4458,11 @@ object SparkEntry {
     "simpson_reversal" -> graft.operators.Experiment.simpsonOracleSql,
     // Uplift: window ntile(10) + cumulative window over the decile frame.
     "uplift_deciles" -> graft.operators.Experiment.upliftOracleSql(),
+    // Jackknife: HUGEINT bucket sums, floor-micros LOO, spelled variance.
+    "jackknife_ratio" -> graft.operators.Experiment.jackknifeOracleSql(),
+    // LPA communities: unrolled argmax rounds (row_number ≡ struct max).
+    "doc_communities" ->
+      graft.operators.Centrality.docCommunitiesOracleSql(),
     // Readability: identical regexp_extract_all counts + floor DIV terms.
     "readability" -> TextAnalysis.readabilityOracleSql,
     // RAKE: gaps-and-islands phrases, string_agg, HUGEINT deg/freq.

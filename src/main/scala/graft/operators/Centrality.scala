@@ -265,6 +265,124 @@ object Centrality {
       .orderBy(col("doc_id"))
   }
 
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007)
+    * over the shared-span graph — COMMUNITY structure, where
+    * [[Dedup.nearDupClusters]]' min-label propagation gives only
+    * CONNECTIVITY: a giant near-dup component splits into its dense
+    * template families. Fully deterministic variant: R synchronous
+    * rounds, each node adopts the most frequent label among its
+    * neighbors AND itself (the self-vote breaks the classic synchronous
+    * two-clique oscillation) with ties to the SMALLEST label (argmax
+    * via max(struct(count, −label)) — no randomized update order),
+    * isolated docs keep their own label, and an honest `converged`
+    * flag reports whether the last round changed anything (same
+    * contract as [[docKcore]]).
+    *
+    * Scale: the df-capped edge list is built once and checkpointed;
+    * each round is ONE keyed equi-join + two map-side-combined
+    * aggregates on the node frame — no windows, no driver state beyond
+    * a per-round changed-count (one long).
+    */
+  def docCommunities(
+      documents: DataFrame,
+      kgram: Int = 8,
+      dfCap: Int = 50,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "at least one propagation round")
+    val shared = Dedup.hashedShingleDf(documents, kgram)
+      .filter(col("df").between(2, dfCap))
+      .select(col("sh"), col("doc_id"))
+    val pairs = shared
+      .join(shared.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
+      .filter(col("doc_id") < col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lab"))
+      .localCheckpoint()
+    var changed = -1L
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.select(col("doc_id").as("dst"), col("lab")), Seq("dst"))
+        .select(col("src"), col("lab"))
+        .unionByName(labels.select(col("doc_id").as("src"), col("lab")))
+      val next = votes
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("best"))
+        .select(col("src").as("doc_id"), (-col("best.nl")).as("lab"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lab", "prev"),
+        Seq("doc_id"))
+        .filter(col("lab") =!= col("prev")).count()
+      labels = next
+    }
+    val all = documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id"))
+        .as("community"))
+    val sizes = all.groupBy(col("community"))
+      .agg(count(lit(1)).as("community_size"))
+    all.join(sizes, Seq("community"))
+      .select(col("doc_id"), col("community"), col("community_size"),
+        lit(changed == 0L).as("converged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[docCommunities]]: the k-core oracle's edge CTE,
+    * R argmax rounds unrolled (row_number ordered by count DESC, label
+    * — the same total order as max(struct(c, −lab))), convergence from
+    * the last two label frames.
+    */
+  def docCommunitiesOracleSql(dfCap: Int = 50, rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+  SELECT src AS doc_id, lab FROM (
+    SELECT src, lab, count(*) AS c,
+      row_number() OVER (PARTITION BY src ORDER BY count(*) DESC, lab)
+        AS rn
+    FROM (
+      SELECT e.src, l.lab FROM ed e JOIN l${r - 1} l ON e.dst = l.doc_id
+      UNION ALL
+      SELECT doc_id AS src, lab FROM l${r - 1}) v
+    GROUP BY src, lab) t
+  WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(toks) - 6),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+         toks[i+6] || ' ' || toks[i+7]))) AS shingle
+  FROM tk),
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
+        WHERE df BETWEEN 2 AND $dfCap),
+pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       FROM shf a JOIN shf b USING (shingle) WHERE a.doc_id < b.doc_id),
+ed AS MATERIALIZED (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS lab FROM ed),
+$steps,
+allv AS (
+  SELECT d.doc_id, coalesce(l.lab, d.doc_id) AS community
+  FROM documents d LEFT JOIN l$rounds l USING (doc_id)),
+sz AS (SELECT community, CAST(count(*) AS BIGINT) AS community_size
+       FROM allv GROUP BY 1),
+chg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM l$rounds a
+  JOIN l${rounds - 1} b USING (doc_id) WHERE a.lab <> b.lab)
+SELECT v.doc_id, v.community, s.community_size,
+  (SELECT n FROM chg) = 0 AS converged
+FROM allv v JOIN sz s USING (community)
+ORDER BY v.doc_id"""
+  }
+
   /** DuckDB replay of [[docKcore]]: same string-shingle edge CTE as the
     * doc_pagerank oracle, R peel rounds unrolled, convergence from the
     * last two alive counts.

@@ -232,6 +232,92 @@ object Experiment {
       .orderBy(col("source"))
   }
 
+  /** Delete-a-group jackknife variance for a RATIO metric (Quenouille
+    * 1956; the "delete-a-group" form of Särndal et al. that large
+    * experimentation platforms use for avg-order-value-style metrics,
+    * where user-level ratios are biased): B user-hash buckets, per-bucket
+    * leave-one-out ratio r_i = (S−s_i)/(N−n_i), and
+    * v = (B−1)/B · Σ(r_i − r̄)².
+    *
+    * Exactness: bucket sums are integer cents/counts; each LOO ratio is
+    * a floor-micros integer; r̄ and the variance come from Σr and Σr²
+    * (exact decimal-widened integer sums) through ONE identically
+    * spelled IEEE expression — v = (B−1)/B·(Σr² − B·r̄²) — so the
+    * doubles agree bit-for-bit. The full-sample ratio and per-bucket
+    * table stay integer.
+    *
+    * Scale: one scan folds the corpus to B buckets with map-side
+    * combine; everything downstream is B rows.
+    */
+  def jackknifeRatio(events: DataFrame, buckets: Int = 20): DataFrame = {
+    val cents = col("value").cast("decimal(18,2)") * lit(100)
+    val byBucket = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(pmod(col("user_id"), lit(buckets.toLong)).as("b"))
+      .agg(sum(cents).cast("decimal(38,0)").as("s"),
+        count(lit(1)).as("n"))
+    val tot = byBucket.agg(
+      sum(col("s")).cast("decimal(38,0)").as("st"),
+      sum(col("n")).cast("decimal(38,0)").as("nt"),
+      count(lit(1)).as("nb"))
+    val loo = byBucket.crossJoin(broadcast(tot))
+      // LOO ratio in dollar-micros: cents·10^4 DIV count
+      .withColumn("r", expr(
+        "cast(((st - s) * 10000) DIV (nt - n) as bigint)"))
+    val agg = loo.agg(
+      first(col("st")).as("st"), first(col("nt")).as("nt"),
+      first(col("nb")).cast("double").as("bd"),
+      sum(col("r")).cast("decimal(38,0)").as("sr"),
+      sum(col("r").cast("decimal(38,0)") * col("r"))
+        .cast("decimal(38,0)").as("srr"))
+    val rbar = col("sr").cast("double") / col("bd")
+    val v = (col("bd") - lit(1.0)) / col("bd") *
+      (col("srr").cast("double") - col("bd") * rbar * rbar)
+    agg.select(
+      col("nt").cast("bigint").as("n_purchases"),
+      col("st").cast("bigint").as("sum_cents"),
+      expr("cast((st * 10000) DIV nt as bigint)").as("ratio_micros"),
+      col("bd").cast("bigint").as("n_buckets"),
+      round(rbar, 4).as("loo_mean_micros"),
+      round(v, 4).as("jk_var"),
+      round(sqrt(v), 4).as("jk_se"))
+  }
+
+  def jackknifeOracleSql(buckets: Int = 20): String =
+    s"""WITH bb AS (
+       |  SELECT user_id % $buckets AS b,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS HUGEINT) AS s,
+       |    CAST(count(*) AS HUGEINT) AS n
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(s) AS st, sum(n) AS nt,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM bb),
+       |loo AS (
+       |  SELECT CAST(((st - s) * 10000) // (nt - n) AS BIGINT) AS r,
+       |    st, nt, nb
+       |  FROM bb, tot),
+       |agg AS (
+       |  SELECT any_value(st) AS st, any_value(nt) AS nt,
+       |    CAST(any_value(nb) AS DOUBLE) AS bd,
+       |    CAST(sum(r) AS HUGEINT) AS sr,
+       |    CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS srr
+       |  FROM loo)
+       |SELECT CAST(nt AS BIGINT) AS n_purchases,
+       |  CAST(st AS BIGINT) AS sum_cents,
+       |  CAST((st * 10000) // nt AS BIGINT) AS ratio_micros,
+       |  CAST(bd AS BIGINT) AS n_buckets,
+       |  round(CAST(sr AS DOUBLE) / bd, 4) AS loo_mean_micros,
+       |  round((bd - 1.0) / bd *
+       |    (CAST(srr AS DOUBLE) - bd * (CAST(sr AS DOUBLE) / bd)
+       |      * (CAST(sr AS DOUBLE) / bd)), 4) AS jk_var,
+       |  round(sqrt((bd - 1.0) / bd *
+       |    (CAST(srr AS DOUBLE) - bd * (CAST(sr AS DOUBLE) / bd)
+       |      * (CAST(sr AS DOUBLE) / bd))), 4) AS jk_se
+       |FROM agg""".stripMargin
+
   /** Uplift decile table (Radcliffe, "Using control groups to target on
     * predicted lift" 2007): users ranked by an engagement score,
     * ntile(10)-bucketed, and each decile's treated-vs-control conversion
