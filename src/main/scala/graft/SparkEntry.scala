@@ -1162,6 +1162,13 @@ object SparkEntry {
     // graph: majority-label rounds with min-label ties, honest converged.
     "doc_communities" -> ((s, dir) =>
       graft.operators.Centrality.docCommunities(Tables.documents(s, dir))),
+    // CMH pooled odds ratio across day strata: floor-micros 2x2 terms.
+    "cmh_pooled_odds" -> ((s, dir) =>
+      graft.operators.Experiment.cmhPooledOdds(Tables.events(s, dir))),
+    // Greedy max-coverage seed-set selection over doc trigram sets:
+    // k argmax rounds, marginal gains, cumulative coverage.
+    "coverage_selection" -> ((s, dir) =>
+      graft.operators.Curation.coverageSelection(Tables.documents(s, dir))),
     // Per-source Flesch readability: pooled integer counts, micros terms.
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir))),
@@ -4463,6 +4470,10 @@ object SparkEntry {
     // LPA communities: unrolled argmax rounds (row_number ≡ struct max).
     "doc_communities" ->
       graft.operators.Centrality.docCommunitiesOracleSql(),
+    // CMH: HUGEINT per-stratum products, pooled floor ratio.
+    "cmh_pooled_odds" -> graft.operators.Experiment.cmhOracleSql,
+    // Coverage: unrolled greedy rounds, anti-join gains, argmax picks.
+    "coverage_selection" -> graft.operators.Curation.coverageOracleSql(),
     // Readability: identical regexp_extract_all counts + floor DIV terms.
     "readability" -> TextAnalysis.readabilityOracleSql,
     // RAKE: gaps-and-islands phrases, string_agg, HUGEINT deg/freq.

@@ -202,6 +202,110 @@ object Curation {
     * per-doc score scan + a rank window partitioned by cluster — both
     * shuffle-bounded by the doc count, never the pair count.
     */
+  /** Greedy maximum-coverage subset selection (Nemhauser/Wolsey/Fisher
+    * 1978 — the (1−1/e) greedy for submodular coverage; the
+    * facility-location-style data-selection step an LLM pipeline runs to
+    * pick a SMALL, maximally-diverse seed set): `k` rounds, each picking
+    * the document adding the most UNSEEN word trigrams (ties → smallest
+    * doc_id), reporting per-pick marginal gain and cumulative coverage.
+    * Trigrams, not unigrams: a closed 31-word vocabulary saturates after
+    * two docs, while the trigram universe keeps the greedy informative
+    * at every harness scale.
+    *
+    * Scale: the per-doc distinct-trigram frame builds once
+    * (localCheckpoint); each round is one anti-join against the covered
+    * set (bounded by k·max-doc-trigrams, broadcastable), one map-side-
+    * combined gain count, and a 1-row argmax — no driver state beyond
+    * the k picks themselves. The k-round sequential structure is
+    * intrinsic to greedy submodular selection (each pick conditions the
+    * next); distributed batched variants trade approximation for rounds,
+    * deliberately out of scope.
+    */
+  def coverageSelection(documents: DataFrame, k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    // sequence(1, n) counts DOWN when n < 1 (Spark auto-steps −1), so
+    // the short-doc case must branch to an explicit empty array
+    val tri = documents.select(col("doc_id"),
+      explode(expr(
+        """case when size(split(text, ' ')) >= 3 then
+          |  transform(
+          |    sequence(1, size(split(text, ' ')) - 2),
+          |    i -> concat_ws(' ',
+          |      element_at(split(text, ' '), i),
+          |      element_at(split(text, ' '), i + 1),
+          |      element_at(split(text, ' '), i + 2)))
+          |else array() end""".stripMargin))
+        .as("g"))
+      .distinct()
+      .localCheckpoint()
+    var covered = spark.range(0).select(lit("").as("g"))
+    var picks = Seq.empty[(Int, DataFrame)]
+    for (r <- 1 to k) {
+      val gains = tri.join(bc(covered), Seq("g"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+      val best = gains
+        .agg(max(struct(col("gain"), (-col("doc_id")).as("nd"))).as("b"))
+        .select((-col("b.nd")).as("doc_id"), col("b.gain").as("gain"))
+        // coverage exhausted before k picks (every remaining doc fully
+        // covered): the empty-gains argmax is a NULL row — drop it so
+        // the pick list ends exactly where the oracle's does
+        .filter(col("doc_id").isNotNull)
+        .localCheckpoint()
+      picks = picks :+ (r -> best)
+      covered = covered
+        .unionByName(tri.join(bc(best.select(col("doc_id"))), Seq("doc_id"))
+          .select(col("g")))
+        .distinct()
+        .localCheckpoint()
+    }
+    picks.map { case (r, b) => b.withColumn("pick", lit(r)) }
+      .reduce(_ unionByName _)
+      .withColumn("covered_total",
+        sum(col("gain")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("pick"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select(col("pick"), col("doc_id"), col("gain"), col("covered_total"))
+      .orderBy(col("pick"))
+  }
+
+  /** Unrolled greedy replay: per round, the argmax by (gain DESC,
+    * doc_id) over trigrams anti-joined against the union of prior
+    * picks' trigram sets.
+    */
+  def coverageOracleSql(k: Int = 10): String = {
+    val rounds = (1 to k).map { r =>
+      val coveredSrc =
+        if (r == 1) "SELECT g FROM tri WHERE false"
+        else (1 until r).map(i => s"SELECT g FROM tri WHERE doc_id = (SELECT doc_id FROM p$i)").mkString(" UNION ")
+      s"""c$r AS MATERIALIZED ($coveredSrc),
+p$r AS MATERIALIZED (
+  SELECT doc_id, gain FROM (
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain,
+      row_number() OVER (ORDER BY count(*) DESC, t.doc_id) AS rn
+    FROM tri t LEFT JOIN c$r c ON t.g = c.g
+    WHERE c.g IS NULL
+    GROUP BY t.doc_id) x
+  WHERE rn = 1)"""
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT $r AS pick, doc_id, gain FROM p$r").mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents),
+tri AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM tk),
+$rounds,
+allp AS ($out)
+SELECT pick, doc_id, gain,
+  CAST(sum(gain) OVER (ORDER BY pick ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW) AS BIGINT) AS covered_total
+FROM allp ORDER BY pick""".stripMargin
+  }
+
   def keepBestPerCluster(
       documents: DataFrame, stopwords: Seq[String]): DataFrame = {
     val clusters = Dedup.nearDupClusters(

@@ -232,6 +232,81 @@ object Experiment {
       .orderBy(col("source"))
   }
 
+  /** Cochran-Mantel-Haenszel pooled odds ratio (Mantel & Haenszel, JNCI
+    * 1959) across the same day-of-week strata [[simpsonReversal]]
+    * audits: the confounding-adjusted ESTIMATOR beside that audit's
+    * sign check — OR_MH = Σ(a·d/n) / Σ(b·c/n) over per-stratum 2×2
+    * conversion cells.
+    *
+    * Exactness: each stratum term is floor-micros of an exact integer
+    * product over n (DECIMAL-widened; a·d·10⁶ overflows a long past
+    * ~10⁹-event cells), the pooled ratio is one more floor DIV — no
+    * float anywhere.
+    *
+    * Scale: the same 7×2 one-scan cell fold as the Simpson audit;
+    * everything downstream is 7 rows.
+    */
+  def cmhPooledOdds(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        pmod(col("user_id"), lit(2)).cast("int").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("dow"))
+      .agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("v") === 0, col("y")).otherwise(lit(0L))).as("y0"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("v") === 1, col("y")).otherwise(lit(0L))).as("y1"))
+    cells
+      .select(
+        expr("""cast((cast(y1 as decimal(38,0)) * (n0 - y0) * 1000000)
+               |  DIV (n0 + n1) as decimal(38,0))""".stripMargin).as("r"),
+        expr("""cast((cast(n1 - y1 as decimal(38,0)) * y0 * 1000000)
+               |  DIV (n0 + n1) as decimal(38,0))""".stripMargin).as("s"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("r")).cast("decimal(38,0)").as("sum_r"),
+        sum(col("s")).cast("decimal(38,0)").as("sum_s"))
+      .select(
+        col("n_strata"),
+        col("sum_r").cast("bigint").as("sum_r_micros"),
+        col("sum_s").cast("bigint").as("sum_s_micros"),
+        // OR undefined when the denominator mass is 0
+        when(col("sum_s") > 0,
+          expr("cast((sum_r * 1000000) DIV sum_s as bigint)"))
+          .as("cmh_or_micros"))
+  }
+
+  def cmhOracleSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS y0,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS y1
+      |  FROM events GROUP BY 1),
+      |terms AS (
+      |  SELECT
+      |    (CAST(y1 AS HUGEINT) * (n0 - y0) * 1000000) // (n0 + n1) AS r,
+      |    (CAST(n1 - y1 AS HUGEINT) * y0 * 1000000) // (n0 + n1) AS s
+      |  FROM cells),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |    CAST(sum(r) AS HUGEINT) AS sum_r,
+      |    CAST(sum(s) AS HUGEINT) AS sum_s
+      |  FROM terms)
+      |SELECT n_strata,
+      |  CAST(sum_r AS BIGINT) AS sum_r_micros,
+      |  CAST(sum_s AS BIGINT) AS sum_s_micros,
+      |  CASE WHEN sum_s > 0 THEN
+      |    CAST((sum_r * 1000000) // sum_s AS BIGINT)
+      |  END AS cmh_or_micros
+      |FROM agg""".stripMargin
+
   /** Delete-a-group jackknife variance for a RATIO metric (Quenouille
     * 1956; the "delete-a-group" form of Särndal et al. that large
     * experimentation platforms use for avg-order-value-style metrics,
