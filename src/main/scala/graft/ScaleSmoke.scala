@@ -204,6 +204,10 @@ object ScaleSmoke {
       time("trimmed_means", scale)(
         graft.operators.RobustStats.trimmedMeans(
           pseudoOrders, pseudoCust).count())
+      time("jackknife_ratio", scale)(
+        graft.operators.Experiment.jackknifeRatio(ev).count())
+      time("cmh_pooled_odds", scale)(
+        graft.operators.Experiment.cmhPooledOdds(ev).count())
       time("fd_violations", scale)(
         graft.operators.DataQuality.fdViolations(
           pseudoOrders.withColumn("o_orderstatus",
@@ -299,6 +303,12 @@ object ScaleSmoke {
           docs, Seq("data", "join", "key", "row")).count())
       time("good_turing", scale)(
         graft.functions.TextAnalysis.goodTuring(docs).count())
+      // LPA rounds are keyed joins on the pair graph; greedy coverage is
+      // k sequential anti-join rounds on the checkpointed trigram frame
+      time("doc_communities", scale)(
+        graft.operators.Centrality.docCommunities(docs).count())
+      time("coverage_selection", scale)(
+        graft.operators.Curation.coverageSelection(docs, k = 5).count())
       time("collocations_g2", scale)(
         graft.functions.TextAnalysis.collocationsG2(docs).count())
       time("readability", scale)(
