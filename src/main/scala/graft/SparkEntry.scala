@@ -1169,6 +1169,15 @@ object SparkEntry {
     // k argmax rounds, marginal gains, cumulative coverage.
     "coverage_selection" -> ((s, dir) =>
       graft.operators.Curation.coverageSelection(Tables.documents(s, dir))),
+    // Sorted-neighborhood ER blocking: ranged rank + banded window join,
+    // plausible pairs with planted-truth flags.
+    "sorted_neighborhood_pairs" -> ((s, dir) =>
+      graft.operators.EntityResolution.sortedNeighborhoodPairs(
+        Tables.customer(s, dir))),
+    // Blocking quality vs truth: recall ppm + reduction ratio ppm.
+    "sorted_neighborhood_quality" -> ((s, dir) =>
+      graft.operators.EntityResolution.sortedNeighborhoodQuality(
+        Tables.customer(s, dir))),
     // Per-source Flesch readability: pooled integer counts, micros terms.
     "readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir))),
@@ -4474,6 +4483,11 @@ object SparkEntry {
     "cmh_pooled_odds" -> graft.operators.Experiment.cmhOracleSql,
     // Coverage: unrolled greedy rounds, anti-join gains, argmax picks.
     "coverage_selection" -> graft.operators.Curation.coverageOracleSql(),
+    // Sorted-neighborhood: row_number rank + band self-join replay.
+    "sorted_neighborhood_pairs" ->
+      graft.operators.EntityResolution.sortedNeighborhoodPairsOracleSql(),
+    "sorted_neighborhood_quality" ->
+      graft.operators.EntityResolution.sortedNeighborhoodQualityOracleSql(),
     // Readability: identical regexp_extract_all counts + floor DIV terms.
     "readability" -> TextAnalysis.readabilityOracleSql,
     // RAKE: gaps-and-islands phrases, string_agg, HUGEINT deg/freq.
