@@ -1165,6 +1165,10 @@ object SparkEntry {
     // CMH pooled odds ratio across day strata: floor-micros 2x2 terms.
     "cmh_pooled_odds" -> ((s, dir) =>
       graft.operators.Experiment.cmhPooledOdds(Tables.events(s, dir))),
+    // PSM ATT: caliper-banded 1-NN matching with replacement, exact
+    // argmin ties, sign-separated ATT micros.
+    "psm_att" -> ((s, dir) =>
+      graft.operators.Experiment.psmAtt(Tables.events(s, dir))),
     // Greedy max-coverage seed-set selection over doc trigram sets:
     // k argmax rounds, marginal gains, cumulative coverage.
     "coverage_selection" -> ((s, dir) =>
@@ -4481,6 +4485,8 @@ object SparkEntry {
       graft.operators.Centrality.docCommunitiesOracleSql(),
     // CMH: HUGEINT per-stratum products, pooled floor ratio.
     "cmh_pooled_odds" -> graft.operators.Experiment.cmhOracleSql,
+    // PSM: row_number argmin over the caliper join (≡ struct max).
+    "psm_att" -> graft.operators.Experiment.psmOracleSql(),
     // Coverage: unrolled greedy rounds, anti-join gains, argmax picks.
     "coverage_selection" -> graft.operators.Curation.coverageOracleSql(),
     // Sorted-neighborhood: row_number rank + band self-join replay.

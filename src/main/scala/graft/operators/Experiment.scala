@@ -232,6 +232,119 @@ object Experiment {
       .orderBy(col("source"))
   }
 
+  /** Propensity-score matching ATT (Rosenbaum & Rubin, Biometrika 1983;
+    * 1-NN caliper matching WITH replacement): every treated user matches
+    * the control user nearest in pre-period engagement within a caliper,
+    * and ATT = mean(y_treated − y_matched_control) over matched pairs —
+    * the observational-causal sibling of [[upliftDeciles]]' randomized
+    * readout, sharing its leakage-free score/outcome split.
+    *
+    * Exactness: scores and outcomes are integers; the nearest-control
+    * argmin uses max(struct(−|Δscore|, −control_id)) — deterministic
+    * ties; ATT is a sign-separated floor-micros ratio of integer sums.
+    *
+    * Scale: matching is the repo's BANDED discipline — engagement bucket
+    * `score DIV caliper`, treated rows equi-join control buckets
+    * {b−1, b, b+1}, filter |Δ| ≤ caliper, per-treated argmin — never a
+    * treated×control product. Candidates are bounded by caliper-band
+    * occupancy (the quantity [[SkewStats]] profiles).
+    */
+  def psmAtt(events: DataFrame, postDays: Int = 7,
+      caliper: Long = 10L): DataFrame = {
+    val wEnd = events.agg(max(col("ts")).as("w_end"))
+    val perUser = events
+      .crossJoin(broadcast(wEnd))
+      .withColumn("post_start",
+        col("w_end") - expr(s"INTERVAL $postDays DAYS"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < col("post_start"), 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("ts") >= col("post_start") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .withColumn("treated", pmod(col("user_id"), lit(2)).cast("int"))
+      .withColumn("b", expr(s"score DIV $caliper"))
+    val t = perUser.filter(col("treated") === 1)
+      .select(col("user_id").as("tid"), col("score").as("ts_"),
+        col("y").as("yt"), col("b"))
+    val c = perUser.filter(col("treated") === 0)
+      .select(col("user_id").as("cid"), col("score").as("cs"),
+        col("y").as("yc"), col("b").as("cb"))
+    val cand = Seq(-1L, 0L, 1L).map(d =>
+      t.join(c, col("cb") === col("b") + d))
+      .reduce(_ unionByName _)
+      .filter(abs(col("cs") - col("ts_")) <= caliper)
+    val matched = cand
+      .groupBy(col("tid"), col("yt"))
+      .agg(max(struct(
+        (-abs(col("cs") - col("ts_"))).as("nd"),
+        (-col("cid")).as("nc"),
+        col("yc"))).as("m"))
+      .select(col("tid"), col("yt"), col("m.yc").as("yc"),
+        (-col("m.nd")).as("score_gap"))
+    val nT = perUser.filter(col("treated") === 1)
+      .agg(count(lit(1)).as("n_treated"))
+    matched
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("yt")).as("sum_yt"), sum(col("yc")).as("sum_yc"),
+        sum(col("score_gap")).as("sum_gap"))
+      .crossJoin(broadcast(nT))
+      .select(
+        col("n_treated"), col("n_matched"), col("sum_yt"), col("sum_yc"),
+        when(col("n_matched") > 0L,
+          expr("(sum_gap * 1000000) DIV n_matched"))
+          .as("mean_score_gap_micros"),
+        when(col("n_matched") > 0L,
+          when(col("sum_yt") >= col("sum_yc"),
+            expr("((sum_yt - sum_yc) * 1000000) DIV n_matched"))
+            .otherwise(-expr("((sum_yc - sum_yt) * 1000000)" +
+              " DIV n_matched")))
+          .as("att_micros"))
+  }
+
+  def psmOracleSql(postDays: Int = 7, caliper: Long = 10L): String =
+    s"""WITH w AS (SELECT max(ts) - INTERVAL $postDays DAY AS post_start
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ts < post_start THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS score,
+       |    CAST(max(CASE WHEN ts >= post_start
+       |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS y,
+       |    CAST(user_id % 2 AS INTEGER) AS treated
+       |  FROM events, w GROUP BY user_id),
+       |t AS (SELECT user_id AS tid, score AS ts_, y AS yt FROM pu
+       |      WHERE treated = 1),
+       |c AS (SELECT user_id AS cid, score AS cs, y AS yc FROM pu
+       |      WHERE treated = 0),
+       |m AS (
+       |  SELECT tid, yt, yc, abs(cs - ts_) AS score_gap,
+       |    row_number() OVER (PARTITION BY tid
+       |      ORDER BY abs(cs - ts_), cid) AS rn
+       |  FROM t JOIN c ON abs(cs - ts_) <= $caliper),
+       |mm AS (SELECT tid, yt, yc, score_gap FROM m WHERE rn = 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       |    CAST(sum(yt) AS BIGINT) AS sum_yt,
+       |    CAST(sum(yc) AS BIGINT) AS sum_yc,
+       |    CAST(sum(score_gap) AS BIGINT) AS sum_gap
+       |  FROM mm)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_treated,
+       |  n_matched, sum_yt, sum_yc,
+       |  CASE WHEN n_matched > 0 THEN
+       |    CAST((sum_gap * 1000000) // n_matched AS BIGINT)
+       |  END AS mean_score_gap_micros,
+       |  CASE WHEN n_matched = 0 THEN NULL
+       |    WHEN sum_yt >= sum_yc THEN
+       |      CAST(((sum_yt - sum_yc) * 1000000) // n_matched AS BIGINT)
+       |    ELSE -CAST(((sum_yc - sum_yt) * 1000000) // n_matched
+       |      AS BIGINT)
+       |  END AS att_micros
+       |FROM agg""".stripMargin
+
   /** Cochran-Mantel-Haenszel pooled odds ratio (Mantel & Haenszel, JNCI
     * 1959) across the same day-of-week strata [[simpsonReversal]]
     * audits: the confounding-adjusted ESTIMATOR beside that audit's
