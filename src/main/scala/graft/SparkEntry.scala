@@ -1169,6 +1169,12 @@ object SparkEntry {
     // argmin ties, sign-separated ATT micros.
     "psm_att" -> ((s, dir) =>
       graft.operators.Experiment.psmAtt(Tables.events(s, dir))),
+    // NB method-of-moments fit of per-user purchase counts + zero audit.
+    "nb_fit" -> ((s, dir) =>
+      graft.operators.Experiment.nbFit(Tables.events(s, dir))),
+    // Wilson-interval two-proportion readout, exact cells.
+    "ab_wilson" -> ((s, dir) =>
+      graft.operators.Experiment.abWilson(Tables.events(s, dir))),
     // Greedy max-coverage seed-set selection over doc trigram sets:
     // k argmax rounds, marginal gains, cumulative coverage.
     "coverage_selection" -> ((s, dir) =>
@@ -4487,6 +4493,10 @@ object SparkEntry {
     "cmh_pooled_odds" -> graft.operators.Experiment.cmhOracleSql,
     // PSM: row_number argmin over the caliper join (≡ struct max).
     "psm_att" -> graft.operators.Experiment.psmOracleSql(),
+    // NB fit: HUGEINT moment numerators, floor-micros p/r.
+    "nb_fit" -> graft.operators.Experiment.nbFitOracleSql,
+    // Wilson: round-trip-exact z literals, identical IEEE bounds.
+    "ab_wilson" -> graft.operators.Experiment.abWilsonOracleSql,
     // Coverage: unrolled greedy rounds, anti-join gains, argmax picks.
     "coverage_selection" -> graft.operators.Curation.coverageOracleSql(),
     // Sorted-neighborhood: row_number rank + band self-join replay.

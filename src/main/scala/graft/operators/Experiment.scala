@@ -232,6 +232,139 @@ object Experiment {
       .orderBy(col("source"))
   }
 
+  /** Negative-binomial method-of-moments fit of per-user purchase counts
+    * (Anscombe 1950 MoM; what a volume model fits when
+    * `overdispersion_check` rejects Poisson): p = m/v and r = m²/(v−m)
+    * from exact integer moment numerators — p = S·n/(n·Q−S²),
+    * r = S²/(n·Q−S²−S·n) — emitted as floor-micros, with the observed
+    * zero share beside the Poisson-predicted one (the zero-inflation
+    * tell). All users appearing in the event log count, including
+    * zero-purchase users — dropping them is the classic truncation bug.
+    *
+    * Scale: ONE scan to per-user counts (map-side combine), one scalar
+    * aggregate.
+    */
+  def nbFit(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("k"))
+    val agg = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("k")).cast("decimal(38,0)").as("s"),
+      sum(col("k").cast("decimal(38,0)") * col("k"))
+        .cast("decimal(38,0)").as("q"),
+      sum(when(col("k") === 0L, 1L).otherwise(0L)).as("zeros"))
+    val varnum = col("n") * col("q") - col("s") * col("s")
+    val meanD = col("s").cast("double") / col("n").cast("double")
+    agg.select(
+      col("n").cast("bigint").as("n_users"),
+      col("s").cast("bigint").as("total_purchases"),
+      col("zeros").as("zero_users"),
+      expr("cast((s * 1000000) DIV n as bigint)").as("mean_micros"),
+      expr("cast(((n * q - s * s) * 1000000) DIV (n * n) as bigint)")
+        .as("var_micros"),
+      (varnum > col("s") * col("n")).as("overdispersed"),
+      when(varnum > 0,
+        expr("cast((s * n * 1000000) DIV (n * q - s * s) as bigint)"))
+        .as("nb_p_micros"),
+      when(varnum > col("s") * col("n"),
+        expr("cast((s * s * 1000000) DIV (n * q - s * s - s * n)" +
+          " as bigint)")).as("nb_r_micros"),
+      expr("cast((zeros * 1000000) DIV n as bigint)").as("zero_ppm"),
+      round(exp(-meanD), 6).as("poisson_zero_prob"))
+  }
+
+  def nbFitOracleSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k
+      |  FROM events GROUP BY user_id),
+      |agg AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(k) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(k AS HUGEINT) * k) AS HUGEINT) AS q,
+      |    CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS zeros
+      |  FROM pu)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  CAST(s AS BIGINT) AS total_purchases,
+      |  zeros AS zero_users,
+      |  CAST((s * 1000000) // n AS BIGINT) AS mean_micros,
+      |  CAST(((n * q - s * s) * 1000000) // (n * n) AS BIGINT)
+      |    AS var_micros,
+      |  (n * q - s * s) > s * n AS overdispersed,
+      |  CASE WHEN (n * q - s * s) > 0 THEN
+      |    CAST((s * n * 1000000) // (n * q - s * s) AS BIGINT)
+      |  END AS nb_p_micros,
+      |  CASE WHEN (n * q - s * s) > s * n THEN
+      |    CAST((s * s * 1000000) // (n * q - s * s - s * n) AS BIGINT)
+      |  END AS nb_r_micros,
+      |  CAST((zeros * 1000000) // n AS BIGINT) AS zero_ppm,
+      |  round(exp(-(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+      |    AS poisson_zero_prob
+      |FROM agg""".stripMargin
+
+  /** Two-proportion readout with Wilson score intervals (Wilson, JASA
+    * 1927 — the interval that behaves at small n and extreme rates,
+    * unlike the Wald interval): per-variant conversion with exact
+    * integer cells and identically spelled IEEE bounds at z = 1.96.
+    */
+  def abWilson(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(pmod(col("user_id"), lit(2)).cast("int").as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val z2 = lit(1.96 * 1.96)
+    val nD = col("n").cast("double")
+    val p = col("y").cast("double") / nD
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    cells.select(
+      col("variant"), col("n"), col("y"),
+      expr("cast((y * 1000000) DIV n as bigint)").as("rate_micros"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+      .orderBy(col("variant"))
+  }
+
+  def abWilsonOracleSql: String = {
+    // inject the Scala-computed doubles round-trip-exactly: the DuckDB
+    // literal `3.8416` parses to a DIFFERENT double than 1.96*1.96
+    // rounds to (EntityResolution's log-weight discipline)
+    val z = java.lang.Double.toString(1.96)
+    val z2 = java.lang.Double.toString(1.96 * 1.96)
+    s"""WITH cells AS (
+      |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1)
+      |SELECT variant, n, y,
+      |  CAST((y * 1000000) // n AS BIGINT) AS rate_micros,
+      |  round((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + $z2 / (2.0 * CAST(n AS DOUBLE)))
+      |    / (1.0 + $z2 / CAST(n AS DOUBLE))
+      |    - $z * sqrt(CAST(y AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |      + $z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |      / (1.0 + $z2 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+      |  round((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + $z2 / (2.0 * CAST(n AS DOUBLE)))
+      |    / (1.0 + $z2 / CAST(n AS DOUBLE))
+      |    + $z * sqrt(CAST(y AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (1.0 - CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |      + $z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |      / (1.0 + $z2 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+      |FROM cells ORDER BY variant""".stripMargin
+  }
+
   /** Propensity-score matching ATT (Rosenbaum & Rubin, Biometrika 1983;
     * 1-NN caliper matching WITH replacement): every treated user matches
     * the control user nearest in pre-period engagement within a caliper,
