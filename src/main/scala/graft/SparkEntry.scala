@@ -1175,6 +1175,14 @@ object SparkEntry {
     // Wilson-interval two-proportion readout, exact cells.
     "ab_wilson" -> ((s, dir) =>
       graft.operators.Experiment.abWilson(Tables.events(s, dir))),
+    // Quantile treatment effects: exact per-variant order statistics
+    // via ranged ranks, per-quantile treated-control deltas.
+    "qte_quartiles" -> ((s, dir) =>
+      graft.operators.RobustStats.qteQuartiles(Tables.events(s, dir))),
+    // Spearman rho between engagement and spend: exact Σd² integers.
+    "spearman_engagement_spend" -> ((s, dir) =>
+      graft.operators.RobustStats.spearmanEngagementSpend(
+        Tables.events(s, dir))),
     // Greedy max-coverage seed-set selection over doc trigram sets:
     // k argmax rounds, marginal gains, cumulative coverage.
     "coverage_selection" -> ((s, dir) =>
@@ -4497,6 +4505,11 @@ object SparkEntry {
     "nb_fit" -> graft.operators.Experiment.nbFitOracleSql,
     // Wilson: round-trip-exact z literals, identical IEEE bounds.
     "ab_wilson" -> graft.operators.Experiment.abWilsonOracleSql,
+    // QTE: per-variant row_number order statistics at ceil(q·n).
+    "qte_quartiles" -> graft.operators.RobustStats.qteOracleSql,
+    // Spearman: identical tie-free rank axes, integer rho micros.
+    "spearman_engagement_spend" ->
+      graft.operators.RobustStats.spearmanOracleSql,
     // Coverage: unrolled greedy rounds, anti-join gains, argmax picks.
     "coverage_selection" -> graft.operators.Curation.coverageOracleSql(),
     // Sorted-neighborhood: row_number rank + band self-join replay.

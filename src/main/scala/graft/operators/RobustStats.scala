@@ -135,6 +135,143 @@ object RobustStats {
         col("slope_micros").as("slope_micros_median"))
   }
 
+  /** Quantile treatment effects (Doksum 1974; the distributional A/B
+    * readout beside the mean-shift estimators): per-variant exact
+    * p25/p50/p75 of purchase cents, and the per-quantile treated−control
+    * differences. Means hide heterogeneity — a lift concentrated in the
+    * tail moves p75 but not p50; this shows WHERE the distribution
+    * moved.
+    *
+    * Exactness: order statistics at rank ⌈q·n⌉ over a total order
+    * (cents, event_id); all integers.
+    *
+    * Scale: ONE global [[DistributedRank]] over (variant, cents, id)
+    * minus per-variant offsets — the [[trimmedMeans]] shape; no
+    * per-variant single-task window. Caller releases.
+    */
+  def qteQuartiles(events: DataFrame): DataFrame = {
+    val obs = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(
+        pmod(col("user_id"), lit(2)).cast("int").as("v"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"),
+        col("event_id"))
+    val ranked = DistributedRank.withGlobalRank(
+      obs, Seq(col("v"), col("cents"), col("event_id")), "gr")
+    val offs = ranked.groupBy(col("v"))
+      .agg(min(col("gr")).as("off"), count(lit(1)).as("n"))
+    val local = ranked.join(broadcast(offs), Seq("v"))
+      .withColumn("lr", col("gr") - col("off") + 1L)
+    // k_q = ceil(q·n) = (q_num·n + q_den − 1) DIV q_den
+    def pick(qNum: Int, qDen: Int, name: String) =
+      max(when(col("lr") ===
+        expr(s"($qNum * n + ${qDen - 1}) DIV $qDen"), col("cents")))
+        .as(name)
+    val byV = local.groupBy(col("v"))
+      .agg(first(col("n")).as("n"),
+        pick(1, 4, "p25_cents"), pick(1, 2, "p50_cents"),
+        pick(3, 4, "p75_cents"))
+    val c = byV.filter(col("v") === 0)
+      .select(col("n").as("n0"), col("p25_cents").as("c25"),
+        col("p50_cents").as("c50"), col("p75_cents").as("c75"))
+    val t = byV.filter(col("v") === 1)
+      .select(col("n").as("n1"), col("p25_cents").as("t25"),
+        col("p50_cents").as("t50"), col("p75_cents").as("t75"))
+    t.crossJoin(broadcast(c))
+      .select(col("n0"), col("n1"),
+        col("c25"), col("t25"), (col("t25") - col("c25")).as("qte25_cents"),
+        col("c50"), col("t50"), (col("t50") - col("c50")).as("qte50_cents"),
+        col("c75"), col("t75"), (col("t75") - col("c75")).as("qte75_cents"))
+  }
+
+  def qteOracleSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(user_id % 2 AS INTEGER) AS v,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    event_id
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |r AS (
+      |  SELECT v, cents,
+      |    row_number() OVER (PARTITION BY v ORDER BY cents, event_id)
+      |      AS lr,
+      |    count(*) OVER (PARTITION BY v) AS n
+      |  FROM obs),
+      |byv AS (
+      |  SELECT v, CAST(any_value(n) AS BIGINT) AS n,
+      |    max(CASE WHEN lr = (1 * n + 3) // 4 THEN cents END) AS p25,
+      |    max(CASE WHEN lr = (1 * n + 1) // 2 THEN cents END) AS p50,
+      |    max(CASE WHEN lr = (3 * n + 3) // 4 THEN cents END) AS p75
+      |  FROM r GROUP BY v)
+      |SELECT c.n AS n0, t.n AS n1,
+      |  c.p25 AS c25, t.p25 AS t25, t.p25 - c.p25 AS qte25_cents,
+      |  c.p50 AS c50, t.p50 AS t50, t.p50 - c.p50 AS qte50_cents,
+      |  c.p75 AS c75, t.p75 AS t75, t.p75 - c.p75 AS qte75_cents
+      |FROM byv t, byv c WHERE t.v = 1 AND c.v = 0""".stripMargin
+
+  /** Spearman rank correlation between per-user engagement (event
+    * count) and spend (purchase cents) — the monotone-association
+    * screen run before trusting a linear correlation
+    * (`price_qty_corr`'s Pearson assumes linearity). Tie-free total
+    * order by (metric, user_id), documented: with heavy ties the
+    * midrank correction matters; here the rank axes are made total the
+    * same way both engines, so ρ = 1 − 6Σd²/(n(n²−1)) is EXACT
+    * integer arithmetic end-to-end, emitted in micros (sign-separated
+    * floor).
+    *
+    * Scale: two ranged ranks over the per-user frame + one scalar agg.
+    */
+  def spearmanEngagementSpend(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("eng"),
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .otherwise(lit(0L))).as("spend"))
+    val r1 = DistributedRank.withGlobalRank(
+      perUser, Seq(col("eng"), col("user_id")), "ra")
+    val r2 = DistributedRank.withGlobalRank(
+      r1, Seq(col("spend"), col("user_id")), "rb")
+    val agg = r2.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum((col("ra") - col("rb")).cast("decimal(38,0)") *
+        (col("ra") - col("rb"))).cast("decimal(38,0)").as("sd2"))
+    agg.select(
+      col("n").cast("bigint").as("n_users"),
+      col("sd2").cast("bigint").as("sum_d2"),
+      // rho·10^6 = 10^6 − (6·Σd²·10^6 DIV n(n²−1)): the subtrahend is
+      // non-negative, so one floor DIV keeps both engines identical
+      when(col("n") > 1,
+        lit(1000000L) - expr(
+          "cast((6 * sd2 * 1000000) DIV (n * (n * n - 1)) as bigint)"))
+        .as("rho_micros"))
+  }
+
+  def spearmanOracleSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS eng,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS spend
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id,
+      |    row_number() OVER (ORDER BY eng, user_id) AS ra,
+      |    row_number() OVER (ORDER BY spend, user_id) AS rb
+      |  FROM pu),
+      |agg AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(ra - rb AS HUGEINT) * (ra - rb)) AS HUGEINT)
+      |      AS sd2
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  CAST(sd2 AS BIGINT) AS sum_d2,
+      |  CASE WHEN n > 1 THEN
+      |    1000000 - CAST((6 * sd2 * 1000000) // (n * (n * n - 1))
+      |      AS BIGINT)
+      |  END AS rho_micros
+      |FROM agg""".stripMargin
+
   def theilSenOracleSql: String =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS y
