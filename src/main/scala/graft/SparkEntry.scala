@@ -1169,6 +1169,9 @@ object SparkEntry {
     // argmin ties, sign-separated ATT micros.
     "psm_att" -> ((s, dir) =>
       graft.operators.Experiment.psmAtt(Tables.events(s, dir))),
+    // SRM gate: user-level split counts, exact delta ppm, chi-square.
+    "srm_check" -> ((s, dir) =>
+      graft.operators.Experiment.srmCheck(Tables.events(s, dir))),
     // NB method-of-moments fit of per-user purchase counts + zero audit.
     "nb_fit" -> ((s, dir) =>
       graft.operators.Experiment.nbFit(Tables.events(s, dir))),
@@ -4501,6 +4504,8 @@ object SparkEntry {
     "cmh_pooled_odds" -> graft.operators.Experiment.cmhOracleSql,
     // PSM: row_number argmin over the caliper join (≡ struct max).
     "psm_att" -> graft.operators.Experiment.psmOracleSql(),
+    // SRM: distinct users, sign-separated delta, spelled chi-square.
+    "srm_check" -> graft.operators.Experiment.srmOracleSql,
     // NB fit: HUGEINT moment numerators, floor-micros p/r.
     "nb_fit" -> graft.operators.Experiment.nbFitOracleSql,
     // Wilson: round-trip-exact z literals, identical IEEE bounds.

@@ -232,6 +232,69 @@ object Experiment {
       .orderBy(col("source"))
   }
 
+  /** Sample-ratio-mismatch check (the FIRST thing a trustworthy A/B
+    * system validates — Fabijan et al., "Diagnosing sample ratio
+    * mismatch", KDD 2019): USER-level assignment counts against the
+    * expected 50/50 hash split, with the exact delta and the one-cell
+    * chi-square statistic (identically spelled IEEE over integer
+    * counts). A failed SRM invalidates every downstream readout — this
+    * runs before CUPED/DiD/uplift, not after.
+    */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val perUser = events.select(col("user_id")).distinct()
+      .groupBy(pmod(col("user_id"), lit(2)).cast("int").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val agg = perUser.agg(
+      sum(when(col("v") === 0, col("n")).otherwise(lit(0L))).as("n0"),
+      sum(when(col("v") === 1, col("n")).otherwise(lit(0L))).as("n1"))
+    val n0d = col("n0").cast("double")
+    val n1d = col("n1").cast("double")
+    val chi2 = (n0d - n1d) * (n0d - n1d) / (n0d + n1d)
+    agg.select(
+      col("n0").as("n_control"), col("n1").as("n_treated"),
+      (col("n1") - col("n0")).as("delta_users"),
+      when(col("n0") + col("n1") > 0L,
+        when(col("n1") >= col("n0"),
+          expr("((n1 - n0) * 1000000) DIV (n0 + n1)"))
+          .otherwise(-expr("((n0 - n1) * 1000000) DIV (n0 + n1)")))
+        .as("delta_ppm"),
+      when(col("n0") + col("n1") > 0L, round(chi2, 6)).as("chi2"),
+      // 3.8415 ≈ χ²₁ at α=0.05: the standard SRM alarm line
+      when(col("n0") + col("n1") > 0L, chi2 > lit(3.841458820694124))
+        .as("srm_alarm"))
+  }
+
+  def srmOracleSql: String = {
+    val crit = java.lang.Double.toString(3.841458820694124)
+    s"""WITH pu AS (
+       |  SELECT DISTINCT user_id FROM events),
+       |cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n1
+       |  FROM pu)
+       |SELECT n0 AS n_control, n1 AS n_treated,
+       |  n1 - n0 AS delta_users,
+       |  CASE WHEN n0 + n1 = 0 THEN NULL
+       |    WHEN n1 >= n0 THEN
+       |      CAST(((n1 - n0) * 1000000) // (n0 + n1) AS BIGINT)
+       |    ELSE -CAST(((n0 - n1) * 1000000) // (n0 + n1) AS BIGINT)
+       |  END AS delta_ppm,
+       |  CASE WHEN n0 + n1 > 0 THEN
+       |    round((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+       |      * (CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+       |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)), 6)
+       |  END AS chi2,
+       |  CASE WHEN n0 + n1 > 0 THEN
+       |    (CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+       |      * (CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+       |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) > $crit
+       |  END AS srm_alarm
+       |FROM cells""".stripMargin
+  }
+
   /** Negative-binomial method-of-moments fit of per-user purchase counts
     * (Anscombe 1950 MoM; what a volume model fits when
     * `overdispersion_check` rejects Poisson): p = m/v and r = m²/(v−m)

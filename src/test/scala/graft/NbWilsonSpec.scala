@@ -41,6 +41,22 @@ class NbWilsonSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("nb_r_micros")))
   }
 
+  test("srmCheck: planted imbalance trips the alarm") {
+    import spark.implicits._
+    // 40 control users vs 10 treated: chi2 = 30²/50 = 18 > 3.84
+    val rows = (1 to 40).map(i => (i.toLong, i.toLong * 2, "view", 1.0,
+      ts0)) ++ (1 to 10).map(i => (100L + i, i.toLong * 2 + 1, "view",
+      1.0, ts0))
+    val events = rows.toDF("event_id", "user_id", "event_type", "value",
+      "ts")
+    val r = Experiment.srmCheck(events).collect().head
+    assert(r.getAs[Long]("n_control") == 40L)
+    assert(r.getAs[Long]("n_treated") == 10L)
+    assert(r.getAs[Long]("delta_ppm") == -600000L)
+    assert(r.getAs[Double]("chi2") == 18.0)
+    assert(r.getAs[Boolean]("srm_alarm"))
+  }
+
   test("abWilson: interval brackets the rate and tightens with n") {
     import spark.implicits._
     val small = (1 to 10).map(i => (i.toLong, (i % 2).toLong,
