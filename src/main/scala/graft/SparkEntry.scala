@@ -1186,6 +1186,10 @@ object SparkEntry {
     "spearman_engagement_spend" -> ((s, dir) =>
       graft.operators.RobustStats.spearmanEngagementSpend(
         Tables.events(s, dir))),
+    // Zone-map skip audit: natural vs value-sorted zone pruning for a
+    // cents band — the measured case for clustered layout.
+    "zonemap_skip_audit" -> ((s, dir) =>
+      graft.operators.Layout.zonemapSkipAudit(Tables.lineitem(s, dir))),
     // Greedy max-coverage seed-set selection over doc trigram sets:
     // k argmax rounds, marginal gains, cumulative coverage.
     "coverage_selection" -> ((s, dir) =>
@@ -4515,6 +4519,8 @@ object SparkEntry {
     // Spearman: identical tie-free rank axes, integer rho micros.
     "spearman_engagement_spend" ->
       graft.operators.RobustStats.spearmanOracleSql,
+    // Zone maps: row_number tiling per ordering, min/max prune counts.
+    "zonemap_skip_audit" -> graft.operators.Layout.zonemapOracleSql(),
     // Coverage: unrolled greedy rounds, anti-join gains, argmax picks.
     "coverage_selection" -> graft.operators.Curation.coverageOracleSql(),
     // Sorted-neighborhood: row_number rank + band self-join replay.

@@ -152,4 +152,87 @@ FROM h$bits GROUP BY 1 ORDER BY 1"""
 
   def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
     spark.read.parquet(dir).filter(col("event_date") === lit(day))
+
+  /** Zone-map skip audit: QUANTIFIES what sorted layout buys a range
+    * scan. Rows are tiled into fixed-size zones under two orderings —
+    * the natural key order and a value-sorted order — and each zone
+    * keeps parquet-style min/max stats on the predicate column; a zone
+    * whose [min, max] misses the predicate band is SKIPPED without
+    * reading. The report (per ordering: zones, skipped, skip ppm, rows
+    * actually scanned vs rows matching) is the measured version of the
+    * claim behind `writeZOrdered`/`hilbert_locality`: clustering exists
+    * so that zone maps prune.
+    *
+    * Exactness: everything is integer counts over exact cents.
+    *
+    * Scale: each ordering is one ranged rank ([[DistributedRank]] — no
+    * single-task sort) + a zone-level aggregate; zones =
+    * rows/zoneRows, i.e. the frame the stats live on is 1000× smaller
+    * than the data, exactly like real row-group metadata. Caller
+    * releases via DistributedRank.release.
+    */
+  def zonemapSkipAudit(lineitem: DataFrame, zoneRows: Int = 1000,
+      loCents: Long = 10000000L, hiCents: Long = 10500000L): DataFrame = {
+    val cents = graft.queries.Analytics.centsOf(col("l_extendedprice"))
+      .cast("long")
+    val base = lineitem.select(cents.as("v"), col("l_orderkey"),
+      col("l_linenumber"))
+    def audit(label: String, sortCols: Seq[Column]): DataFrame = {
+      val ranked = DistributedRank.withGlobalRank(base, sortCols, "r")
+        .withColumn("z", expr(s"(r - 1) DIV $zoneRows"))
+      ranked.groupBy(col("z"))
+        .agg(count(lit(1)).as("zn"), min(col("v")).as("zmin"),
+          max(col("v")).as("zmax"),
+          sum(when(col("v").between(loCents, hiCents), 1L)
+            .otherwise(0L)).as("zsel"))
+        .agg(
+          count(lit(1)).as("n_zones"),
+          sum(when(col("zmax") < loCents || col("zmin") > hiCents, 1L)
+            .otherwise(0L)).as("skipped_zones"),
+          sum(when(col("zmax") < loCents || col("zmin") > hiCents, 0L)
+            .otherwise(col("zn"))).as("rows_scanned"),
+          sum(col("zsel")).as("rows_matching"))
+        .select(lit(label).as("ordering"), col("n_zones"),
+          col("skipped_zones"),
+          expr("(skipped_zones * 1000000) DIV n_zones").as("skip_ppm"),
+          col("rows_scanned"), col("rows_matching"))
+    }
+    audit("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      .unionByName(audit("value_sorted",
+        Seq(col("v"), col("l_orderkey"), col("l_linenumber"))))
+      .orderBy(col("ordering"))
+  }
+
+  def zonemapOracleSql(zoneRows: Int = 1000,
+      loCents: Long = 10000000L, hiCents: Long = 10500000L): String = {
+    def block(label: String, order: String): String =
+      s"""SELECT '$label' AS ordering,
+         |  CAST(count(*) AS BIGINT) AS n_zones,
+         |  CAST(sum(CASE WHEN zmax < $loCents OR zmin > $hiCents
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS skipped_zones,
+         |  CAST(sum(CASE WHEN zmax < $loCents OR zmin > $hiCents
+         |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         |    AS skip_ppm,
+         |  CAST(sum(CASE WHEN zmax < $loCents OR zmin > $hiCents
+         |    THEN 0 ELSE zn END) AS BIGINT) AS rows_scanned,
+         |  CAST(sum(zsel) AS BIGINT) AS rows_matching
+         |FROM (
+         |  SELECT z, count(*) AS zn, min(v) AS zmin, max(v) AS zmax,
+         |    sum(CASE WHEN v BETWEEN $loCents AND $hiCents
+         |      THEN 1 ELSE 0 END) AS zsel
+         |  FROM (
+         |    SELECT v,
+         |      (row_number() OVER (ORDER BY $order) - 1) // $zoneRows
+         |        AS z
+         |    FROM base) r
+         |  GROUP BY z) zs""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+       |    AS BIGINT) AS v, l_orderkey, l_linenumber
+       |  FROM lineitem)
+       |${block("natural", "l_orderkey, l_linenumber")}
+       |UNION ALL
+       |${block("value_sorted", "v, l_orderkey, l_linenumber")}
+       |ORDER BY ordering""".stripMargin
+  }
 }
