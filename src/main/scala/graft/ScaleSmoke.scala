@@ -208,6 +208,27 @@ object ScaleSmoke {
         graft.operators.Experiment.jackknifeRatio(ev).count())
       time("cmh_pooled_odds", scale)(
         graft.operators.Experiment.cmhPooledOdds(ev).count())
+      time("psm_att", scale)(
+        graft.operators.Experiment.psmAtt(ev).count())
+      time("nb_fit", scale)(
+        graft.operators.Experiment.nbFit(ev).count())
+      time("ab_wilson", scale)(
+        graft.operators.Experiment.abWilson(ev).count())
+      time("srm_check", scale)(
+        graft.operators.Experiment.srmCheck(ev).count())
+      time("qte_quartiles", scale)(
+        graft.operators.RobustStats.qteQuartiles(ev).count())
+      time("spearman_engagement_spend", scale)(
+        graft.operators.RobustStats.spearmanEngagementSpend(ev).count())
+      time("sorted_neighborhood_quality", scale)(
+        graft.operators.EntityResolution.sortedNeighborhoodQuality(
+          pseudoCust).count())
+      time("zonemap_skip_audit", scale)(
+        graft.operators.Layout.zonemapSkipAudit(
+          pseudoLineitem.withColumn("l_extendedprice",
+              (col("l_partkey") % 997L).cast("double") / 100.0)
+            .withColumn("l_linenumber", col("l_orderkey")),
+          loCents = 10000L, hiCents = 10500L).count())
       time("fd_violations", scale)(
         graft.operators.DataQuality.fdViolations(
           pseudoOrders.withColumn("o_orderstatus",
