@@ -1321,7 +1321,15 @@ object SparkEntry {
     // islands, integer deg/freq micros, corpus top-25.
     "rake_keywords" -> ((s, dir) =>
       graft.operators.Keywords.rakeKeywords(
-        Tables.documents(s, dir), stopwords))
+        Tables.documents(s, dir), stopwords)),
+    // Substring-level dedup (Lee et al. 2022): exact k-token spans
+    // appearing in >= 2 distinct docs, ranked by spread.
+    "duplicate_spans" -> ((s, dir) =>
+      graft.operators.SpanDedup.duplicateSpans(Tables.documents(s, dir))),
+    // Per-doc duplicated-token coverage: exact interval union of
+    // cross-doc duplicated windows via one lag pass per document.
+    "span_coverage" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanCoverage(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4572,7 +4580,9 @@ object SparkEntry {
     "vocab_growth" -> TextAnalysis.vocabGrowthOracleSql,
     "new_vs_returning" -> Analytics.newVsReturningOracleSql,
     "slo_burn_rate" -> Analytics.sloBurnRateOracleSql(),
-    "rare_token_share" -> TextAnalysis.rareTokenShareOracleSql()
+    "rare_token_share" -> TextAnalysis.rareTokenShareOracleSql(),
+    "duplicate_spans" -> graft.operators.SpanDedup.duplicateSpansOracleSql(),
+    "span_coverage" -> graft.operators.SpanDedup.spanCoverageOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
