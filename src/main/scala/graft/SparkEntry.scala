@@ -1329,7 +1329,15 @@ object SparkEntry {
     // Per-doc duplicated-token coverage: exact interval union of
     // cross-doc duplicated windows via one lag pass per document.
     "span_coverage" -> ((s, dir) =>
-      graft.operators.SpanDedup.spanCoverage(Tables.documents(s, dir)))
+      graft.operators.SpanDedup.spanCoverage(Tables.documents(s, dir))),
+    // Phrase blocklist screen: exact positional phrase matches, one
+    // window pass per distinct phrase LENGTH, In-predicate probe.
+    "blocklist_hits" -> ((s, dir) =>
+      graft.operators.SpanDedup.blocklistHits(Tables.documents(s, dir))),
+    // Deterministic T5-style span-corruption plan: seeded mix64 coin per
+    // position, clipped interval union, sentinel counts, mask ppm.
+    "span_mask_plan" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanMaskPlan(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4582,7 +4590,9 @@ object SparkEntry {
     "slo_burn_rate" -> Analytics.sloBurnRateOracleSql(),
     "rare_token_share" -> TextAnalysis.rareTokenShareOracleSql(),
     "duplicate_spans" -> graft.operators.SpanDedup.duplicateSpansOracleSql(),
-    "span_coverage" -> graft.operators.SpanDedup.spanCoverageOracleSql()
+    "span_coverage" -> graft.operators.SpanDedup.spanCoverageOracleSql(),
+    "blocklist_hits" -> graft.operators.SpanDedup.blocklistHitsOracleSql(),
+    "span_mask_plan" -> graft.operators.SpanDedup.spanMaskPlanOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -37,19 +37,23 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** One row per positional k-token window: (doc_id, pos, span), pos
-    * 1-based. Documents shorter than k tokens emit nothing.
+  /** One row per positional k-token window: (doc_id[, carry...], pos,
+    * span), pos 1-based. Documents shorter than k tokens emit nothing.
     */
-  private[graft] def positionalSpans(documents: DataFrame, k: Int): DataFrame =
+  private[graft] def positionalSpans(
+      documents: DataFrame, k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
     documents
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(keep :+ split(col("text"), " ").as("toks"): _*)
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), expr(
+      .select(keep :+ expr(
         s"""transform(sequence(1, size(toks) - ${k - 1}),
            |  i -> struct(i as pos, concat_ws(' ', slice(toks, i, $k)) as span))"""
-          .stripMargin).as("ws"))
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.span").as("span"))
+          .stripMargin).as("ws"): _*)
+      .select(keep :+ explode(col("ws")).as("w"): _*)
+      .select(keep ++ Seq(col("w.pos").as("pos"), col("w.span").as("span")): _*)
+  }
 
   /** Spans (exact k-token substrings) appearing in ≥2 DISTINCT documents,
     * ranked by spread: the report that tells you which boilerplate to
@@ -108,6 +112,156 @@ object SpanDedup {
         expr("coalesce(covered_tokens, 0) * 1000000 DIV n_tokens")
           .as("coverage_ppm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Default phrase blocklist the driver query runs with (terms chosen
+    * from the harness vocabulary so hit counts are non-trivial; a phrase
+    * with zero matches simply emits no row).
+    */
+  val DriverBlocklist: Seq[String] =
+    Seq("spark", "table scan", "batch batch", "stream spark window")
+
+  /** Multi-token phrase blocklist filter — the "bad content" screen of a
+    * curation pipeline (licence fragments, boilerplate markers, banned
+    * phrases): exact positional phrase matches per (phrase, source).
+    *
+    * Scale shape: one positional-window pass PER DISTINCT PHRASE LENGTH
+    * (not per phrase — lengths are few, phrases can be thousands), each a
+    * scan-shaped projection filtered by an In predicate (codegen'd set
+    * probe; for very large lists this would become a broadcast join, same
+    * plan shape). No self-joins, no regex backtracking.
+    */
+  def blocklistHits(
+      documents: DataFrame,
+      phrases: Seq[String] = DriverBlocklist): DataFrame = {
+    val byLen = phrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+    val matches = byLen.map { case (l, ps) =>
+      positionalSpans(documents, l, carry = Seq("source"))
+        .filter(col("span").isin(ps: _*))
+        .select(col("doc_id"), col("source"), col("span"))
+    }.reduce(_ unionByName _)
+    matches
+      .groupBy(col("span").as("phrase"), col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .orderBy(col("phrase"), col("source"))
+  }
+
+  /** Deterministic T5-style span-corruption plan (Raffel et al., JMLR
+    * 2020 §3.1.4): every token position draws a seeded coin —
+    * mix64(doc_id·P + pos) low bits, a 1/16 start rate — and each hit
+    * masks a spanLen-token span clipped at the document end; overlapping
+    * or adjacent spans merge, and each merged run is one sentinel. The
+    * plan (per-doc masked-token counts, sentinel counts, corruption ppm)
+    * is what a distributed pretraining data loader needs to size batches
+    * BEFORE materializing corrupted text — and because the draw is a pure
+    * function of (doc_id, pos), any executor can regenerate exactly the
+    * same masks with no coordination or stored RNG state.
+    *
+    * Exactness: the splitmix64 draw is the library-wide [[graft.functions.Mix64]]
+    * fixed point (DuckDB replays it in HUGEINT mod-2^64 limbs); the gate
+    * is `& 15` — low bits, not pmod — because 16 divides 2^64, so the
+    * signed-long view and the oracle's unsigned view agree. The interval
+    * union is the same lag fold as [[spanCoverage]] with end-of-doc
+    * clipping.
+    */
+  def spanMaskPlan(documents: DataFrame, spanLen: Int = 3): DataFrame = {
+    val L = spanLen
+    val base = documents
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val starts = base
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(1, n)")).as("pos"))
+      .filter((graft.functions.GraftColumns.mix64(
+        col("doc_id") * lit(1000003L) + col("pos"))
+        .bitwiseAND(lit(15L))) === lit(0L))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val perDoc = starts
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("add",
+        when(col("prev").isNull,
+          least(col("pos") + (L - 1), col("n")) - col("pos") + 1)
+          .otherwise(greatest(lit(0),
+            least(col("pos") + (L - 1), col("n")) -
+              greatest(least(col("prev") + (L - 1), col("n")),
+                col("pos") - 1))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_mask_starts"),
+        sum(col("add")).as("masked_tokens"),
+        sum(when(col("prev").isNull || col("pos") - col("prev") > L, lit(1))
+          .otherwise(lit(0))).as("n_sentinel_spans"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n").cast("bigint").as("n_tokens"),
+        coalesce(col("n_mask_starts"), lit(0L)).as("n_mask_starts"),
+        coalesce(col("masked_tokens"), lit(0L)).cast("bigint")
+          .as("masked_tokens"),
+        coalesce(col("n_sentinel_spans"), lit(0L)).as("n_sentinel_spans"),
+        expr("coalesce(masked_tokens, 0) * 1000000 DIV n").as("mask_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def blocklistHitsOracleSql(
+      phrases: Seq[String] = DriverBlocklist): String = {
+    val byLen = phrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
+    val blocks = byLen.map { case (l, ps) =>
+      val inList = ps.sorted.map(p => s"'${p.replace("'", "''")}'")
+        .mkString(", ")
+      val upper = if (l >= 2) s"len(toks) - ${l - 2}" else "len(toks) + 1"
+      s"""SELECT doc_id, source, span FROM (
+         |  SELECT doc_id, source, unnest(list_transform(
+         |    range(1, $upper),
+         |    i -> array_to_string(toks[i:i+${l - 1}], ' '))) AS span
+         |  FROM tk WHERE len(toks) >= $l)
+         |WHERE span IN ($inList)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |            FROM documents),
+       |m AS (
+       |$blocks)
+       |SELECT span AS phrase, source,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ
+       |FROM m GROUP BY 1, 2
+       |ORDER BY phrase, source""".stripMargin
+  }
+
+  def spanMaskPlanOracleSql(spanLen: Int = 3): String = {
+    val L = spanLen
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+       |p AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS pos FROM d),
+       |z AS (SELECT doc_id, n, pos,
+       |  ((doc_id * 1000003 + pos)::HUGEINT + 11400714819323198485::HUGEINT)
+       |    % 18446744073709551616::HUGEINT AS z0
+       |  FROM p),
+       |${graft.SketchOracles.mixChain("sm", "z", Seq("doc_id", "n", "pos"), "z0")},
+       |c AS (SELECT doc_id, n, pos FROM sm4 WHERE mx % 16 = 0),
+       |lagd AS (
+       |  SELECT doc_id, n, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM c),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_mask_starts,
+       |    CAST(sum(CASE WHEN prev IS NULL
+       |      THEN least(pos + ${L - 1}, n) - pos + 1
+       |      ELSE greatest(0, least(pos + ${L - 1}, n)
+       |        - greatest(least(prev + ${L - 1}, n), pos - 1)) END)
+       |      AS BIGINT) AS masked_tokens,
+       |    CAST(sum(CASE WHEN prev IS NULL OR pos - prev > $L
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sentinel_spans
+       |  FROM lagd GROUP BY 1)
+       |SELECT d.doc_id, d.n AS n_tokens,
+       |  COALESCE(p.n_mask_starts, 0) AS n_mask_starts,
+       |  COALESCE(p.masked_tokens, 0) AS masked_tokens,
+       |  COALESCE(p.n_sentinel_spans, 0) AS n_sentinel_spans,
+       |  COALESCE(p.masked_tokens, 0) * 1000000 // d.n AS mask_ppm
+       |FROM d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   def duplicateSpansOracleSql(k: Int = 6, topN: Int = 30): String =

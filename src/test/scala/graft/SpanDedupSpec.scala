@@ -56,6 +56,48 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got(4L) === ((2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("blocklistHits: positional phrase matches per length, overlaps counted") {
+    val d = docs(
+      1L -> "a b c b c d",   // "b c" at pos 2 and 4
+      2L -> "b c x spark y", // "b c" once, "spark" once
+      3L -> "no hits here")
+    val got = SpanDedup
+      .blocklistHits(d, Seq("spark", "b c", "hits here zz"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("b c") === ((2L, 3L)))
+    assert(got("spark") === ((1L, 1L)))
+    // 3-token phrase with no match emits no row
+    assert(got.size === 2)
+  }
+
+  test("spanMaskPlan matches an independent Scala fold of the same draw") {
+    val d = docs(
+      11L -> (1 to 40).map(i => s"t$i").mkString(" "),
+      12L -> "only three tokens",
+      13L -> (1 to 100).map(i => s"u$i").mkString(" "))
+    val got = SpanDedup.spanMaskPlan(d, spanLen = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+      .toMap
+    for ((id, n) <- Seq(11L -> 40, 12L -> 3, 13L -> 100)) {
+      val starts = (1 to n).filter(p =>
+        (graft.functions.Mix64.mix(id * 1000003L + p) & 15L) == 0L)
+      // reference fold: mark every masked position directly
+      val masked = starts.flatMap(p => p to math.min(p + 2, n)).toSet
+      val islands =
+        if (masked.isEmpty) 0
+        else masked.toSeq.sorted.sliding(2)
+          .count(w => w.length == 2 && w(1) - w(0) > 1) + 1
+      val expPpm = masked.size.toLong * 1000000L / n
+      assert(got(id) === ((n.toLong, starts.size.toLong,
+        masked.size.toLong, islands.toLong, expPpm)),
+        s"doc $id: starts at $starts")
+    }
+  }
+
   test("spanCoverage: adjacent windows (gap exactly k) merge into one island") {
     val d = docs(
       7L -> "g h i g h i", // "g h i" at pos 1 and 4: distance == k
