@@ -1337,7 +1337,12 @@ object SparkEntry {
     // Deterministic T5-style span-corruption plan: seeded mix64 coin per
     // position, clipped interval union, sentinel counts, mask ppm.
     "span_mask_plan" -> ((s, dir) =>
-      graft.operators.SpanDedup.spanMaskPlan(Tables.documents(s, dir)))
+      graft.operators.SpanDedup.spanMaskPlan(Tables.documents(s, dir))),
+    // Link prediction on the shared-span graph: distance-2 non-edges
+    // scored by common-neighbor / Jaccard / resource-allocation /
+    // preferential-attachment — all exact integers.
+    "link_prediction" -> ((s, dir) =>
+      graft.operators.Centrality.linkPrediction(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4592,7 +4597,9 @@ object SparkEntry {
     "duplicate_spans" -> graft.operators.SpanDedup.duplicateSpansOracleSql(),
     "span_coverage" -> graft.operators.SpanDedup.spanCoverageOracleSql(),
     "blocklist_hits" -> graft.operators.SpanDedup.blocklistHitsOracleSql(),
-    "span_mask_plan" -> graft.operators.SpanDedup.spanMaskPlanOracleSql()
+    "span_mask_plan" -> graft.operators.SpanDedup.spanMaskPlanOracleSql(),
+    "link_prediction" ->
+      graft.operators.Centrality.linkPredictionOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

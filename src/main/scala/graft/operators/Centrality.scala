@@ -425,4 +425,115 @@ JOIN a$rounds t ON e.dst = t.doc_id
 GROUP BY 1
 ORDER BY 1"""
   }
+
+  /** Link prediction over the shared-span graph (Liben-Nowell & Kleinberg,
+    * CIKM 2003): score NON-adjacent doc pairs at distance 2 by
+    * common-neighbor structure — the "which near-dup cluster is about to
+    * merge" / "which docs share a template family without direct span
+    * overlap yet" signal that complements [[docCommunities]]'s hard
+    * labels. Scores, all exact integers:
+    *   - common_neighbors: distinct 2-path midpoints
+    *   - jaccard_micros:   cn·10^6 DIV (deg_a + deg_b − cn)
+    *   - ra_micros:        Σ_w 10^6 DIV deg_w (resource allocation,
+    *                       Zhou/Lü/Zhang EPJ B 2009 — per-term floor on
+    *                       both engines, so the sum is bit-identical)
+    *   - pref_attach:      deg_a · deg_b
+    *
+    * Scale shape: wedge enumeration is the standard oriented 2-path
+    * equi-join (same discipline as [[docTriangles]]); its volume is
+    * Σ_w deg(w)², bounded because the df-cap already clips hot shingles
+    * and therefore hot nodes. The non-edge filter is one anti-join
+    * against the (a<b)-oriented edge list; never an all-pairs product.
+    */
+  def linkPrediction(
+      documents: DataFrame,
+      k: Int = 4, // 4-gram spans: the 8-gram graph is all closed cliques
+      dfCap: Int = 30,
+      topN: Int = 30): DataFrame = {
+    val shared = Dedup.hashedShingleDf(documents, k)
+      .filter(col("df").between(2, dfCap))
+      .select(col("sh"), col("doc_id"))
+    val pairs = shared
+      .join(shared.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
+      .filter(col("doc_id") < col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+      .distinct()
+      .localCheckpoint() // reused 4x: edges (x2), anti-join, degrees
+    val edges = pairs.union(pairs.select(col("dst"), col("src")))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val ew = edges
+      .join(deg, col("dst") === col("node"))
+      .select(col("src"), col("dst").as("w"), col("deg").as("deg_w"))
+    val wedge = ew
+      .join(edges.select(col("src").as("w2"), col("dst").as("b")),
+        col("w") === col("w2"))
+      .filter(col("src") < col("b"))
+      .select(col("src").as("a"), col("b"), col("deg_w"))
+    val cand = wedge
+      .groupBy(col("a"), col("b"))
+      .agg(
+        count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 DIV deg_w")).as("ra_micros"))
+      .join(pairs.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(
+        col("a").as("src_doc"), col("b").as("dst_doc"),
+        col("common_neighbors"),
+        expr("common_neighbors * 1000000 DIV (deg_a + deg_b - common_neighbors)")
+          .as("jaccard_micros"),
+        col("ra_micros"),
+        (col("deg_a") * col("deg_b")).as("pref_attach"))
+      .orderBy(col("common_neighbors").desc, col("ra_micros").desc,
+        col("src_doc"), col("dst_doc"))
+      .limit(topN)
+  }
+
+  /** Same edge construction as the pagerank/triangle oracles (string
+    * shingles as the equivalence classes), then the wedge join, RA fold,
+    * and anti-join replayed literally.
+    */
+  def linkPredictionOracleSql(
+      k: Int = 4, dfCap: Int = 30, topN: Int = 30): String = {
+    val cat = (0 until k)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - ${k - 2}),
+       |    i -> $cat))) AS shingle
+       |  FROM tk),
+       |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
+       |        WHERE df BETWEEN 2 AND $dfCap),
+       |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |       FROM shf a JOIN shf b USING (shingle)
+       |       WHERE a.doc_id < b.doc_id),
+       |ed AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+       |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |       FROM ed GROUP BY 1),
+       |ew AS (SELECT e.src, e.dst AS w, d.deg AS deg_w
+       |       FROM ed e JOIN dg d ON e.dst = d.node),
+       |wg AS (SELECT ew.src AS a, e2.dst AS b, ew.deg_w
+       |       FROM ew JOIN ed e2 ON ew.w = e2.src WHERE ew.src < e2.dst),
+       |cd AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+       |         CAST(sum(1000000 // deg_w) AS BIGINT) AS ra_micros
+       |       FROM wg GROUP BY 1, 2),
+       |ne AS (SELECT cd.* FROM cd LEFT JOIN pr
+       |         ON cd.a = pr.src AND cd.b = pr.dst
+       |       WHERE pr.src IS NULL)
+       |SELECT ne.a AS src_doc, ne.b AS dst_doc, common_neighbors,
+       |  common_neighbors * 1000000
+       |    // (da.deg + db.deg - common_neighbors) AS jaccard_micros,
+       |  ra_micros,
+       |  da.deg * db.deg AS pref_attach
+       |FROM ne JOIN dg da ON ne.a = da.node JOIN dg db ON ne.b = db.node
+       |ORDER BY common_neighbors DESC, ra_micros DESC, src_doc, dst_doc
+       |LIMIT $topN""".stripMargin
+  }
 }
