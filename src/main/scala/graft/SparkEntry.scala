@@ -1342,7 +1342,16 @@ object SparkEntry {
     // scored by common-neighbor / Jaccard / resource-allocation /
     // preferential-attachment — all exact integers.
     "link_prediction" -> ((s, dir) =>
-      graft.operators.Centrality.linkPrediction(Tables.documents(s, dir)))
+      graft.operators.Centrality.linkPrediction(Tables.documents(s, dir))),
+    // Holt-Winters additive seasonal (m=24) over gap-filled hourly
+    // volume: rotating seasonal queue, exact-binary-fraction smoothing,
+    // in-sample one-step forecasts + 24 future hours.
+    "holt_winters" -> ((s, dir) =>
+      graft.operators.Changepoint.holtWinters(Tables.events(s, dir))),
+    // Exact Kendall tau-b between hourly volume and hourly spend:
+    // integer pair votes over the hour^2-bounded frame.
+    "kendall_tau" -> ((s, dir) =>
+      graft.operators.RobustStats.kendallTau(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4599,7 +4608,9 @@ object SparkEntry {
     "blocklist_hits" -> graft.operators.SpanDedup.blocklistHitsOracleSql(),
     "span_mask_plan" -> graft.operators.SpanDedup.spanMaskPlanOracleSql(),
     "link_prediction" ->
-      graft.operators.Centrality.linkPredictionOracleSql()
+      graft.operators.Centrality.linkPredictionOracleSql(),
+    "holt_winters" -> graft.operators.Changepoint.holtWintersOracleSql,
+    "kendall_tau" -> graft.operators.RobustStats.kendallTauOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

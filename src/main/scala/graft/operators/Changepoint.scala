@@ -355,6 +355,169 @@ object Changepoint {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Holt-Winters additive seasonal smoothing (Winters, Mgmt Sci 1960)
+    * over the gap-filled GLOBAL hourly volume series, season m = 24 —
+    * [[holtForecast]]'s seasonal sibling: level + trend + a 24-phase
+    * seasonal profile, the decomposition a daily-cyclic ops series
+    * actually needs. α = 1/2, β = 1/4, γ = 1/2 (exact binary fractions,
+    * so every update is one IEEE multiply-add chain spelled identically
+    * in the DuckDB recursive-CTE oracle).
+    *
+    * Init (classic two-season heuristic): l₀ = mean of season 1,
+    * b₀ = (Σ season 2 − Σ season 1)/m², s₀ = season-1 deviations — all
+    * from exact integer sums. Updates and emission start at t = m+1.
+    *
+    * The seasonal state is a ROTATING queue: at step t the head IS the
+    * phase of t−m, so the update is "use head, drop head, append new" —
+    * no modular indexing on either engine, and after the last in-sample
+    * step the queue is phase-aligned so that s[h] is exactly the seasonal
+    * of future hour T+h: the 24 appended forecast rows
+    * (phase = 'fc', f = l + h·b + s[h]) read it straight off.
+    *
+    * Scale: the corpus reduces to the time-domain-bounded hourly frame in
+    * one scan-shaped aggregate; the non-associative recursion folds ONE
+    * bounded array (30 days = 720 points) — same discipline as
+    * [[cusumChangepoints]]/[[ewmaAnomalies]].
+    */
+  def holtWinters(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = hourly
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val filled = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    // l': the level update; repeated textually (no let-bindings in SQL
+    // lambdas) — the oracle repeats the identical spelling.
+    val lNew = "(cast(e.x as double) - element_at(acc.s, 1)) * 0.5" +
+      " + (acc.l + acc.b) * 0.5"
+    val folded = filled
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("xs"))
+      .withColumn("sum1", expr(
+        "aggregate(slice(xs, 1, 24), cast(0 as bigint), (a, e) -> a + e.x)"))
+      .withColumn("sum2", expr(
+        "aggregate(slice(xs, 25, 24), cast(0 as bigint), (a, e) -> a + e.x)"))
+      .withColumn("l0", expr("cast(sum1 as double) / 24.0"))
+      .withColumn("b0", expr("cast(sum2 - sum1 as double) / 576.0"))
+      .withColumn("s0", expr(
+        "transform(slice(xs, 1, 24), e -> cast(e.x as double) - l0)"))
+      .withColumn("fin", expr(
+        s"""aggregate(
+           |  slice(xs, 25, size(xs) - 24),
+           |  struct(
+           |    cast(array() as array<struct<
+           |      h: timestamp, x: bigint, level: double, trend: double,
+           |      seasonal: double, forecast: double>>) as out,
+           |    l0 as l, b0 as b, s0 as s),
+           |  (acc, e) -> struct(
+           |    concat(acc.out, array(named_struct(
+           |      'h', e.h, 'x', e.x,
+           |      'level', $lNew,
+           |      'trend', (($lNew) - acc.l) * 0.25 + acc.b * 0.75,
+           |      'seasonal',
+           |        (cast(e.x as double) - ($lNew)) * 0.5
+           |          + element_at(acc.s, 1) * 0.5,
+           |      'forecast', acc.l + acc.b + element_at(acc.s, 1)))),
+           |    $lNew,
+           |    (($lNew) - acc.l) * 0.25 + acc.b * 0.75,
+           |    concat(slice(acc.s, 2, 23), array(
+           |      (cast(e.x as double) - ($lNew)) * 0.5
+           |        + element_at(acc.s, 1) * 0.5))),
+           |  acc -> acc)""".stripMargin))
+    val fit = folded
+      .select(col("xs"), explode(col("fin.out")).as("st"))
+      .select(
+        col("st.h").as("window_start"), lit("fit").as("phase"),
+        col("st.x").as("x"),
+        round(col("st.level"), 4).as("level"),
+        round(col("st.trend"), 4).as("trend"),
+        round(col("st.seasonal"), 4).as("seasonal"),
+        round(col("st.forecast"), 4).as("forecast"))
+    val future = folded
+      .filter(size(col("xs")) >= 48)
+      .select(col("xs"), col("fin"),
+        explode(expr("sequence(1, 24)")).as("hh"))
+      .select(
+        expr("element_at(xs, size(xs)).h + make_interval(0, 0, 0, 0, hh)")
+          .as("window_start"),
+        lit("fc").as("phase"),
+        lit(null).cast("bigint").as("x"),
+        lit(null).cast("double").as("level"),
+        lit(null).cast("double").as("trend"),
+        round(expr("element_at(fin.s, hh)"), 4).as("seasonal"),
+        round(expr(
+          "fin.l + cast(hh as double) * fin.b + element_at(fin.s, hh)"), 4)
+          .as("forecast"))
+    fit.unionByName(future).orderBy(col("window_start"))
+  }
+
+  /** Recursive-CTE replay of the Holt-Winters fold: the seasonal queue is
+    * a DOUBLE[] list rotated per step with identical IEEE spelling.
+    */
+  def holtWintersOracleSql: String = {
+    val lNew = "(CAST(i.x AS DOUBLE) - w.s[1]) * 0.5 + (w.l + w.b) * 0.5"
+    s"""WITH RECURSIVE hourly AS (
+       |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+       |    (SELECT max(h) FROM hourly), INTERVAL 1 HOUR)) AS h),
+       |filled AS (
+       |  SELECT s.h, COALESCE(hourly.x, 0) AS x
+       |  FROM spine s LEFT JOIN hourly ON s.h = hourly.h),
+       |idx AS (
+       |  SELECT h, x, row_number() OVER (ORDER BY h) AS rn FROM filled),
+       |inits AS (
+       |  SELECT
+       |    CAST((SELECT sum(x) FROM idx WHERE rn <= 24) AS BIGINT) AS sum1,
+       |    CAST((SELECT sum(x) FROM idx WHERE rn BETWEEN 25 AND 48)
+       |      AS BIGINT) AS sum2,
+       |    (SELECT list(CAST(x AS DOUBLE) ORDER BY rn) FROM idx
+       |     WHERE rn <= 24) AS xs1,
+       |    (SELECT count(*) FROM idx) AS n),
+       |walk(rn, h, x, l, b, s, lvl, tr, se, f) AS (
+       |  SELECT 24, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+       |    CAST(sum1 AS DOUBLE) / 24.0,
+       |    CAST(sum2 - sum1 AS DOUBLE) / 576.0,
+       |    list_transform(xs1, v -> v - CAST(sum1 AS DOUBLE) / 24.0),
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+       |  FROM inits
+       |  UNION ALL
+       |  SELECT i.rn, i.h, i.x,
+       |    $lNew,
+       |    (($lNew) - w.l) * 0.25 + w.b * 0.75,
+       |    w.s[2:24] || [(CAST(i.x AS DOUBLE) - ($lNew)) * 0.5
+       |      + w.s[1] * 0.5],
+       |    $lNew,
+       |    (($lNew) - w.l) * 0.25 + w.b * 0.75,
+       |    (CAST(i.x AS DOUBLE) - ($lNew)) * 0.5 + w.s[1] * 0.5,
+       |    w.l + w.b + w.s[1]
+       |  FROM walk w JOIN idx i ON i.rn = w.rn + 1),
+       |fit AS (
+       |  SELECT h AS window_start, 'fit' AS phase, x,
+       |    round(lvl, 4) AS level, round(tr, 4) AS trend,
+       |    round(se, 4) AS seasonal, round(f, 4) AS forecast
+       |  FROM walk WHERE rn > 24),
+       |last AS (
+       |  SELECT w.l, w.b, w.s,
+       |    (SELECT max(h) FROM idx) AS hT
+       |  FROM walk w
+       |  WHERE w.rn = (SELECT max(rn) FROM walk)
+       |    AND (SELECT n FROM inits) >= 48),
+       |future AS (
+       |  SELECT hT + to_hours(hh) AS window_start, 'fc' AS phase,
+       |    CAST(NULL AS BIGINT) AS x,
+       |    CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+       |    round(s[hh], 4) AS seasonal,
+       |    round(l + CAST(hh AS DOUBLE) * b + s[hh], 4) AS forecast
+       |  FROM last, (SELECT unnest(range(1, 25)) AS hh))
+       |SELECT * FROM fit UNION ALL SELECT * FROM future
+       |ORDER BY window_start""".stripMargin
+  }
+
   /** Recursive-CTE replay of the Holt fold (identical update spelling). */
   def holtOracleSql: String =
     """WITH RECURSIVE hourly AS (

@@ -294,4 +294,95 @@ object RobustStats {
       |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
       |  CAST(slope_micros AS BIGINT) AS slope_micros_median
       |FROM r WHERE r = (n_pairs + 1) // 2""".stripMargin
+
+  /** Exact Kendall tau-b (Kendall, Biometrika 1938) between hourly event
+    * volume and hourly purchase spend — [[spearmanEngagementSpend]]'s
+    * pair-counting sibling: Spearman squares rank gaps (sensitive to a
+    * few large displacements), tau counts pairwise order agreements
+    * (each pair votes once), so the two together distinguish "a few
+    * hours wildly reordered" from "many hours slightly reordered".
+    *
+    * Exactness: concordant / discordant / tie counts are pure integer
+    * comparisons; tau_b = (C−D)/√((n0−n1)(n0−n2)) is one identically
+    * spelled floor((·)·10⁶/sqrt(·)) on exact-below-2^53 operands.
+    *
+    * Scale: the corpus reduces to the TIME-DOMAIN-BOUNDED hourly frame
+    * (30 days = 720 rows however large the input); the pair join is
+    * hour²-bounded — the same discipline as [[theilSen]], never a
+    * data-sized product. (The O(n log n) merge-inversion formulation
+    * only matters when the frame itself grows with the data.)
+    */
+  def kendallTau(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        count(lit(1)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .otherwise(lit(0L))).as("y"))
+    val a = hourly.select(col("h").as("h1"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = hourly.select(col("h").as("h2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val counted = a.join(b, col("h2") > col("h1"))
+      .agg(
+        sum(when((col("x2") - col("x1")) * (col("y2") - col("y1")) > 0, 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("x2") - col("x1")) * (col("y2") - col("y1")) < 0, 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("x1") === col("x2") && col("y1") =!= col("y2"), 1L)
+          .otherwise(0L)).as("ties_x"),
+        sum(when(col("y1") === col("y2") && col("x1") =!= col("x2"), 1L)
+          .otherwise(0L)).as("ties_y"),
+        sum(when(col("x1") === col("x2") && col("y1") === col("y2"), 1L)
+          .otherwise(0L)).as("ties_both"))
+    val n = hourly.agg(count(lit(1)).as("n_hours"))
+    counted.crossJoin(broadcast(n))
+      .withColumn("n0", expr("n_hours * (n_hours - 1) DIV 2"))
+      .withColumn("n1", col("ties_x") + col("ties_both"))
+      .withColumn("n2", col("ties_y") + col("ties_both"))
+      .select(
+        col("n_hours"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"), col("ties_both"),
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          expr("cast(floor((concordant - discordant) * 1000000.0" +
+            " / sqrt(cast((n0 - n1) * (n0 - n2) as double))) as bigint)"))
+          .as("tau_b_micros"))
+  }
+
+  def kendallTauOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |cnts AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS concordant,
+      |    CAST(sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS discordant,
+      |    CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1
+      |      ELSE 0 END) AS BIGINT) AS ties_x,
+      |    CAST(sum(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1
+      |      ELSE 0 END) AS BIGINT) AS ties_y,
+      |    CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1
+      |      ELSE 0 END) AS BIGINT) AS ties_both
+      |  FROM hourly a JOIN hourly b ON b.h > a.h),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM hourly),
+      |fin AS (
+      |  SELECT n_hours, concordant, discordant, ties_x, ties_y,
+      |    ties_both,
+      |    n_hours * (n_hours - 1) // 2 AS n0,
+      |    ties_x + ties_both AS n1,
+      |    ties_y + ties_both AS n2
+      |  FROM cnts, nn)
+      |SELECT n_hours, concordant, discordant, ties_x, ties_y, ties_both,
+      |  CASE WHEN n0 > n1 AND n0 > n2 THEN
+      |    CAST(floor((concordant - discordant) * 1000000.0
+      |      / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))) AS BIGINT)
+      |  END AS tau_b_micros
+      |FROM fin""".stripMargin
 }
