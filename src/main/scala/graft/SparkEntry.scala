@@ -1351,7 +1351,15 @@ object SparkEntry {
     // Exact Kendall tau-b between hourly volume and hourly spend:
     // integer pair votes over the hour^2-bounded frame.
     "kendall_tau" -> ((s, dir) =>
-      graft.operators.RobustStats.kendallTau(Tables.events(s, dir)))
+      graft.operators.RobustStats.kendallTau(Tables.events(s, dir))),
+    // Beta-binomial empirical-Bayes shrinkage: MoM prior on per-user
+    // rate micros, nested-floor-DIV chain, per-cohort raw vs shrunk.
+    "eb_shrinkage" -> ((s, dir) =>
+      graft.operators.Experiment.ebShrinkage(Tables.events(s, dir))),
+    // Neyman stratified allocation: exact N_h*sigma_h weights via
+    // sqrt of integer variance numerators, Hamilton largest-remainder.
+    "neyman_allocation" -> ((s, dir) =>
+      graft.operators.Experiment.neymanAllocation(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4610,7 +4618,10 @@ object SparkEntry {
     "link_prediction" ->
       graft.operators.Centrality.linkPredictionOracleSql(),
     "holt_winters" -> graft.operators.Changepoint.holtWintersOracleSql,
-    "kendall_tau" -> graft.operators.RobustStats.kendallTauOracleSql
+    "kendall_tau" -> graft.operators.RobustStats.kendallTauOracleSql,
+    "eb_shrinkage" -> graft.operators.Experiment.ebShrinkageOracleSql(),
+    "neyman_allocation" ->
+      graft.operators.Experiment.neymanAllocationOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

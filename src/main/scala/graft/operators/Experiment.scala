@@ -1130,4 +1130,208 @@ object Experiment {
        |    THEN CAST(covered * 1000000 // n_test AS BIGINT)
        |  END AS coverage_ppm
        |FROM by_src ORDER BY source""".stripMargin
+
+  /** Beta-binomial empirical-Bayes shrinkage (Robbins 1956; the
+    * method-of-moments variant of Efron–Morris JASA 1975): small-cohort
+    * conversion rates are noisy — shrink each cohort's rate toward the
+    * population prior with strength proportional to the prior's
+    * pseudo-count mass M = α+β. The prior is fit by MoM on the per-USER
+    * rate population (mean m, variance v → M = m(1−m)/v − 1), then each
+    * user-id cohort publishes raw and shrunken rates. The everyday use:
+    * ranking many small segments/sources by rate without the tiny ones
+    * dominating through noise.
+    *
+    * Exactness: per-user rates are floor-micros integers; their moments
+    * are exact decimal sums; m, v, M, α, β and the shrunken rate are a
+    * chain of nested floor DIVs at fixed points — spelled identically in
+    * DuckDB HUGEINT, so every published integer is bit-equal. (The MoM
+    * chain on the floored-rate population IS the estimator, on both
+    * engines — no float in the pipeline.)
+    *
+    * Scale: one user-keyed aggregate (map-side combined), one global
+    * moment fold, one cohort aggregate — all shuffles on bounded keys;
+    * the prior is a 1-row broadcast.
+    */
+  def ebShrinkage(events: DataFrame, cohorts: Int = 8): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"))
+      .select(col("user_id"), col("n"), col("x"),
+        expr("(x * 1000000) DIV n").as("r"))
+    val prior = perUser.agg(
+      count(lit(1)).cast("decimal(38,0)").as("u"),
+      sum(col("r")).cast("decimal(38,0)").as("sr"),
+      sum(col("r").cast("decimal(38,0)") * col("r")).cast("decimal(38,0)")
+        .as("sq"))
+      .select(
+        expr("cast(sr DIV u as decimal(38,0))").as("m"),
+        expr("cast(CASE WHEN u > 1 THEN (u * sq - sr * sr) DIV (u * (u - 1))"
+          + " ELSE 0 END as decimal(38,0))").as("v"),
+        col("u"))
+      .select(col("u"), col("m"), col("v"),
+        expr("cast(CASE WHEN v > 0"
+          + " THEN m * (1000000 - m) * 1000000 DIV v - 1000000"
+          + " ELSE NULL END as decimal(38,0))").as("mm"))
+      .select(col("u"), col("m"), col("v"),
+        when(col("mm") > 0, col("mm")).as("mm"))
+      .select(col("u"), col("m"), col("v"), col("mm"),
+        expr("cast(m * mm DIV 1000000 as decimal(38,0))").as("alpha"),
+        expr("cast((1000000 - m) * mm DIV 1000000 as decimal(38,0))")
+          .as("beta"))
+    val bySeg = perUser
+      .groupBy(pmod(col("user_id"), lit(cohorts.toLong)).as("cohort"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n")).cast("decimal(38,0)").as("n_events"),
+        sum(col("x")).cast("decimal(38,0)").as("purchases"))
+    bySeg.crossJoin(broadcast(prior))
+      .select(
+        col("cohort"),
+        col("n_users"),
+        col("n_events").cast("bigint").as("n_events"),
+        col("purchases").cast("bigint").as("purchases"),
+        expr("cast((purchases * 1000000) DIV n_events as bigint)")
+          .as("raw_micros"),
+        expr("cast(m as bigint)").as("prior_mean_micros"),
+        expr("cast(mm as bigint)").as("prior_strength_micros"),
+        expr("cast(alpha as bigint)").as("alpha_micros"),
+        expr("cast(beta as bigint)").as("beta_micros"),
+        expr("cast((purchases * 1000000 + alpha) * 1000000" +
+          " DIV (n_events * 1000000 + alpha + beta) as bigint)")
+          .as("shrunk_micros"))
+      .orderBy(col("cohort"))
+  }
+
+  def ebShrinkageOracleSql(cohorts: Int = 8): String =
+    s"""WITH pu AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x
+       |  FROM events GROUP BY user_id),
+       |pr AS (SELECT user_id, n, x, (x * 1000000) // n AS r FROM pu),
+       |mo AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS u,
+       |    CAST(sum(r) AS HUGEINT) AS sr,
+       |    CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sq
+       |  FROM pr),
+       |m1 AS (
+       |  SELECT u, sr // u AS m,
+       |    CASE WHEN u > 1 THEN (u * sq - sr * sr) // (u * (u - 1))
+       |      ELSE 0 END AS v
+       |  FROM mo),
+       |m2 AS (
+       |  SELECT u, m, v,
+       |    CASE WHEN v > 0
+       |      THEN m * (1000000 - m) * 1000000 // v - 1000000 END AS mm0
+       |  FROM m1),
+       |m3 AS (
+       |  SELECT u, m, v, CASE WHEN mm0 > 0 THEN mm0 END AS mm FROM m2),
+       |pri AS (
+       |  SELECT u, m, v, mm,
+       |    m * mm // 1000000 AS alpha,
+       |    (1000000 - m) * mm // 1000000 AS beta
+       |  FROM m3),
+       |seg AS (
+       |  SELECT user_id % $cohorts AS cohort,
+       |    CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(n) AS HUGEINT) AS n_events,
+       |    CAST(sum(x) AS HUGEINT) AS purchases
+       |  FROM pr GROUP BY 1)
+       |SELECT s.cohort, s.n_users,
+       |  CAST(s.n_events AS BIGINT) AS n_events,
+       |  CAST(s.purchases AS BIGINT) AS purchases,
+       |  CAST((s.purchases * 1000000) // s.n_events AS BIGINT)
+       |    AS raw_micros,
+       |  CAST(p.m AS BIGINT) AS prior_mean_micros,
+       |  CAST(p.mm AS BIGINT) AS prior_strength_micros,
+       |  CAST(p.alpha AS BIGINT) AS alpha_micros,
+       |  CAST(p.beta AS BIGINT) AS beta_micros,
+       |  CAST((s.purchases * 1000000 + p.alpha) * 1000000
+       |    // (s.n_events * 1000000 + p.alpha + p.beta) AS BIGINT)
+       |    AS shrunk_micros
+       |FROM seg s, pri p
+       |ORDER BY s.cohort""".stripMargin
+
+  /** Neyman optimal stratified-sampling allocation (Neyman, JRSS 1934):
+    * given a fixed label/inspection budget B, allocate draws across
+    * strata ∝ N_h·σ_h — the allocation that minimizes the stratified
+    * estimator's variance. The pipeline use: deciding how many docs per
+    * source (or rows per event type) to route to human QA.
+    *
+    * Exactness: N_h·σ_h = √(N_h·Σc² − (Σc)²) EXACTLY (the N_h factors
+    * cancel), so each weight is one floor(sqrt(cast-to-double)) of an
+    * exact integer — correctly-rounded on both engines — and the
+    * apportionment is pure-integer largest-remainder (Hamilton) rounding:
+    * base = ⌊B·w_h/W⌋, the B − Σbase leftovers go to the largest
+    * remainders (stratum name breaking ties), so allocations sum to B
+    * exactly.
+    *
+    * Scale: one stratum-keyed moment aggregate; the apportionment frame
+    * is |strata| rows.
+    */
+  def neymanAllocation(events: DataFrame, budget: Long = 10000L): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val strata = events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(cents).cast("decimal(38,0)").as("s"),
+        sum(cents.cast("decimal(38,0)") * cents).cast("decimal(38,0)")
+          .as("q"))
+      .select(col("event_type"), col("n"),
+        expr("cast(floor(sqrt(cast(n * q - s * s as double))) as bigint)")
+          .as("w"))
+    val tot = strata.agg(sum(col("w")).cast("decimal(38,0)").as("tw"))
+    val based = strata.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n").cast("bigint").as("n_rows"),
+        col("w").as("weight"),
+        expr(s"cast(($budget * w) DIV tw as bigint)").as("base"),
+        expr(s"cast(($budget * w) % tw as bigint)").as("rem"))
+    val leftover = based.agg(
+      (lit(budget) - sum(col("base"))).as("leftover"))
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("event_type"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(byRem))
+      .select(col("event_type"), col("n_rows"), col("weight"),
+        col("base"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy(col("event_type"))
+  }
+
+  def neymanAllocationOracleSql(budget: Long = 10000L): String =
+    s"""WITH st AS (
+       |  SELECT event_type,
+       |    CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS HUGEINT) AS s,
+       |    CAST(sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+       |      AS BIGINT) AS HUGEINT)
+       |      * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS HUGEINT) AS q
+       |  FROM events GROUP BY 1),
+       |wt AS (
+       |  SELECT event_type, n,
+       |    CAST(floor(sqrt(CAST(n * q - s * s AS DOUBLE))) AS BIGINT)
+       |      AS w
+       |  FROM st),
+       |tw AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM wt),
+       |based AS (
+       |  SELECT event_type, CAST(n AS BIGINT) AS n_rows, w AS weight,
+       |    CAST(($budget * w) // tw AS BIGINT) AS base,
+       |    CAST(($budget * w) % tw AS BIGINT) AS rem
+       |  FROM wt, tw),
+       |lo AS (SELECT $budget - sum(base) AS leftover FROM based),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, event_type)
+       |    AS rk
+       |  FROM based)
+       |SELECT event_type, n_rows, weight, base,
+       |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM lo)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM rk ORDER BY event_type""".stripMargin
 }
