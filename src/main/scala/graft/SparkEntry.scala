@@ -1359,7 +1359,15 @@ object SparkEntry {
     // Neyman stratified allocation: exact N_h*sigma_h weights via
     // sqrt of integer variance numerators, Hamilton largest-remainder.
     "neyman_allocation" -> ((s, dir) =>
-      graft.operators.Experiment.neymanAllocation(Tables.events(s, dir)))
+      graft.operators.Experiment.neymanAllocation(Tables.events(s, dir))),
+    // Recursive (c,l)-diversity audit: r1 < c * tail on DESC-sorted
+    // sensitive counts per QI class.
+    "l_diversity" -> ((s, dir) =>
+      graft.operators.Privacy.recursiveLDiversity(Tables.customer(s, dir))),
+    // DP contribution bounding: keep-first-k per (user,type), clip at
+    // cap, published l1 sensitivity.
+    "contribution_capped_agg" -> ((s, dir) =>
+      graft.operators.Privacy.contributionCappedAgg(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4621,7 +4629,11 @@ object SparkEntry {
     "kendall_tau" -> graft.operators.RobustStats.kendallTauOracleSql,
     "eb_shrinkage" -> graft.operators.Experiment.ebShrinkageOracleSql(),
     "neyman_allocation" ->
-      graft.operators.Experiment.neymanAllocationOracleSql()
+      graft.operators.Experiment.neymanAllocationOracleSql(),
+    "l_diversity" ->
+      graft.operators.Privacy.recursiveLDiversityOracleSql(),
+    "contribution_capped_agg" ->
+      graft.operators.Privacy.contributionCappedAggOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

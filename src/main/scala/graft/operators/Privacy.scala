@@ -159,6 +159,145 @@ object Privacy {
       .orderBy(col("nation"), col("segment"))
   }
 
+  /** Recursive (c,l)-diversity audit (Machanavajjhala et al., ICDE 2006)
+    * — the criterion between k-anonymity's "big enough" and
+    * t-closeness's "distribution-shaped": a QI class is (c,l)-diverse
+    * iff the most common sensitive value is not c-times-dominant over
+    * the tail, r₁ < c·(r_l + … + r_m) on the DESC-sorted sensitive
+    * counts. Catches the class that k-anonymity passes where 49 of 50
+    * records share one sensitive value (a 98%-confidence homogeneity
+    * attack).
+    *
+    * QI = (nation, $1000 band); sensitive = market segment. Tie order
+    * among equal counts is irrelevant: r₁ is the max, and the ≥l tail
+    * SUM is invariant to how equal values straddle the rank boundary.
+    *
+    * Scale: one (QI × sensitive) hash aggregate, then windows over the
+    * QI-domain-bounded cell frame.
+    */
+  def recursiveLDiversity(
+      customer: DataFrame, l: Int = 3, c: Int = 2): DataFrame = {
+    val cells = customer
+      .groupBy(
+        col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bucket"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("r"))
+    val byClass = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nation"), col("bucket"))
+    val ranked = cells
+      .withColumn("rk", row_number().over(
+        byClass.orderBy(col("r").desc, col("segment"))))
+    ranked
+      .groupBy(col("nation"), col("bucket"))
+      .agg(
+        sum(col("r")).as("class_size"),
+        count(lit(1)).as("m_distinct"),
+        max(when(col("rk") === 1, col("r"))).as("r1"),
+        coalesce(sum(when(col("rk") >= l, col("r"))), lit(0L))
+          .as("tail_sum"))
+      .withColumn("well_diverse", col("r1") < lit(c.toLong) * col("tail_sum"))
+      .orderBy(col("nation"), col("bucket"))
+  }
+
+  def recursiveLDiversityOracleSql(l: Int = 3, c: Int = 2): String =
+    s"""WITH cells AS (
+       |  SELECT c_nationkey AS nation,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+       |    c_mktsegment AS segment,
+       |    CAST(count(*) AS BIGINT) AS r
+       |  FROM customer GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY nation, bucket
+       |    ORDER BY r DESC, segment) AS rk
+       |  FROM cells)
+       |SELECT nation, bucket,
+       |  CAST(sum(r) AS BIGINT) AS class_size,
+       |  CAST(count(*) AS BIGINT) AS m_distinct,
+       |  CAST(max(CASE WHEN rk = 1 THEN r END) AS BIGINT) AS r1,
+       |  CAST(COALESCE(sum(CASE WHEN rk >= $l THEN r END), 0) AS BIGINT)
+       |    AS tail_sum,
+       |  max(CASE WHEN rk = 1 THEN r END)
+       |    < $c * COALESCE(sum(CASE WHEN rk >= $l THEN r END), 0)
+       |    AS well_diverse
+       |FROM rk GROUP BY 1, 2
+       |ORDER BY nation, bucket""".stripMargin
+
+  /** Per-user contribution bounding + value clipping — the
+    * sensitivity-control pass differential privacy needs BEFORE noise
+    * (Wilson et al., VLDB 2020 §4: bound each user to ≤ maxPerUser rows
+    * per partition, clip each value to capCents): after this transform,
+    * one user can move a per-type sum by at most maxPerUser·capCents —
+    * the published l1_sensitivity_cents — however pathological their
+    * activity. Deterministic keep-first-k (by ts, event_id), so the
+    * report is replayable; the noise-addition step itself is out of
+    * scope (it is not a deterministic relational transform).
+    *
+    * Scale: one (user,type)-keyed window over naturally small
+    * partitions, one type-keyed aggregate. No global state.
+    */
+  def contributionCappedAgg(
+      events: DataFrame,
+      maxPerUser: Int = 3,
+      capCents: Long = 20000L): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    val byUserType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = events
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), cents.as("cents"))
+      .withColumn("rk", row_number().over(byUserType))
+    ranked
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("raw_rows"),
+        sum(when(col("rk") <= maxPerUser, 1L).otherwise(0L))
+          .as("kept_rows"),
+        countDistinct(col("user_id")).as("contributing_users"),
+        sum(when(col("rk") > maxPerUser, 1L).otherwise(0L))
+          .as("rows_dropped"),
+        sum(when(col("rk") === (maxPerUser + 1), 1L).otherwise(0L))
+          .as("users_truncated"),
+        sum(col("cents")).as("raw_sum_cents"),
+        sum(when(col("rk") <= maxPerUser,
+          least(col("cents"), lit(capCents))).otherwise(0L))
+          .as("capped_sum_cents"),
+        sum(when(col("rk") <= maxPerUser && col("cents") > capCents, 1L)
+          .otherwise(0L)).as("clipped_rows"))
+      .withColumn("l1_sensitivity_cents",
+        lit(maxPerUser.toLong * capCents))
+      .orderBy(col("event_type"))
+  }
+
+  def contributionCappedAggOracleSql(
+      maxPerUser: Int = 3, capCents: Long = 20000L): String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id) AS rk
+       |  FROM events)
+       |SELECT event_type,
+       |  CAST(count(*) AS BIGINT) AS raw_rows,
+       |  CAST(sum(CASE WHEN rk <= $maxPerUser THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS kept_rows,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS contributing_users,
+       |  CAST(sum(CASE WHEN rk > $maxPerUser THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS rows_dropped,
+       |  CAST(sum(CASE WHEN rk = ${maxPerUser + 1} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS users_truncated,
+       |  CAST(sum(cents) AS BIGINT) AS raw_sum_cents,
+       |  CAST(sum(CASE WHEN rk <= $maxPerUser
+       |    THEN least(cents, $capCents) ELSE 0 END) AS BIGINT)
+       |    AS capped_sum_cents,
+       |  CAST(sum(CASE WHEN rk <= $maxPerUser AND cents > $capCents
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS clipped_rows,
+       |  CAST(${maxPerUser.toLong * capCents} AS BIGINT)
+       |    AS l1_sensitivity_cents
+       |FROM r GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   def tClosenessOracleSql(tMicros: Long = 200000): String =
     s"""WITH base AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
   CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bucket
