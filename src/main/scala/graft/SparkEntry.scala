@@ -1367,7 +1367,15 @@ object SparkEntry {
     // DP contribution bounding: keep-first-k per (user,type), clip at
     // cap, published l1 sensitivity.
     "contribution_capped_agg" -> ((s, dir) =>
-      graft.operators.Privacy.contributionCappedAgg(Tables.events(s, dir)))
+      graft.operators.Privacy.contributionCappedAgg(Tables.events(s, dir))),
+    // Page-Hinkley sequential drift test: running-mean integer-micros
+    // walk per event type, baseline-free.
+    "page_hinkley" -> ((s, dir) =>
+      graft.operators.Changepoint.pageHinkley(Tables.events(s, dir))),
+    // Bipartite HITS on doc<->shared-shingle incidence: mean-normalized
+    // integer half-steps, two rounds.
+    "doc_hits" -> ((s, dir) =>
+      graft.operators.Centrality.docHits(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4633,7 +4641,9 @@ object SparkEntry {
     "l_diversity" ->
       graft.operators.Privacy.recursiveLDiversityOracleSql(),
     "contribution_capped_agg" ->
-      graft.operators.Privacy.contributionCappedAggOracleSql()
+      graft.operators.Privacy.contributionCappedAggOracleSql(),
+    "page_hinkley" -> graft.operators.Changepoint.pageHinkleyOracleSql(),
+    "doc_hits" -> graft.operators.Centrality.docHitsOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

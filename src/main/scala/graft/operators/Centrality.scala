@@ -426,6 +426,122 @@ GROUP BY 1
 ORDER BY 1"""
   }
 
+  /** Bipartite HITS (Kleinberg, JACM 1999) on the doc ↔ shared-shingle
+    * incidence graph: shingle hub scores = sum of member docs' authority,
+    * doc authority = sum of its shingles' hub scores, two full rounds —
+    * the mutual-reinforcement centrality that separates "doc containing
+    * ONE viral span" (high degree, low authority growth) from "doc whose
+    * spans are all heavily shared" (the template-family core). Scores
+    * are MEAN-normalized each half-step (avg = 10⁶) with a global-scalar
+    * floor DIV, keeping the walk integer-exact on both engines instead of
+    * the classical L2 norm's cross-engine sqrt hazard.
+    *
+    * Scale: each half-step is one equi-join bip ⋈ scores + one keyed
+    * aggregate (shuffle volume = incidence-list size, map-side combined);
+    * normalization totals are 1-row broadcasts. Fixed 2 rounds — no
+    * driver-side convergence loop.
+    */
+  def docHits(
+      documents: DataFrame,
+      k: Int = 4,
+      dfCap: Int = 30): DataFrame = {
+    val bip = Dedup.hashedShingleDf(documents, k)
+      .filter(col("df").between(2, dfCap))
+      .select(col("sh"), col("doc_id"))
+      .localCheckpoint() // driven 4x by the two rounds
+    def hubs(auth: DataFrame): DataFrame = {
+      val h = bip.join(auth, Seq("doc_id"))
+        .groupBy(col("sh")).agg(sum(col("a")).as("h_raw"))
+      val tot = h.agg(
+        sum(col("h_raw")).cast("decimal(38,0)").as("th"),
+        count(lit(1)).as("ns"))
+      h.crossJoin(broadcast(tot))
+        .select(col("sh"), expr(
+          "cast(cast(h_raw as decimal(38,0)) * 1000000 * ns DIV th" +
+            " as bigint)").as("h"))
+    }
+    def auths(hub: DataFrame): DataFrame = {
+      val a = bip.join(hub, Seq("sh"))
+        .groupBy(col("doc_id")).agg(sum(col("h")).as("a_raw"))
+      val tot = a.agg(
+        sum(col("a_raw")).cast("decimal(38,0)").as("ta"),
+        count(lit(1)).as("nd"))
+      a.crossJoin(broadcast(tot))
+        .select(col("doc_id"), expr(
+          "cast(cast(a_raw as decimal(38,0)) * 1000000 * nd DIV ta" +
+            " as bigint)").as("a"))
+    }
+    val a0 = bip.select(col("doc_id")).distinct()
+      .withColumn("a", lit(1000000L))
+    val a1 = auths(hubs(a0))
+    val a2 = auths(hubs(a1))
+    val degrees = bip.groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    documents.select(col("doc_id"))
+      .join(degrees, Seq("doc_id"), "left")
+      .join(a1.select(col("doc_id"), col("a").as("auth_r1")),
+        Seq("doc_id"), "left")
+      .join(a2.select(col("doc_id"), col("a").as("auth_r2")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("auth_r1"), lit(0L)).as("auth_micros_r1"),
+        coalesce(col("auth_r2"), lit(0L)).as("auth_micros_r2"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docHitsOracleSql(k: Int = 4, dfCap: Int = 30): String = {
+    val cat = (0 until k)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - ${k - 2}),
+       |    i -> $cat))) AS shingle
+       |  FROM tk),
+       |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |bip AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
+       |        WHERE df BETWEEN 2 AND $dfCap),
+       |a0 AS (SELECT DISTINCT doc_id, CAST(1000000 AS HUGEINT) AS a
+       |       FROM bip),
+       |h1r AS (SELECT b.shingle, CAST(sum(a.a) AS HUGEINT) AS h_raw
+       |        FROM bip b JOIN a0 a USING (doc_id) GROUP BY 1),
+       |h1t AS (SELECT CAST(sum(h_raw) AS HUGEINT) AS th,
+       |          CAST(count(*) AS HUGEINT) AS ns FROM h1r),
+       |h1 AS (SELECT shingle, h_raw * 1000000 * ns // th AS h
+       |       FROM h1r, h1t),
+       |a1r AS (SELECT b.doc_id, CAST(sum(h.h) AS HUGEINT) AS a_raw
+       |        FROM bip b JOIN h1 h USING (shingle) GROUP BY 1),
+       |a1t AS (SELECT CAST(sum(a_raw) AS HUGEINT) AS ta,
+       |          CAST(count(*) AS HUGEINT) AS nd FROM a1r),
+       |a1 AS (SELECT doc_id, a_raw * 1000000 * nd // ta AS a
+       |       FROM a1r, a1t),
+       |h2r AS (SELECT b.shingle, CAST(sum(a.a) AS HUGEINT) AS h_raw
+       |        FROM bip b JOIN a1 a USING (doc_id) GROUP BY 1),
+       |h2t AS (SELECT CAST(sum(h_raw) AS HUGEINT) AS th,
+       |          CAST(count(*) AS HUGEINT) AS ns FROM h2r),
+       |h2 AS (SELECT shingle, h_raw * 1000000 * ns // th AS h
+       |       FROM h2r, h2t),
+       |a2r AS (SELECT b.doc_id, CAST(sum(h.h) AS HUGEINT) AS a_raw
+       |        FROM bip b JOIN h2 h USING (shingle) GROUP BY 1),
+       |a2t AS (SELECT CAST(sum(a_raw) AS HUGEINT) AS ta,
+       |          CAST(count(*) AS HUGEINT) AS nd FROM a2r),
+       |a2 AS (SELECT doc_id, a_raw * 1000000 * nd // ta AS a
+       |       FROM a2r, a2t),
+       |dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+       |       FROM bip GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(dg.degree, 0) AS degree,
+       |  CAST(COALESCE(a1.a, 0) AS BIGINT) AS auth_micros_r1,
+       |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_micros_r2
+       |FROM documents d
+       |LEFT JOIN dg ON d.doc_id = dg.doc_id
+       |LEFT JOIN a1 ON d.doc_id = a1.doc_id
+       |LEFT JOIN a2 ON d.doc_id = a2.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Link prediction over the shared-span graph (Liben-Nowell & Kleinberg,
     * CIKM 2003): score NON-adjacent doc pairs at distance 2 by
     * common-neighbor structure — the "which near-dup cluster is about to

@@ -355,6 +355,100 @@ object Changepoint {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Page-Hinkley drift test (Page, Biometrika 1954 §5; the sequential
+    * mean-shift detector usually run beside CUSUM in streaming-drift
+    * work, e.g. Gama et al.'s survey, ACM CSUR 2014): per event type,
+    * m_t = m_{t−1} + (x_t − x̄_t − δ) against the RUNNING mean x̄_t —
+    * unlike [[cusumChangepoints]] it needs no frozen baseline window, so
+    * it is the detector you can run from the first hour of a new
+    * pipeline. Alarm when m_t − min_{i≤t} m_i > λ.
+    *
+    * Exactness: everything in integer micros — the only division is the
+    * running mean's floor DIV (Σx·10⁶ DIV t, non-negative), so the walk
+    * is bit-exact and the DuckDB recursive CTE replays it literally.
+    * δ = 0.5 events, λ = 20 events (micros constants in the fold).
+    *
+    * Scale: same discipline as every detector here — the corpus reduces
+    * to the time-domain-bounded (type × hour) frame in one scan; the
+    * non-associative recursion folds each type's bounded series.
+    */
+  def pageHinkley(
+      events: DataFrame,
+      deltaMicros: Long = 500000L,
+      lambdaMicros: Long = 20000000L): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    hourly
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("xs"))
+      .withColumn("steps", expr(
+        s"""aggregate(
+           |  xs,
+           |  struct(
+           |    cast(array() as array<struct<h: timestamp, x: bigint,
+           |      m: bigint, mn: bigint>>) as out,
+           |    cast(0 as bigint) as t, cast(0 as bigint) as s,
+           |    cast(0 as bigint) as m, cast(0 as bigint) as mn),
+           |  (acc, e) -> struct(
+           |    concat(acc.out, array(named_struct(
+           |      'h', e.h, 'x', e.x,
+           |      'm', acc.m + e.x * 1000000
+           |        - ((acc.s + e.x) * 1000000 DIV (acc.t + 1))
+           |        - $deltaMicros,
+           |      'mn', least(acc.mn, acc.m + e.x * 1000000
+           |        - ((acc.s + e.x) * 1000000 DIV (acc.t + 1))
+           |        - $deltaMicros)))),
+           |    acc.t + 1, acc.s + e.x,
+           |    acc.m + e.x * 1000000
+           |      - ((acc.s + e.x) * 1000000 DIV (acc.t + 1))
+           |      - $deltaMicros,
+           |    least(acc.mn, acc.m + e.x * 1000000
+           |      - ((acc.s + e.x) * 1000000 DIV (acc.t + 1))
+           |      - $deltaMicros)),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"), explode(col("steps")).as("st"))
+      .select(col("event_type"),
+        col("st.h").as("window_start"),
+        col("st.x").as("x"),
+        col("st.m").as("m_micros"),
+        (col("st.m") - col("st.mn")).as("ph_micros"),
+        (col("st.m") - col("st.mn") > lambdaMicros).as("alarm"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  def pageHinkleyOracleSql(
+      deltaMicros: Long = 500000L,
+      lambdaMicros: Long = 20000000L): String =
+    s"""WITH RECURSIVE hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h)
+       |    AS rn
+       |  FROM hourly),
+       |walk(event_type, rn, h, x, t, s, m, mn) AS (
+       |  SELECT event_type, CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP),
+       |    CAST(NULL AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM (SELECT DISTINCT event_type FROM idx)
+       |  UNION ALL
+       |  SELECT w.event_type, i.rn, i.h, i.x,
+       |    w.t + 1, w.s + i.x,
+       |    w.m + i.x * 1000000 - ((w.s + i.x) * 1000000 // (w.t + 1))
+       |      - $deltaMicros,
+       |    least(w.mn, w.m + i.x * 1000000
+       |      - ((w.s + i.x) * 1000000 // (w.t + 1)) - $deltaMicros)
+       |  FROM walk w
+       |  JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1)
+       |SELECT event_type, h AS window_start, x,
+       |  m AS m_micros,
+       |  m - mn AS ph_micros,
+       |  (m - mn) > $lambdaMicros AS alarm
+       |FROM walk WHERE rn > 0
+       |ORDER BY event_type, window_start""".stripMargin
+
   /** Holt-Winters additive seasonal smoothing (Winters, Mgmt Sci 1960)
     * over the gap-filled GLOBAL hourly volume series, season m = 24 —
     * [[holtForecast]]'s seasonal sibling: level + trend + a 24-phase
