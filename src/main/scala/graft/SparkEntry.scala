@@ -1375,7 +1375,12 @@ object SparkEntry {
     // Bipartite HITS on doc<->shared-shingle incidence: mean-normalized
     // integer half-steps, two rounds.
     "doc_hits" -> ((s, dir) =>
-      graft.operators.Centrality.docHits(Tables.documents(s, dir)))
+      graft.operators.Centrality.docHits(Tables.documents(s, dir))),
+    // Supervised Fellegi-Sunter m/u estimation from the planted ER
+    // truth: per-field ppm rates + derived log-weights.
+    "fs_mu_estimates" -> ((s, dir) =>
+      graft.operators.EntityResolution.fsMuEstimates(
+        Tables.customer(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4643,7 +4648,9 @@ object SparkEntry {
     "contribution_capped_agg" ->
       graft.operators.Privacy.contributionCappedAggOracleSql(),
     "page_hinkley" -> graft.operators.Changepoint.pageHinkleyOracleSql(),
-    "doc_hits" -> graft.operators.Centrality.docHitsOracleSql()
+    "doc_hits" -> graft.operators.Centrality.docHitsOracleSql(),
+    "fs_mu_estimates" ->
+      graft.operators.EntityResolution.fsMuEstimatesOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

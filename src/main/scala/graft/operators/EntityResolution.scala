@@ -82,7 +82,11 @@ object EntityResolution {
     * with the per-field evidence (edit distance, agreement flags) and the
     * FS log-likelihood score.
     */
-  def entityMatches(customer: DataFrame, threshold: Double = 5.0): DataFrame = {
+  /** Blocked clean×dirty candidate pairs (the shared frame of
+    * [[entityMatches]] and [[fsMuEstimates]]): two hash-blocking passes,
+    * pair-level distinct.
+    */
+  private def blockedCandidates(customer: DataFrame): DataFrame = {
     val base = customer.select(
       col("c_custkey").as("k"),
       col("c_nationkey").as("nat"),
@@ -118,8 +122,12 @@ object EntityResolution {
       "bal_a", "bal_b", "nm_a", "nm_b").map(col)
     // Rows are functions of the pair key, so row-level distinct IS
     // pair-level dedup across the two blocking passes.
-    val cand = pass1.select(keep: _*)
+    pass1.select(keep: _*)
       .unionByName(pass2.select(keep: _*)).distinct()
+  }
+
+  def entityMatches(customer: DataFrame, threshold: Double = 5.0): DataFrame = {
+    val cand = blockedCandidates(customer)
 
     val nameAgree = levenshtein(col("nm_a"), col("nm_b")) <= 1
     val segAgree = col("seg_a") === col("seg_b")
@@ -139,6 +147,144 @@ object EntityResolution {
         round(col("score_raw"), 4).as("score"))
       .orderBy(col("c_custkey"), col("matched_key"))
   }
+
+  /** Supervised Fellegi–Sunter m/u estimation (Fellegi & Sunter, JASA
+    * 1969 §3.3) — [[entityMatches]] scores with CONSTANT m/u log-weights;
+    * this operator estimates them FROM the planted truth, closing the
+    * loop a real linkage deployment runs: label a candidate sample, fit
+    * m = P(agree | match) and u = P(agree | non-match) per field, derive
+    * the agreement/disagreement log-weights, feed them back into the
+    * scorer. Truth on the harness corruption is exact: a candidate pair
+    * is a true match iff c_custkey = matched_key.
+    *
+    * Exactness: m/u are floor-ppm integers from exact pair counts; the
+    * derived weights are ln of a ratio of those integers — ONE
+    * identically spelled double op chain, rounded at 4.
+    *
+    * Scale: one pass over the (blocking-bounded) candidate frame, one
+    * 1-row aggregate, a 3-row unpivot. Nothing data-sized after the
+    * candidate join.
+    */
+  def fsMuEstimates(customer: DataFrame): DataFrame = {
+    val cand = blockedCandidates(customer)
+      .withColumn("is_match", col("c_custkey") === col("matched_key"))
+      .withColumn("name_agree", levenshtein(col("nm_a"), col("nm_b")) <= 1)
+      .withColumn("seg_agree", col("seg_a") === col("seg_b"))
+      .withColumn("bal_agree", abs(col("bal_a") - col("bal_b")) < 1.0)
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = cand.agg(
+      cnt(col("is_match")).as("nm_pairs"),
+      cnt(!col("is_match")).as("nu_pairs"),
+      cnt(col("is_match") && col("name_agree")).as("name_m"),
+      cnt(!col("is_match") && col("name_agree")).as("name_u"),
+      cnt(col("is_match") && col("seg_agree")).as("seg_m"),
+      cnt(!col("is_match") && col("seg_agree")).as("seg_u"),
+      cnt(col("is_match") && col("bal_agree")).as("bal_m"),
+      cnt(!col("is_match") && col("bal_agree")).as("bal_u"))
+    agg.select(expr(
+      """stack(3,
+        |  'balance', bal_m, bal_u,
+        |  'name', name_m, name_u,
+        |  'segment', seg_m, seg_u) as (field, am, au)""".stripMargin),
+      col("nm_pairs"), col("nu_pairs"))
+      .select(
+        col("field"),
+        col("nm_pairs").as("match_pairs"),
+        col("nu_pairs").as("nonmatch_pairs"),
+        col("am").as("agree_match"),
+        col("au").as("agree_nonmatch"),
+        expr("am * 1000000 DIV nm_pairs").as("m_ppm"),
+        expr("au * 1000000 DIV nu_pairs").as("u_ppm"))
+      .select(col("*"),
+        when(col("u_ppm") > 0 && col("m_ppm") > 0,
+          round(expr("ln(cast(m_ppm as double) / cast(u_ppm as double))"),
+            4)).as("agree_weight"),
+        when(col("u_ppm") < 1000000 && col("m_ppm") < 1000000,
+          round(expr("ln(cast(1000000 - m_ppm as double)" +
+            " / cast(1000000 - u_ppm as double))"), 4))
+          .as("disagree_weight"))
+      .orderBy(col("field"))
+  }
+
+  def fsMuEstimatesOracleSql: String =
+    s"""WITH lex(i, w) AS (VALUES $lexiconSqlValues),
+       |base AS (
+       |  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+       |    c_acctbal AS bal, l1.w || '-' || l2.w || '-' || l3.w AS nm
+       |  FROM customer
+       |  JOIN lex l1 ON l1.i = c_custkey % 32
+       |  JOIN lex l2 ON l2.i = CAST(floor(c_custkey / 32) AS BIGINT) % 32
+       |  JOIN lex l3 ON l3.i = CAST(floor(c_custkey / 1024) AS BIGINT) % 32),
+       |dirty AS (
+       |  SELECT k, nat, seg, bal,
+       |    substr(nm, 1, CAST(k % length(nm) AS INTEGER)) ||
+       |    substr(nm, CAST(k % length(nm) AS INTEGER) + 2) AS nm
+       |  FROM base),
+       |a AS (
+       |  SELECT k AS c_custkey, nat, seg AS seg_a, bal AS bal_a, nm AS nm_a,
+       |    string_split(nm, '-')[1] AS fw, string_split(nm, '-')[-1] AS lw
+       |  FROM base),
+       |b AS (
+       |  SELECT k AS matched_key, nat AS nat_b, seg AS seg_b, bal AS bal_b,
+       |    nm AS nm_b, string_split(nm, '-')[1] AS fw_b,
+       |    string_split(nm, '-')[-1] AS lw_b
+       |  FROM dirty),
+       |cand AS (
+       |  SELECT c_custkey, matched_key, seg_a, seg_b, bal_a, bal_b,
+       |    nm_a, nm_b
+       |  FROM a JOIN b ON a.nat = b.nat_b AND a.fw = b.fw_b
+       |  UNION
+       |  SELECT c_custkey, matched_key, seg_a, seg_b, bal_a, bal_b,
+       |    nm_a, nm_b
+       |  FROM a JOIN b ON a.nat = b.nat_b AND a.lw = b.lw_b),
+       |fl AS (
+       |  SELECT (c_custkey = matched_key) AS is_match,
+       |    (levenshtein(nm_a, nm_b) <= 1) AS name_agree,
+       |    (seg_a = seg_b) AS seg_agree,
+       |    (abs(bal_a - bal_b) < 1.0) AS bal_agree
+       |  FROM cand),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nm_pairs,
+       |    CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nu_pairs,
+       |    CAST(sum(CASE WHEN is_match AND name_agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS name_m,
+       |    CAST(sum(CASE WHEN NOT is_match AND name_agree THEN 1 ELSE 0
+       |      END) AS BIGINT) AS name_u,
+       |    CAST(sum(CASE WHEN is_match AND seg_agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS seg_m,
+       |    CAST(sum(CASE WHEN NOT is_match AND seg_agree THEN 1 ELSE 0
+       |      END) AS BIGINT) AS seg_u,
+       |    CAST(sum(CASE WHEN is_match AND bal_agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS bal_m,
+       |    CAST(sum(CASE WHEN NOT is_match AND bal_agree THEN 1 ELSE 0
+       |      END) AS BIGINT) AS bal_u
+       |  FROM fl),
+       |rows_ AS (
+       |  SELECT 'balance' AS field, bal_m AS am, bal_u AS au,
+       |    nm_pairs, nu_pairs FROM agg
+       |  UNION ALL
+       |  SELECT 'name', name_m, name_u, nm_pairs, nu_pairs FROM agg
+       |  UNION ALL
+       |  SELECT 'segment', seg_m, seg_u, nm_pairs, nu_pairs FROM agg),
+       |pp AS (
+       |  SELECT field, nm_pairs AS match_pairs, nu_pairs AS nonmatch_pairs,
+       |    am AS agree_match, au AS agree_nonmatch,
+       |    am * 1000000 // nm_pairs AS m_ppm,
+       |    au * 1000000 // nu_pairs AS u_ppm
+       |  FROM rows_)
+       |SELECT field, match_pairs, nonmatch_pairs, agree_match,
+       |  agree_nonmatch, m_ppm, u_ppm,
+       |  CASE WHEN u_ppm > 0 AND m_ppm > 0 THEN
+       |    round(ln(CAST(m_ppm AS DOUBLE) / CAST(u_ppm AS DOUBLE)), 4)
+       |  END AS agree_weight,
+       |  CASE WHEN u_ppm < 1000000 AND m_ppm < 1000000 THEN
+       |    round(ln(CAST(1000000 - m_ppm AS DOUBLE)
+       |      / CAST(1000000 - u_ppm AS DOUBLE)), 4)
+       |  END AS disagree_weight
+       |FROM pp ORDER BY field""".stripMargin
 
   /** Sorted-neighborhood candidate generation (Hernández & Stolfo,
     * SIGMOD 1995) — the ORDER-based blocking family beside

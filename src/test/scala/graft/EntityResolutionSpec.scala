@@ -54,4 +54,25 @@ class EntityResolutionSpec extends SparkTestBase {
     val maxCross = crossScores.map(_.getDouble(5)).max
     assert(maxCross < minSelf)
   }
+
+  test("fsMuEstimates: planted truth gives separating m/u per field") {
+    val got = EntityResolution.fsMuEstimates(customers(200))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("balance", "name", "segment"))
+    got.values.foreach { r =>
+      // every true pair is a 1-char corruption: n_match == keyspace
+      assert(r.getLong(1) === 200L)
+      // m strictly separates from u on every field
+      assert(r.getLong(5) > r.getLong(6), r.getString(0))
+    }
+    // the corruption never moves lev beyond 1: name m is exactly 1.0
+    assert(got("name").getLong(5) === 1000000L)
+    // balance is key-derived and exact: m = 1.0 there too
+    assert(got("balance").getLong(5) === 1000000L)
+    // weights where defined have the FS signs
+    got.values.foreach { r =>
+      if (!r.isNullAt(7)) assert(r.getDouble(7) > 0.0)
+      if (!r.isNullAt(8)) assert(r.getDouble(8) < 0.0)
+    }
+  }
 }
