@@ -223,6 +223,30 @@ object ScaleSmoke {
       time("sorted_neighborhood_quality", scale)(
         graft.operators.EntityResolution.sortedNeighborhoodQuality(
           pseudoCust).count())
+      // round-8 driver-round-8 session: time-bounded folds + experiment
+      // estimators + bounding passes
+      time("kendall_tau", scale)(
+        graft.operators.RobustStats.kendallTau(ev).count())
+      time("page_hinkley", scale)(
+        graft.operators.Changepoint.pageHinkley(ev).count())
+      time("holt_winters", scale)(
+        graft.operators.Changepoint.holtWinters(ev).count())
+      time("eb_shrinkage", scale)(
+        graft.operators.Experiment.ebShrinkage(ev).count())
+      time("neyman_allocation", scale)(
+        graft.operators.Experiment.neymanAllocation(ev).count())
+      time("contribution_capped_agg", scale)(
+        graft.operators.Privacy.contributionCappedAgg(ev).count())
+      val pseudoCustFull = pseudoCust
+        .withColumn("c_nationkey", pmod(col("c_custkey"), lit(25L)).cast("int"))
+        .withColumn("c_acctbal",
+          (col("c_custkey") % 997L).cast("double") * 10.0)
+        .withColumn("c_name", concat(lit("c"), col("c_custkey")))
+      time("l_diversity", scale)(
+        graft.operators.Privacy.recursiveLDiversity(pseudoCustFull).count())
+      time("fs_mu_estimates", scale)(
+        graft.operators.EntityResolution.fsMuEstimates(pseudoCustFull)
+          .count())
       time("zonemap_skip_audit", scale)(
         graft.operators.Layout.zonemapSkipAudit(
           pseudoLineitem.withColumn("l_extendedprice",
@@ -336,6 +360,19 @@ object ScaleSmoke {
         graft.functions.TextAnalysis.readability(docs).count())
       time("rare_token_share", scale)(
         graft.functions.TextAnalysis.rareTokenShare(docs).count())
+      // round-8 driver-round-8 session: positional-span family + graph
+      time("duplicate_spans", scale)(
+        graft.operators.SpanDedup.duplicateSpans(docs).count())
+      time("span_coverage", scale)(
+        graft.operators.SpanDedup.spanCoverage(docs).count())
+      time("blocklist_hits", scale)(
+        graft.operators.SpanDedup.blocklistHits(docs).count())
+      time("span_mask_plan", scale)(
+        graft.operators.SpanDedup.spanMaskPlan(docs).count())
+      time("link_prediction", scale)(
+        graft.operators.Centrality.linkPrediction(docs).count())
+      time("doc_hits", scale)(
+        graft.operators.Centrality.docHits(docs).count())
       pairs.unpersist()
       docs.unpersist()
 

@@ -664,4 +664,64 @@ class PlanAuditSpec extends SparkTestBase {
       iso.contains("BroadcastNestedLoopJoin"),
       s"the 24-row minimax frames must broadcast:\n$iso")
   }
+
+  test("span-dedup family: pruned scans, no products, codegen'd mask draw") {
+    // duplicate_spans / span_coverage: only (doc_id, text) leave the scan
+    val ds = graft.operators.SpanDedup.duplicateSpans(
+      Tables.documents(spark, sf))
+    val dsLeaves = leaves(ds)
+    assert(dsLeaves.contains("doc_id") && dsLeaves.contains("text") &&
+      !dsLeaves.contains("n_chars") && !dsLeaves.contains("lang"),
+      s"span extraction must prune to (doc_id, text):\n$dsLeaves")
+    assert(!executed(ds).contains("CartesianProduct"), executed(ds))
+    val sc = executed(graft.operators.SpanDedup.spanCoverage(
+      Tables.documents(spark, sf)))
+    assert(!sc.contains("CartesianProduct") && !sc.contains("NestedLoop"),
+      s"coverage join must stay an equi-join on the span key:\n$sc")
+    // span_mask_plan: pure position arithmetic — the mix64 draw stays in
+    // codegen (no eval-python / no UDF object node), joins hash on doc_id
+    val smp = graft.operators.SpanDedup.spanMaskPlan(
+      Tables.documents(spark, sf))
+    val smpPlan = finalPlan(smp)
+    val smpStr = smpPlan.toString
+    assert(!smpStr.contains("BatchEvalPython") && !smpStr.contains("ScalaUDF"),
+      s"the mask draw must be the native mix64 expression:\n$smpStr")
+    assert(!smpStr.contains("CartesianProduct"), smpStr)
+  }
+
+  test("shared-span graph additions keep hashed-long shuffles, no products") {
+    // linkPrediction: strictly equi-joins (wedge join + anti-join)
+    val lp = finalPlan(graft.operators.Centrality.linkPrediction(
+      Tables.documents(spark, sf)))
+    assert(!lp.toString.contains("CartesianProduct") &&
+      !lp.toString.contains("NestedLoop"),
+      s"wedge joins must stay equi-joins:\n$lp")
+    // docHits: the mean-normalization scalars are 1-row broadcasts
+    // (BroadcastNestedLoopJoin is the legitimate scalar-attach plan);
+    // the data-sized joins must still never be products
+    val dh = finalPlan(graft.operators.Centrality.docHits(
+      Tables.documents(spark, sf)))
+    assert(!dh.toString.contains("CartesianProduct"),
+      s"incidence joins must never materialize a product:\n$dh")
+    for (plan <- Seq(lp, dh)) {
+      val stringExchange = allExchanges(plan).find(_.output.exists(a =>
+        a.dataType == org.apache.spark.sql.types.StringType))
+      assert(stringExchange.isEmpty,
+        s"graph shuffles must carry hashed longs, never shingle strings:\n" +
+          stringExchange.mkString)
+    }
+  }
+
+  test("contribution bounding: user-hashed exchanges, never single-partition") {
+    val df = graft.operators.Privacy.contributionCappedAgg(
+      Tables.events(spark, sf))
+    val plan = finalPlan(df)
+    val exchanges = allExchanges(plan)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.outputPartitioning.toString.contains("SinglePartition"),
+        s"the per-user window must not serialize through one task:\n$plan")
+    }
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+  }
 }
