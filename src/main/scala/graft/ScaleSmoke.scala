@@ -227,6 +227,15 @@ object ScaleSmoke {
       // estimators + bounding passes
       time("kendall_tau", scale)(
         graft.operators.RobustStats.kendallTau(ev).count())
+      time("mann_kendall", scale)(
+        graft.operators.RobustStats.mannKendall(ev).count())
+      time("croston_forecast", scale)(
+        graft.operators.Changepoint.crostonForecast(ev.select(
+          pmod(col("event_id") * 2654435761L,
+            lit(math.max(nEvents / 40L, 50L))).as("l_partkey"),
+          (pmod(col("event_id"), lit(7L)) + 1L).cast("double")
+            .as("l_quantity"),
+          col("ts").as("l_shipdate"))).count())
       time("page_hinkley", scale)(
         graft.operators.Changepoint.pageHinkley(ev).count())
       time("holt_winters", scale)(

@@ -1380,7 +1380,15 @@ object SparkEntry {
     // truth: per-field ppm rates + derived log-weights.
     "fs_mu_estimates" -> ((s, dir) =>
       graft.operators.EntityResolution.fsMuEstimates(
-        Tables.customer(s, dir)))
+        Tables.customer(s, dir))),
+    // Mann-Kendall monotone-trend significance on hourly volume:
+    // integer S, tie-corrected variance, continuity-corrected Z.
+    "mann_kendall" -> ((s, dir) =>
+      graft.operators.RobustStats.mannKendall(Tables.events(s, dir))),
+    // Croston + SBA intermittent-demand forecast per part: demand-point
+    // fold, sign-separated micro updates.
+    "croston_forecast" -> ((s, dir) =>
+      graft.operators.Changepoint.crostonForecast(Tables.lineitem(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4650,7 +4658,9 @@ object SparkEntry {
     "page_hinkley" -> graft.operators.Changepoint.pageHinkleyOracleSql(),
     "doc_hits" -> graft.operators.Centrality.docHitsOracleSql(),
     "fs_mu_estimates" ->
-      graft.operators.EntityResolution.fsMuEstimatesOracleSql
+      graft.operators.EntityResolution.fsMuEstimatesOracleSql,
+    "mann_kendall" -> graft.operators.RobustStats.mannKendallOracleSql,
+    "croston_forecast" -> graft.operators.Changepoint.crostonOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

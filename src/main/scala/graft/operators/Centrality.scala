@@ -555,25 +555,45 @@ ORDER BY 1"""
     *                       both engines, so the sum is bit-identical)
     *   - pref_attach:      deg_a · deg_b
     *
-    * Scale shape: wedge enumeration is the standard oriented 2-path
-    * equi-join (same discipline as [[docTriangles]]); its volume is
-    * Σ_w deg(w)², bounded because the df-cap already clips hot shingles
-    * and therefore hot nodes. The non-edge filter is one anti-join
-    * against the (a<b)-oriented edge list; never an all-pairs product.
+    * Scale shape: wedge enumeration is the oriented 2-path equi-join
+    * (same discipline as [[docTriangles]]), with the volume bound made
+    * EXPLICIT and part of the operator's CONTRACT: the prediction runs
+    * on the SUBGRAPH of nodes with degree ≤ degCap. Super-nodes sit
+    * inside dense near-dup cliques — [[Dedup.nearDupClusters]] already
+    * names those; link prediction is only informative on the sparse
+    * frontier, and a deg-10⁴ hub contributes 10⁻⁴ RA weight per wedge
+    * while costing deg² join rows (the same hub-pruning production
+    * predictors apply, cf. Gupta et al., WWW 2013 §4). With every node
+    * capped, wedge volume ≤ degCap·2|E'| ≤ degCap²·|V| — LINEAR in the
+    * corpus. (A midpoint-only cap was measured insufficient: the 100×
+    * smoke still OOMed because on a templated corpus the edge list
+    * itself is clique-quadratic.) The DuckDB oracle applies the
+    * identical subgraph filter, so results stay bit-exact. The non-edge
+    * filter is one anti-join against the (a<b)-oriented edge list;
+    * never an all-pairs product.
     */
   def linkPrediction(
       documents: DataFrame,
       k: Int = 4, // 4-gram spans: the 8-gram graph is all closed cliques
       dfCap: Int = 30,
+      degCap: Int = 64,
       topN: Int = 30): DataFrame = {
     val shared = Dedup.hashedShingleDf(documents, k)
       .filter(col("df").between(2, dfCap))
       .select(col("sh"), col("doc_id"))
-    val pairs = shared
+    val allPairs = shared
       .join(shared.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
       .filter(col("doc_id") < col("dst"))
       .select(col("doc_id").as("src"), col("dst"))
       .distinct()
+    val fullDeg = allPairs.select(col("src").as("node"))
+      .union(allPairs.select(col("dst")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val lowNodes = fullDeg.filter(col("deg") <= degCap).select(col("node"))
+    val pairs = allPairs
+      .join(lowNodes.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(lowNodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
       .localCheckpoint() // reused 4x: edges (x2), anti-join, degrees
     val edges = pairs.union(pairs.select(col("dst"), col("src")))
     val deg = edges.groupBy(col("src").as("node"))
@@ -613,7 +633,8 @@ ORDER BY 1"""
     * and anti-join replayed literally.
     */
   def linkPredictionOracleSql(
-      k: Int = 4, dfCap: Int = 30, topN: Int = 30): String = {
+      k: Int = 4, dfCap: Int = 30, degCap: Int = 64,
+      topN: Int = 30): String = {
     val cat = (0 until k)
       .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
       .mkString(" || ' ' || ")
@@ -627,9 +648,16 @@ ORDER BY 1"""
        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
        |shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
        |        WHERE df BETWEEN 2 AND $dfCap),
-       |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |pr0 AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
        |       FROM shf a JOIN shf b USING (shingle)
        |       WHERE a.doc_id < b.doc_id),
+       |fd AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |         SELECT src AS node FROM pr0
+       |         UNION ALL SELECT dst FROM pr0) GROUP BY 1),
+       |low AS (SELECT node FROM fd WHERE deg <= $degCap),
+       |pr AS (SELECT src, dst FROM pr0
+       |       WHERE src IN (SELECT node FROM low)
+       |         AND dst IN (SELECT node FROM low)),
        |ed AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
        |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
        |       FROM ed GROUP BY 1),

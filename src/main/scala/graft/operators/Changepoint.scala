@@ -355,6 +355,96 @@ object Changepoint {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Croston's intermittent-demand forecaster (Croston, Oper Res Q 1972)
+    * with the Syntetos–Boylan bias correction (SBA, IJF 2005) — the
+    * estimator for series that are MOSTLY ZERO, where Holt/Holt-Winters
+    * average the gaps into mush: per part, smooth the nonzero demand
+    * SIZES (z) and the INTER-DEMAND intervals (p) separately, forecast
+    * z/p per period. Croston's key structural property makes it ideal
+    * for the relational setting: the state only updates AT demand
+    * points, so the fold runs over each part's (day, qty) demand list —
+    * no gap-filling, no zero rows materialized.
+    *
+    * Exactness: α = 1/4 updates in integer micros with SIGN-SEPARATED
+    * floor DIVs (Spark DIV truncates toward zero, DuckDB // floors —
+    * they agree only on non-negatives, so negative deltas divide as
+    * -((-d) DIV 4) on both engines). SBA = forecast·7 DIV 8 (1 − α/2).
+    *
+    * Scale: one (part, day) aggregate, one part-keyed fold over ≤
+    * |days| elements — the classic linear sketch-per-key shape.
+    */
+  def crostonForecast(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .groupBy(col("l_partkey"),
+        expr("unix_timestamp(date_trunc('day', l_shipdate)) DIV 86400")
+          .as("di"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("q"))
+    def sdiv4(v: String): String =
+      s"CASE WHEN ($v) >= 0 THEN ($v) DIV 4 ELSE -((-($v)) DIV 4) END"
+    daily
+      .groupBy(col("l_partkey"))
+      .agg(sort_array(collect_list(struct(col("di"), col("q")))).as("xs"))
+      .withColumn("fin", expr(
+        s"""aggregate(
+           |  slice(xs, 2, size(xs) - 1),
+           |  struct(
+           |    xs[0].q * 1000000 as z,
+           |    cast(1000000 as bigint) as p,
+           |    xs[0].di as pd,
+           |    cast(1 as bigint) as n),
+           |  (acc, e) -> struct(
+           |    acc.z + ${sdiv4("e.q * 1000000 - acc.z")},
+           |    acc.p + ${sdiv4("(e.di - acc.pd) * 1000000 - acc.p")},
+           |    e.di,
+           |    acc.n + 1),
+           |  acc -> acc)""".stripMargin))
+      .select(
+        col("l_partkey"),
+        col("fin.n").as("n_demands"),
+        col("fin.z").as("level_micros"),
+        col("fin.p").as("interval_micros"),
+        expr("fin.z * 1000000 DIV fin.p").as("croston_micros"),
+        expr("(fin.z * 1000000 DIV fin.p) * 7 DIV 8").as("sba_micros"))
+      .orderBy(col("l_partkey"))
+  }
+
+  def crostonOracleSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT l_partkey,
+      |    epoch(date_trunc('day', l_shipdate))::BIGINT // 86400 AS di,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY di)
+      |    AS rn
+      |  FROM daily),
+      |walk(l_partkey, rn, z, p, pd, n) AS (
+      |  SELECT l_partkey, rn, q * 1000000, CAST(1000000 AS BIGINT), di,
+      |    CAST(1 AS BIGINT)
+      |  FROM idx WHERE rn = 1
+      |  UNION ALL
+      |  SELECT w.l_partkey, i.rn,
+      |    w.z + (CASE WHEN (i.q * 1000000 - w.z) >= 0
+      |      THEN (i.q * 1000000 - w.z) // 4
+      |      ELSE -((-(i.q * 1000000 - w.z)) // 4) END),
+      |    w.p + (CASE WHEN ((i.di - w.pd) * 1000000 - w.p) >= 0
+      |      THEN ((i.di - w.pd) * 1000000 - w.p) // 4
+      |      ELSE -((-((i.di - w.pd) * 1000000 - w.p)) // 4) END),
+      |    i.di, w.n + 1
+      |  FROM walk w
+      |  JOIN idx i ON i.l_partkey = w.l_partkey AND i.rn = w.rn + 1),
+      |fin AS (
+      |  SELECT l_partkey, z, p, n,
+      |    row_number() OVER (PARTITION BY l_partkey ORDER BY rn DESC)
+      |      AS rr
+      |  FROM walk)
+      |SELECT l_partkey, n AS n_demands,
+      |  z AS level_micros, p AS interval_micros,
+      |  z * 1000000 // p AS croston_micros,
+      |  (z * 1000000 // p) * 7 // 8 AS sba_micros
+      |FROM fin WHERE rr = 1
+      |ORDER BY l_partkey""".stripMargin
+
   /** Page-Hinkley drift test (Page, Biometrika 1954 §5; the sequential
     * mean-shift detector usually run beside CUSUM in streaming-drift
     * work, e.g. Gama et al.'s survey, ACM CSUR 2014): per event type,

@@ -350,6 +350,87 @@ object RobustStats {
           .as("tau_b_micros"))
   }
 
+  /** Mann-Kendall trend test (Mann, Econometrica 1945; Kendall 1975) on
+    * the hourly volume series — [[theilSen]]'s significance companion
+    * (the pair: Theil-Sen says HOW STEEP, Mann-Kendall says WHETHER the
+    * monotone trend is real): S = Σ_{i<j} sign(x_j − x_i), the
+    * tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5),
+    * and the continuity-corrected Z.
+    *
+    * Exactness: S and the variance numerator are pure integer folds; Z
+    * is one identically spelled floor((S∓1)·10⁶/sqrt(num/18.0)). The
+    * verdict threshold is 1.96 in micros.
+    *
+    * Scale: the same hour²-bounded pair frame as [[kendallTau]] — the
+    * corpus reduces to ≤ |hours| rows before any join.
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val a = hourly.select(col("h").as("h1"), col("x").as("x1"))
+    val b = hourly.select(col("h").as("h2"), col("x").as("x2"))
+    val s = a.join(b, col("h2") > col("h1"))
+      .agg(sum(signum(col("x2") - col("x1")).cast("bigint")).as("s"))
+    val nn = hourly.agg(count(lit(1)).as("n"))
+    val ties = hourly.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(
+        expr("t * (t - 1) * (2 * t + 5)")), lit(0L)).as("tie_term"))
+    s.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        expr("n * (n - 1) * (2 * n + 5) - tie_term"))
+      .select(
+        col("n").as("n_hours"), col("s"), col("var18"),
+        when(col("var18") > 0,
+          when(col("s") > 0, expr(
+            "cast(floor((s - 1) * 1000000.0" +
+              " / sqrt(cast(var18 as double) / 18.0)) as bigint)"))
+            .when(col("s") < 0, expr(
+              "cast(floor((s + 1) * 1000000.0" +
+                " / sqrt(cast(var18 as double) / 18.0)) as bigint)"))
+            .otherwise(lit(0L))).as("z_micros"))
+      .withColumn("trend",
+        when(col("z_micros") > 1960000L, "increasing")
+          .when(col("z_micros") < -1960000L, "decreasing")
+          .otherwise(lit("none")))
+  }
+
+  def mannKendallOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |sv AS (
+      |  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+      |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM hourly a JOIN hourly b ON b.h > a.h),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hourly),
+      |tt AS (
+      |  SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |    AS tie_term
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM hourly
+      |        GROUP BY x)),
+      |fin AS (
+      |  SELECT n, s, tie_term,
+      |    n * (n - 1) * (2 * n + 5) - tie_term AS var18
+      |  FROM sv, nn, tt),
+      |zz AS (
+      |  SELECT n, s, var18,
+      |    CASE WHEN var18 > 0 THEN
+      |      CASE WHEN s > 0 THEN
+      |        CAST(floor((s - 1) * 1000000.0
+      |          / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+      |      WHEN s < 0 THEN
+      |        CAST(floor((s + 1) * 1000000.0
+      |          / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+      |      ELSE 0 END
+      |    END AS z_micros
+      |  FROM fin)
+      |SELECT n AS n_hours, s, var18, z_micros,
+      |  CASE WHEN z_micros > 1960000 THEN 'increasing'
+      |    WHEN z_micros < -1960000 THEN 'decreasing'
+      |    ELSE 'none' END AS trend
+      |FROM zz""".stripMargin
+
   def kendallTauOracleSql: String =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS h,

@@ -136,9 +136,24 @@ object SpanDedup {
       phrases: Seq[String] = DriverBlocklist): DataFrame = {
     val byLen = phrases.groupBy(_.split(" ").length).toSeq.sortBy(_._1)
     val matches = byLen.map { case (l, ps) =>
-      positionalSpans(documents, l, carry = Seq("source"))
+      // first-token prefilter INSIDE the lambda: the span string (the
+      // expensive part — one concat_ws allocation per window) is built
+      // only at positions whose first token can start a phrase, which
+      // kills ~97% of the allocations on a natural corpus (measured
+      // 43 s → the string build dominated the 100x smoke).
+      val firsts = ps.map(_.split(" ").head).distinct.sorted
+        .map(w => s"'${w.replace("'", "''")}'").mkString(", ")
+      documents
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= l)
+        .select(col("doc_id"), col("source"), explode(expr(
+          s"""transform(
+             |  filter(sequence(1, size(toks) - ${l - 1}),
+             |    i -> element_at(toks, i) IN ($firsts)),
+             |  i -> concat_ws(' ', slice(toks, i, $l)))""".stripMargin))
+          .as("span"))
         .filter(col("span").isin(ps: _*))
-        .select(col("doc_id"), col("source"), col("span"))
     }.reduce(_ unionByName _)
     matches
       .groupBy(col("span").as("phrase"), col("source"))

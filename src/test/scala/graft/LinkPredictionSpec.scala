@@ -31,4 +31,21 @@ class LinkPredictionSpec extends SparkTestBase {
     // triangle edges (1,2),(1,4),(2,4) and pendant edge (2,3) excluded
     assert(got.size === 2)
   }
+
+  test("linkPrediction: nodes above the degree cap are excluded from the subgraph") {
+    import spark.implicits._
+    // path 1-2-3: deg(2)=2. With midDegCap=1 the only midpoint is
+    // pruned -> no candidates; with the default cap (1,3) appears.
+    val d = Seq(
+      (1L, "p q r s k1 k2 k3"),
+      (2L, "p q r s m w x y z"),
+      (3L, "w x y z n1 n2 n3"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Centrality.linkPrediction(d, k = 4, dfCap = 30, degCap = 1)
+      .count() === 0L)
+    assert(Centrality.linkPrediction(d, k = 4, dfCap = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 3L)))
+  }
 }
