@@ -229,6 +229,10 @@ object ScaleSmoke {
         graft.operators.RobustStats.kendallTau(ev).count())
       time("mann_kendall", scale)(
         graft.operators.RobustStats.mannKendall(ev).count())
+      time("acf_profile", scale)(
+        graft.operators.Changepoint.acfProfile(ev).count())
+      time("forecast_eval", scale)(
+        graft.operators.Changepoint.forecastEval(ev).count())
       time("croston_forecast", scale)(
         graft.operators.Changepoint.crostonForecast(ev.select(
           pmod(col("event_id") * 2654435761L,

@@ -1388,7 +1388,15 @@ object SparkEntry {
     // Croston + SBA intermittent-demand forecast per part: demand-point
     // fold, sign-separated micro updates.
     "croston_forecast" -> ((s, dir) =>
-      graft.operators.Changepoint.crostonForecast(Tables.lineitem(s, dir)))
+      graft.operators.Changepoint.crostonForecast(Tables.lineitem(s, dir))),
+    // Full ACF correlogram (lags 1..24) on the gap-filled hourly series:
+    // exact Pearson per lag, one shifted-key equi-join.
+    "acf_profile" -> ((s, dir) =>
+      graft.operators.Changepoint.acfProfile(Tables.events(s, dir))),
+    // MASE skill audit of the Holt model vs naive / seasonal-naive:
+    // tenth-milli integer error sums, exact ratio DIV.
+    "forecast_eval" -> ((s, dir) =>
+      graft.operators.Changepoint.forecastEval(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4660,7 +4668,9 @@ object SparkEntry {
     "fs_mu_estimates" ->
       graft.operators.EntityResolution.fsMuEstimatesOracleSql,
     "mann_kendall" -> graft.operators.RobustStats.mannKendallOracleSql,
-    "croston_forecast" -> graft.operators.Changepoint.crostonOracleSql
+    "croston_forecast" -> graft.operators.Changepoint.crostonOracleSql,
+    "acf_profile" -> graft.operators.Changepoint.acfProfileOracleSql(),
+    "forecast_eval" -> graft.operators.Changepoint.forecastEvalOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -558,19 +558,23 @@ ORDER BY 1"""
     * Scale shape: wedge enumeration is the oriented 2-path equi-join
     * (same discipline as [[docTriangles]]), with the volume bound made
     * EXPLICIT and part of the operator's CONTRACT: the prediction runs
-    * on the SUBGRAPH of nodes with degree ≤ degCap. Super-nodes sit
-    * inside dense near-dup cliques — [[Dedup.nearDupClusters]] already
-    * names those; link prediction is only informative on the sparse
-    * frontier, and a deg-10⁴ hub contributes 10⁻⁴ RA weight per wedge
-    * while costing deg² join rows (the same hub-pruning production
-    * predictors apply, cf. Gupta et al., WWW 2013 §4). With every node
-    * capped, wedge volume ≤ degCap·2|E'| ≤ degCap²·|V| — LINEAR in the
-    * corpus. (A midpoint-only cap was measured insufficient: the 100×
-    * smoke still OOMed because on a templated corpus the edge list
-    * itself is clique-quadratic.) The DuckDB oracle applies the
-    * identical subgraph filter, so results stay bit-exact. The non-edge
-    * filter is one anti-join against the (a<b)-oriented edge list;
-    * never an all-pairs product.
+    * on the subgraph of docs whose PARTNER BOUND pb(d) = Σ_{sh∈d}(df−1)
+    * is ≤ degCap. pb(d) ≥ deg(d), so every kept node provably has
+    * degree ≤ degCap — and, decisively for scale, pb is computable from
+    * the shingle frame BEFORE any pair join, so the dense region of the
+    * graph (the near-dup cliques that [[Dedup.nearDupClusters]] already
+    * names) is never materialized at all: the pair join, the edge list,
+    * and the wedge join all run on provably-sparse docs only, total
+    * volume ≤ degCap²·|V|. The evolution is instructive and measured:
+    * the uncapped wedge join OOMed the 100× smoke; an exact
+    * post-join degree cap stopped the OOM but still paid 65 s to BUILD
+    * the dense edge list it was about to discard; the partner-bound
+    * prefilter removes that cost too. Hub-pruning of this kind is
+    * standard in production link predictors (a deg-10⁴ hub contributes
+    * 10⁻⁴ RA weight per wedge and pure noise to CN; cf. Gupta et al.,
+    * WWW 2013 §4). The DuckDB oracle applies the identical prefilter,
+    * so results stay bit-exact. The non-edge filter is one anti-join
+    * against the (a<b)-oriented edge list; never an all-pairs product.
     */
   def linkPrediction(
       documents: DataFrame,
@@ -580,20 +584,20 @@ ORDER BY 1"""
       topN: Int = 30): DataFrame = {
     val shared = Dedup.hashedShingleDf(documents, k)
       .filter(col("df").between(2, dfCap))
+      .select(col("sh"), col("doc_id"), col("df"))
+    val lowDocs = shared
+      .groupBy(col("doc_id"))
+      .agg(sum(col("df") - 1).as("pb"))
+      .filter(col("pb") <= degCap)
+      .select(col("doc_id"))
+    val sharedLow = shared
+      .join(lowDocs, Seq("doc_id"), "left_semi")
       .select(col("sh"), col("doc_id"))
-    val allPairs = shared
-      .join(shared.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
+    val pairs = sharedLow
+      .join(sharedLow.select(col("sh"), col("doc_id").as("dst")), Seq("sh"))
       .filter(col("doc_id") < col("dst"))
       .select(col("doc_id").as("src"), col("dst"))
       .distinct()
-    val fullDeg = allPairs.select(col("src").as("node"))
-      .union(allPairs.select(col("dst")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val lowNodes = fullDeg.filter(col("deg") <= degCap).select(col("node"))
-    val pairs = allPairs
-      .join(lowNodes.select(col("node").as("src")), Seq("src"), "left_semi")
-      .join(lowNodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      .select(col("src"), col("dst"))
       .localCheckpoint() // reused 4x: edges (x2), anti-join, degrees
     val edges = pairs.union(pairs.select(col("dst"), col("src")))
     val deg = edges.groupBy(col("src").as("node"))
@@ -648,16 +652,15 @@ ORDER BY 1"""
        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
        |shf AS (SELECT doc_id, shingle FROM sh JOIN df USING (shingle)
        |        WHERE df BETWEEN 2 AND $dfCap),
-       |pr0 AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |       FROM shf a JOIN shf b USING (shingle)
+       |low AS (SELECT doc_id FROM (
+       |         SELECT s.doc_id, CAST(sum(d.df - 1) AS BIGINT) AS pb
+       |         FROM shf s JOIN df d USING (shingle) GROUP BY 1)
+       |       WHERE pb <= $degCap),
+       |shl AS (SELECT doc_id, shingle FROM shf
+       |        WHERE doc_id IN (SELECT doc_id FROM low)),
+       |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |       FROM shl a JOIN shl b USING (shingle)
        |       WHERE a.doc_id < b.doc_id),
-       |fd AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-       |         SELECT src AS node FROM pr0
-       |         UNION ALL SELECT dst FROM pr0) GROUP BY 1),
-       |low AS (SELECT node FROM fd WHERE deg <= $degCap),
-       |pr AS (SELECT src, dst FROM pr0
-       |       WHERE src IN (SELECT node FROM low)
-       |         AND dst IN (SELECT node FROM low)),
        |ed AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
        |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
        |       FROM ed GROUP BY 1),

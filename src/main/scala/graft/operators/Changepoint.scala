@@ -355,6 +355,192 @@ object Changepoint {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Full autocorrelation profile, lags 1..maxLag, of the gap-filled
+    * GLOBAL hourly volume series — [[hourlyAutocorr]]'s lag-1 readout
+    * generalized into the correlogram that actually justifies seasonal
+    * modelling choices (a daily cycle shows as the ACF peak at lag 24 —
+    * the measured argument for [[holtWinters]]' m = 24). Exact Pearson
+    * per lag from integer moment sums; the series is gap-filled so lag k
+    * means exactly k CALENDAR hours, not k observed rows.
+    *
+    * Scale: the corpus reduces to the bounded hourly frame; the lag
+    * expansion is a broadcast of 24 literals and ONE equi-join on the
+    * shifted hour key (never a window over a single global partition,
+    * never a theta-join).
+    */
+  def acfProfile(events: DataFrame, maxLag: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = hourly
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val filled = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val lags = filled.limit(1)
+      .select(explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+    val a = filled.crossJoin(broadcast(lags))
+      .select(col("lag"),
+        expr("h + make_interval(0, 0, 0, 0, lag)").as("h2"),
+        col("x").as("xa"))
+    val joined = a.join(
+      filled.select(col("h").as("h2"), col("x").as("xb")), Seq("h2"))
+    joined
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        sum(col("xa") * col("xa")).as("saa"),
+        sum(col("xb") * col("xb")).as("sbb"),
+        sum(col("xa") * col("xb")).as("sab"))
+      .select(
+        col("lag").cast("bigint").as("lag"), col("m").as("n_pairs"),
+        when(
+          (col("m") * col("saa") - col("sa") * col("sa")) > 0L &&
+            (col("m") * col("sbb") - col("sb") * col("sb")) > 0L,
+          round((col("m") * col("sab") - col("sa") * col("sb"))
+            .cast("double") /
+            (sqrt((col("m") * col("saa") - col("sa") * col("sa"))
+              .cast("double")) *
+              sqrt((col("m") * col("sbb") - col("sb") * col("sb"))
+                .cast("double"))), 6)).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  def acfProfileOracleSql(maxLag: Int = 24): String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+       |    (SELECT max(h) FROM hourly), INTERVAL 1 HOUR)) AS h),
+       |filled AS (
+       |  SELECT s.h, COALESCE(hourly.x, 0) AS x
+       |  FROM spine s LEFT JOIN hourly ON s.h = hourly.h),
+       |lags AS (SELECT unnest(range(1, ${maxLag + 1})) AS lag),
+       |j AS (
+       |  SELECT l.lag, a.x AS xa, b.x AS xb
+       |  FROM filled a, lags l
+       |  JOIN filled b ON b.h = a.h + to_hours(l.lag)),
+       |agg AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb,
+       |    CAST(sum(xa*xa) AS BIGINT) AS saa,
+       |    CAST(sum(xb*xb) AS BIGINT) AS sbb,
+       |    CAST(sum(xa*xb) AS BIGINT) AS sab
+       |  FROM j GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, m AS n_pairs,
+       |  CASE WHEN (m * saa - sa * sa) > 0 AND (m * sbb - sb * sb) > 0
+       |  THEN round(CAST(m * sab - sa * sb AS DOUBLE)
+       |    / (sqrt(CAST(m * saa - sa * sa AS DOUBLE))
+       |       * sqrt(CAST(m * sbb - sb * sb AS DOUBLE))), 6)
+       |  END AS acf
+       |FROM agg ORDER BY lag""".stripMargin
+
+  /** Forecast skill audit (MASE, Hyndman & Koehler, IJF 2006): the Holt
+    * model's in-sample one-step absolute errors against the naive
+    * (x_{t−1}) and seasonal-naive (x_{t−24}) baselines, per event type —
+    * the readout that says whether [[holtForecast]] EARNS its keep over
+    * "predict yesterday". MASE < 1 beats the baseline.
+    *
+    * Exactness without a float sum anywhere: the model's per-row error
+    * |x − f| (f is the 4-dec forecast) is snapped to integer
+    * TENTH-MILLIS per row — floor(|x−f|·10⁴ + 0.5), one identically
+    * spelled double op on bit-identical operands — and then only
+    * INTEGERS are summed, so aggregation order cannot perturb the
+    * result. Baseline errors are born integral. The MASE ratio clears
+    * denominators into one exact integer DIV.
+    *
+    * Scale: the corpus reduces to the (type × hour) frame; one window
+    * pass per type (naturally small partitions), one aggregate.
+    */
+  def forecastEval(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hw = holtForecast(events)
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("window_start"))
+    val errs = hw
+      .withColumn("x1", lag(col("x"), 1).over(byType))
+      .withColumn("x24", lag(col("x"), 24).over(byType))
+      .withColumn("em", when(col("forecast").isNotNull,
+        expr("cast(floor(abs(cast(x as double) - forecast) * 10000 + 0.5)"
+          + " as bigint)")))
+      .withColumn("en", when(col("x1").isNotNull, abs(col("x") - col("x1"))))
+      .withColumn("es", when(col("x24").isNotNull,
+        abs(col("x") - col("x24"))))
+    errs
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("em")).as("n_model"),
+        sum(col("em")).as("sum_abs_err_model_tm"),
+        count(col("en")).as("n_naive"),
+        sum(col("en")).as("sum_abs_err_naive"),
+        count(col("es")).as("n_snaive"),
+        sum(col("es")).as("sum_abs_err_snaive"))
+      .select(col("*"),
+        when(col("sum_abs_err_naive") > 0 && col("n_model") > 0,
+          expr("(sum_abs_err_model_tm * n_naive * 100)" +
+            " DIV (n_model * sum_abs_err_naive)")).as("mase_naive_micros"),
+        when(col("sum_abs_err_snaive") > 0 && col("n_model") > 0,
+          expr("(sum_abs_err_model_tm * n_snaive * 100)" +
+            " DIV (n_model * sum_abs_err_snaive)"))
+          .as("mase_snaive_micros"))
+      .orderBy(col("event_type"))
+  }
+
+  def forecastEvalOracleSql: String =
+    s"""WITH RECURSIVE hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h)
+       |    AS rn
+       |  FROM hourly),
+       |walk(event_type, rn, h, x, l, b, f) AS (
+       |  SELECT event_type, rn, h, x, CAST(x AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+       |  FROM idx WHERE rn = 1
+       |  UNION ALL
+       |  SELECT w.event_type, i.rn, i.h, i.x,
+       |    CAST(i.x AS DOUBLE) * 0.5 + (w.l + w.b) * 0.5,
+       |    ((CAST(i.x AS DOUBLE) * 0.5 + (w.l + w.b) * 0.5) - w.l) * 0.25
+       |      + w.b * 0.75,
+       |    w.l + w.b
+       |  FROM walk w
+       |  JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1),
+       |hw AS (
+       |  SELECT event_type, h AS window_start, x, round(f, 4) AS forecast
+       |  FROM walk),
+       |er AS (
+       |  SELECT event_type,
+       |    CASE WHEN forecast IS NOT NULL THEN
+       |      CAST(floor(abs(CAST(x AS DOUBLE) - forecast) * 10000 + 0.5)
+       |        AS BIGINT) END AS em,
+       |    abs(x - lag(x, 1) OVER w) AS en,
+       |    abs(x - lag(x, 24) OVER w) AS es
+       |  FROM hw
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start)),
+       |agg AS (
+       |  SELECT event_type,
+       |    CAST(count(em) AS BIGINT) AS n_model,
+       |    CAST(sum(em) AS BIGINT) AS sum_abs_err_model_tm,
+       |    CAST(count(en) AS BIGINT) AS n_naive,
+       |    CAST(sum(en) AS BIGINT) AS sum_abs_err_naive,
+       |    CAST(count(es) AS BIGINT) AS n_snaive,
+       |    CAST(sum(es) AS BIGINT) AS sum_abs_err_snaive
+       |  FROM er GROUP BY 1)
+       |SELECT event_type, n_model, sum_abs_err_model_tm, n_naive,
+       |  sum_abs_err_naive, n_snaive, sum_abs_err_snaive,
+       |  CASE WHEN sum_abs_err_naive > 0 AND n_model > 0 THEN
+       |    (sum_abs_err_model_tm * n_naive * 100)
+       |      // (n_model * sum_abs_err_naive) END AS mase_naive_micros,
+       |  CASE WHEN sum_abs_err_snaive > 0 AND n_model > 0 THEN
+       |    (sum_abs_err_model_tm * n_snaive * 100)
+       |      // (n_model * sum_abs_err_snaive) END AS mase_snaive_micros
+       |FROM agg ORDER BY event_type""".stripMargin
+
   /** Croston's intermittent-demand forecaster (Croston, Oper Res Q 1972)
     * with the Syntetos–Boylan bias correction (SBA, IJF 2005) — the
     * estimator for series that are MOSTLY ZERO, where Holt/Holt-Winters
