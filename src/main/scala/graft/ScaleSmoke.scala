@@ -386,6 +386,10 @@ object ScaleSmoke {
         graft.operators.Centrality.linkPrediction(docs).count())
       time("doc_hits", scale)(
         graft.operators.Centrality.docHits(docs).count())
+      time("textrank_keywords", scale)(
+        graft.operators.Keywords.textrankKeywords(docs).count())
+      time("langid_confusion", scale)(
+        graft.functions.TextAnalysis.langidConfusion(docs).count())
       pairs.unpersist()
       docs.unpersist()
 

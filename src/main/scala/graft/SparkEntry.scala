@@ -1396,7 +1396,14 @@ object SparkEntry {
     // MASE skill audit of the Holt model vs naive / seasonal-naive:
     // tenth-milli integer error sums, exact ratio DIV.
     "forecast_eval" -> ((s, dir) =>
-      graft.operators.Changepoint.forecastEval(Tables.events(s, dir)))
+      graft.operators.Changepoint.forecastEval(Tables.events(s, dir))),
+    // TextRank keywords: 3-round integer pagerank over the window-2
+    // word co-occurrence graph.
+    "textrank_keywords" -> ((s, dir) =>
+      graft.operators.Keywords.textrankKeywords(Tables.documents(s, dir))),
+    // langid confusion matrix + per-class recall vs the labeled lang.
+    "langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langidConfusion(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4670,7 +4677,9 @@ object SparkEntry {
     "mann_kendall" -> graft.operators.RobustStats.mannKendallOracleSql,
     "croston_forecast" -> graft.operators.Changepoint.crostonOracleSql,
     "acf_profile" -> graft.operators.Changepoint.acfProfileOracleSql(),
-    "forecast_eval" -> graft.operators.Changepoint.forecastEvalOracleSql
+    "forecast_eval" -> graft.operators.Changepoint.forecastEvalOracleSql,
+    "textrank_keywords" -> graft.operators.Keywords.textrankOracleSql(),
+    "langid_confusion" -> TextAnalysis.langidConfusionOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -275,6 +275,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Confusion matrix + per-class recall for [[langId]] against the
+    * labeled `lang` column — the eval table a language-filter stage
+    * publishes before anyone trusts its routing (a 0.99-accuracy
+    * classifier that shunts all Basque into 'es' looks fine in the
+    * scalar, and indicts itself here). Exact integers; recall_ppm is a
+    * floor DIV against the actual-class row total.
+    *
+    * Scale: [[langId]] is scan-shaped; the matrix is one hash aggregate
+    * to |langs|² rows and a window over that bounded frame.
+    */
+  def langidConfusion(documents: DataFrame): DataFrame = {
+    val cells = langId(documents)
+      .groupBy(col("lang").as("actual"), col("lang_pred").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    val byActual = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("actual"))
+    cells
+      .withColumn("actual_total", sum(col("n_docs")).over(byActual))
+      .select(col("actual"), col("predicted"), col("n_docs"),
+        col("actual_total"),
+        expr("n_docs * 1000000 DIV actual_total").as("recall_ppm"),
+        (col("actual") === col("predicted")).as("is_correct"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  def langidConfusionOracleSql: String =
+    """WITH h AS (SELECT doc_id, lang,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('the','and','of'))) AS en,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','und'))) AS de,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','et'))) AS fr,
+      |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','y'))) AS es
+      |FROM documents),
+      |p AS (SELECT doc_id, lang,
+      |  CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+      |       WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+      |       WHEN fr > 0 AND fr >= es THEN 'fr'
+      |       WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred
+      |FROM h),
+      |cells AS (
+      |  SELECT lang AS actual, lang_pred AS predicted,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM p GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT *, CAST(sum(n_docs) OVER (PARTITION BY actual) AS BIGINT)
+      |    AS actual_total
+      |  FROM cells)
+      |SELECT actual, predicted, n_docs, actual_total,
+      |  n_docs * 1000000 // actual_total AS recall_ppm,
+      |  (actual = predicted) AS is_correct
+      |FROM tot ORDER BY actual, predicted""".stripMargin
+
   /** Corpus-level token histogram (the vocabulary-building step of a
     * BPE-style tokenizer pipeline). One explode + one hash aggregation;
     * partial aggregation makes the shuffle carry only per-partition

@@ -99,4 +99,91 @@ object Keywords {
        |  CAST(max(sc) AS BIGINT) AS score_micros
        |FROM psc GROUP BY phrase
        |ORDER BY score_micros DESC, phrase LIMIT $k""".stripMargin
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+    * graph-centrality sibling of [[rakeKeywords]]' frequency statistics:
+    * words vote for their co-occurrence neighbors through 3 rounds of
+    * damped PageRank over the adjacency graph (window 2, undirected,
+    * distinct edges), so a word that co-occurs with OTHER central words
+    * outranks an equally frequent word in a peripheral clique. Same
+    * integer fixed-point recurrence as
+    * [[graft.operators.Centrality.docPagerank]] (10⁶ scale, 15/85
+    * damping, floor DIVs) — the walk is bit-exact in the oracle.
+    *
+    * Scale: edge extraction is one scan-shaped projection; each round is
+    * an (edge ⋈ rank) equi-join + keyed aggregate on word keys — shuffle
+    * bounded by |vocabulary|, the usual text-graph discipline.
+    */
+  def textrankKeywords(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val adj = documents
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) as a,
+          |              element_at(toks, i + 1) as b))""".stripMargin))
+        .as("e"))
+      .filter(col("e.a") =!= col("e.b"))
+      .select(
+        least(col("e.a"), col("e.b")).as("lo"),
+        greatest(col("e.a"), col("e.b")).as("hi"))
+      .distinct()
+    val edges = adj.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(adj.select(col("hi"), col("lo")))
+      .localCheckpoint() // driven by 3 pagerank rounds + degree
+    val degW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val edgesDeg = edges.withColumn("deg", count(lit(1)).over(degW))
+    var rank = edges.select(col("src").as("w")).distinct()
+      .withColumn("rank", lit(1000000L))
+    for (_ <- 1 to 3) {
+      rank = edgesDeg
+        .join(rank, edgesDeg("src") === rank("w"))
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("inflow"))
+        .select(col("dst").as("w"),
+          (lit(150000L) + expr("85 * inflow DIV 100")).as("rank"))
+    }
+    val degrees = edges.groupBy(col("src").as("w"))
+      .agg(count(lit(1)).as("degree"))
+    degrees.join(rank, Seq("w"))
+      .select(col("w").as("word"), col("degree"), col("rank").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word"))
+      .limit(topK)
+  }
+
+  def textrankOracleSql(topK: Int = 20): String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents
+       |            WHERE len(string_split(text, ' ')) >= 2),
+       |pe AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> struct_pack(a := toks[i], b := toks[i+1]))) AS e
+       |  FROM tk),
+       |ad AS (
+       |  SELECT DISTINCT least(e.a, e.b) AS lo, greatest(e.a, e.b) AS hi
+       |  FROM pe WHERE e.a <> e.b),
+       |ed AS (SELECT lo AS src, hi AS dst FROM ad
+       |       UNION ALL SELECT hi, lo FROM ad),
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |       FROM ed GROUP BY 1),
+       |r0 AS (SELECT src AS w, CAST(1000000 AS BIGINT) AS rank FROM dg),
+       |c1 AS (SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS inflow
+       |       FROM ed e JOIN r0 r ON e.src = r.w
+       |       JOIN dg d ON e.src = d.src GROUP BY 1),
+       |r1 AS (SELECT dst AS w,
+       |       CAST(150000 + (85 * inflow) // 100 AS BIGINT) AS rank FROM c1),
+       |c2 AS (SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS inflow
+       |       FROM ed e JOIN r1 r ON e.src = r.w
+       |       JOIN dg d ON e.src = d.src GROUP BY 1),
+       |r2 AS (SELECT dst AS w,
+       |       CAST(150000 + (85 * inflow) // 100 AS BIGINT) AS rank FROM c2),
+       |c3 AS (SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS inflow
+       |       FROM ed e JOIN r2 r ON e.src = r.w
+       |       JOIN dg d ON e.src = d.src GROUP BY 1),
+       |r3 AS (SELECT dst AS w,
+       |       CAST(150000 + (85 * inflow) // 100 AS BIGINT) AS rank FROM c3)
+       |SELECT d.src AS word, d.deg AS degree, r3.rank AS rank_micro
+       |FROM dg d JOIN r3 ON d.src = r3.w
+       |ORDER BY rank_micro DESC, word LIMIT $topK""".stripMargin
 }
