@@ -1403,7 +1403,11 @@ object SparkEntry {
       graft.operators.Keywords.textrankKeywords(Tables.documents(s, dir))),
     // langid confusion matrix + per-class recall vs the labeled lang.
     "langid_confusion" -> ((s, dir) =>
-      TextAnalysis.langidConfusion(Tables.documents(s, dir)))
+      TextAnalysis.langidConfusion(Tables.documents(s, dir))),
+    // Exact range-partitioner plan: k-1 split points at exact global
+    // ranks (what RangePartitioner samples for, computed exactly).
+    "range_partition_plan" -> ((s, dir) =>
+      graft.operators.Layout.rangePartitionPlan(Tables.orders(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4679,7 +4683,9 @@ object SparkEntry {
     "acf_profile" -> graft.operators.Changepoint.acfProfileOracleSql(),
     "forecast_eval" -> graft.operators.Changepoint.forecastEvalOracleSql,
     "textrank_keywords" -> graft.operators.Keywords.textrankOracleSql(),
-    "langid_confusion" -> TextAnalysis.langidConfusionOracleSql
+    "langid_confusion" -> TextAnalysis.langidConfusionOracleSql,
+    "range_partition_plan" ->
+      graft.operators.Layout.rangePartitionPlanOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -235,4 +235,65 @@ FROM h$bits GROUP BY 1 ORDER BY 1"""
        |${block("value_sorted", "v, l_orderkey, l_linenumber")}
        |ORDER BY ordering""".stripMargin
   }
+
+  /** Exact range-partitioner plan: the k−1 split values that divide the
+    * order-total axis into k partitions of (±1 row) equal size — what
+    * `repartitionByRange`/Spark's `RangePartitioner` ESTIMATES by
+    * reservoir sampling, computed exactly. The practical uses: writing
+    * range-bucketed output whose file sizes are provably balanced, and
+    * auditing how badly a sampled partitioner would have skewed (compare
+    * file row counts against these exact targets). Boundary i sits at
+    * global rank ⌊i·n/k⌋ of the total order (cents, o_orderkey) — the
+    * key tie-break makes the split deterministic even on heavily
+    * duplicated values, and bucket sizes are exact rank differences, so
+    * the whole plan is integers.
+    *
+    * Scale: one [[DistributedRank]] pass (ranged partitioning + prefix
+    * offsets, no single-task sort), one broadcast k-row frame, one
+    * equi-join on the target ranks. Caller releases the rank pins via
+    * DistributedRank.release.
+    */
+  def rangePartitionPlan(orders: DataFrame, k: Int = 16): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("bigint")
+    val base = orders.select(cents.as("cents"), col("o_orderkey"))
+    val ranked = DistributedRank.withGlobalRank(
+      base, Seq(col("cents"), col("o_orderkey")), "r")
+    val n = base.agg(count(lit(1)).as("n"))
+    val targets = n
+      .select(col("n"), explode(expr(s"sequence(1, $k)")).as("bucket"))
+      .select(col("bucket"),
+        expr(s"(bucket * n) DIV $k").as("target_rank"),
+        expr(s"(bucket * n) DIV $k - ((bucket - 1) * n) DIV $k")
+          .as("rows"))
+    ranked
+      .join(broadcast(targets), col("r") === col("target_rank"))
+      .select(
+        col("bucket").cast("bigint").as("bucket"),
+        col("target_rank"), col("rows"),
+        col("cents").as("hi_cents"),
+        col("o_orderkey").as("hi_orderkey"))
+      .orderBy(col("bucket"))
+  }
+
+  def rangePartitionPlanOracleSql(k: Int = 16): String =
+    s"""WITH base AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    AS cents, o_orderkey
+       |  FROM orders),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY cents, o_orderkey) AS r,
+       |    count(*) OVER () AS n
+       |  FROM base),
+       |targets AS (
+       |  SELECT bucket, (bucket * n) // $k AS target_rank,
+       |    (bucket * n) // $k - ((bucket - 1) * n) // $k AS rows
+       |  FROM (SELECT unnest(range(1, ${k + 1})) AS bucket),
+       |    (SELECT CAST(count(*) AS BIGINT) AS n FROM base))
+       |SELECT CAST(t.bucket AS BIGINT) AS bucket,
+       |  CAST(t.target_rank AS BIGINT) AS target_rank,
+       |  CAST(t.rows AS BIGINT) AS rows,
+       |  rk.cents AS hi_cents, rk.o_orderkey AS hi_orderkey
+       |FROM targets t JOIN ranked rk ON rk.r = t.target_rank
+       |ORDER BY bucket""".stripMargin
 }
