@@ -5,10 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — driver contract: one JSON line
   * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Each query is forced with a full-evaluation count() (aggregates are tiny;
-  * evaluation cost is the pipeline, not the collect). A one-query warmup
-  * first: JVM/codegen/parquet-footer caching otherwise lands entirely on
-  * whichever query happens to run first, making per-query numbers noise.
+  * Each query is forced by counting the OPTIMIZED PHYSICAL PLAN's rows
+  * (`queryExecution.toRdd.count()`), not `DataFrame.count()`: a count()
+  * aggregate lets Catalyst prune every output column and ELIMINATE
+  * provably-cardinality-neutral joins (a left join whose right side is an
+  * aggregate keyed on the join key), so report-shaped queries that end in
+  * "base table LEFT JOIN per-key aggregates" would otherwise be timed
+  * with their whole pipeline optimized away. toRdd keeps every output
+  * column required — the measured cost is what writing the result
+  * anywhere would pay. A one-query warmup first: JVM/codegen/
+  * parquet-footer caching otherwise lands entirely on whichever query
+  * happens to run first, making per-query numbers noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,7 +52,10 @@ object Bench {
     // failed in every pass reports -1 so the breakage is visible.
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        Some((System.nanoTime() - t0) / 1e9)
+      }
       catch { case _: Throwable => None }
       // ranking queries pin range-partitioned frames until released; a
       // 3-pass bench would otherwise accumulate them for the process life

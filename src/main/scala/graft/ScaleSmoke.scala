@@ -49,6 +49,12 @@ object ScaleSmoke {
       if (args.length > 1) Some(args(1).split(",").map(_.toInt).toSet)
       else None
 
+    // Full-plan force for report-shaped queries ending in "base LEFT
+    // JOIN per-key aggregates": a count() lets Catalyst eliminate the
+    // provably-cardinality-neutral joins and prune every column, timing
+    // an empty pipeline. toRdd keeps all output columns required.
+    def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
     def time(tag: String, scale: Int)(f: => Long): Unit = {
       if (!onlyOps.forall(_.contains(tag))) return
       def once(): (Double, Long) = {
@@ -308,14 +314,14 @@ object ScaleSmoke {
       // shared-span graph (edge build once + localCheckpoint; the curve
       // should track the EDGE count, which the df-cap keeps ~linear in docs)
       time("doc_pagerank", scale)(
-        graft.operators.Centrality.docPagerank(docs).count())
+        force(graft.operators.Centrality.docPagerank(docs)))
       // round-8 phase 4: per-source prefix sum + output-bounded explode
       time("token_pack_bins", scale)(
         graft.functions.TextAnalysis.tokenPackBins(docs).count())
       // round-8 phase 7: triangle join on the same df-capped edge list
       // (edges grow ~linearly under the cap, wedge checks bound the join)
       time("doc_triangles", scale)(
-        graft.operators.Centrality.docTriangles(docs).count())
+        force(graft.operators.Centrality.docTriangles(docs)))
       // round-8 phase 7: per-doc O(len) native winnowing (the production
       // path — map-only scan; the declarative verifier is not the scale
       // candidate, same as ngram_jaccard_pairs)
@@ -377,15 +383,15 @@ object ScaleSmoke {
       time("duplicate_spans", scale)(
         graft.operators.SpanDedup.duplicateSpans(docs).count())
       time("span_coverage", scale)(
-        graft.operators.SpanDedup.spanCoverage(docs).count())
+        force(graft.operators.SpanDedup.spanCoverage(docs)))
       time("blocklist_hits", scale)(
         graft.operators.SpanDedup.blocklistHits(docs).count())
       time("span_mask_plan", scale)(
-        graft.operators.SpanDedup.spanMaskPlan(docs).count())
+        force(graft.operators.SpanDedup.spanMaskPlan(docs)))
       time("link_prediction", scale)(
         graft.operators.Centrality.linkPrediction(docs).count())
       time("doc_hits", scale)(
-        graft.operators.Centrality.docHits(docs).count())
+        force(graft.operators.Centrality.docHits(docs)))
       time("textrank_keywords", scale)(
         graft.operators.Keywords.textrankKeywords(docs).count())
       time("langid_confusion", scale)(
