@@ -79,13 +79,27 @@ object SpanDedup {
     * doc computes the union length with no position explode.
     */
   def spanCoverage(documents: DataFrame, k: Int = 6): DataFrame = {
-    val w = positionalSpans(documents, k)
+    // Coverage never OUTPUTS a span, only compares them — so windows ride
+    // as 8-byte xxhash64 keys over the token SLICE (structural array
+    // hash: no span string is ever even built, let alone shuffled — the
+    // same hash-as-equivalence-class discipline as Dedup.hashedShingleDf;
+    // the oracle uses the strings themselves). The 100x smoke measured
+    // 32.8 s with string windows; the allocations + string shuffles
+    // dominated.
+    val w = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${k - 1}),
+           |  i -> struct(i as pos, xxhash64(slice(toks, i, $k)) as sh))"""
+          .stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.sh").as("sh"))
     val dupSpans = w
-      .select(col("span"), col("doc_id")).distinct()
-      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+      .select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .select(col("span"))
-    val dup = w.join(dupSpans, Seq("span"))
+      .select(col("sh"))
+    val dup = w.join(dupSpans, Seq("sh"))
       .select(col("doc_id"), col("pos"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val perDoc = dup
