@@ -1407,7 +1407,11 @@ object SparkEntry {
     // Exact range-partitioner plan: k-1 split points at exact global
     // ranks (what RangePartitioner samples for, computed exactly).
     "range_partition_plan" -> ((s, dir) =>
-      graft.operators.Layout.rangePartitionPlan(Tables.orders(s, dir)))
+      graft.operators.Layout.rangePartitionPlan(Tables.orders(s, dir))),
+    // Murphy decomposition of the Brier score + ECE for the propensity
+    // model: BS = REL - RES + UNC on cleared-denominator integers.
+    "brier_decomposition" -> ((s, dir) =>
+      graft.operators.Eval.brierDecomposition(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4685,7 +4689,8 @@ object SparkEntry {
     "textrank_keywords" -> graft.operators.Keywords.textrankOracleSql(),
     "langid_confusion" -> TextAnalysis.langidConfusionOracleSql,
     "range_partition_plan" ->
-      graft.operators.Layout.rangePartitionPlanOracleSql()
+      graft.operators.Layout.rangePartitionPlanOracleSql(),
+    "brier_decomposition" -> graft.operators.Eval.brierOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -136,4 +136,118 @@ object Eval {
       |  abs(observed_ppm - predicted_ppm) AS gap_ppm
       |FROM tr JOIN te ON tr.hod = te.hod
       |ORDER BY tr.hod""".stripMargin
+
+  /** Murphy decomposition of the Brier score (Murphy, JAM 1973) + ECE
+    * for the hour-of-day propensity model — the scalar verdict over
+    * [[propensityCalibration]]'s per-bucket table: BS = REL − RES + UNC
+    * separates "the forecast numbers are wrong" (reliability, the part
+    * recalibration fixes) from "the forecast doesn't discriminate"
+    * (resolution, the part only a better model fixes) from the outcome
+    * base-rate entropy no forecast can beat (uncertainty). ECE rides
+    * along as the plain calibration-gap summary.
+    *
+    * Exactness: outcomes are 0/10⁶ ppm points and the forecast is the
+    * train-fold integer ppm, so every Σ is exact decimal:
+    * ECE·N = Σ_b |f_b·n_b − s_b·10⁶| needs NO division at all; the
+    * quadratic terms clear denominators per bucket and take documented
+    * floor DIVs (both engines identical), with the decomposition
+    * identity's flooring slack published as `identity_gap_ppm2` instead
+    * of hidden.
+    *
+    * Scale: two scans to 24-bucket aggregates, then arithmetic on a
+    * 24-row broadcast frame.
+    */
+  def brierDecomposition(events: DataFrame): DataFrame = {
+    val bucketed = events
+      .select(hour(col("ts")).cast("int").as("hod"),
+        (col("event_type") === "purchase").cast("bigint").as("p"),
+        pmod(col("user_id"), lit(2)).as("fold"))
+    val train = bucketed.filter(col("fold") === 0L)
+      .groupBy(col("hod"))
+      .agg(count(lit(1)).as("n_train"), sum(col("p")).as("s_train"))
+      .withColumn("f", expr("(s_train * 1000000L) DIV n_train"))
+    val test = bucketed.filter(col("fold") === 1L)
+      .groupBy(col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("s"))
+    val cells = train.join(test, Seq("hod"))
+      .select(col("hod"),
+        col("f").cast("decimal(38,0)").as("f"),
+        col("n").cast("decimal(38,0)").as("n"),
+        col("s").cast("decimal(38,0)").as("s"))
+    val tot = cells.agg(
+      sum(col("n")).cast("decimal(38,0)").as("nn"),
+      sum(col("s")).cast("decimal(38,0)").as("ss"),
+      count(lit(1)).as("buckets"))
+    cells.crossJoin(broadcast(tot))
+      .agg(
+        max(col("nn")).as("nn"), max(col("ss")).as("ss"),
+        max(col("buckets")).as("buckets"),
+        sum(expr("n * f * f - 2 * f * s * 1000000" +
+          " + s * cast(1000000 as decimal(38,0)) * 1000000"))
+          .cast("decimal(38,0)").as("bs_num"),
+        sum(expr("cast((f * n - s * 1000000) * (f * n - s * 1000000)" +
+          " DIV n as decimal(38,0))")).cast("decimal(38,0)").as("rel_num"),
+        sum(expr("cast(abs(f * n - s * 1000000) as decimal(38,0))"))
+          .cast("decimal(38,0)").as("ece_num"),
+        sum(expr("cast((s * nn - ss * n) * (s * nn - ss * n)" +
+          " * 1000000 * 1000000 DIV (n * nn * nn) as decimal(38,0))"))
+          .cast("decimal(38,0)").as("res_num"))
+      .select(
+        expr("cast(nn as bigint)").as("n_test"),
+        col("buckets"),
+        expr("cast(bs_num DIV nn as bigint)").as("bs_ppm2"),
+        expr("cast(rel_num DIV nn as bigint)").as("rel_ppm2"),
+        expr("cast(res_num DIV nn as bigint)").as("res_ppm2"),
+        expr("cast(ss * (nn - ss) * 1000000 * 1000000 DIV (nn * nn)" +
+          " as bigint)").as("unc_ppm2"),
+        expr("cast(ece_num DIV nn as bigint)").as("ece_ppm"))
+      .withColumn("identity_gap_ppm2",
+        col("bs_ppm2") -
+          (col("rel_ppm2") - col("res_ppm2") + col("unc_ppm2")))
+  }
+
+  def brierOracleSql: String =
+    """WITH b AS (
+      |  SELECT CAST(hour(ts) AS INTEGER) AS hod,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+      |    user_id % 2 AS fold
+      |  FROM events),
+      |tr AS (
+      |  SELECT hod,
+      |    CAST(sum(p) AS HUGEINT) * 1000000 // count(*) AS f
+      |  FROM b WHERE fold = 0 GROUP BY hod),
+      |te AS (
+      |  SELECT hod, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(p) AS HUGEINT) AS s
+      |  FROM b WHERE fold = 1 GROUP BY hod),
+      |cells AS (
+      |  SELECT tr.hod, tr.f, te.n, te.s FROM tr JOIN te ON tr.hod = te.hod),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+      |    CAST(sum(s) AS HUGEINT) AS ss,
+      |    CAST(count(*) AS BIGINT) AS buckets
+      |  FROM cells),
+      |agg AS (
+      |  SELECT max(nn) AS nn, max(ss) AS ss, max(buckets) AS buckets,
+      |    CAST(sum(n * f * f - 2 * f * s * 1000000
+      |      + s * CAST(1000000 AS HUGEINT) * 1000000) AS HUGEINT)
+      |      AS bs_num,
+      |    CAST(sum((f * n - s * 1000000) * (f * n - s * 1000000) // n)
+      |      AS HUGEINT) AS rel_num,
+      |    CAST(sum(abs(f * n - s * 1000000)) AS HUGEINT) AS ece_num,
+      |    CAST(sum((s * nn - ss * n) * (s * nn - ss * n)
+      |      * 1000000 * 1000000 // (n * nn * nn)) AS HUGEINT) AS res_num
+      |  FROM cells, tot),
+      |fin AS (
+      |  SELECT CAST(nn AS BIGINT) AS n_test, buckets,
+      |    CAST(bs_num // nn AS BIGINT) AS bs_ppm2,
+      |    CAST(rel_num // nn AS BIGINT) AS rel_ppm2,
+      |    CAST(res_num // nn AS BIGINT) AS res_ppm2,
+      |    CAST(ss * (nn - ss) * 1000000 * 1000000 // (nn * nn) AS BIGINT)
+      |      AS unc_ppm2,
+      |    CAST(ece_num // nn AS BIGINT) AS ece_ppm
+      |  FROM agg)
+      |SELECT *,
+      |  bs_ppm2 - (rel_ppm2 - res_ppm2 + unc_ppm2) AS identity_gap_ppm2
+      |FROM fin""".stripMargin
 }
