@@ -1411,7 +1411,11 @@ object SparkEntry {
     // Murphy decomposition of the Brier score + ECE for the propensity
     // model: BS = REL - RES + UNC on cleared-denominator integers.
     "brier_decomposition" -> ((s, dir) =>
-      graft.operators.Eval.brierDecomposition(Tables.events(s, dir)))
+      graft.operators.Eval.brierDecomposition(Tables.events(s, dir))),
+    // Watermark-lateness profile: two-level distributed prefix-max over
+    // arrival order, banded lateness shares.
+    "watermark_lateness" -> ((s, dir) =>
+      graft.operators.Lateness.watermarkLateness(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4690,7 +4694,9 @@ object SparkEntry {
     "langid_confusion" -> TextAnalysis.langidConfusionOracleSql,
     "range_partition_plan" ->
       graft.operators.Layout.rangePartitionPlanOracleSql(),
-    "brier_decomposition" -> graft.operators.Eval.brierOracleSql
+    "brier_decomposition" -> graft.operators.Eval.brierOracleSql,
+    "watermark_lateness" ->
+      graft.operators.Lateness.watermarkLatenessOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
