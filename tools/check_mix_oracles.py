@@ -80,6 +80,17 @@ REQUIRED = {
         "9007199254740992.0",                       # 2^53 dyadic uniform
         "coalesce(shared_fraction, 0.0) <=",        # span gate
     ],
+    "span_mask_plan": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "11400714819323198485::HUGEINT",            # golden gamma pre-add
+        "doc_id * 1000003 + pos",                   # per-position seed
+        "mx % 16 = 0",                              # 1/16 mask gate
+    ],
+    "watermark_lateness": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "11400714819323198485::HUGEINT",            # golden gamma pre-add
+        "CAST(mx % 1024 AS BIGINT) * 1000000",      # 0..1023 s ingest delay
+    ],
 }
 
 import re
