@@ -239,6 +239,15 @@ object ScaleSmoke {
         graft.operators.Changepoint.acfProfile(ev).count())
       time("forecast_eval", scale)(
         graft.operators.Changepoint.forecastEval(ev).count())
+      time("brier_decomposition", scale)(
+        graft.operators.Eval.brierDecomposition(ev).count())
+      time("watermark_lateness", scale)(
+        graft.operators.Lateness.watermarkLateness(ev).count())
+      time("range_partition_plan", scale) {
+        val n = force(graft.operators.Layout.rangePartitionPlan(
+          pseudoOrders))
+        DistributedRank.release(spark); n
+      }
       time("croston_forecast", scale)(
         graft.operators.Changepoint.crostonForecast(ev.select(
           pmod(col("event_id") * 2654435761L,

@@ -1415,7 +1415,12 @@ object SparkEntry {
     // Watermark-lateness profile: two-level distributed prefix-max over
     // arrival order, banded lateness shares.
     "watermark_lateness" -> ((s, dir) =>
-      graft.operators.Lateness.watermarkLateness(Tables.events(s, dir)))
+      graft.operators.Lateness.watermarkLateness(Tables.events(s, dir))),
+    // Trim plan: per doc the longest stretch free of cross-doc
+    // duplicated windows (keep_from, keep_len) — the act step of the
+    // span-dedup family.
+    "span_trim_plan" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanTrimPlan(Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4696,7 +4701,8 @@ object SparkEntry {
       graft.operators.Layout.rangePartitionPlanOracleSql(),
     "brier_decomposition" -> graft.operators.Eval.brierOracleSql,
     "watermark_lateness" ->
-      graft.operators.Lateness.watermarkLatenessOracleSql
+      graft.operators.Lateness.watermarkLatenessOracleSql,
+    "span_trim_plan" -> graft.operators.SpanDedup.spanTrimPlanOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

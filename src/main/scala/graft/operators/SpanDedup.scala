@@ -293,6 +293,154 @@ object SpanDedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Trim plan — the ACTION member of the span family (detect:
+    * [[duplicateSpans]]; quantify: [[spanCoverage]]; act: this): per
+    * document, the longest contiguous token stretch NOT covered by any
+    * cross-doc duplicated window, as (keep_from, keep_len). This is the
+    * Lee-et-al. remediation shaped for a pipeline: rather than dropping
+    * whole documents over embedded boilerplate, keep each doc's largest
+    * clean stretch and publish exactly how many tokens the trim costs.
+    *
+    * Ties: the EARLIEST longest gap wins (deterministic). Docs with no
+    * duplicated window keep everything; fully-covered docs publish
+    * keep_len 0.
+    *
+    * Scale: the same hashed-window frame as [[spanCoverage]], then
+    * doc-partitioned island/gap windows (partitions bounded by doc
+    * length) and one row_number pick per doc.
+    */
+  def spanTrimPlan(documents: DataFrame, k: Int = 6): DataFrame = {
+    val w = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${k - 1}),
+           |  i -> struct(i as pos, xxhash64(slice(toks, i, $k)) as sh))"""
+          .stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.sh").as("sh"))
+    val dupSpans = w
+      .select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("sh"))
+    val dup = w.join(dupSpans, Seq("sh"))
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = dup
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L)
+          .otherwise(0L))
+      .withColumn("iid", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+    val byIsland = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val before = isl
+      .withColumn("pe", lag(col("e"), 1).over(byIsland))
+      .select(col("doc_id"),
+        coalesce(col("pe") + 1, lit(1)).as("gs"),
+        (col("s") - 1).as("ge"))
+    val nTok = documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val after = isl.groupBy(col("doc_id")).agg(max(col("e")).as("le"))
+      .join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), (col("le") + 1).as("gs"),
+        col("n_tokens").as("ge"))
+    val gaps = before.unionByName(after)
+      .filter(col("ge") >= col("gs"))
+      .withColumn("len", col("ge") - col("gs") + 1)
+    val best = gaps
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("len").desc, col("gs"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("gs"), col("len"))
+    val dupDocs = dup.select(col("doc_id")).distinct()
+      .withColumn("has_dup", lit(true))
+    nTok
+      .join(dupDocs, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        when(col("has_dup").isNull, lit(1L))
+          .otherwise(coalesce(col("gs"), lit(0L))).cast("bigint")
+          .as("keep_from"),
+        when(col("has_dup").isNull, col("n_tokens"))
+          .otherwise(coalesce(col("len"), lit(0L))).cast("bigint")
+          .as("keep_len"))
+      .withColumn("dropped_tokens", col("n_tokens") - col("keep_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanTrimPlanOracleSql(k: Int = 6): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(toks) - ${k - 2}),
+       |    i -> struct_pack(pos := i,
+       |      span := array_to_string(toks[i:i+${k - 1}], ' ')))) AS s
+       |  FROM tk WHERE len(toks) >= $k),
+       |wf AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM w),
+       |ds AS (SELECT span FROM (SELECT DISTINCT span, doc_id FROM wf)
+       |       GROUP BY span HAVING count(*) >= 2),
+       |dup AS (SELECT doc_id, pos FROM wf JOIN ds USING (span)),
+       |lagd AS (
+       |  SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM dup),
+       |brks AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END
+       |      AS brk
+       |  FROM lagd),
+       |iids AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+       |  FROM brks),
+       |isl AS (
+       |  SELECT doc_id, iid, CAST(min(pos) AS BIGINT) AS s,
+       |    CAST(max(pos) + ${k - 1} AS BIGINT) AS e
+       |  FROM iids GROUP BY 1, 2),
+       |ntok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS n_tokens
+       |  FROM documents),
+       |bef AS (
+       |  SELECT doc_id,
+       |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1)
+       |      AS gs,
+       |    s - 1 AS ge
+       |  FROM isl),
+       |aft AS (
+       |  SELECT i.doc_id, max(i.e) + 1 AS gs, max(n.n_tokens) AS ge
+       |  FROM isl i JOIN ntok n ON i.doc_id = n.doc_id
+       |  GROUP BY 1),
+       |gaps AS (
+       |  SELECT doc_id, gs, ge, ge - gs + 1 AS len
+       |  FROM (SELECT * FROM bef UNION ALL SELECT * FROM aft)
+       |  WHERE ge >= gs),
+       |best AS (
+       |  SELECT doc_id, gs, len FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY len DESC, gs) AS rk
+       |    FROM gaps)
+       |  WHERE rk = 1),
+       |dd AS (SELECT DISTINCT doc_id FROM dup)
+       |SELECT n.doc_id, n.n_tokens,
+       |  CAST(CASE WHEN dd.doc_id IS NULL THEN 1
+       |    ELSE COALESCE(b.gs, 0) END AS BIGINT) AS keep_from,
+       |  CAST(CASE WHEN dd.doc_id IS NULL THEN n.n_tokens
+       |    ELSE COALESCE(b.len, 0) END AS BIGINT) AS keep_len,
+       |  n.n_tokens - CAST(CASE WHEN dd.doc_id IS NULL THEN n.n_tokens
+       |    ELSE COALESCE(b.len, 0) END AS BIGINT) AS dropped_tokens
+       |FROM ntok n
+       |LEFT JOIN dd ON n.doc_id = dd.doc_id
+       |LEFT JOIN best b ON n.doc_id = b.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   def duplicateSpansOracleSql(k: Int = 6, topN: Int = 30): String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
        |            FROM documents),

@@ -98,6 +98,24 @@ class SpanDedupSpec extends SparkTestBase {
     }
   }
 
+  test("spanTrimPlan: longest clean stretch, edges, full-coverage, no-dup") {
+    val d = docs(
+      // doc1: dup windows "a b c" at pos 4 (covers 4-6 of 10 tokens):
+      //   gaps [1,3] and [7,10] -> keep (7,4)
+      1L -> "x1 x2 x3 a b c y1 y2 y3 y4",
+      2L -> "z a b c zz",     // dup at pos 2 covers 2-4: gaps [1,1],[5,5] -> (1,1)
+      3L -> "a b c",          // fully covered -> keep_len 0
+      4L -> "solo tokens only here now") // no dup -> keep all
+    val got = SpanDedup.spanTrimPlan(d, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((10L, 7L, 4L, 6L)))
+    assert(got(2L) === ((5L, 1L, 1L, 4L)))
+    assert(got(3L) === ((3L, 0L, 0L, 3L)))
+    assert(got(4L) === ((5L, 1L, 5L, 0L)))
+  }
+
   test("spanCoverage: adjacent windows (gap exactly k) merge into one island") {
     val d = docs(
       7L -> "g h i g h i", // "g h i" at pos 1 and 4: distance == k
