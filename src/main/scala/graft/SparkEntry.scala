@@ -1420,7 +1420,12 @@ object SparkEntry {
     // duplicated windows (keep_from, keep_len) — the act step of the
     // span-dedup family.
     "span_trim_plan" -> ((s, dir) =>
-      graft.operators.SpanDedup.spanTrimPlan(Tables.documents(s, dir)))
+      graft.operators.SpanDedup.spanTrimPlan(Tables.documents(s, dir))),
+    // Rocchio nearest-centroid eval on the labeled embeddings: exact
+    // fixed-point centroids, inner-product argmax, confusion matrix.
+    "centroid_classifier_eval" -> ((s, dir) =>
+      graft.operators.Similarity.centroidClassifierEval(
+        Tables.embeddings(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4702,7 +4707,9 @@ object SparkEntry {
     "brier_decomposition" -> graft.operators.Eval.brierOracleSql,
     "watermark_lateness" ->
       graft.operators.Lateness.watermarkLatenessOracleSql,
-    "span_trim_plan" -> graft.operators.SpanDedup.spanTrimPlanOracleSql()
+    "span_trim_plan" -> graft.operators.SpanDedup.spanTrimPlanOracleSql(),
+    "centroid_classifier_eval" ->
+      graft.operators.Similarity.centroidClassifierOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1040,4 +1040,109 @@ object Similarity {
         .as("cell"))
     semVerdicts(assigned, threshold)
   }
+
+  /** Nearest-centroid (Rocchio) classifier eval over the labeled
+    * embeddings — the cheapest possible "are these labels even linearly
+    * separable in this space" probe a vector pipeline runs before
+    * training anything: per-label centroids fit on the EVEN vec_ids,
+    * every ODD vector assigned to its max-inner-product centroid, and
+    * the confusion matrix + per-class recall published (the same eval
+    * shape as the langid confusion).
+    *
+    * Exactness: the [[dimStats]] fixed-point discipline end-to-end —
+    * each double rounds once to DECIMAL(16,15) scale-15 longs, centroid
+    * components are SIGN-SEPARATED integer DIVs of exact sums (Spark
+    * DIV truncates, DuckDB // floors; they agree only on non-negatives,
+    * and embedding sums are signed), and scores are exact decimal
+    * Σ v_fp·c_fp. Argmax ties break to the smaller label.
+    *
+    * Scale: one posexplode scan, a |labels|·|dims| broadcast, one keyed
+    * aggregate of n·|labels| partial scores (map-side combined), one
+    * per-vector top-1 window. Linear with constant |labels|·|dims|.
+    */
+  def centroidClassifierEval(embeddings: DataFrame): DataFrame = {
+    val fp = (c: Column) =>
+      (c.cast(org.apache.spark.sql.types.DecimalType(16, 15))
+        * lit(1000000000000000L)).cast("long")
+    val vd = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        fp(col("x")).as("x_fp"),
+        pmod(col("vec_id"), lit(2L)).as("fold"))
+    val cent = vd.filter(col("fold") === 0L)
+      .groupBy(col("label").as("clabel"), col("dim"))
+      .agg(sum(col("x_fp")).as("sfp"), count(lit(1)).as("cn"))
+      .select(col("clabel"), col("dim"), expr(
+        "CASE WHEN sfp >= 0 THEN sfp DIV cn ELSE -((-sfp) DIV cn) END")
+        .as("c_fp"))
+    val scores = vd.filter(col("fold") === 1L)
+      .join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("x_fp").cast("decimal(38,0)") * col("c_fp"))
+        .cast("decimal(38,0)").as("dot"))
+    val pred = scores
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("dot").desc, col("clabel"))))
+      .filter(col("rk") === 1)
+    val cells = pred
+      .groupBy(col("label").as("actual"), col("clabel").as("predicted"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val byActual = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("actual"))
+    cells
+      .withColumn("actual_total", sum(col("n_vecs")).over(byActual))
+      .select(col("actual"), col("predicted"), col("n_vecs"),
+        col("actual_total"),
+        expr("n_vecs * 1000000 DIV actual_total").as("recall_ppm"),
+        (col("actual") === col("predicted")).as("is_correct"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  def centroidClassifierOracleSql: String =
+    """WITH x0 AS (
+      |  SELECT vec_id, label, unnest(list_transform(
+      |    range(1, len(embedding) + 1),
+      |    i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE})) AS s
+      |  FROM embeddings),
+      |vd AS (
+      |  SELECT vec_id, label, CAST(s.dim AS INT) AS dim,
+      |    CAST(CAST(s.x AS DECIMAL(16,15)) * 1000000000000000 AS BIGINT)
+      |      AS x_fp,
+      |    vec_id % 2 AS fold
+      |  FROM x0),
+      |cent AS (
+      |  SELECT label AS clabel, dim,
+      |    CASE WHEN sfp >= 0 THEN sfp // cn ELSE -((-sfp) // cn) END
+      |      AS c_fp
+      |  FROM (SELECT label, dim, CAST(sum(x_fp) AS BIGINT) AS sfp,
+      |          CAST(count(*) AS BIGINT) AS cn
+      |        FROM vd WHERE fold = 0 GROUP BY 1, 2)),
+      |scores AS (
+      |  SELECT v.vec_id, v.label, c.clabel,
+      |    CAST(sum(CAST(v.x_fp AS HUGEINT) * c.c_fp) AS HUGEINT) AS dot
+      |  FROM vd v JOIN cent c ON v.dim = c.dim
+      |  WHERE v.fold = 1
+      |  GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dot DESC, clabel) AS rk
+      |    FROM scores)
+      |  WHERE rk = 1),
+      |cells AS (
+      |  SELECT label AS actual, clabel AS predicted,
+      |    CAST(count(*) AS BIGINT) AS n_vecs
+      |  FROM pred GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT *, CAST(sum(n_vecs) OVER (PARTITION BY actual) AS BIGINT)
+      |    AS actual_total
+      |  FROM cells)
+      |SELECT actual, predicted, n_vecs, actual_total,
+      |  n_vecs * 1000000 // actual_total AS recall_ppm,
+      |  (actual = predicted) AS is_correct
+      |FROM tot ORDER BY actual, predicted""".stripMargin
 }
