@@ -1425,7 +1425,11 @@ object SparkEntry {
     // fixed-point centroids, inner-product argmax, confusion matrix.
     "centroid_classifier_eval" -> ((s, dir) =>
       graft.operators.Similarity.centroidClassifierEval(
-        Tables.embeddings(s, dir)))
+        Tables.embeddings(s, dir))),
+    // MMR diverse retrieval: greedy 7*rel - 3*maxsim over the top-50
+    // pool, exact fixed-point inner products, unrolled-greedy oracle.
+    "mmr_selection" -> ((s, dir) =>
+      graft.operators.Similarity.mmrSelection(Tables.embeddings(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4709,7 +4713,8 @@ object SparkEntry {
       graft.operators.Lateness.watermarkLatenessOracleSql,
     "span_trim_plan" -> graft.operators.SpanDedup.spanTrimPlanOracleSql(),
     "centroid_classifier_eval" ->
-      graft.operators.Similarity.centroidClassifierOracleSql
+      graft.operators.Similarity.centroidClassifierOracleSql,
+    "mmr_selection" -> graft.operators.Similarity.mmrOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1061,9 +1061,11 @@ object Similarity {
     * per-vector top-1 window. Linear with constant |labels|·|dims|.
     */
   def centroidClassifierEval(embeddings: DataFrame): DataFrame = {
-    val fp = (c: Column) =>
-      (c.cast(org.apache.spark.sql.types.DecimalType(16, 15))
-        * lit(1000000000000000L)).cast("long")
+    // power-of-two fixed point: x*2^30 is an EXACT double product (pure
+    // exponent shift) and floor is exact — a decimal(16,15) rounding can
+    // tie-break differently across engines at the last ulp (observed as
+    // an off-by-one in the MMR sibling at sf0.01 before this).
+    val fp = (c: Column) => floor(c * lit(1073741824.0)).cast("long")
     val vd = embeddings
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding").cast("array<double>"))
@@ -1102,6 +1104,133 @@ object Similarity {
       .orderBy(col("actual"), col("predicted"))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity-aware retrieval step a RAG/context pipeline
+    * runs AFTER similarity search: from the query's top-`poolN`
+    * relevance pool, greedily pick k items maximizing
+    * 7·rel(c) − 3·max_{s∈selected} sim(c,s) (λ = 0.7 with cleared
+    * denominators), so the second pick stops being a near-duplicate of
+    * the first. Inner-product form on the [[dimStats]] fixed point, so
+    * every score is an exact decimal and the whole greedy walk is
+    * bit-reproducible — the oracle UNROLLS the k rounds (the same
+    * discipline as the pagerank oracle's unrolled iterations).
+    *
+    * Scale: relevance is one broadcast-join scan; everything after the
+    * top-poolN cut runs on BOUNDED frames (poolN candidates, poolN²
+    * sims, k tiny argmax rounds) — the greedy's quadratic lives strictly
+    * inside the pool, never on the corpus.
+    */
+  def mmrSelection(
+      embeddings: DataFrame,
+      queryId: Long = 0L,
+      poolN: Int = 50,
+      k: Int = 10): DataFrame = {
+    // same exact power-of-two fixed point as centroidClassifierEval
+    val fp = (c: Column) => floor(c * lit(1073741824.0)).cast("long")
+    val vd = embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), fp(col("x")).as("x_fp"))
+    val q = vd.filter(col("vec_id") === queryId)
+      .select(col("dim"), col("x_fp").as("q_fp"))
+    val rel = vd.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), Seq("dim"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x_fp").cast("decimal(38,0)") * col("q_fp"))
+        .cast("decimal(38,0)").as("rel"))
+    val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(poolN)
+      .localCheckpoint() // driven by k greedy rounds + the sim matrix
+    val candDims = vd.join(cand.select(col("vec_id")), Seq("vec_id"),
+      "left_semi")
+    val sims = candDims
+      .join(candDims.select(col("vec_id").as("b"), col("dim"),
+        col("x_fp").as("y_fp")), Seq("dim"))
+      .filter(col("vec_id") =!= col("b"))
+      .groupBy(col("vec_id").as("a"), col("b"))
+      .agg(sum(col("x_fp").cast("decimal(38,0)") * col("y_fp"))
+        .cast("decimal(38,0)").as("sim"))
+      .localCheckpoint() // reused every round
+    var selected = cand.limit(0)
+      .select(col("vec_id"), col("rel"), lit(0).as("rank"))
+    for (i <- 1 to k) {
+      val sel = selected.select(col("vec_id").as("b"))
+      val maxSim = sims.join(broadcast(sel), Seq("b"))
+        .groupBy(col("a")).agg(max(col("sim")).as("ms"))
+      val pick = cand
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(maxSim.withColumnRenamed("a", "vec_id"), Seq("vec_id"),
+          "left")
+        .select(col("vec_id"), col("rel"),
+          (col("rel") * 7 - coalesce(col("ms"), lit(0)) * 3)
+            .cast("decimal(38,0)").as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(i).as("rank"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected
+      .select(col("rank"), col("vec_id"),
+        expr("cast(CASE WHEN rel >= 0 THEN rel DIV 1073741824" +
+          " ELSE -((-rel) DIV 1073741824) END as bigint)")
+          .as("rel_fp"))
+      .orderBy(col("rank"))
+  }
+
+  def mmrOracleSql(
+      queryId: Long = 0L, poolN: Int = 50, k: Int = 10): String = {
+    // unrolled greedy: sel_i = all picks so far, p_i = round-i argmax
+    val rounds = (1 to k).map { i =>
+      val prior = if (i == 1) "" else
+        s"WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})"
+      val ms = if (i == 1) "CAST(0 AS HUGEINT)" else
+        s"""COALESCE((SELECT max(s.sim) FROM sims s
+           |      WHERE s.a = c.vec_id
+           |        AND s.b IN (SELECT vec_id FROM sel${i - 1})), 0)"""
+          .stripMargin
+      val selDef =
+        if (i == 1) s"sel1 AS MATERIALIZED (SELECT vec_id, rel, 1 AS rank FROM p1)"
+        else
+          s"""sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL
+             |  SELECT vec_id, rel, $i FROM p$i)""".stripMargin
+      s"""p$i AS (
+         |  SELECT c.vec_id, c.rel FROM cand c
+         |  $prior
+         |  ORDER BY c.rel * 7 - ($ms) * 3 DESC, c.vec_id LIMIT 1),
+         |$selDef""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x0 AS (
+       |  SELECT vec_id, unnest(list_transform(
+       |    range(1, len(embedding) + 1),
+       |    i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE})) AS s
+       |  FROM embeddings),
+       |vd AS MATERIALIZED (
+       |  SELECT vec_id, CAST(s.dim AS INT) AS dim,
+       |    CAST(floor(s.x * 1073741824.0) AS BIGINT)
+       |      AS x_fp
+       |  FROM x0),
+       |q AS (SELECT dim, x_fp AS q_fp FROM vd WHERE vec_id = $queryId),
+       |rel AS (
+       |  SELECT v.vec_id,
+       |    CAST(sum(CAST(v.x_fp AS HUGEINT) * q.q_fp) AS HUGEINT) AS rel
+       |  FROM vd v JOIN q ON v.dim = q.dim
+       |  WHERE v.vec_id <> $queryId
+       |  GROUP BY 1),
+       |cand AS MATERIALIZED (
+       |  SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT $poolN),
+       |cd AS MATERIALIZED (SELECT v.* FROM vd v
+       |       WHERE v.vec_id IN (SELECT vec_id FROM cand)),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    CAST(sum(CAST(a.x_fp AS HUGEINT) * b.x_fp) AS HUGEINT) AS sim
+       |  FROM cd a JOIN cd b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |$rounds
+       |SELECT rank, vec_id,
+       |  CAST(CASE WHEN rel >= 0 THEN rel // 1073741824
+       |    ELSE -((-rel) // 1073741824) END AS BIGINT) AS rel_fp
+       |FROM sel$k ORDER BY rank""".stripMargin
+  }
+
   def centroidClassifierOracleSql: String =
     """WITH x0 AS (
       |  SELECT vec_id, label, unnest(list_transform(
@@ -1110,7 +1239,7 @@ object Similarity {
       |  FROM embeddings),
       |vd AS (
       |  SELECT vec_id, label, CAST(s.dim AS INT) AS dim,
-      |    CAST(CAST(s.x AS DECIMAL(16,15)) * 1000000000000000 AS BIGINT)
+      |    CAST(floor(s.x * 1073741824.0) AS BIGINT)
       |      AS x_fp,
       |    vec_id % 2 AS fold
       |  FROM x0),
