@@ -405,6 +405,8 @@ object ScaleSmoke {
         graft.operators.Keywords.textrankKeywords(docs).count())
       time("langid_confusion", scale)(
         graft.functions.TextAnalysis.langidConfusion(docs).count())
+      time("span_trim_plan", scale)(
+        force(graft.operators.SpanDedup.spanTrimPlan(docs)))
       pairs.unpersist()
       docs.unpersist()
 
@@ -430,6 +432,12 @@ object ScaleSmoke {
       // JL ±1 projection: stateless codegen scan, the curve is pure scan
       time("embedding_rp", scale)(
         graft.operators.FeatureEng.rpProject(emb).count())
+      time("centroid_classifier_eval", scale)(
+        graft.operators.Similarity.centroidClassifierEval(emb).count())
+      time("mmr_selection", scale)(
+        graft.operators.Similarity.mmrSelection(emb).count())
+      time("hard_negatives", scale)(
+        graft.operators.Similarity.hardNegatives(emb).count())
       emb.unpersist()
     }
 

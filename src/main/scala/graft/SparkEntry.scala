@@ -1429,7 +1429,11 @@ object SparkEntry {
     // MMR diverse retrieval: greedy 7*rel - 3*maxsim over the top-50
     // pool, exact fixed-point inner products, unrolled-greedy oracle.
     "mmr_selection" -> ((s, dir) =>
-      graft.operators.Similarity.mmrSelection(Tables.embeddings(s, dir)))
+      graft.operators.Similarity.mmrSelection(Tables.embeddings(s, dir))),
+    // Hard-negative mining: per anchor, the top cross-label cosine
+    // neighbors (the contrastive-training negatives that matter).
+    "hard_negatives" -> ((s, dir) =>
+      graft.operators.Similarity.hardNegatives(Tables.embeddings(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4714,7 +4718,8 @@ object SparkEntry {
     "span_trim_plan" -> graft.operators.SpanDedup.spanTrimPlanOracleSql(),
     "centroid_classifier_eval" ->
       graft.operators.Similarity.centroidClassifierOracleSql,
-    "mmr_selection" -> graft.operators.Similarity.mmrOracleSql()
+    "mmr_selection" -> graft.operators.Similarity.mmrOracleSql(),
+    "hard_negatives" -> graft.operators.Similarity.hardNegativesOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -58,6 +58,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Hard-negative mining (the contrastive-training data step, e.g. DPR,
+    * Karpukhin et al. EMNLP 2020 §3.2): for each anchor, the most-similar
+    * vectors with a DIFFERENT label — the negatives that actually teach a
+    * bi-encoder something, unlike random negatives a dot product already
+    * separates. Same brute-force shape (and the same exact-cosine oracle
+    * spelling) as [[bruteForceTopK]], plus the cross-label filter; at
+    * corpus scale the anchor set broadcasts and the scan stays linear,
+    * with the LSH/IVF index paths as drop-in candidate generators.
+    */
+  def hardNegatives(
+      embeddings: DataFrame, numAnchors: Int = 8, k: Int = 3): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val anchors = emb
+      .filter(col("vec_id") < numAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("qe"))
+    val scored = emb
+      .join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .select(
+        col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("negative_id"), col("label").as("negative_label"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc("sim"), asc("negative_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
+  def hardNegativesOracleSql(numAnchors: Int = 8, k: Int = 3): String =
+    s"""WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+       |             embedding AS qe
+       |           FROM embeddings WHERE vec_id < $numAnchors),
+       |p AS (SELECT anchor_id, anchor_label, vec_id AS negative_id,
+       |        label AS negative_label,
+       |        list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[])
+       |          AS sim
+       |      FROM embeddings, a WHERE label <> anchor_label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY sim DESC, negative_id) AS rnk
+       |      FROM p)
+       |SELECT anchor_id, anchor_label, negative_id, negative_label, sim,
+       |  rnk
+       |FROM r WHERE rnk <= $k ORDER BY anchor_id, rnk""".stripMargin
+
   /** IVF coarse-quantizer cache: an inverted-file index is built once and
     * queried many times — rebuilding the quantizer per query call would
     * charge the index build to every search. Keyed by the full canonicalized
