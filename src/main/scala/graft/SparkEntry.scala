@@ -1433,7 +1433,15 @@ object SparkEntry {
     // Hard-negative mining: per anchor, the top cross-label cosine
     // neighbors (the contrastive-training negatives that matter).
     "hard_negatives" -> ((s, dir) =>
-      graft.operators.Similarity.hardNegatives(Tables.embeddings(s, dir)))
+      graft.operators.Similarity.hardNegatives(Tables.embeddings(s, dir))),
+    // DTW distance between hour-of-day volume profiles of event-type
+    // pairs: exact min-plus DP folded inside one row per pair.
+    "dtw_profiles" -> ((s, dir) =>
+      graft.operators.SeqAlign.dtwProfiles(Tables.events(s, dir))),
+    // Two-state burst automaton (Kleinberg-shaped, integer costs):
+    // forward+backward min-sum decode, burst islands with extent/volume.
+    "viterbi_bursts" -> ((s, dir) =>
+      graft.operators.SeqAlign.viterbiBursts(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4719,7 +4727,9 @@ object SparkEntry {
     "centroid_classifier_eval" ->
       graft.operators.Similarity.centroidClassifierOracleSql,
     "mmr_selection" -> graft.operators.Similarity.mmrOracleSql(),
-    "hard_negatives" -> graft.operators.Similarity.hardNegativesOracleSql()
+    "hard_negatives" -> graft.operators.Similarity.hardNegativesOracleSql(),
+    "dtw_profiles" -> graft.operators.SeqAlign.dtwProfilesOracleSql,
+    "viterbi_bursts" -> graft.operators.SeqAlign.viterbiBurstsOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

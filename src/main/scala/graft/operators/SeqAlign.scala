@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dynamic-programming sequence operators: DTW profile alignment and a
+  * min-cost two-state burst automaton (the Viterbi shape). Both reduce the
+  * corpus to TIME-DOMAIN-bounded frames in one scan-shaped aggregate and
+  * fold only those bounded frames — the discipline every sequential
+  * operator in this repo follows ([[Changepoint.cusumChangepoints]],
+  * [[Changepoint.holtWinters]]): at 100 TB the only full-data pass is the
+  * initial count, and the non-associative recursions run on arrays whose
+  * length is fixed by the calendar (24 phases / observed hours), never by
+  * the row count.
+  *
+  * All arithmetic is exact integer (counts, absolute deviations, min-plus
+  * sums), so the DuckDB oracles are bit-exact with no IEEE hazard.
+  */
+object SeqAlign {
+
+  /** Big-but-safe integer infinity for min-plus DP: far above any
+    * reachable path cost (24 steps × count-scale costs), far below
+    * Long.MaxValue so INF + cost never overflows.
+    */
+  private val Inf = 1000000000000000L
+
+  /** Dynamic-time-warping distance between the hour-of-day volume
+    * profiles of every event-type pair (Sakoe & Chiba, IEEE TASSP 1978;
+    * full 24×24 band). The profile-similarity question a pipeline asks
+    * before pooling event streams: "do clicks and views follow the same
+    * daily shape, allowing phase shift?" — the L1 column is the
+    * no-warp baseline, so dtw_cost ≤ l1_cost is part of the contract
+    * (asserted in the spec; the oracle checks the exact values).
+    *
+    * Shape: one scan-shaped (type, hour-of-day) count aggregate
+    * (map-side combined), a 24-row dense spine exploded per type (no
+    * crossJoin), profiles as 24-long arrays, and the DP folded entirely
+    * inside ONE row per type pair — the pair frame is |types|²-bounded,
+    * never corpus-sized. D[i][j] = |pa_i − pb_j| + min(D[i−1][j],
+    * D[i−1][j−1], D[i][j−1]) with an INF-padded j=0 column; the inner
+    * fold appends to the row array and reads its own last element
+    * (element_at(row, -1)).
+    *
+    * The oracle replays the recurrence in its prefix-decomposed form
+    * (D[i][j] = min_{k≤j} [min(D[i−1][k], D[i−1][k−1]) + Σ_{t=k..j} c_t])
+    * — an independent spelling of the same exact integers.
+    */
+  def dtwProfiles(events: DataFrame): DataFrame = {
+    val hod = events
+      .groupBy(col("event_type"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = events.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(sequence(lit(0), lit(23))).as("h"))
+    val profs = spine.join(hod, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("hx"))
+      .select(col("event_type"),
+        expr("transform(hx, e -> e.x)").as("p"))
+    val pairs = profs.select(col("event_type").as("type_a"), col("p").as("pa"))
+      .join(profs.select(col("event_type").as("type_b"), col("p").as("pb")),
+        col("type_a") < col("type_b"))
+    pairs
+      .withColumn("dtw_cost", expr(
+        s"""aggregate(
+           |  sequence(1, 24),
+           |  struct(concat(array(cast(0 as bigint)),
+           |    array_repeat(cast($Inf as bigint), 24)) as prev),
+           |  (acc, i) -> struct(
+           |    aggregate(
+           |      sequence(1, 24),
+           |      array(cast($Inf as bigint)),
+           |      (row, j) -> concat(row, array(
+           |        abs(element_at(pa, i) - element_at(pb, j)) +
+           |        least(element_at(acc.prev, j + 1),
+           |              element_at(acc.prev, j),
+           |              element_at(row, -1))))) as prev),
+           |  acc -> element_at(acc.prev, 25))""".stripMargin))
+      .withColumn("l1_cost", expr(
+        "aggregate(zip_with(pa, pb, (a, b) -> abs(a - b))," +
+          " cast(0 as bigint), (s, v) -> s + v)"))
+      .select(col("type_a"), col("type_b"), col("dtw_cost"), col("l1_cost"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** DuckDB replay: recursive CTE over rows i, carrying the INF-padded
+    * DP row as a LIST, each new row via the prefix-decomposed min-plus
+    * form (nested index lambdas — O(24³) per row on a 10-pair frame).
+    */
+  def dtwProfilesOracleSql: String =
+    s"""WITH RECURSIVE hod AS (
+       |  SELECT event_type, CAST(hour(ts) AS INT) AS h,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |spine AS (
+       |  SELECT t.event_type, CAST(g.h AS INT) AS h
+       |  FROM types t, (SELECT unnest(range(24)) AS h) g),
+       |profs AS (
+       |  SELECT s.event_type,
+       |    list(COALESCE(hod.x, 0) ORDER BY s.h) AS p
+       |  FROM spine s LEFT JOIN hod
+       |    ON s.event_type = hod.event_type AND s.h = hod.h
+       |  GROUP BY s.event_type),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.p AS pa, b.p AS pb
+       |  FROM profs a JOIN profs b ON a.event_type < b.event_type),
+       |walk(type_a, type_b, i, prev) AS (
+       |  SELECT type_a, type_b, 0,
+       |    [CAST(0 AS BIGINT)] ||
+       |      list_transform(range(24), z -> CAST($Inf AS BIGINT))
+       |  FROM pairs
+       |  UNION ALL
+       |  SELECT w.type_a, w.type_b, w.i + 1,
+       |    [CAST($Inf AS BIGINT)] ||
+       |      list_transform(range(1, 25), j ->
+       |        list_min(list_transform(range(1, j + 1), k ->
+       |          least(w.prev[CAST(k AS INT) + 1], w.prev[CAST(k AS INT)]) +
+       |          list_sum(list_transform(range(k, j + 1), t ->
+       |            abs(p.pa[CAST(w.i AS INT) + 1] - p.pb[CAST(t AS INT)]))))))
+       |  FROM walk w JOIN pairs p
+       |    ON p.type_a = w.type_a AND p.type_b = w.type_b
+       |  WHERE w.i < 24),
+       |dtw AS (
+       |  SELECT type_a, type_b, prev[25] AS dtw_cost
+       |  FROM walk WHERE i = 24),
+       |l1 AS (
+       |  SELECT type_a, type_b,
+       |    list_sum(list_transform(range(1, 25), j ->
+       |      abs(pa[CAST(j AS INT)] - pb[CAST(j AS INT)]))) AS l1_cost
+       |  FROM pairs)
+       |SELECT d.type_a, d.type_b,
+       |  CAST(d.dtw_cost AS BIGINT) AS dtw_cost,
+       |  CAST(l.l1_cost AS BIGINT) AS l1_cost
+       |FROM dtw d JOIN l1 l
+       |  ON l.type_a = d.type_a AND l.type_b = d.type_b
+       |ORDER BY d.type_a, d.type_b""".stripMargin
+
+  /** Min-cost two-state burst segmentation of the hourly volume series —
+    * the Viterbi decode of a Kleinberg-style burst automaton (Kleinberg,
+    * KDD 2002) with exact integer costs: state levels L0 = ⌊Σx/T⌋ (the
+    * baseline mean) and L1 = 2·L0 + 1, per-hour emission cost
+    * |x_t − L_s|, switch penalty γ = L0 + 1, start pinned to baseline.
+    * Instead of an explicit backtrack (which a relational replay can't
+    * express cleanly), the optimal path is decoded by FORWARD +
+    * BACKWARD min-sum: state(t) = argmin_s fwd(t,s) + bwd(t,s), the
+    * min cost of any full path constrained through (t,s) — on the
+    * optimal path both terms are tight, and ties break to baseline.
+    *
+    * Output: burst islands (consecutive burst hours) with extent,
+    * volume and peak, plus the constant optimal path cost as an
+    * in-row self-check column.
+    *
+    * Scale: identical to [[Changepoint.holtWinters]] — the corpus
+    * reduces to the calendar-bounded gap-filled hourly frame in one
+    * map-side-combined aggregate; both folds walk ONE bounded array.
+    * (The min-plus recurrence is associative as a 2×2 matrix product,
+    * so a multi-year series could switch to the two-level partition
+    * fold [[DistributedRank]] uses; at calendar scale one fold is the
+    * simpler honest shape.)
+    */
+  def viterbiBursts(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spine = hourly
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val filled = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val folded = filled
+      .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("xs"),
+        sum(col("x")).as("tot"), count(lit(1)).as("t_n"))
+      .withColumn("l0", expr("tot DIV t_n"))
+      .withColumn("l1", expr("2 * l0 + 1"))
+      .withColumn("gam", expr("l0 + 1"))
+      // forward: f(1,0)=e(1,0), f(1,1)=γ+e(1,1);
+      // f(t,s) = e(t,s) + min(f(t−1,s), f(t−1,1−s)+γ)
+      .withColumn("fwd", expr(
+        """aggregate(
+          |  slice(xs, 2, size(xs) - 1),
+          |  struct(
+          |    abs(element_at(xs, 1).x - l0) as f0,
+          |    gam + abs(element_at(xs, 1).x - l1) as f1,
+          |    array(struct(element_at(xs, 1).h as h,
+          |      abs(element_at(xs, 1).x - l0) as f0,
+          |      gam + abs(element_at(xs, 1).x - l1) as f1)) as out),
+          |  (acc, e) -> struct(
+          |    abs(e.x - l0) + least(acc.f0, acc.f1 + gam) as f0,
+          |    abs(e.x - l1) + least(acc.f1, acc.f0 + gam) as f1,
+          |    concat(acc.out, array(struct(e.h as h,
+          |      abs(e.x - l0) + least(acc.f0, acc.f1 + gam) as f0,
+          |      abs(e.x - l1) + least(acc.f1, acc.f0 + gam) as f1))) as out),
+          |  acc -> acc)""".stripMargin))
+      // backward over the reversed series: g(T,s)=0;
+      // g(t,s) = min(g(t+1,s)+e(t+1,s), g(t+1,1−s)+e(t+1,1−s)+γ)
+      .withColumn("bwd", expr(
+        """aggregate(
+          |  slice(reverse(xs), 2, size(xs) - 1),
+          |  struct(
+          |    cast(0 as bigint) as g0, cast(0 as bigint) as g1,
+          |    element_at(reverse(xs), 1).x as px,
+          |    array(struct(element_at(reverse(xs), 1).h as h,
+          |      cast(0 as bigint) as g0, cast(0 as bigint) as g1)) as out),
+          |  (acc, e) -> struct(
+          |    least(acc.g0 + abs(acc.px - l0),
+          |          acc.g1 + abs(acc.px - l1) + gam) as g0,
+          |    least(acc.g1 + abs(acc.px - l1),
+          |          acc.g0 + abs(acc.px - l0) + gam) as g1,
+          |    e.x as px,
+          |    concat(acc.out, array(struct(e.h as h,
+          |      least(acc.g0 + abs(acc.px - l0),
+          |            acc.g1 + abs(acc.px - l1) + gam) as g0,
+          |      least(acc.g1 + abs(acc.px - l1),
+          |            acc.g0 + abs(acc.px - l0) + gam) as g1))) as out),
+          |  acc -> acc)""".stripMargin))
+      .withColumn("path_cost", expr("least(fwd.f0, fwd.f1)"))
+    val perHour = folded
+      .select(col("path_cost"), col("l0"), col("l1"), col("gam"),
+        explode(expr(
+          """zip_with(fwd.out, reverse(bwd.out), (f, g) ->
+            |  struct(f.h as h,
+            |    f.f0 + g.g0 as c0, f.f1 + g.g1 as c1))""".stripMargin))
+          .as("st"))
+      .select(col("path_cost"),
+        col("st.h").as("h"),
+        (col("st.c1") < col("st.c0")).cast("int").as("state"))
+    val w = Window.orderBy(col("h"))
+    val islands = perHour
+      .withColumn("rn", row_number().over(w))
+      .filter(col("state") === 1)
+      .withColumn("rb", row_number().over(Window.orderBy(col("h"))))
+      .withColumn("grp", expr("rn - rb"))
+    val xs = filled.select(col("h"), col("x"))
+    islands
+      .join(xs, Seq("h"))
+      .groupBy(col("grp"))
+      .agg(
+        min(col("h")).as("burst_start"),
+        max(col("h")).as("burst_end"),
+        count(lit(1)).as("n_hours"),
+        sum(col("x")).as("total_events"),
+        max(col("x")).as("peak_events"),
+        max(col("path_cost")).as("path_cost"))
+      .withColumn("burst_id",
+        row_number().over(Window.orderBy(col("burst_start"))))
+      .select(col("burst_id"), col("burst_start"), col("burst_end"),
+        col("n_hours"), col("total_events"), col("peak_events"),
+        col("path_cost"))
+      .orderBy(col("burst_id"))
+  }
+
+  /** DuckDB replay: forward and backward recursive-CTE walks over the
+    * same gap-filled frame, per-hour argmin join, gaps-and-islands.
+    */
+  def viterbiBurstsOracleSql: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+      |    (SELECT max(h) FROM hourly), INTERVAL 1 HOUR)) AS h),
+      |filled AS (
+      |  SELECT s.h, COALESCE(hourly.x, 0) AS x
+      |  FROM spine s LEFT JOIN hourly ON s.h = hourly.h),
+      |idx AS (
+      |  SELECT h, x, row_number() OVER (ORDER BY h) AS rn FROM filled),
+      |params AS (
+      |  SELECT CAST(sum(x) // count(*) AS BIGINT) AS l0,
+      |    CAST(2 * (sum(x) // count(*)) + 1 AS BIGINT) AS l1,
+      |    CAST(sum(x) // count(*) + 1 AS BIGINT) AS gam,
+      |    CAST(count(*) AS BIGINT) AS t_n
+      |  FROM idx),
+      |fwd(rn, f0, f1) AS (
+      |  SELECT CAST(1 AS BIGINT),
+      |    abs(i.x - p.l0), p.gam + abs(i.x - p.l1)
+      |  FROM idx i, params p WHERE i.rn = 1
+      |  UNION ALL
+      |  SELECT w.rn + 1,
+      |    abs(i.x - p.l0) + least(w.f0, w.f1 + p.gam),
+      |    abs(i.x - p.l1) + least(w.f1, w.f0 + p.gam)
+      |  FROM fwd w JOIN idx i ON i.rn = w.rn + 1, params p),
+      |bwd(rn, g0, g1) AS (
+      |  SELECT t_n, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM params
+      |  UNION ALL
+      |  SELECT w.rn - 1,
+      |    least(w.g0 + abs(i.x - p.l0), w.g1 + abs(i.x - p.l1) + p.gam),
+      |    least(w.g1 + abs(i.x - p.l1), w.g0 + abs(i.x - p.l0) + p.gam)
+      |  FROM bwd w JOIN idx i ON i.rn = w.rn, params p
+      |  WHERE w.rn > 1),
+      |states AS (
+      |  SELECT i.rn, i.h, i.x,
+      |    CASE WHEN f.f1 + b.g1 < f.f0 + b.g0 THEN 1 ELSE 0 END AS state,
+      |    (SELECT least(f0, f1) FROM fwd
+      |     WHERE rn = (SELECT t_n FROM params)) AS path_cost
+      |  FROM idx i JOIN fwd f ON f.rn = i.rn JOIN bwd b ON b.rn = i.rn),
+      |islands AS (
+      |  SELECT *, rn - row_number() OVER (ORDER BY rn) AS grp
+      |  FROM states WHERE state = 1)
+      |SELECT
+      |  CAST(row_number() OVER (ORDER BY min(h)) AS INT) AS burst_id,
+      |  min(h) AS burst_start, max(h) AS burst_end,
+      |  CAST(count(*) AS BIGINT) AS n_hours,
+      |  CAST(sum(x) AS BIGINT) AS total_events,
+      |  CAST(max(x) AS BIGINT) AS peak_events,
+      |  CAST(max(path_cost) AS BIGINT) AS path_cost
+      |FROM islands
+      |GROUP BY grp
+      |ORDER BY burst_id""".stripMargin
+}
