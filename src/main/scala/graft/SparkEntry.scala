@@ -796,37 +796,54 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Centrality.docSeedDistance(docs, docs.filter(col("doc_id") < 10))
     }),
-    // The SAME BFS through the SQL PARSER as a Spark 4 recursive CTE
-    // (WITH RECURSIVE, UNION ALL + depth bound + final min-group — the
-    // UNION-ALL-only dialect materializes WALKS, fine here because walks
-    // <= seeds * deg^maxHops and the hop budget is 3; the production
-    // path is the iterative operator above). Shares that query's oracle.
+    // The SAME BFS through the SQL PARSER as a Spark 4 recursive CTE.
+    // Two r8 scale fixes, mirroring the iterative operator's discipline:
+    // (1) the shared-shingle edge graph is built once and MATERIALIZED
+    //     (localCheckpoint) before the recursion — as an inline CTE the
+    //     UNION-ALL recursion re-planned and re-executed the whole
+    //     shingle-explode + self-join per level (the dominant cost of
+    //     the r8 24x regression);
+    // (2) the recursive term dedups each level with SELECT DISTINCT, so
+    //     the iteration carries FRONTIER SETS (<= |V| rows per level, 4
+    //     levels) rather than raw walks (seeds * deg^hops — exponential
+    //     on shingle-dense corpora). Vertices may recur across levels
+    //     (UNION ALL cannot see the accumulated set); the final
+    //     min-group collapses them. The iterative operator above stays
+    //     the corpus-scale production path. Shares that query's oracle.
     "doc_seed_distance_sql" -> ((s, dir) => {
       Tables.documents(s, dir).createOrReplaceTempView("graft_q_documents")
       s.sql(
-        """WITH RECURSIVE tk AS (
+        """WITH tk AS (
           |  SELECT doc_id, split(text, ' ') AS toks FROM graft_q_documents),
           |sh AS (
+          |  -- hashed 8-gram keys: the shuffles below move 8-byte longs,
+          |  -- never the shingle strings (same discipline as the
+          |  -- iterative operator's hashedShingleDf)
           |  SELECT doc_id, explode(array_distinct(transform(
           |    CASE WHEN size(toks) >= 8 THEN sequence(1, size(toks) - 7)
           |         ELSE array() END,
-          |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+          |    i -> xxhash64(concat_ws(' ',
+          |      element_at(toks, i), element_at(toks, i+1),
           |      element_at(toks, i+2), element_at(toks, i+3),
           |      element_at(toks, i+4), element_at(toks, i+5),
-          |      element_at(toks, i+6), element_at(toks, i+7))))) AS shingle
+          |      element_at(toks, i+6), element_at(toks, i+7)))))) AS shingle
           |  FROM tk),
           |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
           |shf AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df USING (shingle)
           |        WHERE df BETWEEN 2 AND 50),
           |pr AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
           |       FROM shf a JOIN shf b
-          |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-          |ed AS (SELECT src, dst FROM pr
-          |       UNION ALL SELECT dst AS src, src AS dst FROM pr),
-          |walks(v, d) AS (
+          |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+          |SELECT src, dst FROM pr
+          |UNION ALL SELECT dst AS src, src AS dst FROM pr""".stripMargin)
+        .localCheckpoint() // eager: the graph is built exactly once
+        .createOrReplaceTempView("graft_q_edges")
+      s.sql(
+        """WITH RECURSIVE walks(v, d) AS (
           |  SELECT doc_id AS v, 0 AS d FROM graft_q_documents WHERE doc_id < 10
           |  UNION ALL
-          |  SELECT e.dst, walks.d + 1 FROM walks JOIN ed e ON e.src = walks.v
+          |  SELECT DISTINCT e.dst, walks.d + 1
+          |  FROM walks JOIN graft_q_edges e ON e.src = walks.v
           |  WHERE walks.d < 3),
           |md AS (SELECT v, min(d) AS distance FROM walks GROUP BY v)
           |SELECT doc.doc_id,
@@ -1441,7 +1458,24 @@ object SparkEntry {
     // Two-state burst automaton (Kleinberg-shaped, integer costs):
     // forward+backward min-sum decode, burst islands with extent/volume.
     "viterbi_bursts" -> ((s, dir) =>
-      graft.operators.SeqAlign.viterbiBursts(Tables.events(s, dir)))
+      graft.operators.SeqAlign.viterbiBursts(Tables.events(s, dir))),
+    // The per-hour decode table behind viterbi_bursts: one row per
+    // gap-filled hour + the min(c0,c1)=path_cost tightness self-check,
+    // so the forward-backward recurrence is oracle-checked even on calm
+    // data where the islands output is empty (the r8 vacuous-compare).
+    "viterbi_states" -> ((s, dir) =>
+      graft.operators.SeqAlign.viterbiStates(Tables.events(s, dir))),
+    // Burst-BEARING fixture: one day's events unioned in 4 extra times
+    // (5x volume on 2024-01-15, far above L1 = 2*L0+1), so the islands
+    // path — grouping, extents, volumes, path-cost constant — is
+    // exercised on non-empty output at every tested scale.
+    "viterbi_bursts_spiked" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spike = ev.filter(to_date(col("ts")) === lit("2024-01-15"))
+      graft.operators.SeqAlign.viterbiBursts(
+        ev.unionByName(spike).unionByName(spike)
+          .unionByName(spike).unionByName(spike))
+    })
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4729,7 +4763,12 @@ object SparkEntry {
     "mmr_selection" -> graft.operators.Similarity.mmrOracleSql(),
     "hard_negatives" -> graft.operators.Similarity.hardNegativesOracleSql(),
     "dtw_profiles" -> graft.operators.SeqAlign.dtwProfilesOracleSql,
-    "viterbi_bursts" -> graft.operators.SeqAlign.viterbiBurstsOracleSql
+    "viterbi_bursts" -> graft.operators.SeqAlign.viterbiBurstsOracleSql,
+    "viterbi_states" -> graft.operators.SeqAlign.viterbiStatesOracleSql,
+    "viterbi_bursts_spiked" -> graft.operators.SeqAlign.viterbiBurstsOracleSql(
+      Seq.fill(4)(
+        "SELECT ts FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'")
+        .mkString("SELECT ts FROM events UNION ALL ", " UNION ALL ", ""))
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

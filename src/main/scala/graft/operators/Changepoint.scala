@@ -138,9 +138,14 @@ object Changepoint {
       .join(broadcast(seasonal), Seq("event_type", "hod"), "left")
       .select(
         col("event_type"), col("h").as("window_start"), col("x"),
-        round(trend, 4).as("trend"),
-        round(seas, 4).as("seasonal"),
-        round(col("x").cast("double") - trend - seas, 4).as("remainder"))
+        // Unrounded doubles from identically-spelled expressions on
+        // exact-long operands: IEEE division/subtraction is correctly
+        // rounded in both engines, so the bits match without round()
+        // (whose decimal HALF_UP tie-breaking diverged between Spark
+        // and DuckDB on ratio ties — the r8 hash mismatch).
+        trend.as("trend"),
+        seas.as("seasonal"),
+        (col("x").cast("double") - trend - seas).as("remainder"))
       .orderBy(col("event_type"), col("window_start"))
   }
 
@@ -170,11 +175,10 @@ object Changepoint {
       |    CAST(count(*) AS BIGINT) * 25 AS sden
       |  FROM t2 WHERE tnum IS NOT NULL GROUP BY 1, 2)
       |SELECT t2.event_type, t2.h AS window_start, t2.x,
-      |  round(CAST(t2.tnum AS DOUBLE) / 25.0, 4) AS trend,
-      |  round(CAST(s.snum AS DOUBLE) / CAST(s.sden AS DOUBLE), 4)
-      |    AS seasonal,
-      |  round(CAST(t2.x AS DOUBLE) - CAST(t2.tnum AS DOUBLE) / 25.0
-      |    - CAST(s.snum AS DOUBLE) / CAST(s.sden AS DOUBLE), 4)
+      |  CAST(t2.tnum AS DOUBLE) / 25.0 AS trend,
+      |  CAST(s.snum AS DOUBLE) / CAST(s.sden AS DOUBLE) AS seasonal,
+      |  CAST(t2.x AS DOUBLE) - CAST(t2.tnum AS DOUBLE) / 25.0
+      |    - CAST(s.snum AS DOUBLE) / CAST(s.sden AS DOUBLE)
       |    AS remainder
       |FROM t2 LEFT JOIN seas s
       |  ON s.event_type = t2.event_type AND s.hod = t2.hod

@@ -68,6 +68,15 @@ object DistributedRank {
     if (prev != null) prev.foreach(_.unpersist(blocking = false))
   }
 
+  /** The session's currently-pinned ranged frames (test hook: lets specs
+    * assert on DistributedRank-OWNED cache state rather than the global
+    * `getPersistentRDDs` count, which any concurrent suite perturbs).
+    */
+  private[graft] def liveFrames(spark: SparkSession): List[DataFrame] = {
+    val cur = liveCache.get(spark)
+    if (cur == null) Nil else cur
+  }
+
   private def trackPersisted(ranged: DataFrame): Unit =
     liveCache.merge(ranged.sparkSession, List(ranged), (a, b) => b ::: a)
 

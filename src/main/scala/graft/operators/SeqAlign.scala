@@ -154,15 +154,58 @@ object SeqAlign {
     * volume and peak, plus the constant optimal path cost as an
     * in-row self-check column.
     *
+    * SEMANTIC CONTRACT (ties): state(t)=1 iff routing through burst at
+    * t is STRICTLY cheaper, i.e. the islands are the hours where EVERY
+    * optimal path bursts (the intersection of all optimal paths' burst
+    * sets). With ties/multiple optima the island set can therefore be
+    * a proper subset of any single optimal path's bursts. Engine,
+    * oracle and spec all implement this strict decode; [[viterbiStates]]
+    * additionally emits the min(c0,c1)=path_cost tightness self-check
+    * certifying the per-hour costs against the optimal cost.
+    *
     * Scale: identical to [[Changepoint.holtWinters]] — the corpus
     * reduces to the calendar-bounded gap-filled hourly frame in one
     * map-side-combined aggregate; both folds walk ONE bounded array.
-    * (The min-plus recurrence is associative as a 2×2 matrix product,
-    * so a multi-year series could switch to the two-level partition
-    * fold [[DistributedRank]] uses; at calendar scale one fold is the
-    * simpler honest shape.)
+    * KNOWN QUADRATIC CONSTANT: each fold step appends to the carried
+    * per-hour array with concat, so the single-row fold costs O(T²)
+    * struct copies (T = observed hours — ~8760²/2 ≈ 38M tiny copies
+    * for one year, seconds in one task; ~77M for two). Bounded by the
+    * calendar, never by corpus rows, but a multi-decade series should
+    * switch to the associative 2×2 min-plus matrix-product form and a
+    * two-level partition fold (the [[DistributedRank]] shape).
     */
   def viterbiBursts(events: DataFrame): DataFrame = {
+    val perHour = decodedStates(events)
+    val w = Window.orderBy(col("h"))
+    val islands = perHour
+      .withColumn("rn", row_number().over(w))
+      .filter(col("state") === 1)
+      .withColumn("rb", row_number().over(Window.orderBy(col("h"))))
+      .withColumn("grp", expr("rn - rb"))
+    islands
+      .groupBy(col("grp"))
+      .agg(
+        min(col("h")).as("burst_start"),
+        max(col("h")).as("burst_end"),
+        count(lit(1)).as("n_hours"),
+        sum(col("x")).as("total_events"),
+        max(col("x")).as("peak_events"),
+        max(col("path_cost")).as("path_cost"))
+      .withColumn("burst_id",
+        row_number().over(Window.orderBy(col("burst_start"))))
+      .select(col("burst_id"), col("burst_start"), col("burst_end"),
+        col("n_hours"), col("total_events"), col("peak_events"),
+        col("path_cost"))
+      .orderBy(col("burst_id"))
+  }
+
+  /** Per-hour decode table (h, x, c0, c1, state, path_cost) behind
+    * [[viterbiBursts]]/[[viterbiStates]] — one row per gap-filled hour,
+    * so the correctness harness exercises the forward-backward decode
+    * on EVERY dataset (burst islands are empty on calm data, which made
+    * the islands-only oracle comparison vacuous — ADVICE r8).
+    */
+  private def decodedStates(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("x"))
@@ -175,6 +218,11 @@ object SeqAlign {
     val folded = filled
       .agg(sort_array(collect_list(struct(col("h"), col("x")))).as("xs"),
         sum(col("x")).as("tot"), count(lit(1)).as("t_n"))
+      // Empty-input guard: the no-groupBy agg still emits one row with
+      // xs=[] and t_n=0, on which slice(xs, 2, -1) / element_at(xs, 1)
+      // error under Spark 4 ANSI. Filter BEFORE the fold projections so
+      // empty events yield 0 rows, matching the oracle.
+      .filter(col("t_n") > 0)
       .withColumn("l0", expr("tot DIV t_n"))
       .withColumn("l1", expr("2 * l0 + 1"))
       .withColumn("gam", expr("l0 + 1"))
@@ -220,7 +268,7 @@ object SeqAlign {
           |  acc -> acc)""".stripMargin))
       .withColumn("path_cost", expr("least(fwd.f0, fwd.f1)"))
     val perHour = folded
-      .select(col("path_cost"), col("l0"), col("l1"), col("gam"),
+      .select(col("path_cost"),
         explode(expr(
           """zip_with(fwd.out, reverse(bwd.out), (f, g) ->
             |  struct(f.h as h,
@@ -228,39 +276,72 @@ object SeqAlign {
           .as("st"))
       .select(col("path_cost"),
         col("st.h").as("h"),
+        col("st.c0").as("c0"), col("st.c1").as("c1"),
         (col("st.c1") < col("st.c0")).cast("int").as("state"))
-    val w = Window.orderBy(col("h"))
-    val islands = perHour
-      .withColumn("rn", row_number().over(w))
-      .filter(col("state") === 1)
-      .withColumn("rb", row_number().over(Window.orderBy(col("h"))))
-      .withColumn("grp", expr("rn - rb"))
-    val xs = filled.select(col("h"), col("x"))
-    islands
-      .join(xs, Seq("h"))
-      .groupBy(col("grp"))
-      .agg(
-        min(col("h")).as("burst_start"),
-        max(col("h")).as("burst_end"),
-        count(lit(1)).as("n_hours"),
-        sum(col("x")).as("total_events"),
-        max(col("x")).as("peak_events"),
-        max(col("path_cost")).as("path_cost"))
-      .withColumn("burst_id",
-        row_number().over(Window.orderBy(col("burst_start"))))
-      .select(col("burst_id"), col("burst_start"), col("burst_end"),
-        col("n_hours"), col("total_events"), col("peak_events"),
-        col("path_cost"))
-      .orderBy(col("burst_id"))
+    // tiny time-bounded join: re-attach the hourly volume
+    perHour.join(filled.select(col("h"), col("x")), Seq("h"))
   }
+
+  /** The per-hour decode surfaced directly: hour, volume, through-state
+    * min costs, the strict burst state, the optimal path cost, and a
+    * `min_cost_tight` self-check (min(c0,c1) = path_cost must hold at
+    * EVERY hour — both terms of c_s are path costs constrained through
+    * (t,s), so the minimum over states is always the optimum). One row
+    * per gap-filled hour, so the oracle comparison is never vacuous on
+    * burst-free data.
+    */
+  def viterbiStates(events: DataFrame): DataFrame =
+    decodedStates(events)
+      .select(col("h").as("hour"), col("x"),
+        col("c0"), col("c1"), col("state"),
+        col("path_cost"),
+        (least(col("c0"), col("c1")) === col("path_cost"))
+          .as("min_cost_tight"))
+      .orderBy(col("hour"))
 
   /** DuckDB replay: forward and backward recursive-CTE walks over the
     * same gap-filled frame, per-hour argmin join, gaps-and-islands.
     */
-  def viterbiBurstsOracleSql: String =
-    """WITH RECURSIVE hourly AS (
+  def viterbiBurstsOracleSql: String = viterbiBurstsOracleSql("SELECT ts FROM events")
+
+  /** Islands oracle over an arbitrary ts-producing source subquery
+    * (lets the burst-bearing spiked fixture share the replay verbatim).
+    */
+  def viterbiBurstsOracleSql(sourceSql: String): String =
+    viterbiDecodePrelude(sourceSql) +
+    """,
+      |islands AS (
+      |  SELECT *, rn - row_number() OVER (ORDER BY rn) AS grp
+      |  FROM states WHERE state = 1)
+      |SELECT
+      |  CAST(row_number() OVER (ORDER BY min(h)) AS INT) AS burst_id,
+      |  min(h) AS burst_start, max(h) AS burst_end,
+      |  CAST(count(*) AS BIGINT) AS n_hours,
+      |  CAST(sum(x) AS BIGINT) AS total_events,
+      |  CAST(max(x) AS BIGINT) AS peak_events,
+      |  CAST(max(path_cost) AS BIGINT) AS path_cost
+      |FROM islands
+      |GROUP BY grp
+      |ORDER BY burst_id""".stripMargin
+
+  /** Per-hour decode oracle (see [[viterbiStates]]). */
+  def viterbiStatesOracleSql: String =
+    viterbiDecodePrelude("SELECT ts FROM events") +
+    """
+      |SELECT h AS hour, CAST(x AS BIGINT) AS x,
+      |  CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+      |  CAST(state AS INT) AS state,
+      |  CAST(path_cost AS BIGINT) AS path_cost,
+      |  least(c0, c1) = path_cost AS min_cost_tight
+      |FROM states ORDER BY hour""".stripMargin
+
+  /** Shared fwd/bwd recursive-CTE decode prelude ending at the `states`
+    * CTE (h, x, c0, c1, state, path_cost per gap-filled hour).
+    */
+  private def viterbiDecodePrelude(sourceSql: String): String =
+    s"""WITH RECURSIVE hourly AS (
       |  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
-      |  FROM events GROUP BY 1),
+      |  FROM ($sourceSql) GROUP BY 1),
       |spine AS (
       |  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
       |    (SELECT max(h) FROM hourly), INTERVAL 1 HOUR)) AS h),
@@ -294,21 +375,9 @@ object SeqAlign {
       |  WHERE w.rn > 1),
       |states AS (
       |  SELECT i.rn, i.h, i.x,
+      |    f.f0 + b.g0 AS c0, f.f1 + b.g1 AS c1,
       |    CASE WHEN f.f1 + b.g1 < f.f0 + b.g0 THEN 1 ELSE 0 END AS state,
       |    (SELECT least(f0, f1) FROM fwd
       |     WHERE rn = (SELECT t_n FROM params)) AS path_cost
-      |  FROM idx i JOIN fwd f ON f.rn = i.rn JOIN bwd b ON b.rn = i.rn),
-      |islands AS (
-      |  SELECT *, rn - row_number() OVER (ORDER BY rn) AS grp
-      |  FROM states WHERE state = 1)
-      |SELECT
-      |  CAST(row_number() OVER (ORDER BY min(h)) AS INT) AS burst_id,
-      |  min(h) AS burst_start, max(h) AS burst_end,
-      |  CAST(count(*) AS BIGINT) AS n_hours,
-      |  CAST(sum(x) AS BIGINT) AS total_events,
-      |  CAST(max(x) AS BIGINT) AS peak_events,
-      |  CAST(max(path_cost) AS BIGINT) AS path_cost
-      |FROM islands
-      |GROUP BY grp
-      |ORDER BY burst_id""".stripMargin
+      |  FROM idx i JOIN fwd f ON f.rn = i.rn JOIN bwd b ON b.rn = i.rn)""".stripMargin
 }
