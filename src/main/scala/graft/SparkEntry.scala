@@ -60,6 +60,14 @@ object SparkEntry {
     "q2_latest_topk" -> ((s, dir) =>
       ReadQueries.getLatest(HourlyAggregation(Tables.events(s, dir)), limit = 10)),
 
+    // Q2 FAITHFUL: the reference's literal ORDER BY created_at DESC over
+    // the audit-stamped table (deterministic created_at = end + grace,
+    // id = deterministic SERIAL surrogate via DistributedRank).
+    "q2_latest_by_created_at" -> ((s, dir) =>
+      ReadQueries.getLatestByCreatedAt(
+        HourlyAggregation.withAudit(
+          HourlyAggregation(Tables.events(s, dir))), limit = 10)),
+
     // Q3: grouped rollup (preserves the reference's double-count semantics).
     "q3_stats" -> ((s, dir) =>
       ReadQueries.getStats(
@@ -1692,6 +1700,21 @@ object SparkEntry {
       s"""$aggCte
          |SELECT * FROM hourly_aggregations
          |ORDER BY window_start DESC, event_type DESC
+         |LIMIT 10""".stripMargin,
+
+    "q2_latest_by_created_at" ->
+      s"""$aggCte,
+         |audited AS (
+         |  SELECT *, window_end + INTERVAL 60 SECOND AS created_at
+         |  FROM hourly_aggregations),
+         |with_id AS (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY created_at, event_type)
+         |    AS BIGINT) AS id
+         |  FROM audited)
+         |SELECT id, window_start, window_end, event_type, event_count,
+         |       unique_user_count, total_value, avg_value, created_at
+         |FROM with_id
+         |ORDER BY created_at DESC, id DESC
          |LIMIT 10""".stripMargin,
 
     "q3_stats" ->

@@ -212,14 +212,20 @@ object Curation {
     * two docs, while the trigram universe keeps the greedy informative
     * at every harness scale.
     *
-    * Scale: the per-doc distinct-trigram frame builds once
-    * (localCheckpoint); each round is one anti-join against the covered
-    * set (bounded by k·max-doc-trigrams, broadcastable), one map-side-
-    * combined gain count, and a 1-row argmax — no driver state beyond
-    * the k picks themselves. The k-round sequential structure is
-    * intrinsic to greedy submodular selection (each pick conditions the
-    * next); distributed batched variants trade approximation for rounds,
-    * deliberately out of scope.
+    * Scale: the per-doc distinct-trigram frame builds ONCE — hashed
+    * xxhash64 keys, so every later shuffle/broadcast moves 8-byte
+    * longs, never trigram strings — and is the round's ONLY
+    * materialization (localCheckpoint). Each round then runs exactly
+    * one job: the covered set is re-derived INLINE from the
+    * checkpointed frame (`doc_id IN picks` → distinct — bounded by
+    * k·max-doc-trigrams, broadcastable), anti-joined for the map-side-
+    * combined gain count, and the argmax row (exactly one) is
+    * collected. Plan depth stays CONSTANT across rounds — no chained
+    * lineage, no per-round checkpoints (the r8 profile showed the 2k
+    * checkpoint jobs dominating the 8 s runtime). The k-round
+    * sequential structure is intrinsic to greedy submodular selection
+    * (each pick conditions the next); distributed batched variants
+    * trade approximation for rounds, deliberately out of scope.
     */
   def coverageSelection(documents: DataFrame, k: Int = 10): DataFrame = {
     val spark = documents.sparkSession
@@ -236,37 +242,35 @@ object Curation {
           |      element_at(split(text, ' '), i + 1),
           |      element_at(split(text, ' '), i + 2)))
           |else array() end""".stripMargin))
-        .as("g"))
+        .as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
       .distinct()
       .localCheckpoint()
-    var covered = spark.range(0).select(lit("").as("g"))
-    var picks = Seq.empty[(Int, DataFrame)]
+    // (pick, doc_id, gain) — the argmax row is 1 row by construction
+    // (a no-groupBy max), so the collect is bounded like the other
+    // 1-row argmaxes in this repo, not a driver-side data loop
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (r <- 1 to k) {
-      val gains = tri.join(bc(covered), Seq("g"), "left_anti")
+      val covered =
+        if (picks.isEmpty) spark.range(0).select(col("id").as("g"))
+        else tri.filter(col("doc_id").isin(picks.map(_._2).toSeq: _*))
+          .select(col("g")).distinct()
+      val best = tri.join(bc(covered), Seq("g"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
-      val best = gains
         .agg(max(struct(col("gain"), (-col("doc_id")).as("nd"))).as("b"))
         .select((-col("b.nd")).as("doc_id"), col("b.gain").as("gain"))
         // coverage exhausted before k picks (every remaining doc fully
         // covered): the empty-gains argmax is a NULL row — drop it so
         // the pick list ends exactly where the oracle's does
         .filter(col("doc_id").isNotNull)
-        .localCheckpoint()
-      picks = picks :+ (r -> best)
-      covered = covered
-        .unionByName(tri.join(bc(best.select(col("doc_id"))), Seq("doc_id"))
-          .select(col("g")))
-        .distinct()
-        .localCheckpoint()
+        .collect()
+      best.foreach(row => picks += ((r, row.getLong(0), row.getLong(1))))
     }
-    picks.map { case (r, b) => b.withColumn("pick", lit(r)) }
-      .reduce(_ unionByName _)
-      .withColumn("covered_total",
-        sum(col("gain")).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("pick"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
-      .select(col("pick"), col("doc_id"), col("gain"), col("covered_total"))
+    val cum = picks.scanLeft(0L)(_ + _._3).tail
+    import spark.implicits._
+    picks.toSeq.zip(cum)
+      .map { case ((r, d, g), c) => (r, d, g, c) }
+      .toDF("pick", "doc_id", "gain", "covered_total")
       .orderBy(col("pick"))
   }
 

@@ -51,6 +51,25 @@ object HourlyAggregation {
         col("total_value"),
         col("avg_value"))
 
+  /** The reference table's audit columns, derived DETERMINISTICALLY so the
+    * faithful Q2 (`ORDER BY created_at DESC`, get_latest_aggregations.sql:5)
+    * and the SERIAL `id` surrogate (001_initial_schema.sql:2) become
+    * oracle-expressible:
+    *   - `created_at` = window_end + 60 s grace — the instant the window
+    *     becomes flushable (the reference stamps NOW() at flush,
+    *     upsert_aggregation.sql:9 + config grace 60 s; for an
+    *     in-order stream the first eligible flush tick IS end+grace);
+    *   - `id` = the global rank over (created_at, event_type) — insertion
+    *     order of a SERIAL under deterministic flush ordering, computed
+    *     by [[DistributedRank]] (no single-partition window at scale).
+    */
+  def withAudit(agg: DataFrame): DataFrame =
+    DistributedRank.withGlobalRank(
+      agg.withColumn("created_at",
+        col("window_end") + expr("INTERVAL 60 SECONDS")),
+      Seq(col("created_at"), col("event_type")),
+      rankCol = "id")
+
   /** The canonical DuckDB-SQL equivalent, used as a CTE by every oracle that
     * reads the derived aggregate table. Must stay column-for-column in sync
     * with [[apply]].

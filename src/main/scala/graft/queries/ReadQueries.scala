@@ -61,6 +61,22 @@ object ReadQueries {
   def getLatest(agg: DataFrame, limit: Int = 10): DataFrame =
     agg.orderBy(desc("window_start"), desc("event_type")).limit(limit)
 
+  /** Q2 FAITHFUL spelling — the reference's literal
+    * `ORDER BY created_at DESC` with the full select list
+    * (get_latest_aggregations.sql:1-6), over the audit-stamped table
+    * ([[graft.operators.HourlyAggregation.withAudit]] derives
+    * `created_at`/`id` deterministically). `id DESC` is the
+    * deterministic stand-in for the reference's tie order among rows
+    * flushed at the same instant (SERIAL insertion order).
+    */
+  def getLatestByCreatedAt(aggWithAudit: DataFrame, limit: Int = 10): DataFrame =
+    aggWithAudit
+      .select(col("id"), col("window_start"), col("window_end"),
+        col("event_type"), col("event_count"), col("unique_user_count"),
+        col("total_value"), col("avg_value"), col("created_at"))
+      .orderBy(desc("created_at"), desc("id"))
+      .limit(limit)
+
   /** Q3 — `get_stats` (get_stats.sql:1-11): grouped rollup over windows.
     * Deliberately preserves the reference's double-counting semantics: it
     * sums per-window distinct user counts, so a user active in N hours

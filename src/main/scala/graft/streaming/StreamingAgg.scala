@@ -275,6 +275,113 @@ object StreamingAgg {
         col("event_type"), col("event_count"), col("unique_user_count"),
         col("total_value"), col("avg_value"))
 
+  /** Grouping key for the wall-clock window store: epoch-micros hour
+    * floor + event type — the reference's `(window_start, event_type)`
+    * dict key (aggregation.py:51-53).
+    */
+  case class GraceKey(windowStartMicros: Long, eventType: String)
+
+  /** Per-window state: counts + the exact user set as a sorted-distinct
+    * long array (the reference keeps literal Python sets in memory,
+    * aggregation.py:16-17 — same cardinality bound applies).
+    */
+  case class GraceState(
+      eventCount: Long, users: Array[Long], totalValue: Double)
+
+  /** One flushed window — the reference's AggregationRecord shape
+    * restricted to the harness measure set.
+    */
+  case class GraceFlushRec(
+      window_start: java.sql.Timestamp, window_end: java.sql.Timestamp,
+      event_type: String, event_count: Long, unique_user_count: Long,
+      total_value: Double, avg_value: Double)
+
+  /** O9 FAITHFUL variant — processing-time grace, exactly the
+    * reference's wall-clock reap (`get_completed_windows(now, grace)`
+    * removes and returns windows with `window_end <= now - grace`,
+    * aggregation.py:69-79; called from the flush tick,
+    * aggregation_service.py:140-148) — as opposed to
+    * [[hourlyAggStream]]'s event-time watermark (the canonical Spark
+    * spelling; divergence documented in SURVEY §2.7).
+    *
+    * Mechanics: `flatMapGroupsWithState` with a PROCESSING-TIME timeout
+    * per (window_start, event_type) key set to `window_end + grace -
+    * now`. On timeout the window is emitted and its state REMOVED —
+    * which also reproduces the reference's late-reopen quirk verbatim:
+    * an event arriving after its window was reaped finds no state and
+    * opens a FRESH window counting from zero (process_event has no
+    * memory of the flushed counts, aggregation.py:53-58); when that
+    * reopened window is reaped, the downstream LWW upsert
+    * ([[upsertBatch]], mirroring `ON CONFLICT DO UPDATE` with EXCLUDED
+    * values, upsert_aggregation.sql:13-19) OVERWRITES the previously
+    * flushed full counts with the late-only counts. StreamingAggSpec
+    * demonstrates both semantics side by side.
+    *
+    * Scale: state is per-(hour, type) — time-domain-bounded, not
+    * corpus-bounded — and each key's state holds the exact distinct
+    * user array (reference parity; swap for a sketch when the user
+    * domain is unbounded). Timeout firing needs a micro-batch to run;
+    * Spark schedules no-data batches for exactly this purpose
+    * (spark.sql.streaming.noDataMicroBatches.enabled, default true).
+    * OPERATIONAL CAVEAT: while processing-time timers are pending the
+    * engine keeps CONSTRUCTING batches, so the query never reports
+    * quiescence — `processAllAvailable()` blocks indefinitely; drive
+    * tests by polling the sink (see StreamingAggSpec) and pace with
+    * `Trigger.ProcessingTime` to bound the no-data batch churn.
+    */
+  def processingTimeGraceStream(
+      spark: SparkSession, events: DataFrame,
+      graceMs: Long = 60000L,
+      clock: () => Long = () => System.currentTimeMillis())
+      : org.apache.spark.sql.Dataset[GraceFlushRec] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .as[(java.sql.Timestamp, String, Long, Double)]
+    typed
+      .groupByKey { case (ts, et, _, _) =>
+        val micros = ts.getTime * 1000L // ms -> micros
+        GraceKey(micros - micros % 3600000000L, et)
+      }
+      .flatMapGroupsWithState[GraceState, GraceFlushRec](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, rows, state) =>
+          val windowEndMs = key.windowStartMicros / 1000L + 3600000L
+          if (state.hasTimedOut) {
+            // the reference's reap: emit AND delete (aggregation.py:74-77)
+            val s = state.get
+            state.remove()
+            val total = BigDecimal(s.totalValue)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator(GraceFlushRec(
+              new java.sql.Timestamp(key.windowStartMicros / 1000L),
+              new java.sql.Timestamp(windowEndMs),
+              key.eventType, s.eventCount, s.users.length.toLong,
+              total, total / s.eventCount))
+          } else {
+            // fresh state when absent — INCLUDING after a reap (the
+            // late-reopen path: counts restart from zero)
+            var count = 0L
+            var total = 0.0
+            val users = scala.collection.mutable.SortedSet.empty[Long]
+            if (state.exists) {
+              val s = state.get
+              count = s.eventCount; total = s.totalValue; users ++= s.users
+            }
+            rows.foreach { case (_, _, uid, v) =>
+              count += 1; total += v; users += uid
+            }
+            state.update(GraceState(count, users.toArray, total))
+            // reap at the first batch after window_end + grace passes
+            // the wall clock (already-expired windows fire next batch)
+            state.setTimeoutDuration(
+              math.max(windowEndMs + graceMs - clock(), 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** O10 — the reference's periodic flush gate (60 s default): start the
     * streaming aggregation with `Trigger.ProcessingTime(cadence)`, so
     * micro-batches (and therefore sink flushes) fire on a processing-time

@@ -73,6 +73,74 @@ class StreamingAggSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("processing-time grace: wall-clock reap, late reopen, LWW overwrite (reference parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dir = java.nio.file.Files.createTempDirectory("graft_grace").toString + "/agg"
+    // events live in a long-past hour, so vs the WALL clock the window is
+    // already beyond end+grace — the reap is due at the next micro-batch
+    val flushed = StreamingAgg.processingTimeGraceStream(
+      spark, mem.toDF(), graceMs = 100L)
+    val q = flushed.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .foreachBatch((b: org.apache.spark.sql.Dataset[StreamingAgg.GraceFlushRec], id: Long) =>
+        StreamingAgg.upsertBatch(spark, b.toDF(), dir, id))
+      .start()
+    // NOTE: no processAllAvailable() anywhere in this test — with
+    // processing-time timers pending, FlatMapGroupsWithStateExec keeps
+    // constructing (no-data) batches so the stream NEVER reports
+    // quiescence and processAllAvailable blocks forever. The same spin
+    // also ingests newly-added MemoryStream data, so polling the sink
+    // is both necessary and sufficient.
+    def table() =
+      try spark.read.parquet(dir).filter(col("event_type") === "click").collect()
+      catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
+    def awaitClick(pred: Array[org.apache.spark.sql.Row] => Boolean): Array[org.apache.spark.sql.Row] = {
+      val deadline = System.nanoTime() + 60e9.toLong
+      var rows = table()
+      while (!pred(rows) && System.nanoTime() < deadline) {
+        Thread.sleep(200); rows = table()
+      }
+      rows
+    }
+    try {
+      val full = Seq(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 2.0),
+        ev(2, "2024-01-01 10:15:00", 2, "click", 3.0),
+        ev(3, "2024-01-01 10:40:00", 1, "click", 1.0))
+      mem.addData(full: _*)
+      // reap fires on a later batch once wall clock passes the due time
+      val first = awaitClick(_.nonEmpty)
+      assert(first.length == 1, first.mkString(";"))
+      assert(first.head.getAs[Long]("event_count") == 3L)
+      assert(first.head.getAs[Long]("unique_user_count") == 2L)
+      assert(first.head.getAs[Double]("total_value") == 6.0)
+
+      // LATE event for the reaped window: the reference re-opens a FRESH
+      // window (aggregation.py:53-58 — no memory of flushed counts) ...
+      val late = ev(4, "2024-01-01 10:50:00", 7, "click", 9.0)
+      mem.addData(late)
+      // ... and its eventual flush OVERWRITES the stored row via the
+      // ON CONFLICT DO UPDATE upsert (upsert_aggregation.sql:13-19)
+      val reaped = awaitClick(rs =>
+        rs.length == 1 && rs.head.getAs[Long]("event_count") == 1L)
+      assert(reaped.length == 1, reaped.mkString(";"))
+      assert(reaped.head.getAs[Long]("event_count") == 1L,
+        "late reopen must overwrite with the late-only counts")
+      assert(reaped.head.getAs[Long]("unique_user_count") == 1L)
+      assert(reaped.head.getAs[Double]("total_value") == 9.0)
+
+      // side by side: the event-time/batch-canonical semantics would have
+      // MERGED the late event into the full window instead
+      val batch = HourlyAggregation((full :+ late).toDF())
+        .filter(col("event_type") === "click").collect()
+      assert(batch.head.getAs[Long]("event_count") == 4L,
+        "canonical batch semantics merge the late event (4), the " +
+          "reference's wall-clock reap ends at late-only (1)")
+    } finally q.stop()
+  }
+
   test("streaming session_window (append) matches batch sessionWindows on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
