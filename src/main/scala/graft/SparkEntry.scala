@@ -1473,6 +1473,15 @@ object SparkEntry {
     // data where the islands output is empty (the r8 vacuous-compare).
     "viterbi_states" -> ((s, dir) =>
       graft.operators.SeqAlign.viterbiStates(Tables.events(s, dir))),
+    // Distributed suffix array (prefix doubling, Lee et al. 2021 /
+    // Flick & Aluru SC'15): head of the global suffix order.
+    "suffix_array_head" -> ((s, dir) =>
+      graft.operators.SuffixArray.suffixArrayHead(
+        Tables.documents(s, dir), k = 100)),
+    // Exact longest repeated substring via rank-pair binary search.
+    "suffix_lrs" -> ((s, dir) =>
+      graft.operators.SuffixArray.longestRepeatedSubstring(
+        Tables.documents(s, dir))),
     // Burst-BEARING fixture: one day's events unioned in 4 extra times
     // (5x volume on 2024-01-15, far above L1 = 2*L0+1), so the islands
     // path — grouping, extents, volumes, path-cost constant — is
@@ -4788,6 +4797,9 @@ object SparkEntry {
     "dtw_profiles" -> graft.operators.SeqAlign.dtwProfilesOracleSql,
     "viterbi_bursts" -> graft.operators.SeqAlign.viterbiBurstsOracleSql,
     "viterbi_states" -> graft.operators.SeqAlign.viterbiStatesOracleSql,
+    "suffix_array_head" ->
+      graft.operators.SuffixArray.suffixArrayHeadOracleSql(100),
+    "suffix_lrs" -> graft.operators.SuffixArray.lrsOracleSql,
     "viterbi_bursts_spiked" -> graft.operators.SeqAlign.viterbiBurstsOracleSql(
       Seq.fill(4)(
         "SELECT ts FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'")

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.SuffixArray
+import org.apache.spark.sql.functions._
+
+class SuffixArraySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Brute force: every (doc, pos) suffix string, sorted; dense rank. */
+  private def bruteSuffixes(docs: Seq[(Long, String)]): Seq[(String, Long, Long)] =
+    (for {
+      (id, t) <- docs
+      p <- 1 to t.length
+    } yield (t.substring(p - 1), id, p.toLong)).sortBy(x => (x._1, x._2, x._3))
+
+  private val docs = Seq(
+    (1L, "banana"),
+    (2L, "bandana"),
+    (3L, "ananas"),
+    (4L, "xyz"),
+    (5L, "banana")) // exact duplicate of doc 1
+
+  test("suffix array head matches brute-force dense-ranked suffix order") {
+    val df = docs.toDF("doc_id", "text")
+    val got = SuffixArray.suffixArrayHead(df, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = bruteSuffixes(docs)
+    // dense ranks from the sorted distinct strings
+    val rankOf = brute.map(_._1).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val expected = brute.map { case (s, d, p) => (rankOf(s), d, p) }
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
+  test("longest repeated substring: exact length, membership count, witness") {
+    val df = docs.toDF("doc_id", "text")
+    val row = SuffixArray.longestRepeatedSubstring(df).collect().head
+    // "banana" appears twice verbatim (docs 1 and 5): LRS = 6
+    assert(row.getLong(0) == 6L, s"lrs_len ${row.getLong(0)}")
+    // suffixes of length >= 6 sharing their 6-prefix: exactly the two
+    // full "banana" suffixes (doc 1 pos 1, doc 5 pos 1); "bandana" has
+    // no 6-char twin
+    assert(row.getLong(1) == 2L)
+    assert(row.getLong(2) == 1L && row.getLong(3) == 1L)
+  }
+
+  test("lrs on repeat-free-beyond-1 corpus stays at a single character") {
+    val df = Seq((1L, "abc"), (2L, "dea")).toDF("doc_id", "text")
+    val row = SuffixArray.longestRepeatedSubstring(df).collect().head
+    // only 'a' repeats; lrs = 1, members = the two 'a'-suffixes with
+    // rem >= 1 ... both standalone 'a' positions qualify
+    assert(row.getLong(0) == 1L)
+    assert(row.getLong(1) == 2L)
+    assert(row.getLong(2) == 1L && row.getLong(3) == 1L)
+  }
+
+  test("internal repeat inside one document is found (no cross-doc needed)") {
+    val df = Seq((7L, "abcabcabd")).toDF("doc_id", "text")
+    val row = SuffixArray.longestRepeatedSubstring(df).collect().head
+    // "abcab" at pos 1 and pos 4 share 5 chars ("abcab"): lrs = 5
+    assert(row.getLong(0) == 5L, s"lrs_len ${row.getLong(0)}")
+    assert(row.getLong(2) == 7L && row.getLong(3) == 1L)
+  }
+
+  test("harness documents: head ranks are positive, ordered, dense-consistent") {
+    val df = Tables.documents(spark, sf)
+    val got = SuffixArray.suffixArrayHead(df, k = 50).collect()
+    assert(got.length == 50)
+    val ranks = got.map(_.getLong(0))
+    assert(ranks.head >= 1L)
+    assert(ranks.sameElements(ranks.sorted))
+    // head of the suffix order must start at rank 1
+    assert(ranks.head == 1L)
+  }
+}
