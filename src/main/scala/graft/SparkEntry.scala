@@ -1473,6 +1473,14 @@ object SparkEntry {
     // data where the islands output is empty (the r8 vacuous-compare).
     "viterbi_states" -> ((s, dir) =>
       graft.operators.SeqAlign.viterbiStates(Tables.events(s, dir))),
+    // Exact fixed-point Gram matrix of the embedding corpus
+    // (dimension-bounded shuffle; quantize-once int64 products).
+    "embedding_gram" -> ((s, dir) =>
+      graft.operators.Pca.gramMatrix(Tables.embeddings(s, dir))),
+    // Top principal direction via integer power iteration on the
+    // quantized Gram — bit-identical across engines by construction.
+    "embedding_pca_power" -> ((s, dir) =>
+      graft.operators.Pca.pcaPowerIteration(Tables.embeddings(s, dir))),
     // Distributed suffix array (prefix doubling, Lee et al. 2021 /
     // Flick & Aluru SC'15): head of the global suffix order.
     "suffix_array_head" -> ((s, dir) =>
@@ -4800,6 +4808,8 @@ object SparkEntry {
     "suffix_array_head" ->
       graft.operators.SuffixArray.suffixArrayHeadOracleSql(100),
     "suffix_lrs" -> graft.operators.SuffixArray.lrsOracleSql,
+    "embedding_gram" -> graft.operators.Pca.gramOracleSql,
+    "embedding_pca_power" -> graft.operators.Pca.pcaOracleSql(),
     "viterbi_bursts_spiked" -> graft.operators.SeqAlign.viterbiBurstsOracleSql(
       Seq.fill(4)(
         "SELECT ts FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'")
