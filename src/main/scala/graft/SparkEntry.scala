@@ -1490,6 +1490,11 @@ object SparkEntry {
     "suffix_lrs" -> ((s, dir) =>
       graft.operators.SuffixArray.longestRepeatedSubstring(
         Tables.documents(s, dir))),
+    // Cross-split verbatim contamination at 64-char granularity over
+    // the content-hash split rule (Lee et al. decontamination check).
+    "split_contamination" -> ((s, dir) =>
+      graft.operators.SuffixArray.splitContamination(
+        Tables.documents(s, dir))),
     // Burst-BEARING fixture: one day's events unioned in 4 extra times
     // (5x volume on 2024-01-15, far above L1 = 2*L0+1), so the islands
     // path — grouping, extents, volumes, path-cost constant — is
@@ -4808,6 +4813,8 @@ object SparkEntry {
     "suffix_array_head" ->
       graft.operators.SuffixArray.suffixArrayHeadOracleSql(100),
     "suffix_lrs" -> graft.operators.SuffixArray.lrsOracleSql,
+    "split_contamination" ->
+      graft.operators.SuffixArray.splitContaminationOracleSql(),
     "embedding_gram" -> graft.operators.Pca.gramOracleSql,
     "embedding_pca_power" -> graft.operators.Pca.pcaOracleSql(),
     "viterbi_bursts_spiked" -> graft.operators.SeqAlign.viterbiBurstsOracleSql(

@@ -68,11 +68,12 @@ object SuffixArray {
         * the maxLen bound. */
       dupAtLast: Boolean)
 
-  /** Run prefix doubling to completion. Driver loop is bounded by
-    * log2(maxLen) rounds; the only driver-side data are per-round
-    * scalar counts.
+  /** Run prefix doubling to completion (or to `stopBlock`, for callers
+    * that only ever probe a fixed prefix length). Driver loop is
+    * bounded by log2(maxLen) rounds; the only driver-side data are
+    * per-round scalar counts.
     */
-  def build(documents: DataFrame): Ranks = {
+  def build(documents: DataFrame, stopBlock: Long = Long.MaxValue): Ranks = {
     val spark = documents.sparkSession
     val base = documents
       .filter(length(col("text")) >= 1)
@@ -112,7 +113,8 @@ object SuffixArray {
     // the maxLen stop: once 2*block > maxLen, a probe at l <= maxLen
     // only ever uses the largest block <= l, and the dyadic chain
     // already guarantees 2*block > l there
-    while (dupAtLast && distinctKnown < n && block * 2 <= maxLen) {
+    while (dupAtLast && distinctKnown < n
+        && block * 2 <= math.min(maxLen, stopBlock)) {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val paired = cur
         .withColumn("r2", coalesce(lead(col("r"), block.toInt).over(w), lit(0L)))
@@ -270,6 +272,82 @@ object SuffixArray {
         col("mm.doc_id").as("witness_doc_id"),
         col("mm.pos").as("witness_pos"))
   }
+
+  /** Cross-split VERBATIM contamination at `l`-character granularity —
+    * the decontamination check of Lee et al. 2021 §4 applied to the
+    * repo's own content-hash split rule (doc_splits: rollingHash(text)
+    * % 100 → 80/10/10): for every TEST document, count its suffixes
+    * (rem >= l) whose first l characters also open a suffix of some
+    * train/val document. Exact, not sketched: equality of block-l
+    * ranks IS equality of the l-char prefix (both blocks full under
+    * the rem filter).
+    *
+    * Output: (doc_id [test], n_suffixes [contaminated positions],
+    * n_prefixes [distinct shared l-grams]), ordered by doc_id.
+    * `l` must be a dyadic block (8·2^k); the build stops at that block
+    * — log2(l/8) rounds, never the full chain. If the corpus has no
+    * repeated l/2-prefix at all the chain stops early and the result
+    * is correctly empty.
+    */
+  def splitContamination(documents: DataFrame, l: Long = 64L): DataFrame = {
+    require(l >= BaseBlock && java.lang.Long.bitCount(l / BaseBlock) == 1
+      && l % BaseBlock == 0, s"l must be ${BaseBlock}*2^k")
+    val ranks = build(documents, stopBlock = l)
+    val bucket = graft.functions.GraftColumns.rollingHash(col("text")) % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+    val splits = documents.select(col("doc_id"), split.as("split"))
+    val i = ranks.blocks.lastIndexWhere(_ <= l)
+    if (ranks.blocks(i) != l) {
+      // duplicate-free below l: nothing can be contaminated at l
+      val spark = documents.sparkSession
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "n_suffixes", "n_prefixes")
+    } else {
+      val lev = ranks.levels(i).filter(col("rem") >= l)
+        .join(splits, Seq("doc_id"))
+      val corpusPre = lev.filter(col("split") =!= "test")
+        .select(col("r")).distinct()
+      lev.filter(col("split") === "test")
+        .join(corpusPre, Seq("r"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_suffixes"),
+          countDistinct(col("r")).as("n_prefixes"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** DuckDB replay of [[splitContamination]]: substr l-grams grouped
+    * directly, split assignment via the doc_splits list_reduce hash.
+    */
+  def splitContaminationOracleSql(l: Long = 64L): String =
+    s"""WITH f AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(text) + 1),
+      |                         i -> CAST(ascii(text[i]) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
+      |    FROM documents)),
+      |p AS (
+      |  SELECT doc_id, split,
+      |    unnest(list_transform(range(1, length(text) - ${l - 1} + 1),
+      |      i -> substr(text, CAST(i AS INT), $l))) AS pre
+      |  FROM f WHERE length(text) >= $l),
+      |corpus AS (
+      |  SELECT DISTINCT pre FROM p WHERE split <> 'test')
+      |SELECT p.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_suffixes,
+      |  CAST(count(DISTINCT p.pre) AS BIGINT) AS n_prefixes
+      |FROM p JOIN corpus USING (pre)
+      |WHERE p.split = 'test'
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of [[suffixArrayHead]]: materialize every suffix
     * STRING and sort — the brute-force formulation the rank chain
