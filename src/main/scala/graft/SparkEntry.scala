@@ -484,6 +484,11 @@ object SparkEntry {
     // recomputes geometry + full-pixel checksum arithmetically.
     "multimodal_bmp_roundtrip" -> ((s, dir) =>
       graft.multimodal.Multimodal.bmpRoundTrip(s, Tables.documents(s, dir))),
+    // REAL audio-codec slice: deterministic int16 PCM through the JDK's
+    // actual RIFF/WAVE writer and parser on the executors; the oracle
+    // recomputes format fields + exact signal statistics arithmetically.
+    "multimodal_wav_roundtrip" -> ((s, dir) =>
+      graft.multimodal.Multimodal.wavRoundTrip(s, Tables.documents(s, dir))),
 
     // ---- widened relational surface ----
     // Semi-structured extraction from the props JSON column.
@@ -1505,7 +1510,19 @@ object SparkEntry {
       graft.operators.SeqAlign.viterbiBursts(
         ev.unionByName(spike).unionByName(spike)
           .unionByName(spike).unionByName(spike))
-    })
+    }),
+    // Frequent event-type SUBSEQUENCES (PrefixSpan/GSP family) within
+    // gap-sessions — Apriori-pruned level-wise mining, length ≤ 3.
+    "freq_event_seqs" -> ((s, dir) =>
+      graft.operators.SeqMining.frequentSequences(Tables.events(s, dir))),
+    // Fisher randomization test of the A/B revenue contrast: 64 seeded
+    // label re-draws, cross-multiplied integer comparison, exact p.
+    "perm_test_ab" -> ((s, dir) =>
+      graft.operators.Randomization.permTestAb(Tables.events(s, dir))),
+    // Exact 1-D Wasserstein-1 drift between per-type value distributions
+    // (integral-of-CDF-gap on the merged cent support, exact fraction).
+    "w1_value_drift" -> ((s, dir) =>
+      graft.operators.Wasserstein.w1ValueDrift(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -2784,6 +2801,18 @@ object SparkEntry {
         |  CAST(3 * sum((d.doc_id + 31 * tx.x + 17 * ty.y) % 256) AS BIGINT) AS pixel_sum
         |FROM documents d, range(21) tx(x), range(19) ty(y)
         |WHERE tx.x < 8 + d.doc_id % 13 AND ty.y < 8 + d.doc_id % 11
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "multimodal_wav_roundtrip" ->
+      """SELECT d.doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(64 + d.doc_id % 97 AS BIGINT) AS n_samples,
+        |  CAST(sum((d.doc_id * 7 + t.i * 193) % 65536 - 32768) AS BIGINT)
+        |    AS sample_sum,
+        |  CAST(max(abs((d.doc_id * 7 + t.i * 193) % 65536 - 32768))
+        |    AS BIGINT) AS peak_abs
+        |FROM documents d, range(161) t(i)
+        |WHERE t.i < 64 + d.doc_id % 97
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "multimodal_format_stats" -> (multimodalMetaCte +
@@ -4820,7 +4849,13 @@ object SparkEntry {
     "viterbi_bursts_spiked" -> graft.operators.SeqAlign.viterbiBurstsOracleSql(
       Seq.fill(4)(
         "SELECT ts FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'")
-        .mkString("SELECT ts FROM events UNION ALL ", " UNION ALL ", ""))
+        .mkString("SELECT ts FROM events UNION ALL ", " UNION ALL ", "")),
+    "freq_event_seqs" ->
+      graft.operators.SeqMining.frequentSequencesOracleSql,
+    "perm_test_ab" ->
+      graft.operators.Randomization.permTestAbOracleSql,
+    "w1_value_drift" ->
+      graft.operators.Wasserstein.w1ValueDriftOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

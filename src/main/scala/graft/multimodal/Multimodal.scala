@@ -163,6 +163,80 @@ object Multimodal {
     }(enc).orderBy(col("doc_id"))
   }
 
+  val wavSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_sum", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false)))
+
+  /** Deterministic signed 16-bit PCM sample i of doc `docId` — the shared
+    * contract between the WAV encoder below and the SQL oracle. Spans the
+    * full int16 range so both byte order and sign extension are exercised.
+    */
+  def wavSample(docId: Long, i: Int): Int =
+    (((docId * 7L + i.toLong * 193L) % 65536L) - 32768L).toInt
+
+  def wavSampleCount(docId: Long): Int = 64 + (docId % 97L).toInt
+
+  /** Synthesize a real RIFF/WAVE container for a doc (16-bit mono LE PCM
+    * at 8 kHz) through the JDK's actual WAV writer.
+    */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = wavSampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(docId, i)
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /*signed*/ true, /*bigEndian*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio-codec slice beside the BMP one: encode each doc to an
+    * actual WAV container, decode it back through `javax.sound.sampled`
+    * (genuine RIFF chunk parse — header walk, fmt block, frame size,
+    * little-endian int16 payload), and report format fields plus exact
+    * integer signal statistics. Same partition-batched, shuffle-free
+    * shape as [[bmpRoundTrip]]; the oracle reproduces every output
+    * arithmetically, so a codec that mangled endianness, sign, channel
+    * count or chunk offsets would hash-mismatch.
+    */
+  def wavRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(wavSchema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = encodeWav(id)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        val buf = ais.readAllBytes()
+        var sum = 0L
+        var peak = 0L
+        var i = 0
+        while (i < buf.length - 1) {
+          // decoded stream is little-endian signed 16-bit mono
+          val s = ((buf(i) & 0xff) | (buf(i + 1).toInt << 8)).toShort.toInt
+          sum += s
+          if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+          i += 2
+        }
+        Row(id, fmt.getSampleRate.toInt, n, sum, peak)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: treat the payload as
     * a sequence of fixed-size frames, keep every `stride`-th frame. Emits
     * per-doc frame counts — the bookkeeping a `mapInPandas` frame-sampler

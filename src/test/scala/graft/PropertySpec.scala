@@ -178,6 +178,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("WAV real-codec round-trip: decoded samples equal the encoding contract") {
+    // every byte travels through the JDK's actual RIFF/WAVE container —
+    // an endianness/sign/chunk-offset bug in either direction would
+    // surface as a sample mismatch
+    import graft.multimodal.Multimodal
+    for (id <- Seq(0L, 1L, 96L, 97L, 143L, 99991L)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.encodeWav(id)))
+      val n = Multimodal.wavSampleCount(id)
+      assert(ais.getFrameLength == n.toLong)
+      assert(ais.getFormat.getSampleRate == 8000f)
+      assert(ais.getFormat.getChannels == 1)
+      val buf = ais.readAllBytes()
+      assert(buf.length == n * 2)
+      for (i <- 0 until n) {
+        val s = ((buf(i * 2) & 0xff) | (buf(i * 2 + 1).toInt << 8)).toShort.toInt
+        assert(s == Multimodal.wavSample(id, i), s"doc $id sample $i")
+      }
+    }
+  }
+
   test("generator determinism: same seed same frame, different seed different") {
     val a = EventGen.batch(spark, 1000, seed = 1L)
     val b = EventGen.batch(spark, 1000, seed = 1L)
