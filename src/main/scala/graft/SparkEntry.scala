@@ -1522,7 +1522,33 @@ object SparkEntry {
     // Exact 1-D Wasserstein-1 drift between per-type value distributions
     // (integral-of-CDF-gap on the merged cent support, exact fraction).
     "w1_value_drift" -> ((s, dir) =>
-      graft.operators.Wasserstein.w1ValueDrift(Tables.events(s, dir)))
+      graft.operators.Wasserstein.w1ValueDrift(Tables.events(s, dir))),
+    // Interpolated Kneser–Ney bigram table with D=3/4 on the exact
+    // integer lattice — every row carries the provable per-head
+    // normalization identity as a norm_tight self-check.
+    "kn_bigram_table" -> ((s, dir) =>
+      graft.functions.LanguageModel.knBigramTable(Tables.documents(s, dir))),
+    // CCNet-style per-doc quality score under the KN model (bigramNll's
+    // add-one baseline upgraded to the discounting LMs actually use).
+    "kn_doc_nll" -> ((s, dir) =>
+      graft.functions.LanguageModel.knDocNll(Tables.documents(s, dir))),
+    // Stupid Backoff (Brants 2007) scored CROSS-SPLIT (train+val model,
+    // test-side docs) so the backoff path is actually exercised; exact
+    // per-bigram micros summed on the integer lattice, path counts in-row.
+    "stupid_backoff_eval" -> ((s, dir) =>
+      graft.functions.LanguageModel.stupidBackoffCrossSplit(
+        Tables.documents(s, dir))),
+    // Per-doc k-gram novelty vs everything earlier in the ingestion
+    // timeline: first-occurrence attribution via one min() window over
+    // hashed shingle keys.
+    "ngram_novelty" -> ((s, dir) =>
+      graft.operators.Novelty.ngramNovelty(Tables.documents(s, dir))),
+    // Gonzalez farthest-point k-center coreset over the embedding corpus:
+    // incremental dmin frame, k map scans, exact fixed-point distances,
+    // per-round covering radius as the 2-approximation certificate.
+    "kcenter_selection" -> ((s, dir) =>
+      graft.operators.Similarity.kCenterSelection(
+        Tables.embeddings(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4855,7 +4881,17 @@ object SparkEntry {
     "perm_test_ab" ->
       graft.operators.Randomization.permTestAbOracleSql,
     "w1_value_drift" ->
-      graft.operators.Wasserstein.w1ValueDriftOracleSql
+      graft.operators.Wasserstein.w1ValueDriftOracleSql,
+    "kn_bigram_table" ->
+      graft.functions.LanguageModel.knBigramTableOracleSql(),
+    "kn_doc_nll" ->
+      graft.functions.LanguageModel.knDocNllOracleSql,
+    "stupid_backoff_eval" ->
+      graft.functions.LanguageModel.stupidBackoffCrossSplitOracleSql,
+    "ngram_novelty" ->
+      graft.operators.Novelty.ngramNoveltyOracleSql(),
+    "kcenter_selection" ->
+      graft.operators.Similarity.kCenterOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1278,6 +1278,128 @@ object Similarity {
        |FROM sel$k ORDER BY rank""".stripMargin
   }
 
+  /** Gonzalez farthest-point k-center selection (Gonzalez, TCS 1985) over
+    * the embedding corpus — the coreset / diversity-seeding pass that
+    * picks k points whose covering radius 2-approximates the optimal
+    * k-center clustering: start from the smallest vec_id, then repeatedly
+    * take the point FARTHEST from its nearest already-chosen center.
+    * [[mmrSelection]] diversifies a relevance pool against a query; this
+    * selects from the WHOLE corpus with no query, the shape used for
+    * "pick k maximally-spread documents to seed curriculum / labeling".
+    *
+    * Exact arithmetic: the same floor(x·2³⁰) fixed point as
+    * [[mmrSelection]]; squared Euclidean distances are sums of
+    * decimal(38,0) products of long diffs (diffs are cast BEFORE
+    * squaring, so no long overflow at any coordinate range the fixed
+    * point itself admits). Every comparison is integer-exact, ties break
+    * to the smaller vec_id — the selection is a total-order greedy, bit
+    * identical across engines.
+    *
+    * Distributed shape — the INCREMENTAL form: the per-point
+    * nearest-center distance `dmin` is a standing frame updated once per
+    * round against ONLY the newest center (broadcast, d rows), k map
+    * scans total (k·n·d work), never the k·n² naive rematerialization.
+    * Each round's argmax is a 1-row total-order sort. The k-round
+    * sequential chain is intrinsic to the greedy (same accepted shape as
+    * [[graft.operators.Curation]] coverage_selection and [[mmrSelection]]);
+    * state is localCheckpointed per round to keep lineage constant.
+    * Round i's emitted radius (the picked point's dmin) is the standard
+    * nonincreasing 2-approximation certificate.
+    */
+  def kCenterSelection(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val fp = (c: Column) => floor(c * lit(1073741824.0)).cast("long")
+    val vd = embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), fp(col("x")).as("x_fp"))
+      .localCheckpoint() // scanned once per round; pin the explode
+    val first = embeddings.agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), lit(1).as("rank"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)").as("dmin"))
+    var selected = first.localCheckpoint()
+    // standing per-point distance to the nearest selected center
+    var state = vd.select(col("vec_id")).distinct()
+      .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("dmin", lit(null).cast("decimal(38,0)"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val newCenter = selected.filter(col("rank") === (i - 1))
+        .select(col("vec_id").as("c_id"))
+      val cDims = vd.join(broadcast(newCenter),
+        col("vec_id") === col("c_id"))
+        .select(col("dim"), col("x_fp").as("c_fp"))
+      val dNew = vd.join(broadcast(cDims), Seq("dim"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("x_fp") - col("c_fp")).cast("decimal(38,0)") *
+          (col("x_fp") - col("c_fp"))).cast("decimal(38,0)").as("d_new"))
+      state = state
+        .join(dNew, Seq("vec_id"))
+        .select(col("vec_id"),
+          least(coalesce(col("dmin"), col("d_new")), col("d_new"))
+            .as("dmin"))
+        .localCheckpoint()
+      val pick = state
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(i).as("rank"), col("dmin"))
+      selected = selected.unionByName(pick).localCheckpoint()
+      state = state.join(pick.select(col("vec_id")), Seq("vec_id"),
+        "left_anti").localCheckpoint()
+    }
+    selected
+      .select(col("rank"), col("vec_id"),
+        expr("cast(dmin DIV 1073741824 as bigint)").as("radius_fp"))
+      .orderBy(col("rank"))
+  }
+
+  def kCenterOracleSql(k: Int = 8): String = {
+    // unrolled incremental greedy, the mmrOracleSql discipline: per round
+    // a 1-row argmax p{i}, distances to that center only, running LEAST
+    val rounds = (2 to k).map { i =>
+      s"""p$i AS (SELECT vec_id, dmin FROM st${i - 1}
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL
+         |  SELECT vec_id, $i AS rank, dmin FROM p$i),
+         |d$i AS MATERIALIZED (
+         |  SELECT a.vec_id,
+         |    CAST(sum(CAST(a.x_fp - c.x_fp AS HUGEINT)
+         |      * (a.x_fp - c.x_fp)) AS HUGEINT) AS d_new
+         |  FROM vd a JOIN vd c ON a.dim = c.dim
+         |  WHERE c.vec_id = (SELECT vec_id FROM p$i)
+         |  GROUP BY 1),
+         |st$i AS MATERIALIZED (
+         |  SELECT s.vec_id, LEAST(s.dmin, d.d_new) AS dmin
+         |  FROM st${i - 1} s JOIN d$i d USING (vec_id)
+         |  WHERE s.vec_id <> (SELECT vec_id FROM p$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x0 AS (
+       |  SELECT vec_id, unnest(list_transform(
+       |    range(1, len(embedding) + 1),
+       |    i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE})) AS s
+       |  FROM embeddings),
+       |vd AS MATERIALIZED (
+       |  SELECT vec_id, CAST(s.dim AS INT) AS dim,
+       |    CAST(floor(s.x * 1073741824.0) AS BIGINT) AS x_fp
+       |  FROM x0),
+       |p1 AS (SELECT min(vec_id) AS vec_id FROM vd),
+       |sel1 AS (SELECT vec_id, 1 AS rank, CAST(0 AS HUGEINT) AS dmin
+       |         FROM p1),
+       |d1 AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |    CAST(sum(CAST(a.x_fp - c.x_fp AS HUGEINT)
+       |      * (a.x_fp - c.x_fp)) AS HUGEINT) AS d_new
+       |  FROM vd a JOIN vd c ON a.dim = c.dim
+       |  WHERE c.vec_id = (SELECT vec_id FROM p1)
+       |  GROUP BY 1),
+       |st1 AS MATERIALIZED (
+       |  SELECT vec_id, d_new AS dmin FROM d1
+       |  WHERE vec_id <> (SELECT vec_id FROM p1)),
+       |$rounds
+       |SELECT rank, vec_id,
+       |  CAST(dmin // 1073741824 AS BIGINT) AS radius_fp
+       |FROM sel$k ORDER BY rank""".stripMargin
+  }
+
   def centroidClassifierOracleSql: String =
     """WITH x0 AS (
       |  SELECT vec_id, label, unnest(list_transform(
