@@ -1548,7 +1548,24 @@ object SparkEntry {
     // per-round covering radius as the 2-approximation certificate.
     "kcenter_selection" -> ((s, dir) =>
       graft.operators.Similarity.kCenterSelection(
-        Tables.embeddings(s, dir)))
+        Tables.embeddings(s, dir))),
+    // Warner randomized response under ε = ln 3 local DP with the exact
+    // integer debiased estimator (the /2 folds into the micros scale).
+    "ldp_randomized_response" -> ((s, dir) =>
+      graft.operators.Privacy.ldpRandomizedResponse(Tables.events(s, dir))),
+    // Benjamini–Hochberg step-up over a family of per-stratum
+    // randomization tests — exact p fractions, rank-arithmetic FDR.
+    "bh_fdr" -> ((s, dir) =>
+      graft.operators.MultipleTesting.bhFdr(Tables.events(s, dir))),
+    // Exact Yule–Walker AR(2) on the floor-mean-centered hourly series,
+    // quadratics in DECIMAL(38,0), signed floor micros.
+    "ar2_forecast" -> ((s, dir) =>
+      graft.operators.Autoregression.ar2YuleWalker(Tables.events(s, dir))),
+    // SentencePiece-style unigram Viterbi segmentation on the exact
+    // integer lattice (lexicographic MDL objective), row-local DP.
+    "unigram_segment" -> ((s, dir) =>
+      graft.functions.UnigramTokenizer.unigramSegment(
+        Tables.documents(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4891,7 +4908,15 @@ object SparkEntry {
     "ngram_novelty" ->
       graft.operators.Novelty.ngramNoveltyOracleSql(),
     "kcenter_selection" ->
-      graft.operators.Similarity.kCenterOracleSql()
+      graft.operators.Similarity.kCenterOracleSql(),
+    "ldp_randomized_response" ->
+      graft.operators.Privacy.ldpRandomizedResponseOracleSql,
+    "bh_fdr" ->
+      graft.operators.MultipleTesting.bhFdrOracleSql,
+    "ar2_forecast" ->
+      graft.operators.Autoregression.ar2YuleWalkerOracleSql,
+    "unigram_segment" ->
+      graft.functions.UnigramTokenizer.unigramSegmentOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

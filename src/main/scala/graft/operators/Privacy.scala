@@ -298,6 +298,91 @@ object Privacy {
        |FROM r GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Fixed splitmix64 seed for the randomized-response coin — a public
+    * constant, emitted as a literal into the oracle so both engines draw
+    * the identical coin per event.
+    */
+  val LdpSeed: Long = graft.functions.Mix64.mix(0x4C4450525253L)
+
+  /** Warner-style randomized response (Warner, JASA 1965) under local
+    * differential privacy: each event reports its sensitive bit
+    * b = [event_type = 'purchase'] truthfully with probability 3/4 and
+    * flipped with probability 1/4 — the classic ε = ln 3 local-DP
+    * mechanism (P[report=1|b=1]/P[report=1|b=0] = (3/4)/(1/4) = 3).
+    *
+    * The "coin" is the low two bits of the public splitmix64 chain on
+    * event_id (flip iff mix(mix(id) ⊕ seed) ≡ 0 mod 4) — the same
+    * deterministic-randomness convention as [[Randomization]], so the
+    * mechanism is bit-replayable in the oracle. The per-day debiased
+    * count estimator is exact integer arithmetic throughout:
+    *
+    *   E[R] = n/4 + b_true/2  ⇒  b̂ = (4·R − n)/2
+    *
+    * so est_micros = (4·R − n)·500000 — no division at all (the /2
+    * folds into the micros scale), hence no floor-vs-truncate hazard
+    * even though the estimator can go negative. The true count rides
+    * along as the utility audit (abs_err_micros).
+    *
+    * Scale: one map-side-combined aggregate over the event scan — the
+    * mechanism is a per-row scalar, the estimator a 3-counter groupBy.
+    * Overflow: est_micros = (4R−n)·5·10⁵ needs day volume < ~4.6e12
+    * events; beyond that the micros scale moves to DECIMAL(38,0).
+    */
+  def ldpRandomizedResponse(events: DataFrame): DataFrame = {
+    import graft.functions.GraftColumns.mix64
+    val b = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val flip = pmod(
+      mix64(mix64(col("event_id")).bitwiseXOR(lit(LdpSeed))),
+      lit(4L)) === 0L
+    val reported = when(flip, lit(1L) - b).otherwise(b)
+    events
+      .select(date_trunc("day", col("ts")).as("day"),
+        b.as("b"), reported.as("rep"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("b")).as("n_true"),
+        sum(col("rep")).as("n_reported"))
+      .withColumn("est_num",
+        lit(4L) * col("n_reported") - col("n_events"))
+      .withColumn("est_micros", col("est_num") * lit(500000L))
+      .withColumn("abs_err_micros",
+        abs(col("est_micros") - col("n_true") * lit(1000000L)))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB replay: the same two mix64 rounds on event_id via the shared
+    * HUGEINT chain, seed emitted as an unsigned literal.
+    */
+  def ldpRandomizedResponseOracleSql: String = {
+    import graft.SketchOracles.{mixChain, U64 => u64}
+    val golden = "11400714819323198485::HUGEINT"
+    val seed =
+      (BigInt(LdpSeed) & ((BigInt(1) << 64) - 1)).toString + "::HUGEINT"
+    s"""WITH ev AS (
+  SELECT date_trunc('day', ts) AS day,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+    ((CASE WHEN event_id < 0 THEN CAST(event_id AS HUGEINT) + $u64
+           ELSE CAST(event_id AS HUGEINT) END) + $golden) % $u64 AS z0
+  FROM events),
+${mixChain("m1", "ev", Seq("day", "b"), "z0")},
+x1 AS (SELECT day, b, (xor(mx, $seed) + $golden) % $u64 AS z0 FROM m14),
+${mixChain("m2", "x1", Seq("day", "b"), "z0")},
+rr AS (SELECT day, b,
+  CASE WHEN mx % 4 = 0 THEN 1 - b ELSE b END AS rep FROM m24),
+agg AS (SELECT day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(b) AS BIGINT) AS n_true,
+  CAST(sum(rep) AS BIGINT) AS n_reported
+  FROM rr GROUP BY day)
+SELECT day, n_events, n_true, n_reported,
+  4 * n_reported - n_events AS est_num,
+  (4 * n_reported - n_events) * 500000 AS est_micros,
+  abs((4 * n_reported - n_events) * 500000 - n_true * 1000000)
+    AS abs_err_micros
+FROM agg ORDER BY day"""
+  }
+
   def tClosenessOracleSql(tMicros: Long = 200000): String =
     s"""WITH base AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
   CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bucket
