@@ -1565,6 +1565,33 @@ object SparkEntry {
     // integer lattice (lexicographic MDL objective), row-local DP.
     "unigram_segment" -> ((s, dir) =>
       graft.functions.UnigramTokenizer.unigramSegment(
+        Tables.documents(s, dir))),
+    // RANSAC consensus line through the hourly revenue scatter, exact
+    // cross-multiplied inlier test, exact OLS refit on the winner.
+    "ransac_trend" -> ((s, dir) =>
+      graft.operators.Ransac.ransacTrend(Tables.events(s, dir))),
+    // Hodges–Lehmann pseudo-median of hourly volume (Walsh-average
+    // ranks over integer pair sums — the /2 folds into micros).
+    "hodges_lehmann" -> ((s, dir) =>
+      graft.operators.RobustStats.hodgesLehmann(Tables.events(s, dir))),
+    // 2-D skyline: documents undominated on (token count, distinct
+    // tokens) via the sort-based sweep as one two-level window.
+    "pareto_docs" -> ((s, dir) =>
+      graft.operators.Skyline.paretoDocs(Tables.documents(s, dir))),
+    // Chapman / Lincoln–Petersen capture–recapture estimate of the
+    // corpus vocabulary from two disjoint hash-gated doc samples.
+    "capture_recapture_vocab" -> ((s, dir) =>
+      graft.operators.CorpusStats.captureRecaptureVocab(
+        Tables.documents(s, dir))),
+    // Per-source boilerplate tokens: doc-frequency share ≥ 4/5,
+    // compared cross-multiplied.
+    "source_boilerplate_tokens" -> ((s, dir) =>
+      graft.operators.CorpusStats.sourceBoilerplateTokens(
+        Tables.documents(s, dir))),
+    // Term-frequency-weighted Jaccard rerank of the set-level
+    // near-duplicate candidates (histogram intersection over union).
+    "weighted_jaccard_rerank" -> ((s, dir) =>
+      graft.operators.WeightedJaccard.weightedJaccardRerank(
         Tables.documents(s, dir)))
   )
 
@@ -4916,7 +4943,19 @@ object SparkEntry {
     "ar2_forecast" ->
       graft.operators.Autoregression.ar2YuleWalkerOracleSql,
     "unigram_segment" ->
-      graft.functions.UnigramTokenizer.unigramSegmentOracleSql()
+      graft.functions.UnigramTokenizer.unigramSegmentOracleSql(),
+    "ransac_trend" ->
+      graft.operators.Ransac.ransacTrendOracleSql,
+    "hodges_lehmann" ->
+      graft.operators.RobustStats.hodgesLehmannOracleSql,
+    "pareto_docs" ->
+      graft.operators.Skyline.paretoDocsOracleSql,
+    "capture_recapture_vocab" ->
+      graft.operators.CorpusStats.captureRecaptureVocabOracleSql,
+    "source_boilerplate_tokens" ->
+      graft.operators.CorpusStats.sourceBoilerplateTokensOracleSql(),
+    "weighted_jaccard_rerank" ->
+      graft.operators.WeightedJaccard.weightedJaccardRerankOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

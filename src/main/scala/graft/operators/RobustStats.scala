@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust location/trend statistics — the outlier-resistant siblings of
@@ -134,6 +135,106 @@ object RobustStats {
       .select(col("n_pairs"),
         col("slope_micros").as("slope_micros_median"))
   }
+
+  /** Quantile treatment effects (Doksum 1974; the distributional A/B
+    * readout beside the mean-shift estimators): per-variant exact
+    * p25/p50/p75 of purchase cents, and the per-quantile treated−control
+    * differences. Means hide heterogeneity — a lift concentrated in the
+    * tail moves p75 but not p50; this shows WHERE the distribution
+    * moved.
+    *
+    * Exactness: order statistics at rank ⌈q·n⌉ over a total order
+    * (cents, event_id); all integers.
+    *
+    * Scale: ONE global [[DistributedRank]] over (variant, cents, id)
+    * minus per-variant offsets — the [[trimmedMeans]] shape; no
+    * per-variant single-task window. Caller releases.
+    */
+  /** Hodges–Lehmann one-sample pseudo-median (Hodges & Lehmann, Ann.
+    * Math. Stat. 1963) of each event type's hourly volume: the median of
+    * the N = n(n+1)/2 Walsh averages (x_i + x_j)/2, i ≤ j — the location
+    * estimator dual to the Wilcoxon signed-rank test, robust to the
+    * bursty tails that distort the mean.
+    *
+    * Exactness: the DIVISION BY 2 NEVER HAPPENS — ranks are taken over
+    * the integer pair SUMS s = x_i + x_j (the k-th smallest average is
+    * the k-th smallest sum halved), and the final value is emitted as
+    * hl_micros = (s_low + s_high)·250000 with lowRank = (N+1) DIV 2 and
+    * highRank = N DIV 2 + 1 — the usual both-middles spelling that
+    * covers odd and even N in one expression, all exact longs. Ranks
+    * among EQUAL sums are arbitrary, but the value AT a rank is
+    * invariant to that (the [[theilSen]] argument), so no tiebreak is
+    * needed. The mean rides along in micros for the robustness contrast.
+    *
+    * Scale: the pair frame is calendar-bounded (observed hours², ~277k
+    * rows per type-year — never corpus rows) and the rank is a window
+    * per type partition, the same budget [[theilSen]] already pays.
+    */
+  def hodgesLehmann(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+    val a = hourly.select(col("event_type"), col("h").as("h1"),
+      col("y").as("y1"))
+    val b = hourly.select(col("event_type"), col("h").as("h2"),
+      col("y").as("y2"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("h2") >= col("h1"))
+      .select(col("event_type"), (col("y1") + col("y2")).as("s"))
+    val byS = Window.partitionBy(col("event_type")).orderBy(col("s"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(byS).cast("long"))
+    val sizes = hourly
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("y")).as("sy"))
+      .withColumn("n_pairs",
+        expr("n_hours * (n_hours + 1) DIV 2"))
+    ranked
+      .join(sizes, Seq("event_type"))
+      .filter(col("rk") === expr("(n_pairs + 1) DIV 2") ||
+        col("rk") === expr("n_pairs DIV 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n_hours")).as("n_hours"),
+        first(col("n_pairs")).as("n_pairs"),
+        // odd N: both ranks coincide on one row — sum(s)·2 keeps the
+        // (s_low + s_high) contract without a special case
+        (when(count(lit(1)) === 1, sum(col("s")) * 2L)
+          .otherwise(sum(col("s"))) * 250000L).as("hl_micros"),
+        first(expr("(sy * 1000000) DIV n_hours")).as("mean_micros"))
+      .orderBy(col("event_type"))
+  }
+
+  def hodgesLehmannOracleSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type, a.y + b.y AS s
+      |  FROM hourly a JOIN hourly b
+      |    ON a.event_type = b.event_type AND b.h >= a.h),
+      |ranked AS (
+      |  SELECT event_type, s,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY s)
+      |      AS BIGINT) AS rk
+      |  FROM pairs),
+      |sizes AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(count(*) * (count(*) + 1) // 2 AS BIGINT) AS n_pairs
+      |  FROM hourly GROUP BY 1)
+      |SELECT r.event_type,
+      |  any_value(z.n_hours) AS n_hours,
+      |  any_value(z.n_pairs) AS n_pairs,
+      |  CAST(CASE WHEN count(*) = 1 THEN sum(r.s) * 2
+      |       ELSE sum(r.s) END * 250000 AS BIGINT) AS hl_micros,
+      |  CAST(any_value((z.sy * 1000000) // z.n_hours) AS BIGINT)
+      |    AS mean_micros
+      |FROM ranked r JOIN sizes z ON r.event_type = z.event_type
+      |WHERE r.rk = (z.n_pairs + 1) // 2 OR r.rk = z.n_pairs // 2 + 1
+      |GROUP BY r.event_type
+      |ORDER BY r.event_type""".stripMargin
 
   /** Quantile treatment effects (Doksum 1974; the distributional A/B
     * readout beside the mean-shift estimators): per-variant exact
