@@ -1592,7 +1592,19 @@ object SparkEntry {
     // near-duplicate candidates (histogram intersection over union).
     "weighted_jaccard_rerank" -> ((s, dir) =>
       graft.operators.WeightedJaccard.weightedJaccardRerank(
-        Tables.documents(s, dir)))
+        Tables.documents(s, dir))),
+    // Cramér–von Mises per-source drift — the exact integral companion
+    // to ks_drift's sup statistic, DECIMAL(38,0)/HUGEINT quadratics.
+    "cvm_drift" -> ((s, dir) =>
+      graft.operators.Drift.cvmDrift(Tables.documents(s, dir))),
+    // Exact CART decision stump on value cents predicting the purchase
+    // label: min weighted Gini over the distinct-cents histogram.
+    "gini_stump" -> ((s, dir) =>
+      graft.operators.DecisionStump.giniStump(Tables.events(s, dir))),
+    // Bentley max-subarray of the m0-centered hourly series via the
+    // associative Kadane monoid (canonical tie rules, epoch-hour bounds).
+    "max_burst_window" -> ((s, dir) =>
+      graft.operators.SeqAlign.maxBurstWindow(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4955,7 +4967,13 @@ object SparkEntry {
     "source_boilerplate_tokens" ->
       graft.operators.CorpusStats.sourceBoilerplateTokensOracleSql(),
     "weighted_jaccard_rerank" ->
-      graft.operators.WeightedJaccard.weightedJaccardRerankOracleSql
+      graft.operators.WeightedJaccard.weightedJaccardRerankOracleSql,
+    "cvm_drift" ->
+      graft.operators.Drift.cvmDriftOracleSql,
+    "gini_stump" ->
+      graft.operators.DecisionStump.giniStumpOracleSql,
+    "max_burst_window" ->
+      graft.operators.SeqAlign.maxBurstWindowOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

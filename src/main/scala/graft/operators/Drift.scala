@@ -271,4 +271,101 @@ object Drift {
       |    AS max_shift_micros,
       |  CAST(worst_dim AS INTEGER) AS worst_dim
       |FROM w ORDER BY label""".stripMargin
+
+  /** Two-sample Cramér–von Mises drift (Anderson, Ann. Math. Stat. 1962)
+    * of each source's `n_chars` distribution vs the rest of the corpus —
+    * the INTEGRAL companion to [[ksDrift]]'s sup statistic: KS sees the
+    * single worst CDF gap, CvM accumulates ALL of them, so a broad small
+    * shift that never produces one large gap still registers.
+    *
+    *   T = n·m/(n+m)² · Σ_k (F₁(z_k) − F₂(z_k))²
+    *
+    * summed over the POOLED sample points z_k (ties = the distinct-value
+    * grid weighted by pooled multiplicity g_x). Unlike ksDrift (whose sup
+    * is an IEEE max of exactly-representable quotient gaps), the sum of
+    * squares is kept EXACT: with s = cum_s·m − (cum_g−cum_s)·n over the
+    * common denominator n·m,
+    *
+    *   T = Σ g_x·s_x² / ((n+m)²·n·m)
+    *
+    * and the output is the exact floor micros of that rational —
+    * DECIMAL(38,0)/HUGEINT quadratics, no float anywhere. Overflow
+    * headroom: Σ g·s² ≤ (n+m)·(n·m)², ~1e24 at this corpus's sf0.1 —
+    * the micros product needs n·m ≲ 3e15, i.e. per-source doc counts
+    * into the tens of millions; past that the micros scale moves to a
+    * wider fixed point, same plan.
+    *
+    * Distributed shape: identical to [[ksDrift]] — domain-bounded
+    * (source × distinct n_chars) frames, windowed CDFs over the grid,
+    * corpus touched once.
+    */
+  def cvmDrift(documents: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = documents
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+    val totals = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+    val grand = documents.agg(count(lit(1)).as("n_total"))
+    val grid = counts.groupBy(col("x")).agg(sum(col("c")).as("g"))
+      .withColumn("cum_g", sum(col("g")).over(
+        Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySourceX = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crossed = grid.crossJoin(broadcast(totals))
+      .join(counts, Seq("source", "x"), "left")
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(bySourceX))
+    def dec(c: org.apache.spark.sql.Column) = c.cast(d38)
+    crossed.crossJoin(broadcast(grand))
+      .withColumn("n_rest", col("n_total") - col("n_source"))
+      .withColumn("s_num",
+        dec(col("cum_s")) * dec(col("n_rest")) -
+          dec(col("cum_g") - col("cum_s")) * dec(col("n_source")))
+      .groupBy(col("source"), col("n_source"), col("n_rest"))
+      .agg(sum(dec(col("g")) * col("s_num") * col("s_num")).as("t_num"))
+      .withColumn("cvm_micros", expr(
+        "CAST((t_num * 1000000) DIV " +
+          "(CAST((n_source + n_rest) AS DECIMAL(38,0)) * (n_source + n_rest)" +
+          " * n_source * n_rest) AS BIGINT)"))
+      .select(col("source"), col("n_source"), col("n_rest"),
+        col("cvm_micros"))
+      .orderBy(col("source"))
+  }
+
+  def cvmDriftOracleSql: String =
+    """WITH counts AS (
+      |  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+      |  FROM documents GROUP BY 1),
+      |grand AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+      |grid AS (SELECT x, sum(c) AS g FROM counts GROUP BY 1),
+      |gcum AS (
+      |  SELECT x, g, CAST(sum(g) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum_g
+      |  FROM grid),
+      |crossed AS (
+      |  SELECT t.source, t.n_source, gc.x, gc.g, gc.cum_g,
+      |    CAST(sum(COALESCE(c.c, 0)) OVER (PARTITION BY t.source
+      |      ORDER BY gc.x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+      |  FROM gcum gc CROSS JOIN totals t
+      |  LEFT JOIN counts c ON c.source = t.source AND c.x = gc.x),
+      |terms AS (
+      |  SELECT cr.source, cr.n_source, g.n_total - cr.n_source AS n_rest,
+      |    CAST(cr.g AS HUGEINT) *
+      |      (CAST(cr.cum_s AS HUGEINT) * (g.n_total - cr.n_source)
+      |       - CAST(cr.cum_g - cr.cum_s AS HUGEINT) * cr.n_source)
+      |      * (CAST(cr.cum_s AS HUGEINT) * (g.n_total - cr.n_source)
+      |       - CAST(cr.cum_g - cr.cum_s AS HUGEINT) * cr.n_source) AS term
+      |  FROM crossed cr CROSS JOIN grand g),
+      |agg AS (
+      |  SELECT source, n_source, n_rest, sum(term) AS t_num
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT source, n_source, n_rest,
+      |  CAST((t_num * 1000000) //
+      |    (CAST(n_source + n_rest AS HUGEINT) * (n_source + n_rest)
+      |     * n_source * n_rest) AS BIGINT) AS cvm_micros
+      |FROM agg ORDER BY source""".stripMargin
 }

@@ -380,4 +380,122 @@ object SeqAlign {
       |    (SELECT least(f0, f1) FROM fwd
       |     WHERE rn = (SELECT t_n FROM params)) AS path_cost
       |  FROM idx i JOIN fwd f ON f.rn = i.rn JOIN bwd b ON b.rn = i.rn)""".stripMargin
+
+  /** Maximum burst window (Bentley's max-subarray, CACM 1984) of each
+    * event type's m0-centered hourly series: the contiguous hour span
+    * [bl, br] maximizing Σ(x_t − m0) over the gap-filled calendar grid
+    * (m0 = Σx DIV n, the [[Autoregression]] centering) — the single
+    * strongest sustained burst, where [[viterbiBursts]] extracts ALL
+    * bursts under a switch-cost model.
+    *
+    * Decoded RELATIONALLY via prefix sums rather than the sequential
+    * Kadane recurrence: with cum_t the running sum of residuals,
+    *
+    *   best = max_t ( cum_t − min_{k < t} cum_k ),   cum_{first−1} = 0
+    *
+    * so the whole decode is two windows (a running sum and a running
+    * struct-min) plus one struct-min aggregate — no fold, no recursion,
+    * and the windows run over the calendar-bounded per-type grid. Tie
+    * rules are canonical and engine-identical: the running min carries
+    * (cum, k) so equal minima resolve to the EARLIEST k (⇒ minimal
+    * window start), and the final argmax over t picks the lexicographic
+    * min of (−sum, l, r) (⇒ max sum, then min start, then min end). All
+    * integer arithmetic; window bounds are epoch hours.
+    *
+    * (A DuckDB list_reduce spelling of the associative Kadane monoid was
+    * rejected: DuckDB evaluates a reduce lambda's struct-literal fields
+    * SEQUENTIALLY against an in-place accumulator, so later fields read
+    * already-updated values — the prefix-sum form has no such hazard and
+    * is the better distributed plan anyway.)
+    *
+    * Scale: corpus reduces to the calendar grid in one map-side-combined
+    * aggregate (the [[viterbiBursts]] shape); both windows are per-type
+    * partitions bounded by the calendar, never corpus rows.
+    */
+  def maxBurstWindow(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val spans = counts
+      .groupBy(col("event_type"))
+      .agg(min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+    val grid = spans
+      .select(col("event_type"),
+        explode(expr("sequence(min_h, max_h, interval 1 hour)")).as("h"))
+    val gf = grid
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        expr("unix_timestamp(h) DIV 3600").as("t"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val base = gf
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("m0", expr("sx DIV n"))
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val scored = gf
+      .join(base, Seq("event_type"))
+      .withColumn("e", col("x") - col("m0"))
+      .withColumn("cum", sum(col("e")).over(byT))
+      .withColumn("pm", min(struct(col("cum").as("c"), col("t").as("k")))
+        .over(byT.rowsBetween(Window.unboundedPreceding, -1)))
+      // cum_{first-1} = 0 at k = first−1: the empty prefix is a legal cut
+      .withColumn("pmc", coalesce(col("pm.c"), lit(0L)))
+      .withColumn("pmk", coalesce(col("pm.k"), col("t") - 1L))
+      .withColumn("s", col("cum") - col("pmc"))
+      .withColumn("l", col("pmk") + 1L)
+    scored
+      .groupBy(col("event_type"), col("n"), col("m0"))
+      .agg(min(struct((-col("s")).as("ns"), col("l").as("l"),
+        col("t").as("r"))).as("b"))
+      .select(col("event_type"), col("n").as("n_hours"), col("m0"),
+        (-col("b.ns")).as("best_sum"),
+        col("b.l").as("burst_start_epoch_hour"),
+        col("b.r").as("burst_end_epoch_hour"),
+        (col("b.r") - col("b.l") + 1L).as("burst_hours"))
+      .orderBy(col("event_type"))
+  }
+
+  def maxBurstWindowOracleSql: String =
+    """WITH counts AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT event_type, min(h) AS min_h, max(h) AS max_h
+      |  FROM counts GROUP BY 1),
+      |grid AS (SELECT s.event_type,
+      |    unnest(generate_series(s.min_h, s.max_h, INTERVAL 1 HOUR)) AS h
+      |  FROM spans s),
+      |gf AS (SELECT g.event_type,
+      |    epoch(g.h)::BIGINT // 3600 AS t, COALESCE(c.x, 0) AS x
+      |  FROM grid g LEFT JOIN counts c
+      |    ON g.event_type = c.event_type AND g.h = c.h),
+      |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx
+      |  FROM gf GROUP BY 1),
+      |cums AS (
+      |  SELECT gf.event_type, b.n, b.sx // b.n AS m0, gf.t,
+      |    CAST(sum(gf.x - b.sx // b.n) OVER (PARTITION BY gf.event_type
+      |      ORDER BY gf.t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM gf JOIN base b ON gf.event_type = b.event_type),
+      |scored AS (
+      |  SELECT event_type, n, m0, t, cum,
+      |    min({'c': cum, 'k': t})
+      |      OVER (PARTITION BY event_type ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM cums),
+      |cand AS (
+      |  SELECT event_type, n, m0,
+      |    cum - COALESCE((pm).c, 0) AS s,
+      |    COALESCE((pm).k, t - 1) + 1 AS l, t AS r
+      |  FROM scored),
+      |best AS (
+      |  SELECT event_type, n, m0,
+      |    min({'ns': -s, 'l': l, 'r': r}) AS b
+      |  FROM cand GROUP BY 1, 2, 3)
+      |SELECT event_type, n AS n_hours, m0,
+      |  CAST(-((b).ns) AS BIGINT) AS best_sum,
+      |  CAST((b).l AS BIGINT) AS burst_start_epoch_hour,
+      |  CAST((b).r AS BIGINT) AS burst_end_epoch_hour,
+      |  CAST((b).r - (b).l + 1 AS BIGINT) AS burst_hours
+      |FROM best ORDER BY event_type""".stripMargin
 }
