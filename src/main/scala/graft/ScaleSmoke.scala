@@ -293,6 +293,27 @@ object ScaleSmoke {
             substring(col("event_type"), 1, 1).as("lang"))
             .withColumn("text", lit("")).withColumn("n_chars", lit(0L)))
           .count())
+      // round-9 session: multiple-testing / robust / sequence additions.
+      // bh_fdr is one (stratum,user) reduction + a 2B-counter wide agg
+      // per stratum; ar2/max_burst fold calendar-bounded grids;
+      // hodges_lehmann's pair frame is observed-hours² (flat when the
+      // generator densifies a fixed span, quadratic only in the
+      // CALENDAR); ransac scores a broadcast |types|·B model frame;
+      // ldp/gini_stump are scan-shaped aggregates.
+      time("bh_fdr", scale)(
+        graft.operators.MultipleTesting.bhFdr(ev).count())
+      time("ar2_forecast", scale)(
+        graft.operators.Autoregression.ar2YuleWalker(ev).count())
+      time("max_burst_window", scale)(
+        graft.operators.SeqAlign.maxBurstWindow(ev).count())
+      time("hodges_lehmann", scale)(
+        graft.operators.RobustStats.hodgesLehmann(ev).count())
+      time("ransac_trend", scale)(
+        graft.operators.Ransac.ransacTrend(ev).count())
+      time("ldp_randomized_response", scale)(
+        graft.operators.Privacy.ldpRandomizedResponse(ev).count())
+      time("gini_stump", scale)(
+        graft.operators.DecisionStump.giniStump(ev).count())
       DistributedRank.release(spark)
       ev.unpersist()
 
@@ -407,6 +428,33 @@ object ScaleSmoke {
         graft.functions.TextAnalysis.langidConfusion(docs).count())
       time("span_trim_plan", scale)(
         force(graft.operators.SpanDedup.spanTrimPlan(docs)))
+      // round-9 session: LM / tokenizer / corpus-stat additions.
+      // kn/backoff models are vocab²-bounded window+join frames over the
+      // bigram reduction; ngram_novelty is one min() window on hashed
+      // shingles; unigram's DP is row-local over the DISTINCT-word frame;
+      // pareto/cvm sweep value-domain grids; capture_recapture is two
+      // hash-gated distinct reductions; weighted_jaccard reranks the
+      // candidate frame the set query already bounds.
+      time("kn_bigram_table", scale)(
+        graft.functions.LanguageModel.knBigramTable(docs).count())
+      time("kn_doc_nll", scale)(
+        graft.functions.LanguageModel.knDocNll(docs).count())
+      time("stupid_backoff_eval", scale)(
+        graft.functions.LanguageModel.stupidBackoffCrossSplit(docs).count())
+      time("ngram_novelty", scale)(
+        graft.operators.Novelty.ngramNovelty(docs).count())
+      time("unigram_segment", scale)(
+        graft.functions.UnigramTokenizer.unigramSegment(docs).count())
+      time("pareto_docs", scale)(
+        graft.operators.Skyline.paretoDocs(docs).count())
+      time("cvm_drift", scale)(
+        graft.operators.Drift.cvmDrift(docs).count())
+      time("capture_recapture_vocab", scale)(
+        graft.operators.CorpusStats.captureRecaptureVocab(docs).count())
+      time("source_boilerplate_tokens", scale)(
+        graft.operators.CorpusStats.sourceBoilerplateTokens(docs).count())
+      time("weighted_jaccard_rerank", scale)(
+        graft.operators.WeightedJaccard.weightedJaccardRerank(docs).count())
       pairs.unpersist()
       docs.unpersist()
 
@@ -438,6 +486,10 @@ object ScaleSmoke {
         graft.operators.Similarity.mmrSelection(emb).count())
       time("hard_negatives", scale)(
         graft.operators.Similarity.hardNegatives(emb).count())
+      // round-9 session: Gonzalez k-center — k map scans over an
+      // incremental dmin frame; the curve must be ~k·scan
+      time("kcenter_selection", scale)(
+        graft.operators.Similarity.kCenterSelection(emb).count())
       emb.unpersist()
     }
 

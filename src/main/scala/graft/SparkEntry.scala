@@ -1604,7 +1604,28 @@ object SparkEntry {
     // Bentley max-subarray of the m0-centered hourly series via the
     // associative Kadane monoid (canonical tie rules, epoch-hour bounds).
     "max_burst_window" -> ((s, dir) =>
-      graft.operators.SeqAlign.maxBurstWindow(Tables.events(s, dir)))
+      graft.operators.SeqAlign.maxBurstWindow(Tables.events(s, dir))),
+    // Tie-corrected ROC-AUC via the Mann–Whitney identity on doubled
+    // average ranks over the distinct-cents histogram; Gini rides along.
+    "roc_auc_value" -> ((s, dir) =>
+      graft.operators.ClassifierEval.rocAucValue(Tables.events(s, dir))),
+    // The stump read as a leaf-majority classifier: confusion counts by
+    // pure arithmetic on the stump row; precision/recall/F1 exact micros.
+    "stump_confusion" -> ((s, dir) =>
+      graft.operators.ClassifierEval.stumpConfusion(Tables.events(s, dir))),
+    // McNemar's paired χ² on per-user conversion, first vs second half
+    // of the observation window (exact epoch-micros midpoint split).
+    "mcnemar_conversion" -> ((s, dir) =>
+      graft.operators.ClassifierEval.mcnemarConversion(
+        Tables.events(s, dir))),
+    // Cohen's kappa between the n-gram language-ID heuristic and the
+    // labeled lang column — chance-corrected agreement, sign-split.
+    "langid_kappa" -> ((s, dir) =>
+      graft.operators.ClassifierEval.langidKappa(Tables.documents(s, dir))),
+    // DBSCAN over the fit-free LSH-cell candidate graph: core/border/
+    // noise roles + min-label components, all oracle-replayable.
+    "dbscan_lsh" -> ((s, dir) =>
+      graft.operators.Similarity.dbscanLsh(Tables.embeddings(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -4967,13 +4988,23 @@ object SparkEntry {
     "source_boilerplate_tokens" ->
       graft.operators.CorpusStats.sourceBoilerplateTokensOracleSql(),
     "weighted_jaccard_rerank" ->
-      graft.operators.WeightedJaccard.weightedJaccardRerankOracleSql,
+      graft.operators.WeightedJaccard.weightedJaccardRerankOracleSql(),
     "cvm_drift" ->
       graft.operators.Drift.cvmDriftOracleSql,
     "gini_stump" ->
       graft.operators.DecisionStump.giniStumpOracleSql,
     "max_burst_window" ->
-      graft.operators.SeqAlign.maxBurstWindowOracleSql
+      graft.operators.SeqAlign.maxBurstWindowOracleSql,
+    "roc_auc_value" ->
+      graft.operators.ClassifierEval.rocAucValueOracleSql,
+    "stump_confusion" ->
+      graft.operators.ClassifierEval.stumpConfusionOracleSql,
+    "mcnemar_conversion" ->
+      graft.operators.ClassifierEval.mcnemarConversionOracleSql,
+    "langid_kappa" ->
+      graft.operators.ClassifierEval.langidKappaOracleSql,
+    "dbscan_lsh" ->
+      graft.operators.Similarity.dbscanLshOracleSql()
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

@@ -1443,4 +1443,182 @@ object Similarity {
       |  n_vecs * 1000000 // actual_total AS recall_ppm,
       |  (actual = predicted) AS is_correct
       |FROM tot ORDER BY actual, predicted""".stripMargin
+
+
+  /** DBSCAN over the LSH-cell candidate graph (Ester, Kriegel, Sander &
+    * Xu, KDD 1996), cosine neighborhoods: a vector is CORE if ≥ minPts
+    * other vectors in its candidate set have cosine ≥ eps-threshold;
+    * clusters are the connected components of the core-core neighbor
+    * graph; non-core vectors with a core neighbor are BORDER (assigned
+    * the min cluster label among their core neighbors — a deterministic
+    * stand-in for DBSCAN's order-dependent border assignment); the rest
+    * is NOISE.
+    *
+    * Candidate semantics are part of the CONTRACT, not an approximation
+    * being hidden: neighborhoods are computed within the fit-free
+    * sign-pattern LSH cells ([[semanticDedupLsh]]'s family — 2^planeBits
+    * deterministic Mix64 hyperplanes), so the oracle replays the exact
+    * same graph bit-for-bit (plane weights from the shared splitmix
+    * chain, dots as left-to-right IEEE folds, `list_cosine_similarity`
+    * == [[cosine]]). Density clustering over ALL pairs would be
+    * quadratic at corpus scale; cells bound the pair scan exactly the
+    * way the SemDeDup path does, and cell count grows with the corpus
+    * (the planeBits knob), keeping pairs-per-cell constant.
+    *
+    * Component labels use the same bounded iterative min-label
+    * propagation as [[Dedup.nearDupClusters]] (the core graph is
+    * candidate-bounded, lineage-truncated each round, convergence
+    * enforced).
+    */
+  def dbscanLsh(
+      embeddings: DataFrame,
+      planeBits: Int = 4,
+      threshold: Double = 0.5,
+      minPts: Int = 3,
+      maxIters: Int = 20): DataFrame = {
+    val dim = 64
+    val embDouble = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
+    val flatPlanes = Array.tabulate(planeBits * dim) { idx =>
+      planeWeight(idx / dim, idx % dim, dim)
+    }
+    val assigned = embDouble.select(
+      col("vec_id"), col("embedding"),
+      element_at(
+        graft.functions.GraftColumns.lshBuckets(
+          col("embedding"), flatPlanes, 1, planeBits, dim), 1)
+        .as("cell"))
+      .localCheckpoint()
+    val nbrs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("a.vec_id").as("v"), col("b.vec_id").as("w"))
+      .localCheckpoint()
+    val deg = nbrs.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") >= minPts.toLong)
+      .select(col("v").as("cv"))
+    val coreEdges = nbrs
+      .join(core.withColumnRenamed("cv", "v"), Seq("v"))
+      .join(core.withColumnRenamed("cv", "w"), Seq("w"))
+      .select(col("v").as("src"), col("w").as("dst"))
+      .localCheckpoint()
+    var labels = core.select(col("cv").as("vid"))
+      .withColumn("cluster_id", col("vid"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val via = coreEdges
+        .join(labels, col("dst") === col("vid"))
+        .select(col("src").as("vid"), col("cluster_id"))
+      val next = labels.union(via)
+        .groupBy(col("vid"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "vid")
+        .filter(col("cluster_id") =!= col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dbscanLsh min-label propagation did not converge in $maxIters rounds")
+    val borderLabels = nbrs
+      .join(core.withColumnRenamed("cv", "w"), Seq("w")) // core neighbors
+      .join(labels, col("w") === col("vid"))
+      .groupBy(col("v"))
+      .agg(min(col("cluster_id")).as("border_cluster"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(deg.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+      .join(labels.withColumnRenamed("vid", "vec_id"), Seq("vec_id"), "left")
+      .join(borderLabels.withColumnRenamed("v", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("deg"), lit(0L)).as("n_neighbors"),
+        when(col("cluster_id").isNotNull, lit("core"))
+          .when(col("border_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("cluster_id"), col("border_cluster"), lit(-1L))
+          .as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB replay of [[dbscanLsh]]: the shared splitmix plane family as
+    * CTEs (the ann_lsh spelling), within-cell cosine neighborhoods,
+    * degree/core flags, and a reach(v, r) transitive closure over the
+    * core-core graph (min reachable id == component label).
+    */
+  def dbscanLshOracleSql(
+      planeBits: Int = 4,
+      threshold: Double = 0.5,
+      minPts: Int = 3): String =
+    s"""WITH RECURSIVE gd AS (
+       |  SELECT g, d FROM (SELECT unnest(range(0, $planeBits)) AS g),
+       |                   (SELECT unnest(range(0, 64)) AS d)),
+       |s1 AS (SELECT g, d,
+       |  ((CAST(g * 64 + d AS HUGEINT)) + 11400714819323198485::HUGEINT)
+       |    % 18446744073709551616::HUGEINT AS z0 FROM gd),
+       |s2a AS (SELECT g, d, xor(z0, z0 // 1073741824) AS a1 FROM s1),
+       |s2 AS (SELECT g, d,
+       |  ( (a1 * 484763065::HUGEINT) % 18446744073709551616::HUGEINT
+       |    + ((a1 * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       |  ) % 18446744073709551616::HUGEINT AS z1 FROM s2a),
+       |s3a AS (SELECT g, d, xor(z1, z1 // 134217728) AS a2 FROM s2),
+       |s3 AS (SELECT g, d,
+       |  ( (a2 * 321982955::HUGEINT) % 18446744073709551616::HUGEINT
+       |    + ((a2 * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       |  ) % 18446744073709551616::HUGEINT AS z2 FROM s3a),
+       |wt AS (SELECT g, d,
+       |  CAST(xor(z2, z2 // 2147483648) // 2048 AS DOUBLE)
+       |    / 4503599627370496.0 * 2.0 - 1.0 AS wtv FROM s3),
+       |w AS (SELECT g, list(wtv ORDER BY d) AS wl FROM wt GROUP BY g),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |dots AS (
+       |  SELECT vec_id, g AS p,
+       |    list_reduce(list_transform(range(1, 65), i -> emb[i] * wl[i]),
+       |                (a, b) -> a + b) >= 0 AS pos
+       |  FROM e, w),
+       |cells AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pos THEN 1 << p ELSE 0 END) AS BIGINT) AS cell
+       |  FROM dots GROUP BY 1),
+       |nbrs AS (
+       |  SELECT a.vec_id AS v, b.vec_id AS w2
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON a.vec_id = ea.vec_id
+       |  JOIN e eb ON b.vec_id = eb.vec_id
+       |  WHERE list_cosine_similarity(ea.emb, eb.emb) >= $threshold),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1),
+       |core AS (SELECT v AS cv FROM deg WHERE deg >= $minPts),
+       |ce AS (
+       |  SELECT n.v AS src, n.w2 AS dst FROM nbrs n
+       |  JOIN core c1 ON n.v = c1.cv JOIN core c2 ON n.w2 = c2.cv),
+       |reach(v, r) AS (
+       |  SELECT cv, cv FROM core
+       |  UNION
+       |  SELECT ce.dst, reach.r FROM reach JOIN ce ON ce.src = reach.v),
+       |labels AS (SELECT v AS vid, CAST(min(r) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY 1),
+       |border AS (
+       |  SELECT n.v, CAST(min(l.cluster_id) AS BIGINT) AS border_cluster
+       |  FROM nbrs n JOIN core c ON n.w2 = c.cv
+       |  JOIN labels l ON n.w2 = l.vid
+       |  GROUP BY 1)
+       |SELECT c.vec_id, c.cell,
+       |  COALESCE(d.deg, 0) AS n_neighbors,
+       |  CASE WHEN l.cluster_id IS NOT NULL THEN 'core'
+       |       WHEN b.border_cluster IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(l.cluster_id, b.border_cluster, -1) AS cluster_id
+       |FROM cells c
+       |LEFT JOIN deg d ON c.vec_id = d.v
+       |LEFT JOIN labels l ON c.vec_id = l.vid
+       |LEFT JOIN border b ON c.vec_id = b.v
+       |ORDER BY c.vec_id""".stripMargin
 }
+

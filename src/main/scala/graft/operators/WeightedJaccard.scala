@@ -18,26 +18,39 @@ import org.apache.spark.sql.functions._
   * is ever materialized; the score is the exact micros quotient
   * Σmin·10⁶ DIV (len_a + len_b − Σmin).
   *
-  * Candidate contract (identical in the oracle): pairs with set-level
-  * 3-gram Jaccard ≥ 1/4, tested exactly cross-multiplied
-  * (4·common ≥ n_a + n_b − common). The ε-relaxed size-band prune on
-  * the inverted-index join is a pure optimization under that contract
-  * (the [[Dedup.ngramJaccardPairs]] argument), never the gate.
+  * Candidate contract (identical in the oracle): the shingle UNIVERSE
+  * is first restricted to DISCRIMINATIVE shingles, df ≤ maxDf — the
+  * classic stop-shingle cut (Broder 1997 §4: ultra-common shingles
+  * carry no resemblance signal and make the inverted index quadratic;
+  * an unbanded run on a dense-vocab synthetic corpus OOM'd at 100×
+  * with Σ df² in the billions). Over that universe, pairs with
+  * set-level 3-gram Jaccard ≥ 1/4 are candidates, tested exactly
+  * cross-multiplied (4·common ≥ n_a + n_b − common). Two pure
+  * optimizations under that contract: df = 1 shingles are skipped on
+  * the JOIN side (they cannot produce a pair; they still count in
+  * n_a/n_b), and the ε-relaxed size-band prune (the
+  * [[Dedup.ngramJaccardPairs]] argument) trims the index join.
   *
-  * Scale: the candidate stage is the inverted-index equi-join the set
-  * query already pays; the rerank joins the candidate pairs to the
-  * per-doc token histograms on (doc, token) — shuffle equi-joins
-  * bounded by candidates × shared-token types, never corpus × corpus.
+  * Scale: the banded index join is Σ_{2 ≤ df ≤ maxDf} df² ≤ maxDf ·
+  * Σ df — LINEAR in corpus shingle volume by construction; the rerank
+  * joins the candidate pairs to the per-doc token histograms on
+  * (doc, token) — shuffle equi-joins bounded by candidates ×
+  * shared-token types, never corpus × corpus.
   */
 object WeightedJaccard {
 
   def weightedJaccardRerank(
-      documents: DataFrame, k: Int = 3): DataFrame = {
+      documents: DataFrame, k: Int = 3, maxDf: Long = 50L): DataFrame = {
     val setThresholdInv = 4L // set-Jaccard gate = 1/setThresholdInv
-    val sh = Dedup.shingles(Layout.widen(documents), k)
-      .select(
-        col("doc_id"), size(col("shingles")).cast("long").as("n"),
-        explode(col("shingles")).as("shingle"))
+    val occ = Dedup.shingles(Layout.widen(documents), k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dfreq = occ.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val uni = occ.join(dfreq, Seq("shingle")).filter(col("df") <= maxDf)
+    val sh = uni
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")))
+        .cast("long"))
+      .filter(col("df") >= 2L)
     val pruneT = lit(1.0 / setThresholdInv - 1e-9)
     val cands = sh.as("a")
       .join(sh.as("b"),
@@ -79,16 +92,22 @@ object WeightedJaccard {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def weightedJaccardRerankOracleSql: String =
-    """WITH sh AS (
+  def weightedJaccardRerankOracleSql(maxDf: Long = 50L): String =
+    s"""WITH occ AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(string_split(text, ' ')) - 1),
       |    i -> string_split(text, ' ')[i] || ' ' ||
       |         string_split(text, ' ')[i+1] || ' ' ||
       |         string_split(text, ' ')[i+2]))) AS shingle
       |  FROM documents),
+      |dfreq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+      |  FROM occ GROUP BY 1),
+      |uni AS (SELECT o.doc_id, o.shingle, d.df
+      |  FROM occ o JOIN dfreq d ON o.shingle = d.shingle
+      |  WHERE d.df <= $maxDf),
       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-      |  FROM sh GROUP BY doc_id),
+      |  FROM uni GROUP BY doc_id),
+      |sh AS (SELECT doc_id, shingle FROM uni WHERE df >= 2),
       |cands AS (
       |  SELECT p.doc_a, p.doc_b, p.common_shingles,
       |    p.common_shingles * 1000000
