@@ -57,11 +57,15 @@ object UnigramTokenizer {
       maxWordLen: Int = 16,
       maxPieceLen: Int = 6,
       k: Int = 50): DataFrame = {
+    // word-type frame (vocabulary-bounded) — materialized eagerly so the
+    // two consumers below (substring lattice + final DP join) share ONE
+    // corpus scan instead of re-running the token reduction
     val words = documents
       .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
       .filter(length(col("word")).between(1, maxWordLen))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("fw"))
+      .localCheckpoint()
     val occs = words
       .select(col("word"), col("fw"),
         explode(expr(

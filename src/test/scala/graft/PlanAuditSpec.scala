@@ -724,4 +724,55 @@ class PlanAuditSpec extends SparkTestBase {
     }
     assert(!plan.toString.contains("CartesianProduct"), plan.toString)
   }
+
+  test("bh_fdr: one wide partial-aggregated pass, no per-replicate scans") {
+    val plan = finalPlan(
+      graft.operators.MultipleTesting.bhFdr(Tables.events(spark, sf)))
+    // 2B+4 replicate counters must ride ONE map-side-combined aggregate:
+    // exactly one scan leaf over events, and a partial HashAggregate
+    val scans = deepLeaves(plan).map(_.toString).count(_.contains("events"))
+    assert(scans == 1, s"replicates must share one scan, saw $scans:\n$plan")
+    assert(plan.toString.contains("HashAggregate"), plan.toString)
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+  }
+
+  test("ransac_trend: models broadcast into the scoring join, no product") {
+    val plan = finalPlan(
+      graft.operators.Ransac.ransacTrend(Tables.events(spark, sf)))
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"the |types|*B model frame must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("weighted_jaccard_rerank: df-banded index join stays equi, no product") {
+    val plan = finalPlan(graft.operators.WeightedJaccard
+      .weightedJaccardRerank(Tables.documents(spark, sf)))
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+  }
+
+  test("unigram_segment: corpus scanned for word counts only; DP is row-local") {
+    val df = graft.functions.UnigramTokenizer.unigramSegment(
+      Tables.documents(spark, sf))
+    val plan = finalPlan(df)
+    // the documents parquet must be read at most once in the audited
+    // plan: the word-type frame is checkpointed (its one corpus scan runs
+    // at materialization), so the DP plan itself must show ZERO parquet
+    // leaves — a second live scan here would mean the checkpoint stopped
+    // covering a consumer
+    val scans = deepLeaves(plan).map(_.toString)
+      .count(s => s.contains("documents") && s.contains("Scan"))
+    assert(scans <= 1, s"expected at most one corpus scan, saw $scans:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+  }
+
+  test("dbscan + kcenter: no cartesian; cell/candidate joins stay equi") {
+    for (df <- Seq(
+      graft.operators.Similarity.dbscanLsh(Tables.embeddings(spark, sf)),
+      graft.operators.Similarity.kCenterSelection(
+        Tables.embeddings(spark, sf)))) {
+      val plan = finalPlan(df)
+      assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+    }
+  }
 }
