@@ -314,6 +314,11 @@ object ScaleSmoke {
         graft.operators.Privacy.ldpRandomizedResponse(ev).count())
       time("gini_stump", scale)(
         graft.operators.DecisionStump.giniStump(ev).count())
+      time("ips_policy_value", scale)(
+        graft.operators.OffPolicy.ipsPolicyValue(ev).count())
+      time("nelson_aalen", scale)(
+        graft.operators.Survival.nelsonAalen(
+          pseudoOrders.select(col("o_custkey"), col("o_orderdate"))).count())
       DistributedRank.release(spark)
       ev.unpersist()
 

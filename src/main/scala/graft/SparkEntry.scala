@@ -1625,7 +1625,15 @@ object SparkEntry {
     // DBSCAN over the fit-free LSH-cell candidate graph: core/border/
     // noise roles + min-label components, all oracle-replayable.
     "dbscan_lsh" -> ((s, dir) =>
-      graft.operators.Similarity.dbscanLsh(Tables.embeddings(s, dir)))
+      graft.operators.Similarity.dbscanLsh(Tables.embeddings(s, dir))),
+    // Nelson–Aalen cumulative hazard: sum-of-floors prefix windows over
+    // the churn-duration frame — the additive sibling of km_survival.
+    "nelson_aalen" -> ((s, dir) =>
+      graft.operators.Survival.nelsonAalen(Tables.orders(s, dir))),
+    // IPS / SNIPS off-policy value of the time-targeted promo policy
+    // from uniformly logged splitmix arms (propensity exactly 1/4).
+    "ips_policy_value" -> ((s, dir) =>
+      graft.operators.OffPolicy.ipsPolicyValue(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -5004,7 +5012,11 @@ object SparkEntry {
     "langid_kappa" ->
       graft.operators.ClassifierEval.langidKappaOracleSql,
     "dbscan_lsh" ->
-      graft.operators.Similarity.dbscanLshOracleSql()
+      graft.operators.Similarity.dbscanLshOracleSql(),
+    "nelson_aalen" ->
+      graft.operators.Survival.nelsonAalenOracleSql(),
+    "ips_policy_value" ->
+      graft.operators.OffPolicy.ipsPolicyValueOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
