@@ -319,6 +319,13 @@ object ScaleSmoke {
       time("nelson_aalen", scale)(
         graft.operators.Survival.nelsonAalen(
           pseudoOrders.select(col("o_custkey"), col("o_orderdate"))).count())
+      // omnibus k-group tests: value-domain histograms + grid windows
+      time("kruskal_wallis", scale)(
+        graft.operators.GroupTests.kruskalWallis(ev).count())
+      time("cochran_armitage", scale)(
+        graft.operators.GroupTests.cochranArmitage(ev).count())
+      time("brown_forsythe", scale)(
+        graft.operators.GroupTests.brownForsythe(ev).count())
       DistributedRank.release(spark)
       ev.unpersist()
 

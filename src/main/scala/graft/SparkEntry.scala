@@ -1633,7 +1633,17 @@ object SparkEntry {
     // IPS / SNIPS off-policy value of the time-targeted promo policy
     // from uniformly logged splitmix arms (propensity exactly 1/4).
     "ips_policy_value" -> ((s, dir) =>
-      graft.operators.OffPolicy.ipsPolicyValue(Tables.events(s, dir)))
+      graft.operators.OffPolicy.ipsPolicyValue(Tables.events(s, dir))),
+    // Tie-corrected Kruskal–Wallis H across types on doubled pooled
+    // ranks; sum-of-floors micros contract.
+    "kruskal_wallis" -> ((s, dir) =>
+      graft.operators.GroupTests.kruskalWallis(Tables.events(s, dir))),
+    // Cochran–Armitage trend of purchase rate across ordered day-parts.
+    "cochran_armitage" -> ((s, dir) =>
+      graft.operators.GroupTests.cochranArmitage(Tables.events(s, dir))),
+    // Brown–Forsythe (median-centered Levene) variance homogeneity.
+    "brown_forsythe" -> ((s, dir) =>
+      graft.operators.GroupTests.brownForsythe(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -5016,7 +5026,13 @@ object SparkEntry {
     "nelson_aalen" ->
       graft.operators.Survival.nelsonAalenOracleSql(),
     "ips_policy_value" ->
-      graft.operators.OffPolicy.ipsPolicyValueOracleSql
+      graft.operators.OffPolicy.ipsPolicyValueOracleSql,
+    "kruskal_wallis" ->
+      graft.operators.GroupTests.kruskalWallisOracleSql,
+    "cochran_armitage" ->
+      graft.operators.GroupTests.cochranArmitageOracleSql,
+    "brown_forsythe" ->
+      graft.operators.GroupTests.brownForsytheOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified
