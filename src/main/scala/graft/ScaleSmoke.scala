@@ -326,6 +326,8 @@ object ScaleSmoke {
         graft.operators.GroupTests.cochranArmitage(ev).count())
       time("brown_forsythe", scale)(
         graft.operators.GroupTests.brownForsythe(ev).count())
+      time("jonckheere_terpstra", scale)(
+        graft.operators.GroupTests.jonckheereTerpstra(ev).count())
       DistributedRank.release(spark)
       ev.unpersist()
 

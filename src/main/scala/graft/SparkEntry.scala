@@ -1643,7 +1643,11 @@ object SparkEntry {
       graft.operators.GroupTests.cochranArmitage(Tables.events(s, dir))),
     // Brown–Forsythe (median-centered Levene) variance homogeneity.
     "brown_forsythe" -> ((s, dir) =>
-      graft.operators.GroupTests.brownForsythe(Tables.events(s, dir)))
+      graft.operators.GroupTests.brownForsythe(Tables.events(s, dir))),
+    // Jonckheere–Terpstra ordered-alternative statistic on the doubled
+    // lattice with the exact null expectation.
+    "jonckheere_terpstra" -> ((s, dir) =>
+      graft.operators.GroupTests.jonckheereTerpstra(Tables.events(s, dir)))
   )
 
   private val stopwords = Seq("the", "a", "of", "and")
@@ -5032,7 +5036,9 @@ object SparkEntry {
     "cochran_armitage" ->
       graft.operators.GroupTests.cochranArmitageOracleSql,
     "brown_forsythe" ->
-      graft.operators.GroupTests.brownForsytheOracleSql
+      graft.operators.GroupTests.brownForsytheOracleSql,
+    "jonckheere_terpstra" ->
+      graft.operators.GroupTests.jonckheereTerpstraOracleSql
   )
 
   /** DuckDB recursive-CTE prefix shared by the cluster oracles: verified

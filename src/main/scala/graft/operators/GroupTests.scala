@@ -183,6 +183,92 @@ object GroupTests {
       |    AS BIGINT) AS z2_micros
       |FROM agg""".stripMargin
 
+  /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954;
+    * Terpstra 1952) — the directional refinement of [[kruskalWallis]]
+    * when the groups carry a natural ORDER (day-parts 0..3 here): the
+    * statistic accumulates, over every ordered group pair i < j, the
+    * Mann–Whitney count of earlier-group values below later-group
+    * values, so a monotone shift shows up where the omnibus H only sees
+    * "different".
+    *
+    * Kept integral DOUBLED (ties count 1 where wins count 2):
+    *
+    *   JT2 = Σ_{i<j} Σ_v n_j(v) · (2·cumlt_i(v) + n_i(v))
+    *   E[JT2] under H₀ = (N² − Σ n_i²)/2      (exact integer)
+    *
+    * where cumlt_i(v) is group i's count strictly below v — one prefix
+    * window per group on the shared distinct-cents grid, then a k²/2
+    * pair join of group-grid frames (k = 4 day-parts). The centered
+    * statistic jt2_minus_e rides along signed; no variance normal
+    * approximation is emitted (the tie-corrected variance is a float
+    * affair — the exact centered statistic is the lattice-safe readout).
+    *
+    * Scale: everything after the histogram reduction is bounded by
+    * k × value domain.
+    */
+  def jonckheereTerpstra(events: DataFrame): DataFrame = {
+    val hist = events
+      .select(expr("hour(ts) DIV 6").as("g"), cents.as("v"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val grid = hist.select(col("v")).distinct()
+    val dense = grid
+      .crossJoin(hist.select(col("g")).distinct())
+      .join(hist, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val byGV = Window.partitionBy(col("g")).orderBy(col("v"))
+    val pre = dense
+      .withColumn("cumlt",
+        coalesce(sum(col("c")).over(
+          byGV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val a = pre.select(col("g").as("gi"), col("v"),
+      col("c").as("ci"), col("cumlt").as("clti"))
+    val b = pre.select(col("g").as("gj"), col("v"), col("c").as("cj"))
+    val jt = a.join(b, Seq("v"))
+      .filter(col("gi") < col("gj"))
+      .agg(sum(col("cj") * (lit(2L) * col("clti") + col("ci"))).as("jt2"))
+    val sizes = hist.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val tot = sizes.agg(sum(col("n_g")).as("n"),
+      sum(col("n_g") * col("n_g")).as("sn2"))
+    sizes.crossJoin(broadcast(jt)).crossJoin(broadcast(tot))
+      .withColumn("e_jt2", expr("(n * n - sn2) DIV 2"))
+      .withColumn("jt2_minus_e", col("jt2") - col("e_jt2"))
+      .select(col("g").as("daypart"), col("n_g"), col("n"),
+        col("jt2"), col("e_jt2"), col("jt2_minus_e"))
+      .orderBy(col("daypart"))
+  }
+
+  def jonckheereTerpstraOracleSql: String =
+    """WITH hist AS (
+      |  SELECT hour(ts) // 6 AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT gs.g, vs.v, COALESCE(h.c, 0) AS c
+      |  FROM (SELECT DISTINCT v FROM hist) vs
+      |  CROSS JOIN (SELECT DISTINCT g FROM hist) gs
+      |  LEFT JOIN hist h ON h.g = gs.g AND h.v = vs.v),
+      |pre AS (
+      |  SELECT g, v, c,
+      |    COALESCE(CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS cumlt
+      |  FROM dense),
+      |jt AS (
+      |  SELECT CAST(sum(b.c * (2 * a.cumlt + a.c)) AS BIGINT) AS jt2
+      |  FROM pre a JOIN pre b ON a.v = b.v AND a.g < b.g),
+      |sizes AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g
+      |  FROM hist GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(sum(n_g * n_g) AS BIGINT) AS sn2
+      |  FROM sizes)
+      |SELECT s.g AS daypart, s.n_g, t.n, j.jt2,
+      |  (t.n * t.n - t.sn2) // 2 AS e_jt2,
+      |  j.jt2 - (t.n * t.n - t.sn2) // 2 AS jt2_minus_e
+      |FROM sizes s, jt j, tot t
+      |ORDER BY daypart""".stripMargin
+
   /** Brown–Forsythe homogeneity-of-variance test (Brown & Forsythe,
     * JASA 1974 — Levene's test with the group MEDIAN center, the robust
     * variant): on z = |cents − median_g|,

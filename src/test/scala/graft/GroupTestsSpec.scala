@@ -70,6 +70,27 @@ class GroupTestsSpec extends SparkTestBase {
     assert(d.forall(_.getAs[Long]("w_micros") > 0L))
   }
 
+  test("jonckheereTerpstra: hand-checked ordered shift") {
+    // daypart 0 values {1,2}, daypart 1 values {3,4}: all 4 cross pairs
+    // are wins for the later group → JT = 4 → JT2 = 8; E[JT2] =
+    // (16 − 8)/2 = 4 → centered +4
+    val df = ev(Seq(("click", 1, 0.01), ("click", 2, 0.02),
+      ("click", 7, 0.03), ("click", 8, 0.04)))
+    val out = GroupTests.jonckheereTerpstra(df).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("jt2") == 8L)
+      assert(r.getAs[Long]("e_jt2") == 4L)
+      assert(r.getAs[Long]("jt2_minus_e") == 4L)
+    }
+    // ties: both groups all at one value → JT2 = ties = n0·n1 = 4 = E
+    val tied = ev(Seq(("click", 1, 0.05), ("click", 2, 0.05),
+      ("click", 7, 0.05), ("click", 8, 0.05)))
+    val t = GroupTests.jonckheereTerpstra(tied).collect().head
+    assert(t.getAs[Long]("jt2") == 4L)
+    assert(t.getAs[Long]("jt2_minus_e") == 0L)
+  }
+
   test("brownForsythe medians are exact lower medians per group") {
     val df = ev(Seq(("a", 1, 0.01), ("a", 1, 0.02), ("a", 1, 0.09),
       ("b", 1, 0.04), ("b", 1, 0.08)))
