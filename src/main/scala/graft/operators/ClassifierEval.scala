@@ -50,11 +50,16 @@ object ClassifierEval {
         sum(col("p") * col("rank2")).as("r1x2"))
       .withColumn("n_neg", col("n_all") - col("n_pos"))
       .withColumn("u2", col("r1x2") - col("n_pos") * (col("n_pos") + 1L))
+      // single-class corpora (n_pos·n_neg = 0) define both metrics as 0
+      // by contract — same degenerate-input posture as mcnemar /
+      // stumpConfusion / SNIPS, and identical in the oracle.
       .withColumn("auc_micros",
-        expr("u2 * 1000000 DIV (2 * n_pos * n_neg)"))
+        expr("CASE WHEN n_pos * n_neg > 0" +
+          " THEN u2 * 1000000 DIV (2 * n_pos * n_neg) ELSE 0 END"))
       .withColumn("gini_num", col("u2") - col("n_pos") * col("n_neg"))
       .withColumn("gini_micros", expr(
-        "CASE WHEN gini_num >= 0 THEN gini_num * 1000000 DIV (n_pos * n_neg)" +
+        "CASE WHEN n_pos * n_neg = 0 THEN 0" +
+          " WHEN gini_num >= 0 THEN gini_num * 1000000 DIV (n_pos * n_neg)" +
           " ELSE -((-gini_num) * 1000000 DIV (n_pos * n_neg)) END"))
       .select(col("n_all"), col("n_pos"), col("n_neg"),
         col("auc_micros"), col("gini_micros"))
@@ -83,8 +88,11 @@ object ClassifierEval {
       |    r1x2 - n_pos * (n_pos + 1) AS u2
       |  FROM agg)
       |SELECT n_all, n_pos, n_neg,
-      |  u2 * 1000000 // (2 * n_pos * n_neg) AS auc_micros,
-      |  CASE WHEN u2 - n_pos * n_neg >= 0
+      |  CASE WHEN n_pos * n_neg > 0
+      |    THEN u2 * 1000000 // (2 * n_pos * n_neg) ELSE 0 END
+      |    AS auc_micros,
+      |  CASE WHEN n_pos * n_neg = 0 THEN 0
+      |    WHEN u2 - n_pos * n_neg >= 0
       |    THEN (u2 - n_pos * n_neg) * 1000000 // (n_pos * n_neg)
       |    ELSE -((-(u2 - n_pos * n_neg)) * 1000000 // (n_pos * n_neg)) END
       |    AS gini_micros

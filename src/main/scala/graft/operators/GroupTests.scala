@@ -151,11 +151,17 @@ object GroupTests {
         sum(col("w") * col("p_i")).as("swp"),
         sum(col("w") * col("w") * col("n_i")).as("sw2n"))
       .withColumn("t_num", col("n") * col("swp") - col("p") * col("swn"))
+      // degenerate corpora (single-class: p = 0 or p = n; or zero score
+      // variance: all mass in one daypart) define Z² = 0 by contract —
+      // the mcnemar/stumpConfusion posture, identical in the oracle.
       .withColumn("z2_micros", expr(
-        "CAST((CAST(t_num AS DECIMAL(38,0)) * t_num * n * 1000000)" +
+        "CASE WHEN p * (n - p) *" +
+          " (CAST(n AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0)) * swn)" +
+          " <= 0 THEN 0 ELSE" +
+          " CAST((CAST(t_num AS DECIMAL(38,0)) * t_num * n * 1000000)" +
           " DIV (CAST(p AS DECIMAL(38,0)) * (n - p)" +
           " * (CAST(n AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0)) * swn))" +
-          " AS BIGINT)"))
+          " AS BIGINT) END"))
       .select(col("n"), col("p"), col("swn"), col("swp"), col("sw2n"),
         col("t_num"), col("z2_micros"))
   }
@@ -176,11 +182,14 @@ object GroupTests {
       |  FROM parts)
       |SELECT n, p, swn, swp, sw2n,
       |  n * swp - p * swn AS t_num,
+      |  CASE WHEN CAST(p AS HUGEINT) * (n - p)
+      |      * (CAST(n AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn) <= 0
+      |    THEN 0 ELSE
       |  CAST((CAST(n * swp - p * swn AS HUGEINT) * (n * swp - p * swn)
       |      * n * 1000000)
       |    // (CAST(p AS HUGEINT) * (n - p)
       |      * (CAST(n AS HUGEINT) * sw2n - CAST(swn AS HUGEINT) * swn))
-      |    AS BIGINT) AS z2_micros
+      |    AS BIGINT) END AS z2_micros
       |FROM agg""".stripMargin
 
   /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954;

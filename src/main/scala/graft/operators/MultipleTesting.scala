@@ -163,7 +163,7 @@ ${mixChain("b1", "x1", Seq("event_type", "daypart", "x", "b"), "z0")},
 bits AS (SELECT event_type, daypart, x, b,
   CAST(mx % 2 AS BIGINT) AS bit FROM b14),
 obs AS (SELECT event_type, daypart, count(*) AS n, sum(x) AS sx,
-  sum(u % 2) AS na, sum((u % 2) * x) AS sa
+  sum(((u % 2) + 2) % 2) AS na, sum((((u % 2) + 2) % 2) * x) AS sa
   FROM units GROUP BY 1, 2),
 reps AS (SELECT event_type, daypart, b,
   sum(bit) AS nab, sum(bit * x) AS sab

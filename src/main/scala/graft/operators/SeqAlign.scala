@@ -438,11 +438,21 @@ object SeqAlign {
       .withColumn("cum", sum(col("e")).over(byT))
       .withColumn("pm", min(struct(col("cum").as("c"), col("t").as("k")))
         .over(byT.rowsBetween(Window.unboundedPreceding, -1)))
-      // cum_{first-1} = 0 at k = first−1: the empty prefix is a legal cut
-      .withColumn("pmc", coalesce(col("pm.c"), lit(0L)))
-      .withColumn("pmk", coalesce(col("pm.k"), col("t") - 1L))
-      .withColumn("s", col("cum") - col("pmc"))
-      .withColumn("l", col("pmk") + 1L)
+      // cum_{first-1} = 0 at k = first−1 (the empty prefix) is a legal
+      // cut for EVERY row, not just the first: fold the virtual cut
+      // (0, first_t−1) into the running min so a window starting at the
+      // first grid hour is still found when later prefix cums are all
+      // positive. Lexicographic least keeps the earliest-k tie rule
+      // (the virtual cut has the smallest k, so a 0-valued min resolves
+      // to it — same tie outcome as a materialized cum_{first-1} row).
+      .withColumn("ft", min(col("t"))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("pm2", {
+        val virt = struct(lit(0L).as("c"), (col("ft") - 1L).as("k"))
+        least(coalesce(col("pm"), virt), virt)
+      })
+      .withColumn("s", col("cum") - col("pm2.c"))
+      .withColumn("l", col("pm2.k") + 1L)
     scored
       .groupBy(col("event_type"), col("n"), col("m0"))
       .agg(min(struct((-col("s")).as("ns"), col("l").as("l"),
@@ -481,13 +491,18 @@ object SeqAlign {
       |  SELECT event_type, n, m0, t, cum,
       |    min({'c': cum, 'k': t})
       |      OVER (PARTITION BY event_type ORDER BY t
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+      |    min(t) OVER (PARTITION BY event_type) AS ft
       |  FROM cums),
       |cand AS (
       |  SELECT event_type, n, m0,
-      |    cum - COALESCE((pm).c, 0) AS s,
-      |    COALESCE((pm).k, t - 1) + 1 AS l, t AS r
-      |  FROM scored),
+      |    cum - (pm2).c AS s,
+      |    (pm2).k + 1 AS l, t AS r
+      |  FROM (
+      |    SELECT *, (list_sort([
+      |        COALESCE(pm, {'c': CAST(0 AS BIGINT), 'k': ft - 1}),
+      |        {'c': CAST(0 AS BIGINT), 'k': ft - 1}]))[1] AS pm2
+      |    FROM scored)),
       |best AS (
       |  SELECT event_type, n, m0,
       |    min({'ns': -s, 'l': l, 'r': r}) AS b

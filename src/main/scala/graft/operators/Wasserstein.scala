@@ -37,8 +37,12 @@ object Wasserstein {
     */
   def w1ValueDrift(events: DataFrame): DataFrame = {
     val cents = graft.queries.Analytics.centsOf(col("value")).cast("long")
-    // one row per (event_type, cent value): domain-bounded
+    // one row per (event_type, cent value): domain-bounded. Null values
+    // carry no mass in either empirical — drop them identically to the
+    // oracle's WHERE value IS NOT NULL (after which `v` is never null,
+    // so Spark's NULLS FIRST vs DuckDB's NULLS LAST cannot diverge).
     val hist = events
+      .filter(col("value").isNotNull)
       .select(col("event_type").as("t"), cents.as("v"))
       .groupBy(col("t"), col("v"))
       .agg(count(lit(1)).as("c"))
@@ -92,8 +96,13 @@ object Wasserstein {
         col("n_a").cast(d38) * col("n_b").cast(d38))
       .select(
         col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-        col("w1_num").cast("decimal(38,0)").as("w1_num"),
-        col("w1_den").cast("decimal(38,0)").as("w1_den"),
+        // over-int64-capable exact integers travel as STRINGS (the
+        // value_moments convention, Analytics.scala:1557): DuckDB
+        // materializes DECIMAL(38,0) into pandas as float64, so a raw
+        // decimal column hash-mismatches the driver even when the
+        // values are identical.
+        col("w1_num").cast("decimal(38,0)").cast("string").as("w1_num"),
+        col("w1_den").cast("decimal(38,0)").cast("string").as("w1_den"),
         expr("CAST(CAST(w1_num AS DECIMAL(38,0)) * 1000000" +
           " DIV (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))" +
           " AS BIGINT)").as("w1_cents_micros"))
@@ -108,7 +117,7 @@ object Wasserstein {
       |  SELECT event_type AS t,
       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
       |         count(*) AS c
-      |  FROM events GROUP BY event_type, v
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type, v
       |),
       |pairs AS (
       |  SELECT a.t AS type_a, b.t AS type_b
@@ -139,11 +148,11 @@ object Wasserstein {
       |SELECT type_a, type_b,
       |  CAST(max(n_a) AS BIGINT) AS n_a,
       |  CAST(max(n_b) AS BIGINT) AS n_b,
-      |  CAST(sum(abs(CAST(cum_a AS HUGEINT) * n_b
+      |  CAST(CAST(sum(abs(CAST(cum_a AS HUGEINT) * n_b
       |              - CAST(cum_b AS HUGEINT) * n_a) * gap)
-      |       AS DECIMAL(38,0)) AS w1_num,
-      |  CAST(CAST(max(n_a) AS HUGEINT) * max(n_b) AS DECIMAL(38,0))
-      |    AS w1_den,
+      |       AS DECIMAL(38,0)) AS VARCHAR) AS w1_num,
+      |  CAST(CAST(CAST(max(n_a) AS HUGEINT) * max(n_b) AS DECIMAL(38,0))
+      |    AS VARCHAR) AS w1_den,
       |  CAST(sum(abs(CAST(cum_a AS HUGEINT) * n_b
       |              - CAST(cum_b AS HUGEINT) * n_a) * gap) * 1000000
       |       // (CAST(max(n_a) AS HUGEINT) * max(n_b)) AS BIGINT)

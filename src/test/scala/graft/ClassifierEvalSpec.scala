@@ -30,6 +30,25 @@ class ClassifierEvalSpec extends SparkTestBase {
     assert(t.getAs[Long]("gini_micros") == 0L)
   }
 
+  test("rocAucValue: single-class input defines AUC and Gini as 0") {
+    // no purchases at all → n_pos·n_neg = 0: contract value 0, not NULL
+    val neg = ev(Seq(
+      (1L, "click", "2024-01-01 10:00:00", 1.0),
+      (2L, "view", "2024-01-01 11:00:00", 2.0)))
+    val r = ClassifierEval.rocAucValue(neg).collect().head
+    assert(r.getAs[Long]("n_pos") == 0L)
+    assert(r.getAs[Long]("auc_micros") == 0L)
+    assert(r.getAs[Long]("gini_micros") == 0L)
+    // all purchases → n_neg = 0: same contract
+    val pos = ev(Seq(
+      (1L, "purchase", "2024-01-01 10:00:00", 1.0),
+      (2L, "purchase", "2024-01-01 11:00:00", 2.0)))
+    val p = ClassifierEval.rocAucValue(pos).collect().head
+    assert(p.getAs[Long]("n_neg") == 0L)
+    assert(p.getAs[Long]("auc_micros") == 0L)
+    assert(p.getAs[Long]("gini_micros") == 0L)
+  }
+
   test("rocAucValue: hand-checked mixed case with a tie block") {
     // neg at 1, pos at 2, neg at 2, pos at 3:
     // pairs (pos > neg): (2,1)=1, (2,2)=1/2, (3,1)=1, (3,2)=1 → 3.5/4

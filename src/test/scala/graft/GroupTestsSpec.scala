@@ -56,6 +56,21 @@ class GroupTestsSpec extends SparkTestBase {
     assert(f.getAs[Long]("z2_micros") == 0L)
   }
 
+  test("cochranArmitage: degenerate corpora define Z² = 0, not NULL") {
+    // single-class (no purchases): p = 0 → denominator 0 → contract 0
+    val noPos = for (w <- 0 to 3; _ <- 0 until 3)
+      yield ("click", w * 6 + 1, 1.0)
+    val n = GroupTests.cochranArmitage(ev(noPos)).collect().head
+    assert(!n.isNullAt(n.fieldIndex("z2_micros")))
+    assert(n.getAs[Long]("z2_micros") == 0L)
+    // zero score variance (all events in one day-part): same contract
+    val oneBin = Seq(("purchase", 1, 1.0), ("click", 1, 1.0),
+      ("click", 2, 1.0))
+    val o = GroupTests.cochranArmitage(ev(oneBin)).collect().head
+    assert(!o.isNullAt(o.fieldIndex("z2_micros")))
+    assert(o.getAs[Long]("z2_micros") == 0L)
+  }
+
   test("brownForsythe: equal spreads score near zero, unequal large") {
     // group a spread {1,3}, group b spread {1,3} (same dispersion,
     // different centers) → z-values identical → between term 0

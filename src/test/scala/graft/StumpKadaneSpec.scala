@@ -72,6 +72,23 @@ class StumpKadaneSpec extends SparkTestBase {
     assert(r.getAs[Long]("burst_start_epoch_hour") % 24 == 0L)
   }
 
+  test("maxBurstWindow: burst starting at the first grid hour, length > 1") {
+    // counts 5,5,2 → m0 = 12 DIV 3 = 4, e = 1,1,-2, cum = 1,2,0.
+    // Best window = hours 0..1 (sum 2) — reachable only via the virtual
+    // empty-prefix cut cum_{first-1}=0, which the pre-fix prefix-min
+    // omitted for every row after the first (it reported best_sum=1).
+    val rows = Seq((0, 5), (1, 5), (2, 2)).flatMap {
+      case (h, c) => (0 until c).map(k => ((h * 100 + k).toLong, "click",
+        Timestamp.valueOf(f"2024-01-01 0$h:15:00")))
+    }
+    val ev = rows.toDF("event_id", "event_type", "ts")
+    val r = SeqAlign.maxBurstWindow(ev).collect().head
+    assert(r.getAs[Long]("m0") == 4L)
+    assert(r.getAs[Long]("best_sum") == 2L)
+    assert(r.getAs[Long]("burst_hours") == 2L)
+    assert(r.getAs[Long]("burst_start_epoch_hour") % 24 == 0L)
+  }
+
   test("cvmDrift: zero for identical distributions, positive for a shift") {
     val same = (0L until 40L).map(i =>
       (i, s"src${i % 2}", "t", (100 + (i % 5)).toInt))
