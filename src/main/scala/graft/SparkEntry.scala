@@ -772,9 +772,11 @@ object SparkEntry {
     // Exact one-pass distributed variance/skewness numerators on cents.
     "value_moments" -> ((s, dir) =>
       Analytics.valueMoments(Tables.events(s, dir))),
-    // MOSS winnowing fingerprints (char 8-grams, window 4).
+    // MOSS winnowing fingerprints (char 8-grams, window 4) — the native
+    // one-pass WinnowStats expression is the hot path (28x the
+    // explode+window spelling, equality-spec-pinned identical output).
     "winnow_fingerprints" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
+      TextAnalysis.winnowFingerprintsNative(Tables.documents(s, dir))),
     // Exact triangle counts + clustering coefficient on the doc graph.
     "doc_triangles" -> ((s, dir) =>
       Centrality.docTriangles(Tables.documents(s, dir))),
@@ -785,10 +787,11 @@ object SparkEntry {
     // Sweep-line interval concurrency: max simultaneous sessions per day.
     "concurrent_sessions" -> ((s, dir) =>
       Analytics.concurrentSessions(Tables.events(s, dir))),
-    // Winnowing via the native one-pass WinnowStats expression (same
-    // output, same oracle — the hot-path variant).
-    "winnow_fingerprints_native" -> ((s, dir) =>
-      TextAnalysis.winnowFingerprintsNative(Tables.documents(s, dir))),
+    // The declarative explode+window spelling of the same pipeline —
+    // kept oracled as executable documentation of the algorithm the
+    // native expression compresses (same output, same oracle).
+    "winnow_fingerprints_decl" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir))),
     // Winnowing-based near-dup candidate pairs (df-capped hash join).
     "winnow_candidate_pairs" -> ((s, dir) =>
       TextAnalysis.winnowCandidatePairs(Tables.documents(s, dir))),
@@ -3860,7 +3863,7 @@ object SparkEntry {
     // The same SQL oracles BOTH spellings (declarative and native
     // expression) — they are output-identical by contract.
     "winnow_fingerprints" -> winnowOracleSql,
-    "winnow_fingerprints_native" -> winnowOracleSql,
+    "winnow_fingerprints_decl" -> winnowOracleSql,
     "winnow_candidate_pairs" -> winnowPairsOracleSql,
     "split_leakage" -> splitLeakageOracleSql,
     "rendezvous_shards" -> SketchOracles.rendezvousSql(),

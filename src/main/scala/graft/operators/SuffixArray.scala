@@ -62,18 +62,71 @@ object SuffixArray {
       levels: IndexedSeq[DataFrame],
       blocks: IndexedSeq[Long],
       n: Long, maxLen: Long,
-      /** duplicates (rem-filtered, cnt >= 2) exist at the LAST level's
-        * block — false means the chain stopped because LRS < last block
-        * (no deeper level can ever be probed), true means it stopped at
-        * the maxLen bound. */
-      dupAtLast: Boolean)
+      private val dupAtLastThunk: () => Boolean) {
+    /** duplicates (rem-filtered, cnt >= 2) exist at the LAST level's
+      * block — false means the chain stopped because LRS < last block
+      * (no deeper level can ever be probed), true means it stopped at
+      * the maxLen bound. Lazily evaluated: builds whose caller never
+      * probes past the stop block (e.g. [[suffixArrayHead]]'s base-only
+      * build) skip the grouped-count job entirely.
+      */
+    lazy val dupAtLast: Boolean = dupAtLastThunk()
+  }
+
+  /** Session-scoped Ranks cache: the suffix index is derived once per
+    * corpus and consumed by several span queries (head, LRS,
+    * contamination, span plans) — exactly the production pattern of
+    * "build the index once, run span queries against it". Same caveats
+    * as the [[Dedup]] cluster-label cache: LocalRelation plans are
+    * never cached (canonicalization prints only their schema, so two
+    * in-memory fixtures would collide), the applicationId keys out
+    * frames whose localCheckpoint blocks died with a previous context,
+    * and computation runs outside the lock. Value = (stopBlock the
+    * build was requested with, the Ranks).
+    */
+  private val ranksCache =
+    scala.collection.mutable.Map.empty[(String, String), (Long, Ranks)]
+
+  /** A cached build serves a request iff it was built at least as deep
+    * (builtStop >= requested), or its chain terminated for a reason a
+    * deeper build could not change: the maxLen stop (blocks.last·2 >
+    * maxLen — the chain is already complete) or duplicates exhausted
+    * (!dupAtLast — LRS < last block, so every deeper probe is provably
+    * empty and [[sharedPrefixGroups]] returns empty from the duplicate-
+    * free last level).
+    */
+  private def satisfies(builtStop: Long, r: Ranks, requested: Long): Boolean =
+    builtStop >= requested || r.blocks.last * 2 > r.maxLen || !r.dupAtLast
+
+  /** Cached entry point: [[computeBuild]] behind the session-scoped
+    * [[ranksCache]].
+    */
+  def build(documents: DataFrame, stopBlock: Long = Long.MaxValue): Ranks = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val uncacheable =
+      documents.queryExecution.logical.exists(_.isInstanceOf[LocalRelation])
+    if (uncacheable) return computeBuild(documents, stopBlock)
+    val key = (documents.sparkSession.sparkContext.applicationId,
+      documents.queryExecution.logical.canonicalized.toString)
+    ranksCache.synchronized(ranksCache.get(key)) match {
+      case Some((builtStop, r)) if satisfies(builtStop, r, stopBlock) => r
+      case _ =>
+        val computed = computeBuild(documents, stopBlock)
+        ranksCache.synchronized {
+          if (ranksCache.size >= 4) ranksCache.clear()
+          ranksCache.update(key, (stopBlock, computed))
+          computed
+        }
+    }
+  }
 
   /** Run prefix doubling to completion (or to `stopBlock`, for callers
     * that only ever probe a fixed prefix length). Driver loop is
     * bounded by log2(maxLen) rounds; the only driver-side data are
     * per-round scalar counts.
     */
-  def build(documents: DataFrame, stopBlock: Long = Long.MaxValue): Ranks = {
+  private def computeBuild(
+      documents: DataFrame, stopBlock: Long = Long.MaxValue): Ranks = {
     val spark = documents.sparkSession
     val base = documents
       .filter(length(col("text")) >= 1)
@@ -109,12 +162,16 @@ object SuffixArray {
     val levels = scala.collection.mutable.ArrayBuffer(cur)
     val blocks = scala.collection.mutable.ArrayBuffer(BaseBlock)
     var block = BaseBlock
-    var dupAtLast = hasDup(cur, block)
+    // hasDup of the current last level, evaluated only when the block
+    // bound would allow another round — base-only builds (stopBlock =
+    // BaseBlock) and the final maxLen-stopped level skip the grouped-
+    // count job; Ranks.dupAtLast computes it lazily if a caller probes.
+    var lastDup: Option[Boolean] = None
     // the maxLen stop: once 2*block > maxLen, a probe at l <= maxLen
     // only ever uses the largest block <= l, and the dyadic chain
     // already guarantees 2*block > l there
-    while (dupAtLast && distinctKnown < n
-        && block * 2 <= math.min(maxLen, stopBlock)) {
+    while (block * 2 <= math.min(maxLen, stopBlock) && distinctKnown < n
+        && { val d = hasDup(cur, block); lastDup = Some(d); d }) {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val paired = cur
         .withColumn("r2", coalesce(lead(col("r"), block.toInt).over(w), lit(0L)))
@@ -140,10 +197,11 @@ object SuffixArray {
       block *= 2
       levels += cur
       blocks += block
-      dupAtLast = hasDup(cur, block)
+      lastDup = None
     }
+    val (lastLevel, lastBlock, known) = (cur, block, lastDup)
     Ranks(documents, levels.toIndexedSeq, blocks.toIndexedSeq, n, maxLen,
-      dupAtLast)
+      () => known.getOrElse(hasDup(lastLevel, lastBlock)))
   }
 
   /** The head of the suffix array: the `k` lexicographically smallest
@@ -163,20 +221,17 @@ object SuffixArray {
     * argument.)
     */
   def suffixArrayHead(documents: DataFrame, k: Int = 100): DataFrame = {
-    val base = documents
-      .filter(length(col("text")) >= 1)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("pos"))
-      .select(col("doc_id"), col("text"), col("pos").cast("long").as("pos"),
-        expr(s"substr(text, pos, $BaseBlock)").as("b8"))
-    val blockRank = DistributedRank.withGlobalRank(
-      base.select(col("b8")).distinct(), Seq(col("b8")), rankCol = "br")
-    val cand = base
-      .join(blockRank.filter(col("br") <= k), Seq("b8"))
+    // the base level's r IS the dense 8-char block rank, so the shared
+    // (cached) base-only build replaces the standalone distinct+rank
+    // pass; only the <= k smallest blocks' suffixes rejoin `documents`
+    // to materialize their suffix strings.
+    val ranks = build(documents, stopBlock = BaseBlock)
+    val cand = ranks.levels(0)
+      .filter(col("r") <= k)
+      .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
-        expr("substr(text, pos)").as("s"))
+        expr("substr(text, CAST(pos AS INT))").as("s"))
       .localCheckpoint() // bounded: <= k distinct blocks' suffixes
-    DistributedRank.release(documents.sparkSession)
     val strRank = DistributedRank.withGlobalRank(
       cand.select(col("s")).distinct(), Seq(col("s")), rankCol = "suffix_rank")
     val out = cand.join(strRank, Seq("s"))
