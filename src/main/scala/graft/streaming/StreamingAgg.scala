@@ -403,6 +403,25 @@ object StreamingAgg {
         sink(b.toDF(), id))
       .start()
 
+  /** foreachBatch sink body targeting a real SQL backend: each update-mode
+    * micro-batch MERGEs into the served table via [[graft.sources.Sources
+    * .upsertJdbc]] — the executable counterpart of the reference's
+    * `INSERT ... ON CONFLICT DO UPDATE` flush (upsert_aggregation.sql:1-19,
+    * called from aggregation_service.py's flush tick), with `created_at`
+    * stamped per flush exactly like the reference's EXCLUDED.created_at.
+    * Compose with [[startWithFlushCadence]]:
+    * `startWithFlushCadence(agg)(jdbcUpsertSink(url, table, keys))`.
+    * Replay-idempotent: re-delivered micro-batches re-MERGE the same
+    * keyed aggregates (SourcesObsSpec replay test).
+    */
+  def jdbcUpsertSink(
+      url: String, table: String,
+      keyCols: Seq[String] = Seq("window_start", "event_type"))
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      graft.sources.Sources.upsertJdbc(
+        batch.withColumn("created_at", lit(batchId)), url, table, keyCols)
+
   /** foreachBatch sink body: last-write-wins upsert of a micro-batch into a
     * parquet target keyed by (window_start, event_type) — the relational
     * equivalent of the reference's `INSERT ... ON CONFLICT DO UPDATE`

@@ -184,6 +184,87 @@ class SourcesObsSpec extends SparkTestBase {
     }
   }
 
+  test("write-side MERGE upsert: ON CONFLICT DO UPDATE semantics, replay-idempotent (embedded Derby)") {
+    // The reference flushes aggregates with INSERT ... ON CONFLICT
+    // (window_start, event_type) DO UPDATE SET col = EXCLUDED.col
+    // (upsert_aggregation.sql:1-19). upsertJdbc spells that as ANSI MERGE
+    // and must (a) insert fresh keys, (b) OVERWRITE matched keys with the
+    // incoming batch's values (LWW), (c) leave state unchanged on an
+    // at-least-once replay of the same batch, (d) survive multi-partition
+    // writes and sub-batchSize chunking.
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_merge;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE hourly_agg (
+          |  window_start BIGINT NOT NULL,
+          |  event_type VARCHAR(16) NOT NULL,
+          |  event_count BIGINT,
+          |  total_value DOUBLE,
+          |  created_at BIGINT,
+          |  PRIMARY KEY (window_start, event_type))""".stripMargin)
+      def readBack(): Map[(Long, String), (Long, Double, Long)] =
+        Sources.jdbcTable(spark, url, "hourly_agg",
+            partitionColumn = "window_start", lower = 0L, upper = 10L,
+            numPartitions = 2)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) ->
+            ((r.getLong(2), r.getDouble(3), r.getLong(4))))
+          .toMap
+      val sink = graft.streaming.StreamingAgg.jdbcUpsertSink(
+        url, "hourly_agg", Seq("window_start", "event_type"))
+
+      // flush 1: five fresh keys across 4 partitions, batchSize default
+      val b1 = Seq(
+        (0L, "click", 10L, 1.5), (0L, "view", 20L, 2.5),
+        (1L, "click", 30L, 3.5), (1L, "purchase", 40L, 4.5),
+        (2L, "view", 50L, 5.5))
+        .toDF("window_start", "event_type", "event_count", "total_value")
+        .repartition(4)
+      sink(b1, 1L)
+      val s1 = readBack()
+      assert(s1.size == 5)
+      assert(s1((0L, "click")) == ((10L, 1.5, 1L)))
+      assert(s1((2L, "view")) == ((50L, 5.5, 1L)))
+
+      // flush 2: two conflicting keys (updated counts) + one new key —
+      // matched rows take the EXCLUDED (new) values, reference LWW
+      val b2 = Seq(
+        (0L, "click", 11L, 9.9), (1L, "purchase", 44L, 8.8),
+        (3L, "click", 60L, 6.5))
+        .toDF("window_start", "event_type", "event_count", "total_value")
+      sink(b2, 2L)
+      val s2 = readBack()
+      assert(s2.size == 6)
+      assert(s2((0L, "click")) == ((11L, 9.9, 2L))) // overwritten
+      assert(s2((1L, "purchase")) == ((44L, 8.8, 2L))) // overwritten
+      assert(s2((1L, "click")) == ((30L, 3.5, 1L))) // untouched
+      assert(s2((3L, "click")) == ((60L, 6.5, 2L))) // inserted
+
+      // at-least-once replay of flush 2 (same batchId): state unchanged
+      sink(b2, 2L)
+      assert(readBack() == s2)
+
+      // chunking: 7 rows through batchSize=3 exercises mid-stream
+      // executeBatch plus the trailing partial batch
+      val b3 = (0 until 7).map(i => (i.toLong, "bulk", i * 2L, i * 0.5, 3L))
+        .toDF("window_start", "event_type", "event_count", "total_value",
+          "created_at")
+      Sources.upsertJdbc(b3, url, "hourly_agg",
+        Seq("window_start", "event_type"), batchSize = 3)
+      val s3 = readBack()
+      assert(s3.size == 13)
+      assert(s3((6L, "bulk")) == ((12L, 3.0, 3L)))
+      assert(s3 == s2 ++ s3.filter(_._1._2 == "bulk")) // others untouched
+    } finally {
+      try conn.close() finally {
+        try java.sql.DriverManager.getConnection("jdbc:derby:memory:graft_merge;drop=true")
+        catch { case _: java.sql.SQLException => () }
+      }
+    }
+  }
+
   test("ORC round-trip: events survive the other columnar wire format") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     try {
