@@ -442,6 +442,17 @@ object ScaleSmoke {
         graft.functions.TextAnalysis.langidConfusion(docs).count())
       time("span_trim_plan", scale)(
         force(graft.operators.SpanDedup.spanTrimPlan(docs)))
+      // round-10: the apply steps (corpus rewrite) and the composed
+      // regeneration pipeline (trim-apply -> md5 dedup -> re-split ->
+      // leak audit). mask-apply is map-only; trim-apply adds one doc_id
+      // join over the plan; regen adds a digest groupBy + the hashed-
+      // window distinct on the SURVIVOR corpus.
+      time("span_mask_apply", scale)(
+        force(graft.operators.SpanDedup.spanMaskApply(docs)))
+      time("span_trim_apply", scale)(
+        force(graft.operators.SpanDedup.spanTrimApply(docs)))
+      time("curation_regen_splits", scale)(
+        graft.operators.Curation.regenSplits(docs).count())
       // round-9 session: LM / tokenizer / corpus-stat additions.
       // kn/backoff models are vocab²-bounded window+join frames over the
       // bigram reduction; ngram_novelty is one min() window on hashed

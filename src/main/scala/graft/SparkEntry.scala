@@ -1371,6 +1371,11 @@ object SparkEntry {
     // position, clipped interval union, sentinel counts, mask ppm.
     "span_mask_plan" -> ((s, dir) =>
       graft.operators.SpanDedup.spanMaskPlan(Tables.documents(s, dir))),
+    // Mask APPLY: rewrite the corpus with the sentinel in place of every
+    // gated-span token — map-only (the gate is a pure (doc_id, pos)
+    // function), zero shuffles.
+    "span_mask_apply" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanMaskApply(Tables.documents(s, dir))),
     // Link prediction on the shared-span graph: distance-2 non-edges
     // scored by common-neighbor / Jaccard / resource-allocation /
     // preferential-attachment — all exact integers.
@@ -1454,6 +1459,14 @@ object SparkEntry {
     // span-dedup family.
     "span_trim_plan" -> ((s, dir) =>
       graft.operators.SpanDedup.spanTrimPlan(Tables.documents(s, dir))),
+    // Trim APPLY: emit the edited corpus (kept stretch re-joined) — the
+    // final step of the Lee et al. exact-substring-removal loop.
+    "span_trim_apply" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanTrimApply(Tables.documents(s, dir))),
+    // Composed end-to-end regeneration: trim-apply -> exact dedup of the
+    // edited text -> content-hash re-split -> cross-split leak audit.
+    "curation_regen_splits" -> ((s, dir) =>
+      graft.operators.Curation.regenSplits(Tables.documents(s, dir))),
     // Rocchio nearest-centroid eval on the labeled embeddings: exact
     // fixed-point centroids, inner-product argmax, confusion matrix.
     "centroid_classifier_eval" -> ((s, dir) =>
@@ -4933,6 +4946,7 @@ object SparkEntry {
     "span_coverage" -> graft.operators.SpanDedup.spanCoverageOracleSql(),
     "blocklist_hits" -> graft.operators.SpanDedup.blocklistHitsOracleSql(),
     "span_mask_plan" -> graft.operators.SpanDedup.spanMaskPlanOracleSql(),
+    "span_mask_apply" -> graft.operators.SpanDedup.spanMaskApplyOracleSql(),
     "link_prediction" ->
       graft.operators.Centrality.linkPredictionOracleSql(),
     "holt_winters" -> graft.operators.Changepoint.holtWintersOracleSql,
@@ -4960,6 +4974,8 @@ object SparkEntry {
     "watermark_lateness" ->
       graft.operators.Lateness.watermarkLatenessOracleSql,
     "span_trim_plan" -> graft.operators.SpanDedup.spanTrimPlanOracleSql(),
+    "span_trim_apply" -> graft.operators.SpanDedup.spanTrimApplyOracleSql(),
+    "curation_regen_splits" -> graft.operators.Curation.regenSplitsOracleSql(),
     "centroid_classifier_eval" ->
       graft.operators.Similarity.centroidClassifierOracleSql,
     "mmr_selection" -> graft.operators.Similarity.mmrOracleSql(),

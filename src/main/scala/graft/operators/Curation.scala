@@ -310,6 +310,142 @@ SELECT pick, doc_id, gain,
 FROM allp ORDER BY pick""".stripMargin
   }
 
+  /** Contamination-aware corpus REGENERATION — the composed end-to-end
+    * pipeline a curation user actually runs after a span audit, four
+    * already-oracled primitives in one plan:
+    *
+    *   1. [[SpanDedup.spanTrimApply]] — cut every document to its
+    *      longest cross-doc-duplicate-free stretch (drop docs trimmed
+    *      to zero tokens);
+    *   2. exact dedup of the EDITED text (md5-digest groupBy, min
+    *      doc_id survives — trimming distinct docs to the same clean
+    *      stretch creates new exact duplicates the original-corpus
+    *      dedup could not see);
+    *   3. re-split the survivors 80/10/10 by the content-hash rule on
+    *      the CLEANED text (the [[SuffixArray.splitContamination]]
+    *      rolling-hash gate — re-hashing is mandatory: the old split of
+    *      a now-edited doc is stale);
+    *   4. leakage audit: distinct k-token windows of survivor docs
+    *      shared across ≥2 splits (hashed windows engine-side, string
+    *      windows oracle-side, the [[SpanDedup.spanCoverage]]
+    *      convention). By construction of the trim this count is ZERO —
+    *      the audit column PROVES the regenerated corpus is span-clean,
+    *      independently recomputed by the oracle's own staged CTEs.
+    *
+    * Output: one row per split — (split, n_docs, n_tokens,
+    * trimmed_tokens [cut by step 1 across that split's survivors],
+    * dups_dropped [docs absorbed by step 2], leak_docs [step 4]).
+    *
+    * Scale: step 1 is the span-plan shuffle; step 2 one digest groupBy
+    * (text travels once); step 3 map-only; step 4 one distinct + one
+    * aggregate on hashed windows. No driver-side data, no all-pairs.
+    */
+  def regenSplits(documents: DataFrame, k: Int = 6): DataFrame = {
+    val cleaned = SpanDedup.spanTrimApply(documents, k)
+      .filter(col("keep_len") > 0)
+      .select(col("doc_id"), col("cleaned_text"),
+        col("keep_len").as("n_toks"), col("removed_tokens"))
+    val surv = cleaned
+      .withColumn("digest", md5(col("cleaned_text")))
+      .groupBy(col("digest"))
+      .agg(
+        min(struct(col("doc_id"), col("cleaned_text"), col("n_toks"),
+          col("removed_tokens"))).as("m"),
+        count(lit(1)).as("grp"))
+      .select(col("m.doc_id").as("doc_id"),
+        col("m.cleaned_text").as("cleaned_text"),
+        col("m.n_toks").as("n_toks"),
+        col("m.removed_tokens").as("removed_tokens"),
+        (col("grp") - 1L).as("dups_dropped"))
+    val bucket =
+      graft.functions.GraftColumns.rollingHash(col("cleaned_text")) % 100
+    val tagged = surv.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val w = tagged
+      .select(col("doc_id"), col("split"),
+        split(col("cleaned_text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("split"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1})," +
+          s" i -> xxhash64(slice(toks, i, $k)))")).as("sh"))
+    val leakSpans = w.select(col("sh"), col("split")).distinct()
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2)
+      .select(col("sh"))
+    val leakDocs = w.join(leakSpans, Seq("sh"))
+      .select(col("split"), col("doc_id")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("leak_docs"))
+    tagged
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("removed_tokens")).as("trimmed_tokens"),
+        sum(col("dups_dropped")).as("dups_dropped"))
+      .join(leakDocs, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        col("trimmed_tokens"), col("dups_dropped"),
+        coalesce(col("leak_docs"), lit(0L)).as("leak_docs"))
+      .orderBy(col("split"))
+  }
+
+  /** Staged-CTE DuckDB replay of [[regenSplits]]: the trim plan + apply
+    * (nested [[SpanDedup.spanTrimApplyOracleSql]] stages), md5 dedup via
+    * QUALIFY row_number, the rolling-hash split gate on the cleaned
+    * text, and the string-window leak audit.
+    */
+  def regenSplitsOracleSql(k: Int = 6): String =
+    s"""WITH cleaned0 AS MATERIALIZED (
+       |${graft.operators.SpanDedup.spanTrimApplyOracleSql(k)}
+       |),
+       |cleaned AS (
+       |  SELECT doc_id, cleaned_text, keep_len AS n_toks,
+       |    removed_tokens
+       |  FROM cleaned0 WHERE keep_len > 0),
+       |surv AS (
+       |  SELECT doc_id, cleaned_text, n_toks, removed_tokens,
+       |    CAST(count(*) OVER (PARTITION BY md5(cleaned_text)) - 1
+       |      AS BIGINT) AS dups_dropped
+       |  FROM cleaned
+       |  QUALIFY row_number() OVER (PARTITION BY md5(cleaned_text)
+       |    ORDER BY doc_id) = 1),
+       |tagged AS (
+       |  SELECT *, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT *,
+       |      list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, length(cleaned_text) + 1),
+       |            i -> CAST(ascii(cleaned_text[i]) AS BIGINT))),
+       |        (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
+       |    FROM surv)),
+       |w AS (
+       |  SELECT doc_id, split, unnest(list_transform(
+       |    range(1, len(toks) - ${k - 2}),
+       |    i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS span
+       |  FROM (SELECT doc_id, split, string_split(cleaned_text, ' ') AS toks
+       |        FROM tagged)
+       |  WHERE len(toks) >= $k),
+       |leakspans AS (
+       |  SELECT span FROM (SELECT DISTINCT span, split FROM w)
+       |  GROUP BY span HAVING count(*) >= 2),
+       |leakdocs AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS leak_docs
+       |  FROM (SELECT DISTINCT split, doc_id
+       |        FROM w JOIN leakspans USING (span))
+       |  GROUP BY 1)
+       |SELECT t.split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(t.n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(t.removed_tokens) AS BIGINT) AS trimmed_tokens,
+       |  CAST(sum(t.dups_dropped) AS BIGINT) AS dups_dropped,
+       |  COALESCE(max(l.leak_docs), 0) AS leak_docs
+       |FROM tagged t LEFT JOIN leakdocs l ON t.split = l.split
+       |GROUP BY t.split
+       |ORDER BY t.split""".stripMargin
+
   def keepBestPerCluster(
       documents: DataFrame, stopwords: Seq[String]): DataFrame = {
     val clusters = Dedup.nearDupClusters(

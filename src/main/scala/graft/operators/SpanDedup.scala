@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -371,6 +371,111 @@ object SpanDedup {
           .as("keep_len"))
       .withColumn("dropped_tokens", col("n_tokens") - col("keep_len"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Apply the [[spanTrimPlan]] and EMIT the edited corpus — the final
+    * step of the Lee et al. loop (exact-substring removal actually
+    * changing the training text, not just planning to): per document,
+    * `cleaned_text` is the kept stretch `[keep_from, keep_from +
+    * keep_len)` re-joined, with the plan's bookkeeping columns riding
+    * along so the edit is auditable row by row.
+    *
+    * Scale: the plan join is by doc_id; the slice+concat is a map-only
+    * projection over the token array — no new shuffle beyond the plan's
+    * own. Fully-covered docs (keep_len 0) emit an empty cleaned_text,
+    * which a downstream funnel stage then drops as zero-token.
+    */
+  def spanTrimApply(documents: DataFrame, k: Int = 6): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(spanTrimPlan(documents, k), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("keep_from"), col("keep_len"),
+        col("dropped_tokens").as("removed_tokens"),
+        concat_ws(" ", slice(col("toks"),
+          greatest(col("keep_from"), lit(1L)).cast("int"),
+          col("keep_len").cast("int"))).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+
+  def spanTrimApplyOracleSql(k: Int = 6): String =
+    s"""WITH plan AS MATERIALIZED (
+       |${spanTrimPlanOracleSql(k)}
+       |),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |       FROM documents)
+       |SELECT p.doc_id, p.n_tokens, p.keep_from, p.keep_len,
+       |  p.dropped_tokens AS removed_tokens,
+       |  COALESCE(array_to_string(
+       |    tk.toks[CAST(greatest(p.keep_from, 1) AS INT) :
+       |            CAST(greatest(p.keep_from, 1) + p.keep_len - 1 AS INT)],
+       |    ' '), '') AS cleaned_text
+       |FROM plan p JOIN tk USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** Apply the [[spanMaskPlan]] and emit the masked corpus: every token
+    * covered by a gated L-token span is replaced by the `sentinel`
+    * (PII-redaction shape: positions are derived, text is rewritten).
+    *
+    * Because the mask starts are a PURE function of (doc_id, pos) — the
+    * splitmix64 gate — the apply needs NO join with the plan at all:
+    * token j is masked iff some start s in [max(1, j+1-L+1), j+1]
+    * passes the gate, so the whole rewrite is one map-only projection
+    * (an exists() over at most L gate evaluations per token) — the
+    * 100-TB shape is a scan, zero shuffles. masked_tokens is recomputed
+    * from the same predicate and equals the PLAN's interval-union count
+    * by construction (spec-pinned in SpanDedupSpec).
+    */
+  def spanMaskApply(
+      documents: DataFrame, spanLen: Int = 3,
+      sentinel: String = "<mask>"): DataFrame = {
+    val L = spanLen
+    def gate(s: Column): Column =
+      graft.functions.GraftColumns.mix64(
+        col("doc_id") * lit(1000003L) + s)
+        .bitwiseAND(lit(15L)) === lit(0L)
+    def maskedAt(j: Column): Column = {
+      val pos = (j + lit(1)).cast("long")
+      exists(
+        sequence(greatest(pos - lit((L - 1).toLong), lit(1L)), pos),
+        s => gate(s))
+    }
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        size(filter(col("toks"), (_, j) => maskedAt(j))).cast("bigint")
+          .as("masked_tokens"),
+        concat_ws(" ", transform(col("toks"),
+          (t, j) => when(maskedAt(j), lit(sentinel)).otherwise(t)))
+          .as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanMaskApplyOracleSql(
+      spanLen: Int = 3, sentinel: String = "<mask>"): String = {
+    val L = spanLen
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |nn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+       |p AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS pos FROM nn),
+       |z AS (SELECT doc_id, n, pos,
+       |  ((doc_id * 1000003 + pos)::HUGEINT + 11400714819323198485::HUGEINT)
+       |    % 18446744073709551616::HUGEINT AS z0
+       |  FROM p),
+       |${graft.SketchOracles.mixChain("sm", "z", Seq("doc_id", "n", "pos"), "z0")},
+       |c AS (SELECT doc_id, n, pos FROM sm4 WHERE mx % 16 = 0),
+       |mp AS (SELECT DISTINCT doc_id, i FROM (
+       |  SELECT doc_id, unnest(range(pos, least(pos + ${L - 1}, n) + 1)) AS i
+       |  FROM c)),
+       |ml AS (SELECT doc_id, list(i) AS ml FROM mp GROUP BY 1)
+       |SELECT nn.doc_id, nn.n AS n_tokens,
+       |  CAST(COALESCE(len(ml.ml), 0) AS BIGINT) AS masked_tokens,
+       |  array_to_string(list_transform(range(1, nn.n + 1),
+       |    i -> CASE WHEN COALESCE(list_contains(ml.ml, i), false)
+       |         THEN '$sentinel' ELSE nn.toks[i] END), ' ') AS cleaned_text
+       |FROM nn LEFT JOIN ml USING (doc_id)
+       |ORDER BY nn.doc_id""".stripMargin
   }
 
   def spanTrimPlanOracleSql(k: Int = 6): String =

@@ -116,6 +116,53 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got(4L) === ((5L, 1L, 5L, 0L)))
   }
 
+  test("spanTrimApply emits the edited corpus matching its plan") {
+    val d = docs(
+      1L -> "x1 x2 x3 a b c y1 y2 y3 y4", // keep (7,4) -> "y1 y2 y3 y4"
+      2L -> "z a b c zz",                 // keep (1,1) -> "z"
+      3L -> "a b c",                      // fully covered -> ""
+      4L -> "solo tokens only here now")  // untouched
+    val got = SpanDedup.spanTrimApply(d, k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[String]("cleaned_text"), r.getAs[Long]("removed_tokens"))))
+      .toMap
+    assert(got(1L) === (("y1 y2 y3 y4", 6L)))
+    assert(got(2L) === (("z", 4L)))
+    assert(got(3L) === (("", 3L)))
+    assert(got(4L) === (("solo tokens only here now", 0L)))
+  }
+
+  test("spanMaskApply: rewrite agrees with a direct fold AND the plan's counts") {
+    val d = docs(
+      11L -> (1 to 40).map(i => s"t$i").mkString(" "),
+      12L -> "only three tokens",
+      13L -> (1 to 100).map(i => s"u$i").mkString(" "))
+    val plan = SpanDedup.spanMaskPlan(d, spanLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap // masked_tokens
+    val got = SpanDedup.spanMaskApply(d, spanLen = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("masked_tokens"),
+          r.getAs[String]("cleaned_text"))))
+      .toMap
+    for ((id, n) <- Seq(11L -> 40, 12L -> 3, 13L -> 100)) {
+      val toks = (1 to n).map(i => if (id == 12L)
+        Seq("only", "three", "tokens")(i - 1)
+        else s"${if (id == 11L) "t" else "u"}$i")
+      val starts = (1 to n).filter(p =>
+        (graft.functions.Mix64.mix(id * 1000003L + p) & 15L) == 0L)
+      val masked = starts.flatMap(p => p to math.min(p + 2, n)).toSet
+      val expected = (1 to n)
+        .map(i => if (masked(i)) "<mask>" else toks(i - 1)).mkString(" ")
+      val (gn, gm, gt) = got(id)
+      assert(gn == n.toLong)
+      assert(gm == masked.size.toLong)
+      assert(gm == plan(id), s"apply vs plan masked count, doc $id")
+      assert(gt == expected, s"doc $id rewrite")
+    }
+  }
+
   test("spanCoverage: adjacent windows (gap exactly k) merge into one island") {
     val d = docs(
       7L -> "g h i g h i", // "g h i" at pos 1 and 4: distance == k
