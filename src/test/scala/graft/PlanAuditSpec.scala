@@ -689,6 +689,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!smpStr.contains("CartesianProduct"), smpStr)
   }
 
+  test("span apply + regen: mask apply is shuffle-free, composed plan stays bounded") {
+    // spanMaskApply: the gate is a pure (doc_id, pos) function, so the
+    // rewrite must be ONE map-only scan — the only exchange allowed is
+    // the final presentation sort's range exchange, and the lambda body
+    // must stay native (no UDF objects, no Python)
+    val sma = graft.operators.SpanDedup.spanMaskApply(
+      Tables.documents(spark, sf))
+    val smaPlan = finalPlan(sma)
+    val smaEx = allExchanges(smaPlan)
+    assert(smaEx.forall(_.outputPartitioning.toString.contains("range")),
+      s"mask apply must not hash-shuffle (map-only + final sort only):\n" +
+        smaEx.map(_.outputPartitioning).mkString("\n"))
+    val smaStr = smaPlan.toString
+    assert(!smaStr.contains("BatchEvalPython") && !smaStr.contains("ScalaUDF"),
+      s"the per-token gate must be the native mix64 expression:\n$smaStr")
+    // spanTrimApply: the only join is the doc_id equi-join with the plan
+    val sta = executed(graft.operators.SpanDedup.spanTrimApply(
+      Tables.documents(spark, sf)))
+    assert(!sta.contains("CartesianProduct") && !sta.contains("NestedLoop"),
+      s"trim apply must join its plan by doc_id only:\n$sta")
+    // regenSplits: equi-joins only, and the documents scan prunes to
+    // (doc_id, text) — the composed pipeline must not widen the scan
+    val rg = graft.operators.Curation.regenSplits(
+      Tables.documents(spark, sf))
+    val rgStr = executed(rg)
+    assert(!rgStr.contains("CartesianProduct") && !rgStr.contains("NestedLoop"),
+      s"regen must stay equi-join shaped:\n$rgStr")
+    val rgLeaves = leaves(rg)
+    assert(!rgLeaves.contains("n_chars") && !rgLeaves.contains("lang"),
+      s"regen must prune the documents scan to (doc_id, text):\n$rgLeaves")
+  }
+
   test("shared-span graph additions keep hashed-long shuffles, no products") {
     // linkPrediction: strictly equi-joins (wedge join + anti-join)
     val lp = finalPlan(graft.operators.Centrality.linkPrediction(
