@@ -1022,6 +1022,10 @@ object SparkEntry {
     // Greedy longest-match WordPiece: distinct words tokenized once via a
     // codegen'd expression fold, weighted by the word-frequency frame.
     "wordpiece_tokens" -> ((s, dir) =>
+      TextAnalysis.wordpieceTokenCountsNative(Tables.documents(s, dir))),
+    // The declarative 16-step fold spelling — kept oracled as executable
+    // documentation of the algorithm the native expression compresses.
+    "wordpiece_tokens_decl" -> ((s, dir) =>
       TextAnalysis.wordpieceTokenCounts(Tables.documents(s, dir))),
     // CMS inner-product join-size estimate, exact join rows in-row.
     "join_cardinality_est" -> ((s, dir) =>
@@ -4643,6 +4647,7 @@ object SparkEntry {
 
     // Recursive-CTE longest-match peel, vocab single-sourced in Scala.
     "wordpiece_tokens" -> TextAnalysis.wordpieceOracleSql,
+    "wordpiece_tokens_decl" -> TextAnalysis.wordpieceOracleSql,
 
     // Double-mix CMS replay; shared seed table with the token sketch.
     "join_cardinality_est" -> SketchOracles.joinCardSql(),

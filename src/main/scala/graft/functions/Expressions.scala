@@ -814,6 +814,8 @@ object GraftColumns {
     ColumnBridge.column(WinnowStats(child(c), k, w))
   def winnowHashes(c: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowHashes(child(c), k, w))
+  def wordpieceEncode(c: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(WordpieceEncode(child(c), vocab))
   def mix64(c: Column): Column =
     ColumnBridge.column(Mix64(child(c)))
   def hilbertXY2D(x: Column, y: Column, bits: Int = 10): Column =
@@ -885,6 +887,67 @@ case class WinnowStats(child: Expression, k: Int, w: Int)
   * [[WinnowStats]]: explode + distinct + equi-join replaces the
   * declarative selection pipeline for pair mining. Same deque pass.
   */
+/** Greedy longest-match WordPiece encode of one word — the native
+  * one-pass form of [[TextAnalysis.wordpieceExpr]]'s declarative
+  * 16-step fold (equality-spec-pinned in WordpieceSpec): at each step
+  * the LONGEST vocab piece prefixing the remainder is consumed
+  * (`##`-marked when not word-initial); `[UNK]` is emitted and the word
+  * abandoned when nothing matches. The vocab rides the expression as a
+  * constructor constant sorted by length descending, so the first
+  * prefix hit IS the longest — one ≤|vocab| scan per emitted piece
+  * instead of the fold's per-step filter+aggregate over array objects.
+  */
+case class WordpieceEncode(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece_encode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && vocab.nonEmpty &&
+        vocab.forall(_.nonEmpty)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument and a non-empty vocab")
+
+  // ties are harmless: two same-length prefixes of one string are equal
+  @transient private lazy val sorted: Array[String] =
+    vocab.sortBy(-_.length).toArray
+  private val unk = UTF8String.fromString("[UNK]")
+
+  def encodeWord(w: UTF8String): ArrayData = {
+    val s = w.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var off = 0
+    while (off < n) {
+      var best: String = null
+      var i = 0
+      while (best == null && i < sorted.length) {
+        if (s.startsWith(sorted(i), off)) best = sorted(i)
+        i += 1
+      }
+      if (best == null) {
+        out += unk
+        off = n
+      } else {
+        out += UTF8String.fromString(if (off == 0) best else "##" + best)
+        off += best.length
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    encodeWord(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("wp", this, classOf[WordpieceEncode].getName)
+      s"${ev.value} = $ref.encodeWord($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordpieceEncode =
+    copy(child = newChild)
+}
+
 case class WinnowHashes(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

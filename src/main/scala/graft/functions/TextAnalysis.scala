@@ -86,6 +86,26 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  /** The hot-path variant: same word-count reduction, but the encode is
+    * the native [[WordpieceEncode]] expression (one ≤|vocab| prefix scan
+    * per piece) instead of the interpreted 16-step HOF fold — identical
+    * output for words of ≤16 pieces (all real words; the fold truncates
+    * past 16 where the native loop, like the oracle's recursive CTE,
+    * runs to completion), equality-spec-pinned in WordpieceSpec.
+    */
+  def wordpieceTokenCountsNative(documents: DataFrame): DataFrame = {
+    val wc = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    wc
+      .select(explode(GraftColumns.wordpieceEncode(col("w"), wordpieceVocab))
+        .as("token"), col("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n"))
+      .orderBy(col("token"))
+  }
+
   /** DuckDB replay: recursive CTE peeling the longest matching piece per
     * step — the max-length prefix is recovered as substr(rem, 1, blen),
     * needing no argmax join (same-length prefix matches are identical).

@@ -6,11 +6,19 @@ import graft.functions.TextAnalysis
 class WordpieceSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def counts(texts: String*): Map[String, Long] = {
-    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    TextAnalysis.wordpieceTokenCounts(docs).collect()
+
+  private def counts(texts: String*): Map[String, Long] = {
+    val docs = docsOf(texts: _*)
+    val decl = TextAnalysis.wordpieceTokenCounts(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every fixture doubles as an equality pin of the native expression
+    val native = TextAnalysis.wordpieceTokenCountsNative(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(native == decl, "native WordpieceEncode vs declarative fold")
+    decl
   }
 
   test("wordpiece: greedy longest match with ## continuations") {
@@ -40,5 +48,21 @@ class WordpieceSpec extends SparkTestBase {
     val got = counts("spark spark spark", "spark query")
     assert(got("spark") == 4L)
     assert(got("qu") == 1L)
+  }
+
+  test("wordpiece: native expression equals the fold on the sf0.001 corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val decl = TextAnalysis.wordpieceTokenCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    val native = TextAnalysis.wordpieceTokenCountsNative(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(native.nonEmpty && native == decl)
+  }
+
+  test("wordpiece native: no UDF object in the plan, encode stays codegen'd") {
+    val p = TextAnalysis.wordpieceTokenCountsNative(docsOf("spark query"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("wordpiece_encode"), p)
   }
 }
