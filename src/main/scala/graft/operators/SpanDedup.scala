@@ -427,6 +427,16 @@ object SpanDedup {
     */
   def spanMaskApply(
       documents: DataFrame, spanLen: Int = 3,
+      sentinel: String = "<mask>"): DataFrame =
+    spanMaskProjection(documents, spanLen, sentinel).orderBy(col("doc_id"))
+
+  /** The rewrite itself, sort-free — stateless per-row, so the SAME code
+    * runs under `readStream` unchanged (batch ≡ streaming parity pinned
+    * in StreamingMaskSpec); [[spanMaskApply]] adds only the
+    * presentation sort for the driver compare.
+    */
+  def spanMaskProjection(
+      documents: DataFrame, spanLen: Int = 3,
       sentinel: String = "<mask>"): DataFrame = {
     val L = spanLen
     def gate(s: Column): Column =
@@ -449,7 +459,6 @@ object SpanDedup {
         concat_ws(" ", transform(col("toks"),
           (t, j) => when(maskedAt(j), lit(sentinel)).otherwise(t)))
           .as("cleaned_text"))
-      .orderBy(col("doc_id"))
   }
 
   def spanMaskApplyOracleSql(
