@@ -205,8 +205,12 @@ object Dedup {
     *     recomputes at worst), and eviction runs before insert so the map
     *     never exceeds its bound.
     */
-  private val clusterCache =
-    scala.collection.mutable.Map.empty[(String, String, String, Int), DataFrame]
+  // key: (corpusKey(documents), corpusKey(pairs), maxIters) — the
+  // canonicalized plan alone collides across same-schema datasets
+  // (relation output canonicalizes to positional ids), so the backing
+  // files ride in each key via [[SuffixArray.corpusKey]].
+  private val clusterCache = scala.collection.mutable.Map.empty[
+    ((String, String, String), (String, String, String), Int), DataFrame]
 
   def nearDupClusters(
       documents: DataFrame,
@@ -218,9 +222,8 @@ object Dedup {
         pairs.queryExecution.logical.exists(_.isInstanceOf[LocalRelation])
     if (uncacheable) return computeNearDupClusters(documents, pairs, maxIters)
     val key = (
-      documents.sparkSession.sparkContext.applicationId,
-      documents.queryExecution.logical.canonicalized.toString,
-      pairs.queryExecution.logical.canonicalized.toString, maxIters)
+      SuffixArray.corpusKey(documents), SuffixArray.corpusKey(pairs),
+      maxIters)
     clusterCache.synchronized(clusterCache.get(key)) match {
       case Some(cached) => cached
       case None =>

@@ -120,15 +120,21 @@ object Similarity {
     * LocalRelation: an in-memory relation canonicalizes to its SCHEMA only
     * (the data is invisible to the key), so two different local datasets
     * with the same schema would collide on one entry and silently share
-    * centroids — same guard as Dedup.nearDupClusters' clusterCache. File
-    * relations keep their paths in the canonical form, so they key safely;
-    * applicationId scopes entries to one SparkContext lifetime.
+    * centroids — same guard as Dedup.nearDupClusters' clusterCache.
+    * File relations do NOT key safely on the plan string alone: in
+    * Spark 4 a fresh `spark.read.parquet(p)` logical plan prints as
+    * `UnresolvedDataSource ... paths: 1 provided` with the path elided
+    * (verified empirically in the r10 SuffixArraySpec cache test, where
+    * two same-schema fixtures collided), so the backing files join the
+    * key explicitly; applicationId scopes entries to one SparkContext
+    * lifetime.
     */
-  private def fitCacheKey(df: DataFrame): Option[String] = {
+  private[graft] def fitCacheKey(df: DataFrame): Option[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     if (df.queryExecution.logical.exists(_.isInstanceOf[LocalRelation])) None
     else Some(df.sparkSession.sparkContext.applicationId + "\n" +
-      df.queryExecution.logical.canonicalized.toString)
+      df.queryExecution.logical.canonicalized.toString + "\n" +
+      df.inputFiles.sorted.mkString(","))
   }
 
   /** Fitted IVF / PQ models (centroids or codebooks + the call's

@@ -85,7 +85,20 @@ object SuffixArray {
     * build was requested with, the Ranks).
     */
   private val ranksCache =
-    scala.collection.mutable.Map.empty[(String, String), (Long, Ranks)]
+    scala.collection.mutable.Map.empty[(String, String, String), (Long, Ranks)]
+
+  /** Cache key for a corpus frame. The canonicalized plan alone is NOT
+    * sufficient: Spark canonicalization normalizes relation output to
+    * positional ids, so two parquet reads of DIFFERENT datasets with the
+    * same schema canonicalize to the same string (caught by the
+    * SuffixArraySpec cache test — a 36-char fixture served a 96-char
+    * corpus's request). The backing files join the key to pin the
+    * actual data.
+    */
+  private[graft] def corpusKey(df: DataFrame): (String, String, String) = (
+    df.sparkSession.sparkContext.applicationId,
+    df.queryExecution.logical.canonicalized.toString,
+    df.inputFiles.sorted.mkString(","))
 
   /** A cached build serves a request iff it was built at least as deep
     * (builtStop >= requested), or its chain terminated for a reason a
@@ -106,8 +119,7 @@ object SuffixArray {
     val uncacheable =
       documents.queryExecution.logical.exists(_.isInstanceOf[LocalRelation])
     if (uncacheable) return computeBuild(documents, stopBlock)
-    val key = (documents.sparkSession.sparkContext.applicationId,
-      documents.queryExecution.logical.canonicalized.toString)
+    val key = corpusKey(documents)
     ranksCache.synchronized(ranksCache.get(key)) match {
       case Some((builtStop, r)) if satisfies(builtStop, r, stopBlock) => r
       case _ =>

@@ -63,6 +63,71 @@ class SuffixArraySpec extends SparkTestBase {
     assert(row.getLong(2) == 7L && row.getLong(3) == 1L)
   }
 
+  test("Ranks cache: one build serves repeat and stop-bounded requests; upgrades replace") {
+    // LocalRelations bypass the cache by design (canonicalization prints
+    // only their schema), so round-trip the fixture through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_sacache").toString
+    try {
+      Seq((1L, "abcabcabd" * 4), (2L, "zq" + "abcabcabd" * 4))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+      val full = SuffixArray.build(df)
+      // identical request: the SAME Ranks instance comes back
+      assert(SuffixArray.build(df) eq full)
+      // shallower stop-bounded request: satisfied by the full build
+      assert(SuffixArray.build(df, stopBlock = 8L) eq full)
+      // a different reader plan of the same path is a different key —
+      // the cache must not serve across plans it cannot prove equal
+      val df2 = spark.read.parquet(dir).filter(col("doc_id") >= 1L)
+      val other = SuffixArray.build(df2)
+      assert(!(other eq full))
+      // upgrade path: a stop-bounded build whose chain was CUT by the
+      // stop (dup still present at the last block) must NOT serve a
+      // deeper request — the deeper build replaces it
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_sacache2").toString
+      try {
+        // 64+ char docs sharing a long repeat so dupAtLast holds at 8
+        Seq((1L, "abcdefgh" * 12), (2L, "abcdefgh" * 12 + "x"))
+          .toDF("doc_id", "text").write.mode("overwrite").parquet(dir2)
+        val d3 = spark.read.parquet(dir2)
+        val shallow = SuffixArray.build(d3, stopBlock = 8L)
+        assert(shallow.blocks.last == 8L && shallow.dupAtLast)
+        val deep = SuffixArray.build(d3)
+        assert(!(deep eq shallow) && deep.blocks.last > 8L)
+        // and the replacement now serves shallow requests
+        assert(SuffixArray.build(d3, stopBlock = 8L) eq deep)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("fit/cluster cache keys distinguish same-schema file datasets") {
+    // the Spark-4 logical plan of a fresh parquet read elides the path
+    // ("UnresolvedDataSource ... paths: 1 provided"), so plan-string keys
+    // alone collide across datasets — inputFiles must split them
+    val d1 = java.nio.file.Files.createTempDirectory("graft_key1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_key2").toString
+    try {
+      Seq((1L, "aaa")).toDF("doc_id", "text").write.mode("overwrite").parquet(d1)
+      Seq((2L, "bbb")).toDF("doc_id", "text").write.mode("overwrite").parquet(d2)
+      val a = spark.read.parquet(d1)
+      val b = spark.read.parquet(d2)
+      assert(SuffixArray.corpusKey(a) != SuffixArray.corpusKey(b))
+      val ka = graft.operators.Similarity.fitCacheKey(a)
+      val kb = graft.operators.Similarity.fitCacheKey(b)
+      assert(ka.isDefined && kb.isDefined && ka != kb)
+      // in-memory frames stay uncacheable for the fit caches
+      assert(graft.operators.Similarity
+        .fitCacheKey(Seq((1L, "x")).toDF("doc_id", "text")).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d2))
+    }
+  }
+
   test("harness documents: head ranks are positive, ordered, dense-consistent") {
     val df = Tables.documents(spark, sf)
     val got = SuffixArray.suffixArrayHead(df, k = 50).collect()
