@@ -453,6 +453,10 @@ object ScaleSmoke {
         force(graft.operators.SpanDedup.spanTrimApply(docs)))
       time("curation_regen_splits", scale)(
         graft.operators.Curation.regenSplits(docs).count())
+      // output-side composed pipeline: in-row HRW argmax (map-only), one
+      // uniform shard shuffle, per-shard cumsum, bin-bounded explode
+      time("training_batch_manifest", scale)(
+        graft.operators.Pack.trainingBatchManifest(docs).count())
       // round-9 session: LM / tokenizer / corpus-stat additions.
       // kn/backoff models are vocab²-bounded window+join frames over the
       // bigram reduction; ngram_novelty is one min() window on hashed

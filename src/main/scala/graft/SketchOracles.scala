@@ -216,6 +216,53 @@ SELECT shard_now AS shard, count(*) AS n_docs,
 FROM a_now JOIN a_grown USING (doc_id)
 GROUP BY 1 ORDER BY 1"""
 
+  /** training_batch_manifest: the composed output-side pipeline — the
+    * SAME HRW pick as [[rendezvousSql]] (fnv1a64 text hash, per-shard
+    * splitmix64 weight, argmax with smallest-id ties), then the
+    * per-shard concatenate-then-chunk interval fold of tokenPackBins
+    * and a per-(shard, bin) rollup with the first starting doc as the
+    * loader seek key (-1 for pure continuation bins).
+    */
+  def trainingBatchManifestSql(binTokens: Int = 2048, shards: Int = 32): String =
+    s"""WITH d AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tokens,
+    (${fnvExpr("text")}) AS hu
+  FROM documents WHERE $asciiGuard = 0),
+e AS (SELECT doc_id, tokens, unnest(range(0, $shards)) AS s, hu FROM d),
+z AS (SELECT doc_id, tokens, s,
+  (xor(hu, CAST(s AS HUGEINT)) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM e),
+${mixChain("tb", "z", Seq("doc_id", "tokens", "s"), "z0")},
+sg AS (SELECT doc_id, tokens, s,
+  CAST(CASE WHEN mx >= 9223372036854775808::HUGEINT
+       THEN mx - 18446744073709551616::HUGEINT ELSE mx END AS BIGINT) AS w
+  FROM tb4),
+a AS (
+  SELECT doc_id, tokens, s AS shard FROM (
+    SELECT doc_id, tokens, s,
+      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+    FROM sg) WHERE rn = 1),
+spans AS (
+  SELECT doc_id, shard, tokens,
+    CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM a),
+sp AS (SELECT doc_id, shard, cum - tokens AS first_tok, cum - 1 AS last_tok
+  FROM spans),
+b AS (SELECT doc_id, shard, first_tok, last_tok,
+    unnest(range(first_tok // $binTokens, last_tok // $binTokens + 1)) AS bin
+  FROM sp)
+SELECT shard, CAST(bin AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN first_tok // $binTokens = bin THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_starting,
+  CAST(sum(least(last_tok, (bin + 1) * $binTokens - 1)
+         - greatest(first_tok, bin * $binTokens) + 1) AS BIGINT)
+    AS fill_tokens,
+  COALESCE(min(CASE WHEN first_tok // $binTokens = bin THEN doc_id END), -1)
+    AS first_doc
+FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def weightedSampleSql(targetTokens: Double = 40.0): String =
     s"""WITH d AS (
   SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tokens,

@@ -801,6 +801,10 @@ object SparkEntry {
     // Rendezvous (HRW) sharding + the minimal-movement expansion audit.
     "rendezvous_shards" -> ((s, dir) =>
       graft.operators.Mixture.rendezvousShards(Tables.documents(s, dir))),
+    // Composed output-side pipeline: HRW content sharding -> per-shard
+    // concatenate-then-chunk stream -> per-(shard, bin) loader manifest.
+    "training_batch_manifest" -> ((s, dir) =>
+      graft.operators.Pack.trainingBatchManifest(Tables.documents(s, dir))),
     // Business-day (weekend-excluded) shipping SLA per priority.
     "shipping_business_sla" -> ((s, dir) =>
       Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -3884,6 +3888,7 @@ object SparkEntry {
     "winnow_candidate_pairs" -> winnowPairsOracleSql,
     "split_leakage" -> splitLeakageOracleSql,
     "rendezvous_shards" -> SketchOracles.rendezvousSql(),
+    "training_batch_manifest" -> SketchOracles.trainingBatchManifestSql(),
 
     // The same closed-form business-day prefix count B(d) (epoch day 0 =
     // Thursday; g walks Thu,Fri,Sat,Sun,Mon,Tue) — no dayofweek(), whose

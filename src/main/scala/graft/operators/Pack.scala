@@ -51,4 +51,61 @@ object Pack {
         pmod(col("start_offset"), lit(capacity.toLong)) + col("tokens") > capacity)
       .orderBy(col("doc_id"))
   }
+
+  /** Composed training-batch MANIFEST — the output-side pipeline a data
+    * loader consumes, three already-oracled primitives in one plan:
+    * rendezvous (HRW) CONTENT sharding ([[Mixture.rendezvousShards]]'s
+    * pick — stable under doc-id reassignment and minimal-movement under
+    * shard growth, unlike the id-hash sharding of [[chunkAssignments]]),
+    * the per-shard concatenate-then-chunk token stream (the
+    * [[graft.functions.TextAnalysis.tokenPackBins]] interval fold), and
+    * a per-(shard, bin) rollup: how many docs touch the bin, how many
+    * START in it (attention-mask segments), the exact fill, and the
+    * first starting doc (the loader's seek key; NULL for pure
+    * continuation bins, emitted as -1).
+    *
+    * Scale: one |shards|-candidate in-row argmax per doc (map-only),
+    * one shuffle on the uniform shard key, per-shard window cumsum,
+    * bin-bounded explode (a doc adds O(tokens / binTokens) rows), one
+    * aggregate. No driver-side data.
+    */
+  def trainingBatchManifest(
+      documents: DataFrame, binTokens: Int = 2048,
+      shards: Int = 32): DataFrame = {
+    require(binTokens > 0 && shards > 0)
+    import graft.functions.GraftColumns
+    val h = GraftColumns.fnv1a64(col("text"))
+    // HRW pick, identical tie rule to Mixture.rendezvousShards: max
+    // weight, ties to the SMALLEST shard id (struct max of (w, -s))
+    val cand = transform(
+      sequence(lit(0L), lit(shards.toLong - 1)),
+      s => struct(GraftColumns.mix64(h.bitwiseXOR(s)).as("w"), (-s).as("ns")))
+    val shard = element_at(array_sort(cand), -1).getField("ns") * -1
+    val base = documents
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.wsTokenCount(col("text")).as("tokens"),
+        shard.as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = base
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("first_tok", col("cum") - col("tokens"))
+      .withColumn("last_tok", col("cum") - 1)
+    spans
+      .withColumn("bin", explode(sequence(
+        expr(s"first_tok DIV $binTokens"), expr(s"last_tok DIV $binTokens"))))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(expr(s"first_tok DIV $binTokens") === col("bin"), 1L)
+          .otherwise(0L)).as("n_starting"),
+        sum(
+          least(col("last_tok"), (col("bin") + 1) * binTokens - 1) -
+            greatest(col("first_tok"), col("bin") * binTokens) + 1
+        ).as("fill_tokens"),
+        coalesce(
+          min(when(expr(s"first_tok DIV $binTokens") === col("bin"),
+            col("doc_id"))), lit(-1L)).as("first_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
 }

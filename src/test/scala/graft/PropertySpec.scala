@@ -160,6 +160,48 @@ class PropertySpec extends SparkTestBase {
     assert(re.exceptAll(graft.operators.Pack.chunkAssignments(docs, 64, 8)).isEmpty)
   }
 
+  test("training batch manifest: bins conserve tokens, agree with rendezvous, layout-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val B = 64
+    val out = graft.operators.Pack
+      .trainingBatchManifest(docs, binTokens = B, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.nonEmpty)
+    // token conservation: per shard, Σ fill_tokens == Σ doc tokens of the
+    // shard (shard derived by an INDEPENDENT Scala HRW fold), and every
+    // bin except the shard's last is exactly full
+    val shardTokens = docs.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val h = graft.functions.SimHash64.fnv1a(
+          r.getString(1).getBytes("UTF-8"))
+        val shard = (0L until 8L).maxBy(s =>
+          (graft.functions.Mix64.mix(h ^ s), -s))
+        shard -> r.getString(1).split(" ", -1).length.toLong
+      }
+      .groupBy(_._1).map { case (s, ts) => s -> ts.map(_._2).sum }
+    out.groupBy(_._1._1).foreach { case (shard, bins) =>
+      val fills = bins.toSeq.sortBy(_._1._2)
+      assert(fills.map(_._2._3).sum == shardTokens(shard),
+        s"shard $shard fill sum")
+      // gapless bin ids from 0
+      assert(fills.map(_._1._2) == (0L until fills.size.toLong))
+      fills.dropRight(1).foreach { case ((_, bin), (_, _, fill, _)) =>
+        assert(fill == B.toLong, s"non-final bin $bin of shard $shard not full")
+      }
+      // every bin touches >= 1 doc; starting docs have a seek key
+      fills.foreach { case ((_, bin), (nDocs, nStart, _, firstDoc)) =>
+        assert(nDocs >= 1L)
+        assert((nStart == 0L) == (firstDoc == -1L), s"bin $bin seek key")
+      }
+    }
+    // content sharding + doc_id window order: layout cannot matter
+    val re = graft.operators.Pack
+      .trainingBatchManifest(docs.repartition(7), binTokens = B, shards = 8)
+    assert(re.exceptAll(
+      graft.operators.Pack.trainingBatchManifest(docs, B, 8)).isEmpty)
+  }
+
   test("BMP real-codec round-trip: decoded pixels equal the encoding contract") {
     // every byte travels through the JDK's actual BMP container format —
     // a padding/channel-order/row-direction bug in either direction would
