@@ -152,7 +152,8 @@ class SeqMiningRandomizationSpec extends SparkTestBase {
     // support 100,200,300,400: gaps 100 each, |cumA*2-cumB*2| = 2,2,2
     // num = 600, den = 4 -> 150 cents? No: terms |1*2-0*2|*100=200,
     // |1*2-1*2|*100=0, |2*2-1*2|*100=200 -> num=400, /4 = 100 cents.
-    assert(row.getAs[java.math.BigDecimal]("w1_num").longValueExact == 400L)
+    // exact integers travel as strings (driver-hash canonicalization)
+    assert(row.getAs[String]("w1_num") == "400")
     assert(row.getAs[Long]("w1_cents_micros") == 100000000L)
   }
 
@@ -163,7 +164,7 @@ class SeqMiningRandomizationSpec extends SparkTestBase {
       (3L, "b", "2024-01-01 10:00:00", 5.0),
       (4L, "b", "2024-01-01 10:00:00", 7.0)))
     val r = Wasserstein.w1ValueDrift(ev).collect()(0)
-    assert(r.getAs[java.math.BigDecimal]("w1_num").longValueExact == 0L)
+    assert(r.getAs[String]("w1_num") == "0")
     assert(r.getAs[Long]("w1_cents_micros") == 0L)
   }
 
