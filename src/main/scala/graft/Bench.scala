@@ -135,7 +135,8 @@ object Bench {
       "source_mixture_sample", "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
       "knn_graph", "token_topk_cms", "tfidf_top_terms", "token_counts_bpe",
       "doc_pagerank", "table_fingerprints", "multimodal_bmp_roundtrip",
-      "curation_funnel")
+      "curation_funnel", "curation_regen_splits", "training_batch_manifest",
+      "suffix_lrs", "wordpiece_tokens")
     val rmap = results.toMap
     val headQs = headlineNames.filter(rmap.contains)
       .map(k => "\"" + k + "\":" + r3(rmap(k))).mkString("{", ",", "}")
