@@ -457,6 +457,12 @@ object ScaleSmoke {
       // uniform shard shuffle, per-shard cumsum, bin-bounded explode
       time("training_batch_manifest", scale)(
         graft.operators.Pack.trainingBatchManifest(docs).count())
+      // full loop: regen corpus -> pack the regenerated train split
+      time("regen_train_manifest", scale)(
+        graft.operators.Pack.trainingBatchManifest(
+          graft.operators.Curation.regenCorpus(docs)
+            .filter(col("split") === "train")
+            .select(col("doc_id"), col("cleaned_text").as("text"))).count())
       // round-9 session: LM / tokenizer / corpus-stat additions.
       // kn/backoff models are vocab²-bounded window+join frames over the
       // bigram reduction; ngram_novelty is one min() window on hashed

@@ -223,11 +223,13 @@ GROUP BY 1 ORDER BY 1"""
     * and a per-(shard, bin) rollup with the first starting doc as the
     * loader seek key (-1 for pure continuation bins).
     */
-  def trainingBatchManifestSql(binTokens: Int = 2048, shards: Int = 32): String =
-    s"""WITH d AS (
+  def trainingBatchManifestSql(
+      binTokens: Int = 2048, shards: Int = 32,
+      source: String = "documents", prefixCtes: String = ""): String =
+    s"""WITH ${prefixCtes}d AS (
   SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tokens,
     (${fnvExpr("text")}) AS hu
-  FROM documents WHERE $asciiGuard = 0),
+  FROM $source WHERE $asciiGuard = 0),
 e AS (SELECT doc_id, tokens, unnest(range(0, $shards)) AS s, hu FROM d),
 z AS (SELECT doc_id, tokens, s,
   (xor(hu, CAST(s AS HUGEINT)) + 11400714819323198485::HUGEINT) % $U64 AS z0

@@ -805,6 +805,14 @@ object SparkEntry {
     // concatenate-then-chunk stream -> per-(shard, bin) loader manifest.
     "training_batch_manifest" -> ((s, dir) =>
       graft.operators.Pack.trainingBatchManifest(Tables.documents(s, dir))),
+    // FULL-LOOP composition: regenerate the corpus (trim-apply -> exact
+    // dedup -> re-split), then pack the regenerated TRAIN split into the
+    // loader manifest — curate-to-batches in one plan.
+    "regen_train_manifest" -> ((s, dir) =>
+      graft.operators.Pack.trainingBatchManifest(
+        graft.operators.Curation.regenCorpus(Tables.documents(s, dir))
+          .filter(col("split") === "train")
+          .select(col("doc_id"), col("cleaned_text").as("text")))),
     // Business-day (weekend-excluded) shipping SLA per priority.
     "shipping_business_sla" -> ((s, dir) =>
       Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -3889,6 +3897,10 @@ object SparkEntry {
     "split_leakage" -> splitLeakageOracleSql,
     "rendezvous_shards" -> SketchOracles.rendezvousSql(),
     "training_batch_manifest" -> SketchOracles.trainingBatchManifestSql(),
+    "regen_train_manifest" -> SketchOracles.trainingBatchManifestSql(
+      source = "(SELECT doc_id, cleaned_text AS text FROM tagged" +
+        " WHERE split = 'train')",
+      prefixCtes = graft.operators.Curation.regenCtes() + ",\n"),
 
     // The same closed-form business-day prefix count B(d) (epoch day 0 =
     // Thursday; g walks Thu,Fri,Sat,Sun,Mon,Tue) — no dayofweek(), whose

@@ -341,26 +341,7 @@ FROM allp ORDER BY pick""".stripMargin
     * aggregate on hashed windows. No driver-side data, no all-pairs.
     */
   def regenSplits(documents: DataFrame, k: Int = 6): DataFrame = {
-    val cleaned = SpanDedup.spanTrimApply(documents, k)
-      .filter(col("keep_len") > 0)
-      .select(col("doc_id"), col("cleaned_text"),
-        col("keep_len").as("n_toks"), col("removed_tokens"))
-    val surv = cleaned
-      .withColumn("digest", md5(col("cleaned_text")))
-      .groupBy(col("digest"))
-      .agg(
-        min(struct(col("doc_id"), col("cleaned_text"), col("n_toks"),
-          col("removed_tokens"))).as("m"),
-        count(lit(1)).as("grp"))
-      .select(col("m.doc_id").as("doc_id"),
-        col("m.cleaned_text").as("cleaned_text"),
-        col("m.n_toks").as("n_toks"),
-        col("m.removed_tokens").as("removed_tokens"),
-        (col("grp") - 1L).as("dups_dropped"))
-    val bucket =
-      graft.functions.GraftColumns.rollingHash(col("cleaned_text")) % 100
-    val tagged = surv.withColumn("split",
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val tagged = regenCorpus(documents, k)
     val w = tagged
       .select(col("doc_id"), col("split"),
         split(col("cleaned_text"), " ").as("toks"))
@@ -390,13 +371,43 @@ FROM allp ORDER BY pick""".stripMargin
       .orderBy(col("split"))
   }
 
-  /** Staged-CTE DuckDB replay of [[regenSplits]]: the trim plan + apply
-    * (nested [[SpanDedup.spanTrimApplyOracleSql]] stages), md5 dedup via
-    * QUALIFY row_number, the rolling-hash split gate on the cleaned
-    * text, and the string-window leak audit.
+  /** The regenerated corpus itself — steps 1-3 of [[regenSplits]]
+    * (trim-apply, md5 exact dedup of the edited text, content-hash
+    * re-split), exposed so downstream stages compose on it: one row per
+    * SURVIVOR doc with (doc_id, cleaned_text, n_toks, removed_tokens,
+    * dups_dropped, split).
     */
-  def regenSplitsOracleSql(k: Int = 6): String =
-    s"""WITH cleaned0 AS MATERIALIZED (
+  def regenCorpus(documents: DataFrame, k: Int = 6): DataFrame = {
+    val cleaned = SpanDedup.spanTrimApply(documents, k)
+      .filter(col("keep_len") > 0)
+      .select(col("doc_id"), col("cleaned_text"),
+        col("keep_len").as("n_toks"), col("removed_tokens"))
+    val surv = cleaned
+      .withColumn("digest", md5(col("cleaned_text")))
+      .groupBy(col("digest"))
+      .agg(
+        min(struct(col("doc_id"), col("cleaned_text"), col("n_toks"),
+          col("removed_tokens"))).as("m"),
+        count(lit(1)).as("grp"))
+      .select(col("m.doc_id").as("doc_id"),
+        col("m.cleaned_text").as("cleaned_text"),
+        col("m.n_toks").as("n_toks"),
+        col("m.removed_tokens").as("removed_tokens"),
+        (col("grp") - 1L).as("dups_dropped"))
+    val bucket =
+      graft.functions.GraftColumns.rollingHash(col("cleaned_text")) % 100
+    surv.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+  }
+
+  /** The WITH-list producing the oracle's `tagged` relation — the
+    * staged-CTE replay of [[regenCorpus]] (nested trim plan + apply,
+    * md5 dedup via QUALIFY row_number, rolling-hash split gate),
+    * shared by [[regenSplitsOracleSql]] and the composed
+    * regen-train-manifest oracle in SparkEntry.
+    */
+  private[graft] def regenCtes(k: Int = 6): String =
+    s"""cleaned0 AS MATERIALIZED (
        |${graft.operators.SpanDedup.spanTrimApplyOracleSql(k)}
        |),
        |cleaned AS (
@@ -420,7 +431,13 @@ FROM allp ORDER BY pick""".stripMargin
        |          list_transform(range(1, length(cleaned_text) + 1),
        |            i -> CAST(ascii(cleaned_text[i]) AS BIGINT))),
        |        (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
-       |    FROM surv)),
+       |    FROM surv))""".stripMargin
+
+  /** Staged-CTE DuckDB replay of [[regenSplits]]: [[regenCtes]] plus
+    * the string-window leak audit and the per-split rollup.
+    */
+  def regenSplitsOracleSql(k: Int = 6): String =
+    s"""WITH ${regenCtes(k)},
        |w AS (
        |  SELECT doc_id, split, unnest(list_transform(
        |    range(1, len(toks) - ${k - 2}),
