@@ -119,6 +119,11 @@ class SuffixArraySpec extends SparkTestBase {
       val ka = graft.operators.Similarity.fitCacheKey(a)
       val kb = graft.operators.Similarity.fitCacheKey(b)
       assert(ka.isDefined && kb.isDefined && ka != kb)
+      // the regenerated-corpus cache rides the same key: same frame hits,
+      // different dataset misses
+      val ra = graft.operators.Curation.regenCorpus(a)
+      assert(graft.operators.Curation.regenCorpus(a) eq ra)
+      assert(!(graft.operators.Curation.regenCorpus(b) eq ra))
       // in-memory frames stay uncacheable for the fit caches
       assert(graft.operators.Similarity
         .fitCacheKey(Seq((1L, "x")).toDF("doc_id", "text")).isEmpty)
