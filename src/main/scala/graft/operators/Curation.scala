@@ -398,8 +398,17 @@ FROM allp ORDER BY pick""".stripMargin
       case None =>
         val computed = computeRegenCorpus(documents, k).localCheckpoint()
         regenCache.synchronized {
-          if (regenCache.size >= 4) regenCache.clear()
-          regenCache.getOrElseUpdate(key, computed)
+          regenCache.get(key) match {
+            case Some(winner) => // concurrent compute won the race: keep
+              SuffixArray.freeCheckpoint(computed) // ours, unseen by anyone
+              winner
+            case None =>
+              if (regenCache.size >= 4) {
+                regenCache.valuesIterator.foreach(SuffixArray.freeCheckpoint)
+                regenCache.clear()
+              }
+              regenCache.getOrElseUpdate(key, computed)
+          }
         }
     }
   }

@@ -229,8 +229,17 @@ object Dedup {
       case None =>
         val computed = computeNearDupClusters(documents, pairs, maxIters)
         clusterCache.synchronized {
-          if (clusterCache.size >= 16) clusterCache.clear()
-          clusterCache.getOrElseUpdate(key, computed)
+          clusterCache.get(key) match {
+            case Some(winner) => // concurrent compute won the race: keep
+              SuffixArray.freeCheckpoint(computed) // ours, unseen by anyone
+              winner
+            case None =>
+              if (clusterCache.size >= 16) {
+                clusterCache.valuesIterator.foreach(SuffixArray.freeCheckpoint)
+                clusterCache.clear()
+              }
+              clusterCache.getOrElseUpdate(key, computed)
+          }
         }
     }
   }

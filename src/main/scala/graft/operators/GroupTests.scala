@@ -155,7 +155,10 @@ object GroupTests {
       // variance: all mass in one daypart) define Z² = 0 by contract —
       // the mcnemar/stumpConfusion posture, identical in the oracle.
       .withColumn("z2_micros", expr(
-        "CASE WHEN p * (n - p) *" +
+        // first factor cast like the denominator's: a raw BIGINT
+        // p * (n - p) wraps negative near n ~ 6e9 events and would
+        // wrongly take the THEN 0 branch where the HUGEINT oracle doesn't
+        "CASE WHEN CAST(p AS DECIMAL(38,0)) * (n - p) *" +
           " (CAST(n AS DECIMAL(38,0)) * sw2n - CAST(swn AS DECIMAL(38,0)) * swn)" +
           " <= 0 THEN 0 ELSE" +
           " CAST((CAST(t_num AS DECIMAL(38,0)) * t_num * n * 1000000)" +

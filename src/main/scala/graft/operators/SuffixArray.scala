@@ -100,6 +100,21 @@ object SuffixArray {
     df.queryExecution.logical.canonicalized.toString,
     df.inputFiles.sorted.mkString(","))
 
+  /** Release the block-manager storage behind a localCheckpoint'd frame
+    * when a session cache evicts it: walk the plan for LogicalRDD leaves
+    * (what localCheckpoint compiles to) and unpersist their RDDs
+    * (non-blocking). Without this, every evicted or race-discarded cache
+    * entry leaks its checkpoint blocks for the SparkContext lifetime.
+    * Callers only free frames whose results prior consumers have already
+    * materialized (session caches evict wholesale between corpora).
+    */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   /** A cached build serves a request iff it was built at least as deep
     * (builtStop >= requested), or its chain terminated for a reason a
     * deeper build could not change: the maxLen stop (blocks.last·2 >
@@ -125,9 +140,21 @@ object SuffixArray {
       case _ =>
         val computed = computeBuild(documents, stopBlock)
         ranksCache.synchronized {
-          if (ranksCache.size >= 4) ranksCache.clear()
-          ranksCache.update(key, (stopBlock, computed))
-          computed
+          // a concurrent build may have landed a satisfying entry: keep
+          // it, free OUR discarded levels (nobody has seen them)
+          ranksCache.get(key) match {
+            case Some((builtStop, r)) if satisfies(builtStop, r, stopBlock) =>
+              computed.levels.foreach(freeCheckpoint)
+              r
+            case replaced =>
+              if (ranksCache.size >= 4) {
+                ranksCache.valuesIterator
+                  .foreach(_._2.levels.foreach(freeCheckpoint))
+                ranksCache.clear()
+              } else replaced.foreach(_._2.levels.foreach(freeCheckpoint))
+              ranksCache.update(key, (stopBlock, computed))
+              computed
+          }
         }
     }
   }

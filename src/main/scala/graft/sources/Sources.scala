@@ -156,28 +156,114 @@ object Sources {
     case _ => java.sql.Types.VARCHAR
   }
 
+  /** SQL identifiers are spliced (not bindable) — restrict to the safe
+    * unquoted-identifier alphabet so a caller-supplied table/column name
+    * can never inject SQL. Table names may be schema-qualified (one dot).
+    */
+  private[graft] def validIdent(name: String, allowQualified: Boolean = false): String = {
+    val part = "[A-Za-z_][A-Za-z0-9_]*"
+    val pat = if (allowQualified) s"$part(\\.$part)?" else part
+    require(name.matches(pat), s"upsertJdbc: unsafe SQL identifier '$name'")
+    name
+  }
+
+  /** A generated upsert statement plus its per-row bind-parameter layout. */
+  private[graft] final case class UpsertStatement(
+      sql: String, paramFields: Seq[StructField])
+
+  /** Dialect-keyed upsert SQL for `table` keyed on `keyCols`.
+    *
+    *  - `jdbc:postgresql:` → the reference's native spelling, `INSERT …
+    *    ON CONFLICT (keys) DO UPDATE SET col = EXCLUDED.col`
+    *    (processor/src/infrastructure/queries/upsert_aggregation.sql:1-19):
+    *    same column list in schema order, parameterized row, and every
+    *    non-key column updated from EXCLUDED (a superset of the
+    *    reference's SET list by `window_end`, which its key functionally
+    *    determines — identical final state).
+    *  - `jdbc:derby:` / `jdbc:db2:` → ANSI MERGE against the one-row
+    *    `SYSIBM.SYSDUMMY1` dummy those engines ship.
+    *  - anything else → ANSI MERGE against `(VALUES (1)) AS dual(x)`,
+    *    the standard one-row source.
+    *
+    * Bind parameters are CAST to the column's ANSI type in the MERGE
+    * forms (Derby rejects untyped `?` in several MERGE positions); the
+    * PG form binds plain `?` (the driver infers from setObject).
+    */
+  private[graft] def upsertStatement(
+      url: String, table: String, schema: StructType,
+      keyCols: Seq[String]): UpsertStatement = {
+    validIdent(table, allowQualified = true)
+    schema.fieldNames.foreach(validIdent(_))
+    val keys = schema.fields.filter(f => keyCols.contains(f.name)).toSeq
+    val nonKeys = schema.fields.filterNot(f => keyCols.contains(f.name)).toSeq
+    require(nonKeys.nonEmpty, "upsertJdbc: need at least one non-key column")
+    val all = keys ++ nonKeys
+    def cast(f: StructField) = s"CAST(? AS ${ansiType(f.dataType)})"
+    if (url.startsWith("jdbc:postgresql:")) {
+      // schema column order, so for the reference's aggregate schema the
+      // generated text matches upsert_aggregation.sql's column list exactly
+      val ordered = schema.fields.toSeq
+      val sql =
+        s"""INSERT INTO $table (${ordered.map(_.name).mkString(", ")})
+           |VALUES (${ordered.map(_ => "?").mkString(", ")})
+           |ON CONFLICT (${keys.map(_.name).mkString(", ")})
+           |DO UPDATE SET
+           |${nonKeys.map(f => s"    ${f.name} = EXCLUDED.${f.name}").mkString(",\n")}""".stripMargin
+      UpsertStatement(sql, ordered)
+    } else {
+      val dual =
+        if (url.startsWith("jdbc:derby:") || url.startsWith("jdbc:db2:"))
+          "SYSIBM.SYSDUMMY1"
+        else "(VALUES (1)) AS dual(x)"
+      val sql =
+        s"""MERGE INTO $table t USING $dual
+           |ON ${keys.map(f => s"t.${f.name} = ${cast(f)}").mkString(" AND ")}
+           |WHEN MATCHED THEN UPDATE SET
+           |  ${nonKeys.map(f => s"${f.name} = ${cast(f)}").mkString(", ")}
+           |WHEN NOT MATCHED THEN INSERT (${all.map(_.name).mkString(", ")})
+           |VALUES (${all.map(cast).mkString(", ")})""".stripMargin
+      // parameter layout per row: keys (ON), nonKeys (UPDATE), all (INSERT)
+      UpsertStatement(sql, keys ++ nonKeys ++ all)
+    }
+  }
+
+  /** Transient/retryable JDBC failures: the standard transient exception
+    * subtypes plus SQLState class 40 (transaction rollback — Derby spells
+    * lock timeout `40XL1` and deadlock victim `40001` there).
+    */
+  private def isTransient(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLTransientException] ||
+      e.isInstanceOf[java.sql.SQLRecoverableException] ||
+      Option(e.getSQLState).exists(_.startsWith("40"))
+
   /** Write-side SQL upsert over JDBC — the relational twin of the
     * reference's `INSERT ... ON CONFLICT (window_start, event_type)
     * DO UPDATE SET col = EXCLUDED.col`
-    * (processor/src/infrastructure/queries/upsert_aggregation.sql:1-19),
-    * spelled as ANSI `MERGE` so it runs on any standard backend (the
-    * spec executes it against embedded Derby; on Postgres the same
-    * statement works verbatim from PG 15, or swap the per-row SQL for
-    * the native ON CONFLICT form — the plumbing is identical).
+    * (processor/src/infrastructure/queries/upsert_aggregation.sql:1-19).
+    * The SQL text is dialect-keyed on the JDBC URL ([[upsertStatement]]):
+    * Postgres gets the reference's native ON CONFLICT spelling, Derby/DB2
+    * the ANSI MERGE they support, everything else a standard
+    * `(VALUES (1))`-sourced MERGE. The spec executes the Derby form
+    * against an embedded database and asserts the generated PG text.
     *
     * Distributed shape: each DataFrame partition opens its own
-    * connection and executes the parameterized one-row MERGE via JDBC
-    * batching (`addBatch`/`executeBatch` every `batchSize` rows), with
-    * ONE commit per partition — at 1000 executors this is the standard
-    * fan-in write, bounded by the DB, not by Spark. The commit placement
-    * reproduces the reference's S4 offset⇄flush coupling: under
-    * foreachBatch the streaming checkpoint only advances after every
-    * partition commits, and a replayed micro-batch re-MERGEs the same
-    * keyed aggregates to the same final state (idempotent at-least-once;
+    * connection and executes the parameterized one-row upsert via JDBC
+    * batching, committing every `batchSize` rows. A chunk that fails
+    * with a TRANSIENT error (lock timeout / deadlock victim /
+    * SQLTransientException) is rolled back and retried up to 3 times —
+    * the rows are still buffered driver-free on the executor, and the
+    * upsert is idempotent, so a retry (or a whole-task Spark retry
+    * replaying already-committed chunks) converges to the same state.
+    * At 1000 executors this is the standard fan-in write, bounded by
+    * the DB, not by Spark. The per-chunk commit preserves the
+    * reference's S4 offset⇄flush coupling: under foreachBatch the
+    * streaming checkpoint only advances after every partition's last
+    * commit, and a replayed micro-batch re-upserts the same keyed
+    * aggregates to the same final state (idempotent at-least-once;
     * replay spec in SourcesObsSpec).
     *
     * Caller contract: `df` is keyed-unique on `keyCols` (true of any
-    * groupBy aggregate — the only caller shape), so MERGE order across
+    * groupBy aggregate — the only caller shape), so upsert order across
     * partitions cannot matter.
     */
   def upsertJdbc(
@@ -186,46 +272,54 @@ object Sources {
     val schema = df.schema
     require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
       s"upsertJdbc: keyCols $keyCols must be columns of ${schema.fieldNames.toSeq}")
-    val keys = schema.fields.filter(f => keyCols.contains(f.name)).toSeq
-    val nonKeys = schema.fields.filterNot(f => keyCols.contains(f.name)).toSeq
-    require(nonKeys.nonEmpty, "upsertJdbc: need at least one non-key column")
-    val all = keys ++ nonKeys
-    def cast(f: StructField) = s"CAST(? AS ${ansiType(f.dataType)})"
-    // one-row MERGE against the standard 1-row dummy (present in Derby
-    // and DB2; on engines without it, `(VALUES (1)) AS dual(x)` works)
-    val sql =
-      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1
-         |ON ${keys.map(f => s"t.${f.name} = ${cast(f)}").mkString(" AND ")}
-         |WHEN MATCHED THEN UPDATE SET
-         |  ${nonKeys.map(f => s"${f.name} = ${cast(f)}").mkString(", ")}
-         |WHEN NOT MATCHED THEN INSERT (${all.map(_.name).mkString(", ")})
-         |VALUES (${all.map(cast).mkString(", ")})""".stripMargin
-    // parameter layout per row: keys (ON), nonKeys (UPDATE), all (INSERT)
-    val paramFields = (keys ++ nonKeys ++ all).toArray
-    val paramIdx = paramFields.map(f => schema.fieldIndex(f.name))
-    val typeCodes = paramFields.map(f => jdbcTypeCode(f.dataType))
+    require(batchSize > 0, "upsertJdbc: batchSize must be positive")
+    val stmt = upsertStatement(url, table, schema, keyCols)
+    val sql = stmt.sql
+    val paramIdx = stmt.paramFields.map(f => schema.fieldIndex(f.name)).toArray
+    val typeCodes = stmt.paramFields.map(f => jdbcTypeCode(f.dataType)).toArray
+    val maxAttempts = 3
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
           val ps = conn.prepareStatement(sql)
-          var pending = 0
-          rows.foreach { row =>
-            var i = 0
-            while (i < paramIdx.length) {
-              val v = row.get(paramIdx(i))
-              if (v == null) ps.setNull(i + 1, typeCodes(i))
-              else ps.setObject(i + 1, v)
-              i += 1
+          val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](batchSize)
+          def flushChunk(): Unit = if (buf.nonEmpty) {
+            var attempt = 1
+            var done = false
+            while (!done) {
+              try {
+                buf.foreach { row =>
+                  var i = 0
+                  while (i < paramIdx.length) {
+                    val v = row.get(paramIdx(i))
+                    if (v == null) ps.setNull(i + 1, typeCodes(i))
+                    else ps.setObject(i + 1, v)
+                    i += 1
+                  }
+                  ps.addBatch()
+                }
+                ps.executeBatch()
+                conn.commit() // the flush the checkpoint advance is coupled to
+                done = true
+              } catch {
+                case e: java.sql.SQLException
+                    if attempt < maxAttempts && isTransient(e) =>
+                  try conn.rollback() catch { case _: java.sql.SQLException => () }
+                  try ps.clearBatch() catch { case _: java.sql.SQLException => () }
+                  Thread.sleep(50L * attempt)
+                  attempt += 1
+              }
             }
-            ps.addBatch()
-            pending += 1
-            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+            buf.clear()
           }
-          if (pending > 0) ps.executeBatch()
+          rows.foreach { row =>
+            buf += row
+            if (buf.size >= batchSize) flushChunk()
+          }
+          flushChunk()
           ps.close()
-          conn.commit() // the flush the checkpoint advance is coupled to
         } finally conn.close()
       }
     }

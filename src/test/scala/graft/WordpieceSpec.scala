@@ -51,12 +51,37 @@ class WordpieceSpec extends SparkTestBase {
   }
 
   test("wordpiece: native expression equals the fold on the sf0.001 corpus") {
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = graft.Tables.documents(spark, sf)
     val decl = TextAnalysis.wordpieceTokenCounts(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
     val native = TextAnalysis.wordpieceTokenCountsNative(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
     assert(native.nonEmpty && native == decl)
+  }
+
+  test("wordpiece: decl fold depth (16) covers every word at every harness SF") {
+    // the declarative variant's contract: its 16-step fold truncates any
+    // word needing >16 pieces where the native loop (and the DuckDB
+    // oracle's recursive CTE) run to completion. Pin that the contract
+    // holds for every corpus the driver actually runs the decl query on —
+    // a future fixture with a longer word fails HERE, not as a latent
+    // oracle hash-mismatch.
+    import org.apache.spark.sql.functions._
+    val base = new java.io.File(sf).getParentFile
+    val sfDirs = base.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("sf")).map(_.toString).sorted
+    assert(sfDirs.nonEmpty)
+    sfDirs.foreach { dir =>
+      val docs = graft.Tables.documents(spark, dir)
+      val maxPieces = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .select(max(size(graft.functions.GraftColumns.wordpieceEncode(
+          col("w"), TextAnalysis.wordpieceVocab))).as("m"))
+        .head.getInt(0)
+      assert(maxPieces <= 16, s"$dir: a word needs $maxPieces pieces; " +
+        "the 16-step decl fold would truncate it — raise the fold depth")
+    }
   }
 
   test("wordpiece native: no UDF object in the plan, encode stays codegen'd") {
