@@ -489,6 +489,16 @@ object SparkEntry {
     // recomputes format fields + exact signal statistics arithmetically.
     "multimodal_wav_roundtrip" -> ((s, dir) =>
       graft.multimodal.Multimodal.wavRoundTrip(s, Tables.documents(s, dir))),
+    // Perceptual hashes (dHash 9x8 gradient + aHash 8x8 mean) over the
+    // REAL decoded BMP pixels; integer-exact grid resize, so the oracle
+    // reproduces both 64-bit fingerprints arithmetically.
+    "image_fingerprints" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageFingerprints(s, Tables.documents(s, dir))),
+    // Image near-dup edges: dHash through the same pigeonhole Hamming
+    // banding as the SimHash text path (lossless for hamming <= 2, never
+    // all-pairs); the oracle replays fingerprints, bands, join, Hamming.
+    "image_near_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageNearDups(s, Tables.documents(s, dir))),
 
     // ---- widened relational surface ----
     // Semi-structured extraction from the props JSON column.
@@ -2959,6 +2969,95 @@ object SparkEntry {
         |FROM documents d, range(21) tx(x), range(19) ty(y)
         |WHERE tx.x < 8 + d.doc_id % 13 AND ty.y < 8 + d.doc_id % 11
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // Perceptual hashes: the oracle regenerates the deterministic pixels,
+    // replays the 9x8 (dHash) / 8x8 (aHash) integer grid resize, and
+    // assembles both 64-bit fingerprints as HUGEINT before the signed
+    // BIGINT wrap — any engine-side deviation in the decode, the grid
+    // arithmetic, or a bit position hash-mismatches.
+    "image_fingerprints" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents),
+        |dcells AS (
+        |  SELECT doc_id, xt, yt,
+        |    (doc_id + 31 * ((xt * w) // 9) + 17 * ((yt * h) // 8)) % 256 AS g
+        |  FROM dims, (SELECT unnest(range(0, 9)) AS xt),
+        |             (SELECT unnest(range(0, 8)) AS yt)),
+        |dfph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.g > a.g
+        |        THEN (1::HUGEINT << (a.yt * 8 + a.xt)) ELSE 0::HUGEINT END) AS hfp
+        |  FROM dcells a JOIN dcells b
+        |    ON a.doc_id = b.doc_id AND a.yt = b.yt AND b.xt = a.xt + 1
+        |  WHERE a.xt < 8
+        |  GROUP BY 1),
+        |dfp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
+        |      AS dhash
+        |  FROM dfph),
+        |acells AS (
+        |  SELECT doc_id, xt, yt,
+        |    (doc_id + 31 * ((xt * w) // 8) + 17 * ((yt * h) // 8)) % 256 AS g
+        |  FROM dims, (SELECT unnest(range(0, 8)) AS xt),
+        |             (SELECT unnest(range(0, 8)) AS yt)),
+        |atot AS (SELECT doc_id, sum(g) AS s FROM acells GROUP BY 1),
+        |afph AS (
+        |  SELECT c.doc_id,
+        |    sum(CASE WHEN 64 * c.g > t.s
+        |        THEN (1::HUGEINT << (c.yt * 8 + c.xt)) ELSE 0::HUGEINT END) AS hfp
+        |  FROM acells c JOIN atot t ON c.doc_id = t.doc_id
+        |  GROUP BY 1),
+        |afp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
+        |      AS ahash
+        |  FROM afph)
+        |SELECT d.doc_id, CAST(dims.w AS INTEGER) AS width,
+        |  CAST(dims.h AS INTEGER) AS height, d.dhash, a.ahash
+        |FROM dfp d JOIN afp a USING (doc_id) JOIN dims USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Near-dup pairs: same dHash derivation, then the engine's exact
+    // banding replayed (3 bands of 21/21/22 bits for maxHamming = 2),
+    // candidate equi-join, exact bit_count(xor) verification.
+    "image_near_dups" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents),
+        |dcells AS (
+        |  SELECT doc_id, xt, yt,
+        |    (doc_id + 31 * ((xt * w) // 9) + 17 * ((yt * h) // 8)) % 256 AS g
+        |  FROM dims, (SELECT unnest(range(0, 9)) AS xt),
+        |             (SELECT unnest(range(0, 8)) AS yt)),
+        |dfph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.g > a.g
+        |        THEN (1::HUGEINT << (a.yt * 8 + a.xt)) ELSE 0::HUGEINT END) AS hfp
+        |  FROM dcells a JOIN dcells b
+        |    ON a.doc_id = b.doc_id AND a.yt = b.yt AND b.xt = a.xt + 1
+        |  WHERE a.xt < 8
+        |  GROUP BY 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
+        |      AS f
+        |  FROM dfph),
+        |banded AS (
+        |  SELECT doc_id, f, b AS band,
+        |    (f >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM fp, (SELECT unnest(range(0, 3)) AS b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.f, b.f)) AS hamming
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "multimodal_wav_roundtrip" ->
       """SELECT d.doc_id,

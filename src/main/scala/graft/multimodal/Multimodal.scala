@@ -237,6 +237,103 @@ object Multimodal {
     }(enc).orderBy(col("doc_id"))
   }
 
+  val imageFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  /** Perceptual hashes over the REAL decoded pixels — the image analogue
+    * of the text fingerprints that drive near-dup dedup:
+    *
+    *  - **dHash** (difference hash): sample the image on a 9×8 integer
+    *    grid (`x_src = x_t·w DIV 9`, `y_src = y_t·h DIV 8` — a
+    *    deterministic nearest-neighbor resize, no float interpolation,
+    *    so any engine reproduces it bit-exactly), set bit `y·8+x` iff
+    *    the right neighbor is strictly brighter. Robust to uniform
+    *    brightness shifts.
+    *  - **aHash** (average hash): 8×8 grid, set the bit iff the pixel
+    *    beats the grid mean — compared exactly as `64·g > Σg`, no
+    *    division.
+    *
+    * Pixels come from an actual `javax.imageio` BMP parse of real encoded
+    * bytes ([[encodeBmp]]) on the executors — same genuine-codec slice as
+    * [[bmpRoundTrip]] (the grayscale read takes the blue channel; the
+    * synthetic pixels are gray, r=g=b, so channel choice is immaterial
+    * and the oracle's single-value pixel formula stays exact). Same
+    * partition-batched, shuffle-free shape as [[decodeMeta]]: at 100 TB
+    * of images this stage is embarrassingly parallel, one pass, output
+    * 36 bytes/doc.
+    */
+  def imageFingerprints(spark: SparkSession, documents: DataFrame): DataFrame =
+    imageFingerprintsRaw(documents).orderBy(col("doc_id"))
+
+  /** [[imageFingerprints]] without the presentation sort — the near-dup
+    * banding consumes this (a sort feeding an equi-join is wasted work).
+    */
+  private def imageFingerprintsRaw(documents: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageFpSchema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(encodeBmp(id)))
+        val w = img.getWidth
+        val h = img.getHeight
+        // dHash: 9x8 grid, horizontal gradient sign
+        var dhash = 0L
+        var yt = 0
+        while (yt < 8) {
+          val ys = yt * h / 8
+          var prev = img.getRGB(0, ys) & 0xff // x_t = 0 → x_src = 0
+          var xt = 0
+          while (xt < 8) {
+            val next = img.getRGB((xt + 1) * w / 9, ys) & 0xff
+            if (next > prev) dhash |= 1L << (yt * 8 + xt)
+            prev = next
+            xt += 1
+          }
+          yt += 1
+        }
+        // aHash: 8x8 grid vs exact integer mean
+        val grid = new Array[Int](64)
+        var sum = 0L
+        var i = 0
+        while (i < 64) {
+          grid(i) = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xff
+          sum += grid(i)
+          i += 1
+        }
+        var ahash = 0L
+        i = 0
+        while (i < 64) {
+          if (64L * grid(i) > sum) ahash |= 1L << i
+          i += 1
+        }
+        Row(id, w, h, dhash, ahash)
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate detection: dHash fingerprints through the same
+    * Hamming-banded candidate join the SimHash text path uses
+    * ([[graft.operators.Dedup.bandedHammingPairs]] — pigeonhole-lossless,
+    * `maxHamming + 1` bands, NEVER an all-pairs scan). For a training-data
+    * pipeline this is the image twin of text near-dup dedup: re-encoded /
+    * brightness-shifted copies land within a few dHash bits of each other
+    * and surface here as (doc_a, doc_b, hamming) edges ready for
+    * [[graft.operators.Dedup.nearDupClusters]]. Scale = fingerprint pass
+    * (map-only over the images) + a band equi-join on 5/6-byte keys.
+    */
+  def imageNearDups(
+      spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 2): DataFrame =
+    graft.operators.Dedup.bandedHammingPairs(
+      imageFingerprintsRaw(documents)
+        .select(col("doc_id"), col("dhash").as("fp")),
+      maxHamming)
+
   /** Frame-sampling plumbing for video-like payloads: treat the payload as
     * a sequence of fixed-size frames, keep every `stride`-th frame. Emits
     * per-doc frame counts — the bookkeeping a `mapInPandas` frame-sampler

@@ -471,13 +471,28 @@ object Dedup {
     */
   def simhashPairs(
       documents: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      documents.select(
+        col("doc_id"),
+        GraftColumns.simhash64(split(col("text"), " ")).as("fp")),
+      maxHamming)
+
+  /** Hamming-banded near-dup pairs over ANY 64-bit fingerprint frame
+    * `(doc_id, fp)` — the shared candidate-generation core of the SimHash
+    * text path above and the perceptual-hash image path
+    * ([[graft.multimodal.Multimodal.imageNearDups]]). Pigeonhole-lossless:
+    * a pair within Hamming distance `maxHamming` shares at least one of
+    * the `maxHamming + 1` equal bands, so the band equi-join (never an
+    * all-pairs scan) generates every true pair; exact `bit_count(xor)`
+    * verification then drops the false candidates.
+    */
+  def bandedHammingPairs(
+      fps: DataFrame,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val bands = maxHamming + 1
     val bandWidth = 64 / bands // last band absorbs the remainder bits
-    val fps = documents.select(
-      col("doc_id"),
-      GraftColumns.simhash64(split(col("text"), " ")).as("fp"))
     val banded = fps.select(
         col("doc_id"), col("fp"),
         explode(array((0 until bands).map { b =>

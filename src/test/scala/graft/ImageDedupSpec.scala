@@ -1,0 +1,73 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash image dedup: the dHash/aHash fingerprints computed from
+  * REAL decoded BMP bytes must equal an independent arithmetic recompute
+  * from the pixel formula (pinning the whole codec + grid-resize path),
+  * and the Hamming-banded near-dup join must be lossless vs brute force.
+  */
+class ImageDedupSpec extends SparkTestBase {
+
+  /** Formula-only reimplementation (no ImageIO, no BMP bytes): what the
+    * DuckDB oracle computes. Equality against the engine proves the
+    * encode → real-codec-decode → grid-sample path is exact.
+    */
+  private def refFp(d: Long): (Int, Int, Long, Long) = {
+    val w = (8 + d % 13).toInt
+    val h = (8 + d % 11).toInt
+    def g(x: Int, y: Int): Int = ((d + 31L * x + 17L * y) % 256L).toInt
+    var dhash = 0L
+    for (yt <- 0 until 8) {
+      val ys = yt * h / 8
+      var prev = g(0, ys)
+      for (xt <- 0 until 8) {
+        val next = g((xt + 1) * w / 9, ys)
+        if (next > prev) dhash |= 1L << (yt * 8 + xt)
+        prev = next
+      }
+    }
+    val grid = for (yt <- 0 until 8; xt <- 0 until 8) yield g(xt * w / 8, yt * h / 8)
+    val sum = grid.map(_.toLong).sum
+    var ahash = 0L
+    grid.zipWithIndex.foreach { case (v, i) => if (64L * v > sum) ahash |= 1L << i }
+    (w, h, dhash, ahash)
+  }
+
+  test("image fingerprints from decoded pixels equal the formula recompute") {
+    val docs = Tables.documents(spark, sf)
+    val got = Multimodal.imageFingerprints(spark, docs).collect()
+    assert(got.length == docs.count())
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, dh, ah) = refFp(id)
+      assert((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)) ==
+        ((w, h, dh, ah)), s"doc $id")
+    }
+  }
+
+  test("banded near-dups are lossless: equal to brute-force all-pairs (recall = 1)") {
+    val docs = Tables.documents(spark, sf)
+    val banded = Multimodal.imageNearDups(spark, docs, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the formula fingerprints (driver-side, 500 docs)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val fps = ids.map(id => id -> refFp(id)._3).toMap
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      hm = java.lang.Long.bitCount(fps(ids(i)) ^ fps(ids(j)))
+      if hm <= 2
+    } yield (ids(i), ids(j), hm)).toSet
+    assert(brute.nonEmpty, "fixture has no near-dup pairs — gate is vacuous")
+    assert(banded == brute)
+  }
+
+  test("near-dup plan: band equi-join, no cartesian product") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Multimodal.imageNearDups(spark, docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
