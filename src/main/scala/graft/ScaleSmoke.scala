@@ -371,6 +371,24 @@ object ScaleSmoke {
       // candidate, same as ngram_jaccard_pairs)
       time("winnow_native", scale)(
         graft.functions.TextAnalysis.winnowFingerprintsNative(docs).count())
+      // round-11: perceptual-hash image near-dup — map-only dHash over
+      // REAL decoded BMP bytes, then the pigeonhole band join; the curve
+      // should track docs ~linearly (band keys keep buckets small)
+      time("image_near_dups", scale)(
+        graft.multimodal.Multimodal.imageNearDups(spark, docs).count())
+      // round-11: BPE merge learning at realistic depth — vocabulary
+      // grows with scale (~5k/50k/500k distinct pseudo-words), 256
+      // merges; the loop is driver-local over the collected (word,count)
+      // frame with incremental pair-count maintenance, so the curve must
+      // track vocab x touched-words, never raw corpus rows
+      val bpeDocs = spark.range(nDocs)
+        .select(expr(
+          "concat_ws(' ', transform(sequence(0, 7), i -> " +
+            s"substr(md5(cast(pmod(xxhash64(id * 8 + i), $nDocs) AS string)), 1, 8)))")
+          .as("text"))
+      time("bpe_merges_256", scale)(
+        force(graft.operators.BpeTrainer.learnMerges(
+          bpeDocs, 256, maxVocabRows = 4000000)))
       // retrieval additions: BM25 is two stateless scan passes (stats
       // 1-row broadcast + scoring top-k) — the curve should be pure scan;
       // PMI is the bigram explode into a vocab²-bounded aggregate, so its

@@ -30,7 +30,8 @@ object BpeTrainer {
   /** Leftmost-non-overlapping merge of (l, r) -> l+r, as a left fold:
     * a merged symbol can never re-match `l` in the same pass (l+r != l),
     * so no skip flag is needed. The oracle's recursive walk and this
-    * fold are the same automaton.
+    * fold are the same automaton. (Reference spelling — the training
+    * loop runs [[applyMergeArr]], equality-pinned in BpeTrainerSpec.)
     */
   private[graft] def applyMerge(
       syms: List[String], l: String, r: String): List[String] =
@@ -40,36 +41,108 @@ object BpeTrainer {
       else out :+ s
     }
 
-  /** Learn `numMerges` rules; emits (step, left, right, pair_count). */
-  def learnMerges(documents: DataFrame, numMerges: Int = 6): DataFrame = {
+  /** Array form of [[applyMerge]] — same automaton, in-place-friendly. */
+  private[graft] def applyMergeArr(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out(out.length - 1) == l && syms(i) == r)
+        out(out.length - 1) = l + r
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Learn `numMerges` rules; emits (step, left, right, pair_count).
+    *
+    * `maxVocabRows` bounds the driver-side (word, count) collect: the
+    * loop is vocab-bounded BY DESIGN (a natural language is a few
+    * million word forms), and a corpus whose "vocabulary" outgrows the
+    * bound means the input wasn't word-like (binary soup, unsegmented
+    * text) — that must fail loudly here, not OOM the driver. The scan
+    * collects at most `maxVocabRows + 1` rows, so the failure itself is
+    * cheap. Merge-count scaling is measured in ScaleSmoke (`bpe_merges`:
+    * 256 merges over 1k/10k/100k-word synthetic vocabularies).
+    */
+  def learnMerges(documents: DataFrame, numMerges: Int = 6,
+      maxVocabRows: Int = 2000000): DataFrame = {
     val spark = documents.sparkSession
-    val wordCounts = documents
+    val collected = documents
       .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
         .as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("c"))
+      .limit(maxVocabRows + 1)
       .collect() // language-bounded vocab frame (see scaladoc)
-      .map(row => (row.getString(0), row.getLong(1)))
-    var vocab: Array[(List[String], Long)] =
-      wordCounts.map { case (w, c) => (w.split("").toList, c) }
+    require(collected.length <= maxVocabRows,
+      s"learnMerges: corpus vocabulary exceeds maxVocabRows=$maxVocabRows; " +
+        "the merge loop is driver-local and vocab-bounded by design — " +
+        "pre-normalize the input (or raise the bound explicitly) instead " +
+        "of collecting an unbounded frame")
+    val wordCounts = collected.map(row => (row.getString(0), row.getLong(1)))
+    // Incremental trainer (the structure real BPE trainers use): global
+    // pair counts plus a pair -> containing-words index, maintained by
+    // EXACT deltas as each merge rewrites only the words it touches — a
+    // round costs O(|affected words| x len + |live pairs| for the argmax)
+    // instead of re-scanning the whole vocabulary, which is what makes
+    // realistic merge counts (256+; ScaleSmoke `bpe_merges_256`) cheap.
+    // Semantics are IDENTICAL to the naive rescan-every-round loop
+    // (BpeTrainerSpec pins equality on randomized corpora): counts are
+    // exact integers, the argmax ordering is unchanged, and once (l, r)
+    // is merged no new (l, r) adjacency can ever form (merges only fuse
+    // neighbors — they never delete a symbol between two others — and no
+    // later concatenation can equal the single merged string without
+    // being this same pair), so dropping the pair's index entry is safe.
+    val words: Array[Array[String]] = wordCounts.map(_._1.split("").toArray)
+    val counts: Array[Long] = wordCounts.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def adjacent(syms: Array[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    var idx = 0
+    while (idx < words.length) {
+      adjacent(words(idx)).foreach { p =>
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + counts(idx))
+        pairWords.getOrElseUpdate(
+          p, scala.collection.mutable.Set.empty[Int]) += idx
+      }
+      idx += 1
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= numMerges && !exhausted) {
-      val pairCounts = scala.collection.mutable.LinkedHashMap
-        .empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        syms.zip(syms.tail).foreach { p =>
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
-        }
-      }
       if (pairCounts.isEmpty) exhausted = true
       else {
         val ((l, r), cnt) = pairCounts.minBy { case ((a, b), n) =>
           (-n, a, b) // max count, then lexicographic (a, b)
         }
         merges += ((step, l, r, cnt))
-        vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        pairWords.remove((l, r)).foreach(_.foreach { wi =>
+          val old = words(wi)
+          val merged = applyMergeArr(old, l, r)
+          if (merged.length != old.length) { // skip stale index entries
+            val c = counts(wi)
+            val delta = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            adjacent(old).foreach(p => delta.update(p, delta.getOrElse(p, 0L) - c))
+            adjacent(merged).foreach(p => delta.update(p, delta.getOrElse(p, 0L) + c))
+            delta.foreach { case (p, d) =>
+              if (d != 0L) {
+                val nv = pairCounts.getOrElse(p, 0L) + d
+                if (nv <= 0L) pairCounts.remove(p)
+                else pairCounts.update(p, nv)
+                if (d > 0L) pairWords.getOrElseUpdate(
+                  p, scala.collection.mutable.Set.empty[Int]) += wi
+              }
+            }
+            words(wi) = merged
+          }
+        })
+        pairCounts.remove((l, r))
         step += 1
       }
     }

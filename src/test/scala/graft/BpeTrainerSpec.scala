@@ -50,6 +50,59 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(got(0) == ((1, "a", "b", 2L)))
   }
 
+  /** The naive rescan-every-round reference loop (the pre-r11 engine
+    * implementation, verbatim semantics): full pair recount per round,
+    * argmax (-count, l, r), fold-based merge application.
+    */
+  private def naiveLearn(
+      wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = wordCounts.map { case (w, c) => (w.split("").toList, c) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val pc = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc.update(p, pc.getOrElse(p, 0L) + c))
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((step, l, r, cnt))
+        vocab = vocab.map { case (s, c) => (BpeTrainer.applyMerge(s, l, r), c) }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  test("incremental trainer == naive rescan loop on randomized corpora, deep merges") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(41)
+    (0 until 5).foreach { trial =>
+      // random words over a 4-letter alphabet: heavy pair collisions,
+      // many exact-count ties — the tie-break is what's being stressed
+      val words = (0 until 120).map { _ =>
+        (1 to (2 + rng.nextInt(7))).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+      }
+      val text = words.mkString(" ")
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val got = BpeTrainer.learnMerges(docs, numMerges = 64).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sorted
+      val want = naiveLearn(wc, 64)
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("learnMerges: oversized vocabulary fails loudly instead of collecting") {
+    val docs = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.learnMerges(docs, numMerges = 2, maxVocabRows = 3)
+    }
+    assert(e.getMessage.contains("maxVocabRows"))
+  }
+
   test("encodeStats: counts reflect the applied merges per source") {
     val docs = Seq(
       (1L, "abab abab cd"), // source A
