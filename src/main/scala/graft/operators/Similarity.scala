@@ -209,6 +209,117 @@ object Similarity {
   private[graft] def soleIvfPqFit: Option[IvfPqFit] =
     if (ivfPqFits.size == 1) Some(ivfPqFits.values.iterator.next()) else None
 
+  // ---- index persistence (the build-once/query-many regime ANN indexes
+  // exist for): IVF centroids and PQ codebooks as a plain parquet model
+  // table (kind, subspace, code, center), written/read via the Hadoop
+  // FileSystem API so the path may be local, HDFS or S3A. The model is
+  // exact doubles (parquet round-trips IEEE754 bit-exactly), so a loaded
+  // index reproduces the session-fit results identically — spec-pinned in
+  // AnnPersistenceSpec. Parameter consistency (nlist/m/ksub/seed of the
+  // index vs the query call) is the caller's contract, as with any
+  // externally-built ANN index; structural mismatches (missing kind,
+  // wrong subspace count) fail loudly on load. ----
+
+  private def indexModelExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[graft] def saveIndexModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centers: Option[Array[Array[Double]]],
+      books: Option[Array[Array[Array[Double]]]]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows =
+      centers.toSeq.flatMap(cs => cs.zipWithIndex.map { case (c, i) =>
+        Row("ivf", 0, i, c.toSeq)
+      }) ++
+        books.toSeq.flatMap(bs => for {
+          (sub, j) <- bs.zipWithIndex.toSeq
+          (c, i) <- sub.zipWithIndex.toSeq
+        } yield Row("pq", j, i, c.toSeq))
+    val schema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("subspace", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("center", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private[graft] def loadIndexModel(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Option[Array[Array[Double]]], Option[Array[Array[Array[Double]]]]) = {
+    val rows = spark.read.parquet(path)
+      .select(col("kind"), col("subspace"), col("code"), col("center"))
+      .collect()
+    val ivf = rows.filter(_.getString(0) == "ivf")
+    val centers =
+      if (ivf.isEmpty) None
+      else Some(ivf.sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray))
+    val pq = rows.filter(_.getString(0) == "pq")
+    val books =
+      if (pq.isEmpty) None
+      else {
+        val bySub = pq.groupBy(_.getInt(1))
+        val subs = bySub.keys.toSeq.sorted
+        require(subs == (0 until subs.length),
+          s"index model at $path has non-contiguous PQ subspaces: $subs")
+        Some(subs.map(j =>
+          bySub(j).sortBy(_.getInt(2)).map(_.getSeq[Double](3).toArray)).toArray)
+      }
+    (centers, books)
+  }
+
+  /** Resolve the quantizer model for a query: load it from `indexPath`
+    * when one was built there before (the query-many side), otherwise fit
+    * through the session caches exactly as the path-less call does, and —
+    * if `indexPath` is set — persist the fit for later sessions (the
+    * build-once side). `needCenters`/`needBooks` name the parts this
+    * query requires; a loaded model missing a required part fails loudly.
+    */
+  private def withIndexModel(
+      embeddings: DataFrame, embDouble: DataFrame, indexPath: Option[String],
+      needCenters: Option[(Int, Long)], needBooks: Option[(Int, Int, Long)])
+      : (Option[Array[Array[Double]]], Option[Array[Array[Array[Double]]]]) = {
+    val spark = embeddings.sparkSession
+    indexPath match {
+      case Some(p) if indexModelExists(spark, p) =>
+        val (centers, books) = loadIndexModel(spark, p)
+        require(needCenters.isEmpty || centers.isDefined,
+          s"index model at $p has no IVF centroids (built by a PQ-only call?)")
+        require(needBooks.isEmpty || books.isDefined,
+          s"index model at $p has no PQ codebooks (built by an IVF-only call?)")
+        (centers.filter(_ => needCenters.isDefined),
+          books.filter(_ => needBooks.isDefined))
+      case _ =>
+        val centers = needCenters.map { case (nlist, seed) =>
+          fitCacheKey(embeddings) match {
+            case None => fitCoarseQuantizer(embDouble, nlist, seed)
+            case Some(planKey) => quantizerCache.synchronized {
+              if (quantizerCache.size > 16) quantizerCache.clear()
+              quantizerCache.getOrElseUpdate(
+                (planKey, nlist, seed), fitCoarseQuantizer(embDouble, nlist, seed))
+            }
+          }
+        }
+        val books = needBooks.map { case (m, ksub, seed) =>
+          fitCacheKey(embeddings) match {
+            case None => fitPqCodebooks(embDouble, m, ksub, seed)
+            case Some(planKey) => pqCache.synchronized {
+              if (pqCache.size > 16) pqCache.clear()
+              pqCache.getOrElseUpdate(
+                (planKey, m, ksub, seed), fitPqCodebooks(embDouble, m, ksub, seed))
+            }
+          }
+        }
+        indexPath.foreach(p => saveIndexModel(spark, p, centers, books))
+        (centers, books)
+    }
+  }
+
   /** Fit the IVF coarse quantizer: seeded k-means++ init + Lloyd iterations
     * over a bounded sample collected to the driver.
     *
@@ -431,7 +542,8 @@ object Similarity {
       k: Int = 5,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      indexPath: Option[String] = None): DataFrame = {
     // vectors with null elements are excluded from index and query set up
     // front (dot(x,x) is null iff an element is null): PqEncode would null
     // their cell (silently dropped corpus-side) while an all-null probe
@@ -440,14 +552,9 @@ object Similarity {
     val embDouble = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .filter(dot(col("embedding"), col("embedding")).isNotNull)
-    val centers: Array[Array[Double]] = fitCacheKey(embeddings) match {
-      case None => fitCoarseQuantizer(embDouble, nlist, seed) // in-memory input: never cache
-      case Some(planKey) => quantizerCache.synchronized {
-        if (quantizerCache.size > 16) quantizerCache.clear()
-        quantizerCache.getOrElseUpdate(
-          (planKey, nlist, seed), fitCoarseQuantizer(embDouble, nlist, seed))
-      }
-    }
+    val centers: Array[Array[Double]] = withIndexModel(
+      embeddings, embDouble, indexPath,
+      needCenters = Some((nlist, seed)), needBooks = None)._1.get
     if (ivfFits.size > 16) ivfFits.clear() // same wholesale bound as the caches
     ivfFits.put(
       pinKey(embeddings, s"ivf:$numQueries:$k:$nlist:$nprobe:$seed"),
@@ -558,19 +665,15 @@ object Similarity {
       m: Int = 16,
       ksub: Int = 16,
       rerank: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      indexPath: Option[String] = None): DataFrame = {
     // null-element vectors excluded up front — see ivfTopK
     val embDouble = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .filter(dot(col("embedding"), col("embedding")).isNotNull)
-    val books: Array[Array[Array[Double]]] = fitCacheKey(embeddings) match {
-      case None => fitPqCodebooks(embDouble, m, ksub, seed) // in-memory input: never cache
-      case Some(planKey) => pqCache.synchronized {
-        if (pqCache.size > 16) pqCache.clear()
-        pqCache.getOrElseUpdate(
-          (planKey, m, ksub, seed), fitPqCodebooks(embDouble, m, ksub, seed))
-      }
-    }
+    val books: Array[Array[Array[Double]]] = withIndexModel(
+      embeddings, embDouble, indexPath,
+      needCenters = None, needBooks = Some((m, ksub, seed)))._2.get
     if (pqFits.size > 16) pqFits.clear() // same wholesale bound as the caches
     pqFits.put(
       pinKey(embeddings, s"pq:$numQueries:$k:$m:$ksub:$rerank:$seed"),
@@ -660,29 +763,20 @@ object Similarity {
       m: Int = 16,
       ksub: Int = 16,
       rerank: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      indexPath: Option[String] = None): DataFrame = {
     // null-element vectors excluded up front — see ivfTopK
     val embDouble = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .filter(dot(col("embedding"), col("embedding")).isNotNull)
     // both fits reuse the plan-keyed caches their standalone queries use —
-    // an ivfTopK/pqTopK call on the same dataset and params shares them
-    val centers: Array[Array[Double]] = fitCacheKey(embeddings) match {
-      case None => fitCoarseQuantizer(embDouble, nlist, seed)
-      case Some(planKey) => quantizerCache.synchronized {
-        if (quantizerCache.size > 16) quantizerCache.clear()
-        quantizerCache.getOrElseUpdate(
-          (planKey, nlist, seed), fitCoarseQuantizer(embDouble, nlist, seed))
-      }
-    }
-    val books: Array[Array[Array[Double]]] = fitCacheKey(embeddings) match {
-      case None => fitPqCodebooks(embDouble, m, ksub, seed)
-      case Some(planKey) => pqCache.synchronized {
-        if (pqCache.size > 16) pqCache.clear()
-        pqCache.getOrElseUpdate(
-          (planKey, m, ksub, seed), fitPqCodebooks(embDouble, m, ksub, seed))
-      }
-    }
+    // an ivfTopK/pqTopK call on the same dataset and params shares them;
+    // with indexPath, one model file carries BOTH parts
+    val (centersOpt, booksOpt) = withIndexModel(
+      embeddings, embDouble, indexPath,
+      needCenters = Some((nlist, seed)), needBooks = Some((m, ksub, seed)))
+    val centers: Array[Array[Double]] = centersOpt.get
+    val books: Array[Array[Array[Double]]] = booksOpt.get
     if (ivfPqFits.size > 16) ivfPqFits.clear()
     ivfPqFits.put(
       pinKey(embeddings, s"ivfpq:$numQueries:$k:$nlist:$nprobe:$m:$ksub:$rerank:$seed"),
