@@ -375,6 +375,16 @@ object SparkEntry {
       Dedup.incrementalDedup(
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
     }),
+    // Full incremental-regeneration composition over the same arrival
+    // convention: exact dedup vs the standing digest → span audit over
+    // the surviving batch → post-trim dedup → stable content split.
+    // Streaming counterpart (stages 1+3): StreamingAgg.incrementalRegenStream,
+    // parity-pinned in StreamingAggSpec.
+    "incremental_regen" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Curation.incrementalRegen(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+    }),
     // Decontamination: max n-gram containment of each benchmark doc
     // (doc_id < 10 stands in for the eval set) in any training doc.
     "benchmark_contamination" -> ((s, dir) => {
@@ -2735,6 +2745,9 @@ object SparkEntry {
         |FROM keep k LEFT JOIN corp c ON k.h = c.h
         |WHERE c.h IS NULL
         |ORDER BY k.doc_id""".stripMargin,
+
+    "incremental_regen" ->
+      graft.operators.Curation.incrementalRegenOracleSql(),
 
     "benchmark_contamination" ->
       """WITH sh AS (

@@ -499,6 +499,99 @@ FROM allp ORDER BY pick""".stripMargin
        |GROUP BY t.split
        |ORDER BY t.split""".stripMargin
 
+  /** Incremental regeneration — the r10 rewrite loop composed for a NEW
+    * batch arriving against a standing corpus (the ingest-side shape a
+    * continuously-growing training corpus actually runs):
+    *
+    *  1. incremental exact dedup ([[Dedup.incrementalDedup]]): collapse
+    *     within-batch raw duplicates to the min-doc_id survivor and
+    *     anti-join away docs whose digest already stands in the corpus.
+    *     At scale the standing side is the 16-byte digest INDEX of the
+    *     corpus, never its text.
+    *  2. span audit over the surviving arrival ([[SpanDedup.spanTrimApply]]):
+    *     trim spans duplicated WITHIN the batch; docs trimmed to nothing
+    *     drop. (The standing corpus was span-audited when IT was
+    *     regenerated — the incremental invariant.)
+    *  3. post-trim dedup + split assignment, the [[regenCorpus]] rules
+    *     verbatim: md5(cleaned_text) min-doc_id survivor with
+    *     dups_dropped, then the rolling-hash 80/10/10 content split — an
+    *     incrementally-added doc lands in the SAME split a full rebuild
+    *     would give it, so splits stay stable under growth.
+    *
+    * The streaming counterpart (stages 1+3, which are the streamable
+    * prefix — stage 2 needs cross-doc windows over the whole arrival) is
+    * [[graft.streaming.StreamingAgg.incrementalRegenStream]], parity-
+    * pinned in StreamingAggSpec.
+    */
+  def incrementalRegen(
+      newDocs: DataFrame, corpus: DataFrame, k: Int = 6): DataFrame = {
+    val survIds = Dedup.incrementalDedup(newDocs, corpus).select(col("doc_id"))
+    val survDocs = newDocs.join(survIds, Seq("doc_id"), "left_semi")
+    val cleaned = SpanDedup.spanTrimApply(survDocs, k)
+      .filter(col("keep_len") > 0)
+      .select(col("doc_id"), col("cleaned_text"),
+        col("keep_len").as("n_toks"), col("removed_tokens"))
+    val surv = cleaned
+      .withColumn("digest", md5(col("cleaned_text")))
+      .groupBy(col("digest"))
+      .agg(
+        min(struct(col("doc_id"), col("cleaned_text"), col("n_toks"),
+          col("removed_tokens"))).as("m"),
+        count(lit(1)).as("grp"))
+      .select(col("m.doc_id").as("doc_id"),
+        col("m.cleaned_text").as("cleaned_text"),
+        col("m.n_toks").as("n_toks"),
+        col("m.removed_tokens").as("removed_tokens"),
+        (col("grp") - 1L).as("dups_dropped"))
+    val bucket =
+      graft.functions.GraftColumns.rollingHash(col("cleaned_text")) % 100
+    surv
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("n_toks"), col("removed_tokens"),
+        col("dups_dropped"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Staged-CTE DuckDB replay of [[incrementalRegen]] under the harness
+    * convention (new batch = doc_id >= `splitAt`, standing corpus below):
+    * raw-digest survivor anti-join, then the span-trim chain retabled
+    * onto the survivor arrival, then the [[regenCtes]] dedup+split rules.
+    */
+  def incrementalRegenOracleSql(k: Int = 6, splitAt: Long = 250L): String =
+    s"""WITH surv_new AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN (SELECT min(doc_id) AS doc_id FROM documents
+       |        WHERE doc_id >= $splitAt GROUP BY md5(text)) s
+       |    ON d.doc_id = s.doc_id
+       |  WHERE md5(d.text) NOT IN
+       |    (SELECT md5(text) FROM documents WHERE doc_id < $splitAt)),
+       |cleaned0 AS MATERIALIZED (
+       |${graft.operators.SpanDedup.spanTrimApplyOracleSql(k, "surv_new")}
+       |),
+       |cleaned AS (
+       |  SELECT doc_id, cleaned_text, keep_len AS n_toks, removed_tokens
+       |  FROM cleaned0 WHERE keep_len > 0),
+       |surv AS (
+       |  SELECT doc_id, cleaned_text, n_toks, removed_tokens,
+       |    CAST(count(*) OVER (PARTITION BY md5(cleaned_text)) - 1
+       |      AS BIGINT) AS dups_dropped
+       |  FROM cleaned
+       |  QUALIFY row_number() OVER (PARTITION BY md5(cleaned_text)
+       |    ORDER BY doc_id) = 1)
+       |SELECT doc_id, n_toks, removed_tokens, dups_dropped,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM (
+       |  SELECT *,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(cleaned_text) + 1),
+       |          i -> CAST(ascii(cleaned_text[i]) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
+       |  FROM surv)
+       |ORDER BY doc_id""".stripMargin
+
   def keepBestPerCluster(
       documents: DataFrame, stopwords: Seq[String]): DataFrame = {
     val clusters = Dedup.nearDupClusters(

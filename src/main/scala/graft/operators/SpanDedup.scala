@@ -397,12 +397,12 @@ object SpanDedup {
           col("keep_len").cast("int"))).as("cleaned_text"))
       .orderBy(col("doc_id"))
 
-  def spanTrimApplyOracleSql(k: Int = 6): String =
+  def spanTrimApplyOracleSql(k: Int = 6, table: String = "documents"): String =
     s"""WITH plan AS MATERIALIZED (
-       |${spanTrimPlanOracleSql(k)}
+       |${spanTrimPlanOracleSql(k, table)}
        |),
        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |       FROM documents)
+       |       FROM $table)
        |SELECT p.doc_id, p.n_tokens, p.keep_from, p.keep_len,
        |  p.dropped_tokens AS removed_tokens,
        |  COALESCE(array_to_string(
@@ -487,9 +487,9 @@ object SpanDedup {
        |ORDER BY nn.doc_id""".stripMargin
   }
 
-  def spanTrimPlanOracleSql(k: Int = 6): String =
+  def spanTrimPlanOracleSql(k: Int = 6, table: String = "documents"): String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-       |            FROM documents),
+       |            FROM $table),
        |w AS (
        |  SELECT doc_id, unnest(list_transform(
        |    range(1, len(toks) - ${k - 2}),
@@ -521,7 +521,7 @@ object SpanDedup {
        |ntok AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
        |    AS n_tokens
-       |  FROM documents),
+       |  FROM $table),
        |bef AS (
        |  SELECT doc_id,
        |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1)

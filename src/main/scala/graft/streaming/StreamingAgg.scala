@@ -144,6 +144,43 @@ object StreamingAgg {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** Streaming incremental regeneration — the streamable prefix (stages
+    * 1 + 3) of [[graft.operators.Curation.incrementalRegen]], for a doc
+    * stream arriving against a standing corpus:
+    *
+    *  - drop arrivals whose raw digest already stands in the corpus:
+    *    stream-static left_anti join against `corpusDigests` (a
+    *    `content_hash` frame — at scale the corpus's 16-byte digest
+    *    INDEX, broadcastable or bucketed, never its text),
+    *  - exact-dedup within the stream horizon on the same digest
+    *    (dropDuplicatesWithinWatermark — state is one digest row per
+    *    distinct surviving doc inside the horizon, bounded by
+    *    arrival rate x horizon),
+    *  - assign the stable rolling-hash 80/10/10 content split, so an
+    *    incrementally-ingested doc lands in the split a full batch
+    *    rebuild would give it.
+    *
+    * Stage 2 of the batch composition (the span audit) needs cross-doc
+    * windows over the whole arrival and stays a batch compaction step —
+    * the documented batch/stream split, parity-pinned in
+    * StreamingAggSpec (stream output == batch stages 1+3 over the same
+    * arrivals).
+    */
+  def incrementalRegenStream(
+      docs: DataFrame,
+      corpusDigests: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val bucket =
+      graft.functions.GraftColumns.rollingHash(col("text")) % 100
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .join(corpusDigests, Seq("content_hash"), "left_anti")
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+  }
+
   /** Map-only streaming winnowing: the native
     * [[graft.functions.WinnowStats]] expression runs UNCHANGED on a
     * stream — a stateless per-row projection (no watermark, no state, no

@@ -237,6 +237,63 @@ class StreamingAggSpec extends SparkTestBase {
     ev.unpersist()
   }
 
+  test("streaming incremental regeneration: stream == batch stages over the same arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus: two docs whose digests must gate arrivals
+    val corpusText1 = "alpha beta gamma delta"
+    val corpusText2 = "epsilon zeta eta theta"
+    val corpus = Seq(
+      Doc(1, Timestamp.valueOf("2024-01-01 09:00:00"), corpusText1, "corp"),
+      Doc(2, Timestamp.valueOf("2024-01-01 09:01:00"), corpusText2, "corp")).toDF()
+    val corpusDigests = corpus
+      .select(org.apache.spark.sql.functions.md5(col("text")).as("content_hash"))
+      .distinct()
+    val fresh1 = "iota kappa lambda mu nu xi omicron pi"
+    val fresh2 = "rho sigma tau upsilon phi chi psi omega"
+    val arrivals = Seq(
+      Doc(10, Timestamp.valueOf("2024-01-01 10:00:00"), corpusText1, "new"), // in corpus -> dropped
+      Doc(11, Timestamp.valueOf("2024-01-01 10:01:00"), fresh1, "new"),
+      Doc(12, Timestamp.valueOf("2024-01-01 10:02:00"), fresh1, "new"), // batch-internal dup
+      Doc(13, Timestamp.valueOf("2024-01-01 10:05:00"), fresh2, "new"),
+      Doc(14, Timestamp.valueOf("2024-01-01 10:06:00"), corpusText2, "new"), // in corpus -> dropped
+      Doc(15, Timestamp.valueOf("2024-01-01 10:07:00"), fresh1, "new")) // cross-batch dup
+    val mem = MemoryStream[Doc]
+    val q = StreamingAgg
+      .incrementalRegenStream(mem.toDF(), corpusDigests)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incr_regen_out").start()
+    try {
+      // arrivals split across micro-batches; doc_id order = arrival order,
+      // so first-arrival survivor == the batch rule's min-doc_id survivor
+      mem.addData(arrivals(0), arrivals(1), arrivals(2))
+      q.processAllAvailable()
+      mem.addData(arrivals(3), arrivals(4))
+      q.processAllAvailable()
+      mem.addData(arrivals(5))
+      q.processAllAvailable()
+      val got = spark.table("incr_regen_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+        .toSet
+      // batch form of the same streamable stages (1 + 3): incremental
+      // exact dedup vs the standing digests, then the stable split
+      val newDf = arrivals.toDF()
+      val survIds = graft.operators.Dedup
+        .incrementalDedup(newDf, corpus).select(col("doc_id"))
+      val bucket =
+        graft.functions.GraftColumns.rollingHash(col("text")) % 100
+      val batch = newDf
+        .join(survIds, Seq("doc_id"), "left_semi")
+        .withColumn("split",
+          org.apache.spark.sql.functions.when(bucket < 80, "train")
+            .when(bucket < 90, "val").otherwise("test"))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+        .toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.map(_._1) == Set(11L, 13L)) // hand-checked survivors
+    } finally q.stop()
+  }
+
   test("streaming doc curation: cross-batch digest dedup + gates match batch slice") {
     implicit val sqlCtx = spark.sqlContext
     val good1 = "the " + (1 to 50).map(i => s"w$i").mkString(" ")
