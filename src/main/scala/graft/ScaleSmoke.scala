@@ -376,6 +376,21 @@ object ScaleSmoke {
       // should track docs ~linearly (band keys keep buckets small)
       time("image_near_dups", scale)(
         graft.multimodal.Multimodal.imageNearDups(spark, docs).count())
+      // round-11: the collapse-then-band scale path over the same dHashes —
+      // identical fingerprints collapse BEFORE banding, so the dup-class
+      // pair blow-up the plain curve documents never materializes; the
+      // curve should stay ~flat in output size (distinct fps are bounded)
+      time("image_near_dups_collapsed", scale)(
+        graft.multimodal.Multimodal.imageNearDupsCollapsed(spark, docs).count())
+      // round-11: audio envelope-hash near-dup (REAL javax.sound decode +
+      // collapse-then-band) — same shape as the collapsed image path
+      time("audio_near_dups", scale)(
+        graft.multimodal.Multimodal.audioNearDups(spark, docs).count())
+      // round-11: composed cross-modal funnel — one three-codec decode
+      // scan (recomputed for the two banded-drop subtrees), three window
+      // shuffles on 44-byte fingerprint rows, two banded drop joins
+      time("crossmodal_dedup_funnel", scale)(
+        graft.multimodal.Multimodal.crossmodalDedupFunnel(spark, docs).count())
       // round-11: BPE merge learning at realistic depth — vocabulary
       // grows with scale (~5k/50k/500k distinct pseudo-words), 256
       // merges; the loop is driver-local over the collected (word,count)

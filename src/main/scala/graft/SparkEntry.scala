@@ -509,6 +509,25 @@ object SparkEntry {
     // all-pairs); the oracle replays fingerprints, bands, join, Hamming.
     "image_near_dups" -> ((s, dir) =>
       graft.multimodal.Multimodal.imageNearDups(s, Tables.documents(s, dir))),
+    // Image near-dups through the collapse-then-band scale path: identical
+    // dHashes collapse to (rep, members) classes, banding runs on DISTINCT
+    // fingerprints, edges carry pair_count = members_a * members_b.
+    "image_near_dups_collapsed" -> ((s, dir) =>
+      graft.multimodal.Multimodal.imageNearDupsCollapsed(s, Tables.documents(s, dir))),
+    // Perceptual audio fingerprints (65-frame abs-energy envelope: delta
+    // hash + profile hash, Haitsma-Kalker simplified to integer broadband
+    // energies) over REAL javax.sound-decoded PCM; oracle replays samples,
+    // frames, energies and both 64-bit assemblies arithmetically.
+    "audio_fingerprints" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioFingerprints(s, Tables.documents(s, dir))),
+    // Audio near-dup edges, collapse-then-band like the image variant.
+    "audio_near_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.audioNearDups(s, Tables.documents(s, dir))),
+    // Composed multimodal curation: per-stage survivor counts through
+    // audio exact -> audio near -> image exact -> image near -> text exact
+    // dedup, cumulative flags over ONE three-codec fingerprint scan.
+    "crossmodal_dedup_funnel" -> ((s, dir) =>
+      graft.multimodal.Multimodal.crossmodalDedupFunnel(s, Tables.documents(s, dir))),
 
     // ---- widened relational surface ----
     // Semi-structured extraction from the props JSON column.
@@ -3072,6 +3091,204 @@ object SparkEntry {
         |WHERE bit_count(xor(a.f, b.f)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Collapse-then-band image near-dups: same dHash derivation, then
+    // identical fingerprints collapse to (rep = min doc, members) classes
+    // before the 3-band join over DISTINCT fingerprints; edges carry the
+    // represented doc-pair multiplicity.
+    "image_near_dups_collapsed" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents),
+        |dcells AS (
+        |  SELECT doc_id, xt, yt,
+        |    (doc_id + 31 * ((xt * w) // 9) + 17 * ((yt * h) // 8)) % 256 AS g
+        |  FROM dims, (SELECT unnest(range(0, 9)) AS xt),
+        |             (SELECT unnest(range(0, 8)) AS yt)),
+        |dfph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.g > a.g
+        |        THEN (1::HUGEINT << (a.yt * 8 + a.xt)) ELSE 0::HUGEINT END) AS hfp
+        |  FROM dcells a JOIN dcells b
+        |    ON a.doc_id = b.doc_id AND a.yt = b.yt AND b.xt = a.xt + 1
+        |  WHERE a.xt < 8
+        |  GROUP BY 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
+        |      AS f
+        |  FROM dfph),
+        |classes AS (
+        |  SELECT f, min(doc_id) AS rep, count(*) AS members FROM fp GROUP BY 1),
+        |banded AS (
+        |  SELECT rep, f, members, b AS band,
+        |    (f >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM classes, (SELECT unnest(range(0, 3)) AS b))
+        |SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+        |  bit_count(xor(a.f, b.f)) AS hamming,
+        |  CAST(a.members * b.members AS BIGINT) AS pair_count
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep
+        |WHERE bit_count(xor(a.f, b.f)) <= 2
+        |ORDER BY rep_a, rep_b""".stripMargin,
+
+    // Audio fingerprints: the oracle regenerates the deterministic PCM
+    // samples, replays the 65 integer-boundary frames (a doc×frame grid
+    // LEFT JOIN keeps empty frames at energy 0), the exact abs-energy
+    // sums, and assembles both 64-bit hashes as HUGEINT before the signed
+    // BIGINT wrap — any engine-side deviation in the WAV parse, frame
+    // boundaries or a bit position hash-mismatches.
+    "audio_fingerprints" -> (audioEnergyCte +
+      """,
+        |tot AS (SELECT doc_id, sum(e) AS te FROM ener GROUP BY 1),
+        |afph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.e > a.e
+        |        THEN (1::HUGEINT << a.f) ELSE 0::HUGEINT END) AS h
+        |  FROM ener a JOIN ener b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64
+        |  GROUP BY 1),
+        |pfph AS (
+        |  SELECT e.doc_id,
+        |    sum(CASE WHEN 65 * e.e > t.te
+        |        THEN (1::HUGEINT << e.f) ELSE 0::HUGEINT END) AS h
+        |  FROM ener e JOIN tot t ON e.doc_id = t.doc_id
+        |  WHERE e.f < 64
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n AS INTEGER) AS n_samples,
+        |  CAST(CASE WHEN a.h >= 9223372036854775808::HUGEINT
+        |       THEN a.h - 18446744073709551616::HUGEINT ELSE a.h END AS BIGINT)
+        |    AS afp,
+        |  CAST(CASE WHEN p.h >= 9223372036854775808::HUGEINT
+        |       THEN p.h - 18446744073709551616::HUGEINT ELSE p.h END AS BIGINT)
+        |    AS pfp
+        |FROM docs d JOIN afph a USING (doc_id) JOIN pfph p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // Audio near-dups: same envelope-delta hash, then the collapse-then-band
+    // replay (classes on identical afp, 3-band join over distinct hashes,
+    // exact bit_count(xor) verification, doc-pair multiplicity).
+    "audio_near_dups" -> (audioEnergyCte +
+      """,
+        |afph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.e > a.e
+        |        THEN (1::HUGEINT << a.f) ELSE 0::HUGEINT END) AS h
+        |  FROM ener a JOIN ener b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64
+        |  GROUP BY 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |      AS f
+        |  FROM afph),
+        |classes AS (
+        |  SELECT f, min(doc_id) AS rep, count(*) AS members FROM fp GROUP BY 1),
+        |banded AS (
+        |  SELECT rep, f, members, b AS band,
+        |    (f >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM classes, (SELECT unnest(range(0, 3)) AS b))
+        |SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+        |  bit_count(xor(a.f, b.f)) AS hamming,
+        |  CAST(a.members * b.members AS BIGINT) AS pair_count
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep
+        |WHERE bit_count(xor(a.f, b.f)) <= 2
+        |ORDER BY rep_a, rep_b""".stripMargin),
+
+    // Cross-modal dedup funnel: the audio envelope hash, the image dHash
+    // and md5(text) re-derived per doc, then the five stage gates replayed
+    // as cumulative window/anti-join flags — exact-stage lowest-id-wins
+    // windows, near-stage banded drops (lower survivor drops higher within
+    // Hamming <= 2, non-cascading) — and counted with FILTER.
+    "crossmodal_dedup_funnel" -> (audioEnergyCte +
+      """,
+        |afph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.e > a.e
+        |        THEN (1::HUGEINT << a.f) ELSE 0::HUGEINT END) AS h
+        |  FROM ener a JOIN ener b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64
+        |  GROUP BY 1),
+        |afpt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |      AS afp
+        |  FROM afph),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents),
+        |dcells AS (
+        |  SELECT doc_id, xt, yt,
+        |    (doc_id + 31 * ((xt * w) // 9) + 17 * ((yt * h) // 8)) % 256 AS g
+        |  FROM dims, (SELECT unnest(range(0, 9)) AS xt),
+        |             (SELECT unnest(range(0, 8)) AS yt)),
+        |dfph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.g > a.g
+        |        THEN (1::HUGEINT << (a.yt * 8 + a.xt)) ELSE 0::HUGEINT END) AS hfp
+        |  FROM dcells a JOIN dcells b
+        |    ON a.doc_id = b.doc_id AND a.yt = b.yt AND b.xt = a.xt + 1
+        |  WHERE a.xt < 8
+        |  GROUP BY 1),
+        |dht AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
+        |      AS dh
+        |  FROM dfph),
+        |fps AS (
+        |  SELECT d.doc_id, a.afp, i.dh, md5(d.text) AS th
+        |  FROM documents d JOIN afpt a ON d.doc_id = a.doc_id
+        |  JOIN dht i ON d.doc_id = i.doc_id),
+        |f1t AS (
+        |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY afp) AS f1
+        |  FROM fps),
+        |b1 AS (
+        |  SELECT doc_id, afp, b,
+        |    (afp >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM f1t, (SELECT unnest(range(0, 3)) AS b) WHERE f1),
+        |d1 AS (
+        |  SELECT DISTINCT y.doc_id, 1 AS da FROM b1 x JOIN b1 y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.afp, y.afp)) <= 2),
+        |g2 AS (
+        |  SELECT f1t.*, f1 AND da IS NULL AS f2
+        |  FROM f1t LEFT JOIN d1 ON f1t.doc_id = d1.doc_id),
+        |g3 AS (
+        |  SELECT *, f2 AND doc_id =
+        |      min(CASE WHEN f2 THEN doc_id END) OVER (PARTITION BY dh) AS f3
+        |  FROM g2),
+        |b3 AS (
+        |  SELECT doc_id, dh, b,
+        |    (dh >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM g3, (SELECT unnest(range(0, 3)) AS b) WHERE f3),
+        |d3 AS (
+        |  SELECT DISTINCT y.doc_id, 1 AS di FROM b3 x JOIN b3 y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.dh, y.dh)) <= 2),
+        |g4 AS (
+        |  SELECT g3.*, f3 AND di IS NULL AS f4
+        |  FROM g3 LEFT JOIN d3 ON g3.doc_id = d3.doc_id),
+        |g5 AS (
+        |  SELECT *, f4 AND doc_id =
+        |      min(CASE WHEN f4 THEN doc_id END) OVER (PARTITION BY th) AS f5
+        |  FROM g4)
+        |SELECT CAST(0 AS INTEGER) AS stage_idx, 'ingested' AS stage,
+        |       count(*) AS survivors FROM g5
+        |UNION ALL SELECT 1, 'audio_exact', count(*) FILTER (WHERE f1) FROM g5
+        |UNION ALL SELECT 2, 'audio_near', count(*) FILTER (WHERE f2) FROM g5
+        |UNION ALL SELECT 3, 'image_exact', count(*) FILTER (WHERE f3) FROM g5
+        |UNION ALL SELECT 4, 'image_near', count(*) FILTER (WHERE f4) FROM g5
+        |UNION ALL SELECT 5, 'text_exact', count(*) FILTER (WHERE f5) FROM g5
+        |ORDER BY stage_idx""".stripMargin),
+
     "multimodal_wav_roundtrip" ->
       """SELECT d.doc_id,
         |  CAST(8000 AS INTEGER) AS sample_rate,
@@ -5243,5 +5460,28 @@ object SparkEntry {
       |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs
       |  FROM p
       |)
+      |""".stripMargin
+
+  /** Shared audio-oracle prefix: regenerate the deterministic int16 PCM
+    * (`s_i = (doc_id·7 + i·193) mod 65536 − 32768`, n = 64 + doc_id mod 97
+    * — the [[graft.multimodal.Multimodal.wavSample]] contract), cut it
+    * into 65 integer-boundary frames and compute exact absolute-amplitude
+    * frame energies. The doc×frame grid LEFT JOIN keeps frames with no
+    * samples (n < 65) at energy 0, matching the engine's zero-initialized
+    * energy array.
+    */
+  private val audioEnergyCte: String =
+    """WITH docs AS (
+      |  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+      |esum AS (
+      |  SELECT d.doc_id, fr.f,
+      |    sum(abs((d.doc_id * 7 + t.i * 193) % 65536 - 32768)) AS e
+      |  FROM docs d, range(65) fr(f), range(161) t(i)
+      |  WHERE t.i >= fr.f * d.n // 65 AND t.i < (fr.f + 1) * d.n // 65
+      |  GROUP BY 1, 2),
+      |ener AS (
+      |  SELECT g.doc_id, g.f, COALESCE(s.e, 0) AS e
+      |  FROM (SELECT doc_id, f FROM docs, range(65) fr(f)) g
+      |  LEFT JOIN esum s ON g.doc_id = s.doc_id AND g.f = s.f)
       |""".stripMargin
 }

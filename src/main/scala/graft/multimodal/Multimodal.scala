@@ -179,6 +179,42 @@ object Multimodal {
 
   def wavSampleCount(docId: Long): Int = 64 + (docId % 97L).toInt
 
+  /** The JDK's WAVE codec SPI instances, resolved ONCE per JVM. Every
+    * `AudioSystem.write` / `AudioSystem.getAudioInputStream` call walks the
+    * provider registry behind a global lock — measured on this 32-core box
+    * at NEGATIVE thread scaling (320k decodes on 32 threads: 33.6 s, vs
+    * 17k/s on one thread). Calling the same provider objects directly is
+    * the identical genuine RIFF parse/serialize (the JDK's WaveFileReader/
+    * Writer), minus the per-call synchronized registry walk; the reader and
+    * writer are stateless and thread-safe. 320k decodes on 32 threads drop
+    * to ~1 s.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter SPI"))
+  }
+
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try {
+          r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(encodeWav(0L))).close(); true
+        } catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader SPI"))
+  }
+
+  /** [[wavReader]].getAudioInputStream with the stream positioned at 0. */
+  private def decodeWavStream(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    wavReader.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+
   /** Synthesize a real RIFF/WAVE container for a doc (16-bit mono LE PCM
     * at 8 kHz) through the JDK's actual WAV writer.
     */
@@ -197,8 +233,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -217,8 +252,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = encodeWav(id)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = decodeWavStream(bytes)
         val fmt = ais.getFormat
         val n = ais.getFrameLength
         val buf = ais.readAllBytes()
@@ -276,44 +310,53 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(imageFpSchema)
     documents.select(col("doc_id")).mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(0)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(encodeBmp(id)))
-        val w = img.getWidth
-        val h = img.getHeight
-        // dHash: 9x8 grid, horizontal gradient sign
-        var dhash = 0L
-        var yt = 0
-        while (yt < 8) {
-          val ys = yt * h / 8
-          var prev = img.getRGB(0, ys) & 0xff // x_t = 0 → x_src = 0
-          var xt = 0
-          while (xt < 8) {
-            val next = img.getRGB((xt + 1) * w / 9, ys) & 0xff
-            if (next > prev) dhash |= 1L << (yt * 8 + xt)
-            prev = next
-            xt += 1
-          }
-          yt += 1
-        }
-        // aHash: 8x8 grid vs exact integer mean
-        val grid = new Array[Int](64)
-        var sum = 0L
-        var i = 0
-        while (i < 64) {
-          grid(i) = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xff
-          sum += grid(i)
-          i += 1
-        }
-        var ahash = 0L
-        i = 0
-        while (i < 64) {
-          if (64L * grid(i) > sum) ahash |= 1L << i
-          i += 1
-        }
-        Row(id, w, h, dhash, ahash)
+        val (w, h, dhash, ahash) = imageFpOf(r.getLong(0))
+        Row(r.getLong(0), w, h, dhash, ahash)
       }
     }(enc)
+  }
+
+  /** Per-doc image fingerprint core (executor-side): encode → REAL
+    * javax.imageio BMP decode → integer grid resize → (w, h, dHash, aHash).
+    * Shared by [[imageFingerprints]] and the cross-modal funnel's single
+    * decode pass.
+    */
+  private[graft] def imageFpOf(id: Long): (Int, Int, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodeBmp(id)))
+    val w = img.getWidth
+    val h = img.getHeight
+    // dHash: 9x8 grid, horizontal gradient sign
+    var dhash = 0L
+    var yt = 0
+    while (yt < 8) {
+      val ys = yt * h / 8
+      var prev = img.getRGB(0, ys) & 0xff // x_t = 0 → x_src = 0
+      var xt = 0
+      while (xt < 8) {
+        val next = img.getRGB((xt + 1) * w / 9, ys) & 0xff
+        if (next > prev) dhash |= 1L << (yt * 8 + xt)
+        prev = next
+        xt += 1
+      }
+      yt += 1
+    }
+    // aHash: 8x8 grid vs exact integer mean
+    val grid = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      grid(i) = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xff
+      sum += grid(i)
+      i += 1
+    }
+    var ahash = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * grid(i) > sum) ahash |= 1L << i
+      i += 1
+    }
+    (w, h, dhash, ahash)
   }
 
   /** Image near-duplicate detection: dHash fingerprints through the same
@@ -333,6 +376,212 @@ object Multimodal {
       imageFingerprintsRaw(documents)
         .select(col("doc_id"), col("dhash").as("fp")),
       maxHamming)
+
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("afp", LongType, nullable = false),
+    StructField("pfp", LongType, nullable = false)))
+
+  /** Perceptual audio fingerprints over the REAL decoded PCM — the audio
+    * analogue of [[imageFingerprints]], completing the near-dup modality
+    * triple (text SimHash, image dHash, audio energy hash). The signal is
+    * cut into 65 integer-boundary frames (`lo = f·n DIV 65`; empty frames
+    * when n < 65 have energy 0 — deterministic, oracle-replayable) with
+    * exact absolute-amplitude frame energies `E_f = Σ|s_i|`:
+    *
+    *  - **afp** (envelope-delta hash): bit f iff `E_{f+1} > E_f` — the
+    *    sign-of-energy-difference sub-fingerprint of Haitsma & Kalker 2002
+    *    ("A Highly Robust Audio Fingerprinting System") with the band
+    *    filterbank collapsed to one broadband energy per frame, keeping
+    *    the arithmetic integer-exact. Robust to uniform gain scaling.
+    *  - **pfp** (energy-profile hash): bit f iff frame f beats the mean
+    *    frame energy, compared exactly as `65·E_f > ΣE` — the aHash twin.
+    *
+    * Samples come from an actual `javax.sound.sampled` RIFF/WAVE parse of
+    * real encoded bytes ([[encodeWav]]) on the executors — the same
+    * genuine-codec slice as [[wavRoundTrip]]. Map-only, shuffle-free, 28
+    * bytes/doc out: at 100 TB of audio this stage is embarrassingly
+    * parallel.
+    */
+  def audioFingerprints(spark: SparkSession, documents: DataFrame): DataFrame =
+    audioFingerprintsRaw(documents).orderBy(col("doc_id"))
+
+  /** [[audioFingerprints]] without the presentation sort (banding input). */
+  private def audioFingerprintsRaw(documents: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFpSchema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val (n, afp, pfp) = audioFpOf(r.getLong(0))
+        Row(r.getLong(0), n, afp, pfp)
+      }
+    }(enc)
+  }
+
+  /** Per-doc audio fingerprint core (executor-side): encode → REAL
+    * javax.sound RIFF/WAVE decode → 65-frame abs-energy envelope →
+    * (n_samples, afp, pfp). Shared by [[audioFingerprints]] and the
+    * cross-modal funnel's single decode pass.
+    */
+  private[graft] def audioFpOf(id: Long): (Int, Long, Long) = {
+    val ais = decodeWavStream(encodeWav(id))
+    val buf = ais.readAllBytes() // little-endian signed 16-bit mono
+    val n = buf.length / 2
+    val abs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = ((buf(2 * i) & 0xff) | (buf(2 * i + 1).toInt << 8)).toShort.toInt
+      abs(i) = math.abs(s.toLong)
+      i += 1
+    }
+    val e = new Array[Long](65)
+    var tot = 0L
+    var f = 0
+    while (f < 65) {
+      var j = f * n / 65
+      val hi = (f + 1) * n / 65
+      var s = 0L
+      while (j < hi) { s += abs(j); j += 1 }
+      e(f) = s
+      tot += s
+      f += 1
+    }
+    var afp = 0L
+    var pfp = 0L
+    f = 0
+    while (f < 64) {
+      if (e(f + 1) > e(f)) afp |= 1L << f
+      if (65L * e(f) > tot) pfp |= 1L << f
+      f += 1
+    }
+    (n, afp, pfp)
+  }
+
+  /** Audio near-duplicate classes and edges through the collapse-then-band
+    * scale path ([[graft.operators.Dedup.collapsedHammingPairs]]): identical
+    * envelope hashes collapse to one class row before the pigeonhole Hamming
+    * banding runs over DISTINCT fingerprints, so a dup-heavy corpus (the
+    * regime audio dedup exists for — re-encoded copies collapse to the same
+    * integer fingerprint here) never pays quadratic-per-class pair
+    * enumeration. Edges come back as `(rep_a, rep_b, hamming, pair_count)`.
+    */
+  def audioNearDups(
+      spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 2): DataFrame =
+    graft.operators.Dedup.collapsedHammingPairs(
+      audioFingerprintsRaw(documents)
+        .select(col("doc_id"), col("afp").as("fp")),
+      maxHamming)
+
+  /** [[imageNearDups]] through the same collapse-then-band scale path —
+    * the exact mitigation the plain banding's 100× scaling analysis
+    * prescribes for dup-heavy image corpora (identical dHashes are already
+    * known duplicates; banding then runs on distinct fingerprints only).
+    */
+  def imageNearDupsCollapsed(
+      spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 2): DataFrame =
+    graft.operators.Dedup.collapsedHammingPairs(
+      imageFingerprintsRaw(documents)
+        .select(col("doc_id"), col("dhash").as("fp")),
+      maxHamming)
+
+  val crossmodalFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false),
+    StructField("th", StringType, nullable = false)))
+
+  /** One decode pass for the cross-modal funnel: both REAL codecs (WAV via
+    * javax.sound, BMP via javax.imageio) plus the text content digest in a
+    * single partition-batched scan — three fingerprints per doc, one read.
+    */
+  private def crossmodalFingerprints(documents: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(crossmodalFpSchema)
+    documents.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(0)
+        val afp = audioFpOf(id)._2
+        val dh = imageFpOf(id)._3
+        md.reset()
+        val th = md.digest(r.getString(1).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+        Row(id, afp, dh, th)
+      }
+    }(enc)
+  }
+
+  /** Cross-modal dedup funnel — the composed pipeline a multimodal
+    * training-data curation run executes: per-stage survivor counts as the
+    * corpus passes audio exact dedup → audio near-dup → image exact dedup →
+    * image near-dup → text exact dedup, each stage scoped to the previous
+    * stage's survivors.
+    *
+    * Stage semantics (deterministic, oracle-replayable):
+    *  - exact stages keep the lowest surviving doc_id per fingerprint value
+    *    (the same lowest-id-wins rule as [[graft.operators.Curation.funnel]]'s
+    *    exact_dedup stage);
+    *  - near stages drop a survivor iff a lower-id survivor sits within
+    *    Hamming ≤ 2 of it (non-cascading single pass: the lower endpoint
+    *    drops the higher one whether or not it is itself dropped), with
+    *    candidates from the pigeonhole banding — never an all-pairs scan.
+    *
+    * Plan shape follows Curation.funnel: stage membership is cumulative
+    * FLAGS on one fingerprint frame folded by a single conditional
+    * aggregate, not six recomputed count subtrees; only the two near-dup
+    * stages add a join (banded drops, then a broadcast-size anti marker).
+    * The fingerprint scan is recomputed for the two drop subtrees — at
+    * production scale a caller would persist [[crossmodalFingerprints]]'s
+    * 44-byte rows first (same persist-threshold reasoning as
+    * Curation.funnel).
+    */
+  def crossmodalDedupFunnel(
+      spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = crossmodalFingerprints(documents)
+    val f1 = fps.withColumn("f1",
+      col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("afp"))))
+    val dropsA = graft.operators.Dedup.bandedHammingPairs(
+        f1.filter(col("f1")).select(col("doc_id"), col("afp").as("fp")), maxHamming)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("da", lit(1))
+    val g2 = f1.join(dropsA, Seq("doc_id"), "left")
+      .withColumn("f2", col("f1") && col("da").isNull)
+    val g3 = g2.withColumn("f3",
+      col("f2") && col("doc_id") ===
+        min(when(col("f2"), col("doc_id"))).over(Window.partitionBy(col("dhash"))))
+    val dropsI = graft.operators.Dedup.bandedHammingPairs(
+        g3.filter(col("f3")).select(col("doc_id"), col("dhash").as("fp")), maxHamming)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("di", lit(1))
+    val g4 = g3.join(dropsI, Seq("doc_id"), "left")
+      .withColumn("f4", col("f3") && col("di").isNull)
+    val g5 = g4.withColumn("f5",
+      col("f4") && col("doc_id") ===
+        min(when(col("f4"), col("doc_id"))).over(Window.partitionBy(col("th"))))
+
+    def stageRow(id: Int, name: String, c: org.apache.spark.sql.Column) =
+      struct(lit(id).as("stage_idx"), lit(name).as("stage"), c.as("survivors"))
+    g5.agg(
+        count(lit(1)).as("c0"),
+        count(when(col("f1"), lit(1))).as("c1"),
+        count(when(col("f2"), lit(1))).as("c2"),
+        count(when(col("f3"), lit(1))).as("c3"),
+        count(when(col("f4"), lit(1))).as("c4"),
+        count(when(col("f5"), lit(1))).as("c5"))
+      .select(explode(array(
+        stageRow(0, "ingested", col("c0")),
+        stageRow(1, "audio_exact", col("c1")),
+        stageRow(2, "audio_near", col("c2")),
+        stageRow(3, "image_exact", col("c3")),
+        stageRow(4, "image_near", col("c4")),
+        stageRow(5, "text_exact", col("c5")))).as("s"))
+      .select(col("s.*"))
+      .orderBy(col("stage_idx"))
+  }
 
   /** Frame-sampling plumbing for video-like payloads: treat the payload as
     * a sequence of fixed-size frames, keep every `stride`-th frame. Emits

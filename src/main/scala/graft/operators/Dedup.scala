@@ -489,30 +489,72 @@ object Dedup {
     */
   def bandedHammingPairs(
       fps: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame = bandedPairs(fps, maxHamming, Nil)
+
+  /** [[bandedHammingPairs]] generalized with carry-through columns: every
+    * name in `carry` rides the banding unchanged and lands on the output
+    * as `<name>_a` / `<name>_b`. Carried values must be functionally
+    * determined by `doc_id` (one row per doc on the input), so the band
+    * dedup `distinct()` still collapses multi-band candidate hits to one
+    * pair row. Carrying beats a join-back against the (often aggregated)
+    * fingerprint frame: the agg subtree would otherwise be recomputed per
+    * join branch.
+    */
+  private def bandedPairs(
+      fps: DataFrame,
+      maxHamming: Int,
+      carry: Seq[String]): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val bands = maxHamming + 1
     val bandWidth = 64 / bands // last band absorbs the remainder bits
+    val carried = carry.map(col)
     val banded = fps.select(
-        col("doc_id"), col("fp"),
+        Seq(col("doc_id"), col("fp")) ++ carried :+
         explode(array((0 until bands).map { b =>
           val width = if (b == bands - 1) 64 - b * bandWidth else bandWidth
           val mask = if (width >= 64) -1L else (1L << width) - 1L
           struct(lit(b).as("band"),
             shiftright(col("fp"), b * bandWidth).bitwiseAND(lit(mask)).as("bkey"))
         }: _*))
-          .as("bb"))
-      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+          .as("bb"): _*)
+      .select(Seq(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey")) ++ carried: _*)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+        Seq(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming")) ++
+        carry.flatMap(c =>
+          Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Collapse-then-band near-dup pairs — the dup-heavy-corpus scale path
+    * the plain banding's SCALING analysis calls for: identical fingerprints
+    * are first collapsed to one class row (representative = min doc_id,
+    * member count), and the Hamming banding then runs over DISTINCT
+    * fingerprints only. Members of one class are already known duplicates
+    * (Hamming 0) without enumeration, so the quadratic-per-class pair
+    * blow-up of a ~k-way-duplicated corpus never materializes; cross-class
+    * edges come back weighted with `pair_count = members_a * members_b`,
+    * the number of underlying document pairs each edge represents.
+    * Output: `(rep_a, rep_b, hamming, pair_count)` with hamming in
+    * [1, maxHamming] (0 is impossible between distinct fingerprints).
+    */
+  def collapsedHammingPairs(
+      fps: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val classes = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("members"))
+    bandedPairs(classes, maxHamming, Seq("members"))
+      .select(
+        col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("hamming"),
+        (col("members_a") * col("members_b")).as("pair_count"))
   }
 
   /** (doc_id, sh, df): per-doc distinct word-k-gram hashes with the corpus

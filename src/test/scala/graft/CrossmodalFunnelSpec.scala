@@ -1,0 +1,86 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Cross-modal dedup funnel: the five stage gates (audio exact → audio
+  * near → image exact → image near → text exact) recomputed brute-force on
+  * the driver from the formula fingerprints must yield the same survivor
+  * counts, and the counts must be monotone non-increasing.
+  */
+class CrossmodalFunnelSpec extends SparkTestBase {
+
+  private def audioAfp(d: Long): Long = {
+    val n = (64 + d % 97).toInt
+    val abs = Array.tabulate(n)(i => math.abs((d * 7 + i.toLong * 193) % 65536 - 32768))
+    val e = Array.tabulate(65)(f => abs.slice(f * n / 65, (f + 1) * n / 65).sum)
+    var fp = 0L
+    for (f <- 0 until 64) if (e(f + 1) > e(f)) fp |= 1L << f
+    fp
+  }
+
+  private def imageDhash(d: Long): Long = {
+    val w = (8 + d % 13).toInt
+    val h = (8 + d % 11).toInt
+    def g(x: Int, y: Int): Int = ((d + 31L * x + 17L * y) % 256L).toInt
+    var fp = 0L
+    for (yt <- 0 until 8) {
+      val ys = yt * h / 8
+      var prev = g(0, ys)
+      for (xt <- 0 until 8) {
+        val next = g((xt + 1) * w / 9, ys)
+        if (next > prev) fp |= 1L << (yt * 8 + xt)
+        prev = next
+      }
+    }
+    fp
+  }
+
+  test("funnel stage counts equal the brute-force recompute") {
+    val docs = Tables.documents(spark, sf)
+    val got = Multimodal.crossmodalDedupFunnel(spark, docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    case class Fp(id: Long, afp: Long, dh: Long, th: String)
+    val fps = rows.map { case (id, text) =>
+      md.reset()
+      val th = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      Fp(id, audioAfp(id), imageDhash(id), th)
+    }
+    def exactStage(in: Seq[Fp], key: Fp => Any): Seq[Fp] = {
+      val keep = in.groupBy(key).values.map(_.map(_.id).min).toSet
+      in.filter(f => keep(f.id))
+    }
+    def nearStage(in: Seq[Fp], fp: Fp => Long): Seq[Fp] =
+      in.filter(s => !in.exists(t => t.id < s.id &&
+        java.lang.Long.bitCount(fp(t) ^ fp(s)) <= 2))
+    val s1 = exactStage(fps.toSeq, _.afp)
+    val s2 = nearStage(s1, _.afp)
+    val s3 = exactStage(s2, _.dh)
+    val s4 = nearStage(s3, _.dh)
+    val s5 = exactStage(s4, _.th)
+    val expect = Seq(
+      (0, "ingested", fps.length.toLong),
+      (1, "audio_exact", s1.size.toLong),
+      (2, "audio_near", s2.size.toLong),
+      (3, "image_exact", s3.size.toLong),
+      (4, "image_near", s4.size.toLong),
+      (5, "text_exact", s5.size.toLong))
+    assert(got.toSeq == expect)
+    // the funnel actually funnels (each gate drops something on the fixture)
+    assert(expect.map(_._3).sliding(2).forall(p => p(1) <= p(0)))
+    assert(s5.size < fps.length)
+  }
+
+  test("funnel plan: one conditional aggregate, no cartesian product") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Multimodal.crossmodalDedupFunnel(spark, docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

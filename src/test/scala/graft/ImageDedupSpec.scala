@@ -63,6 +63,27 @@ class ImageDedupSpec extends SparkTestBase {
     assert(banded == brute)
   }
 
+  test("collapsed variant accounts for every plain banded pair") {
+    val docs = Tables.documents(spark, sf)
+    val plain = Multimodal.imageNearDups(spark, docs, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val edges = Multimodal.imageNearDupsCollapsed(spark, docs, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0))
+    val fps = ids.map(id => id -> refFp(id)._3).toMap
+    val rep = ids.groupBy(fps).map { case (fp, ms) => fp -> ms.min }
+    // cross-class plain pairs (hamming >= 1) aggregate exactly to the edges
+    val cross = plain.filter(_._3 >= 1)
+    assert(cross.nonEmpty && edges.nonEmpty)
+    assert(edges.map(_._4).sum == cross.size.toLong)
+    val edgeSet = edges.map(e => (e._1, e._2)).toSet
+    cross.foreach { case (a, b, _) =>
+      val (ra, rb) = (rep(fps(a)), rep(fps(b)))
+      val key = if (ra < rb) (ra, rb) else (rb, ra)
+      assert(edgeSet.contains(key), s"plain pair ($a,$b) missing edge $key")
+    }
+  }
+
   test("near-dup plan: band equi-join, no cartesian product") {
     val docs = Tables.documents(spark, sf)
     val plan = Multimodal.imageNearDups(spark, docs)
