@@ -386,6 +386,11 @@ object ScaleSmoke {
       // collapse-then-band) — same shape as the collapsed image path
       time("audio_near_dups", scale)(
         graft.multimodal.Multimodal.audioNearDups(spark, docs).count())
+      // round-11: video near-dup — per-doc stride-sampled frame decodes
+      // (~4 REAL BMP parses/doc) folded by per-bit majority, then the
+      // collapse-then-band join; map-only + distinct-sig-bounded
+      time("video_near_dups", scale)(
+        graft.multimodal.Multimodal.videoNearDups(spark, docs).count())
       // round-11: composed cross-modal funnel — one three-codec decode
       // scan (recomputed for the two banded-drop subtrees), three window
       // shuffles on 44-byte fingerprint rows, two banded drop joins

@@ -528,6 +528,14 @@ object SparkEntry {
     // dedup, cumulative flags over ONE three-codec fingerprint scan.
     "crossmodal_dedup_funnel" -> ((s, dir) =>
       graft.multimodal.Multimodal.crossmodalDedupFunnel(s, Tables.documents(s, dir))),
+    // Clip-level signatures: stride-2 frame sampling, per-frame dHash over
+    // REAL decoded BMP frames, per-bit majority fold; oracle replays
+    // frames, pixels, hashes and the majority vote arithmetically.
+    "video_signatures" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoSignatures(s, Tables.documents(s, dir))),
+    // Video near-dup edges, collapse-then-band like audio/image.
+    "video_near_dups" -> ((s, dir) =>
+      graft.multimodal.Multimodal.videoNearDups(s, Tables.documents(s, dir))),
 
     // ---- widened relational surface ----
     // Semi-structured extraction from the props JSON column.
@@ -3289,6 +3297,46 @@ object SparkEntry {
         |UNION ALL SELECT 5, 'text_exact', count(*) FILTER (WHERE f5) FROM g5
         |ORDER BY stage_idx""".stripMargin),
 
+    // Video signatures: the oracle regenerates the sampled frame ids,
+    // replays each frame's 9x8 dHash from the pixel formula, extracts bits
+    // from the signed BIGINT hash ((fh >> b) & 1 — arithmetic sign-fill
+    // never reaches bit 0), counts per-bit majorities and assembles the
+    // signature as HUGEINT before the signed wrap.
+    "video_signatures" -> (videoSigCte +
+      """
+        |SELECT v.doc_id, CAST(v.nf AS INTEGER) AS n_frames,
+        |  CAST((v.nf + 1) // 2 AS INTEGER) AS sampled_frames,
+        |  CAST(CASE WHEN s.h >= 9223372036854775808::HUGEINT
+        |       THEN s.h - 18446744073709551616::HUGEINT ELSE s.h END AS BIGINT)
+        |    AS vsig
+        |FROM vd v JOIN sigh s ON v.doc_id = s.doc_id
+        |ORDER BY v.doc_id""".stripMargin),
+
+    // Video near-dups: same signature derivation, then the collapse-then-
+    // band replay (classes on identical vsig, 3-band join, exact Hamming).
+    "video_near_dups" -> (videoSigCte +
+      """,
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |      AS f
+        |  FROM sigh),
+        |classes AS (
+        |  SELECT f, min(doc_id) AS rep, count(*) AS members FROM fp GROUP BY 1),
+        |banded AS (
+        |  SELECT rep, f, members, b AS band,
+        |    (f >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM classes, (SELECT unnest(range(0, 3)) AS b))
+        |SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+        |  bit_count(xor(a.f, b.f)) AS hamming,
+        |  CAST(a.members * b.members AS BIGINT) AS pair_count
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep
+        |WHERE bit_count(xor(a.f, b.f)) <= 2
+        |ORDER BY rep_a, rep_b""".stripMargin),
+
     "multimodal_wav_roundtrip" ->
       """SELECT d.doc_id,
         |  CAST(8000 AS INTEGER) AS sample_rate,
@@ -5470,6 +5518,52 @@ object SparkEntry {
     * samples (n < 65) at energy 0, matching the engine's zero-initialized
     * energy array.
     */
+  /** Shared video-oracle prefix: sampled frame ids (stride 2 over
+    * `4 + doc_id mod 7` frames, frame k = image id `doc_id·131 + k·17`),
+    * per-frame 9×8 dHash replay from the pixel formula, signed wrap,
+    * per-bit majority count, HUGEINT signature assembly (`sigh.h`).
+    */
+  private val videoSigCte: String =
+    """WITH vd AS (
+      |  SELECT doc_id, 4 + doc_id % 7 AS nf FROM documents),
+      |fr AS (
+      |  SELECT doc_id, k, doc_id * 131 + k * 17 AS v
+      |  FROM vd, range(10) t(k) WHERE k < nf AND k % 2 = 0),
+      |fdims AS (
+      |  SELECT doc_id, k, v, 8 + v % 13 AS w, 8 + v % 11 AS h FROM fr),
+      |fcells AS (
+      |  SELECT doc_id, k, xt, yt,
+      |    (v + 31 * ((xt * w) // 9) + 17 * ((yt * h) // 8)) % 256 AS g
+      |  FROM fdims, (SELECT unnest(range(0, 9)) AS xt),
+      |              (SELECT unnest(range(0, 8)) AS yt)),
+      |fph AS (
+      |  SELECT a.doc_id, a.k,
+      |    sum(CASE WHEN b.g > a.g
+      |        THEN (1::HUGEINT << (a.yt * 8 + a.xt)) ELSE 0::HUGEINT END) AS hfp
+      |  FROM fcells a JOIN fcells b
+      |    ON a.doc_id = b.doc_id AND a.k = b.k AND a.yt = b.yt
+      |       AND b.xt = a.xt + 1
+      |  WHERE a.xt < 8
+      |  GROUP BY 1, 2),
+      |fsig AS (
+      |  SELECT doc_id, k,
+      |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+      |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
+      |      AS fh
+      |  FROM fph),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    count(*) FILTER (WHERE ((fh >> b) & 1) = 1) AS cnt,
+      |    count(*) AS nfr
+      |  FROM fsig, (SELECT unnest(range(0, 64)) AS b)
+      |  GROUP BY 1, 2),
+      |sigh AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN 2 * cnt > nfr
+      |        THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS h
+      |  FROM bits GROUP BY 1)
+      |""".stripMargin
+
   private val audioEnergyCte: String =
     """WITH docs AS (
       |  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),

@@ -495,8 +495,15 @@ object Multimodal {
   /** One decode pass for the cross-modal funnel: both REAL codecs (WAV via
     * javax.sound, BMP via javax.imageio) plus the text content digest in a
     * single partition-batched scan — three fingerprints per doc, one read.
+    *
+    * Stateless and sort-free, so it runs UNCHANGED on a streaming
+    * documents frame (the fingerprint stage of a streaming ingest feeds a
+    * stream-static banded join or a standing digest index exactly like the
+    * text-digest stages of [[graft.streaming.StreamingAgg]]); batch ≡
+    * stream row-for-row, spec-pinned. A production funnel over a hot
+    * corpus persists this frame (44-byte rows) before the stage gates.
     */
-  private def crossmodalFingerprints(documents: DataFrame): DataFrame = {
+  def crossmodalFingerprints(documents: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(crossmodalFpSchema)
     documents.select(col("doc_id"), col("text")).mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -582,6 +589,74 @@ object Multimodal {
       .select(col("s.*"))
       .orderBy(col("stage_idx"))
   }
+
+  val videoSigSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sampled_frames", IntegerType, nullable = false),
+    StructField("vsig", LongType, nullable = false)))
+
+  /** Video signatures — the temporal composition of [[frameSample]] and
+    * [[imageFingerprints]] that completes the near-dup modality set
+    * (text, image, audio, video): sample every `stride`-th frame of the
+    * synthetic clip (doc `d` has `4 + d mod 7` frames; frame k is the REAL
+    * BMP image of id `d·131 + k·17`, decoded through javax.imageio like
+    * every other image here), take each sampled frame's dHash, and fold
+    * them into one 64-bit signature by per-bit MAJORITY vote (bit set iff
+    * `2·count > sampled_frames` — exact integer compare, no division).
+    * Majority voting is the standard order-free frame-hash aggregation for
+    * clip-level near-dup (a re-encoded clip shifts a few frame bits;
+    * the majority bit flips only where most frames moved). Map-only,
+    * shuffle-free, 24 bytes/doc out.
+    */
+  def videoSignatures(
+      spark: SparkSession, documents: DataFrame, stride: Int = 2): DataFrame =
+    videoSignaturesRaw(documents, stride).orderBy(col("doc_id"))
+
+  /** [[videoSignatures]] without the presentation sort (banding input). */
+  private def videoSignaturesRaw(
+      documents: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.row(videoSigSchema)
+    documents.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nf = (4 + id % 7).toInt
+        val counts = new Array[Int](64)
+        var m = 0
+        var k = 0
+        while (k < nf) {
+          val dh = imageFpOf(id * 131L + k.toLong * 17L)._3
+          var b = 0
+          while (b < 64) {
+            if (((dh >> b) & 1L) == 1L) counts(b) += 1
+            b += 1
+          }
+          m += 1
+          k += stride
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) {
+          if (2 * counts(b) > m) sig |= 1L << b
+          b += 1
+        }
+        Row(id, nf, m, sig)
+      }
+    }(enc)
+  }
+
+  /** Video near-duplicate edges: majority-vote frame signatures through the
+    * collapse-then-band scale path ([[graft.operators.Dedup.collapsedHammingPairs]]),
+    * same contract as [[audioNearDups]]/[[imageNearDupsCollapsed]].
+    */
+  def videoNearDups(
+      spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 2, stride: Int = 2): DataFrame =
+    graft.operators.Dedup.collapsedHammingPairs(
+      videoSignaturesRaw(documents, stride)
+        .select(col("doc_id"), col("vsig").as("fp")),
+      maxHamming)
 
   /** Frame-sampling plumbing for video-like payloads: treat the payload as
     * a sequence of fixed-size frames, keep every `stride`-th frame. Emits

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * counts, and the counts must be monotone non-increasing.
   */
 class CrossmodalFunnelSpec extends SparkTestBase {
+  import spark.implicits._
 
   private def audioAfp(d: Long): Long = {
     val n = (64 + d % 97).toInt
@@ -74,6 +75,30 @@ class CrossmodalFunnelSpec extends SparkTestBase {
     // the funnel actually funnels (each gate drops something on the fixture)
     assert(expect.map(_._3).sliding(2).forall(p => p(1) <= p(0)))
     assert(s5.size < fps.length)
+  }
+
+  test("fingerprint stage streams unchanged: batch == stream over micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 9L).map(i =>
+      Doc(i, java.sql.Timestamp.valueOf(s"2024-01-01 10:0$i:00"), s"text body $i", "srcA"))
+    val mem = MemoryStream[Doc]
+    val q = Multimodal.crossmodalFingerprints(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("xmodal_fp_out").start()
+    try {
+      mem.addData(docs.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("xmodal_fp_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val batch = Multimodal.crossmodalFingerprints(docs.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == batch)
+      assert(got.size == docs.size)
+    } finally q.stop()
   }
 
   test("funnel plan: one conditional aggregate, no cartesian product") {
