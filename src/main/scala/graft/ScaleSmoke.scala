@@ -396,6 +396,15 @@ object ScaleSmoke {
       // shuffles on 44-byte fingerprint rows, two banded drop joins
       time("crossmodal_dedup_funnel", scale)(
         graft.multimodal.Multimodal.crossmodalDedupFunnel(spark, docs).count())
+      // round-11: full multimodal loop — gates + survivor semi-join +
+      // manifest pack; rides the funnel's flag subtree plus Pack's one
+      // uniform shuffle
+      time("crossmodal_train_manifest", scale)(
+        graft.operators.Pack.trainingBatchManifest(
+          docs.join(
+              graft.multimodal.Multimodal.crossmodalSurvivors(spark, docs),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("text"))).count())
       // round-11: BPE merge learning at realistic depth — vocabulary
       // grows with scale (~5k/50k/500k distinct pseudo-words), 256
       // merges; the loop is driver-local over the collected (word,count)

@@ -536,6 +536,17 @@ object SparkEntry {
     // Video near-dup edges, collapse-then-band like audio/image.
     "video_near_dups" -> ((s, dir) =>
       graft.multimodal.Multimodal.videoNearDups(s, Tables.documents(s, dir))),
+    // FULL-LOOP multimodal composition: five cross-modal dedup gates, then
+    // the surviving corpus packed into the per-(shard, bin) loader
+    // manifest — multimodal curate-to-batches in one plan.
+    "crossmodal_train_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Pack.trainingBatchManifest(
+        docs.join(
+            graft.multimodal.Multimodal.crossmodalSurvivors(s, docs),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")))
+    }),
 
     // ---- widened relational surface ----
     // Semi-structured extraction from the props JSON column.
@@ -3212,82 +3223,8 @@ object SparkEntry {
     // as cumulative window/anti-join flags — exact-stage lowest-id-wins
     // windows, near-stage banded drops (lower survivor drops higher within
     // Hamming <= 2, non-cascading) — and counted with FILTER.
-    "crossmodal_dedup_funnel" -> (audioEnergyCte +
-      """,
-        |afph AS (
-        |  SELECT a.doc_id,
-        |    sum(CASE WHEN b.e > a.e
-        |        THEN (1::HUGEINT << a.f) ELSE 0::HUGEINT END) AS h
-        |  FROM ener a JOIN ener b ON a.doc_id = b.doc_id AND b.f = a.f + 1
-        |  WHERE a.f < 64
-        |  GROUP BY 1),
-        |afpt AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
-        |      AS afp
-        |  FROM afph),
-        |dims AS (
-        |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
-        |  FROM documents),
-        |dcells AS (
-        |  SELECT doc_id, xt, yt,
-        |    (doc_id + 31 * ((xt * w) // 9) + 17 * ((yt * h) // 8)) % 256 AS g
-        |  FROM dims, (SELECT unnest(range(0, 9)) AS xt),
-        |             (SELECT unnest(range(0, 8)) AS yt)),
-        |dfph AS (
-        |  SELECT a.doc_id,
-        |    sum(CASE WHEN b.g > a.g
-        |        THEN (1::HUGEINT << (a.yt * 8 + a.xt)) ELSE 0::HUGEINT END) AS hfp
-        |  FROM dcells a JOIN dcells b
-        |    ON a.doc_id = b.doc_id AND a.yt = b.yt AND b.xt = a.xt + 1
-        |  WHERE a.xt < 8
-        |  GROUP BY 1),
-        |dht AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
-        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
-        |      AS dh
-        |  FROM dfph),
-        |fps AS (
-        |  SELECT d.doc_id, a.afp, i.dh, md5(d.text) AS th
-        |  FROM documents d JOIN afpt a ON d.doc_id = a.doc_id
-        |  JOIN dht i ON d.doc_id = i.doc_id),
-        |f1t AS (
-        |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY afp) AS f1
-        |  FROM fps),
-        |b1 AS (
-        |  SELECT doc_id, afp, b,
-        |    (afp >> (b * 21)) &
-        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
-        |  FROM f1t, (SELECT unnest(range(0, 3)) AS b) WHERE f1),
-        |d1 AS (
-        |  SELECT DISTINCT y.doc_id, 1 AS da FROM b1 x JOIN b1 y
-        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.afp, y.afp)) <= 2),
-        |g2 AS (
-        |  SELECT f1t.*, f1 AND da IS NULL AS f2
-        |  FROM f1t LEFT JOIN d1 ON f1t.doc_id = d1.doc_id),
-        |g3 AS (
-        |  SELECT *, f2 AND doc_id =
-        |      min(CASE WHEN f2 THEN doc_id END) OVER (PARTITION BY dh) AS f3
-        |  FROM g2),
-        |b3 AS (
-        |  SELECT doc_id, dh, b,
-        |    (dh >> (b * 21)) &
-        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
-        |  FROM g3, (SELECT unnest(range(0, 3)) AS b) WHERE f3),
-        |d3 AS (
-        |  SELECT DISTINCT y.doc_id, 1 AS di FROM b3 x JOIN b3 y
-        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.dh, y.dh)) <= 2),
-        |g4 AS (
-        |  SELECT g3.*, f3 AND di IS NULL AS f4
-        |  FROM g3 LEFT JOIN d3 ON g3.doc_id = d3.doc_id),
-        |g5 AS (
-        |  SELECT *, f4 AND doc_id =
-        |      min(CASE WHEN f4 THEN doc_id END) OVER (PARTITION BY th) AS f5
-        |  FROM g4)
+    "crossmodal_dedup_funnel" -> ("WITH " + crossmodalGateCtes +
+      """
         |SELECT CAST(0 AS INTEGER) AS stage_idx, 'ingested' AS stage,
         |       count(*) AS survivors FROM g5
         |UNION ALL SELECT 1, 'audio_exact', count(*) FILTER (WHERE f1) FROM g5
@@ -3296,6 +3233,16 @@ object SparkEntry {
         |UNION ALL SELECT 4, 'image_near', count(*) FILTER (WHERE f4) FROM g5
         |UNION ALL SELECT 5, 'text_exact', count(*) FILTER (WHERE f5) FROM g5
         |ORDER BY stage_idx""".stripMargin),
+
+    // FULL-LOOP multimodal composition: the five cross-modal gates, then
+    // the surviving corpus packed into the per-(shard, bin) loader
+    // manifest — multimodal curate-to-batches in one plan; the gate chain
+    // parameterizes the manifest oracle's source relation.
+    "crossmodal_train_manifest" -> SketchOracles.trainingBatchManifestSql(
+      source = "xsurv",
+      prefixCtes = crossmodalGateCtes +
+        ",\nxsurv AS (SELECT g5.doc_id, d.text FROM g5" +
+        " JOIN documents d ON g5.doc_id = d.doc_id WHERE g5.f5),\n"),
 
     // Video signatures: the oracle regenerates the sampled frame ids,
     // replays each frame's 9x8 dHash from the pixel formula, extracts bits
@@ -5563,6 +5510,89 @@ object SparkEntry {
       |        THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS h
       |  FROM bits GROUP BY 1)
       |""".stripMargin
+
+  /** The cross-modal gate chain (sans `WITH`): audio envelope hash, image
+    * dHash, md5(text), then the five cumulative gate flags f1..f5 on `g5`
+    * — shared by the funnel oracle and as the prefix that retables the
+    * training-manifest oracle onto the funnel survivors.
+    */
+  private lazy val crossmodalGateCtes: String =
+    audioEnergyCte.stripPrefix("WITH ").stripSuffix("\n") +
+      """,
+        |afph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.e > a.e
+        |        THEN (1::HUGEINT << a.f) ELSE 0::HUGEINT END) AS h
+        |  FROM ener a JOIN ener b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64
+        |  GROUP BY 1),
+        |afpt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |      AS afp
+        |  FROM afph),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents),
+        |dcells AS (
+        |  SELECT doc_id, xt, yt,
+        |    (doc_id + 31 * ((xt * w) // 9) + 17 * ((yt * h) // 8)) % 256 AS g
+        |  FROM dims, (SELECT unnest(range(0, 9)) AS xt),
+        |             (SELECT unnest(range(0, 8)) AS yt)),
+        |dfph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.g > a.g
+        |        THEN (1::HUGEINT << (a.yt * 8 + a.xt)) ELSE 0::HUGEINT END) AS hfp
+        |  FROM dcells a JOIN dcells b
+        |    ON a.doc_id = b.doc_id AND a.yt = b.yt AND b.xt = a.xt + 1
+        |  WHERE a.xt < 8
+        |  GROUP BY 1),
+        |dht AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
+        |      AS dh
+        |  FROM dfph),
+        |fps AS (
+        |  SELECT d.doc_id, a.afp, i.dh, md5(d.text) AS th
+        |  FROM documents d JOIN afpt a ON d.doc_id = a.doc_id
+        |  JOIN dht i ON d.doc_id = i.doc_id),
+        |f1t AS (
+        |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY afp) AS f1
+        |  FROM fps),
+        |b1 AS (
+        |  SELECT doc_id, afp, b,
+        |    (afp >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM f1t, (SELECT unnest(range(0, 3)) AS b) WHERE f1),
+        |d1 AS (
+        |  SELECT DISTINCT y.doc_id, 1 AS da FROM b1 x JOIN b1 y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.afp, y.afp)) <= 2),
+        |g2 AS (
+        |  SELECT f1t.*, f1 AND da IS NULL AS f2
+        |  FROM f1t LEFT JOIN d1 ON f1t.doc_id = d1.doc_id),
+        |g3 AS (
+        |  SELECT *, f2 AND doc_id =
+        |      min(CASE WHEN f2 THEN doc_id END) OVER (PARTITION BY dh) AS f3
+        |  FROM g2),
+        |b3 AS (
+        |  SELECT doc_id, dh, b,
+        |    (dh >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM g3, (SELECT unnest(range(0, 3)) AS b) WHERE f3),
+        |d3 AS (
+        |  SELECT DISTINCT y.doc_id, 1 AS di FROM b3 x JOIN b3 y
+        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.dh, y.dh)) <= 2),
+        |g4 AS (
+        |  SELECT g3.*, f3 AND di IS NULL AS f4
+        |  FROM g3 LEFT JOIN d3 ON g3.doc_id = d3.doc_id),
+        |g5 AS (
+        |  SELECT *, f4 AND doc_id =
+        |      min(CASE WHEN f4 THEN doc_id END) OVER (PARTITION BY th) AS f5
+        |  FROM g4)""".stripMargin
 
   private val audioEnergyCte: String =
     """WITH docs AS (

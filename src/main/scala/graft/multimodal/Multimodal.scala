@@ -547,6 +547,44 @@ object Multimodal {
   def crossmodalDedupFunnel(
       spark: SparkSession, documents: DataFrame,
       maxHamming: Int = 2): DataFrame = {
+    val g5 = crossmodalFlags(documents, maxHamming)
+    def stageRow(id: Int, name: String, c: org.apache.spark.sql.Column) =
+      struct(lit(id).as("stage_idx"), lit(name).as("stage"), c.as("survivors"))
+    g5.agg(
+        count(lit(1)).as("c0"),
+        count(when(col("f1"), lit(1))).as("c1"),
+        count(when(col("f2"), lit(1))).as("c2"),
+        count(when(col("f3"), lit(1))).as("c3"),
+        count(when(col("f4"), lit(1))).as("c4"),
+        count(when(col("f5"), lit(1))).as("c5"))
+      .select(explode(array(
+        stageRow(0, "ingested", col("c0")),
+        stageRow(1, "audio_exact", col("c1")),
+        stageRow(2, "audio_near", col("c2")),
+        stageRow(3, "image_exact", col("c3")),
+        stageRow(4, "image_near", col("c4")),
+        stageRow(5, "text_exact", col("c5")))).as("s"))
+      .select(col("s.*"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Documents surviving ALL five cross-modal gates — the curated corpus a
+    * multimodal run hands to the output side (e.g.
+    * [[graft.operators.Pack.trainingBatchManifest]]). One (doc_id) row per
+    * survivor, gate semantics exactly [[crossmodalDedupFunnel]]'s.
+    */
+  def crossmodalSurvivors(
+      spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 2): DataFrame =
+    crossmodalFlags(documents, maxHamming)
+      .filter(col("f5")).select(col("doc_id"))
+
+  /** The funnel's flagged frame: one row per doc with the cumulative gate
+    * flags f1..f5 over the three fingerprints (shared by the stage-count
+    * rollup and the survivor projection).
+    */
+  private def crossmodalFlags(
+      documents: DataFrame, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fps = crossmodalFingerprints(documents)
     val f1 = fps.withColumn("f1",
@@ -566,28 +604,9 @@ object Multimodal {
       .withColumn("di", lit(1))
     val g4 = g3.join(dropsI, Seq("doc_id"), "left")
       .withColumn("f4", col("f3") && col("di").isNull)
-    val g5 = g4.withColumn("f5",
+    g4.withColumn("f5",
       col("f4") && col("doc_id") ===
         min(when(col("f4"), col("doc_id"))).over(Window.partitionBy(col("th"))))
-
-    def stageRow(id: Int, name: String, c: org.apache.spark.sql.Column) =
-      struct(lit(id).as("stage_idx"), lit(name).as("stage"), c.as("survivors"))
-    g5.agg(
-        count(lit(1)).as("c0"),
-        count(when(col("f1"), lit(1))).as("c1"),
-        count(when(col("f2"), lit(1))).as("c2"),
-        count(when(col("f3"), lit(1))).as("c3"),
-        count(when(col("f4"), lit(1))).as("c4"),
-        count(when(col("f5"), lit(1))).as("c5"))
-      .select(explode(array(
-        stageRow(0, "ingested", col("c0")),
-        stageRow(1, "audio_exact", col("c1")),
-        stageRow(2, "audio_near", col("c2")),
-        stageRow(3, "image_exact", col("c3")),
-        stageRow(4, "image_near", col("c4")),
-        stageRow(5, "text_exact", col("c5")))).as("s"))
-      .select(col("s.*"))
-      .orderBy(col("stage_idx"))
   }
 
   val videoSigSchema: StructType = StructType(Seq(

@@ -77,6 +77,32 @@ class CrossmodalFunnelSpec extends SparkTestBase {
     assert(s5.size < fps.length)
   }
 
+  test("crossmodalSurvivors emits exactly the docs passing all five gates") {
+    val docs = Tables.documents(spark, sf)
+    val got = Multimodal.crossmodalSurvivors(spark, docs)
+      .collect().map(_.getLong(0)).toSet
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    case class Fp(id: Long, afp: Long, dh: Long, th: String)
+    val fps = rows.map { case (id, text) =>
+      md.reset()
+      val th = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      Fp(id, audioAfp(id), imageDhash(id), th)
+    }.toSeq
+    def exact(in: Seq[Fp], key: Fp => Any) = {
+      val keep = in.groupBy(key).values.map(_.map(_.id).min).toSet
+      in.filter(f => keep(f.id))
+    }
+    def near(in: Seq[Fp], fp: Fp => Long) =
+      in.filter(s => !in.exists(t => t.id < s.id &&
+        java.lang.Long.bitCount(fp(t) ^ fp(s)) <= 2))
+    val s5 = exact(near(exact(near(exact(fps, _.afp), _.afp), _.dh), _.dh), _.th)
+    assert(got == s5.map(_.id).toSet)
+    assert(got.nonEmpty && got.size < rows.length)
+  }
+
   test("fingerprint stage streams unchanged: batch == stream over micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
