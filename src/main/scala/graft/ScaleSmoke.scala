@@ -396,6 +396,14 @@ object ScaleSmoke {
       // shuffles on 44-byte fingerprint rows, two banded drop joins
       time("crossmodal_dedup_funnel", scale)(
         graft.multimodal.Multimodal.crossmodalDedupFunnel(spark, docs).count())
+      // round-11: incremental cross-modal gate — arrivals (1/20 of docs)
+      // probed against the standing corpus on all three fingerprints;
+      // banded probe-vs-index joins + three arrival-scoped windows
+      time("incremental_crossmodal", scale)(
+        graft.multimodal.Multimodal.incrementalCrossmodal(
+          spark,
+          docs.filter(col("doc_id") % 20 === 0),
+          docs.filter(col("doc_id") % 20 =!= 0)).count())
       // round-11: full multimodal loop — gates + survivor semi-join +
       // manifest pack; rides the funnel's flag subtree plus Pack's one
       // uniform shuffle

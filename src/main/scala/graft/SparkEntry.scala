@@ -871,6 +871,16 @@ object SparkEntry {
         graft.operators.Curation.regenCorpus(Tables.documents(s, dir))
           .filter(col("split") === "train")
           .select(col("doc_id"), col("cleaned_text").as("text")))),
+    // Incremental cross-modal dedup: arrivals (doc_id >= 250, the
+    // incremental_dedup convention) gated against the standing corpus on
+    // all three modal fingerprints (banded near-match probe incl. exact)
+    // plus arrival-internal exact gates; emits survivors WITH their
+    // fingerprints — the delta appended to the standing index.
+    "incremental_crossmodal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.multimodal.Multimodal.incrementalCrossmodal(
+        s, docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+    }),
     // Business-day (weekend-excluded) shipping SLA per priority.
     "shipping_business_sla" -> ((s, dir) =>
       Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -3234,6 +3244,64 @@ object SparkEntry {
         |UNION ALL SELECT 5, 'text_exact', count(*) FILTER (WHERE f5) FROM g5
         |ORDER BY stage_idx""".stripMargin),
 
+    // Incremental cross-modal dedup: fingerprints for every doc, then the
+    // arrival slice (>= 250) probed against the corpus slice's distinct
+    // fingerprints — banded near-match (Hamming <= 2, exact included),
+    // text-digest anti-join, then the three internal lowest-id windows.
+    "incremental_crossmodal" -> ("WITH " + crossmodalFpCtes +
+      """,
+        |arr AS (SELECT * FROM fps WHERE doc_id >= 250),
+        |ca AS (SELECT DISTINCT afp FROM fps WHERE doc_id < 250),
+        |ci AS (SELECT DISTINCT dh FROM fps WHERE doc_id < 250),
+        |ct AS (SELECT DISTINCT th FROM fps WHERE doc_id < 250),
+        |pa AS (
+        |  SELECT doc_id, afp, b,
+        |    (afp >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM arr, (SELECT unnest(range(0, 3)) AS b)),
+        |xa AS (
+        |  SELECT afp AS iafp, b,
+        |    (afp >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM ca, (SELECT unnest(range(0, 3)) AS b)),
+        |da AS (
+        |  SELECT DISTINCT p.doc_id FROM pa p JOIN xa x
+        |    ON p.b = x.b AND p.bkey = x.bkey
+        |  WHERE bit_count(xor(p.afp, x.iafp)) <= 2),
+        |pi AS (
+        |  SELECT doc_id, dh, b,
+        |    (dh >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM arr, (SELECT unnest(range(0, 3)) AS b)),
+        |xi AS (
+        |  SELECT dh AS idh, b,
+        |    (dh >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM ci, (SELECT unnest(range(0, 3)) AS b)),
+        |di AS (
+        |  SELECT DISTINCT p.doc_id FROM pi p JOIN xi x
+        |    ON p.b = x.b AND p.bkey = x.bkey
+        |  WHERE bit_count(xor(p.dh, x.idh)) <= 2),
+        |s0 AS (
+        |  SELECT a.* FROM arr a
+        |  LEFT JOIN da ON a.doc_id = da.doc_id
+        |  LEFT JOIN di ON a.doc_id = di.doc_id
+        |  WHERE da.doc_id IS NULL AND di.doc_id IS NULL
+        |    AND a.th NOT IN (SELECT th FROM ct)),
+        |j1 AS (
+        |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY afp) AS i1
+        |  FROM s0),
+        |j2 AS (
+        |  SELECT *, i1 AND doc_id =
+        |      min(CASE WHEN i1 THEN doc_id END) OVER (PARTITION BY dh) AS i2
+        |  FROM j1),
+        |j3 AS (
+        |  SELECT *, i2 AND doc_id =
+        |      min(CASE WHEN i2 THEN doc_id END) OVER (PARTITION BY th) AS i3
+        |  FROM j2)
+        |SELECT doc_id, afp, dh AS dhash, th FROM j3 WHERE i3
+        |ORDER BY doc_id""".stripMargin),
+
     // FULL-LOOP multimodal composition: the five cross-modal gates, then
     // the surviving corpus packed into the per-(shard, bin) loader
     // manifest — multimodal curate-to-batches in one plan; the gate chain
@@ -5516,7 +5584,12 @@ object SparkEntry {
     * — shared by the funnel oracle and as the prefix that retables the
     * training-manifest oracle onto the funnel survivors.
     */
-  private lazy val crossmodalGateCtes: String =
+  /** The three-fingerprint chain alone (sans `WITH`, through `fps`):
+    * audio envelope hash `afp`, image dHash `dh`, text digest `th` per
+    * doc — the reusable prefix of [[crossmodalGateCtes]] and of the
+    * incremental (arrival-vs-corpus) oracle.
+    */
+  private lazy val crossmodalFpCtes: String =
     audioEnergyCte.stripPrefix("WITH ").stripSuffix("\n") +
       """,
         |afph AS (
@@ -5557,7 +5630,11 @@ object SparkEntry {
         |fps AS (
         |  SELECT d.doc_id, a.afp, i.dh, md5(d.text) AS th
         |  FROM documents d JOIN afpt a ON d.doc_id = a.doc_id
-        |  JOIN dht i ON d.doc_id = i.doc_id),
+        |  JOIN dht i ON d.doc_id = i.doc_id)""".stripMargin
+
+  private lazy val crossmodalGateCtes: String =
+    crossmodalFpCtes +
+      """,
         |f1t AS (
         |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY afp) AS f1
         |  FROM fps),

@@ -17,6 +17,26 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** One live persisted fingerprint frame per session (the
+    * [[graft.operators.Curation]] lifecycle pattern): a new wide funnel
+    * call releases the previous call's frame, and [[release]] lets callers
+    * drop it eagerly. Bounded by construction — at most one entry per
+    * SparkSession.
+    */
+  private val liveCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  /** Unpersist the session's live cross-modal fingerprint frame, if any. */
+  def release(spark: SparkSession): Unit = {
+    val prev = liveCache.remove(spark)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
+  private def trackPersisted(df: DataFrame): Unit = {
+    val prev = liveCache.put(df.sparkSession, df)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   val metaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
@@ -546,8 +566,9 @@ object Multimodal {
     */
   def crossmodalDedupFunnel(
       spark: SparkSession, documents: DataFrame,
-      maxHamming: Int = 2): DataFrame = {
-    val g5 = crossmodalFlags(documents, maxHamming)
+      maxHamming: Int = 2,
+      persistThresholdBytes: Long = 1L << 30): DataFrame = {
+    val g5 = crossmodalFlags(documents, maxHamming, persistThresholdBytes)
     def stageRow(id: Int, name: String, c: org.apache.spark.sql.Column) =
       struct(lit(id).as("stage_idx"), lit(name).as("stage"), c.as("survivors"))
     g5.agg(
@@ -575,18 +596,40 @@ object Multimodal {
     */
   def crossmodalSurvivors(
       spark: SparkSession, documents: DataFrame,
-      maxHamming: Int = 2): DataFrame =
-    crossmodalFlags(documents, maxHamming)
+      maxHamming: Int = 2,
+      persistThresholdBytes: Long = 1L << 30): DataFrame =
+    crossmodalFlags(documents, maxHamming, persistThresholdBytes)
       .filter(col("f5")).select(col("doc_id"))
 
   /** The funnel's flagged frame: one row per doc with the cumulative gate
     * flags f1..f5 over the three fingerprints (shared by the stage-count
     * rollup and the survivor projection).
+    *
+    * The fingerprint frame feeds three plan branches (the two banded-drop
+    * subtrees and the final consumer), each of which would re-decode every
+    * payload. Same estimated-scan-size gate as
+    * [[graft.operators.Curation.funnel]]: above `persistThresholdBytes`
+    * the 28-byte-per-doc fingerprint frame is persisted (MEMORY_AND_DISK,
+    * lifecycle-tracked — see [[release]]) so the three codecs run ONCE;
+    * below it the recompute costs less than materializing the cache.
     */
   private def crossmodalFlags(
-      documents: DataFrame, maxHamming: Int): DataFrame = {
+      documents: DataFrame, maxHamming: Int,
+      persistThresholdBytes: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fps = crossmodalFingerprints(documents)
+    val fps0 = crossmodalFingerprints(documents)
+    val scanBytes = documents.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fps =
+      if (scanBytes >= persistThresholdBytes) {
+        val f = fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trackPersisted(f)
+        f
+      } else {
+        // lifecycle still holds on the recompute path: a narrow funnel
+        // call must not leave a PREVIOUS wide call's frame pinned
+        release(documents.sparkSession)
+        fps0
+      }
     val f1 = fps.withColumn("f1",
       col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("afp"))))
     val dropsA = graft.operators.Dedup.bandedHammingPairs(
@@ -676,6 +719,54 @@ object Multimodal {
       videoSignaturesRaw(documents, stride)
         .select(col("doc_id"), col("vsig").as("fp")),
       maxHamming)
+
+  /** Incremental cross-modal dedup — the arrival-batch form of
+    * [[crossmodalDedupFunnel]] against a STANDING corpus, composing the
+    * incremental-dedup shape ([[graft.operators.Dedup.incrementalDedup]])
+    * with all three modal fingerprints:
+    *
+    *  1. corpus gates (stream-static-join-shaped): an arrival drops if its
+    *     audio envelope hash or image dHash sits within `maxHamming` of
+    *     ANY corpus fingerprint (banded probe-vs-index match, exact hits
+    *     included at Hamming 0), or its text digest already exists;
+    *  2. arrival-internal exact gates: lowest surviving arrival doc_id
+    *     wins per afp, then per dhash, then per th — the funnel's gate
+    *     order scoped to the batch.
+    *
+    * Arrival-internal NEAR dedup stays a full-rebuild concern by design
+    * (same batch/stream split as the span audit in incremental
+    * regeneration). Output: the surviving arrivals WITH their
+    * fingerprints — exactly the delta a pipeline appends to the standing
+    * fingerprint index for the next increment.
+    */
+  def incrementalCrossmodal(
+      spark: SparkSession, newDocs: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = crossmodalFingerprints(newDocs)
+    val corp = crossmodalFingerprints(corpus)
+    val dropA = graft.operators.Dedup.bandedHammingMatches(
+      arr.select(col("doc_id"), col("afp").as("fp")),
+      corp.select(col("afp").as("fp")).distinct(), maxHamming)
+    val dropI = graft.operators.Dedup.bandedHammingMatches(
+      arr.select(col("doc_id"), col("dhash").as("fp")),
+      corp.select(col("dhash").as("fp")).distinct(), maxHamming)
+    val s0 = arr
+      .join(dropA, Seq("doc_id"), "left_anti")
+      .join(dropI, Seq("doc_id"), "left_anti")
+      .join(corp.select(col("th")).distinct(), Seq("th"), "left_anti")
+    val i1 = s0.withColumn("i1",
+      col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("afp"))))
+    val i2 = i1.withColumn("i2",
+      col("i1") && col("doc_id") ===
+        min(when(col("i1"), col("doc_id"))).over(Window.partitionBy(col("dhash"))))
+    i2.withColumn("i3",
+        col("i2") && col("doc_id") ===
+          min(when(col("i2"), col("doc_id"))).over(Window.partitionBy(col("th"))))
+      .filter(col("i3"))
+      .select(col("doc_id"), col("afp"), col("dhash"), col("th"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Frame-sampling plumbing for video-like payloads: treat the payload as
     * a sequence of fixed-size frames, keep every `stride`-th frame. Emits

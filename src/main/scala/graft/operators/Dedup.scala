@@ -534,6 +534,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Probe-vs-index banded Hamming matcher: the DISTINCT probe doc_ids
+    * having at least one index fingerprint within `maxHamming` (including
+    * 0 — an exact match). Same pigeonhole band scheme as
+    * [[bandedHammingPairs]], but two-sided: the index is a standing corpus
+    * fingerprint set, the probe an arrival batch — the incremental-dedup
+    * gate shape (a stream-static-style equi-join on band keys, never a
+    * probe×index scan).
+    */
+  def bandedHammingMatches(
+      probe: DataFrame,
+      index: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    val bands = maxHamming + 1
+    val bandWidth = 64 / bands
+    def explBands(fp: String) =
+      explode(array((0 until bands).map { b =>
+        val width = if (b == bands - 1) 64 - b * bandWidth else bandWidth
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        struct(lit(b).as("band"),
+          shiftright(col(fp), b * bandWidth).bitwiseAND(lit(mask)).as("bkey"))
+      }: _*))
+    val p = probe.select(col("doc_id"), col("fp"), explBands("fp").as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val ix = index.select(col("fp").as("ifp"))
+      .select(col("ifp"), explBands("ifp").as("bb"))
+      .select(col("ifp"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    p.join(ix, Seq("band", "bkey"))
+      .filter(bit_count(col("fp").bitwiseXOR(col("ifp"))) <= maxHamming)
+      .select(col("doc_id")).distinct()
+  }
+
   /** Collapse-then-band near-dup pairs — the dup-heavy-corpus scale path
     * the plain banding's SCALING analysis calls for: identical fingerprints
     * are first collapsed to one class row (representative = min doc_id,

@@ -166,6 +166,61 @@ object StreamingAgg {
     * StreamingAggSpec (stream output == batch stages 1+3 over the same
     * arrivals).
     */
+  /** Streamable prefix of
+    * [[graft.multimodal.Multimodal.incrementalCrossmodal]] — the
+    * multimodal twin of [[incrementalRegenStream]]: fingerprint each
+    * arrival with all three REAL codecs (stateless map pass), drop
+    * arrivals whose audio envelope hash, image dHash or text digest
+    * already stands in the corpus index (three stream-static left_anti
+    * joins against `corpusFps` — at scale a 44-byte-per-doc fingerprint
+    * INDEX, broadcastable, never the payloads), then first-arrival
+    * exact-dedup on the envelope hash within the stream horizon.
+    *
+    * The batch operator's BANDED near-match gates (Hamming 1..maxHamming
+    * vs the corpus) and the remaining internal exact gates need either a
+    * per-arrival band expansion joined back onto stream state or
+    * cross-arrival windows — they stay batch compaction steps, the same
+    * documented batch/stream split as the regen span audit. Parity is
+    * spec-pinned: stream output == the batch form of exactly these
+    * stages over the same arrivals.
+    */
+  def incrementalCrossmodalStream(
+      docs: DataFrame,
+      corpusFps: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ingest_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = false),
+      org.apache.spark.sql.types.StructField("afp",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dhash",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("th",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val fp = docs.select(col("doc_id"), col("ingest_ts"), col("text"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          md.reset()
+          val th = md.digest(r.getString(2).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+            .map(b => f"$b%02x").mkString
+          org.apache.spark.sql.Row(id, r.getTimestamp(1),
+            graft.multimodal.Multimodal.audioFpOf(id)._2,
+            graft.multimodal.Multimodal.imageFpOf(id)._3, th)
+        }
+      }(enc)
+    fp.join(corpusFps.select(col("afp")).distinct(), Seq("afp"), "left_anti")
+      .join(corpusFps.select(col("dhash")).distinct(), Seq("dhash"), "left_anti")
+      .join(corpusFps.select(col("th")).distinct(), Seq("th"), "left_anti")
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("afp")
+  }
+
   def incrementalRegenStream(
       docs: DataFrame,
       corpusDigests: DataFrame,

@@ -127,6 +127,64 @@ class CrossmodalFunnelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("persist path (forced threshold 0) yields identical counts; release unpins") {
+    val docs = Tables.documents(spark, sf)
+    val recompute = Multimodal.crossmodalDedupFunnel(spark, docs)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    val persisted = Multimodal
+      .crossmodalDedupFunnel(spark, docs, persistThresholdBytes = 0L)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(persisted == recompute)
+    val pinned = spark.sparkContext.getPersistentRDDs.size
+    assert(pinned > 0)
+    Multimodal.release(spark)
+    // unpersist is async (blocking = false): poll briefly for the drop
+    val deadline = System.nanoTime + 10_000_000_000L
+    while (spark.sparkContext.getPersistentRDDs.size >= pinned &&
+           System.nanoTime < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size < pinned)
+  }
+
+  test("incremental stream prefix == batch form of the same stages") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, text: String) =
+      Doc(id, java.sql.Timestamp.valueOf(s"2024-01-01 10:${10 + id}:00"), text, "srcA")
+    // corpus: ids 1..3; arrivals 10..15 (10 collides with corpus text 1,
+    // 12 repeats arrival 11's doc — same synthetic payloads differ by id,
+    // so modal fingerprints differ; text digests collide)
+    val corpus = Seq(doc(1, "alpha beta"), doc(2, "gamma delta"), doc(3, "epsilon zeta"))
+    val arrivals = Seq(
+      doc(10, "alpha beta"), doc(11, "fresh one"), doc(12, "fresh one"),
+      doc(13, "fresh two"), doc(14, "gamma delta"), doc(15, "fresh three"))
+    val corpusFps = Multimodal.crossmodalFingerprints(corpus.toDF())
+    val mem = MemoryStream[Doc]
+    val q = graft.streaming.StreamingAgg
+      .incrementalCrossmodalStream(mem.toDF(), corpusFps)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("incr_xmodal_out").start()
+    try {
+      mem.addData(arrivals.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("incr_xmodal_out").collect()
+        .map(r => r.getAs[Long]("doc_id")).toSet
+      // batch form of the SAME streamable stages: three exact corpus
+      // anti-joins + first-arrival (min doc_id) dedup on afp
+      val arrFps = Multimodal.crossmodalFingerprints(arrivals.toDF())
+      val s0 = arrFps
+        .join(corpusFps.select(col("afp")).distinct(), Seq("afp"), "left_anti")
+        .join(corpusFps.select(col("dhash")).distinct(), Seq("dhash"), "left_anti")
+        .join(corpusFps.select(col("th")).distinct(), Seq("th"), "left_anti")
+      val batch = s0.groupBy(col("afp")).agg(min(col("doc_id")).as("doc_id"))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      // text-digest collisions with the corpus must be gone
+      assert(!got.contains(10L) && !got.contains(14L))
+    } finally q.stop()
+  }
+
   test("funnel plan: one conditional aggregate, no cartesian product") {
     val docs = Tables.documents(spark, sf)
     val plan = Multimodal.crossmodalDedupFunnel(spark, docs)
