@@ -528,6 +528,15 @@ object SparkEntry {
     // dedup, cumulative flags over ONE three-codec fingerprint scan.
     "crossmodal_dedup_funnel" -> ((s, dir) =>
       graft.multimodal.Multimodal.crossmodalDedupFunnel(s, Tables.documents(s, dir))),
+    // Cross-modality reuse of the near-dup cluster operator: connected
+    // components over the IMAGE perceptual-hash edge list (min-label
+    // propagation, lineage-truncated) — the same operator that clusters
+    // text n-gram pairs, fed a different modality's edges.
+    "image_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.nearDupClusters(
+        docs, graft.multimodal.Multimodal.imageNearDups(s, docs))
+    }),
     // Clip-level signatures: stride-2 frame sampling, per-frame dHash over
     // REAL decoded BMP frames, per-bit majority fold; oracle replays
     // frames, pixels, hashes and the majority vote arithmetically.
@@ -3311,6 +3320,52 @@ object SparkEntry {
       prefixCtes = crossmodalGateCtes +
         ",\nxsurv AS (SELECT g5.doc_id, d.text FROM g5" +
         " JOIN documents d ON g5.doc_id = d.doc_id WHERE g5.f5),\n"),
+
+    // Image near-dup clusters: the dHash/banding chain (as in
+    // image_near_dups), then the recursive reachability closure and
+    // min-label per component — the clustersCte pattern retabled onto the
+    // image edge list.
+    "image_dup_clusters" ->
+      """WITH RECURSIVE dims AS (
+        |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents),
+        |dcells AS (
+        |  SELECT doc_id, xt, yt,
+        |    (doc_id + 31 * ((xt * w) // 9) + 17 * ((yt * h) // 8)) % 256 AS g
+        |  FROM dims, (SELECT unnest(range(0, 9)) AS xt),
+        |             (SELECT unnest(range(0, 8)) AS yt)),
+        |dfph AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN b.g > a.g
+        |        THEN (1::HUGEINT << (a.yt * 8 + a.xt)) ELSE 0::HUGEINT END) AS hfp
+        |  FROM dcells a JOIN dcells b
+        |    ON a.doc_id = b.doc_id AND a.yt = b.yt AND b.xt = a.xt + 1
+        |  WHERE a.xt < 8
+        |  GROUP BY 1),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hfp >= 9223372036854775808::HUGEINT
+        |         THEN hfp - 18446744073709551616::HUGEINT ELSE hfp END AS BIGINT)
+        |      AS f
+        |  FROM dfph),
+        |banded AS (
+        |  SELECT doc_id, f, b AS band,
+        |    (f >> (b * 21)) &
+        |      (CASE WHEN b = 2 THEN 4194303 ELSE 2097151 END) AS bkey
+        |  FROM fp, (SELECT unnest(range(0, 3)) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v)
+        |SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
     // Video signatures: the oracle regenerates the sampled frame ids,
     // replays each frame's 9x8 dHash from the pixel formula, extracts bits

@@ -285,32 +285,91 @@ object Dedup {
       .withColumn("cluster_id", col("doc_id"))
       .coalesce(labelParts)
       .localCheckpoint()
-    var changed = 1L
+    // Shiloach-Vishkin rounds: ROOT HOOKING (every root with a cross-tree
+    // edge adopts the minimum adjacent root — tree count per component at
+    // least halves, so rounds are O(log component size), never O(diameter);
+    // plain neighbor-label propagation needs diameter rounds, which real
+    // near-dup graphs exceed: the image dHash graph at sf0.1 has a 58-hop
+    // min-label eccentricity and converges here in 6 rounds) followed by
+    // SHORTCUT TO CLOSURE (pointer jumping until every label is a root —
+    // a label is always a member id of the same component, so following it
+    // is safe; chain length halves per jump).
+    //
+    // Generations go through [[freshGen]], not bare localCheckpoint:
+    // Spark 4's localCheckpoint copies the PARENT plan's estimated
+    // statistics onto the checkpoint leaf (LogicalRDD.fromDataset →
+    // rewriteStatsAndConstraints), and a self-join fixpoint loop SQUARES
+    // that estimate every generation — by generation ~17 the driver sits
+    // for minutes inside million-digit BigInteger multiplication in stats
+    // estimation (observed live: jstack into BigInteger.multiplyToomCook3
+    // under SizeInBytesOnlyStatsPlanVisitor). Rebuilding the frame from
+    // the checkpointed RDD resets the leaf to constant-size default stats,
+    // so every generation restarts from a constant-digit estimate while
+    // keeping the materialized blocks and the truncated lineage.
+    def freshGen(df: DataFrame): (DataFrame, DataFrame) = {
+      val cp = df.coalesce(labelParts).localCheckpoint()
+      (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
+    }
+    var labelsCp = labels
+    labels = labels.sparkSession.createDataFrame(labels.rdd, labels.schema)
+    var merging = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val viaNeighbor = edges
-        .join(labels, col("dst") === col("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels
-        .union(viaNeighbor)
-        .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .coalesce(labelParts)
-        .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev"))
-        .count()
-      labels = next
+    while (merging > 0 && iter < maxIters) {
+      val ru = labels
+        .withColumnRenamed("doc_id", "src").withColumnRenamed("cluster_id", "ru")
+      val rv = labels
+        .withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster_id", "rv")
+      val crossRoot = edges.join(ru, "src").join(rv, "dst")
+        .filter(col("ru") =!= col("rv"))
+      val (prop, propCp) = freshGen(crossRoot
+        .select(col("ru").as("root"), least(col("ru"), col("rv")).as("cand"))
+        .union(crossRoot
+          .select(col("rv").as("root"), least(col("ru"), col("rv")).as("cand")))
+        .groupBy(col("root"))
+        .agg(min(col("cand")).as("cand")))
+      merging = prop.count()
+      if (merging > 0) {
+        var (next, nextCp) = freshGen(labels
+          .join(prop.withColumnRenamed("root", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("cand"), col("cluster_id")))
+              .as("cluster_id")))
+        // shortcut to closure: lbl := lbl(lbl) until fixpoint
+        var jumping = 1L
+        while (jumping > 0) {
+          val l1 = next.select(
+            col("doc_id").as("l_doc"), col("cluster_id").as("l_lbl"))
+          val l2 = next.select(
+            col("doc_id").as("m_doc"), col("cluster_id").as("m_lbl"))
+          val (jumped, jumpedCp) = freshGen(
+            l1.join(l2, col("l_lbl") === col("m_doc"))
+              .select(col("l_doc").as("doc_id"), col("m_lbl").as("cluster_id")))
+          jumping = jumped
+            .join(next.withColumnRenamed("cluster_id", "prev"), "doc_id")
+            .filter(col("cluster_id") =!= col("prev"))
+            .count()
+          SuffixArray.freeCheckpoint(nextCp)
+          next = jumped
+          nextCp = jumpedCp
+        }
+        SuffixArray.freeCheckpoint(labelsCp)
+        labels = next
+        labelsCp = nextCp
+      }
+      SuffixArray.freeCheckpoint(propCp)
       iter += 1
     }
-    if (changed > 0)
+    if (merging > 0)
       throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxIters rounds ($changed labels " +
-          "still changing) — a component diameter exceeds the cap; raise maxIters " +
-          "or switch to the large-star/small-star formulation")
+        s"nearDupClusters did not converge in $maxIters rounds ($merging roots " +
+          s"still merging) — a component holds more than ~2^$maxIters hooked " +
+          "trees; raise maxIters")
+    // Build the result on the CHECKPOINTED frame (labelsCp), not the
+    // stats-reset view: the returned plan then contains the checkpoint's
+    // LogicalRDD, so clusterCache eviction (freeCheckpoint) releases the
+    // label blocks.
     documents.select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "member"),
+      .join(labelsCp.withColumnRenamed("doc_id", "member"),
         col("doc_id") === col("member"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -414,4 +414,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(Dedup.adaptiveParts(1000000000L) == 2000) // 1B edges
     assert(Dedup.adaptiveParts(Long.MaxValue) == 2048) // cap
   }
+
+  test("nearDupClusters: 300-hop path converges within default rounds (SV bound)") {
+    // Adversarial path graph: consecutive path positions alternate between
+    // the two ends of the id range, so the component minimum (0) is ~300
+    // label-propagation hops from the far end. Plain neighbor propagation
+    // needs diameter rounds and would hit the default 20-round cap; the
+    // Shiloach-Vishkin root-hooking + shortcut rounds are O(log n) and
+    // must converge — this is the regression the image dHash graph
+    // exposed (58-hop eccentricity at sf0.1).
+    val n = 300
+    val ids = (0 until n).map(i =>
+      if (i % 2 == 0) (i / 2).toLong else (n - 1 - i / 2).toLong)
+    val pairs = (0 until n - 1).map { i =>
+      val (a, b) = (ids(i), ids(i + 1))
+      (math.min(a, b), math.max(a, b))
+    }.toDF("doc_a", "doc_b")
+    val members = (0L until n.toLong).toDF("doc_id")
+    val out = Dedup.nearDupClusters(members, pairs).collect()
+    assert(out.length == n)
+    assert(out.forall(_.getLong(1) == 0L), "single path component, min id 0")
+  }
 }
