@@ -890,6 +890,21 @@ object SparkEntry {
       graft.multimodal.Multimodal.incrementalCrossmodal(
         s, docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
     }),
+    // Distributed Lloyd's k-means over the FULL embedding corpus in exact
+    // fixed-point arithmetic (assignment = map-only argmin over literal
+    // centroids; update = one (cluster,dim)-keyed partial-agg shuffle) —
+    // the whole fit, init through final assignment, is reproduced
+    // bit-exactly by the DuckDB oracle's CTE chain.
+    "kmeans_clusters" -> ((s, dir) =>
+      graft.operators.KMeans.clusterProfile(Tables.embeddings(s, dir))),
+    // Cluster-balanced prototype selection: per cluster, the quota most
+    // central vectors (quota = the smallest cluster's size) — the
+    // balanced-coreset curation step over the same cached fit.
+    "kmeans_prototypes" -> ((s, dir) =>
+      graft.operators.KMeans.prototypes(Tables.embeddings(s, dir))),
+    // Lloyd convergence audit: per-iteration exact inertia + moved count.
+    "kmeans_convergence" -> ((s, dir) =>
+      graft.operators.KMeans.convergence(Tables.embeddings(s, dir))),
     // Business-day (weekend-excluded) shipping SLA per priority.
     "shipping_business_sla" -> ((s, dir) =>
       Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -3322,6 +3337,19 @@ object SparkEntry {
         " JOIN documents d ON g5.doc_id = d.doc_id WHERE g5.f5),\n"),
 
     // Image near-dup clusters: the dHash/banding chain (as in
+    // Distributed k-means: the full exact-arithmetic Lloyd fit (quantize,
+    // init, per-iteration argmin assignment + truncating-division means,
+    // empty-cluster carry, final assignment) replayed as one generated
+    // CTE chain — emitted from the same Scala generator as the engine's
+    // iteration count, so engine and oracle can only diverge by
+    // semantics, never by a typo.
+    "kmeans_clusters" ->
+      graft.operators.KMeans.clusterProfileOracleSql(),
+    "kmeans_prototypes" ->
+      graft.operators.KMeans.prototypesOracleSql(),
+    "kmeans_convergence" ->
+      graft.operators.KMeans.convergenceOracleSql(),
+
     // image_near_dups), then the recursive reachability closure and
     // min-label per component — the clustersCte pattern retabled onto the
     // image edge list.

@@ -1,0 +1,335 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Distributed Lloyd's k-means over the embedding corpus — the
+  * cluster-the-WHOLE-corpus path (domain discovery, cluster-balanced
+  * mixture, SemDeDup cell structure), complementing the sampled
+  * driver-local fit that seeds the ANN indexes ([[Similarity]]'s
+  * `localKMeans`, which is an index-build primitive over a ≤20k-row
+  * sample). Lloyd 1982 (IEEE Trans. IT 28(2)); the distributed shape is
+  * the classic map-side-combine form (e.g. MLlib's KMeans): per
+  * iteration, assignment is a pure MAP (argmin over k broadcast-literal
+  * centroids — no join, no shuffle), and the centroid update is ONE
+  * shuffle keyed by (cluster, dim) — k·dim distinct keys, so map-side
+  * partial aggregation reduces each partition to at most k·dim rows
+  * regardless of corpus size. The k·dim model rows are collected to the
+  * driver per iteration (bounded model state, same envelope as the BPE
+  * merge table) and re-broadcast as literals.
+  *
+  * All arithmetic is EXACT fixed-point int64/DECIMAL(38,0): each
+  * embedding component quantizes once through the proven
+  * double→DECIMAL(16,6)→scale-6 int64 cast (the [[Similarity.dimStats]]
+  * cross-engine pattern), distances are integer sums of squared diffs
+  * (|x|<10 ⇒ per-dim diff² < 4e14, ×dim ≤ 64 fits int64), centroid
+  * means are sign-split truncating division on DECIMAL(38,0)/HUGEINT
+  * (the GroupTests spelling) — so the ENTIRE fit, init through final
+  * assignment, is bit-exactly reproducible by an independent engine:
+  * [[oracleCtes]] emits the DuckDB CTE chain from the same iteration
+  * count. Determinism: init = the k lowest vec_ids' vectors; argmin
+  * ties break to the lowest cluster id; empty clusters carry their
+  * previous centroid.
+  */
+object KMeans {
+
+  /** Fixed-point scale: 1e6 (DECIMAL(16,6) cast = one correctly-rounded
+    * decimal rounding of the per-row double, identical on both engines).
+    */
+  val Scale = 1000000L
+
+  /** array<float> embedding → array<long> scale-6 fixed point. */
+  def quantize(emb: Column): Column =
+    transform(emb.cast("array<double>"),
+      x => (x.cast(DecimalType(16, 6)) * lit(Scale)).cast(LongType))
+
+  /** (vec_id, label, v=quantized vector) frame all stages share. */
+  private def fpFrame(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      quantize(col("embedding")).as("v"))
+
+  /** Integer squared L2 distance of column `v` to one literal centroid. */
+  private def d2To(v: Column, cent: Array[Long]): Column =
+    aggregate(
+      zip_with(v, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Assignment = a pure map: argmin over k literal centroids, computed
+    * as array_min over (d2, cid) structs (lexicographic struct ordering
+    * = min distance, ties to the lowest cid). No join, no shuffle — the
+    * centroids ride into the codegen'd expression as literals.
+    */
+  def assignTo(fp: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, cid) =>
+      struct(d2To(col("v"), c).as("d2"), lit(cid).as("cid"))
+    }
+    fp.withColumn("best", array_min(array(scored.toIndexedSeq: _*)))
+      .withColumn("cluster", col("best.cid"))
+      .withColumn("d2", col("best.d2"))
+      .drop("best")
+  }
+
+  /** Sign-split truncating quotient of the DECIMAL(38,0) component sum by
+    * the cluster count — spelled identically on both engines (Spark DIV /
+    * DuckDB `//` are kept on non-negative operands so floor-vs-trunc can
+    * never diverge).
+    */
+  private val quotientSql =
+    "CASE WHEN s >= 0 THEN CAST(s DIV CAST(n AS DECIMAL(38,0)) AS BIGINT) " +
+      "ELSE -CAST((-s) DIV CAST(n AS DECIMAL(38,0)) AS BIGINT) END"
+
+  /** One Lloyd fit: init from the k lowest vec_ids, `iters` exact update
+    * rounds. Returns the k×dim fixed-point centroid model.
+    */
+  def fit(embeddings: DataFrame, k: Int = 8, iters: Int = 3): Array[Array[Long]] = {
+    val fp = fpFrame(embeddings)
+    var cents: Array[Array[Long]] =
+      fp.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
+        .map(_.getSeq[Long](0).toArray)
+    require(cents.length == k, s"corpus has fewer than k=$k vectors")
+    var it = 0
+    while (it < iters) {
+      // Bounded collect: k·dim model rows (the new centroids), not data.
+      val rows = assignTo(fp, cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("x").cast(DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("c", expr(quotientSql))
+        .select(col("cluster"), col("dim"), col("c"))
+        .collect()
+      val next = cents.map(_.clone) // empty-cluster carry
+      rows.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2) }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  // Session fit cache so the cluster/prototype/convergence queries over
+  // the same corpus share one fit per (input, k, iters). Keyed by the
+  // canonicalized-plan + inputFiles key (Similarity.fitCacheKey — the
+  // r10 lesson: Spark 4 elides parquet paths from plan strings).
+  private val fits = new ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  private def fitCached(embeddings: DataFrame, k: Int, iters: Int): Array[Array[Long]] =
+    Similarity.fitCacheKey(embeddings) match {
+      case Some(key) =>
+        fits.computeIfAbsent(s"$key\nkm:$k:$iters", _ => fit(embeddings, k, iters))
+      case None => fit(embeddings, k, iters)
+    }
+
+  /** Per-cluster profile against the final centroids: size, exact
+    * fixed-point inertia (DECIMAL(38,0), emitted as a string — the
+    * w1_value_drift lesson: DuckDB materializes big decimals as float64),
+    * centroid component checksum, and the majority label with its count
+    * (the purity audit a labeled eval corpus gives for free).
+    */
+  def clusterProfile(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = fitCached(embeddings, k, iters)
+    val a = assignTo(fpFrame(embeddings), cents)
+    val byC = a.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast(DecimalType(38, 0))).cast("string").as("inertia"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_lab").desc, col("label"))
+    val lab = a.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_lab"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("top_label"),
+        col("n_lab").as("top_label_n"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centSum = cents.zipWithIndex
+      .map { case (c, cid) => (cid, c.sum) }.toSeq
+      .toDF("cluster", "centroid_sum")
+    byC.join(lab, "cluster").join(broadcast(centSum), "cluster")
+      .select(col("cluster"), col("n_vecs"), col("inertia"),
+        col("centroid_sum"), col("top_label"), col("top_label_n"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Cluster-balanced prototype selection: per cluster, the `quota` most
+    * central vectors (quota = the smallest cluster's size, so the output
+    * is exactly balanced), ranked by exact distance with vec_id
+    * tie-break. The coreset/balanced-subset curation step cluster
+    * structure exists for — a window top-q per cluster, no extra shuffle
+    * beyond the assignment's (the window repartitions by cluster).
+    */
+  def prototypes(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = fitCached(embeddings, k, iters)
+    val a = assignTo(fpFrame(embeddings), cents)
+    val quota = a.groupBy(col("cluster")).agg(count(lit(1)).as("nc"))
+      .agg(min(col("nc")).as("quota"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("d2"), col("vec_id"))
+    a.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("rank") <= col("quota"))
+      .select(col("cluster"), col("rank"), col("vec_id"), col("d2"))
+      .orderBy(col("cluster"), col("rank"))
+  }
+
+  /** Convergence audit: per update iteration, the exact inertia of that
+    * iteration's assignment and how many vectors changed cluster vs the
+    * previous one (iteration 0 counts every vector as newly assigned).
+    * One extra pass per iteration; every per-iteration frame is a
+    * map-assignment + tiny aggregate, unioned lazily — no driver loop
+    * over data.
+    */
+  def convergence(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val fp = fpFrame(embeddings)
+    var cents: Array[Array[Long]] =
+      fp.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
+        .map(_.getSeq[Long](0).toArray)
+    var prev: Option[DataFrame] = None
+    var out: Option[DataFrame] = None
+    var t = 0
+    while (t < iters) {
+      val a = assignTo(fp, cents)
+      val stats = a.agg(
+        sum(col("d2").cast(DecimalType(38, 0))).cast("string").as("inertia"),
+        count(lit(1)).as("n_vecs"))
+      val moved = prev match {
+        case Some(p) =>
+          a.select(col("vec_id"), col("cluster"))
+            .join(p.select(col("vec_id"), col("cluster").as("pc")), "vec_id")
+            .filter(col("cluster") =!= col("pc"))
+            .agg(count(lit(1)).as("n_moved"))
+        case None => stats.select(col("n_vecs").as("n_moved"))
+      }
+      val row = stats.crossJoin(moved)
+        .select(lit(t).as("iter"), col("inertia"), col("n_vecs"), col("n_moved"))
+      out = Some(out.map(_.unionByName(row)).getOrElse(row))
+      prev = Some(a)
+      // same exact update as fit()
+      val rows = a
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("x").cast(DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("c", expr(quotientSql))
+        .select(col("cluster"), col("dim"), col("c"))
+        .collect()
+      val next = cents.map(_.clone)
+      rows.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2) }
+      cents = next
+      t += 1
+    }
+    out.get.orderBy(col("iter"))
+  }
+
+  // ---- DuckDB oracle: the whole fit as one CTE chain -------------------
+
+  /** CTEs `e` (quantized corpus), `c0..c$iters` (centroids per round),
+    * `s$t`/`a$t` (scored/argmin assignment), `q$t`/`g$t` (exact means),
+    * plus the FINAL assignment `af` against `c$iters`. Emitted from one
+    * generator so engine and oracle can only diverge by semantics, never
+    * by a typo (the SketchOracles discipline).
+    */
+  def oracleCtes(k: Int, iters: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += s"""e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(16,6)) * $Scale AS BIGINT)) AS v
+      |  FROM embeddings)""".stripMargin
+    parts += s"""c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    def assignCtes(sName: String, aName: String, cName: String): Seq[String] = Seq(
+      s"""$sName AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])), 'sum') AS d2
+        |  FROM e, $cName c)""".stripMargin,
+      s"""$aName AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM $sName)
+        |  WHERE rn = 1)""".stripMargin)
+    for (t <- 0 until iters) {
+      parts ++= assignCtes(s"s$t", s"a$t", s"c$t")
+      parts += s"""m$t AS (
+        |  SELECT cid, CAST(u.dim AS INT) AS dim,
+        |    CAST(sum(u.x) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+        |  FROM (
+        |    SELECT a.cid, unnest(list_transform(range(1, len(e.v) + 1),
+        |      i -> {'dim': i - 1, 'x': e.v[i]})) AS u
+        |    FROM a$t a JOIN e USING (vec_id))
+        |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""q$t AS (
+        |  SELECT cid, dim,
+        |    CASE WHEN s >= 0 THEN CAST(s // n AS BIGINT)
+        |         ELSE -CAST((-s) // n AS BIGINT) END AS c
+        |  FROM m$t)""".stripMargin
+      parts += s"g$t AS (SELECT cid, list(c ORDER BY dim) AS v FROM q$t GROUP BY cid)"
+      parts += s"""c${t + 1} AS (
+        |  SELECT p.cid, coalesce(g.v, p.v) AS v
+        |  FROM c$t p LEFT JOIN g$t g USING (cid))""".stripMargin
+    }
+    parts ++= assignCtes("sf", "af", s"c$iters")
+    parts.mkString(",\n")
+  }
+
+  /** Full oracle for [[clusterProfile]]. */
+  def clusterProfileOracleSql(k: Int = 8, iters: Int = 3): String =
+    s"""WITH ${oracleCtes(k, iters)},
+      |byc AS (
+      |  SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+      |    CAST(CAST(sum(d2) AS HUGEINT) AS VARCHAR) AS inertia
+      |  FROM af GROUP BY 1),
+      |lab0 AS (
+      |  SELECT a.cid AS cluster, e.label, count(*) AS n_lab
+      |  FROM af a JOIN e USING (vec_id) GROUP BY 1, 2),
+      |lab AS (
+      |  SELECT cluster, label AS top_label, CAST(n_lab AS BIGINT) AS top_label_n
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY cluster ORDER BY n_lab DESC, label) AS rn
+      |        FROM lab0)
+      |  WHERE rn = 1),
+      |cs AS (
+      |  SELECT cid AS cluster,
+      |    CAST(list_aggregate(v, 'sum') AS BIGINT) AS centroid_sum
+      |  FROM c$iters)
+      |SELECT byc.cluster, n_vecs, inertia, centroid_sum, top_label, top_label_n
+      |FROM byc JOIN lab USING (cluster) JOIN cs USING (cluster)
+      |ORDER BY cluster""".stripMargin
+
+  /** Full oracle for [[prototypes]]. */
+  def prototypesOracleSql(k: Int = 8, iters: Int = 3): String =
+    s"""WITH ${oracleCtes(k, iters)},
+      |quota AS (
+      |  SELECT min(nc) AS q FROM (
+      |    SELECT count(*) AS nc FROM af GROUP BY cid)),
+      |r AS (
+      |  SELECT cid AS cluster, vec_id, d2, CAST(row_number() OVER (
+      |    PARTITION BY cid ORDER BY d2, vec_id) AS INT) AS rank
+      |  FROM af)
+      |SELECT cluster, rank, vec_id, CAST(d2 AS BIGINT) AS d2
+      |FROM r, quota WHERE rank <= quota.q
+      |ORDER BY cluster, rank""".stripMargin
+
+  /** Full oracle for [[convergence]]. */
+  def convergenceOracleSql(k: Int = 8, iters: Int = 3): String = {
+    val rows = (0 until iters).map { t =>
+      val moved =
+        if (t == 0) "(SELECT CAST(count(*) AS BIGINT) FROM a0)"
+        else
+          s"""(SELECT CAST(count(*) AS BIGINT)
+            | FROM a$t x JOIN a${t - 1} p USING (vec_id)
+            | WHERE x.cid <> p.cid)""".stripMargin
+      s"""SELECT CAST($t AS INT) AS iter,
+        |  (SELECT CAST(CAST(sum(d2) AS HUGEINT) AS VARCHAR) FROM a$t) AS inertia,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a$t) AS n_vecs,
+        |  $moved AS n_moved""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${oracleCtes(k, iters)}
+      |$rows
+      |ORDER BY iter""".stripMargin
+  }
+}

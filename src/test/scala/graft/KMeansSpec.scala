@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.KMeans
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means (operators/KMeans.scala): exact-arithmetic
+  * fit invariants, brute-force assignment equivalence, balanced prototype
+  * quota, empty-cluster carry, and the map-only assignment plan shape.
+  */
+class KMeansSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("fit is deterministic and the session cache returns the same model") {
+    val a = KMeans.fit(emb, k = 8, iters = 3)
+    val b = KMeans.fit(emb, k = 8, iters = 3)
+    assert(a.length == 8 && a.head.length == 64)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("assignment equals a brute-force Scala recompute of the quantized argmin") {
+    val cents = KMeans.fit(emb, k = 8, iters = 3)
+    val fp = emb.select(col("vec_id"), KMeans.quantize(col("embedding")).as("v"))
+    val rows = fp.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    val assigned = KMeans.assignTo(fp, cents)
+      .select(col("vec_id"), col("cluster"), col("d2"))
+      .collect()
+    assert(assigned.length == rows.size)
+    assigned.foreach { r =>
+      val v = rows(r.getLong(0))
+      val dists = cents.map { c =>
+        var s = 0L; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+      val best = dists.zipWithIndex.min // (d2, cid) lexicographic = tie to low cid
+      assert(r.getInt(1) == best._2 && r.getLong(2) == best._1,
+        s"vec ${r.getLong(0)}: got (${r.getInt(1)}, ${r.getLong(2)}), want $best")
+    }
+  }
+
+  test("prototypes are exactly balanced at the smallest cluster's quota") {
+    val prof = KMeans.clusterProfile(emb).collect()
+    val quota = prof.map(_.getAs[Long]("n_vecs")).min
+    val sizes = KMeans.prototypes(emb)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"), max(col("rank")).as("mr"))
+      .collect()
+    assert(sizes.length == prof.length)
+    sizes.foreach { r =>
+      assert(r.getAs[Long]("n") == quota && r.getAs[Int]("mr") == quota,
+        s"cluster ${r.get(0)}: ${r.getAs[Long]("n")} rows, quota $quota")
+    }
+  }
+
+  test("empty clusters carry their previous centroid exactly") {
+    import spark.implicits._
+    // Three identical vectors: init = 3 identical centroids, every vector
+    // assigns to cid 0 (tie -> lowest), clusters 1/2 never see a member.
+    val tiny = Seq(
+      (0L, Array(1.0f, 2.0f), 0),
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(1.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = KMeans.fit(tiny, k = 3, iters = 2)
+    val q = Array(1000000L, 2000000L)
+    cents.foreach(c => assert(c.sameElements(q), c.mkString(",")))
+  }
+
+  test("convergence: inertia non-increasing over the update iterations") {
+    val rows = KMeans.convergence(emb).orderBy(col("iter")).collect()
+    assert(rows.length == 3)
+    val inertia = rows.map(r => BigInt(r.getAs[String]("inertia")))
+    inertia.sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"inertia increased: ${inertia.mkString(" -> ")}")
+    }
+    assert(rows.head.getAs[Long]("n_moved") == rows.head.getAs[Long]("n_vecs"))
+  }
+
+  test("assignment is map-only: no exchange in the executed plan") {
+    val cents = KMeans.fit(emb, k = 8, iters = 1)
+    val fp = emb.select(col("vec_id"), KMeans.quantize(col("embedding")).as("v"))
+    val a = KMeans.assignTo(fp, cents)
+    a.count() // materialize so the executed plan is final
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+}
