@@ -281,6 +281,26 @@ object SparkEntry {
     // expected result relationally from ground truth — the engine only
     // matches if the parser round-trips every field and drops exactly
     // the corrupt records.
+    // S1+G4 value contract end-to-end WITHOUT a broker: the full events
+    // table through the producer serializer (toKafkaRecords: key =
+    // user_id string, value = whole-row JSON) and straight back through
+    // the consumer parse (parseJsonEvents) — then aggregated. The oracle
+    // aggregates the RAW parquet table, so any round-trip loss (timestamp
+    // precision, double formatting, null handling, string escaping)
+    // surfaces as a hash mismatch. The broker-side transport itself stays
+    // compile-only (no connector jars in this sandbox).
+    "kafka_roundtrip_audit" -> ((s, dir) => {
+      val parsed = graft.sources.Sources.parseJsonEvents(
+        graft.sources.Sources.toKafkaRecords(Tables.events(s, dir)))
+      parsed.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        sum(length(col("props"))).as("props_chars"))
+        .orderBy(col("event_type"))
+    }),
     "json_ingest_agg" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
@@ -2182,6 +2202,20 @@ object SparkEntry {
 
     "gen_events_audit" -> SketchOracles.genEventsSql(
       n = 50000, userPool = 150, seed = 42L, eventTypes = graft.gen.EventGen.eventTypes),
+
+    // Ground truth = the RAW table: the engine must serialize every row
+    // through the Kafka producer shape and parse it back LOSSLESSLY for
+    // these aggregates (micro-timestamps, doubles, null props) to match.
+    "kafka_roundtrip_audit" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS total_value,
+        |  min(ts) AS min_ts,
+        |  max(ts) AS max_ts,
+        |  CAST(sum(length(props)) AS BIGINT) AS props_chars
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Ground truth computed relationally — the ENGINE must round-trip the
     // JSON and drop exactly the event_id % 97 == 0 corrupt records.

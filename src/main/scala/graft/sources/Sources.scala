@@ -39,12 +39,21 @@ object Sources {
     * payloads parse to null, are counted via an observable metric (the
     * reference's error counter, kafka_consumer.py:85-107), and dropped.
     */
+  /** Wire timestamp format for the JSON value payloads: explicit
+    * 6-digit fraction — Spark's default (`[.SSS]`) silently truncates to
+    * milliseconds, which the kafka_roundtrip_audit oracle catches as a
+    * hash mismatch. Shared by serializer and parser so the round trip is
+    * exact at the engine's native microsecond precision.
+    */
+  val wireTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   def parseJsonEvents(raw: DataFrame, schema: StructType = harnessEventSchema): DataFrame = {
     // PERMISSIVE from_json yields a struct of all-null fields (not a null
     // struct) on corrupt input — detect via a required field.
     val corrupt = col("e").isNull || col(s"e.${schema.head.name}").isNull
     raw
-      .select(from_json(col("value").cast("string"), schema).as("e"))
+      .select(from_json(col("value").cast("string"), schema,
+        Map("timestampFormat" -> wireTimestampFormat)).as("e"))
       .observe("json_parse", count(when(corrupt, 1)).as("corrupt_records"))
       .filter(!corrupt)
       .select(col("e.*"))
@@ -81,12 +90,27 @@ object Sources {
         .option("startingOffsets", "earliest")
         .load())
 
+  /** G4 record shape: the (key, value) rows a Kafka producer ships — key =
+    * user_id as a string (partition-by-user, kafka_publisher.py:71-85),
+    * value = the whole row as one JSON document. Factored from
+    * [[toKafkaSink]] so the serialization contract is testable without a
+    * broker: [[parseJsonEvents]] over this frame is the IDENTITY on the
+    * events schema (timestamps round-trip at microsecond precision,
+    * doubles bit-exactly) — spec-pinned in KafkaContractSpec and
+    * driver-oracled as `kafka_roundtrip_audit` (the oracle aggregates the
+    * RAW table, so any serializer loss surfaces as a hash mismatch).
+    */
+  def toKafkaRecords(events: DataFrame, keyCol: String = "user_id"): DataFrame =
+    events.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(events.columns.map(col).toIndexedSeq: _*),
+        Map("timestampFormat" -> wireTimestampFormat)).as("value"))
+
   /** G4 — Kafka publish keyed by user_id (partition-by-user like
     * kafka_publisher.py:71-85). Same classpath caveat as the source.
     */
   def toKafkaSink(events: DataFrame, brokers: String, topic: String): Unit =
-    events
-      .selectExpr("CAST(user_id AS STRING) AS key", "to_json(struct(*)) AS value")
+    toKafkaRecords(events)
       .write
       .format("kafka")
       .option("kafka.bootstrap.servers", brokers)
