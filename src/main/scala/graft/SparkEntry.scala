@@ -925,6 +925,11 @@ object SparkEntry {
     // Lloyd convergence audit: per-iteration exact inertia + moved count.
     "kmeans_convergence" -> ((s, dir) =>
       graft.operators.KMeans.convergence(Tables.embeddings(s, dir))),
+    // Cluster-then-balance: every discovered domain (k-means cluster)
+    // gets the same token budget, filled most-central-first.
+    "kmeans_domain_mixture" -> ((s, dir) =>
+      graft.operators.KMeans.domainMixture(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // Business-day (weekend-excluded) shipping SLA per priority.
     "shipping_business_sla" -> ((s, dir) =>
       Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -3383,6 +3388,8 @@ object SparkEntry {
       graft.operators.KMeans.prototypesOracleSql(),
     "kmeans_convergence" ->
       graft.operators.KMeans.convergenceOracleSql(),
+    "kmeans_domain_mixture" ->
+      graft.operators.KMeans.domainMixtureOracleSql(),
 
     // image_near_dups), then the recursive reachability closure and
     // min-label per component — the clustersCte pattern retabled onto the

@@ -223,6 +223,68 @@ object KMeans {
     out.get.orderBy(col("iter"))
   }
 
+  /** Cluster-balanced domain mixture: documents join their embedding's
+    * cluster (doc_id = vec_id, the hybridDedup convention), and each
+    * discovered "domain" gets the same token budget, filled most-central-
+    * first ([[Mixture.tokenBudgetSample]]'s admit rule: a doc enters while
+    * its cluster's budget is not yet exhausted). The cluster-then-balance
+    * curation step (domain discovery without labels): one doc_id equi-join
+    * + one per-cluster window — both scale-safe (the window partitions by
+    * cluster; at corpus scale the per-cluster prefix is the same shape as
+    * the source-keyed budget sampler's).
+    */
+  def domainMixture(
+      documents: DataFrame, embeddings: DataFrame,
+      k: Int = 8, iters: Int = 3, budgetTokens: Long = 2000L): DataFrame = {
+    val cents = fitCached(embeddings, k, iters)
+    val a = assignTo(fpFrame(embeddings), cents)
+      .select(col("vec_id").as("doc_id"), col("cluster"), col("d2"))
+    val toks = documents.select(col("doc_id"),
+      graft.functions.TextAnalysis.wsTokenCount(col("text")).as("tokens"))
+    val joined = toks.join(a, "doc_id")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("d2"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = joined
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .filter(col("cum_tokens") - col("tokens") < lit(budgetTokens))
+    val total = joined.groupBy(col("cluster")).agg(
+      count(lit(1)).as("docs_total"), sum(col("tokens")).as("tokens_total"))
+    sel.groupBy(col("cluster")).agg(
+      count(lit(1)).as("docs_sel"), sum(col("tokens")).as("tokens_sel"))
+      .join(total, "cluster")
+      .select(col("cluster"), col("docs_sel"), col("tokens_sel"),
+        col("docs_total"), col("tokens_total"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Full oracle for [[domainMixture]]. */
+  def domainMixtureOracleSql(
+      k: Int = 8, iters: Int = 3, budgetTokens: Long = 2000L): String =
+    s"""WITH ${oracleCtes(k, iters)},
+      |t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |j AS (
+      |  SELECT af.cid AS cluster, af.vec_id AS doc_id, af.d2, t.tokens
+      |  FROM af JOIN t ON t.doc_id = af.vec_id),
+      |cum AS (
+      |  SELECT *, sum(tokens) OVER (
+      |    PARTITION BY cluster ORDER BY d2, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM j),
+      |sel AS (
+      |  SELECT cluster, CAST(count(*) AS BIGINT) AS docs_sel,
+      |    CAST(sum(tokens) AS BIGINT) AS tokens_sel
+      |  FROM cum WHERE cum_tokens - tokens < $budgetTokens GROUP BY 1),
+      |tot AS (
+      |  SELECT cluster, CAST(count(*) AS BIGINT) AS docs_total,
+      |    CAST(sum(tokens) AS BIGINT) AS tokens_total
+      |  FROM j GROUP BY 1)
+      |SELECT cluster, docs_sel, tokens_sel, docs_total, tokens_total
+      |FROM sel JOIN tot USING (cluster)
+      |ORDER BY cluster""".stripMargin
+
   // ---- DuckDB oracle: the whole fit as one CTE chain -------------------
 
   /** CTEs `e` (quantized corpus), `c0..c$iters` (centroids per round),

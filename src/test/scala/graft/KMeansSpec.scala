@@ -1,7 +1,10 @@
 package graft
 
 import graft.operators.KMeans
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+
+final case class EmbRow(vec_id: Long, embedding: Array[Float])
 
 /** Distributed Lloyd's k-means (operators/KMeans.scala): exact-arithmetic
   * fit invariants, brute-force assignment equivalence, balanced prototype
@@ -74,6 +77,35 @@ class KMeansSpec extends SparkTestBase {
       assert(w(1) <= w(0), s"inertia increased: ${inertia.mkString(" -> ")}")
     }
     assert(rows.head.getAs[Long]("n_moved") == rows.head.getAs[Long]("n_vecs"))
+  }
+
+  test("streaming assignment matches batch exactly (stateless map over fixed centroids)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cents = KMeans.fit(emb, k = 8, iters = 3)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => EmbRow(r.getLong(0), r.getSeq[Float](1).toArray))
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      KMeans.assignTo(
+        df.select(col("vec_id"), KMeans.quantize(col("embedding")).as("v")), cents)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+    val batch = assigned(rows.toSeq.toDF())
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+
+    val mem = MemoryStream[EmbRow]
+    mem.addData(rows.take(200).toIndexedSeq: _*)
+    val q = assigned(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("km_stream_out").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(rows.drop(200).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("km_stream_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      assert(streamed.size == rows.length)
+      assert(streamed == batch)
+    } finally q.stop()
   }
 
   test("assignment is map-only: no exchange in the executed plan") {
