@@ -223,6 +223,38 @@ object KMeans {
     out.get.orderBy(col("iter"))
   }
 
+  /** Persist a fitted centroid model as a plain parquet table
+    * (cluster, dim, c) — the build-once/assign-many regime the ANN index
+    * persistence (Similarity.saveIndexModel) established: fixed-point
+    * longs round-trip parquet bit-exactly, so a loaded model assigns
+    * identically to the session fit. Path may be local/HDFS/S3A.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, cents: Array[Array[Long]]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .flatMap { case (c, cid) => c.zipWithIndex.map { case (x, d) => (cid, d, x) } }
+      .toSeq.toDF("cluster", "dim", "c")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] table back into the k×dim model array; fails
+    * loudly on a ragged or empty model rather than assigning garbage.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Long]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("cluster").cast("int"), col("dim").cast("int"), col("c").cast("long"))
+      .collect()
+    require(rows.nonEmpty, s"empty kmeans model at $path")
+    val k = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    require(rows.length == k * dim, s"ragged kmeans model at $path: ${rows.length} rows, k=$k dim=$dim")
+    val cents = Array.ofDim[Long](k, dim)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    cents
+  }
+
   /** Cluster-balanced domain mixture: documents join their embedding's
     * cluster (doc_id = vec_id, the hybridDedup convention), and each
     * discovered "domain" gets the same token budget, filled most-central-

@@ -108,6 +108,19 @@ class KMeansSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("model persistence: save/load round-trips the fit bit-exactly") {
+    val cents = KMeans.fit(emb, k = 8, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("km_model").toString + "/m"
+    KMeans.saveModel(spark, dir, cents)
+    val loaded = KMeans.loadModel(spark, dir)
+    assert(loaded.length == cents.length)
+    assert(loaded.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    val fp = emb.select(col("vec_id"), KMeans.quantize(col("embedding")).as("v"))
+    val a = KMeans.assignTo(fp, cents).select("vec_id", "cluster").collect().toSet
+    val b = KMeans.assignTo(fp, loaded).select("vec_id", "cluster").collect().toSet
+    assert(a == b)
+  }
+
   test("assignment is map-only: no exchange in the executed plan") {
     val cents = KMeans.fit(emb, k = 8, iters = 1)
     val fp = emb.select(col("vec_id"), KMeans.quantize(col("embedding")).as("v"))
