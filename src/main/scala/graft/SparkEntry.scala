@@ -930,6 +930,15 @@ object SparkEntry {
     "kmeans_domain_mixture" -> ((s, dir) =>
       graft.operators.KMeans.domainMixture(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // Continual ingest: arrivals (vec_id >= 250, the incremental_dedup
+    // convention) assigned to the standing model, centroids advanced by
+    // exact sufficient-statistics merge; emits per-cluster membership,
+    // checksums before/after, and L1 centroid drift.
+    "kmeans_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.KMeans.incrementalUpdate(
+        e.filter(col("vec_id") < 250), e.filter(col("vec_id") >= 250))
+    }),
     // Business-day (weekend-excluded) shipping SLA per priority.
     "shipping_business_sla" -> ((s, dir) =>
       Analytics.shippingBusinessSla(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -3390,6 +3399,8 @@ object SparkEntry {
       graft.operators.KMeans.convergenceOracleSql(),
     "kmeans_domain_mixture" ->
       graft.operators.KMeans.domainMixtureOracleSql(),
+    "kmeans_incremental" ->
+      graft.operators.KMeans.incrementalUpdateOracleSql(),
 
     // image_near_dups), then the recursive reachability closure and
     // min-label per component — the clustersCte pattern retabled onto the

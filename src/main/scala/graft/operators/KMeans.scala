@@ -317,6 +317,133 @@ object KMeans {
       |FROM sel JOIN tot USING (cluster)
       |ORDER BY cluster""".stripMargin
 
+  /** Incremental centroid update — the continual-ingest path: an arrival
+    * batch is assigned to the STANDING model's centroids (map-only), and
+    * the model advances by merging exact sufficient statistics (per-
+    * cluster component sums + counts, both DECIMAL(38,0)-exact), so the
+    * updated mean is the true mean over standing∪arrivals with no
+    * refit — the mini-batch k-means update step (Sculley WWW'10) in
+    * exact arithmetic. Emits one row per cluster: standing/arrival
+    * membership, centroid checksum before/after, and the L1 drift of the
+    * centroid — the signal a production pipeline alerts on (domain shift
+    * in arrivals). The spine is the k×dim exploded model (broadcast), so
+    * clusters with no members in either side carry through unchanged.
+    */
+  def incrementalUpdate(
+      standing: DataFrame, arrivals: DataFrame,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = fitCached(standing, k, iters)
+    val aSt = assignTo(fpFrame(standing), cents)
+    val aArr = assignTo(fpFrame(arrivals), cents)
+    def stats(a: DataFrame, p: String) = a
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("x").cast(DecimalType(38, 0))).as(s"s_$p"),
+        count(lit(1)).as(s"n_$p"))
+    val spark = standing.sparkSession
+    import spark.implicits._
+    val before = cents.zipWithIndex
+      .flatMap { case (c, cid) => c.zipWithIndex.map { case (x, d) => (cid, d, x) } }
+      .toSeq.toDF("cluster", "dim", "cb")
+    // Every frame here is model-sized (≤ k·dim rows after the partial
+    // aggregation) — broadcast the probe sides; the spine stays intact.
+    val merged = before
+      .join(broadcast(stats(aSt, "st")), Seq("cluster", "dim"), "left")
+      .join(broadcast(stats(aArr, "ar")), Seq("cluster", "dim"), "left")
+      .withColumn("s", coalesce(col("s_st"), lit(0).cast(DecimalType(38, 0)))
+        + coalesce(col("s_ar"), lit(0).cast(DecimalType(38, 0))))
+      .withColumn("n", coalesce(col("n_st"), lit(0L)) + coalesce(col("n_ar"), lit(0L)))
+      .withColumn("ca", when(col("n") === 0, col("cb")).otherwise(expr(quotientSql)))
+    val perCluster = merged.groupBy(col("cluster")).agg(
+      sum(col("cb")).as("centroid_before_sum"),
+      sum(col("ca")).as("centroid_after_sum"),
+      sum(abs(col("ca") - col("cb"))).as("drift"))
+    val nSt = aSt.groupBy(col("cluster")).agg(count(lit(1)).as("n_standing"))
+    val nArr = aArr.groupBy(col("cluster")).agg(count(lit(1)).as("n_arrivals"))
+    perCluster
+      .join(broadcast(nSt), Seq("cluster"), "left")
+      .join(broadcast(nArr), Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+        coalesce(col("n_arrivals"), lit(0L)).as("n_arrivals"),
+        col("centroid_before_sum"), col("centroid_after_sum"), col("drift"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Full oracle for [[incrementalUpdate]] with the standing/arrival split
+    * at `splitId` (the incremental_dedup convention: arrivals are
+    * vec_id >= splitId).
+    */
+  def incrementalUpdateOracleSql(
+      k: Int = 8, iters: Int = 3, splitId: Long = 250L): String =
+    s"""WITH ${oracleCtes(k, iters, s" WHERE vec_id < $splitId")},
+      |arr AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(16,6)) * $Scale AS BIGINT)) AS v
+      |  FROM embeddings WHERE vec_id >= $splitId),
+      |sarr AS (
+      |  SELECT a.vec_id, c.cid,
+      |    list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |      i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i])), 'sum') AS d2
+      |  FROM arr a, c$iters c),
+      |aarr AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM sarr)
+      |  WHERE rn = 1),
+      |stst AS (
+      |  SELECT cid, CAST(u.dim AS INT) AS dim,
+      |    CAST(sum(u.x) AS HUGEINT) AS s_st, CAST(count(*) AS HUGEINT) AS n_st
+      |  FROM (
+      |    SELECT a.cid, unnest(list_transform(range(1, len(e.v) + 1),
+      |      i -> {'dim': i - 1, 'x': e.v[i]})) AS u
+      |    FROM af a JOIN e USING (vec_id))
+      |  GROUP BY 1, 2),
+      |star AS (
+      |  SELECT cid, CAST(u.dim AS INT) AS dim,
+      |    CAST(sum(u.x) AS HUGEINT) AS s_ar, CAST(count(*) AS HUGEINT) AS n_ar
+      |  FROM (
+      |    SELECT a.cid, unnest(list_transform(range(1, len(arr.v) + 1),
+      |      i -> {'dim': i - 1, 'x': arr.v[i]})) AS u
+      |    FROM aarr a JOIN arr USING (vec_id))
+      |  GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT c.cid, CAST(u.dim AS INT) AS dim, u.x AS cb
+      |  FROM (
+      |    SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+      |      i -> {'dim': i - 1, 'x': v[i]})) AS u
+      |    FROM c$iters) c),
+      |mrg AS (
+      |  SELECT sp.cid, sp.dim, sp.cb,
+      |    coalesce(st.s_st, 0::HUGEINT) + coalesce(ar.s_ar, 0::HUGEINT) AS s,
+      |    coalesce(st.n_st, 0::HUGEINT) + coalesce(ar.n_ar, 0::HUGEINT) AS n
+      |  FROM spine sp
+      |  LEFT JOIN stst st ON st.cid = sp.cid AND st.dim = sp.dim
+      |  LEFT JOIN star ar ON ar.cid = sp.cid AND ar.dim = sp.dim),
+      |upd AS (
+      |  SELECT cid, dim, cb,
+      |    CASE WHEN n = 0 THEN cb
+      |         WHEN s >= 0 THEN CAST(s // n AS BIGINT)
+      |         ELSE -CAST((-s) // n AS BIGINT) END AS ca
+      |  FROM mrg),
+      |pc AS (
+      |  SELECT cid AS cluster,
+      |    CAST(sum(cb) AS BIGINT) AS centroid_before_sum,
+      |    CAST(sum(ca) AS BIGINT) AS centroid_after_sum,
+      |    CAST(sum(abs(ca - cb)) AS BIGINT) AS drift
+      |  FROM upd GROUP BY 1),
+      |nst AS (SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_standing FROM af GROUP BY 1),
+      |nar AS (SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_arrivals FROM aarr GROUP BY 1)
+      |SELECT pc.cluster,
+      |  coalesce(nst.n_standing, 0) AS n_standing,
+      |  coalesce(nar.n_arrivals, 0) AS n_arrivals,
+      |  centroid_before_sum, centroid_after_sum, drift
+      |FROM pc
+      |LEFT JOIN nst USING (cluster)
+      |LEFT JOIN nar USING (cluster)
+      |ORDER BY cluster""".stripMargin
+
   // ---- DuckDB oracle: the whole fit as one CTE chain -------------------
 
   /** CTEs `e` (quantized corpus), `c0..c$iters` (centroids per round),
@@ -325,13 +452,13 @@ object KMeans {
     * generator so engine and oracle can only diverge by semantics, never
     * by a typo (the SketchOracles discipline).
     */
-  def oracleCtes(k: Int, iters: Int): String = {
+  def oracleCtes(k: Int, iters: Int, srcWhere: String = ""): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     parts += s"""e AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding,
       |      x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(16,6)) * $Scale AS BIGINT)) AS v
-      |  FROM embeddings)""".stripMargin
+      |  FROM embeddings$srcWhere)""".stripMargin
     parts += s"""c0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin

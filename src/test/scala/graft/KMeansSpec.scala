@@ -108,6 +108,56 @@ class KMeansSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental update equals a one-pass exact-mean recompute over the union") {
+    val standing = emb.filter(col("vec_id") < 250)
+    val arrivals = emb.filter(col("vec_id") >= 250)
+    val got = KMeans.incrementalUpdate(standing, arrivals).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
+    // Independent recompute: brute-force assign BOTH sides to the standing
+    // fit's centroids, merge raw sums/counts, truncating mean.
+    val cents = KMeans.fit(standing, k = 8, iters = 3)
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), KMeans.quantize(col("embedding")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def assign(v: Array[Long]): Int =
+      cents.zipWithIndex.map { case (c, cid) =>
+        (c.zip(v).map { case (a, b) => val d = a - b; d * d }.sum, cid)
+      }.min._2
+    val dim = cents.head.length
+    val sums = Array.fill(8, dim)(BigInt(0))
+    val ns = Array.fill(8)(0L)
+    val nStand = Array.fill(8)(0L)
+    val nArr = Array.fill(8)(0L)
+    vecs(standing).foreach { case (_, v) =>
+      val c = assign(v); nStand(c) += 1; ns(c) += 1
+      v.zipWithIndex.foreach { case (x, d) => sums(c)(d) += x } }
+    vecs(arrivals).foreach { case (_, v) =>
+      val c = assign(v); nArr(c) += 1; ns(c) += 1
+      v.zipWithIndex.foreach { case (x, d) => sums(c)(d) += x } }
+    (0 until 8).foreach { c =>
+      val after = (0 until dim).map { d =>
+        if (ns(c) == 0) cents(c)(d)
+        else {
+          val s = sums(c)(d)
+          (if (s >= 0) s / ns(c) else -((-s) / ns(c))).toLong
+        }
+      }
+      val (gs, ga, gb, gaf, gd) = got(c)
+      assert(gs == nStand(c) && ga == nArr(c))
+      assert(gb == cents(c).sum && gaf == after.sum)
+      assert(gd == after.zip(cents(c)).map { case (a, b) => math.abs(a - b) }.sum)
+    }
+  }
+
+  test("incremental update with no arrivals keeps counts honest") {
+    val res = KMeans.incrementalUpdate(emb, emb.filter(col("vec_id") < 0)).collect()
+    assert(res.length == 8)
+    assert(res.forall(_.getLong(2) == 0L)) // n_arrivals
+    assert(res.map(_.getLong(1)).sum == emb.count()) // n_standing partitions the corpus
+  }
+
   test("model persistence: save/load round-trips the fit bit-exactly") {
     val cents = KMeans.fit(emb, k = 8, iters = 3)
     val dir = java.nio.file.Files.createTempDirectory("km_model").toString + "/m"
