@@ -930,6 +930,9 @@ object SparkEntry {
     "kmeans_domain_mixture" -> ((s, dir) =>
       graft.operators.KMeans.domainMixture(
         Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    // Model selection: exact inertia over a ladder of k.
+    "kmeans_elbow" -> ((s, dir) =>
+      graft.operators.KMeans.elbow(Tables.embeddings(s, dir))),
     // Continual ingest: arrivals (vec_id >= 250, the incremental_dedup
     // convention) assigned to the standing model, centroids advanced by
     // exact sufficient-statistics merge; emits per-cluster membership,
@@ -3401,6 +3404,8 @@ object SparkEntry {
       graft.operators.KMeans.domainMixtureOracleSql(),
     "kmeans_incremental" ->
       graft.operators.KMeans.incrementalUpdateOracleSql(),
+    "kmeans_elbow" ->
+      graft.operators.KMeans.elbowOracleSql(),
 
     // image_near_dups), then the recursive reachability closure and
     // min-label per component — the clustersCte pattern retabled onto the

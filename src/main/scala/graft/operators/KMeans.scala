@@ -452,49 +452,75 @@ object KMeans {
     * generator so engine and oracle can only diverge by semantics, never
     * by a typo (the SketchOracles discipline).
     */
-  def oracleCtes(k: Int, iters: Int, srcWhere: String = ""): String = {
+  def oracleCtes(k: Int, iters: Int, srcWhere: String = "", p: String = ""): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    parts += s"""e AS (
+    parts += s"""${p}e AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding,
       |      x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(16,6)) * $Scale AS BIGINT)) AS v
       |  FROM embeddings$srcWhere)""".stripMargin
-    parts += s"""c0 AS (
+    parts += s"""${p}c0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
-      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+      |  FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $k))""".stripMargin
     def assignCtes(sName: String, aName: String, cName: String): Seq[String] = Seq(
       s"""$sName AS (
         |  SELECT e.vec_id, c.cid,
         |    list_aggregate(list_transform(range(1, len(e.v) + 1),
         |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])), 'sum') AS d2
-        |  FROM e, $cName c)""".stripMargin,
+        |  FROM ${p}e e, $cName c)""".stripMargin,
       s"""$aName AS (
         |  SELECT vec_id, cid, d2 FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |    FROM $sName)
         |  WHERE rn = 1)""".stripMargin)
     for (t <- 0 until iters) {
-      parts ++= assignCtes(s"s$t", s"a$t", s"c$t")
-      parts += s"""m$t AS (
+      parts ++= assignCtes(s"${p}s$t", s"${p}a$t", s"${p}c$t")
+      parts += s"""${p}m$t AS (
         |  SELECT cid, CAST(u.dim AS INT) AS dim,
         |    CAST(sum(u.x) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
         |  FROM (
         |    SELECT a.cid, unnest(list_transform(range(1, len(e.v) + 1),
         |      i -> {'dim': i - 1, 'x': e.v[i]})) AS u
-        |    FROM a$t a JOIN e USING (vec_id))
+        |    FROM ${p}a$t a JOIN ${p}e e USING (vec_id))
         |  GROUP BY 1, 2)""".stripMargin
-      parts += s"""q$t AS (
+      parts += s"""${p}q$t AS (
         |  SELECT cid, dim,
         |    CASE WHEN s >= 0 THEN CAST(s // n AS BIGINT)
         |         ELSE -CAST((-s) // n AS BIGINT) END AS c
-        |  FROM m$t)""".stripMargin
-      parts += s"g$t AS (SELECT cid, list(c ORDER BY dim) AS v FROM q$t GROUP BY cid)"
-      parts += s"""c${t + 1} AS (
+        |  FROM ${p}m$t)""".stripMargin
+      parts += s"${p}g$t AS (SELECT cid, list(c ORDER BY dim) AS v FROM ${p}q$t GROUP BY cid)"
+      parts += s"""${p}c${t + 1} AS (
         |  SELECT p.cid, coalesce(g.v, p.v) AS v
-        |  FROM c$t p LEFT JOIN g$t g USING (cid))""".stripMargin
+        |  FROM ${p}c$t p LEFT JOIN ${p}g$t g USING (cid))""".stripMargin
     }
-    parts ++= assignCtes("sf", "af", s"c$iters")
+    parts ++= assignCtes(s"${p}sf", s"${p}af", s"${p}c$iters")
     parts.mkString(",\n")
+  }
+
+  /** Elbow audit — final-assignment inertia for a ladder of k (model
+    * selection: where the exact inertia stops paying for more clusters).
+    * Each k is an independent cached fit over the shared quantized frame.
+    */
+  def elbow(embeddings: DataFrame, ks: Seq[Int] = Seq(2, 4, 8), iters: Int = 3): DataFrame = {
+    val fp = fpFrame(embeddings)
+    ks.map { k =>
+      val cents = fitCached(embeddings, k, iters)
+      assignTo(fp, cents).agg(
+        sum(col("d2").cast(DecimalType(38, 0))).cast("string").as("inertia"),
+        count(lit(1)).as("n_vecs"))
+        .select(lit(k).as("k"), col("inertia"), col("n_vecs"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
+
+  /** Full oracle for [[elbow]]: one prefixed fit chain per k. */
+  def elbowOracleSql(ks: Seq[Int] = Seq(2, 4, 8), iters: Int = 3): String = {
+    val chains = ks.map(k => oracleCtes(k, iters, "", s"k${k}_")).mkString(",\n")
+    val rows = ks.map { k =>
+      s"""SELECT CAST($k AS INT) AS k,
+        |  (SELECT CAST(CAST(sum(d2) AS HUGEINT) AS VARCHAR) FROM k${k}_af) AS inertia,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM k${k}_af) AS n_vecs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $chains\n$rows\nORDER BY k"
   }
 
   /** Full oracle for [[clusterProfile]]. */
