@@ -119,6 +119,7 @@ object KMeans {
   private def fitCached(embeddings: DataFrame, k: Int, iters: Int): Array[Array[Long]] =
     Similarity.fitCacheKey(embeddings) match {
       case Some(key) =>
+        if (fits.size > 32) fits.clear() // plain long arrays — nothing to unpersist
         fits.computeIfAbsent(s"$key\nkm:$k:$iters", _ => fit(embeddings, k, iters))
       case None => fit(embeddings, k, iters)
     }
