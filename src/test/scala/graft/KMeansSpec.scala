@@ -108,6 +108,15 @@ class KMeansSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("fit is partition/order-invariant: exact integer sums commute") {
+    // The float k-means failure mode (sum order changes the model) cannot
+    // happen here: every reduction is integer/decimal-exact, and init is
+    // keyed by vec_id, not row position.
+    val a = KMeans.fit(emb, k = 8, iters = 3)
+    val b = KMeans.fit(emb.repartition(7).sortWithinPartitions(col("label")), k = 8, iters = 3)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("incremental update equals a one-pass exact-mean recompute over the union") {
     val standing = emb.filter(col("vec_id") < 250)
     val arrivals = emb.filter(col("vec_id") >= 250)
