@@ -50,7 +50,7 @@ ${p}4 AS (SELECT $c, xor(z2, z2 // 2147483648) AS mx FROM ${p}3)"""
     * character == its UTF-8 byte only below 0x80 — guarded by
     * [[asciiGuard]]).
     */
-  private def fnvExpr(tok: String): String =
+  private[graft] def fnvExpr(tok: String): String =
     s"""list_reduce(
       list_prepend(14695981039346656037::HUGEINT,
         list_transform(range(1, length($tok)+1), i -> ord(substr($tok, i, 1))::HUGEINT)),

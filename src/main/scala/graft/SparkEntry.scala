@@ -933,6 +933,11 @@ object SparkEntry {
     // Model selection: exact inertia over a ladder of k.
     "kmeans_elbow" -> ((s, dir) =>
       graft.operators.KMeans.elbow(Tables.embeddings(s, dir))),
+    // Domain discovery from RAW TEXT — no external embeddings: hashing-
+    // trick token-count vectors (exact integers, power-of-two buckets)
+    // through the same exact-arithmetic fit, profiled by majority source.
+    "text_kmeans_domains" -> ((s, dir) =>
+      graft.operators.KMeans.textDomains(Tables.documents(s, dir))),
     // Continual ingest: arrivals (vec_id >= 250, the incremental_dedup
     // convention) assigned to the standing model, centroids advanced by
     // exact sufficient-statistics merge; emits per-cluster membership,
@@ -3406,6 +3411,8 @@ object SparkEntry {
       graft.operators.KMeans.incrementalUpdateOracleSql(),
     "kmeans_elbow" ->
       graft.operators.KMeans.elbowOracleSql(),
+    "text_kmeans_domains" ->
+      graft.operators.KMeans.textDomainsOracleSql(),
 
     // image_near_dups), then the recursive reachability closure and
     // min-label per component — the clustersCte pattern retabled onto the

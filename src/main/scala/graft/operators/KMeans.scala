@@ -85,8 +85,14 @@ object KMeans {
   /** One Lloyd fit: init from the k lowest vec_ids, `iters` exact update
     * rounds. Returns the k×dim fixed-point centroid model.
     */
-  def fit(embeddings: DataFrame, k: Int = 8, iters: Int = 3): Array[Array[Long]] = {
-    val fp = fpFrame(embeddings)
+  def fit(embeddings: DataFrame, k: Int = 8, iters: Int = 3): Array[Array[Long]] =
+    fitFp(fpFrame(embeddings), k, iters)
+
+  /** The fit over ANY (vec_id, …, v: array<long>) frame — the float
+    * embedding path quantizes first ([[fit]]); integer feature vectors
+    * (e.g. [[hashedTextFp]]'s hashed token counts) enter as-is.
+    */
+  def fitFp(fp: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] =
       fp.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
         .map(_.getSeq[Long](0).toArray)
@@ -116,13 +122,16 @@ object KMeans {
   // r10 lesson: Spark 4 elides parquet paths from plan strings).
   private val fits = new ConcurrentHashMap[String, Array[Array[Long]]]()
 
-  private def fitCached(embeddings: DataFrame, k: Int, iters: Int): Array[Array[Long]] =
-    Similarity.fitCacheKey(embeddings) match {
+  private def fitFpCached(fp: DataFrame, k: Int, iters: Int): Array[Array[Long]] =
+    Similarity.fitCacheKey(fp) match {
       case Some(key) =>
         if (fits.size > 32) fits.clear() // plain long arrays — nothing to unpersist
-        fits.computeIfAbsent(s"$key\nkm:$k:$iters", _ => fit(embeddings, k, iters))
-      case None => fit(embeddings, k, iters)
+        fits.computeIfAbsent(s"$key\nkm:$k:$iters", _ => fitFp(fp, k, iters))
+      case None => fitFp(fp, k, iters)
     }
+
+  private def fitCached(embeddings: DataFrame, k: Int, iters: Int): Array[Array[Long]] =
+    fitFpCached(fpFrame(embeddings), k, iters)
 
   /** Per-cluster profile against the final centroids: size, exact
     * fixed-point inertia (DECIMAL(38,0), emitted as a string — the
@@ -130,9 +139,13 @@ object KMeans {
     * centroid component checksum, and the majority label with its count
     * (the purity audit a labeled eval corpus gives for free).
     */
-  def clusterProfile(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
-    val cents = fitCached(embeddings, k, iters)
-    val a = assignTo(fpFrame(embeddings), cents)
+  def clusterProfile(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    profileFp(fpFrame(embeddings), k, iters, "top_label")
+
+  private def profileFp(
+      fp: DataFrame, k: Int, iters: Int, labelOut: String): DataFrame = {
+    val cents = fitFpCached(fp, k, iters)
+    val a = assignTo(fp, cents)
     val byC = a.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("d2").cast(DecimalType(38, 0))).cast("string").as("inertia"))
@@ -142,18 +155,53 @@ object KMeans {
       .agg(count(lit(1)).as("n_lab"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("cluster"), col("label").as("top_label"),
-        col("n_lab").as("top_label_n"))
-    val spark = embeddings.sparkSession
+      .select(col("cluster"), col("label").as(labelOut),
+        col("n_lab").as(s"${labelOut}_n"))
+    val spark = fp.sparkSession
     import spark.implicits._
     val centSum = cents.zipWithIndex
       .map { case (c, cid) => (cid, c.sum) }.toSeq
       .toDF("cluster", "centroid_sum")
     byC.join(lab, "cluster").join(broadcast(centSum), "cluster")
       .select(col("cluster"), col("n_vecs"), col("inertia"),
-        col("centroid_sum"), col("top_label"), col("top_label_n"))
+        col("centroid_sum"), col(labelOut), col(s"${labelOut}_n"))
       .orderBy(col("cluster"))
   }
+
+  /** Feature-hashed token-count vectors straight from raw text — the
+    * embedding-free entry into the whole vector stack (clustering here;
+    * the same frame feeds any v-consuming operator). One FNV-1a bucket
+    * per token occurrence (the hashing trick, Weinberger ICML'09), `dim`
+    * a power of two so the engine's signed pmod and the oracle's
+    * unsigned HUGEINT modulo take the same low bits. Exact integer
+    * counts: no quantization step, no float anywhere.
+    */
+  def hashedTextFp(documents: DataFrame, dim: Int = 16): DataFrame = {
+    require(Integer.bitCount(dim) == 1, s"dim must be a power of two, got $dim")
+    val toks = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val bc = toks
+      .select(col("doc_id"),
+        pmod(graft.functions.GraftColumns.fnv1a64(col("tok")), lit(dim.toLong))
+          .cast("int").as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val vecs = bc.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("v"))
+    documents.select(col("doc_id").as("vec_id"), col("source").as("label"))
+      .join(vecs.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+  }
+
+  /** Domain discovery from RAW TEXT, no external embeddings: k-means over
+    * the hashed token-count vectors, profiled per cluster with the
+    * majority `source` — the label-free "what domains does this corpus
+    * contain, and do they track the known sources" audit.
+    */
+  def textDomains(
+      documents: DataFrame, dim: Int = 16, k: Int = 8, iters: Int = 3): DataFrame =
+    profileFp(hashedTextFp(documents, dim), k, iters, "top_source")
 
   /** Cluster-balanced prototype selection: per cluster, the `quota` most
     * central vectors (quota = the smallest cluster's size, so the output
@@ -453,13 +501,15 @@ object KMeans {
     * generator so engine and oracle can only diverge by semantics, never
     * by a typo (the SketchOracles discipline).
     */
-  def oracleCtes(k: Int, iters: Int, srcWhere: String = "", p: String = ""): String = {
+  def oracleCtes(k: Int, iters: Int, srcWhere: String = "", p: String = "",
+      eOverride: String = ""): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    parts += s"""${p}e AS (
+    parts += (if (eOverride.nonEmpty) s"${p}e AS ($eOverride)"
+    else s"""${p}e AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding,
       |      x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(16,6)) * $Scale AS BIGINT)) AS v
-      |  FROM embeddings$srcWhere)""".stripMargin
+      |  FROM embeddings$srcWhere)""".stripMargin)
     parts += s"""${p}c0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
       |  FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $k))""".stripMargin
@@ -524,9 +574,9 @@ object KMeans {
     s"WITH $chains\n$rows\nORDER BY k"
   }
 
-  /** Full oracle for [[clusterProfile]]. */
-  def clusterProfileOracleSql(k: Int = 8, iters: Int = 3): String =
-    s"""WITH ${oracleCtes(k, iters)},
+  /** Shared profile tail over the fit chain's `e`/`af`/`c$iters` CTEs. */
+  private def profileTailSql(iters: Int, labelOut: String): String =
+    s""",
       |byc AS (
       |  SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
       |    CAST(CAST(sum(d2) AS HUGEINT) AS VARCHAR) AS inertia
@@ -535,7 +585,7 @@ object KMeans {
       |  SELECT a.cid AS cluster, e.label, count(*) AS n_lab
       |  FROM af a JOIN e USING (vec_id) GROUP BY 1, 2),
       |lab AS (
-      |  SELECT cluster, label AS top_label, CAST(n_lab AS BIGINT) AS top_label_n
+      |  SELECT cluster, label AS $labelOut, CAST(n_lab AS BIGINT) AS ${labelOut}_n
       |  FROM (SELECT *, row_number() OVER (
       |          PARTITION BY cluster ORDER BY n_lab DESC, label) AS rn
       |        FROM lab0)
@@ -544,9 +594,42 @@ object KMeans {
       |  SELECT cid AS cluster,
       |    CAST(list_aggregate(v, 'sum') AS BIGINT) AS centroid_sum
       |  FROM c$iters)
-      |SELECT byc.cluster, n_vecs, inertia, centroid_sum, top_label, top_label_n
+      |SELECT byc.cluster, n_vecs, inertia, centroid_sum, $labelOut, ${labelOut}_n
       |FROM byc JOIN lab USING (cluster) JOIN cs USING (cluster)
       |ORDER BY cluster""".stripMargin
+
+  /** Full oracle for [[clusterProfile]]. */
+  def clusterProfileOracleSql(k: Int = 8, iters: Int = 3): String =
+    s"WITH ${oracleCtes(k, iters)}" + profileTailSql(iters, "top_label")
+
+  /** Full oracle for [[textDomains]]: the hashing-trick vectors built in
+    * SQL (FNV-1a per token via the SketchOracles HUGEINT chain, power-of-
+    * two modulo, zero-filled count lists), then the SAME generated fit
+    * chain and profile tail — the entire text→vector→cluster pipeline
+    * reproduced by an independent engine.
+    */
+  def textDomainsOracleSql(dim: Int = 16, k: Int = 8, iters: Int = 3): String = {
+    val fnv = graft.SketchOracles.fnvExpr("tok")
+    val guard = graft.SketchOracles.asciiGuard
+    val textCtes =
+      s"""tvtok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE $guard = 0),
+        |tvb AS (SELECT doc_id, CAST(($fnv) % $dim AS INT) AS b FROM tvtok),
+        |tvbc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tvb GROUP BY 1, 2),
+        |tvfull AS (
+        |  SELECT d.doc_id, g.b, coalesce(bc.c, 0) AS c
+        |  FROM documents d
+        |  CROSS JOIN (SELECT CAST(unnest(range(0, $dim)) AS INT) AS b) g
+        |  LEFT JOIN tvbc bc ON bc.doc_id = d.doc_id AND bc.b = g.b),
+        |tvv AS (SELECT doc_id, list(c ORDER BY b) AS v FROM tvfull GROUP BY 1)""".stripMargin
+    s"WITH $textCtes,\n" +
+      oracleCtes(k, iters, eOverride =
+        "SELECT d.doc_id AS vec_id, d.source AS label, tvv.v " +
+          "FROM documents d JOIN tvv USING (doc_id)") +
+      profileTailSql(iters, "top_source")
+  }
 
   /** Full oracle for [[prototypes]]. */
   def prototypesOracleSql(k: Int = 8, iters: Int = 3): String =

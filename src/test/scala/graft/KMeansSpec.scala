@@ -167,6 +167,18 @@ class KMeansSpec extends SparkTestBase {
     assert(res.map(_.getLong(1)).sum == emb.count()) // n_standing partitions the corpus
   }
 
+  test("hashedTextFp: vectors conserve the token count and reject non-power-of-two dims") {
+    val docs = Tables.documents(spark, sf)
+    val fp = KMeans.hashedTextFp(docs, dim = 16)
+    assert(fp.count() == docs.count())
+    val vecTokens = fp.select(
+      sum(aggregate(col("v"), lit(0L), (a, x) => a + x))).head().getLong(0)
+    val rawTokens = docs.select(
+      sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(vecTokens == rawTokens, s"$vecTokens vs $rawTokens")
+    intercept[IllegalArgumentException](KMeans.hashedTextFp(docs, dim = 12))
+  }
+
   test("model persistence: save/load round-trips the fit bit-exactly") {
     val cents = KMeans.fit(emb, k = 8, iters = 3)
     val dir = java.nio.file.Files.createTempDirectory("km_model").toString + "/m"
