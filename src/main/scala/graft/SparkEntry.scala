@@ -274,13 +274,6 @@ object SparkEntry {
           countDistinct(col("user_id")).as("distinct_users"),
           round(sum(col("value")), 2).as("value_sum"))
         .orderBy(col("event_type"))),
-    // S2+S3 as an ORACLED query: serialize events to JSON in-query
-    // (deterministic concat; every 97th record truncated = corrupt),
-    // parse through the REAL permissive from_json path with the observed
-    // corrupt counter, aggregate the survivors. The oracle computes the
-    // expected result relationally from ground truth — the engine only
-    // matches if the parser round-trips every field and drops exactly
-    // the corrupt records.
     // S1+G4 value contract end-to-end WITHOUT a broker: the full events
     // table through the producer serializer (toKafkaRecords: key =
     // user_id string, value = whole-row JSON) and straight back through
@@ -301,6 +294,13 @@ object SparkEntry {
         sum(length(col("props"))).as("props_chars"))
         .orderBy(col("event_type"))
     }),
+    // S2+S3 as an ORACLED query: serialize events to JSON in-query
+    // (deterministic concat; every 97th record truncated = corrupt),
+    // parse through the REAL permissive from_json path with the observed
+    // corrupt counter, aggregate the survivors. The oracle computes the
+    // expected result relationally from ground truth — the engine only
+    // matches if the parser round-trips every field and drops exactly
+    // the corrupt records.
     "json_ingest_agg" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
@@ -3392,7 +3392,6 @@ object SparkEntry {
         ",\nxsurv AS (SELECT g5.doc_id, d.text FROM g5" +
         " JOIN documents d ON g5.doc_id = d.doc_id WHERE g5.f5),\n"),
 
-    // Image near-dup clusters: the dHash/banding chain (as in
     // Distributed k-means: the full exact-arithmetic Lloyd fit (quantize,
     // init, per-iteration argmin assignment + truncating-division means,
     // empty-cluster carry, final assignment) replayed as one generated
@@ -3414,6 +3413,7 @@ object SparkEntry {
     "text_kmeans_domains" ->
       graft.operators.KMeans.textDomainsOracleSql(),
 
+    // Image near-dup clusters: the dHash/banding chain (as in
     // image_near_dups), then the recursive reachability closure and
     // min-label per component — the clustersCte pattern retabled onto the
     // image edge list.

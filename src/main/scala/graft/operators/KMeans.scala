@@ -93,27 +93,42 @@ object KMeans {
     * (e.g. [[hashedTextFp]]'s hashed token counts) enter as-is.
     */
   def fitFp(fp: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
-    var cents: Array[Array[Long]] =
-      fp.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
-        .map(_.getSeq[Long](0).toArray)
-    require(cents.length == k, s"corpus has fewer than k=$k vectors")
+    var cents = initCents(fp, k)
     var it = 0
     while (it < iters) {
-      // Bounded collect: k·dim model rows (the new centroids), not data.
-      val rows = assignTo(fp, cents)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(sum(col("x").cast(DecimalType(38, 0))).as("s"),
-          count(lit(1)).as("n"))
-        .withColumn("c", expr(quotientSql))
-        .select(col("cluster"), col("dim"), col("c"))
-        .collect()
-      val next = cents.map(_.clone) // empty-cluster carry
-      rows.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2) }
-      cents = next
+      cents = updateCentsFrom(assignTo(fp, cents), cents)
       it += 1
     }
     cents
+  }
+
+  /** Deterministic init: the k lowest vec_ids' vectors. */
+  private def initCents(fp: DataFrame, k: Int): Array[Array[Long]] = {
+    val cents = fp.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cents.length == k, s"corpus has fewer than k=$k vectors")
+    cents
+  }
+
+  /** One exact centroid update from an already-assigned frame: DECIMAL
+    * sums per (cluster, dim), truncating mean, empty-cluster carry.
+    * Bounded collect: k·dim model rows (the new centroids), not data.
+    * The SINGLE spelling of the update — fit and convergence both call
+    * it, so they cannot diverge from each other or the oracle generator.
+    */
+  private def updateCentsFrom(
+      assigned: DataFrame, cents: Array[Array[Long]]): Array[Array[Long]] = {
+    val rows = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("x").cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", expr(quotientSql))
+      .select(col("cluster"), col("dim"), col("c"))
+      .collect()
+    val next = cents.map(_.clone) // empty-cluster carry
+    rows.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2) }
+    next
   }
 
   // Session fit cache so the cluster/prototype/convergence queries over
@@ -190,8 +205,12 @@ object KMeans {
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("m"), i), lit(0L))).as("v"))
+    // Left join + zero fill: a NULL-text document stays in the corpus as
+    // the zero vector (the oracle's CROSS JOIN grid has the same
+    // semantics) instead of silently vanishing from the clustering.
     documents.select(col("doc_id").as("vec_id"), col("source").as("label"))
-      .join(vecs.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .join(vecs.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("v", coalesce(col("v"), typedLit(Seq.fill(dim)(0L))))
   }
 
   /** Domain discovery from RAW TEXT, no external embeddings: k-means over
@@ -232,9 +251,7 @@ object KMeans {
     */
   def convergence(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val fp = fpFrame(embeddings)
-    var cents: Array[Array[Long]] =
-      fp.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
-        .map(_.getSeq[Long](0).toArray)
+    var cents = initCents(fp, k)
     var prev: Option[DataFrame] = None
     var out: Option[DataFrame] = None
     var t = 0
@@ -255,18 +272,7 @@ object KMeans {
         .select(lit(t).as("iter"), col("inertia"), col("n_vecs"), col("n_moved"))
       out = Some(out.map(_.unionByName(row)).getOrElse(row))
       prev = Some(a)
-      // same exact update as fit()
-      val rows = a
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(sum(col("x").cast(DecimalType(38, 0))).as("s"),
-          count(lit(1)).as("n"))
-        .withColumn("c", expr(quotientSql))
-        .select(col("cluster"), col("dim"), col("c"))
-        .collect()
-      val next = cents.map(_.clone)
-      rows.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2) }
-      cents = next
+      cents = updateCentsFrom(a, cents)
       t += 1
     }
     out.get.orderBy(col("iter"))
@@ -299,6 +305,9 @@ object KMeans {
     val k = rows.map(_.getInt(0)).max + 1
     val dim = rows.map(_.getInt(1)).max + 1
     require(rows.length == k * dim, s"ragged kmeans model at $path: ${rows.length} rows, k=$k dim=$dim")
+    val distinctCells = rows.map(r => (r.getInt(0), r.getInt(1))).distinct.length
+    require(distinctCells == rows.length,
+      s"duplicate (cluster, dim) rows in kmeans model at $path")
     val cents = Array.ofDim[Long](k, dim)
     rows.foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     cents
@@ -403,18 +412,15 @@ object KMeans {
         + coalesce(col("s_ar"), lit(0).cast(DecimalType(38, 0))))
       .withColumn("n", coalesce(col("n_st"), lit(0L)) + coalesce(col("n_ar"), lit(0L)))
       .withColumn("ca", when(col("n") === 0, col("cb")).otherwise(expr(quotientSql)))
-    val perCluster = merged.groupBy(col("cluster")).agg(
+    // Membership counts ride on the stats rows (every dim of a cluster
+    // carries the same n), so no extra assignment pass over either corpus.
+    merged.groupBy(col("cluster")).agg(
+      max(coalesce(col("n_st"), lit(0L))).as("n_standing"),
+      max(coalesce(col("n_ar"), lit(0L))).as("n_arrivals"),
       sum(col("cb")).as("centroid_before_sum"),
       sum(col("ca")).as("centroid_after_sum"),
       sum(abs(col("ca") - col("cb"))).as("drift"))
-    val nSt = aSt.groupBy(col("cluster")).agg(count(lit(1)).as("n_standing"))
-    val nArr = aArr.groupBy(col("cluster")).agg(count(lit(1)).as("n_arrivals"))
-    perCluster
-      .join(broadcast(nSt), Seq("cluster"), "left")
-      .join(broadcast(nArr), Seq("cluster"), "left")
-      .select(col("cluster"),
-        coalesce(col("n_standing"), lit(0L)).as("n_standing"),
-        coalesce(col("n_arrivals"), lit(0L)).as("n_arrivals"),
+      .select(col("cluster"), col("n_standing"), col("n_arrivals"),
         col("centroid_before_sum"), col("centroid_after_sum"), col("drift"))
       .orderBy(col("cluster"))
   }

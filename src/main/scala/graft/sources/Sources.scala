@@ -35,25 +35,30 @@ object Sources {
     StructField("value", DoubleType, nullable = true),
     StructField("props", StringType, nullable = true)))
 
+  /** Wire timestamp format OUR producer ([[toKafkaRecords]]) writes:
+    * explicit 6-digit fraction — Spark's to_json default (`[.SSS]`)
+    * silently truncates to milliseconds, which the kafka_roundtrip_audit
+    * oracle catches as a hash mismatch. The CONSUMER side deliberately
+    * does NOT pin this format: setting any custom timestampFormat
+    * disables Spark's lenient fallback parser, so timestamps from
+    * external producers that legitimately omit the fraction or offset
+    * (e.g. Python isoformat() with microsecond == 0) would parse to
+    * NULL without being counted as corrupt. The default parser accepts
+    * both those AND our full-precision wire format losslessly
+    * (round-trip identity is spec- and oracle-pinned).
+    */
+  val wireTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** S2+S3 — JSON deserialize with permissive bad-record handling: corrupt
     * payloads parse to null, are counted via an observable metric (the
     * reference's error counter, kafka_consumer.py:85-107), and dropped.
     */
-  /** Wire timestamp format for the JSON value payloads: explicit
-    * 6-digit fraction — Spark's default (`[.SSS]`) silently truncates to
-    * milliseconds, which the kafka_roundtrip_audit oracle catches as a
-    * hash mismatch. Shared by serializer and parser so the round trip is
-    * exact at the engine's native microsecond precision.
-    */
-  val wireTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-
   def parseJsonEvents(raw: DataFrame, schema: StructType = harnessEventSchema): DataFrame = {
     // PERMISSIVE from_json yields a struct of all-null fields (not a null
     // struct) on corrupt input — detect via a required field.
     val corrupt = col("e").isNull || col(s"e.${schema.head.name}").isNull
     raw
-      .select(from_json(col("value").cast("string"), schema,
-        Map("timestampFormat" -> wireTimestampFormat)).as("e"))
+      .select(from_json(col("value").cast("string"), schema).as("e"))
       .observe("json_parse", count(when(corrupt, 1)).as("corrupt_records"))
       .filter(!corrupt)
       .select(col("e.*"))

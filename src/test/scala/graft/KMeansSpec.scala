@@ -69,12 +69,22 @@ class KMeansSpec extends SparkTestBase {
     cents.foreach(c => assert(c.sameElements(q), c.mkString(",")))
   }
 
-  test("convergence: inertia non-increasing over the update iterations") {
+  test("convergence: inertia decreases overall; early steps descend") {
     val rows = KMeans.convergence(emb).orderBy(col("iter")).collect()
     assert(rows.length == 3)
     val inertia = rows.map(r => BigInt(r.getAs[String]("inertia")))
+    // Strict pairwise monotonicity is NOT an invariant of Lloyd's with
+    // TRUNCATING integer means (a truncated mean can land on the far side
+    // of the previous integer centroid near a plateau), so assert what is
+    // robust: the first update is a real descent and the end is below the
+    // start. The pairwise check keeps a heuristic slack (one unit per
+    // (vector, dim) pair) as a tripwire for real regressions without
+    // flaking on plateau jitter.
+    assert(inertia(1) < inertia(0), s"first update did not descend: ${inertia.mkString(" -> ")}")
+    assert(inertia.last < inertia.head)
+    val slack = BigInt(rows.head.getAs[Long]("n_vecs")) * 64
     inertia.sliding(2).foreach { w =>
-      assert(w(1) <= w(0), s"inertia increased: ${inertia.mkString(" -> ")}")
+      assert(w(1) <= w(0) + slack, s"inertia jumped: ${inertia.mkString(" -> ")}")
     }
     assert(rows.head.getAs[Long]("n_moved") == rows.head.getAs[Long]("n_vecs"))
   }

@@ -41,6 +41,25 @@ class KafkaContractSpec extends SparkTestBase {
     assert(Sources.parseJsonEvents(mixed).count() == n)
   }
 
+  test("consumer stays lenient for external producers: fraction/offset optional") {
+    import spark.implicits._
+    // Python isoformat() omits the fraction when microsecond == 0 and may
+    // or may not carry an offset — neither form is corrupt, and neither
+    // may silently null the timestamp (pinning a custom timestampFormat
+    // on from_json would disable the fallback parser and do exactly that).
+    val raw = Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00","user_id":5,"event_type":"click","value":1.5,"props":null}""",
+      """{"event_id":2,"ts":"2024-01-01T10:00:00+00:00","user_id":6,"event_type":"view","value":null,"props":"{}"}""",
+      """{"event_id":3,"ts":"2024-01-01T10:00:00.123456Z","user_id":7,"event_type":"view","value":2.0,"props":null}""")
+      .toDF("value")
+    val parsed = Sources.parseJsonEvents(raw).collect()
+    assert(parsed.length == 3)
+    assert(parsed.forall(_.getAs[java.sql.Timestamp]("ts") != null))
+    val micros = parsed.find(_.getAs[Long]("event_id") == 3).get
+      .getAs[java.sql.Timestamp]("ts")
+    assert(micros.getNanos == 123456000, s"micros lost: $micros")
+  }
+
   test("keyed repartition gives each user exactly one partition (broker affinity)") {
     val parts = Sources.toKafkaRecords(events)
       .repartition(8, col("key"))
