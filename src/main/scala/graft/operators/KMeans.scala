@@ -93,13 +93,20 @@ object KMeans {
     * (e.g. [[hashedTextFp]]'s hashed token counts) enter as-is.
     */
   def fitFp(fp: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
-    var cents = initCents(fp, k)
-    var it = 0
-    while (it < iters) {
-      cents = updateCentsFrom(assignTo(fp, cents), cents)
-      it += 1
-    }
-    cents
+    // The fit is eager (init + iters actions over fp), so persist for its
+    // lifetime and release before returning — the MLlib KMeans discipline.
+    // Without it, a derived fp (e.g. hashedTextFp's token hashing) is
+    // recomputed from source on every iteration.
+    val pinned = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = initCents(pinned, k)
+      var it = 0
+      while (it < iters) {
+        cents = updateCentsFrom(assignTo(pinned, cents), cents)
+        it += 1
+      }
+      cents
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** Deterministic init: the k lowest vec_ids' vectors. */
