@@ -933,6 +933,9 @@ object SparkEntry {
     // Model selection: exact inertia over a ladder of k.
     "kmeans_elbow" -> ((s, dir) =>
       graft.operators.KMeans.elbow(Tables.embeddings(s, dir))),
+    // Cluster quality: per-cluster scatter vs nearest-centroid distance.
+    "kmeans_separation" -> ((s, dir) =>
+      graft.operators.KMeans.separation(Tables.embeddings(s, dir))),
     // Domain discovery from RAW TEXT — no external embeddings: hashing-
     // trick token-count vectors (exact integers, power-of-two buckets)
     // through the same exact-arithmetic fit, profiled by majority source.
@@ -3412,6 +3415,8 @@ object SparkEntry {
       graft.operators.KMeans.elbowOracleSql(),
     "text_kmeans_domains" ->
       graft.operators.KMeans.textDomainsOracleSql(),
+    "kmeans_separation" ->
+      graft.operators.KMeans.separationOracleSql(),
 
     // Image near-dup clusters: the dHash/banding chain (as in
     // image_near_dups), then the recursive reachability closure and

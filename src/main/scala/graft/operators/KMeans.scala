@@ -190,6 +190,67 @@ object KMeans {
       .orderBy(col("cluster"))
   }
 
+  /** Cluster separation audit (Davies–Bouldin-style, squared-distance
+    * form kept integer-exact): per cluster, the truncating-mean scatter
+    * (mean d2 of members to their centroid) against the squared distance
+    * to the NEAREST other centroid, plus their ratio — the "are these
+    * domains actually distinct" check after any fit. Scatter reuses the
+    * assignment aggregate; the k² centroid-pair distances are driver
+    * arithmetic on the already-collected model. The ratio is one double
+    * division of two exact integers (deterministic cross-engine); NULL
+    * when two centroids coincide rather than an engine-specific ∞.
+    */
+  def separation(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = fitCached(embeddings, k, iters)
+    val a = assignTo(fpFrame(embeddings), cents)
+    val scatter = a.groupBy(col("cluster"))
+      .agg(sum(col("d2").cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("scatter_d2", expr(quotientSql))
+      .select(col("cluster"), col("n").as("n_vecs"), col("scatter_d2"))
+    def d2(x: Array[Long], y: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+      s
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sep = cents.indices.map { i =>
+      (i, cents.indices.filter(_ != i).map(j => d2(cents(i), cents(j))).min)
+    }.toDF("cluster", "min_sep_d2")
+    scatter.join(broadcast(sep), "cluster")
+      .withColumn("ratio",
+        when(col("min_sep_d2") === 0, lit(null).cast("double"))
+          .otherwise(col("scatter_d2").cast("double") / col("min_sep_d2").cast("double")))
+      .select(col("cluster"), col("n_vecs"), col("scatter_d2"),
+        col("min_sep_d2"), col("ratio"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Full oracle for [[separation]]. */
+  def separationOracleSql(k: Int = 8, iters: Int = 3): String =
+    s"""WITH ${oracleCtes(k, iters)},
+      |sc AS (
+      |  SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+      |    CAST(sum(d2) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+      |  FROM af GROUP BY 1),
+      |sct AS (
+      |  SELECT cluster, n_vecs,
+      |    CASE WHEN s >= 0 THEN CAST(s // n AS BIGINT)
+      |         ELSE -CAST((-s) // n AS BIGINT) END AS scatter_d2
+      |  FROM sc),
+      |sep AS (
+      |  SELECT a.cid AS cluster,
+      |    CAST(min(list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])), 'sum')) AS BIGINT)
+      |      AS min_sep_d2
+      |  FROM c$iters a, c$iters b WHERE a.cid <> b.cid GROUP BY 1)
+      |SELECT cluster, n_vecs, scatter_d2, min_sep_d2,
+      |  CASE WHEN min_sep_d2 = 0 THEN NULL
+      |       ELSE CAST(scatter_d2 AS DOUBLE) / CAST(min_sep_d2 AS DOUBLE) END AS ratio
+      |FROM sct JOIN sep USING (cluster)
+      |ORDER BY cluster""".stripMargin
+
   /** Feature-hashed token-count vectors straight from raw text — the
     * embedding-free entry into the whole vector stack (clustering here;
     * the same frame feeds any v-consuming operator). One FNV-1a bucket

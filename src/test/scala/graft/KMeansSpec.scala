@@ -189,6 +189,23 @@ class KMeansSpec extends SparkTestBase {
     intercept[IllegalArgumentException](KMeans.hashedTextFp(docs, dim = 12))
   }
 
+  test("separation: ratio is scatter/min_sep of the model's own distances") {
+    val cents = KMeans.fit(emb, k = 8, iters = 3)
+    def d2(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (a, b) => val d = a - b; d * d }.sum
+    val expectedSep = cents.indices.map { i =>
+      i -> cents.indices.filter(_ != i).map(j => d2(cents(i), cents(j))).min
+    }.toMap
+    val rows = KMeans.separation(emb).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      assert(r.getLong(3) == expectedSep(c))
+      assert(r.getLong(3) > 0 && !r.isNullAt(4))
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+  }
+
   test("model persistence: save/load round-trips the fit bit-exactly") {
     val cents = KMeans.fit(emb, k = 8, iters = 3)
     val dir = java.nio.file.Files.createTempDirectory("km_model").toString + "/m"
