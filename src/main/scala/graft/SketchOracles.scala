@@ -172,6 +172,76 @@ SELECT source, docs_before, docs_after, tokens_before, tokens_after,
 FROM agg ORDER BY source"""
   }
 
+  /** mixture_optimal_alloc: the exact water-filling allocation replayed
+    * end-to-end — per-source token supplies, fnv+mix64 weights, the exact
+    * integer ratio sort key (supply * (840 // w), 840 = lcm(1..8)), the
+    * prefix capping inequality, and Hamilton largest-remainder
+    * apportionment, all in HUGEINT. Mirrors
+    * [[graft.operators.Mixture.optimalMixture]] stage for stage; DIV/%
+    * appear only with non-negative operands so DuckDB's floor `//` and
+    * Spark's truncating DIV agree.
+    */
+  def optimalMixtureSql(budgetPpm: Long = 600000L): String = {
+    val srcGuard =
+      "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII source: " +
+        "byte-fold oracle invalid') END FROM documents " +
+        "WHERE strlen(source) <> length(source))"
+    s"""WITH srcs AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS supply
+  FROM documents WHERE $srcGuard = 0
+  GROUP BY source),
+z AS (SELECT source, supply,
+  ((${fnvExpr("source")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM srcs),
+${mixChain("omw", "z", Seq("source", "supply"), "z0")},
+wt AS (SELECT source, supply, (mx % 8) + 1::HUGEINT AS w FROM omw4),
+k AS (SELECT source, supply, w, supply * (840::HUGEINT // w) AS skey FROM wt),
+win AS (SELECT source, supply, w,
+  coalesce(sum(supply) OVER (ORDER BY skey, source
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT)
+    AS cum_s_before,
+  sum(w) OVER (ORDER BY skey, source
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_w_from,
+  sum(supply) OVER () AS t_total,
+  sum(w) OVER () AS w_total
+  FROM k),
+b AS (SELECT *, (t_total * ${budgetPpm}::HUGEINT) // 1000000 AS budget
+  FROM win),
+c AS (SELECT *,
+  supply * rem_w_from <= (budget - cum_s_before) * w AS capped FROM b),
+g AS (SELECT *,
+  coalesce(sum(CASE WHEN capped THEN supply END) OVER (), 0::HUGEINT)
+    AS capped_s,
+  coalesce(sum(CASE WHEN NOT capped THEN w END) OVER (), 0::HUGEINT)
+    AS rem_w_star
+  FROM c),
+a0 AS (SELECT *, budget - capped_s AS x_rem FROM g),
+a1 AS (SELECT *,
+  CASE WHEN capped THEN supply ELSE (x_rem * w) // rem_w_star END AS base,
+  CASE WHEN capped THEN 0::HUGEINT ELSE (x_rem * w) % rem_w_star END AS remn
+  FROM a0),
+a2 AS (SELECT *,
+  CASE WHEN rem_w_star > 0 THEN sum(remn) OVER () // rem_w_star
+       ELSE 0::HUGEINT END AS leftover,
+  row_number() OVER (ORDER BY capped, remn DESC, source) AS bump_rank
+  FROM a1),
+fin AS (SELECT *,
+  base + (CASE WHEN NOT capped AND bump_rank <= leftover
+          THEN 1 ELSE 0 END)::HUGEINT AS alloc
+  FROM a2)
+SELECT source,
+  CAST(supply AS BIGINT) AS supply_tokens,
+  CAST(w AS BIGINT) AS weight,
+  capped,
+  CAST(alloc AS BIGINT) AS alloc_tokens,
+  CAST((w * 1000000) // w_total AS BIGINT) AS target_share_ppm,
+  CASE WHEN budget > 0 THEN CAST((alloc * 1000000) // budget AS BIGINT)
+       END AS achieved_share_ppm,
+  CASE WHEN supply > 0 THEN CAST((alloc * 1000000) // supply AS BIGINT)
+       END AS utilization_ppm
+FROM fin ORDER BY source"""
+  }
+
   /** quality_weighted_sample: the per-document-rate gate — same fnv+mix64
     * text uniform as the mixture gate, but the rate is computed from the
     * document (inverse token length, `LEAST(1.0, target/tokens)`) instead

@@ -422,6 +422,16 @@ object SparkEntry {
       graft.operators.Mixture.mixtureStats(Tables.documents(s, dir),
         graft.operators.Mixture.DriverRates,
         graft.operators.Mixture.DriverDefaultRate)),
+    // Exact water-filling token-budget allocation (constrained-
+    // proportional mixture solve, Hamilton-apportioned to the exact
+    // budget): the only corpus-scale stage is one map-side-combined
+    // per-source aggregation; full DuckDB oracle replays the closed form.
+    // budgetPpm = 900000 here: at 90% of corpus tokens the heavy-weight
+    // sources outrun their supply, so the capped branch and the re-flow
+    // are exercised at every SF (at 60% nothing caps on this corpus).
+    "mixture_optimal_alloc" -> ((s, dir) =>
+      graft.operators.Mixture.optimalMixture(Tables.documents(s, dir),
+        budgetPpm = 900000L)),
     // Edit-distance audit of those clusters (bounded to member-keeper pairs).
     "cluster_edit_distances" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -3540,6 +3550,7 @@ object SparkEntry {
       stopwordsSqlList, qualityMin = 0.5, spanMax = 0.95, spanK = 8),
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql(),
+    "mixture_optimal_alloc" -> SketchOracles.optimalMixtureSql(budgetPpm = 900000L),
 
     // ---- round 8 ---------------------------------------------------------
 

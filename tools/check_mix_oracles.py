@@ -91,6 +91,14 @@ REQUIRED = {
         "11400714819323198485::HUGEINT",            # golden gamma pre-add
         "CAST(mx % 1024 AS BIGINT) * 1000000",      # 0..1023 s ingest delay
     ],
+    "mixture_optimal_alloc": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold (source)
+        "11400714819323198485::HUGEINT",            # golden gamma pre-add
+        "(mx % 8) + 1::HUGEINT",                    # weight 1..8
+        "supply * (840::HUGEINT // w)",             # exact ratio sort key
+        "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
+    ],
 }
 
 import re
