@@ -224,6 +224,13 @@ object SparkEntry {
     // counts. One machine-generated oracle chains the same stages as CTEs.
     "curation_funnel" -> ((s, dir) =>
       graft.operators.Curation.funnel(Tables.documents(s, dir), stopwords)),
+    // Per-source quality gating (keep each source's top half by the shared
+    // quality score) vs the pooled global gate; `rescued`/`displaced` rows
+    // are where the two policies disagree. Global rank via DistributedRank
+    // (range partition + offsets — no single-partition window).
+    "per_source_quality_gate" -> ((s, dir) =>
+      graft.operators.Curation.perSourceQualityGate(
+        Tables.documents(s, dir), stopwords)),
     // Sequence packing (concat-and-chunk): hash-sharded token streams,
     // per-shard running offsets, fixed-capacity chunk assignment +
     // boundary-straddle audit. Full machine-generated oracle
@@ -3548,6 +3555,34 @@ object SparkEntry {
     "token_budget_sample" -> SketchOracles.tokenBudgetSql(),
     "curation_funnel" -> SketchOracles.funnelSql(
       stopwordsSqlList, qualityMin = 0.5, spanMax = 0.95, spanK = 8),
+    // Same IEEE quality expression as doc_stats; both gates replayed as
+    // plain windows (DuckDB runs single-node — the engine's
+    // DistributedRank construction is rank-identical by design).
+    "per_source_quality_gate" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, source,
+         |    least(CAST(len(toks) AS BIGINT) / 50.0, 1.0) * 0.5
+         |      + (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT)) * 0.3
+         |      + (CAST(len(list_filter(toks, x -> x IN ($stopwordsSqlList))) AS BIGINT) / CAST(len(toks) AS BIGINT)) * 0.2 AS quality_score
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS src_rank,
+         |  count(*) OVER (PARTITION BY source) AS src_n,
+         |  row_number() OVER (ORDER BY quality_score DESC, doc_id) AS global_rank,
+         |  count(*) OVER () AS total_n
+         |  FROM sc)
+         |SELECT doc_id, source, quality_score,
+         |  CAST(src_rank AS BIGINT) AS src_rank,
+         |  CAST(src_n AS BIGINT) AS src_n,
+         |  src_rank <= (500000 * src_n + 999999) // 1000000 AS kept,
+         |  CAST(global_rank AS BIGINT) AS global_rank,
+         |  global_rank <= (500000 * total_n + 999999) // 1000000 AS kept_global,
+         |  CASE WHEN src_rank <= (500000 * src_n + 999999) // 1000000
+         |            AND global_rank <= (500000 * total_n + 999999) // 1000000 THEN 'kept'
+         |       WHEN src_rank <= (500000 * src_n + 999999) // 1000000 THEN 'rescued'
+         |       WHEN global_rank <= (500000 * total_n + 999999) // 1000000 THEN 'displaced'
+         |       ELSE 'dropped' END AS status
+         |FROM r ORDER BY doc_id""".stripMargin,
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql(),
     "mixture_optimal_alloc" -> SketchOracles.optimalMixtureSql(budgetPpm = 900000L),

@@ -592,6 +592,66 @@ FROM allp ORDER BY pick""".stripMargin
        |  FROM surv)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source quality gating — keep the top `keepPpm` fraction of each
+    * SOURCE by quality score, not the top fraction of the pooled corpus
+    * (the FineWeb/CCNet practice): a global threshold lets one
+    * high-scoring source crowd every other domain out of the mixture,
+    * while per-source quantiles preserve domain coverage and still drop
+    * each source's worst tail. Output carries BOTH gates per document plus
+    * a status column — `rescued` (kept per-source, dropped globally) and
+    * `displaced` (the reverse) are exactly the documents on which the two
+    * policies disagree, the table a curation review reads first.
+    *
+    * Exactness: the score is the shared [[qualityScore]] expression (the
+    * docStats/funnel fixed point — a short IEEE sequence both engines
+    * evaluate bit-identically), ranks tie-break on doc_id for a total
+    * order, and keep counts are exact ceilings `(keepPpm*n + 999999) DIV
+    * 1e6` in BIGINT.
+    *
+    * Scale shape: per-source ranks are one shuffle on source (a sort per
+    * stratum — exact quantile gating IS a per-source sort; an approximate
+    * variant would gate on approx_percentile thresholds instead). The
+    * GLOBAL rank deliberately avoids the single-partition window trap via
+    * [[DistributedRank.withGlobalRank]] (range partition + per-partition
+    * offsets); source/total counts ride a broadcast source dimension, not
+    * a whole-corpus window.
+    */
+  def perSourceQualityGate(
+      documents: DataFrame,
+      stopwords: Seq[String],
+      keepPpm: Long = 500000L): DataFrame = {
+    require(keepPpm >= 0L && keepPpm <= 1000000L, s"keepPpm: $keepPpm")
+    val toks = split(col("text"), " ")
+    val scored = documents.select(col("doc_id"), col("source"),
+      qualityScore(toks, stopwords).as("quality_score"))
+    val srcDim = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("src_n"))
+      .withColumn("total_n",
+        sum(col("src_n")).over(
+          Window.orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    DistributedRank
+      .withGlobalRank(scored,
+        Seq(col("quality_score").desc, col("doc_id")), "global_rank")
+      .withColumn("src_rank", row_number().over(bySrc).cast("long"))
+      .join(broadcast(srcDim), Seq("source"))
+      .withColumn("kept",
+        expr(s"src_rank <= ($keepPpm * src_n + 999999) DIV 1000000"))
+      .withColumn("kept_global",
+        expr(s"global_rank <= ($keepPpm * total_n + 999999) DIV 1000000"))
+      .withColumn("status",
+        when(col("kept") && col("kept_global"), "kept")
+          .when(col("kept") && !col("kept_global"), "rescued")
+          .when(!col("kept") && col("kept_global"), "displaced")
+          .otherwise("dropped"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_rank"), col("src_n"), col("kept"),
+        col("global_rank"), col("kept_global"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   def keepBestPerCluster(
       documents: DataFrame, stopwords: Seq[String]): DataFrame = {
     val clusters = Dedup.nearDupClusters(
