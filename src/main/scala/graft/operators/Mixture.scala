@@ -361,15 +361,32 @@ object Mixture {
     * reduce task over tens..hundreds of rows, the same regime as every
     * mixture config in practice.
     */
-  def optimalMixture(documents: DataFrame, budgetPpm: Long = 600000L): DataFrame = {
-    require(budgetPpm >= 0L, s"budgetPpm must be >= 0: $budgetPpm")
-    import org.apache.spark.sql.expressions.Window
-    val dec0 = lit(0L).cast("decimal(38,0)")
-    val sup = documents
+  def optimalMixture(documents: DataFrame, budgetPpm: Long = 600000L): DataFrame =
+    allocateFromSupplies(supplyBySource(documents), budgetPpm)
+
+  /** Per-source token supplies — the one corpus-scale stage of the solve
+    * (map-side combined, |sources| rows out). Also the streaming state
+    * shape: as a streaming aggregation this is exactly the standing
+    * per-source running sum [[optimalMixtureStream]] re-solves over.
+    */
+  def supplyBySource(documents: DataFrame): DataFrame =
+    documents
       .select(col("source"),
         graft.functions.TextAnalysis.wsTokenCount(col("text")).as("t"))
       .groupBy(col("source"))
       .agg(sum(col("t")).cast("decimal(38,0)").as("supply"))
+
+  /** The closed-form solve over a (source, supply DECIMAL(38,0)) frame —
+    * see [[optimalMixture]] for semantics and the exactness argument.
+    * Factored out so the streaming re-solve runs the IDENTICAL code over
+    * each micro-batch's standing supplies (batch ≡ stream parity is
+    * structural).
+    */
+  def allocateFromSupplies(supplies: DataFrame, budgetPpm: Long): DataFrame = {
+    require(budgetPpm >= 0L, s"budgetPpm must be >= 0: $budgetPpm")
+    import org.apache.spark.sql.expressions.Window
+    val dec0 = lit(0L).cast("decimal(38,0)")
+    val sup = supplies
       .withColumn("w",
         (GraftColumns.mix64(GraftColumns.fnv1a64(col("source")))
           .bitwiseAND(lit(7L)) + lit(1L)).cast("decimal(38,0)"))
@@ -420,6 +437,26 @@ object Mixture {
           .as("utilization_ppm"))
       .orderBy(col("source"))
   }
+
+  /** Streaming mixture control: the per-source supplies become a standing
+    * streaming aggregation (complete mode — state is one running sum per
+    * source, tiny at any corpus rate), and EVERY micro-batch re-runs the
+    * identical [[allocateFromSupplies]] closed-form solve over the standing
+    * totals, handing the fresh allocation to `sink`. This is the live
+    * version of the mixture review loop: as a crawl/ingest stream grows
+    * some sources faster than others, the capped set and the re-flowed
+    * budget move batch by batch, and the last emitted table always equals
+    * the batch solve over everything ingested so far (parity is structural
+    * — same code — and spec-asserted over a MemoryStream).
+    */
+  def optimalMixtureStream(docs: DataFrame, budgetPpm: Long = 600000L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    supplyBySource(docs).writeStream
+      .outputMode("complete")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => sink(allocateFromSupplies(b.toDF(), budgetPpm), id))
+      .start()
 
   def rendezvousShards(documents: DataFrame, shards: Int = 32): DataFrame = {
     val h = GraftColumns.fnv1a64(col("text"))

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Mixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+final case class MixDoc(doc_id: Long, text: String, source: String)
+
+/** Streaming mixture control parity: [[Mixture.optimalMixtureStream]]
+  * re-solves the IDENTICAL closed-form allocation over the standing
+  * per-source supplies each micro-batch, so after any arrival pattern the
+  * last emitted table must equal the batch [[Mixture.optimalMixture]] over
+  * everything ingested so far — asserted here at two cut points across
+  * three uneven arrival batches that shift the capped set.
+  */
+class StreamingMixtureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def doc(i: Long, src: String, tokens: Int): MixDoc =
+    MixDoc(i, (1 to tokens).map(j => s"w${(i + j) % 7}").mkString(" "), src)
+
+  test("streaming re-solve equals the batch solve at every cut point") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (0L until 20L).map(i => doc(i, s"src${i % 3}", 10 + (i % 5).toInt))
+    val b2 = (20L until 30L).map(i => doc(i, "src0", 40)) // src0 surges
+    val b3 = (30L until 34L).map(i => doc(i, "src3", 25)) // new source appears
+
+    val mem = MemoryStream[MixDoc]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = Mixture.optimalMixtureStream(mem.toDF(), budgetPpm = 900000L) {
+      (alloc, _) => last = alloc.collect()
+    }
+    def batchAlloc(docs: Seq[MixDoc]) =
+      Mixture.optimalMixture(docs.toDF(), budgetPpm = 900000L).collect()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(last.toSeq == batchAlloc(b1).toSeq, "cut 1")
+      mem.addData(b2: _*)
+      mem.addData(b3: _*)
+      q.processAllAvailable()
+      assert(last.toSeq == batchAlloc(b1 ++ b2 ++ b3).toSeq, "cut 2")
+      // the surge + new source actually moved the allocation structure
+      assert(last.map(_.getString(0)).contains("src3"))
+    } finally q.stop()
+  }
+}
