@@ -342,6 +342,19 @@ object ScaleSmoke {
         graft.functions.TextAnalysis.tokenTopkCms(docs).count())
       time("source_mixture_sample", scale)(
         Mixture.sampleBySource(docs, Mixture.DriverRates).count())
+      // round-11 session 4: water-filling allocation — cost should be the
+      // per-source aggregation alone (the solve is a |sources|-row window)
+      time("mixture_optimal_alloc", scale)(
+        force(Mixture.optimalMixture(docs, budgetPpm = 900000L)))
+      // per-source exact quantile gate: shuffle on source + the
+      // DistributedRank global rank (range partition, no single-partition
+      // window); curve should track the corpus sort
+      time("per_source_quality_gate", scale) {
+        val n = force(graft.operators.Curation.perSourceQualityGate(
+          docs, Seq("the", "a", "of", "and")))
+        DistributedRank.release(spark)
+        n
+      }
       time("cross_doc_ngrams", scale)(
         Dedup.crossDocNgramOverlap(docs).count())
       time("doc_perplexity", scale)(

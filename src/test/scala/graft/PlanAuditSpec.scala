@@ -807,4 +807,40 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!plan.toString.contains("CartesianProduct"), plan.toString)
     }
   }
+
+  test("mixture_optimal_alloc: corpus work is one partial-aggregated scan") {
+    val plan = finalPlan(graft.operators.Mixture.optimalMixture(
+      Tables.documents(spark, sf), budgetPpm = 900000L))
+    val s = plan.toString
+    // exactly one scan over documents; the per-source supply aggregation
+    // map-side combines before its exchange — everything downstream runs
+    // on the |sources|-row frame (its single-partition windows are bounded
+    // by construction: rows = distinct sources)
+    val scans = deepLeaves(plan).map(_.toString).count(_.contains("documents"))
+    assert(scans == 1, s"supply agg must share one scan, saw $scans:\n$s")
+    assert(s.contains("HashAggregate"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("per_source_quality_gate: global rank range-partitions; dim broadcasts") {
+    val df = graft.operators.Curation.perSourceQualityGate(
+      Tables.documents(spark, sf), Seq("the", "a", "of", "and"))
+    try {
+      val plan = finalPlan(df)
+      val s = plan.toString
+      // the corpus-scale rank must ride RangePartitioning (DistributedRank),
+      // never a single-partition global window sort
+      assert(s.contains("rangepartitioning") || s.contains("RangePartitioning"),
+        s)
+      assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
+        s"src_n/total_n dimension must broadcast:\n$s")
+      assert(!s.contains("CartesianProduct"), s)
+      // no corpus-sized single-partition sort: every Sort over the doc
+      // frame sits above a source- or range-partitioned exchange (the only
+      // SinglePartition exchange permitted is the |sources|-row dim window)
+      val singles = allExchanges(plan).filter(
+        _.outputPartitioning.toString.contains("SinglePartition"))
+      assert(singles.size <= 1, s"unexpected single-partition exchanges:\n$s")
+    } finally graft.operators.DistributedRank.release(spark)
+  }
 }
