@@ -181,13 +181,22 @@ FROM agg ORDER BY source"""
     * appear only with non-negative operands so DuckDB's floor `//` and
     * Spark's truncating DIV agree.
     */
-  def optimalMixtureSql(budgetPpm: Long = 600000L): String = {
+  def optimalMixtureSql(
+      budgetPpm: Long = 600000L,
+      maxEpochs: Long = 1L): String = {
     val srcGuard =
       "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII source: " +
         "byte-fold oracle invalid') END FROM documents " +
         "WHERE strlen(source) <> length(source))"
+    val den = 1000000L * maxEpochs
+    val epochCol =
+      if (maxEpochs == 1L) ""
+      else s""",
+  CASE WHEN supply > 0 THEN CAST((alloc * $den) // supply AS BIGINT)
+       END AS epochs_ppm"""
     s"""WITH srcs AS (
-  SELECT source, CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS supply
+  SELECT source,
+    CAST(sum(len(string_split(text, ' '))) AS HUGEINT) * $maxEpochs AS supply
   FROM documents WHERE $srcGuard = 0
   GROUP BY source),
 z AS (SELECT source, supply,
@@ -205,7 +214,7 @@ win AS (SELECT source, supply, w,
   sum(supply) OVER () AS t_total,
   sum(w) OVER () AS w_total
   FROM k),
-b AS (SELECT *, (t_total * ${budgetPpm}::HUGEINT) // 1000000 AS budget
+b AS (SELECT *, (t_total * ${budgetPpm}::HUGEINT) // $den AS budget
   FROM win),
 c AS (SELECT *,
   supply * rem_w_from <= (budget - cum_s_before) * w AS capped FROM b),
@@ -238,7 +247,7 @@ SELECT source,
   CASE WHEN budget > 0 THEN CAST((alloc * 1000000) // budget AS BIGINT)
        END AS achieved_share_ppm,
   CASE WHEN supply > 0 THEN CAST((alloc * 1000000) // supply AS BIGINT)
-       END AS utilization_ppm
+       END AS utilization_ppm$epochCol
 FROM fin ORDER BY source"""
   }
 

@@ -439,6 +439,12 @@ object SparkEntry {
     "mixture_optimal_alloc" -> ((s, dir) =>
       graft.operators.Mixture.optimalMixture(Tables.documents(s, dir),
         budgetPpm = 900000L)),
+    // Data-constrained regime: budget = 2.5 corpus passes, repetition
+    // capped at 4 epochs per source — the same solve over effective
+    // (repeatable) supplies; epochs_ppm marks the data-bound sources.
+    "mixture_epoch_alloc" -> ((s, dir) =>
+      graft.operators.Mixture.epochAllocation(Tables.documents(s, dir),
+        maxEpochs = 4, budgetPpm = 2500000L)),
     // Edit-distance audit of those clusters (bounded to member-keeper pairs).
     "cluster_edit_distances" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -3586,6 +3592,8 @@ object SparkEntry {
     "hourly_agg_approx" -> SketchOracles.hllHourlySql,
     "source_mixture_sample" -> SketchOracles.mixtureSql(),
     "mixture_optimal_alloc" -> SketchOracles.optimalMixtureSql(budgetPpm = 900000L),
+    "mixture_epoch_alloc" -> SketchOracles.optimalMixtureSql(
+      budgetPpm = 2500000L, maxEpochs = 4L),
 
     // ---- round 8 ---------------------------------------------------------
 

@@ -382,8 +382,12 @@ object Mixture {
     * each micro-batch's standing supplies (batch ≡ stream parity is
     * structural).
     */
-  def allocateFromSupplies(supplies: DataFrame, budgetPpm: Long): DataFrame = {
+  def allocateFromSupplies(
+      supplies: DataFrame,
+      budgetPpm: Long,
+      budgetDen: Long = 1000000L): DataFrame = {
     require(budgetPpm >= 0L, s"budgetPpm must be >= 0: $budgetPpm")
+    require(budgetDen > 0L, s"budgetDen must be > 0: $budgetDen")
     import org.apache.spark.sql.expressions.Window
     val dec0 = lit(0L).cast("decimal(38,0)")
     val sup = supplies
@@ -401,7 +405,7 @@ object Mixture {
       .withColumn("t_total", sum(col("supply")).over(whole))
       .withColumn("w_total", sum(col("w")).over(whole))
       .withColumn("budget",
-        expr(s"CAST(t_total * ${budgetPpm}L DIV 1000000 AS DECIMAL(38,0))"))
+        expr(s"CAST(t_total * ${budgetPpm}L DIV ${budgetDen}L AS DECIMAL(38,0))"))
       .withColumn("capped",
         col("supply") * col("rem_w_from") <=
           (col("budget") - col("cum_s_before")) * col("w"))
@@ -435,6 +439,38 @@ object Mixture {
         when(col("supply") > dec0,
           expr("CAST(alloc AS DECIMAL(38,0)) * 1000000 DIV supply"))
           .as("utilization_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Data-constrained allocation — the repeated-epochs regime (Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models": repeating
+    * data up to ~4 epochs costs little vs fresh tokens): when the training
+    * budget EXCEEDS the fresh corpus, each source's effective supply is
+    * `raw * maxEpochs` and the identical water-filling solve allocates the
+    * budget over repeatable tokens. `budgetPpm` stays expressed against
+    * the RAW corpus (2500000 = 2.5 corpus passes); exactness holds because
+    * floor((raw*E*ppm)/(1e6*E)) = floor(raw*ppm/1e6) — numerator and
+    * denominator scale together. Output adds `epochs_ppm` (allocated
+    * passes over each source, 1e6 = one full epoch), computed as
+    * `alloc * 1e6 * E DIV effective_supply`, identical to
+    * `alloc * 1e6 DIV raw` by the same cancellation; `supply_tokens` in
+    * this variant is the EFFECTIVE (repeatable) supply. Sources hitting
+    * `epochs_ppm = 1e6 * maxEpochs` are the data-bound ones — the table a
+    * budget review reads to decide where more crawl is worth buying.
+    */
+  def epochAllocation(
+      documents: DataFrame,
+      maxEpochs: Int = 4,
+      budgetPpm: Long = 2500000L): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    val scaled = supplyBySource(documents)
+      .withColumn("supply",
+        expr(s"CAST(supply * ${maxEpochs}L AS DECIMAL(38,0))"))
+    allocateFromSupplies(scaled, budgetPpm,
+        budgetDen = 1000000L * maxEpochs)
+      .withColumn("epochs_ppm", when(col("supply_tokens") > 0,
+        expr(s"CAST(alloc_tokens AS DECIMAL(38,0)) * ${1000000L * maxEpochs}L" +
+          " DIV supply_tokens")))
       .orderBy(col("source"))
   }
 

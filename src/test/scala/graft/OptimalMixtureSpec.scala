@@ -65,6 +65,85 @@ class OptimalMixtureSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("epoch allocation: budget in raw passes, repetition capped at maxEpochs") {
+    val rs = Mixture.epochAllocation(docs, maxEpochs = 4, budgetPpm = 2500000L)
+      .collect()
+    val rawBySource = rows(1000000L).map(r => r.source -> r.supply).toMap
+    val rawTotal = rawBySource.values.sum
+    val budget = BigInt(rawTotal) * 2500000 / 1000000 // 2.5 raw passes
+    val allocs = rs.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(allocs.values.map(BigInt(_)).sum ==
+      budget.min(BigInt(rawTotal) * 4))
+    rs.foreach { r =>
+      val (src, eff, alloc) = (r.getString(0), r.getLong(1), r.getLong(4))
+      assert(eff == rawBySource(src) * 4, s"effective supply: $r")
+      assert(alloc <= eff, r.toString)
+      val epochs = r.getLong(8)
+      assert(epochs <= 4000000L, s"over maxEpochs: $r")
+      // capped sources are exactly the data-bound ones: 4.0 epochs
+      if (r.getBoolean(3)) assert(epochs == 4000000L, r.toString)
+    }
+    // the 2.5x budget actually forces repetition somewhere
+    assert(rs.exists(_.getLong(8) > 1000000L))
+  }
+
+  test("epoch allocation with maxEpochs=1 degenerates to the fresh solve") {
+    val a = Mixture.epochAllocation(docs, maxEpochs = 1, budgetPpm = 900000L)
+      .drop("epochs_ppm")
+    val b = Mixture.optimalMixture(docs, budgetPpm = 900000L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("closed form matches an iterative exact-rational reference on random frames") {
+    import spark.implicits._
+    // Iterative water-filling in exact rationals: repeatedly cap every
+    // source whose supply/weight ratio is <= the current fill level
+    // lambda = remainingBudget / remainingWeight, until a fixed point.
+    // This is the textbook definition the closed form replaces.
+    def reference(sup: Seq[(String, Long, Long)], b: BigInt)
+        : Map[String, Boolean] = {
+      val capped = scala.collection.mutable.Map(
+        sup.map(s => s._1 -> false): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        val remB = b - sup.filter(s => capped(s._1)).map(s => BigInt(s._2)).sum
+        val remW = sup.filterNot(s => capped(s._1)).map(s => BigInt(s._3)).sum
+        if (remW > 0) sup.foreach { case (src, s, w) =>
+          // supply/w <= remB/remW  <=>  supply*remW <= remB*w
+          if (!capped(src) && BigInt(s) * remW <= remB * w) {
+            capped(src) = true; changed = true
+          }
+        }
+      }
+      capped.toMap
+    }
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 12) {
+      val n = 2 + rng.nextInt(7)
+      val sup = (0 until n).map { i =>
+        val src = s"s${trial}_$i"
+        // weight must match the operator's content-keyed draw
+        val w = (graft.functions.Mix64.mix(
+          graft.functions.SimHash64.fnv1a(src.getBytes("UTF-8"))) & 7L) + 1L
+        (src, math.abs(rng.nextLong()) % (if (rng.nextBoolean()) 1000L else 5L),
+          w)
+      }
+      val total = sup.map(_._2).sum
+      val ppm = rng.nextInt(1000001).toLong
+      val b = BigInt(total) * ppm / 1000000
+      val frame = sup.map(s => (s._1, BigDecimal(s._2))).toDF("source", "supply")
+        .select(col("source"), col("supply").cast("decimal(38,0)").as("supply"))
+      val got = Mixture.allocateFromSupplies(frame, ppm).collect()
+        .map(r => (r.getString(0), r.getBoolean(3), BigInt(r.getLong(4))))
+      val wantCapped = reference(sup, b)
+      got.foreach { case (src, capped, _) =>
+        assert(capped == wantCapped(src), s"trial $trial src $src")
+      }
+      assert(got.map(_._3).sum == b.min(BigInt(total)), s"trial $trial")
+    }
+  }
+
   test("a source that cannot cover its share is capped and budget re-flows") {
     import spark.implicits._
     // tiny crafted corpus: heavy weight on a starving source

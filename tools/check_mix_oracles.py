@@ -99,6 +99,14 @@ REQUIRED = {
         "supply * (840::HUGEINT // w)",             # exact ratio sort key
         "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
     ],
+    "mixture_epoch_alloc": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold (source)
+        "* 4 AS supply",                            # repeatable supply (E=4)
+        "// 4000000 AS budget",                     # budget in raw passes
+        "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
+        "(alloc * 4000000) // supply",              # epochs_ppm
+    ],
 }
 
 import re
