@@ -181,20 +181,17 @@ FROM agg ORDER BY source"""
     * appear only with non-negative operands so DuckDB's floor `//` and
     * Spark's truncating DIV agree.
     */
-  def optimalMixtureSql(
-      budgetPpm: Long = 600000L,
-      maxEpochs: Long = 1L): String = {
+  /** The solve's CTE chain alone (ends in `fin` carrying source, supply,
+    * w, capped, alloc, budget, w_total) — shared by [[optimalMixtureSql]]
+    * and the composed [[admissionAuditSql]].
+    */
+  private def optimalMixtureCtes(budgetPpm: Long, maxEpochs: Long): String = {
     val srcGuard =
       "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII source: " +
         "byte-fold oracle invalid') END FROM documents " +
         "WHERE strlen(source) <> length(source))"
     val den = 1000000L * maxEpochs
-    val epochCol =
-      if (maxEpochs == 1L) ""
-      else s""",
-  CASE WHEN supply > 0 THEN CAST((alloc * $den) // supply AS BIGINT)
-       END AS epochs_ppm"""
-    s"""WITH srcs AS (
+    s"""srcs AS (
   SELECT source,
     CAST(sum(len(string_split(text, ' '))) AS HUGEINT) * $maxEpochs AS supply
   FROM documents WHERE $srcGuard = 0
@@ -237,7 +234,19 @@ a2 AS (SELECT *,
 fin AS (SELECT *,
   base + (CASE WHEN NOT capped AND bump_rank <= leftover
           THEN 1 ELSE 0 END)::HUGEINT AS alloc
-  FROM a2)
+  FROM a2)"""
+  }
+
+  def optimalMixtureSql(
+      budgetPpm: Long = 600000L,
+      maxEpochs: Long = 1L): String = {
+    val den = 1000000L * maxEpochs
+    val epochCol =
+      if (maxEpochs == 1L) ""
+      else s""",
+  CASE WHEN supply > 0 THEN CAST((alloc * $den) // supply AS BIGINT)
+       END AS epochs_ppm"""
+    s"""WITH ${optimalMixtureCtes(budgetPpm, maxEpochs)}
 SELECT source,
   CAST(supply AS BIGINT) AS supply_tokens,
   CAST(w AS BIGINT) AS weight,
@@ -250,6 +259,46 @@ SELECT source,
        END AS utilization_ppm$epochCol
 FROM fin ORDER BY source"""
   }
+
+  /** mixture_admission_audit: the solve ACTUATED — each source admits
+    * documents in the content-keyed priority order of tokenBudgetSample
+    * until its allocated token budget is crossed (the straddling document
+    * is admitted, the standard semantic), then the per-source rollup
+    * audits realized vs allocated mass. Composes [[optimalMixtureCtes]]
+    * with the tokenBudget admission chain; admission CTEs are
+    * `ad*`-prefixed to avoid colliding with the solve's names.
+    */
+  def admissionAuditSql(budgetPpm: Long = 900000L): String =
+    s"""WITH ${optimalMixtureCtes(budgetPpm, 1L)},
+ad AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS tokens,
+    ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents WHERE $asciiGuard = 0),
+${mixChain("adm", "ad", Seq("doc_id", "source", "tokens"), "z0")},
+au AS (SELECT doc_id, source, tokens,
+      CAST(mx // 2048 AS BIGINT) AS pri FROM adm4),
+ac AS (SELECT doc_id, source, tokens,
+  CAST(sum(tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_tokens
+  FROM au),
+adm_rollup AS (
+  SELECT ac.source,
+    count(*) AS admitted_docs,
+    CAST(sum(ac.tokens) AS BIGINT) AS admitted_tokens
+  FROM ac JOIN fin ON ac.source = fin.source
+  WHERE ac.cum_tokens - ac.tokens < CAST(fin.alloc AS BIGINT)
+  GROUP BY ac.source)
+SELECT fin.source,
+  CAST(fin.supply AS BIGINT) AS supply_tokens,
+  CAST(fin.alloc AS BIGINT) AS alloc_tokens,
+  fin.capped,
+  coalesce(adm_rollup.admitted_docs, 0) AS admitted_docs,
+  coalesce(adm_rollup.admitted_tokens, 0) AS admitted_tokens,
+  coalesce(adm_rollup.admitted_tokens, 0) - CAST(fin.alloc AS BIGINT)
+    AS overshoot_tokens
+FROM fin LEFT JOIN adm_rollup ON fin.source = adm_rollup.source
+ORDER BY fin.source"""
 
   /** quality_weighted_sample: the per-document-rate gate — same fnv+mix64
     * text uniform as the mixture gate, but the rate is computed from the

@@ -445,6 +445,12 @@ object SparkEntry {
     "mixture_epoch_alloc" -> ((s, dir) =>
       graft.operators.Mixture.epochAllocation(Tables.documents(s, dir),
         maxEpochs = 4, budgetPpm = 2500000L)),
+    // The solve actuated: per-source token-budget admission in the
+    // content-keyed priority order, rolled up as realized-vs-allocated
+    // (overshoot bounded by one straddling doc per source).
+    "mixture_admission_audit" -> ((s, dir) =>
+      graft.operators.Mixture.admissionAudit(Tables.documents(s, dir),
+        budgetPpm = 900000L)),
     // Edit-distance audit of those clusters (bounded to member-keeper pairs).
     "cluster_edit_distances" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -3594,6 +3600,8 @@ object SparkEntry {
     "mixture_optimal_alloc" -> SketchOracles.optimalMixtureSql(budgetPpm = 900000L),
     "mixture_epoch_alloc" -> SketchOracles.optimalMixtureSql(
       budgetPpm = 2500000L, maxEpochs = 4L),
+    "mixture_admission_audit" -> SketchOracles.admissionAuditSql(
+      budgetPpm = 900000L),
 
     // ---- round 8 ---------------------------------------------------------
 

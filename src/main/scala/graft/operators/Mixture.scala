@@ -474,6 +474,52 @@ object Mixture {
       .orderBy(col("source"))
   }
 
+  /** The solve ACTUATED: each source admits documents in the same
+    * content-keyed priority order as [[tokenBudgetSample]] until its
+    * ALLOCATED token budget (from [[optimalMixture]]) is crossed — the
+    * straddling document is admitted, the standard budget-sampling
+    * semantic — then a per-source rollup audits realized vs allocated
+    * mass. This closes the loop from "the optimizer says take N tokens of
+    * src_k" to an actual sampled corpus: `overshoot_tokens` is bounded by
+    * one document per source (spec-asserted), capped sources admit their
+    * entire supply exactly, and admission inherits the gate family's
+    * determinism (reorder/growth-stable, duplicate-consistent).
+    *
+    * Scale shape: the solve's per-source aggregation plus one admission
+    * scan with a per-source window cumsum (the tokenBudgetSample shape);
+    * the 20-row allocation broadcasts into the admission filter.
+    */
+  def admissionAudit(
+      documents: DataFrame,
+      budgetPpm: Long = 900000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = optimalMixture(documents, budgetPpm)
+      .select(col("source"), col("supply_tokens"), col("alloc_tokens"),
+        col("capped"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pick_pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.wsTokenCount(col("text")).as("tokens"),
+        textUniform(col("text")).as("pick_pri"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .join(broadcast(alloc.select(col("source"), col("alloc_tokens"))),
+        Seq("source"))
+      .filter(col("cum_tokens") - col("tokens") < col("alloc_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("admitted_docs"),
+        sum(col("tokens")).as("admitted_tokens"))
+    alloc.join(admitted, Seq("source"), "left")
+      .select(col("source"), col("supply_tokens"), col("alloc_tokens"),
+        col("capped"),
+        coalesce(col("admitted_docs"), lit(0L)).as("admitted_docs"),
+        coalesce(col("admitted_tokens"), lit(0L)).as("admitted_tokens"),
+        (coalesce(col("admitted_tokens"), lit(0L)) - col("alloc_tokens"))
+          .as("overshoot_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Streaming mixture control: the per-source supplies become a standing
     * streaming aggregation (complete mode — state is one running sum per
     * source, tiny at any corpus rate), and EVERY micro-batch re-runs the

@@ -144,6 +144,28 @@ class OptimalMixtureSpec extends SparkTestBase {
     }
   }
 
+  test("admission realizes each allocation within one straddling document") {
+    val audit = Mixture.admissionAudit(docs, budgetPpm = 900000L).collect()
+    val maxDocTokens = Tables.documents(spark, sf)
+      .selectExpr("max(size(split(text, ' ')))").head().getInt(0)
+    audit.foreach { r =>
+      val (supply, alloc, capped, admitted) =
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(5))
+      val overshoot = r.getLong(6)
+      assert(admitted - alloc == overshoot, r.toString)
+      if (capped) {
+        // capped sources take their whole supply, exactly
+        assert(admitted == supply && overshoot == 0L, r.toString)
+      } else {
+        // the budget is crossed by at most the straddling document
+        assert(overshoot >= 0L && overshoot < maxDocTokens, r.toString)
+      }
+      assert(admitted <= supply, r.toString)
+    }
+    assert(audit.exists(_.getBoolean(3)) && audit.exists(!_.getBoolean(3)),
+      "fixture must exercise both branches")
+  }
+
   test("a source that cannot cover its share is capped and budget re-flows") {
     import spark.implicits._
     // tiny crafted corpus: heavy weight on a starving source

@@ -99,6 +99,13 @@ REQUIRED = {
         "supply * (840::HUGEINT // w)",             # exact ratio sort key
         "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
     ],
+    "mixture_admission_audit": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a folds
+        "supply * rem_w_from <= (budget - cum_s_before) * w",  # solve
+        "CAST(mx // 2048 AS BIGINT) AS pri",        # admission priority
+        "ac.cum_tokens - ac.tokens < CAST(fin.alloc AS BIGINT)",  # admit
+    ],
     "mixture_epoch_alloc": [
         mulm("a1x", C1), mulm("a2", C2),
         "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold (source)
