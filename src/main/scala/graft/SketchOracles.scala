@@ -260,6 +260,110 @@ SELECT source,
 FROM fin ORDER BY source"""
   }
 
+  /** mixture_hierarchical: the two-level solve — level-1 chain over
+    * domains (domain = bits 3-4 of the source mix; weight from the domain
+    * NAME's own fnv+mix), then the identical level-2 chain with every
+    * window `PARTITION BY domain` and the domain allocation as budget.
+    * Mirrors [[graft.operators.Mixture.hierarchicalMixture]].
+    */
+  def hierarchicalMixtureSql(budgetPpm: Long = 900000L): String = {
+    val srcGuard =
+      "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII source: " +
+        "byte-fold oracle invalid') END FROM documents " +
+        "WHERE strlen(source) <> length(source))"
+    s"""WITH l1src AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS supply
+  FROM documents WHERE $srcGuard = 0
+  GROUP BY source),
+hz AS (SELECT source, supply,
+  ((${fnvExpr("source")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM l1src),
+${mixChain("hs", "hz", Seq("source", "supply"), "z0")},
+hsrc AS (SELECT source, supply, (mx % 8) + 1::HUGEINT AS w,
+  'dom' || CAST((mx // 8) % 4 AS VARCHAR) AS domain FROM hs4),
+dsup AS (SELECT domain, sum(supply) AS supply FROM hsrc GROUP BY domain),
+dz AS (SELECT domain, supply,
+  ((${fnvExpr("domain")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM dsup),
+${mixChain("hd", "dz", Seq("domain", "supply"), "z0")},
+dwt AS (SELECT domain, supply, (mx % 8) + 1::HUGEINT AS w FROM hd4),
+dk AS (SELECT domain, supply, w, supply * (840::HUGEINT // w) AS skey
+  FROM dwt),
+dwin AS (SELECT domain, supply, w,
+  coalesce(sum(supply) OVER (ORDER BY skey, domain
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT)
+    AS cum_s_before,
+  sum(w) OVER (ORDER BY skey, domain
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_w_from,
+  sum(supply) OVER () AS t_total
+  FROM dk),
+db AS (SELECT *, (t_total * ${budgetPpm}::HUGEINT) // 1000000 AS budget
+  FROM dwin),
+dc AS (SELECT *,
+  supply * rem_w_from <= (budget - cum_s_before) * w AS capped FROM db),
+dg AS (SELECT *,
+  coalesce(sum(CASE WHEN capped THEN supply END) OVER (), 0::HUGEINT)
+    AS capped_s,
+  coalesce(sum(CASE WHEN NOT capped THEN w END) OVER (), 0::HUGEINT)
+    AS rem_w_star
+  FROM dc),
+dx AS (SELECT *, budget - capped_s AS x_rem FROM dg),
+dbs AS (SELECT *,
+  CASE WHEN capped THEN supply ELSE (x_rem * w) // rem_w_star END AS base,
+  CASE WHEN capped THEN 0::HUGEINT ELSE (x_rem * w) % rem_w_star END AS remn
+  FROM dx),
+dr AS (SELECT *,
+  CASE WHEN rem_w_star > 0 THEN sum(remn) OVER () // rem_w_star
+       ELSE 0::HUGEINT END AS leftover,
+  row_number() OVER (ORDER BY capped, remn DESC, domain) AS bump_rank
+  FROM dbs),
+dfin AS (SELECT *,
+  base + (CASE WHEN NOT capped AND bump_rank <= leftover
+          THEN 1 ELSE 0 END)::HUGEINT AS alloc
+  FROM dr),
+k2 AS (SELECT h.source, h.domain, h.supply, h.w,
+  h.supply * (840::HUGEINT // h.w) AS skey, dfin.alloc AS budget
+  FROM hsrc h JOIN dfin ON h.domain = dfin.domain),
+w2 AS (SELECT *,
+  coalesce(sum(supply) OVER (PARTITION BY domain ORDER BY skey, source
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT)
+    AS cum_s_before,
+  sum(w) OVER (PARTITION BY domain ORDER BY skey, source
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_w_from
+  FROM k2),
+c2 AS (SELECT *,
+  supply * rem_w_from <= (budget - cum_s_before) * w AS capped FROM w2),
+g2 AS (SELECT *,
+  coalesce(sum(CASE WHEN capped THEN supply END)
+    OVER (PARTITION BY domain), 0::HUGEINT) AS capped_s,
+  coalesce(sum(CASE WHEN NOT capped THEN w END)
+    OVER (PARTITION BY domain), 0::HUGEINT) AS rem_w_star
+  FROM c2),
+x2 AS (SELECT *, budget - capped_s AS x_rem FROM g2),
+b2 AS (SELECT *,
+  CASE WHEN capped THEN supply ELSE (x_rem * w) // rem_w_star END AS base,
+  CASE WHEN capped THEN 0::HUGEINT ELSE (x_rem * w) % rem_w_star END AS remn
+  FROM x2),
+r2 AS (SELECT *,
+  CASE WHEN rem_w_star > 0
+       THEN sum(remn) OVER (PARTITION BY domain) // rem_w_star
+       ELSE 0::HUGEINT END AS leftover,
+  row_number() OVER (PARTITION BY domain ORDER BY capped, remn DESC, source)
+    AS bump_rank
+  FROM b2),
+f2 AS (SELECT *,
+  base + (CASE WHEN NOT capped AND bump_rank <= leftover
+          THEN 1 ELSE 0 END)::HUGEINT AS alloc
+  FROM r2)
+SELECT source, domain,
+  CAST(supply AS BIGINT) AS supply_tokens,
+  CAST(w AS BIGINT) AS weight,
+  CAST(budget AS BIGINT) AS domain_budget_tokens,
+  capped,
+  CAST(alloc AS BIGINT) AS alloc_tokens
+FROM f2 ORDER BY source"""
+  }
+
   /** mixture_admission_audit: the solve ACTUATED — each source admits
     * documents in the content-keyed priority order of tokenBudgetSample
     * until its allocated token budget is crossed (the straddling document

@@ -451,6 +451,11 @@ object SparkEntry {
     "mixture_admission_audit" -> ((s, dir) =>
       graft.operators.Mixture.admissionAudit(Tables.documents(s, dir),
         budgetPpm = 900000L)),
+    // Two-level (domain -> source) allocation: one partitioned window
+    // pass solves every domain's inner allocation simultaneously.
+    "mixture_hierarchical" -> ((s, dir) =>
+      graft.operators.Mixture.hierarchicalMixture(Tables.documents(s, dir),
+        budgetPpm = 900000L)),
     // Edit-distance audit of those clusters (bounded to member-keeper pairs).
     "cluster_edit_distances" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -3601,6 +3606,8 @@ object SparkEntry {
     "mixture_epoch_alloc" -> SketchOracles.optimalMixtureSql(
       budgetPpm = 2500000L, maxEpochs = 4L),
     "mixture_admission_audit" -> SketchOracles.admissionAuditSql(
+      budgetPpm = 900000L),
+    "mixture_hierarchical" -> SketchOracles.hierarchicalMixtureSql(
       budgetPpm = 900000L),
 
     // ---- round 8 ---------------------------------------------------------

@@ -382,30 +382,33 @@ object Mixture {
     * each micro-batch's standing supplies (batch ≡ stream parity is
     * structural).
     */
-  def allocateFromSupplies(
-      supplies: DataFrame,
-      budgetPpm: Long,
-      budgetDen: Long = 1000000L): DataFrame = {
-    require(budgetPpm >= 0L, s"budgetPpm must be >= 0: $budgetPpm")
-    require(budgetDen > 0L, s"budgetDen must be > 0: $budgetDen")
-    import org.apache.spark.sql.expressions.Window
-    val dec0 = lit(0L).cast("decimal(38,0)")
-    val sup = supplies
+  /** Adds the content-keyed weight (`1 + (mix64(fnv1a64(source)) & 7)`)
+    * and the exact integer ratio sort key to a (source, supply) frame.
+    */
+  private def withWeightKey(supplies: DataFrame): DataFrame =
+    supplies
       .withColumn("w",
         (GraftColumns.mix64(GraftColumns.fnv1a64(col("source")))
           .bitwiseAND(lit(7L)) + lit(1L)).cast("decimal(38,0)"))
       .withColumn("skey", col("supply") * expr("840 DIV w"))
-    val bySkey = Window.orderBy(col("skey"), col("source"))
+
+  /** The water-filling chain itself over a frame carrying (source, supply,
+    * w, skey, budget) — optionally PER PARTITION (`part`), which is how
+    * the hierarchical solve runs one independent allocation per domain in
+    * a single pass. Adds `capped` and `alloc` (plus intermediates); carry
+    * columns pass through.
+    */
+  private def waterfill(keyed: DataFrame, part: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec0 = lit(0L).cast("decimal(38,0)")
+    val bySkey = Window.partitionBy(part: _*)
+      .orderBy(col("skey"), col("source"))
     val before = bySkey.rowsBetween(Window.unboundedPreceding, -1)
     val fromHere = bySkey.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val whole = bySkey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    sup
+    keyed
       .withColumn("cum_s_before", coalesce(sum(col("supply")).over(before), dec0))
       .withColumn("rem_w_from", sum(col("w")).over(fromHere))
-      .withColumn("t_total", sum(col("supply")).over(whole))
-      .withColumn("w_total", sum(col("w")).over(whole))
-      .withColumn("budget",
-        expr(s"CAST(t_total * ${budgetPpm}L DIV ${budgetDen}L AS DECIMAL(38,0))"))
       .withColumn("capped",
         col("supply") * col("rem_w_from") <=
           (col("budget") - col("cum_s_before")) * col("w"))
@@ -422,10 +425,29 @@ object Mixture {
       .withColumn("leftover", when(col("rem_w_star") > dec0,
         expr("sum_remn DIV rem_w_star")).otherwise(lit(0L)))
       .withColumn("bump_rank", row_number().over(
-        Window.orderBy(col("capped"), col("remn").desc, col("source"))))
+        Window.partitionBy(part: _*)
+          .orderBy(col("capped"), col("remn").desc, col("source"))))
       .withColumn("alloc",
         (col("base") + when(!col("capped") && col("bump_rank") <= col("leftover"),
           lit(1L)).otherwise(lit(0L))).cast("bigint"))
+  }
+
+  def allocateFromSupplies(
+      supplies: DataFrame,
+      budgetPpm: Long,
+      budgetDen: Long = 1000000L): DataFrame = {
+    require(budgetPpm >= 0L, s"budgetPpm must be >= 0: $budgetPpm")
+    require(budgetDen > 0L, s"budgetDen must be > 0: $budgetDen")
+    import org.apache.spark.sql.expressions.Window
+    val dec0 = lit(0L).cast("decimal(38,0)")
+    val bySkey = Window.orderBy(col("skey"), col("source"))
+    val whole = bySkey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val keyed = withWeightKey(supplies)
+      .withColumn("t_total", sum(col("supply")).over(whole))
+      .withColumn("w_total", sum(col("w")).over(whole))
+      .withColumn("budget",
+        expr(s"CAST(t_total * ${budgetPpm}L DIV ${budgetDen}L AS DECIMAL(38,0))"))
+    waterfill(keyed, Seq.empty)
       .select(
         col("source"),
         col("supply").cast("bigint").as("supply_tokens"),
@@ -471,6 +493,53 @@ object Mixture {
       .withColumn("epochs_ppm", when(col("supply_tokens") > 0,
         expr(s"CAST(alloc_tokens AS DECIMAL(38,0)) * ${1000000L * maxEpochs}L" +
           " DIV supply_tokens")))
+      .orderBy(col("source"))
+  }
+
+  /** Hierarchical two-level allocation — the nested form every real
+    * mixture config takes (Pile-style: budget domains first — web / code /
+    * books — then sources within each domain): level 1 water-fills the
+    * total budget across DOMAINS (domain supply = sum of its sources,
+    * domain weight from the domain name), level 2 independently
+    * water-fills EACH domain's allocation across its sources — one
+    * partitioned window pass solves all domains simultaneously (the same
+    * closed form with every window `PARTITION BY domain`). Because level-1
+    * allocations never exceed domain supply, each level-2 solve
+    * distributes its domain budget EXACTLY: per-domain sums equal the
+    * domain allocation and the global sum equals the budget, token-exact
+    * (spec-asserted).
+    *
+    * The domain here is content-derived for determinism (bits 3-4 of the
+    * same mix64(fnv1a64(source)) draw the weight uses bits 0-2 of —
+    * disjoint bits, so domain and weight are independent); a production
+    * caller passes its real taxonomy as a source→domain column instead.
+    */
+  def hierarchicalMixture(
+      documents: DataFrame,
+      budgetPpm: Long = 900000L): DataFrame = {
+    val src = supplyBySource(documents)
+      .withColumn("domain", concat(lit("dom"),
+        shiftrightunsigned(
+          GraftColumns.mix64(GraftColumns.fnv1a64(col("source"))), 3)
+          .bitwiseAND(lit(3L)).cast("string")))
+    val domSup = src.groupBy(col("domain"))
+      .agg(sum(col("supply")).cast("decimal(38,0)").as("supply"))
+      .withColumnRenamed("domain", "source")
+    val lvl1 = allocateFromSupplies(domSup, budgetPpm)
+      .select(col("source").as("domain"),
+        col("alloc_tokens").as("domain_budget"))
+    val keyed = withWeightKey(src)
+      .join(broadcast(lvl1), Seq("domain"))
+      .withColumn("budget", col("domain_budget").cast("decimal(38,0)"))
+    waterfill(keyed, Seq(col("domain")))
+      .select(
+        col("source"),
+        col("domain"),
+        col("supply").cast("bigint").as("supply_tokens"),
+        col("w").cast("bigint").as("weight"),
+        col("domain_budget").as("domain_budget_tokens"),
+        col("capped"),
+        col("alloc").as("alloc_tokens"))
       .orderBy(col("source"))
   }
 

@@ -144,6 +144,28 @@ class OptimalMixtureSpec extends SparkTestBase {
     }
   }
 
+  test("hierarchical solve: per-domain sums hit domain budgets token-exactly") {
+    val rs = Mixture.hierarchicalMixture(docs, budgetPpm = 900000L).collect()
+    val total = rows(1000000L).map(_.supply).sum
+    val budget = BigInt(total) * 900000 / 1000000
+    // global: the two-level allocation spends the whole budget
+    assert(rs.map(r => BigInt(r.getLong(6))).sum == budget)
+    // per domain: inner allocations sum exactly to the domain budget
+    // (level-1 allocations never exceed domain supply)
+    rs.groupBy(_.getString(1)).foreach { case (dom, dr) =>
+      val domBudget = dr.head.getLong(4)
+      assert(dr.forall(_.getLong(4) == domBudget), s"domain $dom")
+      assert(dr.map(r => BigInt(r.getLong(6))).sum == BigInt(domBudget),
+        s"domain $dom")
+      dr.foreach(r => assert(r.getLong(6) <= r.getLong(2), r.toString))
+    }
+    // the content-derived taxonomy actually fans out
+    assert(rs.map(_.getString(1)).distinct.length >= 2)
+    // weights match the flat solve's content-keyed draw
+    val flatW = rows(900000L).map(r => r.source -> r.w).toMap
+    rs.foreach(r => assert(r.getLong(3) == flatW(r.getString(0)), r.toString))
+  }
+
   test("admission realizes each allocation within one straddling document") {
     val audit = Mixture.admissionAudit(docs, budgetPpm = 900000L).collect()
     val maxDocTokens = Tables.documents(spark, sf)

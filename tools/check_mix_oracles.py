@@ -99,6 +99,13 @@ REQUIRED = {
         "supply * (840::HUGEINT // w)",             # exact ratio sort key
         "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
     ],
+    "mixture_hierarchical": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a folds
+        "'dom' || CAST((mx // 8) % 4 AS VARCHAR)",  # domain bits 3-4
+        "OVER (PARTITION BY domain ORDER BY skey, source",  # level-2 windows
+        "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
+    ],
     "mixture_admission_audit": [
         mulm("a1x", C1), mulm("a2", C2),
         "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a folds
