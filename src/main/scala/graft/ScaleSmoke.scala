@@ -346,6 +346,12 @@ object ScaleSmoke {
       // per-source aggregation alone (the solve is a |sources|-row window)
       time("mixture_optimal_alloc", scale)(
         force(Mixture.optimalMixture(docs, budgetPpm = 900000L)))
+      // solve + per-source admission window (the tokenBudgetSample shape)
+      time("mixture_admission_audit", scale)(
+        force(Mixture.admissionAudit(docs, budgetPpm = 900000L)))
+      // two-level solve: both levels are |sources|/|domains|-row windows
+      time("mixture_hierarchical", scale)(
+        force(Mixture.hierarchicalMixture(docs, budgetPpm = 900000L)))
       // per-source exact quantile gate: shuffle on source + the
       // DistributedRank global rank (range partition, no single-partition
       // window); curve should track the corpus sort
