@@ -62,10 +62,16 @@ ${p}4 AS (SELECT $c, xor(z2, z2 // 2147483648) AS mx FROM ${p}3)"""
     * as a quietly wrong oracle. THE single definition: SparkEntry's
     * hand-embedded byte-fold oracles append `= 0` to this same fragment.
     */
-  val asciiGuard: String =
-    "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII text: " +
+  /** [[asciiGuard]] generalized to any documents column the byte-fold
+    * oracles hash (text for the content gates, source for the mixture
+    * weights).
+    */
+  private[graft] def asciiGuardOn(column: String): String =
+    s"(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII $column: " +
       "byte-fold oracle invalid') END FROM documents " +
-      "WHERE strlen(text) <> length(text))"
+      s"WHERE strlen($column) <> length($column))"
+
+  val asciiGuard: String = asciiGuardOn("text")
 
   /** token_topk_cms: the full Count-Min sketch — counters summed from the
     * exact histogram (identical to per-occurrence increments), top-k by
@@ -181,20 +187,58 @@ FROM agg ORDER BY source"""
     * appear only with non-negative operands so DuckDB's floor `//` and
     * Spark's truncating DIV agree.
     */
-  /** The solve's CTE chain alone (ends in `fin` carrying source, supply,
+  /** The water-filling chain as machine-emitted CTE text — the ONE SQL
+    * spelling of the solve (same discipline as [[mixChain]]: a single
+    * emitter, never hand-copied). `from` must carry (`key`, supply, w,
+    * skey, budget [+ any carry columns — SELECT * rides them through]);
+    * `part` set makes every window per-partition (the hierarchical
+    * level-2 form). Ends in `${p}fin` with capped/alloc added.
+    */
+  private def waterfillChain(
+      p: String, from: String, key: String, part: Option[String]): String = {
+    val pb = part.map(c => s"PARTITION BY $c ").getOrElse("")
+    val pw = part.map(c => s"PARTITION BY $c").getOrElse("")
+    s"""${p}wfw AS (SELECT *,
+  coalesce(sum(supply) OVER (${pb}ORDER BY skey, $key
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT)
+    AS cum_s_before,
+  sum(w) OVER (${pb}ORDER BY skey, $key
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_w_from
+  FROM $from),
+${p}wfc AS (SELECT *,
+  supply * rem_w_from <= (budget - cum_s_before) * w AS capped FROM ${p}wfw),
+${p}wfg AS (SELECT *,
+  coalesce(sum(CASE WHEN capped THEN supply END) OVER ($pw), 0::HUGEINT)
+    AS capped_s,
+  coalesce(sum(CASE WHEN NOT capped THEN w END) OVER ($pw), 0::HUGEINT)
+    AS rem_w_star
+  FROM ${p}wfc),
+${p}wfx AS (SELECT *, budget - capped_s AS x_rem FROM ${p}wfg),
+${p}wfb AS (SELECT *,
+  CASE WHEN capped THEN supply ELSE (x_rem * w) // rem_w_star END AS base,
+  CASE WHEN capped THEN 0::HUGEINT ELSE (x_rem * w) % rem_w_star END AS remn
+  FROM ${p}wfx),
+${p}wfr AS (SELECT *,
+  CASE WHEN rem_w_star > 0 THEN sum(remn) OVER ($pw) // rem_w_star
+       ELSE 0::HUGEINT END AS leftover,
+  row_number() OVER (${pb}ORDER BY capped, remn DESC, $key) AS bump_rank
+  FROM ${p}wfb),
+${p}fin AS (SELECT *,
+  base + (CASE WHEN NOT capped AND bump_rank <= leftover
+          THEN 1 ELSE 0 END)::HUGEINT AS alloc
+  FROM ${p}wfr)"""
+  }
+
+  /** The flat solve's CTE chain (ends in `fin` carrying source, supply,
     * w, capped, alloc, budget, w_total) — shared by [[optimalMixtureSql]]
     * and the composed [[admissionAuditSql]].
     */
   private def optimalMixtureCtes(budgetPpm: Long, maxEpochs: Long): String = {
-    val srcGuard =
-      "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII source: " +
-        "byte-fold oracle invalid') END FROM documents " +
-        "WHERE strlen(source) <> length(source))"
     val den = 1000000L * maxEpochs
     s"""srcs AS (
   SELECT source,
     CAST(sum(len(string_split(text, ' '))) AS HUGEINT) * $maxEpochs AS supply
-  FROM documents WHERE $srcGuard = 0
+  FROM documents WHERE ${asciiGuardOn("source")} = 0
   GROUP BY source),
 z AS (SELECT source, supply,
   ((${fnvExpr("source")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
@@ -202,39 +246,11 @@ z AS (SELECT source, supply,
 ${mixChain("omw", "z", Seq("source", "supply"), "z0")},
 wt AS (SELECT source, supply, (mx % 8) + 1::HUGEINT AS w FROM omw4),
 k AS (SELECT source, supply, w, supply * (840::HUGEINT // w) AS skey FROM wt),
-win AS (SELECT source, supply, w,
-  coalesce(sum(supply) OVER (ORDER BY skey, source
-    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT)
-    AS cum_s_before,
-  sum(w) OVER (ORDER BY skey, source
-    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_w_from,
-  sum(supply) OVER () AS t_total,
-  sum(w) OVER () AS w_total
+tot AS (SELECT *, sum(supply) OVER () AS t_total, sum(w) OVER () AS w_total
   FROM k),
-b AS (SELECT *, (t_total * ${budgetPpm}::HUGEINT) // $den AS budget
-  FROM win),
-c AS (SELECT *,
-  supply * rem_w_from <= (budget - cum_s_before) * w AS capped FROM b),
-g AS (SELECT *,
-  coalesce(sum(CASE WHEN capped THEN supply END) OVER (), 0::HUGEINT)
-    AS capped_s,
-  coalesce(sum(CASE WHEN NOT capped THEN w END) OVER (), 0::HUGEINT)
-    AS rem_w_star
-  FROM c),
-a0 AS (SELECT *, budget - capped_s AS x_rem FROM g),
-a1 AS (SELECT *,
-  CASE WHEN capped THEN supply ELSE (x_rem * w) // rem_w_star END AS base,
-  CASE WHEN capped THEN 0::HUGEINT ELSE (x_rem * w) % rem_w_star END AS remn
-  FROM a0),
-a2 AS (SELECT *,
-  CASE WHEN rem_w_star > 0 THEN sum(remn) OVER () // rem_w_star
-       ELSE 0::HUGEINT END AS leftover,
-  row_number() OVER (ORDER BY capped, remn DESC, source) AS bump_rank
-  FROM a1),
-fin AS (SELECT *,
-  base + (CASE WHEN NOT capped AND bump_rank <= leftover
-          THEN 1 ELSE 0 END)::HUGEINT AS alloc
-  FROM a2)"""
+bgt AS (SELECT *, (t_total * ${budgetPpm}::HUGEINT) // $den AS budget
+  FROM tot),
+${waterfillChain("", "bgt", "source", None)}"""
   }
 
   def optimalMixtureSql(
@@ -266,14 +282,10 @@ FROM fin ORDER BY source"""
     * window `PARTITION BY domain` and the domain allocation as budget.
     * Mirrors [[graft.operators.Mixture.hierarchicalMixture]].
     */
-  def hierarchicalMixtureSql(budgetPpm: Long = 900000L): String = {
-    val srcGuard =
-      "(SELECT CASE WHEN count(*) = 0 THEN 0 ELSE error('non-ASCII source: " +
-        "byte-fold oracle invalid') END FROM documents " +
-        "WHERE strlen(source) <> length(source))"
+  def hierarchicalMixtureSql(budgetPpm: Long = 900000L): String =
     s"""WITH l1src AS (
   SELECT source, CAST(sum(len(string_split(text, ' '))) AS HUGEINT) AS supply
-  FROM documents WHERE $srcGuard = 0
+  FROM documents WHERE ${asciiGuardOn("source")} = 0
   GROUP BY source),
 hz AS (SELECT source, supply,
   ((${fnvExpr("source")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
@@ -289,80 +301,21 @@ ${mixChain("hd", "dz", Seq("domain", "supply"), "z0")},
 dwt AS (SELECT domain, supply, (mx % 8) + 1::HUGEINT AS w FROM hd4),
 dk AS (SELECT domain, supply, w, supply * (840::HUGEINT // w) AS skey
   FROM dwt),
-dwin AS (SELECT domain, supply, w,
-  coalesce(sum(supply) OVER (ORDER BY skey, domain
-    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT)
-    AS cum_s_before,
-  sum(w) OVER (ORDER BY skey, domain
-    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_w_from,
-  sum(supply) OVER () AS t_total
-  FROM dk),
-db AS (SELECT *, (t_total * ${budgetPpm}::HUGEINT) // 1000000 AS budget
-  FROM dwin),
-dc AS (SELECT *,
-  supply * rem_w_from <= (budget - cum_s_before) * w AS capped FROM db),
-dg AS (SELECT *,
-  coalesce(sum(CASE WHEN capped THEN supply END) OVER (), 0::HUGEINT)
-    AS capped_s,
-  coalesce(sum(CASE WHEN NOT capped THEN w END) OVER (), 0::HUGEINT)
-    AS rem_w_star
-  FROM dc),
-dx AS (SELECT *, budget - capped_s AS x_rem FROM dg),
-dbs AS (SELECT *,
-  CASE WHEN capped THEN supply ELSE (x_rem * w) // rem_w_star END AS base,
-  CASE WHEN capped THEN 0::HUGEINT ELSE (x_rem * w) % rem_w_star END AS remn
-  FROM dx),
-dr AS (SELECT *,
-  CASE WHEN rem_w_star > 0 THEN sum(remn) OVER () // rem_w_star
-       ELSE 0::HUGEINT END AS leftover,
-  row_number() OVER (ORDER BY capped, remn DESC, domain) AS bump_rank
-  FROM dbs),
-dfin AS (SELECT *,
-  base + (CASE WHEN NOT capped AND bump_rank <= leftover
-          THEN 1 ELSE 0 END)::HUGEINT AS alloc
-  FROM dr),
+dtot AS (SELECT *, sum(supply) OVER () AS t_total FROM dk),
+dbgt AS (SELECT *, (t_total * ${budgetPpm}::HUGEINT) // 1000000 AS budget
+  FROM dtot),
+${waterfillChain("d", "dbgt", "domain", None)},
 k2 AS (SELECT h.source, h.domain, h.supply, h.w,
   h.supply * (840::HUGEINT // h.w) AS skey, dfin.alloc AS budget
   FROM hsrc h JOIN dfin ON h.domain = dfin.domain),
-w2 AS (SELECT *,
-  coalesce(sum(supply) OVER (PARTITION BY domain ORDER BY skey, source
-    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0::HUGEINT)
-    AS cum_s_before,
-  sum(w) OVER (PARTITION BY domain ORDER BY skey, source
-    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem_w_from
-  FROM k2),
-c2 AS (SELECT *,
-  supply * rem_w_from <= (budget - cum_s_before) * w AS capped FROM w2),
-g2 AS (SELECT *,
-  coalesce(sum(CASE WHEN capped THEN supply END)
-    OVER (PARTITION BY domain), 0::HUGEINT) AS capped_s,
-  coalesce(sum(CASE WHEN NOT capped THEN w END)
-    OVER (PARTITION BY domain), 0::HUGEINT) AS rem_w_star
-  FROM c2),
-x2 AS (SELECT *, budget - capped_s AS x_rem FROM g2),
-b2 AS (SELECT *,
-  CASE WHEN capped THEN supply ELSE (x_rem * w) // rem_w_star END AS base,
-  CASE WHEN capped THEN 0::HUGEINT ELSE (x_rem * w) % rem_w_star END AS remn
-  FROM x2),
-r2 AS (SELECT *,
-  CASE WHEN rem_w_star > 0
-       THEN sum(remn) OVER (PARTITION BY domain) // rem_w_star
-       ELSE 0::HUGEINT END AS leftover,
-  row_number() OVER (PARTITION BY domain ORDER BY capped, remn DESC, source)
-    AS bump_rank
-  FROM b2),
-f2 AS (SELECT *,
-  base + (CASE WHEN NOT capped AND bump_rank <= leftover
-          THEN 1 ELSE 0 END)::HUGEINT AS alloc
-  FROM r2)
+${waterfillChain("h", "k2", "source", Some("domain"))}
 SELECT source, domain,
   CAST(supply AS BIGINT) AS supply_tokens,
   CAST(w AS BIGINT) AS weight,
   CAST(budget AS BIGINT) AS domain_budget_tokens,
   capped,
   CAST(alloc AS BIGINT) AS alloc_tokens
-FROM f2 ORDER BY source"""
-  }
+FROM hfin ORDER BY source"""
 
   /** mixture_admission_audit: the solve ACTUATED — each source admits
     * documents in the content-keyed priority order of tokenBudgetSample

@@ -608,13 +608,15 @@ FROM allp ORDER BY pick""".stripMargin
     * order, and keep counts are exact ceilings `(keepPpm*n + 999999) DIV
     * 1e6` in BIGINT.
     *
-    * Scale shape: per-source ranks are one shuffle on source (a sort per
-    * stratum — exact quantile gating IS a per-source sort; an approximate
-    * variant would gate on approx_percentile thresholds instead). The
-    * GLOBAL rank deliberately avoids the single-partition window trap via
-    * [[DistributedRank.withGlobalRank]] (range partition + per-partition
-    * offsets); source/total counts ride a broadcast source dimension, not
-    * a whole-corpus window.
+    * Scale shape: ONE corpus scan — per-source ranks are one shuffle on
+    * source (a sort per stratum — exact quantile gating IS a per-source
+    * sort; an approximate variant would gate on approx_percentile
+    * thresholds instead), and src_n rides the same source exchange as a
+    * count window. The GLOBAL rank deliberately avoids the
+    * single-partition window trap via
+    * [[DistributedRank.withGlobalRankAndCount]] (range partition +
+    * per-partition offsets), which also yields the exact total count from
+    * the offset-building job — no second scan for either denominator.
     */
   def perSourceQualityGate(
       documents: DataFrame,
@@ -624,23 +626,18 @@ FROM allp ORDER BY pick""".stripMargin
     val toks = split(col("text"), " ")
     val scored = documents.select(col("doc_id"), col("source"),
       qualityScore(toks, stopwords).as("quality_score"))
-    val srcDim = scored.groupBy(col("source"))
-      .agg(count(lit(1)).as("src_n"))
-      .withColumn("total_n",
-        sum(col("src_n")).over(
-          Window.orderBy(col("source"))
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val bySrc = Window.partitionBy(col("source"))
       .orderBy(col("quality_score").desc, col("doc_id"))
-    DistributedRank
-      .withGlobalRank(scored,
-        Seq(col("quality_score").desc, col("doc_id")), "global_rank")
+    val (ranked, totalN) = DistributedRank.withGlobalRankAndCount(scored,
+      Seq(col("quality_score").desc, col("doc_id")), "global_rank")
+    ranked
       .withColumn("src_rank", row_number().over(bySrc).cast("long"))
-      .join(broadcast(srcDim), Seq("source"))
+      .withColumn("src_n",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
       .withColumn("kept",
         expr(s"src_rank <= ($keepPpm * src_n + 999999) DIV 1000000"))
       .withColumn("kept_global",
-        expr(s"global_rank <= ($keepPpm * total_n + 999999) DIV 1000000"))
+        expr(s"global_rank <= ($keepPpm * ${totalN}L + 999999) DIV 1000000"))
       .withColumn("status",
         when(col("kept") && col("kept_global"), "kept")
           .when(col("kept") && !col("kept_global"), "rescued")

@@ -123,6 +123,18 @@ object DistributedRank {
       numParts: Int = 0): DataFrame =
     rankedWithN(df, sortCols, rankCol, numParts)._1
 
+  /** [[withGlobalRank]] plus the exact row count n — the count is computed
+    * by the same per-partition counting job that builds the rank offsets,
+    * so callers needing "rank out of n" (quantile gates) get n for free
+    * instead of paying a second scan.
+    */
+  def withGlobalRankAndCount(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String = "global_rank",
+      numParts: Int = 0): (DataFrame, Long) =
+    rankedWithN(df, sortCols, rankCol, numParts)
+
   /** ntile / percent_rank / cume_dist derived arithmetically from the
     * exact global rank — bit-identical to the window-function definitions
     * (same IEEE divisions Spark's PercentRank/CumeDist evaluate), no

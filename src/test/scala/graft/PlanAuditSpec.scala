@@ -822,7 +822,7 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s)
   }
 
-  test("per_source_quality_gate: global rank range-partitions; dim broadcasts") {
+  test("per_source_quality_gate: one scan, range-partitioned rank, no 1-task window") {
     val df = graft.operators.Curation.perSourceQualityGate(
       Tables.documents(spark, sf), Seq("the", "a", "of", "and"))
     try {
@@ -832,15 +832,18 @@ class PlanAuditSpec extends SparkTestBase {
       // never a single-partition global window sort
       assert(s.contains("rangepartitioning") || s.contains("RangePartitioning"),
         s)
-      assert(s.contains("BroadcastExchange") || s.contains("BroadcastHashJoin"),
-        s"src_n/total_n dimension must broadcast:\n$s")
       assert(!s.contains("CartesianProduct"), s)
-      // no corpus-sized single-partition sort: every Sort over the doc
-      // frame sits above a source- or range-partitioned exchange (the only
-      // SinglePartition exchange permitted is the |sources|-row dim window)
+      // src_n rides the same source exchange as src_rank and total_n comes
+      // from the rank offsets' counting job: NO single-partition exchange
+      // anywhere in the gate
       val singles = allExchanges(plan).filter(
         _.outputPartitioning.toString.contains("SinglePartition"))
-      assert(singles.size <= 1, s"unexpected single-partition exchanges:\n$s")
+      assert(singles.isEmpty, s"unexpected single-partition exchanges:\n$s")
+      // and one scan leaf feeds everything (the ranked frame is the
+      // persisted range-partitioned cache, not a re-read of documents)
+      val docScans = deepLeaves(plan).map(_.toString)
+        .count(_.contains("documents"))
+      assert(docScans <= 1, s"gate must not rescan documents:\n$s")
     } finally graft.operators.DistributedRank.release(spark)
   }
 }
