@@ -233,12 +233,15 @@ ${p}fin AS (SELECT *,
     * w, capped, alloc, budget, w_total) — shared by [[optimalMixtureSql]]
     * and the composed [[admissionAuditSql]].
     */
-  private def optimalMixtureCtes(budgetPpm: Long, maxEpochs: Long): String = {
+  private def optimalMixtureCtes(
+      budgetPpm: Long,
+      maxEpochs: Long,
+      docsRel: String = "documents"): String = {
     val den = 1000000L * maxEpochs
     s"""srcs AS (
   SELECT source,
     CAST(sum(len(string_split(text, ' '))) AS HUGEINT) * $maxEpochs AS supply
-  FROM documents WHERE ${asciiGuardOn("source")} = 0
+  FROM $docsRel WHERE ${asciiGuardOn("source")} = 0
   GROUP BY source),
 z AS (SELECT source, supply,
   ((${fnvExpr("source")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
@@ -273,6 +276,44 @@ SELECT source,
        END AS achieved_share_ppm,
   CASE WHEN supply > 0 THEN CAST((alloc * 1000000) // supply AS BIGINT)
        END AS utilization_ppm$epochCol
+FROM fin ORDER BY source"""
+  }
+
+  /** curated_mixture_alloc: curate-then-budget — the per-source quality
+    * keep rule (same IEEE score expression and ceiling as
+    * per_source_quality_gate) materialized as a CTE, then the SAME solve
+    * chain over the surviving documents. Mirrors
+    * [[graft.operators.Mixture.curatedMixture]].
+    */
+  def curatedMixtureSql(
+      stopwordsSqlList: String,
+      keepPpm: Long = 500000L,
+      budgetPpm: Long = 900000L): String = {
+    val q =
+      s"""least(CAST(len(toks) AS BIGINT) / 50.0, 1.0) * 0.5
+      + (CAST(len(list_distinct(toks)) AS BIGINT) / CAST(len(toks) AS BIGINT)) * 0.3
+      + (CAST(len(list_filter(toks, x -> x IN ($stopwordsSqlList))) AS BIGINT) / CAST(len(toks) AS BIGINT)) * 0.2"""
+    s"""WITH gsc AS (
+  SELECT doc_id, source, text, $q AS q
+  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS toks
+        FROM documents)),
+grk AS (SELECT *,
+  row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS r,
+  count(*) OVER (PARTITION BY source) AS n
+  FROM gsc),
+gkept AS (SELECT doc_id, source, text FROM grk
+  WHERE r <= ($keepPpm * n + 999999) // 1000000),
+${optimalMixtureCtes(budgetPpm, 1L, "gkept")}
+SELECT source,
+  CAST(supply AS BIGINT) AS supply_tokens,
+  CAST(w AS BIGINT) AS weight,
+  capped,
+  CAST(alloc AS BIGINT) AS alloc_tokens,
+  CAST((w * 1000000) // w_total AS BIGINT) AS target_share_ppm,
+  CASE WHEN budget > 0 THEN CAST((alloc * 1000000) // budget AS BIGINT)
+       END AS achieved_share_ppm,
+  CASE WHEN supply > 0 THEN CAST((alloc * 1000000) // supply AS BIGINT)
+       END AS utilization_ppm
 FROM fin ORDER BY source"""
   }
 

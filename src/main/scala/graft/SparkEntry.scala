@@ -456,6 +456,11 @@ object SparkEntry {
     "mixture_hierarchical" -> ((s, dir) =>
       graft.operators.Mixture.hierarchicalMixture(Tables.documents(s, dir),
         budgetPpm = 900000L)),
+    // Curate-then-budget: the solve over each source's quality survivors
+    // (gate order changes the capped set — made exact here).
+    "curated_mixture_alloc" -> ((s, dir) =>
+      graft.operators.Mixture.curatedMixture(Tables.documents(s, dir),
+        stopwords, keepPpm = 500000L, budgetPpm = 900000L)),
     // Edit-distance audit of those clusters (bounded to member-keeper pairs).
     "cluster_edit_distances" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -3609,6 +3614,8 @@ object SparkEntry {
       budgetPpm = 900000L),
     "mixture_hierarchical" -> SketchOracles.hierarchicalMixtureSql(
       budgetPpm = 900000L),
+    "curated_mixture_alloc" -> SketchOracles.curatedMixtureSql(
+      stopwordsSqlList, keepPpm = 500000L, budgetPpm = 900000L),
 
     // ---- round 8 ---------------------------------------------------------
 

@@ -496,6 +496,33 @@ object Mixture {
       .orderBy(col("source"))
   }
 
+  /** Curate-then-budget — the realistic pipeline order: drop each source's
+    * quality tail FIRST (the same per-source keep rule as
+    * [[Curation.perSourceQualityGate]], spec-asserted identical), then
+    * water-fill the budget over the SURVIVING supplies. Quality gating
+    * changes the solve's inputs non-uniformly (low-quality sources lose
+    * more tokens), so the capped set and shares differ from gating after —
+    * the ordering every curation pipeline argues about, made exact. One
+    * corpus scan + the source rank shuffle feed the supply aggregation.
+    */
+  def curatedMixture(
+      documents: DataFrame,
+      stopwords: Seq[String],
+      keepPpm: Long = 500000L,
+      budgetPpm: Long = 900000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    val kept = documents
+      .withColumn("q", Curation.qualityScore(split(col("text"), " "), stopwords))
+      .withColumn("r", row_number().over(bySrc).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .filter(expr(s"r <= ($keepPpm * n + 999999) DIV 1000000"))
+      .select(col("doc_id"), col("source"), col("text"))
+    optimalMixture(kept, budgetPpm)
+  }
+
   /** Hierarchical two-level allocation — the nested form every real
     * mixture config takes (Pile-style: budget domains first — web / code /
     * books — then sources within each domain): level 1 water-fills the

@@ -166,6 +166,26 @@ class OptimalMixtureSpec extends SparkTestBase {
     rs.foreach(r => assert(r.getLong(3) == flatW(r.getString(0)), r.toString))
   }
 
+  test("curate-then-budget solves over exactly the quality gate's kept set") {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and")
+    val curated = Mixture.curatedMixture(docs, stop).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent derivation of the same supplies via the full gate
+    val keptIds = graft.operators.Curation.perSourceQualityGate(docs, stop)
+      .filter(col("kept")).select(col("doc_id"))
+    val wantSupply = docs.join(keptIds, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.DistributedRank.release(spark)
+    assert(curated == wantSupply.map { case (s, t) => s -> t })
+    // gating changes the solve's inputs (tails dropped non-uniformly), so
+    // the curated allocation is not just a rescale of the ungated one
+    val ungated = rows(900000L).map(r => r.source -> r.supply).toMap
+    assert(curated.exists { case (s, t) => t < ungated(s) })
+  }
+
   test("admission realizes each allocation within one straddling document") {
     val audit = Mixture.admissionAudit(docs, budgetPpm = 900000L).collect()
     val maxDocTokens = Tables.documents(spark, sf)

@@ -99,6 +99,13 @@ REQUIRED = {
         "supply * (840::HUGEINT // w)",             # exact ratio sort key
         "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
     ],
+    "curated_mixture_alloc": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold (source)
+        "r <= (500000 * n + 999999) // 1000000",    # per-source keep rule
+        "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
+        "FROM gkept",                               # solve reads survivors
+    ],
     "mixture_hierarchical": [
         mulm("a1x", C1), mulm("a2", C2),
         "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a folds
