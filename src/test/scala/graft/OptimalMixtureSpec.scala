@@ -166,6 +166,33 @@ class OptimalMixtureSpec extends SparkTestBase {
     rs.foreach(r => assert(r.getLong(3) == flatW(r.getString(0)), r.toString))
   }
 
+  test("hierarchical level 2 equals independent flat solves per domain") {
+    import spark.implicits._
+    val hier = Mixture.hierarchicalMixture(docs, budgetPpm = 900000L).collect()
+    hier.groupBy(_.getString(1)).foreach { case (dom, dr) =>
+      // re-solve this domain ALONE with its level-1 budget at 100% of a
+      // synthetic corpus whose total supply IS the budget: instead, feed
+      // allocateFromSupplies the domain's sources and express the budget
+      // as ppm of the domain supply scaled exactly (budget*1e6/supply is
+      // not integral in general, so use budgetDen = domain supply and
+      // budgetPpm = budget: floor(supply * budget / supply) = budget).
+      val domBudget = dr.head.getLong(4)
+      val supplies = dr.toSeq
+        .map(r => (r.getString(0), BigDecimal(r.getLong(2)))).toDF("source", "supply")
+        .select(col("source"), col("supply").cast("decimal(38,0)").as("supply"))
+      val domSupply = dr.map(_.getLong(2)).sum
+      val flat = Mixture.allocateFromSupplies(
+        supplies, budgetPpm = domBudget, budgetDen = domSupply.max(1L))
+        .collect().map(r => r.getString(0) ->
+          ((r.getBoolean(3), r.getLong(4)))).toMap
+      dr.foreach { r =>
+        val (capped, alloc) = flat(r.getString(0))
+        assert(capped == r.getBoolean(5) && alloc == r.getLong(6),
+          s"domain $dom source ${r.getString(0)}")
+      }
+    }
+  }
+
   test("curate-then-budget solves over exactly the quality gate's kept set") {
     import spark.implicits._
     val stop = Seq("the", "a", "of", "and")
