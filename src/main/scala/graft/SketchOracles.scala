@@ -243,10 +243,10 @@ ${p}fin AS (SELECT *,
     CAST(sum(len(string_split(text, ' '))) AS HUGEINT) * $maxEpochs AS supply
   FROM $docsRel WHERE ${asciiGuardOn("source")} = 0
   GROUP BY source),
-z AS (SELECT source, supply,
+omz AS (SELECT source, supply,
   ((${fnvExpr("source")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
   FROM srcs),
-${mixChain("omw", "z", Seq("source", "supply"), "z0")},
+${mixChain("omw", "omz", Seq("source", "supply"), "z0")},
 wt AS (SELECT source, supply, (mx % 8) + 1::HUGEINT AS w FROM omw4),
 k AS (SELECT source, supply, w, supply * (840::HUGEINT // w) AS skey FROM wt),
 tot AS (SELECT *, sum(supply) OVER () AS t_total, sum(w) OVER () AS w_total
@@ -366,8 +366,12 @@ FROM hfin ORDER BY source"""
     * with the tokenBudget admission chain; admission CTEs are
     * `ad*`-prefixed to avoid colliding with the solve's names.
     */
-  def admissionAuditSql(budgetPpm: Long = 900000L): String =
-    s"""WITH ${optimalMixtureCtes(budgetPpm, 1L)},
+  /** Solve + per-document admission chain: ends in `fin` (allocations)
+    * and `ac` (per-doc source-ordered cumulative tokens) — shared by
+    * [[admissionAuditSql]] and [[mixtureTrainManifestSql]].
+    */
+  private def admissionCtes(budgetPpm: Long): String =
+    s"""${optimalMixtureCtes(budgetPpm, 1L)},
 ad AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS tokens,
     ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
@@ -379,7 +383,10 @@ ac AS (SELECT doc_id, source, tokens,
   CAST(sum(tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS cum_tokens
-  FROM au),
+  FROM au)"""
+
+  def admissionAuditSql(budgetPpm: Long = 900000L): String =
+    s"""WITH ${admissionCtes(budgetPpm)},
 adm_rollup AS (
   SELECT ac.source,
     count(*) AS admitted_docs,
@@ -397,6 +404,24 @@ SELECT fin.source,
     AS overshoot_tokens
 FROM fin LEFT JOIN adm_rollup ON fin.source = adm_rollup.source
 ORDER BY fin.source"""
+
+  /** mixture_train_manifest: the full budget→batches loop — the admitted
+    * corpus (solve + admission chains) fed through the training-batch
+    * manifest pipeline (HRW shard, per-shard cumsum, bin rollup) in ONE
+    * statement. Mirrors Pack.trainingBatchManifest over
+    * Mixture.admittedDocs.
+    */
+  def mixtureTrainManifestSql(
+      budgetPpm: Long = 900000L,
+      binTokens: Int = 2048,
+      shards: Int = 32): String =
+    trainingBatchManifestSql(binTokens, shards, source = "madm",
+      prefixCtes = s"""${admissionCtes(budgetPpm)},
+adm_kept AS (SELECT ac.doc_id FROM ac JOIN fin ON ac.source = fin.source
+  WHERE ac.cum_tokens - ac.tokens < CAST(fin.alloc AS BIGINT)),
+madm AS (SELECT dd.doc_id, dd.text FROM documents dd
+  JOIN adm_kept ON dd.doc_id = adm_kept.doc_id),
+""")
 
   /** quality_weighted_sample: the per-document-rate gate — same fnv+mix64
     * text uniform as the mixture gate, but the rate is computed from the

@@ -461,6 +461,14 @@ object SparkEntry {
     "curated_mixture_alloc" -> ((s, dir) =>
       graft.operators.Mixture.curatedMixture(Tables.documents(s, dir),
         stopwords, keepPpm = 500000L, budgetPpm = 900000L)),
+    // Budget -> admitted corpus -> loader batches, one plan: the admitted
+    // docs packed by the HRW + cumsum manifest pipeline.
+    "mixture_train_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Pack.trainingBatchManifest(
+        docs.join(graft.operators.Mixture.admittedDocs(docs, 900000L)
+          .select(col("doc_id")), Seq("doc_id")))
+    }),
     // Edit-distance audit of those clusters (bounded to member-keeper pairs).
     "cluster_edit_distances" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -3616,6 +3624,8 @@ object SparkEntry {
       budgetPpm = 900000L),
     "curated_mixture_alloc" -> SketchOracles.curatedMixtureSql(
       stopwordsSqlList, keepPpm = 500000L, budgetPpm = 900000L),
+    "mixture_train_manifest" -> SketchOracles.mixtureTrainManifestSql(
+      budgetPpm = 900000L),
 
     // ---- round 8 ---------------------------------------------------------
 

@@ -585,17 +585,17 @@ object Mixture {
     * scan with a per-source window cumsum (the tokenBudgetSample shape);
     * the 20-row allocation broadcasts into the admission filter.
     */
-  def admissionAudit(
-      documents: DataFrame,
-      budgetPpm: Long = 900000L): DataFrame = {
+  /** Documents admitted under a standing allocation frame: the
+    * tokenBudgetSample order (content-keyed priority, doc_id ties) with
+    * the per-source budget joined from `alloc` instead of a constant map.
+    */
+  private def admittedUnder(
+      documents: DataFrame, alloc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val alloc = optimalMixture(documents, budgetPpm)
-      .select(col("source"), col("supply_tokens"), col("alloc_tokens"),
-        col("capped"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("pick_pri"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val admitted = documents
+    documents
       .select(col("doc_id"), col("source"),
         graft.functions.TextAnalysis.wsTokenCount(col("text")).as("tokens"),
         textUniform(col("text")).as("pick_pri"))
@@ -603,6 +603,26 @@ object Mixture {
       .join(broadcast(alloc.select(col("source"), col("alloc_tokens"))),
         Seq("source"))
       .filter(col("cum_tokens") - col("tokens") < col("alloc_tokens"))
+      .select(col("doc_id"), col("source"), col("tokens"), col("cum_tokens"))
+  }
+
+  /** The budget-admitted corpus as per-document rows (doc_id, source,
+    * tokens, cum_tokens) — the solve's alloc actuating document selection;
+    * [[admissionAudit]] is its per-source rollup and
+    * [[SparkEntry]]'s mixture_train_manifest packs it into loader batches.
+    */
+  def admittedDocs(
+      documents: DataFrame,
+      budgetPpm: Long = 900000L): DataFrame =
+    admittedUnder(documents, optimalMixture(documents, budgetPpm))
+
+  def admissionAudit(
+      documents: DataFrame,
+      budgetPpm: Long = 900000L): DataFrame = {
+    val alloc = optimalMixture(documents, budgetPpm)
+      .select(col("source"), col("supply_tokens"), col("alloc_tokens"),
+        col("capped"))
+    val admitted = admittedUnder(documents, alloc)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("admitted_docs"),
         sum(col("tokens")).as("admitted_tokens"))

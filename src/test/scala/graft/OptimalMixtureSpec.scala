@@ -193,6 +193,15 @@ class OptimalMixtureSpec extends SparkTestBase {
     }
   }
 
+  test("train manifest packs exactly the admitted token mass") {
+    val admitted = Mixture.admittedDocs(docs, 900000L)
+    val total = admitted.agg(sum(col("tokens"))).head().getLong(0)
+    val manifest = graft.operators.Pack.trainingBatchManifest(
+      docs.join(admitted.select(col("doc_id")), Seq("doc_id")))
+    val packed = manifest.agg(sum(col("fill_tokens"))).head().getLong(0)
+    assert(packed == total, s"packed $packed vs admitted $total")
+  }
+
   test("curate-then-budget solves over exactly the quality gate's kept set") {
     import spark.implicits._
     val stop = Seq("the", "a", "of", "and")

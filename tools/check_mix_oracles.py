@@ -99,6 +99,14 @@ REQUIRED = {
         "supply * (840::HUGEINT // w)",             # exact ratio sort key
         "supply * rem_w_from <= (budget - cum_s_before) * w",  # cap test
     ],
+    "mixture_train_manifest": [
+        mulm("a1x", C1), mulm("a2", C2),
+        "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a folds
+        "supply * rem_w_from <= (budget - cum_s_before) * w",  # solve
+        "ac.cum_tokens - ac.tokens < CAST(fin.alloc AS BIGINT)",  # admit
+        "FROM madm",                                # manifest reads admitted
+        "row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s)",  # HRW
+    ],
     "curated_mixture_alloc": [
         mulm("a1x", C1), mulm("a2", C2),
         "(xor(h, b) * 1099511628211::HUGEINT)",     # FNV-1a fold (source)
