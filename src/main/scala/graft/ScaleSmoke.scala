@@ -352,6 +352,14 @@ object ScaleSmoke {
       // two-level solve: both levels are |sources|/|domains|-row windows
       time("mixture_hierarchical", scale)(
         force(Mixture.hierarchicalMixture(docs, budgetPpm = 900000L)))
+      // gate windows + solve (one scan + source shuffle feed the supplies)
+      time("curated_mixture_alloc", scale)(
+        force(Mixture.curatedMixture(docs, Seq("the", "a", "of", "and"))))
+      // budget -> admitted corpus -> HRW/bin manifest, one plan
+      time("mixture_train_manifest", scale)(
+        force(graft.operators.Pack.trainingBatchManifest(
+          docs.join(Mixture.admittedDocs(docs, 900000L)
+            .select(col("doc_id")), Seq("doc_id")))))
       // per-source exact quantile gate: shuffle on source + the
       // DistributedRank global rank (range partition, no single-partition
       // window); curve should track the corpus sort
