@@ -17,24 +17,45 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** One live persisted fingerprint frame per session (the
-    * [[graft.operators.Curation]] lifecycle pattern): a new wide funnel
-    * call releases the previous call's frame, and [[release]] lets callers
-    * drop it eagerly. Bounded by construction — at most one entry per
-    * SparkSession.
+  /** The live persisted fingerprint frames of the session's most recent
+    * near-dup/funnel call (the [[graft.operators.Curation]] lifecycle
+    * pattern, widened to a SET because [[incrementalCrossmodal]] holds two
+    * frames at once): a new call releases the previous call's frames, and
+    * [[release]] lets callers drop them eagerly. Bounded by construction —
+    * at most one entry (≤2 frames) per SparkSession.
     */
   private val liveCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, List[DataFrame]]()
 
-  /** Unpersist the session's live cross-modal fingerprint frame, if any. */
+  /** Unpersist the session's live fingerprint frames, if any. */
   def release(spark: SparkSession): Unit = {
     val prev = liveCache.remove(spark)
-    if (prev != null) prev.unpersist(blocking = false)
+    if (prev != null) prev.foreach(_.unpersist(blocking = false))
   }
 
-  private def trackPersisted(df: DataFrame): Unit = {
-    val prev = liveCache.put(df.sparkSession, df)
-    if (prev != null) prev.unpersist(blocking = false)
+  /** Persist codec-derived fingerprint frames for the duration of one
+    * operator call, EAGERLY (a materializing count), so the real decodes
+    * (javax.imageio / javax.sound, the dominant cost of every near-dup
+    * pipeline here) run exactly once, serially, BEFORE the band join /
+    * flag chain fans the frame out into 2-3 plan branches. Unlike
+    * [[graft.operators.Curation.funnel]]'s width-gated persist (where the
+    * cached frame carries the corpus text column and materialization can
+    * cost more than a narrow re-scan), these frames are 20-44 bytes/row
+    * against a per-row codec recompute — the tradeoff never flips, at any
+    * corpus size or storage backing (a cached range-generator corpus has
+    * tiny scan-byte stats but pays the full decode per branch, which is
+    * exactly the case a scan-size gate misses). Eager rather than lazy
+    * because the consumers are independent shuffle-map stages of ONE job:
+    * submitted concurrently, each would race to compute the same cache
+    * partition and the decode could still run per-branch.
+    */
+  private def persistFingerprints(dfs: DataFrame*): Seq[DataFrame] = {
+    release(dfs.head.sparkSession)
+    val cached = dfs.map(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    liveCache.put(dfs.head.sparkSession, cached.toList)
+    cached.foreach(_.count())
+    cached
   }
 
   val metaSchema: StructType = StructType(Seq(
@@ -391,11 +412,12 @@ object Multimodal {
     */
   def imageNearDups(
       spark: SparkSession, documents: DataFrame,
-      maxHamming: Int = 2): DataFrame =
-    graft.operators.Dedup.bandedHammingPairs(
+      maxHamming: Int = 2): DataFrame = {
+    val Seq(fps) = persistFingerprints(
       imageFingerprintsRaw(documents)
-        .select(col("doc_id"), col("dhash").as("fp")),
-      maxHamming)
+        .select(col("doc_id"), col("dhash").as("fp")))
+    graft.operators.Dedup.bandedHammingPairs(fps, maxHamming)
+  }
 
   val audioFpSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -491,7 +513,8 @@ object Multimodal {
     graft.operators.Dedup.collapsedHammingPairs(
       audioFingerprintsRaw(documents)
         .select(col("doc_id"), col("afp").as("fp")),
-      maxHamming)
+      maxHamming,
+      classes => persistFingerprints(classes).head)
 
   /** [[imageNearDups]] through the same collapse-then-band scale path —
     * the exact mitigation the plain banding's 100× scaling analysis
@@ -504,7 +527,8 @@ object Multimodal {
     graft.operators.Dedup.collapsedHammingPairs(
       imageFingerprintsRaw(documents)
         .select(col("doc_id"), col("dhash").as("fp")),
-      maxHamming)
+      maxHamming,
+      classes => persistFingerprints(classes).head)
 
   val crossmodalFpSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -520,8 +544,8 @@ object Multimodal {
     * documents frame (the fingerprint stage of a streaming ingest feeds a
     * stream-static banded join or a standing digest index exactly like the
     * text-digest stages of [[graft.streaming.StreamingAgg]]); batch ≡
-    * stream row-for-row, spec-pinned. A production funnel over a hot
-    * corpus persists this frame (44-byte rows) before the stage gates.
+    * stream row-for-row, spec-pinned. The batch funnel/near-dup consumers
+    * persist this frame ([[persistFingerprints]]) before their stage gates.
     */
   def crossmodalFingerprints(documents: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(crossmodalFpSchema)
@@ -559,16 +583,14 @@ object Multimodal {
     * FLAGS on one fingerprint frame folded by a single conditional
     * aggregate, not six recomputed count subtrees; only the two near-dup
     * stages add a join (banded drops, then a broadcast-size anti marker).
-    * The fingerprint scan is recomputed for the two drop subtrees — at
-    * production scale a caller would persist [[crossmodalFingerprints]]'s
-    * 44-byte rows first (same persist-threshold reasoning as
-    * Curation.funnel).
+    * The fingerprint frame is persisted eagerly ([[persistFingerprints]])
+    * so the drop subtrees and the final fold read 44-byte cached rows
+    * instead of re-running the three codecs per branch.
     */
   def crossmodalDedupFunnel(
       spark: SparkSession, documents: DataFrame,
-      maxHamming: Int = 2,
-      persistThresholdBytes: Long = 1L << 30): DataFrame = {
-    val g5 = crossmodalFlags(documents, maxHamming, persistThresholdBytes)
+      maxHamming: Int = 2): DataFrame = {
+    val g5 = crossmodalFlags(documents, maxHamming)
     def stageRow(id: Int, name: String, c: org.apache.spark.sql.Column) =
       struct(lit(id).as("stage_idx"), lit(name).as("stage"), c.as("survivors"))
     g5.agg(
@@ -596,9 +618,8 @@ object Multimodal {
     */
   def crossmodalSurvivors(
       spark: SparkSession, documents: DataFrame,
-      maxHamming: Int = 2,
-      persistThresholdBytes: Long = 1L << 30): DataFrame =
-    crossmodalFlags(documents, maxHamming, persistThresholdBytes)
+      maxHamming: Int = 2): DataFrame =
+    crossmodalFlags(documents, maxHamming)
       .filter(col("f5")).select(col("doc_id"))
 
   /** The funnel's flagged frame: one row per doc with the cumulative gate
@@ -607,29 +628,14 @@ object Multimodal {
     *
     * The fingerprint frame feeds three plan branches (the two banded-drop
     * subtrees and the final consumer), each of which would re-decode every
-    * payload. Same estimated-scan-size gate as
-    * [[graft.operators.Curation.funnel]]: above `persistThresholdBytes`
-    * the 28-byte-per-doc fingerprint frame is persisted (MEMORY_AND_DISK,
-    * lifecycle-tracked — see [[release]]) so the three codecs run ONCE;
-    * below it the recompute costs less than materializing the cache.
+    * payload, so the 44-byte-per-doc frame is persisted eagerly
+    * ([[persistFingerprints]] — lifecycle-tracked, see [[release]]) and
+    * the three codecs run ONCE regardless of corpus size or backing.
     */
   private def crossmodalFlags(
-      documents: DataFrame, maxHamming: Int,
-      persistThresholdBytes: Long): DataFrame = {
+      documents: DataFrame, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fps0 = crossmodalFingerprints(documents)
-    val scanBytes = documents.queryExecution.optimizedPlan.stats.sizeInBytes
-    val fps =
-      if (scanBytes >= persistThresholdBytes) {
-        val f = fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        trackPersisted(f)
-        f
-      } else {
-        // lifecycle still holds on the recompute path: a narrow funnel
-        // call must not leave a PREVIOUS wide call's frame pinned
-        release(documents.sparkSession)
-        fps0
-      }
+    val Seq(fps) = persistFingerprints(crossmodalFingerprints(documents))
     val f1 = fps.withColumn("f1",
       col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("afp"))))
     val dropsA = graft.operators.Dedup.bandedHammingPairs(
@@ -718,7 +724,8 @@ object Multimodal {
     graft.operators.Dedup.collapsedHammingPairs(
       videoSignaturesRaw(documents, stride)
         .select(col("doc_id"), col("vsig").as("fp")),
-      maxHamming)
+      maxHamming,
+      classes => persistFingerprints(classes).head)
 
   /** Incremental cross-modal dedup — the arrival-batch form of
     * [[crossmodalDedupFunnel]] against a STANDING corpus, composing the
@@ -743,8 +750,10 @@ object Multimodal {
       spark: SparkSession, newDocs: DataFrame, corpus: DataFrame,
       maxHamming: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val arr = crossmodalFingerprints(newDocs)
-    val corp = crossmodalFingerprints(corpus)
+    // both frames fan out into 3 branches each (two banded probes/indexes
+    // + the digest anti-join / survivor base) — decode each corpus once
+    val Seq(arr, corp) = persistFingerprints(
+      crossmodalFingerprints(newDocs), crossmodalFingerprints(corpus))
     val dropA = graft.operators.Dedup.bandedHammingMatches(
       arr.select(col("doc_id"), col("afp").as("fp")),
       corp.select(col("afp").as("fp")).distinct(), maxHamming)

@@ -637,12 +637,20 @@ object Dedup {
     * the number of underlying document pairs each edge represents.
     * Output: `(rep_a, rep_b, hamming, pair_count)` with hamming in
     * [1, maxHamming] (0 is impossible between distinct fingerprints).
+    *
+    * `materializeClasses` lets a caller with an expensive fingerprint
+    * subtree (a real codec decode per row) pin the collapsed class frame
+    * before the band self-join consumes it twice — the persist belongs
+    * HERE, after the groupBy, not on the raw fingerprints: the classes
+    * frame is the smallest cut that covers both join branches, so one
+    * decode AND one collapse shuffle serve the whole pair enumeration.
     */
   def collapsedHammingPairs(
       fps: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val classes = fps.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("members"))
+      maxHamming: Int,
+      materializeClasses: DataFrame => DataFrame = identity): DataFrame = {
+    val classes = materializeClasses(fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("members")))
     bandedPairs(classes, maxHamming, Seq("members"))
       .select(
         col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("hamming"),
