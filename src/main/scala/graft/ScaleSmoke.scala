@@ -453,6 +453,12 @@ object ScaleSmoke {
       time("bpe_merges_256", scale)(
         force(graft.operators.BpeTrainer.learnMerges(
           bpeDocs, 256, maxVocabRows = 4000000)))
+      // trained quality classifier: 12 GD rounds, each ONE map-only
+      // scoring pass over the persisted 65-long feature frame + ONE
+      // 65-key map-side-combined shuffle; the curve should track the
+      // n-gram explode (the feature build), not iterations x corpus
+      time("quality_classifier", scale)(
+        force(graft.operators.QualityClassifier.scoreConfusion(docs)))
       // retrieval additions: BM25 is two stateless scan passes (stats
       // 1-row broadcast + scoring top-k) — the curve should be pure scan;
       // PMI is the bigram explode into a vocab²-bounded aggregate, so its

@@ -988,6 +988,18 @@ object SparkEntry {
     // through the same exact-arithmetic fit, profiled by majority source.
     "text_kmeans_domains" -> ((s, dir) =>
       graft.operators.KMeans.textDomains(Tables.documents(s, dir))),
+    // Trained quality classifier (fastText-style curation filter): hashed
+    // unigram+bigram features, hard-sigmoid logistic GD in exact fixed
+    // point, weak labels = FNV parity of the source. Train emits the
+    // final weight table; the oracle replays the ENTIRE training run as
+    // a generated CTE chain (features, margins, gradients, updates).
+    "quality_classifier_train" -> ((s, dir) =>
+      graft.operators.QualityClassifier.trainedWeights(Tables.documents(s, dir))),
+    // Map-only inference of the trained model + per-source confusion
+    // rollup (docs, weak-label positives, predicted positives, agreement)
+    // — the "did the filter learn the gate" audit before trusting it.
+    "quality_classifier_score" -> ((s, dir) =>
+      graft.operators.QualityClassifier.scoreConfusion(Tables.documents(s, dir))),
     // Continual ingest: arrivals (vec_id >= 250, the incremental_dedup
     // convention) assigned to the standing model, centroids advanced by
     // exact sufficient-statistics merge; emits per-cluster membership,
@@ -3462,6 +3474,10 @@ object SparkEntry {
       graft.operators.KMeans.elbowOracleSql(),
     "text_kmeans_domains" ->
       graft.operators.KMeans.textDomainsOracleSql(),
+    "quality_classifier_train" ->
+      graft.operators.QualityClassifier.trainOracleSql(),
+    "quality_classifier_score" ->
+      graft.operators.QualityClassifier.confusionOracleSql(),
     "kmeans_separation" ->
       graft.operators.KMeans.separationOracleSql(),
 
