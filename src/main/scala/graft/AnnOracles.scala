@@ -92,6 +92,55 @@ FROM scored QUALIFY rnk <= ${f.k}
 ORDER BY query_id, rnk"""
   }
 
+  /** ann_ivf_append: the incremental-maintenance probe — pinned CORPUS-fit
+    * centroids, assignment over the GROWN index (corpus ∪ arrivals),
+    * probes from the first `numQueries` arrivals. Matches
+    * Similarity.ivfAppendTopK(embeddings, splitId, numQueries, k, nlist,
+    * nprobe).
+    */
+  def ivfAppendSql(f: Similarity.IvfAppendFit): String = {
+    val rows = f.centers.zipWithIndex.map { case (c, i) =>
+      s"    ($i, ${listLit(c)}, ${dlit(halfNorm2(c))})"
+    }.mkString(",\n")
+    val dim = f.centers.head.length
+    s"""WITH cb(cell, wl, hn) AS (VALUES
+$rows),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(embedding) = $dim),
+scores AS (
+  SELECT vec_id, cell,
+    list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * wl[i]),
+                (a, b) -> a + b) - hn AS score
+  FROM e, cb),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scores) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+    FROM scores
+    WHERE vec_id >= ${f.splitId}
+      AND vec_id < ${f.splitId + f.numQueries}) WHERE rn <= ${f.nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(qe.emb, ne.emb) AS sim
+  FROM cand c
+  JOIN e qe ON c.query_id = qe.vec_id
+  JOIN e ne ON c.neighbor_id = ne.vec_id)
+SELECT query_id, neighbor_id, sim,
+  CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+FROM scored QUALIFY rnk <= ${f.k}
+ORDER BY query_id, rnk"""
+  }
+
   /** semantic_dedup: same pinned-centroid cell assignment as [[ivfSql]],
     * then the within-cell lower-id pair scan with exact cosine — the whole
     * SemDeDup verdict (dup_of / n_dups / max_sim per vector) reproduced
@@ -392,6 +441,8 @@ ORDER BY query_id, rnk"""
   def pinnedFor(spark: org.apache.spark.sql.SparkSession, sfDir: String): Map[String, String] = {
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.ivfFitFor(emb).map(f => "ann_ivf" -> ivfSql(f)).toMap ++
+      Similarity.ivfAppendFitFor(emb)
+        .map(f => "ann_ivf_append" -> ivfAppendSql(f)).toMap ++
       Similarity.pqFitFor(emb).map(f => "ann_pq" -> pqSql(f)).toMap ++
       Similarity.ivfPqFitFor(emb).map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
       Similarity.semFitFor(emb).map(f => "semantic_dedup" -> semSql(f)).toMap ++
@@ -408,6 +459,8 @@ ORDER BY query_id, rnk"""
     */
   def pinned: Map[String, String] =
     Similarity.soleIvfFit.map(f => "ann_ivf" -> ivfSql(f)).toMap ++
+      Similarity.soleIvfAppendFit
+        .map(f => "ann_ivf_append" -> ivfAppendSql(f)).toMap ++
       Similarity.solePqFit.map(f => "ann_pq" -> pqSql(f)).toMap ++
       Similarity.soleIvfPqFit.map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
       Similarity.soleSemFit.map(f => "semantic_dedup" -> semSql(f)).toMap ++

@@ -585,6 +585,11 @@ object ScaleSmoke {
       emb.count()
       time("ann_lsh", scale)(Similarity.lshBucketedTopK(emb).count())
       time("ann_ivf", scale)(Similarity.ivfTopK(emb).count())
+      // incremental maintenance: corpus-only fit, arrivals appended by a
+      // map-only assignment, arrival probes over the grown index — the
+      // curve should track ann_ivf (one fewer fit input, same probe join)
+      time("ann_ivf_append", scale)(
+        Similarity.ivfAppendTopK(emb, splitId = 16L * scale).count())
       // cell count scales WITH the corpus (fit-free LSH cells) so cell
       // size — and with it pairs-per-cell — stays constant: the knob the
       // k-means variant cannot turn once nlist outgrows the bounded fit

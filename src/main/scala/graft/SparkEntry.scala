@@ -486,6 +486,12 @@ object SparkEntry {
     // whole index + search pipeline bit-exactly.
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // Incremental IVF maintenance (the FAISS `add` contract): corpus-only
+    // quantizer (vec_id < 250, never retrained by arrivals), arrivals
+    // appended by one map-only assignment, arrival queries probe the
+    // GROWN index. Full pinned oracle (graft.AnnOracles.ivfAppendSql).
+    "ann_ivf_append" -> ((s, dir) =>
+      Similarity.ivfAppendTopK(Tables.embeddings(s, dir))),
     // PQ-compressed ANN (ADC): ranks on 16 one-byte codes per vector (16x
     // scan shrink); `sim` is the exact cosine recovered for the k
     // survivors — an in-row self-check against `sim_pq`. Full oracle via

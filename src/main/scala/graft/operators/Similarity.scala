@@ -154,6 +154,9 @@ object Similarity {
     */
   final case class IvfFit(
       centers: Array[Array[Double]], numQueries: Int, k: Int, nlist: Int, nprobe: Int)
+  final case class IvfAppendFit(
+      centers: Array[Array[Double]], splitId: Long,
+      numQueries: Int, k: Int, nlist: Int, nprobe: Int)
   final case class PqFit(
       books: Array[Array[Array[Double]]], numQueries: Int, k: Int,
       m: Int, ksub: Int, rerank: Int)
@@ -164,6 +167,8 @@ object Similarity {
 
   private val ivfFits =
     new java.util.concurrent.ConcurrentHashMap[String, IvfFit]()
+  private val ivfAppendFits =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfAppendFit]()
   private val pqFits =
     new java.util.concurrent.ConcurrentHashMap[String, PqFit]()
   private val ivfPqFits =
@@ -180,6 +185,13 @@ object Similarity {
       seed: Long = 42L): Option[IvfFit] =
     Option(ivfFits.get(
       pinKey(embeddings, s"ivf:$numQueries:$k:$nlist:$nprobe:$seed")))
+
+  private[graft] def ivfAppendFitFor(
+      embeddings: DataFrame,
+      splitId: Long = 250L, numQueries: Int = 8, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): Option[IvfAppendFit] =
+    Option(ivfAppendFits.get(
+      pinKey(embeddings, s"ivfapp:$splitId:$numQueries:$k:$nlist:$nprobe:$seed")))
 
   private[graft] def pqFitFor(
       embeddings: DataFrame,
@@ -204,6 +216,9 @@ object Similarity {
     */
   private[graft] def soleIvfFit: Option[IvfFit] =
     if (ivfFits.size == 1) Some(ivfFits.values.iterator.next()) else None
+  private[graft] def soleIvfAppendFit: Option[IvfAppendFit] =
+    if (ivfAppendFits.size == 1) Some(ivfAppendFits.values.iterator.next())
+    else None
   private[graft] def solePqFit: Option[PqFit] =
     if (pqFits.size == 1) Some(pqFits.values.iterator.next()) else None
   private[graft] def soleIvfPqFit: Option[IvfPqFit] =
@@ -579,6 +594,86 @@ object Similarity {
       centers.map(c => lit(c.map(x => x * x).sum / 2.0)).toIndexedSeq: _*)
     val queries = embDouble
       .filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("qe"),
+        posexplode(graft.functions.GraftColumns.pqLut(col("embedding"), Array(centers))))
+      .select(col("query_id"), col("qe"), col("pos").as("cell"),
+        (col("col") - element_at(hnLit, col("pos") + 1)).as("score"))
+      .withColumn("probe_rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("cell"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+
+    val scored = assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Incremental IVF index maintenance — the FAISS `add` contract
+    * composed with a probe: the coarse quantizer is fit on (or loaded
+    * for) the STANDING corpus only (`vec_id < splitId`, the
+    * incremental-dedup convention) and never retrained by arrivals;
+    * appending a batch is a pure MAP (each arrival's nearest pinned
+    * centroid — the posting-list delta a production index writes), and
+    * the arrival queries (`numQueries` lowest arrival ids) then probe
+    * `nprobe` cells of the GROWN index (corpus ∪ arrivals), ranked by
+    * exact cosine with a deterministic tie-break.
+    *
+    * This closes the build-once/query-many loop's third side: build
+    * ([[ivfTopK]] with `indexPath`), reload ([[loadIndexModel]]), and now
+    * APPEND — at 100 TB a standing index absorbs an arrival batch with
+    * one map-only assignment pass instead of a re-fit. Centroid ADVANCE
+    * stays a separate, deliberate step: [[KMeans.incrementalUpdate]] is
+    * the exact sufficient-statistics merge for that; composing the two
+    * (append to postings now, re-center + re-assign on a cadence) is the
+    * standard maintenance schedule. Scale: assignment is map-only over
+    * arrivals; the probe join is cell-keyed (the broadcast-probe shape of
+    * [[ivfTopK]]), never query×corpus.
+    */
+  def ivfAppendTopK(
+      embeddings: DataFrame,
+      splitId: Long = 250L,
+      numQueries: Int = 8,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      indexPath: Option[String] = None): DataFrame = {
+    val embDouble = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
+    val corpus = embeddings.filter(col("vec_id") < splitId)
+    val corpusD = embDouble.filter(col("vec_id") < splitId)
+    // model from the corpus ONLY — arrivals must not move the quantizer
+    val centers: Array[Array[Double]] = withIndexModel(
+      corpus, corpusD, indexPath,
+      needCenters = Some((nlist, seed)), needBooks = None)._1.get
+    if (ivfAppendFits.size > 16) ivfAppendFits.clear()
+    ivfAppendFits.put(
+      pinKey(embeddings, s"ivfapp:$splitId:$numQueries:$k:$nlist:$nprobe:$seed"),
+      IvfAppendFit(centers, splitId, numQueries, k, nlist, nprobe))
+
+    // the grown index: standing corpus AND the arrival delta, one
+    // map-only nearest-centroid pass each (the same PqEncode primitive)
+    val assigned = embDouble.select(
+      col("vec_id"), col("embedding"),
+      element_at(
+        graft.functions.GraftColumns.pqEncode(col("embedding"), Array(centers)), 1)
+        .as("cell"))
+
+    val hnLit = array(
+      centers.map(c => lit(c.map(x => x * x).sum / 2.0)).toIndexedSeq: _*)
+    val queries = embDouble
+      .filter(col("vec_id") >= splitId && col("vec_id") < splitId + numQueries)
       .select(
         col("vec_id").as("query_id"), col("embedding").as("qe"),
         posexplode(graft.functions.GraftColumns.pqLut(col("embedding"), Array(centers))))

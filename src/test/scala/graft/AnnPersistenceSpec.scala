@@ -73,6 +73,37 @@ class AnnPersistenceSpec extends SparkTestBase {
     assert(s42.map(_.toSeq).toSeq != planted.map(_.toSeq).toSeq)
   }
 
+  test("append: arrivals probe a RELOADED corpus model identically to the fit") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = tempDir("append")
+    // build the standing index from the corpus half (the append call fits
+    // on vec_id < splitId and persists that model)
+    val fromFit = rows(Similarity.ivfAppendTopK(emb, indexPath = Some(path)))
+    // the persisted model is the CORPUS-only quantizer
+    val (centers, _) = Similarity.loadIndexModel(spark, path)
+    val fit = Similarity.ivfAppendFitFor(emb).get
+    assert(centers.get.map(_.toSeq).toSeq == fit.centers.map(_.toSeq).toSeq)
+    // query-many: reload reproduces identically, as does a session fit
+    val fromLoad = rows(Similarity.ivfAppendTopK(emb, indexPath = Some(path)))
+    val fromSession = rows(Similarity.ivfAppendTopK(emb))
+    assert(fromLoad == fromFit && fromSession == fromFit)
+    // the arrivals never moved the quantizer: a corpus-only ivfTopK fit
+    // under the same (nlist, seed) yields the SAME centroids
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 250), numQueries = 1)
+      .collect()
+    val corpusFit = Similarity
+      .ivfFitFor(emb.filter(col("vec_id") < 250), numQueries = 1).get
+    assert(corpusFit.centers.map(_.toSeq).toSeq ==
+      fit.centers.map(_.toSeq).toSeq)
+    // every query is an arrival, and arrival neighbors are reachable
+    // (the grown index serves both sides)
+    val got = Similarity.ivfAppendTopK(emb).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(0) >= 250L))
+    assert(got.exists(_.getLong(1) >= 250L) || got.length < 5,
+      "no arrival ever surfaced as a neighbor — append is inert")
+  }
+
   test("structural mismatch fails loudly: IVF query against a PQ-only model") {
     val emb = Tables.embeddings(spark, sf)
     val path = tempDir("pqonly")
