@@ -337,9 +337,11 @@ object Mixture {
     * (remW_i = suffix weight sum from row i; plain prefix sum over ALL
     * preceding rows — the inequality evaluates correctly pointwise even
     * past the true prefix because every uncapped row subtracts MORE than
-    * its lambda-share from the numerator; verified against an iterative
-    * exact-rational reference over 50k randomized cases incl. zero
-    * supplies and 1e12 magnitudes). The fractional tail is settled by
+    * its lambda-share from the numerator; verified IN-REPO against an
+    * iterative exact-rational reference over 50,000 randomized cases
+    * incl. zero supplies and 1e12 magnitudes — OptimalMixtureSpec's
+    * pure-Scala twin, itself pinned to this Spark spelling by round-trip
+    * trials). The fractional tail is settled by
     * Hamilton largest-remainder apportionment, so `Sum alloc = min(B,
     * total_supply)` EXACTLY — a loader can size shards off these numbers
     * with no drift row.
@@ -432,6 +434,29 @@ object Mixture {
           lit(1L)).otherwise(lit(0L))).cast("bigint"))
   }
 
+  /** Plan-embedded input contract for the public solve entry points: a
+    * negative supply would corrupt the ratio sort key and the capping
+    * inequality, and a duplicated source breaks the Hamilton tie-break's
+    * total order — both now fail LOUDLY inside the plan (raise_error tied
+    * to the consumed columns, so pruning cannot elide the check; the
+    * duplicate window rides the |sources|-row frame's existing source
+    * clustering) instead of solving a silently-corrupted frame.
+    */
+  private def guardedSupplies(supplies: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    supplies
+      .withColumn("supply",
+        when(col("supply") >= 0, col("supply")).otherwise(raise_error(concat(
+          lit("allocateFromSupplies: negative supply for source "),
+          col("source")))))
+      .withColumn("__nsrc",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("source",
+        when(col("__nsrc") === 1L, col("source")).otherwise(raise_error(concat(
+          lit("allocateFromSupplies: duplicate source "), col("source")))))
+      .drop("__nsrc")
+  }
+
   def allocateFromSupplies(
       supplies: DataFrame,
       budgetPpm: Long,
@@ -442,7 +467,7 @@ object Mixture {
     val dec0 = lit(0L).cast("decimal(38,0)")
     val bySkey = Window.orderBy(col("skey"), col("source"))
     val whole = bySkey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val keyed = withWeightKey(supplies)
+    val keyed = withWeightKey(guardedSupplies(supplies))
       .withColumn("t_total", sum(col("supply")).over(whole))
       .withColumn("w_total", sum(col("w")).over(whole))
       .withColumn("budget",
@@ -544,11 +569,15 @@ object Mixture {
   def hierarchicalMixture(
       documents: DataFrame,
       budgetPpm: Long = 900000L): DataFrame = {
+    // the per-source frame feeds BOTH levels (the domain rollup and the
+    // level-2 keyed frame): materialize it once (eager, ~|sources| rows)
+    // so the corpus is scanned and per-source-aggregated exactly once
     val src = supplyBySource(documents)
       .withColumn("domain", concat(lit("dom"),
         shiftrightunsigned(
           GraftColumns.mix64(GraftColumns.fnv1a64(col("source"))), 3)
           .bitwiseAND(lit(3L)).cast("string")))
+      .localCheckpoint()
     val domSup = src.groupBy(col("domain"))
       .agg(sum(col("supply")).cast("decimal(38,0)").as("supply"))
       .withColumnRenamed("domain", "source")
@@ -611,15 +640,25 @@ object Mixture {
     * [[admissionAudit]] is its per-source rollup and
     * [[SparkEntry]]'s mixture_train_manifest packs it into loader batches.
     */
+  /** The solve's |sources|-row allocation frame, materialized ONCE
+    * (eager): every actuation consumer (the admission filter's broadcast,
+    * the audit join, the manifest packing) re-derives it otherwise, and
+    * each re-derivation is a full corpus supply-aggregation scan — the
+    * solve is cheap, its INPUT scan is not.
+    */
+  private def allocCheckpointed(
+      documents: DataFrame, budgetPpm: Long): DataFrame =
+    optimalMixture(documents, budgetPpm).localCheckpoint()
+
   def admittedDocs(
       documents: DataFrame,
       budgetPpm: Long = 900000L): DataFrame =
-    admittedUnder(documents, optimalMixture(documents, budgetPpm))
+    admittedUnder(documents, allocCheckpointed(documents, budgetPpm))
 
   def admissionAudit(
       documents: DataFrame,
       budgetPpm: Long = 900000L): DataFrame = {
-    val alloc = optimalMixture(documents, budgetPpm)
+    val alloc = allocCheckpointed(documents, budgetPpm)
       .select(col("source"), col("supply_tokens"), col("alloc_tokens"),
         col("capped"))
     val admitted = admittedUnder(documents, alloc)

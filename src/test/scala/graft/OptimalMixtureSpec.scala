@@ -6,11 +6,73 @@ import org.apache.spark.sql.functions._
 /** Invariants of the exact water-filling allocation ([[Mixture.optimalMixture]]):
   * token-exact budget, per-source caps, proportional shares among uncapped
   * sources, capped-set monotonicity in the budget, and partition
-  * invariance. The closed form itself is additionally verified against an
-  * iterative exact-rational reference in the operator's development notes
-  * and bit-exactly against DuckDB by the driver oracle.
+  * invariance. The closed form is verified two ways here: a pure-Scala
+  * BigInt twin of the whole chain is differential-tested against the
+  * iterative exact-rational reference over 50,000 randomized frames, and
+  * the Spark spelling is pinned to that twin (alloc for alloc) by full
+  * round-trip trials — plus bit-exactly against DuckDB by the driver
+  * oracle.
   */
 class OptimalMixtureSpec extends SparkTestBase {
+
+  /** Pure-Scala BigInt twin of withWeightKey + allocateFromSupplies'
+    * waterfill chain — every intermediate mirrors the SQL spelling
+    * (truncating DIV on non-negative operands, Hamilton bump ordered by
+    * (uncapped-first, remainder desc, source)). Returns
+    * source -> (capped, alloc).
+    */
+  private def closedForm(
+      sup: Seq[(String, Long)], ppm: Long): Map[String, (Boolean, BigInt)] = {
+    case class K(src: String, s: BigInt, w: BigInt, skey: BigInt)
+    val keyed = sup.map { case (src, s0) =>
+      val w = (graft.functions.Mix64.mix(
+        graft.functions.SimHash64.fnv1a(src.getBytes("UTF-8"))) & 7L) + 1L
+      K(src, BigInt(s0), BigInt(w), BigInt(s0) * (840L / w))
+    }.sortBy(k => (k.skey, k.src))
+    val total = keyed.map(_.s).sum
+    val budget = total * ppm / 1000000L
+    val n = keyed.size
+    val cumSBefore = keyed.scanLeft(BigInt(0))(_ + _.s).take(n)
+    val remWFrom = keyed.scanRight(BigInt(0))(_.w + _).take(n)
+    val capped = keyed.indices.map(i =>
+      keyed(i).s * remWFrom(i) <= (budget - cumSBefore(i)) * keyed(i).w)
+    val cappedS = keyed.indices.filter(capped).map(keyed(_).s).sum
+    val remWStar = keyed.indices.filterNot(capped).map(keyed(_).w).sum
+    val xRem = budget - cappedS
+    val base = keyed.indices.map(i =>
+      if (capped(i)) keyed(i).s else xRem * keyed(i).w / remWStar)
+    val remn = keyed.indices.map(i =>
+      if (capped(i)) BigInt(0) else (xRem * keyed(i).w) % remWStar)
+    val leftover = if (remWStar > 0) remn.sum / remWStar else BigInt(0)
+    val bumpOrder = keyed.indices.sortBy(i =>
+      (capped(i), -remn(i), keyed(i).src))(
+      Ordering.Tuple3(Ordering.Boolean, Ordering.BigInt, Ordering.String))
+    val bumped = bumpOrder.take(leftover.toInt).filterNot(capped).toSet
+    keyed.indices.map { i =>
+      keyed(i).src ->
+        (capped(i), base(i) + (if (bumped(i)) BigInt(1) else BigInt(0)))
+    }.toMap
+  }
+
+  /** The iterative exact-rational water-filling reference — the textbook
+    * fixed-point definition the closed form replaces.
+    */
+  private def iterativeCapped(
+      sup: Seq[(String, Long, Long)], b: BigInt): Map[String, Boolean] = {
+    val capped = scala.collection.mutable.Map(sup.map(s => s._1 -> false): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      val remB = b - sup.filter(s => capped(s._1)).map(s => BigInt(s._2)).sum
+      val remW = sup.filterNot(s => capped(s._1)).map(s => BigInt(s._3)).sum
+      if (remW > 0) sup.foreach { case (src, s, w) =>
+        if (!capped(src) && BigInt(s) * remW <= remB * w) {
+          capped(src) = true; changed = true
+        }
+      }
+    }
+    capped.toMap
+  }
 
   private lazy val docs = Tables.documents(spark, sf)
 
@@ -94,54 +156,81 @@ class OptimalMixtureSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
-  test("closed form matches an iterative exact-rational reference on random frames") {
-    import spark.implicits._
-    // Iterative water-filling in exact rationals: repeatedly cap every
-    // source whose supply/weight ratio is <= the current fill level
-    // lambda = remainingBudget / remainingWeight, until a fixed point.
-    // This is the textbook definition the closed form replaces.
-    def reference(sup: Seq[(String, Long, Long)], b: BigInt)
-        : Map[String, Boolean] = {
-      val capped = scala.collection.mutable.Map(
-        sup.map(s => s._1 -> false): _*)
-      var changed = true
-      while (changed) {
-        changed = false
-        val remB = b - sup.filter(s => capped(s._1)).map(s => BigInt(s._2)).sum
-        val remW = sup.filterNot(s => capped(s._1)).map(s => BigInt(s._3)).sum
-        if (remW > 0) sup.foreach { case (src, s, w) =>
-          // supply/w <= remB/remW  <=>  supply*remW <= remB*w
-          if (!capped(src) && BigInt(s) * remW <= remB * w) {
-            capped(src) = true; changed = true
-          }
+  test("closed form == iterative exact-rational reference over 50,000 random frames") {
+    // the pure-Scala twin makes the bulk differential cheap (no Spark
+    // round-trip per trial); the next test pins the Spark spelling to
+    // this same twin, closing the chain Spark == twin == reference
+    val rng = new scala.util.Random(2026)
+    var trial = 0
+    while (trial < 50000) {
+      trial += 1
+      val n = 1 + rng.nextInt(10)
+      val sup = (0 until n).map { i =>
+        val src = s"s${trial}_$i"
+        val mag = rng.nextInt(3) match {
+          case 0 => 5L
+          case 1 => 1000L
+          case _ => 1000000000000L // 1e12: the 100-TB token-count regime
         }
+        (src, math.abs(rng.nextLong()) % mag)
       }
-      capped.toMap
+      val supW = sup.map { case (src, s) =>
+        val w = (graft.functions.Mix64.mix(
+          graft.functions.SimHash64.fnv1a(src.getBytes("UTF-8"))) & 7L) + 1L
+        (src, s, w)
+      }
+      val total = sup.map(s => BigInt(s._2)).sum
+      val ppm = rng.nextInt(1000001).toLong
+      val budget = total * ppm / 1000000
+      val got = closedForm(sup, ppm)
+      val wantCapped = iterativeCapped(supW, budget)
+      sup.foreach { case (src, s) =>
+        val (capped, alloc) = got(src)
+        assert(capped == wantCapped(src), s"trial $trial src $src capped")
+        assert(alloc >= 0 && alloc <= BigInt(s), s"trial $trial src $src range")
+        if (capped) assert(alloc == BigInt(s), s"trial $trial src $src cap=supply")
+      }
+      assert(got.values.map(_._2).sum == budget.min(total), s"trial $trial sum")
     }
+  }
+
+  test("Spark spelling == the pure-Scala twin, alloc for alloc, on random frames") {
+    import spark.implicits._
     val rng = new scala.util.Random(7)
     for (trial <- 1 to 12) {
       val n = 2 + rng.nextInt(7)
       val sup = (0 until n).map { i =>
         val src = s"s${trial}_$i"
-        // weight must match the operator's content-keyed draw
-        val w = (graft.functions.Mix64.mix(
-          graft.functions.SimHash64.fnv1a(src.getBytes("UTF-8"))) & 7L) + 1L
-        (src, math.abs(rng.nextLong()) % (if (rng.nextBoolean()) 1000L else 5L),
-          w)
+        (src, math.abs(rng.nextLong()) % (if (rng.nextBoolean()) 1000L else 5L))
       }
-      val total = sup.map(_._2).sum
       val ppm = rng.nextInt(1000001).toLong
-      val b = BigInt(total) * ppm / 1000000
       val frame = sup.map(s => (s._1, BigDecimal(s._2))).toDF("source", "supply")
         .select(col("source"), col("supply").cast("decimal(38,0)").as("supply"))
       val got = Mixture.allocateFromSupplies(frame, ppm).collect()
         .map(r => (r.getString(0), r.getBoolean(3), BigInt(r.getLong(4))))
-      val wantCapped = reference(sup, b)
-      got.foreach { case (src, capped, _) =>
-        assert(capped == wantCapped(src), s"trial $trial src $src")
+      val want = closedForm(sup, ppm)
+      got.foreach { case (src, capped, alloc) =>
+        assert((capped, alloc) == want(src), s"trial $trial src $src")
       }
-      assert(got.map(_._3).sum == b.min(BigInt(total)), s"trial $trial")
     }
+  }
+
+  test("plan guards fail loudly: negative supply and duplicate source") {
+    import spark.implicits._
+    val neg = Seq(("a", BigDecimal(-5)), ("b", BigDecimal(3)))
+      .toDF("source", "supply")
+      .select(col("source"), col("supply").cast("decimal(38,0)").as("supply"))
+    val e1 = intercept[Exception] {
+      Mixture.allocateFromSupplies(neg, 500000L).collect()
+    }
+    assert(e1.getMessage.contains("negative supply"), e1.getMessage)
+    val dup = Seq(("a", BigDecimal(5)), ("a", BigDecimal(3)))
+      .toDF("source", "supply")
+      .select(col("source"), col("supply").cast("decimal(38,0)").as("supply"))
+    val e2 = intercept[Exception] {
+      Mixture.allocateFromSupplies(dup, 500000L).collect()
+    }
+    assert(e2.getMessage.contains("duplicate source"), e2.getMessage)
   }
 
   test("hierarchical solve: per-domain sums hit domain budgets token-exactly") {
