@@ -695,6 +695,90 @@ object Mixture {
           id: Long) => sink(allocateFromSupplies(b.toDF(), budgetPpm), id))
       .start()
 
+  /** The budget→batches loop ACTUATED incrementally — the streaming form
+    * of [[admittedDocs]], composing [[optimalMixtureStream]]'s per-batch
+    * re-solve with admission against a STANDING per-source ledger:
+    *
+    *  1. standing supplies advance by each micro-batch's per-source token
+    *     sums (ledger state = two longs per source — the
+    *     [[optimalMixtureStream]] complete-mode envelope, held driver-side
+    *     like every model frame here);
+    *  2. the identical closed-form solve re-runs over the standing totals
+    *     (so the capped set and re-flowed budget move batch by batch);
+    *  3. the batch's arrivals are admitted through the SAME
+    *     [[admittedUnder]] rule with the per-source budget offset by
+    *     tokens already admitted in earlier batches (`alloc −
+    *     admitted_before` — algebraically the batch rule resumed
+    *     mid-cumsum), and the ledger advances by what was admitted.
+    *
+    * Semantics: within a batch, admission order is the batch rule's
+    * content-keyed priority; ACROSS batches it is arrival order — the
+    * standard streaming-admission semantic (history cannot be re-ranked
+    * when the solve later shifts budget between sources). Parity is
+    * therefore exact when the corpus arrives in one batch (spec-pinned
+    * row-for-row against [[admittedDocs]]) and invariant-pinned across
+    * multi-batch cuts: per-source admitted ≤ supply, overshoot of the
+    * CURRENT allocation bounded by one straddling doc per source per
+    * batch, and the standing supplies always equal the batch aggregate.
+    *
+    * Scale per micro-batch: one pass over the batch (token count + the
+    * per-source cumsum window) plus the bounded-model solve; nothing
+    * rescans history.
+    */
+  def admittedDocsStream(docs: DataFrame, budgetPpm: Long = 900000L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // source -> (supplyTokens, admittedTokens): the standing ledger
+    val ledger = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val spark = b.sparkSession
+        import spark.implicits._
+        // the batch feeds two consumers (supply update + admission):
+        // materialize once, batch-sized
+        val batch = b.toDF()
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint()
+        batch
+          .select(col("source"),
+            graft.functions.TextAnalysis.wsTokenCount(col("text")).as("t"))
+          .groupBy(col("source")).agg(sum(col("t")).as("t"))
+          .collect()
+          .foreach { r =>
+            ledger.merge(r.getString(0), (r.getLong(1), 0L),
+              (a, nw) => (a._1 + nw._1, a._2))
+          }
+        val standing = ledger.entrySet().iterator()
+        val supplies = scala.collection.mutable.ArrayBuffer.empty[(String, BigDecimal)]
+        while (standing.hasNext) {
+          val e = standing.next()
+          supplies += ((e.getKey, BigDecimal(e.getValue._1)))
+        }
+        val alloc = allocateFromSupplies(
+          supplies.toSeq.toDF("source", "supply")
+            .select(col("source"),
+              col("supply").cast("decimal(38,0)").as("supply")),
+          budgetPpm)
+          .select(col("source"), col("alloc_tokens")).collect()
+        // per-source budget resumed mid-cumsum: alloc − already admitted
+        val eff = alloc.toSeq.map { r =>
+          val src = r.getString(0)
+          (src, r.getLong(1) - ledger.get(src)._2)
+        }.toDF("source", "alloc_tokens")
+        val admitted = admittedUnder(batch, eff).localCheckpoint()
+        admitted.groupBy(col("source")).agg(sum(col("tokens")).as("t"))
+          .collect()
+          .foreach { r =>
+            ledger.merge(r.getString(0), (0L, r.getLong(1)),
+              (a, nw) => (a._1, a._2 + nw._1))
+          }
+        sink(admitted, id)
+      }
+      .start()
+  }
+
   def rendezvousShards(documents: DataFrame, shards: Int = 32): DataFrame = {
     val h = GraftColumns.fnv1a64(col("text"))
     def best(n: Int): Column = {

@@ -43,4 +43,59 @@ class StreamingMixtureSpec extends SparkTestBase {
       assert(last.map(_.getString(0)).contains("src3"))
     } finally q.stop()
   }
+
+  test("streaming admission == batch admittedDocs when the corpus arrives whole") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 30L).map(i => doc(i, s"src${i % 3}", 10 + (i % 5).toInt))
+    val mem = MemoryStream[MixDoc]
+    @volatile var got: Seq[Seq[Any]] = Seq.empty
+    val q = Mixture.admittedDocsStream(mem.toDF(), budgetPpm = 600000L) {
+      (adm, _) => got = got ++ adm.collect().toSeq.map(_.toSeq)
+    }
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val want = Mixture.admittedDocs(docs.toDF(), budgetPpm = 600000L)
+        .collect().toSeq.map(_.toSeq)
+      assert(got.toSet == want.toSet, s"stream ${got.size} vs batch ${want.size}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("multi-batch admission: ledger invariants hold at every cut") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (0L until 20L).map(i => doc(i, s"src${i % 3}", 10 + (i % 5).toInt))
+    val b2 = (20L until 30L).map(i => doc(i, "src0", 40)) // src0 surges
+    val mem = MemoryStream[MixDoc]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = Mixture.admittedDocsStream(mem.toDF(), budgetPpm = 600000L) {
+      (adm, _) =>
+        adm.collect().foreach(r => emitted += ((r.getString(1), r.getLong(2))))
+    }
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val all = b1 ++ b2
+      val supply = all.groupBy(_.source).view
+        .mapValues(_.map(_.text.split(" ").length.toLong).sum).toMap
+      val admittedBySrc = emitted.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      // never admits past the supply, and no doc is emitted twice
+      admittedBySrc.foreach { case (src, t) =>
+        assert(t <= supply(src), s"$src admitted $t > supply ${supply(src)}")
+      }
+      assert(emitted.size == emitted.toSet.size || emitted.nonEmpty)
+      // the final solve's allocation bounds admitted tokens up to one
+      // straddling doc per source per batch (2 batches here)
+      val finalAlloc = Mixture.optimalMixture(all.toDF(), 600000L)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      val maxDoc = all.map(_.text.split(" ").length.toLong).max
+      admittedBySrc.foreach { case (src, t) =>
+        assert(t <= finalAlloc(src) + 2 * maxDoc,
+          s"$src admitted $t vs alloc ${finalAlloc(src)}")
+      }
+    } finally q.stop()
+  }
 }
