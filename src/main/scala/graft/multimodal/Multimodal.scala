@@ -152,7 +152,7 @@ object Multimodal {
   /** Synthesize a real BMP image for a doc: dims derived from the id,
     * pixels from [[bmpPixel]], encoded by the JDK's actual BMP writer.
     */
-  def encodeBmp(docId: Long): Array[Byte] = {
+  private def grayImage(docId: Long): java.awt.image.BufferedImage = {
     val w = 8 + (docId % 13).toInt
     val h = 8 + (docId % 11).toInt
     val img = new java.awt.image.BufferedImage(
@@ -167,11 +167,36 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  def encodeBmp(docId: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.setUseCache(false) // memory-only streams on executors
-    javax.imageio.ImageIO.write(img, "bmp", bos)
+    javax.imageio.ImageIO.write(grayImage(docId), "bmp", bos)
     bos.toByteArray
   }
+
+  /** Synthesize a real PNG for a doc — same dims and pixel formula as
+    * [[encodeBmp]], through the JDK's actual PNG writer (filter heuristics
+    * + deflate), so the CONTAINER varies while the pixel contract does
+    * not: PNG is lossless, and every arithmetic fingerprint oracle holds
+    * unchanged across the mixed corpus.
+    */
+  def encodePng(docId: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(grayImage(docId), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The mixed-container corpus image: odd ids are PNG, even ids BMP —
+    * two genuine javax.imageio codecs (inflate + filter reconstruction vs
+    * bottom-up padded rows) behind one pixel contract. The fingerprint
+    * path decodes whichever container the id carries, like a real corpus.
+    */
+  def encodeImage(docId: Long): Array[Byte] =
+    if ((docId & 1L) == 1L) encodePng(docId) else encodeBmp(docId)
 
   /** REAL-codec slice beside the FNV stub: encode each doc to actual BMP
     * bytes, decode them back through `javax.imageio` (a genuine pure-JVM
@@ -358,13 +383,15 @@ object Multimodal {
   }
 
   /** Per-doc image fingerprint core (executor-side): encode → REAL
-    * javax.imageio BMP decode → integer grid resize → (w, h, dHash, aHash).
-    * Shared by [[imageFingerprints]] and the cross-modal funnel's single
-    * decode pass.
+    * javax.imageio decode of a MIXED-container corpus (odd ids PNG, even
+    * ids BMP — [[encodeImage]]) → integer grid resize → (w, h, dHash,
+    * aHash). Shared by [[imageFingerprints]] and the cross-modal funnel's
+    * single decode pass; both containers are lossless, so the arithmetic
+    * pixel oracle is container-blind.
     */
   private[graft] def imageFpOf(id: Long): (Int, Int, Long, Long) = {
     val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(encodeBmp(id)))
+      new java.io.ByteArrayInputStream(encodeImage(id)))
     val w = img.getWidth
     val h = img.getHeight
     // dHash: 9x8 grid, horizontal gradient sign

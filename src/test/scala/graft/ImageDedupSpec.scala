@@ -4,11 +4,27 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Perceptual-hash image dedup: the dHash/aHash fingerprints computed from
-  * REAL decoded BMP bytes must equal an independent arithmetic recompute
-  * from the pixel formula (pinning the whole codec + grid-resize path),
-  * and the Hamming-banded near-dup join must be lossless vs brute force.
+  * REAL decoded bytes of a MIXED-container corpus (odd ids PNG, even ids
+  * BMP) must equal an independent arithmetic recompute from the pixel
+  * formula (pinning both codec paths + grid resize), and the
+  * Hamming-banded near-dup join must be lossless vs brute force.
   */
 class ImageDedupSpec extends SparkTestBase {
+
+  test("the corpus really is mixed-container: PNG magic on odd, BM on even") {
+    val png = Multimodal.encodeImage(7L)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte, "odd id must be PNG")
+    val bmp = Multimodal.encodeImage(8L)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte, "even id must be BMP")
+    // both containers decode to the SAME pixels (lossless round-trip)
+    def px(bytes: Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRGB(x, y) & 0xffffff
+    }
+    assert(px(Multimodal.encodePng(12L)) == px(Multimodal.encodeBmp(12L)))
+  }
 
   /** Formula-only reimplementation (no ImageIO, no BMP bytes): what the
     * DuckDB oracle computes. Equality against the engine proves the
