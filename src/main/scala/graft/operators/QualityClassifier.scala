@@ -311,6 +311,75 @@ object QualityClassifier {
         col("yhat"), col("pred"))
   }
 
+  /** Row-local scoring kernel: the margin of one document's text under
+    * literal weights — the inference twin of [[featureFrame]]∘margin,
+    * spelled once in plain Scala so a STREAMING gate needs no per-doc
+    * aggregation plan (the batch spelling's groupBy/join featureization
+    * is not stream-composable; this is). Parity with the batch margins
+    * is spec-pinned row-for-row.
+    */
+  private[graft] def marginOf(text: String, w: Array[Long], dim: Int): Long = {
+    var z = Scale * w(dim) // bias feature
+    if (text == null) return z
+    val t = text.split(" ", -1)
+    val cnt = new java.util.HashMap[Int, Long]()
+    var tot = 0L
+    def add(g: String): Unit = {
+      val b = {
+        val h = graft.functions.SimHash64.fnv1a(
+          g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (((h % dim) + dim) % dim).toInt
+      }
+      cnt.merge(b, 1L, _ + _)
+      tot += 1
+    }
+    var i = 0
+    while (i < t.length) {
+      add(t(i))
+      if (i + 1 < t.length) add(t(i) + " " + t(i + 1))
+      i += 1
+    }
+    val it = cnt.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      z += ((e.getValue * Scale) / tot) * w(e.getKey)
+    }
+    z
+  }
+
+  /** Map-only inference over ANY (doc_id, …, text, source) frame — batch
+    * or STREAMING (stateless mapPartitions, so it composes with
+    * watermarks/sinks like every streaming gate here): each doc gets its
+    * margin `z` under the literal trained weights and a predicate at the
+    * caller's margin threshold (derive it from the training corpus's
+    * class prior — the [[scoreDocs]] rule — or gate at 0 for σ̃ ≥ 1/2).
+    * The classifier-gated ingest path: train offline, gate the stream.
+    */
+  def scoreWith(docs: DataFrame, w: Array[Long],
+      dim: Int = DefaultDim, zThreshold: Long = 0L): DataFrame = {
+    require(w.length == dim + 1,
+      s"weights must be dim+1 = ${dim + 1} long, got ${w.length}")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("z",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pred",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val z = marginOf(if (r.isNullAt(2)) null else r.getString(2), w, dim)
+          org.apache.spark.sql.Row(r.getLong(0),
+            if (r.isNullAt(1)) null else r.getString(1),
+            z, if (z >= zThreshold) 1 else 0)
+        }
+      }(enc)
+  }
+
   // ---- DuckDB oracle: the whole training run as one CTE chain ---------
 
   /** CTEs `qe` (feature frame: doc_id, y, v — v length dim+1 with the

@@ -3,6 +3,8 @@ package graft
 import graft.operators.QualityClassifier
 import org.apache.spark.sql.functions._
 
+final case class QcDoc(doc_id: Long, text: String, source: String)
+
 /** Trained quality classifier: planted-gate recovery, a full driver-side
   * exact-arithmetic differential reference of the training run, edge
   * rows (null text, single token), and order invariance.
@@ -110,6 +112,42 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(w.map(_.getInt(0)).toSeq == (0 to Dim))
     // the bias exists and the stop-bucket weights moved off zero
     assert(w.exists(_.getLong(1) != 0L))
+  }
+
+  test("row-local kernel margins == the batch featureFrame margins, doc for doc") {
+    val docs = Tables.documents(spark, sf)
+    val w = QualityClassifier.fit(docs, Dim, 3, 4L)
+    val batch = QualityClassifier.scoreDocs(docs, Dim, 3, 4L)
+      .select(col("doc_id"), col("z")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = QualityClassifier.scoreWith(docs, w, Dim).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kernel == batch)
+  }
+
+  test("streaming gate == batch kernel over the same arrivals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val w = QualityClassifier.fit(
+      plantedDocs.toDF("doc_id", "text", "source"), Dim, 3, 4L)
+    val arrivals = plantedDocs.map { case (id, t, s) => QcDoc(id + 1000, t, s) }
+    val mem = MemoryStream[QcDoc]
+    val q = QualityClassifier.scoreWith(mem.toDF(), w, Dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qc_stream_out").start()
+    try {
+      mem.addData(arrivals.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table("qc_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+      val batch = QualityClassifier.scoreWith(
+        arrivals.toDF(), w, Dim).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
   }
 
   test("corpus run: learns past the base rate at sf (plans stay sane)") {
