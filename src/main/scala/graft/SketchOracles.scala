@@ -258,14 +258,16 @@ ${waterfillChain("", "bgt", "source", None)}"""
 
   def optimalMixtureSql(
       budgetPpm: Long = 600000L,
-      maxEpochs: Long = 1L): String = {
+      maxEpochs: Long = 1L,
+      docsRel: String = "documents",
+      prefixCtes: String = ""): String = {
     val den = 1000000L * maxEpochs
     val epochCol =
       if (maxEpochs == 1L) ""
       else s""",
   CASE WHEN supply > 0 THEN CAST((alloc * $den) // supply AS BIGINT)
        END AS epochs_ppm"""
-    s"""WITH ${optimalMixtureCtes(budgetPpm, maxEpochs)}
+    s"""WITH $prefixCtes${optimalMixtureCtes(budgetPpm, maxEpochs, docsRel)}
 SELECT source,
   CAST(supply AS BIGINT) AS supply_tokens,
   CAST(w AS BIGINT) AS weight,

@@ -1006,6 +1006,20 @@ object SparkEntry {
     // — the "did the filter learn the gate" audit before trusting it.
     "quality_classifier_score" -> ((s, dir) =>
       graft.operators.QualityClassifier.scoreConfusion(Tables.documents(s, dir))),
+    // The trained gate ACTUATING the budget loop: classifier-admitted docs
+    // (pred = 1 at the prior threshold) feed the exact water-filling
+    // mixture solve — the curate-with-a-LEARNED-gate-then-budget
+    // composition (curated_mixture_alloc's heuristic gate swapped for the
+    // trained one). Oracle chains the full training-run replay into the
+    // mixture solve over the gated relation.
+    "classifier_gated_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gated = docs.join(
+        graft.operators.QualityClassifier.scoreDocs(docs)
+          .filter(col("pred") === 1).select(col("doc_id")),
+        Seq("doc_id"))
+      graft.operators.Mixture.optimalMixture(gated, budgetPpm = 800000L)
+    }),
     // Continual ingest: arrivals (vec_id >= 250, the incremental_dedup
     // convention) assigned to the standing model, centroids advanced by
     // exact sufficient-statistics merge; emits per-cluster membership,
@@ -3484,6 +3498,14 @@ object SparkEntry {
       graft.operators.QualityClassifier.trainOracleSql(),
     "quality_classifier_score" ->
       graft.operators.QualityClassifier.confusionOracleSql(),
+    "classifier_gated_mixture" -> SketchOracles.optimalMixtureSql(
+      budgetPpm = 800000L,
+      docsRel = "qcgated",
+      prefixCtes = graft.operators.QualityClassifier.predCtes() + """,
+qcgated AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN qpred q USING (doc_id) WHERE q.pred = 1),
+"""),
     "kmeans_separation" ->
       graft.operators.KMeans.separationOracleSql(),
 

@@ -476,10 +476,15 @@ object QualityClassifier {
     s"""WITH ${oracleCtes(dim, iters, lr)}
       |SELECT CAST(b AS INT) AS b, w FROM qcw$iters ORDER BY b""".stripMargin
 
-  /** Full oracle for [[scoreConfusion]]. */
-  def confusionOracleSql(dim: Int = DefaultDim, iters: Int = DefaultIters,
-      lr: Long = DefaultLr): String = {
-    s"""WITH ${oracleCtes(dim, iters, lr)},
+  /** [[oracleCtes]] extended through inference: adds `qzf` (margins under
+    * the final weights), `qprior` and `qpred` (the prior-threshold
+    * decision) — the reusable prefix for every oracle that consumes the
+    * trained gate (the confusion rollup here; the gated-mixture
+    * composition in SparkEntry).
+    */
+  def predCtes(dim: Int = DefaultDim, iters: Int = DefaultIters,
+      lr: Long = DefaultLr): String =
+    s"""${oracleCtes(dim, iters, lr)},
       |qzf AS (
       |  SELECT e.doc_id, e.y,
       |    least(greatest(500000 + (
@@ -494,7 +499,12 @@ object QualityClassifier {
       |qpred AS (
       |  SELECT doc_id, y,
       |    CASE WHEN yhat * n_all >= sum_y * $Scale THEN 1 ELSE 0 END AS pred
-      |  FROM qzf, qprior)
+      |  FROM qzf, qprior)""".stripMargin
+
+  /** Full oracle for [[scoreConfusion]]. */
+  def confusionOracleSql(dim: Int = DefaultDim, iters: Int = DefaultIters,
+      lr: Long = DefaultLr): String =
+    s"""WITH ${predCtes(dim, iters, lr)}
       |SELECT d.source,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(q.y) AS BIGINT) AS n_label_hi,
@@ -503,5 +513,4 @@ object QualityClassifier {
       |    AS n_agree
       |FROM documents d JOIN qpred q USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 }
