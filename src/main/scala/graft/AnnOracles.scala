@@ -343,17 +343,36 @@ ORDER BY query_id, rnk"""
     * Matches Similarity.ivfPqTopK(embeddings, numQueries, k, nlist,
     * nprobe, m, ksub, rerank). Same arithmetic contracts as ivfSql+pqSql.
     */
-  def ivfPqSql(f: Similarity.IvfPqFit): String = {
-    val dsub = f.books(0)(0).length
+  def ivfPqSql(f: Similarity.IvfPqFit): String =
+    ivfPqSqlCore(f.centers, f.books, f.m, f.ksub,
+      f.numQueries, f.k, f.nprobe, f.rerank,
+      queryWhere = s"vec_id < ${f.numQueries}")
+
+  /** ann_ivfpq_append: the composed-index maintenance probe — pinned
+    * CORPUS-fit centroids AND codebooks, encode over the grown index,
+    * probes/ADC/re-rank from the first `numQueries` arrivals. Matches
+    * Similarity.ivfPqAppendTopK.
+    */
+  def ivfPqAppendSql(f: Similarity.IvfPqAppendFit): String =
+    ivfPqSqlCore(f.centers, f.books, f.m, f.ksub,
+      f.numQueries, f.k, f.nprobe, f.rerank,
+      queryWhere =
+        s"vec_id >= ${f.splitId} AND vec_id < ${f.splitId + f.numQueries}")
+
+  private def ivfPqSqlCore(
+      centers: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      m: Int, ksub: Int, numQueries: Int, k: Int, nprobe: Int, rerank: Int,
+      queryWhere: String): String = {
+    val dsub = books(0)(0).length
     require(dsub == 4, s"ivfPqSql emits 4-term subspace dots; got dsub=$dsub")
-    val dim = f.m * dsub
-    require(f.centers.head.length == dim,
-      s"coarse centroids dim ${f.centers.head.length} != PQ dim $dim")
-    val cbRows = f.centers.zipWithIndex.map { case (c, i) =>
+    val dim = m * dsub
+    require(centers.head.length == dim,
+      s"coarse centroids dim ${centers.head.length} != PQ dim $dim")
+    val cbRows = centers.zipWithIndex.map { case (c, i) =>
       s"    ($i, ${listLit(c)}, ${dlit(halfNorm2(c))})"
     }.mkString(",\n")
-    val pbRows = (for (j <- 0 until f.m; c <- 0 until f.ksub) yield {
-      val b = f.books(j)(c)
+    val pbRows = (for (j <- 0 until m; c <- 0 until ksub) yield {
+      val b = books(j)(c)
       s"    ($j, $c, ${b.map(dlit).mkString(", ")}, ${dlit(halfNorm2(b))}, ${dlit(norm2(b))})"
     }).mkString(",\n")
     s"""WITH cb(cell, wl, hn) AS (VALUES
@@ -377,7 +396,7 @@ probes AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT vec_id, cell,
       row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-    FROM cscores WHERE vec_id < ${f.numQueries}) WHERE rn <= ${f.nprobe}),
+    FROM cscores WHERE $queryWhere) WHERE rn <= $nprobe),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a USING (cell)
@@ -394,12 +413,12 @@ codes AS (
 corpus AS (
   SELECT vec_id, sqrt(list_reduce(list(n2 ORDER BY j), (a, b) -> a + b)) AS nx
   FROM codes GROUP BY vec_id),
-qlut AS (SELECT vec_id AS query_id, j, c, ip FROM sub WHERE vec_id < ${f.numQueries}),
+qlut AS (SELECT vec_id AS query_id, j, c, ip FROM sub WHERE $queryWhere),
 nq AS (
   SELECT vec_id AS query_id,
     sqrt(list_reduce(list_transform(range(1, ${dim + 1}), i -> emb[i] * emb[i]),
                      (a, b) -> a + b)) AS nq
-  FROM e WHERE vec_id < ${f.numQueries}),
+  FROM e WHERE $queryWhere),
 adc AS (
   SELECT cd.query_id, cd.neighbor_id,
     list_reduce(list(l.ip ORDER BY l.j), (a, b) -> a + b) AS adcip
@@ -415,7 +434,7 @@ shortlist AS (
     SELECT query_id, neighbor_id, sim_pq,
       row_number() OVER (PARTITION BY query_id
            ORDER BY sim_pq DESC, neighbor_id) AS prn
-    FROM simpq) WHERE prn <= ${f.k * f.rerank}),
+    FROM simpq) WHERE prn <= ${k * rerank}),
 rer AS (
   SELECT s.query_id, s.neighbor_id, s.sim_pq,
     list_cosine_similarity(qe.emb, ne.emb) AS sim
@@ -426,7 +445,7 @@ SELECT query_id, neighbor_id,
   CAST(row_number() OVER (PARTITION BY query_id
        ORDER BY sim DESC, neighbor_id) AS INT) AS rnk,
   sim_pq, sim
-FROM rer QUALIFY rnk <= ${f.k}
+FROM rer QUALIFY rnk <= $k
 ORDER BY query_id, rnk"""
   }
 
@@ -445,6 +464,8 @@ ORDER BY query_id, rnk"""
         .map(f => "ann_ivf_append" -> ivfAppendSql(f)).toMap ++
       Similarity.pqFitFor(emb).map(f => "ann_pq" -> pqSql(f)).toMap ++
       Similarity.ivfPqFitFor(emb).map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
+      Similarity.ivfPqAppendFitFor(emb)
+        .map(f => "ann_ivfpq_append" -> ivfPqAppendSql(f)).toMap ++
       Similarity.semFitFor(emb).map(f => "semantic_dedup" -> semSql(f)).toMap ++
       Similarity.semFitFor(emb).map(f => "hybrid_dedup" -> hybridSql(f)).toMap ++
       Similarity.caFitFor(emb).map(f => "embedding_clusters" -> clusterSql(f)).toMap
@@ -463,6 +484,8 @@ ORDER BY query_id, rnk"""
         .map(f => "ann_ivf_append" -> ivfAppendSql(f)).toMap ++
       Similarity.solePqFit.map(f => "ann_pq" -> pqSql(f)).toMap ++
       Similarity.soleIvfPqFit.map(f => "ann_ivfpq" -> ivfPqSql(f)).toMap ++
+      Similarity.soleIvfPqAppendFit
+        .map(f => "ann_ivfpq_append" -> ivfPqAppendSql(f)).toMap ++
       Similarity.soleSemFit.map(f => "semantic_dedup" -> semSql(f)).toMap ++
       Similarity.soleSemFit.map(f => "hybrid_dedup" -> hybridSql(f)).toMap ++
       Similarity.soleCaFit.map(f => "embedding_clusters" -> clusterSql(f)).toMap

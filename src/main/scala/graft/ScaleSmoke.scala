@@ -590,6 +590,8 @@ object ScaleSmoke {
       // curve should track ann_ivf (one fewer fit input, same probe join)
       time("ann_ivf_append", scale)(
         Similarity.ivfAppendTopK(emb, splitId = 16L * scale).count())
+      time("ann_ivfpq_append", scale)(
+        Similarity.ivfPqAppendTopK(emb, splitId = 16L * scale).count())
       // cell count scales WITH the corpus (fit-free LSH cells) so cell
       // size — and with it pairs-per-cell — stays constant: the knob the
       // k-means variant cannot turn once nlist outgrows the bounded fit

@@ -505,6 +505,13 @@ object SparkEntry {
     // (graft.AnnOracles.ivfPqSql).
     "ann_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
+    // Composed-index maintenance (IVFx,PQy under the FAISS `add`
+    // contract): centroids AND codebooks fit on the corpus half only,
+    // arrivals appended by one row-local encode (cell + m codes), arrival
+    // queries ADC-probe the grown index with exact re-rank. Full pinned
+    // oracle (graft.AnnOracles.ivfPqAppendSql).
+    "ann_ivfpq_append" -> ((s, dir) =>
+      Similarity.ivfPqAppendTopK(Tables.embeddings(s, dir))),
     // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
     // cosine pair scan; per-vector survivor/dup_of verdicts. Oracle is
     // pinned-centroid (AnnOracles.semSql), like the ANN index queries.

@@ -164,6 +164,10 @@ object Similarity {
       centers: Array[Array[Double]], books: Array[Array[Array[Double]]],
       numQueries: Int, k: Int, nlist: Int, nprobe: Int,
       m: Int, ksub: Int, rerank: Int)
+  final case class IvfPqAppendFit(
+      centers: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      splitId: Long, numQueries: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, ksub: Int, rerank: Int)
 
   private val ivfFits =
     new java.util.concurrent.ConcurrentHashMap[String, IvfFit]()
@@ -173,6 +177,8 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, PqFit]()
   private val ivfPqFits =
     new java.util.concurrent.ConcurrentHashMap[String, IvfPqFit]()
+  private val ivfPqAppendFits =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqAppendFit]()
 
   private def pinKey(embeddings: DataFrame, params: String): String =
     fitCacheKey(embeddings)
@@ -223,6 +229,17 @@ object Similarity {
     if (pqFits.size == 1) Some(pqFits.values.iterator.next()) else None
   private[graft] def soleIvfPqFit: Option[IvfPqFit] =
     if (ivfPqFits.size == 1) Some(ivfPqFits.values.iterator.next()) else None
+  private[graft] def soleIvfPqAppendFit: Option[IvfPqAppendFit] =
+    if (ivfPqAppendFits.size == 1) Some(ivfPqAppendFits.values.iterator.next())
+    else None
+
+  private[graft] def ivfPqAppendFitFor(
+      embeddings: DataFrame,
+      splitId: Long = 250L, numQueries: Int = 8, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
+      rerank: Int = 4, seed: Long = 42L): Option[IvfPqAppendFit] =
+    Option(ivfPqAppendFits.get(pinKey(embeddings,
+      s"ivfpqapp:$splitId:$numQueries:$k:$nlist:$nprobe:$m:$ksub:$rerank:$seed")))
 
   // ---- index persistence (the build-once/query-many regime ANN indexes
   // exist for): IVF centroids and PQ codebooks as a plain parquet model
@@ -876,7 +893,65 @@ object Similarity {
     ivfPqFits.put(
       pinKey(embeddings, s"ivfpq:$numQueries:$k:$nlist:$nprobe:$m:$ksub:$rerank:$seed"),
       IvfPqFit(centers, books, numQueries, k, nlist, nprobe, m, ksub, rerank))
+    ivfPqPipeline(embDouble, centers, books,
+      col("vec_id") < numQueries, k, nprobe, m, rerank)
+  }
 
+  /** [[ivfPqTopK]] under the FAISS `add` maintenance contract — the
+    * composed-index twin of [[ivfAppendTopK]]: coarse centroids AND PQ
+    * codebooks are fit on (or loaded for) the standing corpus only
+    * (`vec_id < splitId`) and never retrained by arrivals; appending a
+    * batch is one row-local pass (cell + m codes — the posting/code
+    * delta), and the arrival queries ADC-probe the GROWN index with exact
+    * re-rank. Same scale shape as [[ivfPqTopK]]: codes ship, embeddings
+    * are touched only for the k·rerank shortlist.
+    */
+  def ivfPqAppendTopK(
+      embeddings: DataFrame,
+      splitId: Long = 250L,
+      numQueries: Int = 8,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 16,
+      ksub: Int = 16,
+      rerank: Int = 4,
+      seed: Long = 42L,
+      indexPath: Option[String] = None): DataFrame = {
+    val embDouble = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(dot(col("embedding"), col("embedding")).isNotNull)
+    val corpus = embeddings.filter(col("vec_id") < splitId)
+    val corpusD = embDouble.filter(col("vec_id") < splitId)
+    val (centersOpt, booksOpt) = withIndexModel(
+      corpus, corpusD, indexPath,
+      needCenters = Some((nlist, seed)), needBooks = Some((m, ksub, seed)))
+    val centers = centersOpt.get
+    val books = booksOpt.get
+    if (ivfPqAppendFits.size > 16) ivfPqAppendFits.clear()
+    ivfPqAppendFits.put(
+      pinKey(embeddings,
+        s"ivfpqapp:$splitId:$numQueries:$k:$nlist:$nprobe:$m:$ksub:$rerank:$seed"),
+      IvfPqAppendFit(centers, books, splitId, numQueries, k,
+        nlist, nprobe, m, ksub, rerank))
+    ivfPqPipeline(embDouble, centers, books,
+      col("vec_id") >= splitId && col("vec_id") < splitId + numQueries,
+      k, nprobe, m, rerank)
+  }
+
+  /** The shared IVF+PQ probe pipeline over an already-resolved model:
+    * corpus encode (cell + codes + reconstructed norm), nprobe cell
+    * probing, ADC scoring within probed cells, exact re-rank of the
+    * k·rerank shortlist. `isQuery` selects the query rows (the standalone
+    * index queries with the numQueries lowest ids; the append form with
+    * an arrival range).
+    */
+  private def ivfPqPipeline(
+      embDouble: DataFrame,
+      centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      isQuery: Column,
+      k: Int, nprobe: Int, m: Int, rerank: Int): DataFrame = {
     // corpus encode: cell + m codes + reconstructed norm, one row-local pass
     val n2Lit = array((for (j <- 0 until m; c <- books(j))
       yield lit(c.map(x => x * x).sum)).toIndexedSeq: _*)
@@ -894,7 +969,7 @@ object Similarity {
     val hnLit = array(
       centers.map(c => lit(c.map(x => x * x).sum / 2.0)).toIndexedSeq: _*)
     val queries = embDouble
-      .filter(col("vec_id") < numQueries)
+      .filter(isQuery)
       .select(
         col("vec_id").as("query_id"),
         graft.functions.GraftColumns.pqLut(col("embedding"), books).as("ip_lut"),
@@ -925,7 +1000,7 @@ object Similarity {
 
     // exact-cosine re-rank of the shortlist (raw vectors touched only here)
     val qVecs = embDouble
-      .filter(col("vec_id") < numQueries)
+      .filter(isQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val nVecs = embDouble.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("ne"))

@@ -104,6 +104,24 @@ class AnnPersistenceSpec extends SparkTestBase {
       "no arrival ever surfaced as a neighbor — append is inert")
   }
 
+  test("IVF+PQ append: reload parity and both model parts from the corpus fit") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = tempDir("ivfpqappend")
+    val fromFit = rows(Similarity.ivfPqAppendTopK(emb, indexPath = Some(path)))
+    val (centers, books) = Similarity.loadIndexModel(spark, path)
+    assert(centers.isDefined && books.isDefined)
+    val fit = Similarity.ivfPqAppendFitFor(emb).get
+    assert(centers.get.map(_.toSeq).toSeq == fit.centers.map(_.toSeq).toSeq)
+    assert(books.get.map(_.map(_.toSeq).toSeq).toSeq ==
+      fit.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val fromLoad = rows(Similarity.ivfPqAppendTopK(emb, indexPath = Some(path)))
+    val fromSession = rows(Similarity.ivfPqAppendTopK(emb))
+    assert(fromLoad == fromFit && fromSession == fromFit)
+    // every query is an arrival
+    val got = Similarity.ivfPqAppendTopK(emb).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) >= 250L))
+  }
+
   test("structural mismatch fails loudly: IVF query against a PQ-only model") {
     val emb = Tables.embeddings(spark, sf)
     val path = tempDir("pqonly")
