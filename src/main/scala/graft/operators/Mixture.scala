@@ -724,6 +724,14 @@ object Mixture {
     * Scale per micro-batch: one pass over the batch (token count + the
     * per-source cumsum window) plus the bounded-model solve; nothing
     * rescans history.
+    *
+    * Replay contract: the ledger is SESSION state (not checkpoint-backed),
+    * so a restarted query re-seeds from zero and must replay the source
+    * from the beginning — the same complete-mode envelope as
+    * [[optimalMixtureStream]]'s standing supplies. Exactly-once admission
+    * across restarts needs the ledger in a transactional sink (the
+    * [[graft.sources.Sources]] upsert pattern), deliberately out of scope
+    * here like every foreachBatch sink in this library.
     */
   def admittedDocsStream(docs: DataFrame, budgetPpm: Long = 900000L)(
       sink: (DataFrame, Long) => Unit)

@@ -254,9 +254,18 @@ object QualityClassifier {
     * every margin lands on the majority side of 1/2 while the per-bucket
     * signal is learning underneath (measured: all-positive at sf0.1's
     * 51.4% prior; the prior threshold recovers 71%).
+    *
+    * Degenerate priors pin to the teacher, not the inequality edge: with
+    * zero positives the cross-multiply reads `yhat·n ≥ 0` (always true —
+    * the OPPOSITE of the all-negative corpus), and with zero negatives it
+    * reads `yhat = 1e6` exactly (almost never true). Both one-class
+    * corpora therefore short-circuit to the constant class.
     */
   private def predCol: Column =
-    (col("yhat") * col("n_all") >= col("sum_y") * Scale).cast("int")
+    when(col("sum_y") === 0L, lit(0))
+      .when(col("sum_y") === col("n_all"), lit(1))
+      .otherwise((col("yhat") * col("n_all") >= col("sum_y") * Scale)
+        .cast("int"))
 
   /** Map-only inference + per-source confusion rollup: for each source,
     * doc count, weak-label positives, predicted positives (σ̃ ≥ prior)
@@ -498,7 +507,9 @@ object QualityClassifier {
       |qprior AS (SELECT count(*) AS n_all, sum(y) AS sum_y FROM qe),
       |qpred AS (
       |  SELECT doc_id, y,
-      |    CASE WHEN yhat * n_all >= sum_y * $Scale THEN 1 ELSE 0 END AS pred
+      |    CASE WHEN sum_y = 0 THEN 0
+      |         WHEN sum_y = n_all THEN 1
+      |         WHEN yhat * n_all >= sum_y * $Scale THEN 1 ELSE 0 END AS pred
       |  FROM qzf, qprior)""".stripMargin
 
   /** Full oracle for [[scoreConfusion]]. */

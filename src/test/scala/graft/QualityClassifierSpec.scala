@@ -114,6 +114,21 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(w.exists(_.getLong(1) != 0L))
   }
 
+  test("one-class corpora pin to the constant class (degenerate prior)") {
+    // every doc passes the teacher gate: stopword-saturated corpus
+    val allHi = (0L until 20L).map(i => (i, "the the the a", "s"))
+      .toDF("doc_id", "text", "source")
+    val hi = QualityClassifier.scoreConfusion(allHi).collect()
+    assert(hi.map(_.getLong(2)).sum == 20L) // all labeled 1
+    assert(hi.map(_.getLong(3)).sum == 20L, "all-positive corpus must predict 1")
+    // no doc passes: zero stopword mass
+    val allLo = (0L until 20L).map(i => (i, s"data pipeline row$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val lo = QualityClassifier.scoreConfusion(allLo).collect()
+    assert(lo.map(_.getLong(2)).sum == 0L)
+    assert(lo.map(_.getLong(3)).sum == 0L, "all-negative corpus must predict 0")
+  }
+
   test("row-local kernel margins == the batch featureFrame margins, doc for doc") {
     val docs = Tables.documents(spark, sf)
     val w = QualityClassifier.fit(docs, Dim, 3, 4L)
