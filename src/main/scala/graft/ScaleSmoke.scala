@@ -459,6 +459,11 @@ object ScaleSmoke {
       // n-gram explode (the feature build), not iterations x corpus
       time("quality_classifier", scale)(
         force(graft.operators.QualityClassifier.scoreConfusion(docs)))
+      // K-head joint fit: same plan shape as the binary trainer (K sums
+      // ride the one 65-key gradient shuffle), so the curve should track
+      // quality_classifier, not K x it
+      time("domain_classifier", scale)(
+        force(graft.operators.DomainClassifier.confusion(docs)))
       // retrieval additions: BM25 is two stateless scan passes (stats
       // 1-row broadcast + scoring top-k) — the curve should be pure scan;
       // PMI is the bigram explode into a vocab²-bounded aggregate, so its

@@ -1019,6 +1019,18 @@ object SparkEntry {
     // composition (curated_mixture_alloc's heuristic gate swapped for the
     // trained one). Oracle chains the full training-run replay into the
     // mixture solve over the gated relation.
+    // Multi-class domain classifier (one-vs-rest, K=4 heads trained
+    // JOINTLY — one margin map + one 65-key shuffle per GD round for all
+    // heads): the routing stage of a curation pipeline, distilling a
+    // token-group teacher. Oracle replays the whole K-head training run
+    // as a CTE chain with a head dimension.
+    "domain_classifier_train" -> ((s, dir) =>
+      graft.operators.DomainClassifier.trainedWeights(Tables.documents(s, dir))),
+    // K×K confusion at the prior-adjusted argmax decision (raw-margin
+    // argmax reads the K intercepts and collapses to the majority class;
+    // zero-support heads are never predicted).
+    "domain_classifier_confusion" -> ((s, dir) =>
+      graft.operators.DomainClassifier.confusion(Tables.documents(s, dir))),
     "classifier_gated_mixture" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val gated = docs.join(
@@ -3505,6 +3517,10 @@ object SparkEntry {
       graft.operators.QualityClassifier.trainOracleSql(),
     "quality_classifier_score" ->
       graft.operators.QualityClassifier.confusionOracleSql(),
+    "domain_classifier_train" ->
+      graft.operators.DomainClassifier.trainOracleSql(),
+    "domain_classifier_confusion" ->
+      graft.operators.DomainClassifier.confusionOracleSql(),
     "classifier_gated_mixture" -> SketchOracles.optimalMixtureSql(
       budgetPpm = 800000L,
       docsRel = "qcgated",

@@ -101,7 +101,16 @@ object QualityClassifier {
     * docs keep the zero n-gram vector (bias only) — the
     * [[KMeans.hashedTextFp]] left-join convention.
     */
-  def featureFrame(documents: DataFrame, dim: Int = DefaultDim): DataFrame = {
+  def featureFrame(documents: DataFrame, dim: Int = DefaultDim): DataFrame =
+    featVectors(documents, dim)
+      .join(documents.select(col("doc_id"),
+        labelCol(split(col("text"), " "))), Seq("doc_id"))
+
+  /** The label-free feature core `(doc_id, source, v)` — shared with the
+    * multi-class [[DomainClassifier]], which attaches its own teacher.
+    */
+  private[operators] def featVectors(
+      documents: DataFrame, dim: Int): DataFrame = {
     require(Integer.bitCount(dim) == 1, s"dim must be a power of two, got $dim")
     val t = documents.select(col("doc_id"), split(col("text"), " ").as("t"))
     // unigrams ++ bigrams ("a b"); sequence(1, size-1) would DESCEND on a
@@ -130,8 +139,7 @@ object QualityClassifier {
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("m"), i), lit(0L))).as("v0"))
-    documents.select(col("doc_id"), col("source"),
-        labelCol(split(col("text"), " ")))
+    documents.select(col("doc_id"), col("source"))
       .join(vecs, Seq("doc_id"), "left")
       .withColumn("v", concat(
         coalesce(col("v0"), typedLit(Seq.fill(dim)(0L))), array(lit(Scale))))
@@ -397,11 +405,13 @@ object QualityClassifier {
     * from one generator so engine and oracle can only diverge by
     * semantics, never by a typo (the KMeans.oracleCtes discipline).
     */
-  def oracleCtes(dim: Int = DefaultDim, iters: Int = DefaultIters,
-      lr: Long = DefaultLr): String = {
+  /** The label-free feature CTEs (`qtok` … `qv`: per-doc dim+1 vector) —
+    * shared with [[DomainClassifier]]'s oracle, which attaches its own
+    * teacher CTE over the same `qtok`/`qv`.
+    */
+  private[operators] def featureCtes(dim: Int): String = {
     val fnvG = graft.SketchOracles.fnvExpr("g")
     val guard = graft.SketchOracles.asciiGuard
-    val stopList = StopTokens.map(s => s"'$s'").mkString(", ")
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     parts += s"""qtok AS (
       |  SELECT doc_id, string_split(text, ' ') AS t
@@ -427,6 +437,16 @@ object QualityClassifier {
       |  LEFT JOIN qf ON qf.doc_id = d.doc_id AND qf.b = g.b
       |  UNION ALL
       |  SELECT doc_id, $dim AS b, $Scale AS f FROM documents)""".stripMargin
+    parts += s"""qv AS (
+      |  SELECT doc_id, list(f ORDER BY b) AS v FROM qgrid GROUP BY 1)""".stripMargin
+    parts.mkString(",\n")
+  }
+
+  def oracleCtes(dim: Int = DefaultDim, iters: Int = DefaultIters,
+      lr: Long = DefaultLr): String = {
+    val stopList = StopTokens.map(s => s"'$s'").mkString(", ")
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += featureCtes(dim)
     parts += s"""qy AS (
       |  SELECT doc_id,
       |    CASE WHEN len(list_filter(t, x -> x IN ($stopList))) * $ThreshDen
@@ -440,10 +460,8 @@ object QualityClassifier {
     // exhausted the file-handle limit at iters = 12 before this).
     parts += s"""qe AS MATERIALIZED (
       |  SELECT d.doc_id,
-      |    CAST(coalesce(qy.y, 0) AS BIGINT) AS y, vv.v
-      |  FROM documents d JOIN (
-      |    SELECT doc_id, list(f ORDER BY b) AS v FROM qgrid GROUP BY 1) vv
-      |  USING (doc_id)
+      |    CAST(coalesce(qy.y, 0) AS BIGINT) AS y, qv.v
+      |  FROM documents d JOIN qv USING (doc_id)
       |  LEFT JOIN qy USING (doc_id))""".stripMargin
     parts += s"""qcw0 AS MATERIALIZED (
       |  SELECT CAST(unnest(range(0, ${dim + 1})) AS INT) AS b,
