@@ -1039,6 +1039,21 @@ object SparkEntry {
         Seq("doc_id"))
       graft.operators.Mixture.optimalMixture(gated, budgetPpm = 800000L)
     }),
+    // LEARNED routing feeding the budget solve: each doc's classifier-
+    // predicted domain becomes the allocation grouping ('dom<k>' replaces
+    // the provenance source), and the exact water-filling solve budgets
+    // across the four predicted domains. Oracle chains the K-head
+    // training + argmax replay into the mixture CTEs over the routed
+    // relation.
+    "domain_routed_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val routed = docs.join(
+        graft.operators.DomainClassifier.predictions(docs)
+          .select(col("doc_id"), col("pred")), Seq("doc_id"))
+        .select(concat(lit("dom"), col("pred").cast("string")).as("source"),
+          col("text"))
+      graft.operators.Mixture.optimalMixture(routed, budgetPpm = 700000L)
+    }),
     // Continual ingest: arrivals (vec_id >= 250, the incremental_dedup
     // convention) assigned to the standing model, centroids advanced by
     // exact sufficient-statistics merge; emits per-cluster membership,
@@ -3521,6 +3536,14 @@ object SparkEntry {
       graft.operators.DomainClassifier.trainOracleSql(),
     "domain_classifier_confusion" ->
       graft.operators.DomainClassifier.confusionOracleSql(),
+    "domain_routed_mixture" -> SketchOracles.optimalMixtureSql(
+      budgetPpm = 700000L,
+      docsRel = "dcrouted",
+      prefixCtes = graft.operators.DomainClassifier.predCtes() + """,
+dcrouted AS (
+  SELECT 'dom' || CAST(p.pred AS VARCHAR) AS source, d.text
+  FROM documents d JOIN dcpred p USING (doc_id)),
+"""),
     "classifier_gated_mixture" -> SketchOracles.optimalMixtureSql(
       budgetPpm = 800000L,
       docsRel = "qcgated",

@@ -201,6 +201,17 @@ object DomainClassifier {
     * frame, so inference adds no shuffle before the final rollup.
     */
   def confusion(documents: DataFrame, dim: Int = DefaultDim,
+      iters: Int = DefaultIters, lr: Long = DefaultLr): DataFrame =
+    predictions(documents, dim, iters, lr)
+      .groupBy(col("y"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("y"), col("pred"))
+
+  /** Per-doc predictions `(doc_id, source, y, pred)` — the composable
+    * routing surface (a budget loop groups on `pred`; [[confusion]] is
+    * its rollup). Map-only after one broadcast prior row.
+    */
+  def predictions(documents: DataFrame, dim: Int = DefaultDim,
       iters: Int = DefaultIters, lr: Long = DefaultLr): DataFrame = {
     val (fp, w) = frameAndFit(documents, dim, iters, lr)
     val priorAggs = Seq(count(lit(1)).as("n_all")) ++
@@ -218,9 +229,7 @@ object DomainClassifier {
       .withColumn("best",
         array_max(filter(cand, s => s.getField("sy") > 0L)))
       .withColumn("pred", -col("best.nk"))
-      .groupBy(col("y"), col("pred"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("y"), col("pred"))
+      .select(col("doc_id"), col("source"), col("y"), col("pred"))
   }
 
   // ---- DuckDB oracle: the K-head training run as one CTE chain --------
@@ -297,10 +306,13 @@ object DomainClassifier {
       |SELECT CAST(h AS INT) AS head, CAST(b AS INT) AS b, w
       |FROM dcw$iters ORDER BY head, b""".stripMargin
 
-  /** Full oracle for [[confusion]]. */
-  def confusionOracleSql(dim: Int = DefaultDim, iters: Int = DefaultIters,
+  /** [[oracleCtes]] extended through inference: margins per head, priors,
+    * prior-adjusted argmax — ends at `dcpred (doc_id, y, pred)`. Reused by
+    * the confusion rollup and the domain-routed compositions.
+    */
+  def predCtes(dim: Int = DefaultDim, iters: Int = DefaultIters,
       lr: Long = DefaultLr): String =
-    s"""WITH ${oracleCtes(dim, iters, lr)},
+    s"""${oracleCtes(dim, iters, lr)},
       |dczf AS (
       |  SELECT doc_id, y, h,
       |    least(greatest(500000 + (
@@ -327,7 +339,12 @@ object DomainClassifier {
       |  SELECT doc_id, y, h AS pred FROM (
       |    SELECT doc_id, y, h,
       |      row_number() OVER (PARTITION BY doc_id ORDER BY adj DESC, h) AS rn
-      |    FROM dcadj) WHERE rn = 1)
+      |    FROM dcadj) WHERE rn = 1)""".stripMargin
+
+  /** Full oracle for [[confusion]]. */
+  def confusionOracleSql(dim: Int = DefaultDim, iters: Int = DefaultIters,
+      lr: Long = DefaultLr): String =
+    s"""WITH ${predCtes(dim, iters, lr)}
       |SELECT CAST(y AS INT) AS y, CAST(pred AS INT) AS pred,
       |  CAST(count(*) AS BIGINT) AS n_docs
       |FROM dcpred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
