@@ -464,6 +464,22 @@ object ScaleSmoke {
       // quality_classifier, not K x it
       time("domain_classifier", scale)(
         force(graft.operators.DomainClassifier.confusion(docs)))
+      // reliability table: one scoreDocs pass + a DistributedRank over
+      // (yhat, doc_id) + a 10-row rollup — the curve should track the
+      // feature build like quality_classifier, with the rank's range
+      // shuffle on top (never a single-partition window)
+      time("quality_classifier_calib", scale) {
+        val n = force(graft.operators.QualityClassifier.calibration(docs))
+        DistributedRank.release(spark); n
+      }
+      // distribution-matched resample: two tiny histograms + ONE
+      // DistributedRank range shuffle over the (bucket, pri, doc_id)
+      // total order — per-bucket rank via offsets, so the curve must not
+      // show an 8-reduce-task straggler at any scale
+      time("dist_matched_sample", scale) {
+        val n = force(graft.operators.Mixture.distMatchedSample(docs))
+        DistributedRank.release(spark); n
+      }
       // retrieval additions: BM25 is two stateless scan passes (stats
       // 1-row broadcast + scoring top-k) — the curve should be pure scan;
       // PMI is the bigram explode into a vocab²-bounded aggregate, so its

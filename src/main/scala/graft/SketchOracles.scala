@@ -604,6 +604,51 @@ WHERE pick_rank <= ($quotaCase)
 ORDER BY source, pick_rank"""
   }
 
+  /** dist_matched_sample: full replay of [[graft.operators.Mixture.distMatchedSample]]
+    * — length buckets, the Hamilton largest-remainder quota apportionment
+    * over the reference histogram (all HUGEINT), and the content-keyed
+    * per-bucket rank admission (the same fnv+mix chain as [[stratifiedSql]];
+    * the engine's integer 53-bit priority is `mx // 2048` verbatim).
+    */
+  def distMatchedSql(
+      refSource: String = "src0",
+      samplePpm: Long = 400000L): String = {
+    val esc = refSource.replace("'", "''")
+    s"""WITH t0 AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS t,
+    ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents WHERE $asciiGuard = 0),
+d AS (
+  SELECT doc_id, source,
+    CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32 WHEN t <= 64 THEN 64
+      WHEN t <= 128 THEN 128 WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512
+      WHEN t <= 1024 THEN 1024 ELSE 2048 END AS bucket, z0
+  FROM t0),
+${mixChain("dq", "d", Seq("doc_id", "source", "bucket"), "z0")},
+u AS (SELECT doc_id, source, bucket, mx // 2048 AS pri FROM dq4),
+refh AS (SELECT bucket, count(*)::HUGEINT AS ref_n FROM u
+  WHERE source = '$esc' GROUP BY 1),
+nt AS (SELECT (count(*)::HUGEINT * $samplePpm) // 1000000 AS n_target
+  FROM u WHERE source <> '$esc'),
+q1 AS (SELECT bucket, ref_n, n_target,
+    (n_target * ref_n) // (SELECT sum(ref_n) FROM refh) AS fl,
+    (n_target * ref_n) % (SELECT sum(ref_n) FROM refh) AS rem
+  FROM refh, nt),
+q AS (SELECT bucket,
+    CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, bucket)
+      <= n_target - (SELECT sum(fl) FROM q1) THEN 1 ELSE 0 END AS BIGINT)
+      AS quota
+  FROM q1),
+r AS (SELECT doc_id, bucket,
+    CAST(row_number() OVER (PARTITION BY bucket ORDER BY pri, doc_id)
+      AS BIGINT) AS pick_rank
+  FROM u WHERE source <> '$esc')
+SELECT r.doc_id, CAST(r.bucket AS INT) AS bucket, r.pick_rank, q.quota
+FROM r JOIN q USING (bucket)
+WHERE r.pick_rank <= q.quota
+ORDER BY bucket, pick_rank"""
+  }
+
   /** gen_events_audit: replay the splitmix64 event generator itself —
     * three mix chains (user/type/value streams, inputs id*8+k+(seed<<40))
     * over a plain range(), then the same per-type aggregate the engine

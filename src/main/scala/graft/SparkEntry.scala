@@ -1054,6 +1054,36 @@ object SparkEntry {
           col("text"))
       graft.operators.Mixture.optimalMixture(routed, budgetPpm = 700000L)
     }),
+    // Reliability table of the trained quality gate: equal-population σ̃
+    // bins × exact (teacher, prediction) counts — the calibration audit
+    // read before trusting the gate's threshold. Oracle chains the FULL
+    // training replay into the same rank/bin arithmetic.
+    "quality_classifier_calibration" -> ((s, dir) =>
+      graft.operators.QualityClassifier.calibration(Tables.documents(s, dir))),
+    // Distribution-matched resampling: the pool corpus reshaped to the
+    // reference source's length-bucket histogram — Hamilton-apportioned
+    // per-bucket quotas filled by content-keyed rank (full machine-
+    // generated oracle, SketchOracles.distMatchedSql).
+    "dist_matched_sample" -> ((s, dir) =>
+      graft.operators.Mixture.distMatchedSample(Tables.documents(s, dir))),
+    // Format-agnostic ingestion: events round-tripped through ORC (write
+    // then read back — int64/string/double/µs-timestamp all survive) and
+    // aggregated; the oracle aggregates the ORIGINAL parquet, so any
+    // conversion loss hash-mismatches.
+    "orc_roundtrip_agg" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        f"graft_orc_rt_${dir.hashCode & 0x7fffffff}%08x").getAbsolutePath
+      graft.sources.Sources.eventsOrcRoundTrip(Tables.events(s, dir), out)
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("total_value"),
+          min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"),
+          sum(length(col("props"))).as("props_chars"))
+        .orderBy(col("event_type"))
+    }),
     // Continual ingest: arrivals (vec_id >= 250, the incremental_dedup
     // convention) assigned to the standing model, centroids advanced by
     // exact sufficient-statistics merge; emits per-cluster membership,
@@ -3532,6 +3562,21 @@ object SparkEntry {
       graft.operators.QualityClassifier.trainOracleSql(),
     "quality_classifier_score" ->
       graft.operators.QualityClassifier.confusionOracleSql(),
+    "quality_classifier_calibration" ->
+      graft.operators.QualityClassifier.calibrationOracleSql(),
+    "dist_matched_sample" -> SketchOracles.distMatchedSql(),
+    // The ORACLE aggregates the ORIGINAL parquet — the engine's answer
+    // went through a full ORC write/read first.
+    "orc_roundtrip_agg" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS total_value,
+        |  min(ts) AS min_ts,
+        |  max(ts) AS max_ts,
+        |  CAST(sum(length(props)) AS BIGINT) AS props_chars
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "domain_classifier_train" ->
       graft.operators.DomainClassifier.trainOracleSql(),
     "domain_classifier_confusion" ->

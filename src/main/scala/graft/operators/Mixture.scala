@@ -186,6 +186,101 @@ object Mixture {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** Distribution-matched resampling — reshape a POOL corpus so its
+    * length-bucket histogram matches a REFERENCE corpus's (the "make the
+    * mixture look like the target domain" curation op: a web crawl
+    * resampled to wiki's length profile before training). Three exact
+    * stages, all integer arithmetic:
+    *
+    *   1. bucket(doc) = the padding length bucket (the same powers-of-two
+    *      case over the whitespace token count as
+    *      [[graft.functions.TextAnalysis.lengthBuckets]]).
+    *   2. quota(b) = Hamilton largest-remainder apportionment of
+    *      `N = pool_total * samplePpm DIV 1e6` across the REFERENCE's
+    *      bucket counts (floor(N*ref_n/ref_tot), then +1 for the
+    *      N − Σfloor largest remainders, ties to the smaller bucket) —
+    *      Σquota = N doc-exactly, the same discipline as
+    *      [[allocateFromSupplies]]' Hamilton bump. Buckets absent from
+    *      the reference get quota 0 (their exclusion IS the matching);
+    *      a bucket with fewer pool docs than quota admits them all
+    *      (shortfall surfaces as max(pick_rank) < quota).
+    *   3. admission = content-keyed rank ≤ quota within the bucket, the
+    *      same uniform priority as [[stratifiedSample]] — deterministic
+    *      under reorder/repartition/growth, duplicates rank adjacently.
+    *
+    * Scale shape: the quota solve is windows over a ≤|buckets|-row frame
+    * (≤8 rows — the accepted bounded-model-frame window). The pool rank
+    * deliberately does NOT use a per-bucket window: buckets are so coarse
+    * (≤8) that each stratum is ~1/8 of the corpus, so
+    * `Window.partitionBy(bucket)` would funnel 100 TB through 8 reduce
+    * tasks. Instead [[DistributedRank]] range-partitions the TOTAL order
+    * (bucket, pri, doc_id) and the per-bucket rank is
+    * `global_rank − offset(bucket)` with offsets from the tiny per-bucket
+    * count frame — every partition ranks in parallel regardless of
+    * stratum width. Caller releases the ranged frame via
+    * [[DistributedRank.release]] (the Verify/Bench harness does).
+    */
+  def distMatchedSample(
+      documents: DataFrame,
+      refSource: String = "src0",
+      samplePpm: Long = 400000L): DataFrame = {
+    require(samplePpm >= 0L && samplePpm <= 1000000L, s"samplePpm: $samplePpm")
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.functions.TextAnalysis.wsTokenCount(col("text"))
+    val bucket = when(t <= 16, 16).when(t <= 32, 32).when(t <= 64, 64)
+      .when(t <= 128, 128).when(t <= 256, 256).when(t <= 512, 512)
+      .when(t <= 1024, 1024).otherwise(2048)
+    // Integer 53-bit priority (the dyadic numerator of textUniform —
+    // identical order, exact in both engines).
+    val pri = shiftrightunsigned(
+      GraftColumns.mix64(GraftColumns.fnv1a64(col("text"))), 11).cast("long")
+    val base = documents.select(
+      col("doc_id"), col("source"), bucket.cast("int").as("bucket"),
+      pri.as("pri"))
+    val pool = base.filter(col("source") =!= lit(refSource))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+
+    // Quota solve over the ≤8-row reference histogram (exact decimals:
+    // N*ref_n reaches supply² territory at 100 TB — past a BIGINT).
+    val refh = base.filter(col("source") === lit(refSource))
+      .groupBy(col("bucket")).agg(dec(count(lit(1))).as("ref_n"))
+    val nTarget = pool.agg(dec(count(lit(1))).as("pool_tot"))
+      .select(expr(s"CAST(pool_tot * $samplePpm DIV 1000000 AS DECIMAL(38,0))")
+        .as("n_target"))
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = refh.crossJoin(broadcast(nTarget))
+      .withColumn("ref_tot", sum(col("ref_n")).over(whole))
+      .withColumn("fl",
+        expr("CAST(n_target * ref_n DIV ref_tot AS DECIMAL(38,0))"))
+      .withColumn("rem", expr("(n_target * ref_n) % ref_tot"))
+      .withColumn("leftover", col("n_target") - sum(col("fl")).over(whole))
+      .withColumn("bump_rank", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("bucket"))).cast("long"))
+      .withColumn("quota",
+        (col("fl") + when(col("bump_rank") <= col("leftover"), 1L)
+          .otherwise(0L)).cast("bigint"))
+      .select(col("bucket"), col("quota"))
+
+    // Per-bucket offsets from the tiny pool histogram; global rank over
+    // the (bucket, pri, doc_id) total order does the heavy lifting.
+    val before = Window.partitionBy().orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = pool.groupBy(col("bucket")).agg(count(lit(1)).as("pool_n"))
+      .withColumn("offset", coalesce(sum(col("pool_n")).over(before), lit(0L)))
+      .join(quotas, Seq("bucket"), "left")
+      .select(col("bucket"), col("offset"),
+        coalesce(col("quota"), lit(0L)).as("quota"))
+    val ranked = DistributedRank.withGlobalRank(
+      pool.select(col("doc_id"), col("bucket"), col("pri")),
+      Seq(col("bucket"), col("pri"), col("doc_id")), "global_rank")
+    ranked.join(broadcast(offs), Seq("bucket"))
+      .withColumn("pick_rank", col("global_rank") - col("offset"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("doc_id"), col("bucket"), col("pick_rank"), col("quota"))
+      .orderBy(col("bucket"), col("pick_rank"))
+  }
+
   /** Per-document weighted sampling — the rate is computed FROM the
     * document instead of looked up by source: here inverse-length
     * (`min(1, targetTokens/tokens)`), the standard correction that stops

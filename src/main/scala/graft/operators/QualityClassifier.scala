@@ -328,6 +328,43 @@ object QualityClassifier {
         col("yhat"), col("pred"))
   }
 
+  /** Reliability table of the trained gate: documents ranked by σ̃ (ties
+    * broken by doc_id — a total order, so the binning is deterministic),
+    * cut into `bins` equal-population score bins `(rank−1)·bins DIV n`,
+    * and per bin the exact counts a calibration read-out needs: docs,
+    * teacher positives, predicted positives, agreement, and the σ̃ range.
+    * A well-calibrated gate shows n_label_hi/n_docs rising with the bin —
+    * the audit a curation run reads BEFORE trusting the classifier's
+    * threshold, beside [[scoreConfusion]]'s per-source view.
+    *
+    * All integer: σ̃ is already scale-6 fixed point, the rank comes from
+    * [[DistributedRank]] (range partition + offsets — no single-partition
+    * window over the corpus), and the bin is one integer multiply-divide.
+    * Oracle: [[calibrationOracleSql]] chains the FULL training replay into
+    * the same rank/bin arithmetic.
+    */
+  def calibration(documents: DataFrame, bins: Int = 10,
+      dim: Int = DefaultDim, iters: Int = DefaultIters,
+      lr: Long = DefaultLr): DataFrame = {
+    require(bins > 0, s"bins: $bins")
+    val scored = scoreDocs(documents, dim, iters, lr)
+      .select(col("doc_id"), col("y"), col("yhat"), col("pred"))
+    val (ranked, n) = DistributedRank.withGlobalRankAndCount(
+      scored, Seq(col("yhat"), col("doc_id")), "rk")
+    ranked
+      .withColumn("bin",
+        expr(s"CAST((rk - 1) * $bins DIV ${math.max(n, 1L)}L AS INT)"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_label_hi"),
+        sum(col("pred").cast("long")).as("n_pred_hi"),
+        count(when(col("pred") === col("y"), lit(1))).as("n_agree"),
+        min(col("yhat")).cast("long").as("min_yhat"),
+        max(col("yhat")).cast("long").as("max_yhat"))
+      .orderBy(col("bin"))
+  }
+
   /** Row-local scoring kernel: the margin of one document's text under
     * literal weights — the inference twin of [[featureFrame]]∘margin,
     * spelled once in plain Scala so a STREAMING gate needs no per-doc
@@ -542,4 +579,26 @@ object QualityClassifier {
       |    AS n_agree
       |FROM documents d JOIN qpred q USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Full oracle for [[calibration]]: the training replay ([[predCtes]])
+    * joined back to the σ̃ frame, ranked by (yhat, doc_id), binned by the
+    * same integer multiply-divide, aggregated per bin.
+    */
+  def calibrationOracleSql(bins: Int = 10, dim: Int = DefaultDim,
+      iters: Int = DefaultIters, lr: Long = DefaultLr): String =
+    s"""WITH ${predCtes(dim, iters, lr)},
+      |qr AS (
+      |  SELECT z.doc_id, z.yhat, z.y, p.pred,
+      |    row_number() OVER (ORDER BY z.yhat, z.doc_id) AS rk,
+      |    (SELECT count(*) FROM qzf) AS n
+      |  FROM qzf z JOIN qpred p USING (doc_id))
+      |SELECT CAST((rk - 1) * $bins // greatest(n, 1) AS INT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(qr.y) AS BIGINT) AS n_label_hi,
+      |  CAST(sum(qr.pred) AS BIGINT) AS n_pred_hi,
+      |  CAST(sum(CASE WHEN qr.pred = qr.y THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_agree,
+      |  CAST(min(qr.yhat) AS BIGINT) AS min_yhat,
+      |  CAST(max(qr.yhat) AS BIGINT) AS max_yhat
+      |FROM qr GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -135,6 +135,19 @@ object Sources {
   def eventsFromOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Full ORC round trip: write `events` to `path` (overwrite — the write
+    * goes through the Hadoop FileSystem API, so the path may be HDFS/S3A)
+    * and read it back through [[eventsFromOrc]]. Exercises the whole
+    * columnar encode/decode for every harness event type — int64, string,
+    * double, microsecond timestamp — so a driver aggregate over the
+    * returned frame hash-matches the parquet oracle only if the format
+    * conversion is lossless.
+    */
+  def eventsOrcRoundTrip(events: DataFrame, path: String): DataFrame = {
+    events.write.mode("overwrite").orc(path)
+    eventsFromOrc(events.sparkSession, path)
+  }
+
   /** S6 — relational read of a served aggregate table over JDBC (the
     * reference's pooled Postgres reads, api/src/infrastructure/database.py).
     * Partitioned read so a large table scans in parallel.
