@@ -882,6 +882,112 @@ object Mixture {
       .start()
   }
 
+  /** Distribution-matched admission, streamed — the incremental form of
+    * [[distMatchedSample]], following [[admittedDocsStream]]'s ledger
+    * discipline:
+    *
+    *  1. a standing per-bucket histogram ledger (bucket → reference count,
+    *     pool count, admitted count — ≤8 triples, driver-held like every
+    *     model frame here) advances by each micro-batch's counts;
+    *  2. the IDENTICAL Hamilton apportionment re-runs over the standing
+    *     histograms (driver-side BigInt over ≤8 buckets — the same
+    *     tie-break as the batch quota solve: remainder desc, bucket asc);
+    *  3. the batch's pool arrivals are admitted per bucket by the same
+    *     content-keyed (pri, doc_id) rank, up to `quota − admitted_before`
+    *     (never negative: quotas can SHRINK between batches — Hamilton is
+    *     not monotone and the reference histogram shifts — but admission
+    *     never retracts; `pick_rank = admitted_before + batch_rank` keeps
+    *     per-bucket ranks dense across batches).
+    *
+    * When the whole corpus arrives in one batch the emitted rows equal
+    * the batch operator's row for row (spec-pinned, like the mixture
+    * admission's parity contract).
+    */
+  def distMatchedStream(docs: DataFrame, refSource: String = "src0",
+      samplePpm: Long = 400000L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(samplePpm >= 0L && samplePpm <= 1000000L, s"samplePpm: $samplePpm")
+    // bucket -> (refN, poolN, admitted): the standing histogram ledger
+    val ledger =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val spark = b.sparkSession
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val t = graft.functions.TextAnalysis.wsTokenCount(col("text"))
+        val bucket = when(t <= 16, 16).when(t <= 32, 32).when(t <= 64, 64)
+          .when(t <= 128, 128).when(t <= 256, 256).when(t <= 512, 512)
+          .when(t <= 1024, 1024).otherwise(2048)
+        val pri = shiftrightunsigned(
+          GraftColumns.mix64(GraftColumns.fnv1a64(col("text"))), 11).cast("long")
+        val batch = b.toDF().select(col("doc_id"),
+          (col("source") === lit(refSource)).as("is_ref"),
+          bucket.cast("int").as("bucket"), pri.as("pri"))
+          .localCheckpoint()
+        batch.groupBy(col("bucket"), col("is_ref"))
+          .agg(count(lit(1)).as("n")).collect().foreach { r =>
+            val add = if (r.getBoolean(1)) (r.getLong(2), 0L, 0L)
+              else (0L, r.getLong(2), 0L)
+            ledger.merge(r.getInt(0), add,
+              (a, nw) => (a._1 + nw._1, a._2 + nw._2, a._3))
+          }
+        // Standing Hamilton solve — BigInt twin of the batch quota CTEs.
+        val st = {
+          val it = ledger.entrySet().iterator()
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long, Long)]
+          while (it.hasNext) {
+            val e = it.next()
+            buf += ((e.getKey, e.getValue._1, e.getValue._2, e.getValue._3))
+          }
+          buf.sortBy(_._1).toSeq
+        }
+        val refTot = BigInt(st.map(_._2).sum)
+        val nTarget = BigInt(st.map(_._3).sum) * samplePpm / 1000000L
+        val quotas: Map[Int, Long] =
+          if (refTot == 0) Map.empty
+          else {
+            val fl = st.map(e => (e._1, nTarget * e._2 / refTot,
+              (nTarget * e._2) % refTot))
+            val leftover = (nTarget - fl.map(_._2).sum).toLong
+            // remainder desc, bucket asc — leftover < #nonzero-remainder
+            // buckets always (Σrem < #nonzero · refTot), so restricting
+            // the candidates to rem > 0 matches the batch bump exactly
+            val bumped = fl.filter(_._3 > 0).sortBy(e => (e._3, e._1))(
+              Ordering.Tuple2(Ordering.BigInt.reverse, Ordering.Int))
+              .take(math.max(leftover, 0L).toInt).map(_._1).toSet
+            fl.map(e => e._1 ->
+              (e._2 + (if (bumped(e._1)) 1 else 0)).toLong).toMap
+          }
+        val rem = st.map { case (bk, _, _, adm) =>
+          val q = quotas.getOrElse(bk, 0L)
+          (bk, math.max(q - adm, 0L), q, adm)
+        }.toDF("bucket", "remaining", "quota", "admitted_before")
+        val w = Window.partitionBy(col("bucket"))
+          .orderBy(col("pri"), col("doc_id"))
+        val admitted = batch.filter(!col("is_ref"))
+          .withColumn("batch_rank", row_number().over(w).cast("long"))
+          .join(broadcast(rem), Seq("bucket"))
+          .filter(col("batch_rank") <= col("remaining"))
+          .select(col("doc_id"), col("bucket"),
+            (col("admitted_before") + col("batch_rank")).as("pick_rank"),
+            col("quota"))
+          .orderBy(col("bucket"), col("pick_rank"))
+          .localCheckpoint()
+        admitted.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .collect().foreach { r =>
+            ledger.merge(r.getInt(0), (0L, 0L, r.getLong(1)),
+              (a, nw) => (a._1, a._2, a._3 + nw._3))
+          }
+        sink(admitted, id)
+      }
+      .start()
+  }
+
   def rendezvousShards(documents: DataFrame, shards: Int = 32): DataFrame = {
     val h = GraftColumns.fnv1a64(col("text"))
     def best(n: Int): Column = {
