@@ -1054,6 +1054,11 @@ object SparkEntry {
           col("text"))
       graft.operators.Mixture.optimalMixture(routed, budgetPpm = 700000L)
     }),
+    // Threshold-free ranking audit of the trained gate: tie-corrected
+    // Mann-Whitney AUC of σ̃ vs the weak-label teacher (doubled average
+    // ranks over the bounded distinct-σ̃ histogram — exact micros).
+    "quality_classifier_auc" -> ((s, dir) =>
+      graft.operators.ClassifierEval.classifierAuc(Tables.documents(s, dir))),
     // Reliability table of the trained quality gate: equal-population σ̃
     // bins × exact (teacher, prediction) counts — the calibration audit
     // read before trusting the gate's threshold. Oracle chains the FULL
@@ -3564,6 +3569,8 @@ object SparkEntry {
       graft.operators.QualityClassifier.confusionOracleSql(),
     "quality_classifier_calibration" ->
       graft.operators.QualityClassifier.calibrationOracleSql(),
+    "quality_classifier_auc" ->
+      graft.operators.ClassifierEval.classifierAucOracleSql,
     "dist_matched_sample" -> SketchOracles.distMatchedSql(),
     // The ORACLE aggregates the ORIGINAL parquet — the engine's answer
     // went through a full ORC write/read first.

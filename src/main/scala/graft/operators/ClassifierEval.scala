@@ -32,9 +32,19 @@ object ClassifierEval {
     */
   def rocAucValue(events: DataFrame): DataFrame = {
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
-    val hist = events
+    aucFromScores(events
       .select(cents.as("v"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")))
+  }
+
+  /** The Mann–Whitney doubled-rank AUC core over a (v: long score,
+    * y: 0/1 long label) frame — shared by [[rocAucValue]] and
+    * [[classifierAuc]]. Callers must bound v's domain (cents / scale-6
+    * fixed point), so the distinct-v histogram is a model frame, not a
+    * corpus.
+    */
+  private def aucFromScores(scores: DataFrame): DataFrame = {
+    val hist = scores
       .groupBy(col("v"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
     val byV = Window.orderBy(col("v"))
@@ -64,6 +74,51 @@ object ClassifierEval {
       .select(col("n_all"), col("n_pos"), col("n_neg"),
         col("auc_micros"), col("gini_micros"))
   }
+
+  /** Tie-corrected ROC-AUC of the TRAINED quality gate's σ̃ against its
+    * weak-label teacher — the threshold-free ranking audit beside
+    * [[QualityClassifier.scoreConfusion]] (one operating point) and
+    * [[QualityClassifier.calibration]] (bin-wise reliability). σ̃ is
+    * scale-6 fixed point, so the distinct-score histogram is bounded at
+    * 10⁶+1 rows no matter the corpus — [[aucFromScores]]' model-frame
+    * contract holds at any scale. Oracle: [[classifierAucOracleSql]]
+    * chains the full training replay into the same doubled-rank fold.
+    */
+  def classifierAuc(documents: DataFrame): DataFrame =
+    aucFromScores(QualityClassifier.scoreDocs(documents)
+      .select(col("yhat").cast("long").as("v"), col("y").cast("long").as("y")))
+
+  def classifierAucOracleSql: String =
+    s"""WITH ${QualityClassifier.predCtes()},
+      |hist AS (
+      |  SELECT CAST(yhat AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS p
+      |  FROM qzf GROUP BY 1),
+      |ranked AS (
+      |  SELECT v, n, p,
+      |    COALESCE(CAST(sum(n) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS cumb
+      |  FROM hist),
+      |agg AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+      |    CAST(sum(p) AS BIGINT) AS n_pos,
+      |    CAST(sum(p * (2 * cumb + n + 1)) AS BIGINT) AS r1x2
+      |  FROM ranked),
+      |fin AS (
+      |  SELECT n_all, n_pos, n_all - n_pos AS n_neg,
+      |    r1x2 - n_pos * (n_pos + 1) AS u2
+      |  FROM agg)
+      |SELECT n_all, n_pos, n_neg,
+      |  CASE WHEN n_pos * n_neg > 0
+      |    THEN u2 * 1000000 // (2 * n_pos * n_neg) ELSE 0 END
+      |    AS auc_micros,
+      |  CASE WHEN n_pos * n_neg = 0 THEN 0
+      |    WHEN u2 - n_pos * n_neg >= 0
+      |    THEN (u2 - n_pos * n_neg) * 1000000 // (n_pos * n_neg)
+      |    ELSE -((-(u2 - n_pos * n_neg)) * 1000000 // (n_pos * n_neg)) END
+      |    AS gini_micros
+      |FROM fin""".stripMargin
 
   def rocAucValueOracleSql: String =
     """WITH hist AS (

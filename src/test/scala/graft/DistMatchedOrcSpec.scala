@@ -110,6 +110,25 @@ class DistMatchedOrcSpec extends SparkTestBase {
     }
   }
 
+  test("classifierAuc: the trained gate ranks above chance and reconciles with the confusion totals") {
+    val auc = graft.operators.ClassifierEval.classifierAuc(docs).head()
+    try {
+      val nAll = auc.getAs[Long]("n_all")
+      val nPos = auc.getAs[Long]("n_pos")
+      val aucMicros = auc.getAs[Long]("auc_micros")
+      val gini = auc.getAs[Long]("gini_micros")
+      val conf = QualityClassifier.scoreConfusion(docs)
+        .agg(sum("n_docs"), sum("n_label_hi")).as[(Long, Long)].head()
+      assert((nAll, nPos) == conf)
+      // the distilled gate must rank its teacher above chance
+      assert(aucMicros > 500000L && aucMicros <= 1000000L, s"auc $aucMicros")
+      // Gini = 2·AUC − 1 exactly on the micros lattice (both floor the
+      // same rational, n_pos·n_neg | u2 offsets differ by exactly 1e6·den)
+      assert(gini == 2 * aucMicros - 1000000L ||
+        math.abs(gini - (2 * aucMicros - 1000000L)) <= 1L)
+    } finally QualityClassifier.release(spark)
+  }
+
   test("ORC round trip is value-identical to the source events frame") {
     val ev = Tables.events(spark, sf)
     val out = new java.io.File(
