@@ -1031,6 +1031,10 @@ object SparkEntry {
     // zero-support heads are never predicted).
     "domain_classifier_confusion" -> ((s, dir) =>
       graft.operators.DomainClassifier.confusion(Tables.documents(s, dir))),
+    // Per-head one-vs-rest AUC (tie-corrected, exact micros) — the
+    // threshold-free multi-class ranking audit beside the K×K confusion.
+    "domain_classifier_auc" -> ((s, dir) =>
+      graft.operators.DomainClassifier.headAuc(Tables.documents(s, dir))),
     "classifier_gated_mixture" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val gated = docs.join(
@@ -3588,6 +3592,8 @@ object SparkEntry {
       graft.operators.DomainClassifier.trainOracleSql(),
     "domain_classifier_confusion" ->
       graft.operators.DomainClassifier.confusionOracleSql(),
+    "domain_classifier_auc" ->
+      graft.operators.DomainClassifier.headAucOracleSql(),
     "domain_routed_mixture" -> SketchOracles.optimalMixtureSql(
       budgetPpm = 700000L,
       docsRel = "dcrouted",

@@ -38,26 +38,30 @@ object ClassifierEval {
   }
 
   /** The Mann–Whitney doubled-rank AUC core over a (v: long score,
-    * y: 0/1 long label) frame — shared by [[rocAucValue]] and
-    * [[classifierAuc]]. Callers must bound v's domain (cents / scale-6
-    * fixed point), so the distinct-v histogram is a model frame, not a
-    * corpus.
+    * y: 0/1 long label) frame — shared by [[rocAucValue]],
+    * [[classifierAuc]] and the per-head multi-class audit
+    * ([[graft.operators.DomainClassifier.headAuc]] passes `group` so one
+    * pass folds every head). Callers must bound v's domain (cents /
+    * scale-6 fixed point), so the distinct-v histogram is a model frame,
+    * not a corpus.
     */
-  private def aucFromScores(scores: DataFrame): DataFrame = {
+  private[operators] def aucFromScores(
+      scores: DataFrame, group: Seq[Column] = Seq.empty): DataFrame = {
     val hist = scores
-      .groupBy(col("v"))
+      .groupBy(group :+ col("v"): _*)
       .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
-    val byV = Window.orderBy(col("v"))
+    val byV = Window.partitionBy(group: _*).orderBy(col("v"))
     val ranked = hist
       .withColumn("cumb",
         coalesce(sum(col("n")).over(
           byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("rank2", lit(2L) * col("cumb") + col("n") + 1L)
-    ranked
-      .agg(
-        sum(col("n")).as("n_all"),
-        sum(col("p")).as("n_pos"),
-        sum(col("p") * col("rank2")).as("r1x2"))
+    val aggs = Seq(
+      sum(col("n")).as("n_all"),
+      sum(col("p")).as("n_pos"),
+      sum(col("p") * col("rank2")).as("r1x2"))
+    (if (group.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+     else ranked.groupBy(group: _*).agg(aggs.head, aggs.tail: _*))
       .withColumn("n_neg", col("n_all") - col("n_pos"))
       .withColumn("u2", col("r1x2") - col("n_pos") * (col("n_pos") + 1L))
       // single-class corpora (n_pos·n_neg = 0) define both metrics as 0
@@ -71,8 +75,8 @@ object ClassifierEval {
         "CASE WHEN n_pos * n_neg = 0 THEN 0" +
           " WHEN gini_num >= 0 THEN gini_num * 1000000 DIV (n_pos * n_neg)" +
           " ELSE -((-gini_num) * 1000000 DIV (n_pos * n_neg)) END"))
-      .select(col("n_all"), col("n_pos"), col("n_neg"),
-        col("auc_micros"), col("gini_micros"))
+      .select(group ++ Seq(col("n_all"), col("n_pos"), col("n_neg"),
+        col("auc_micros"), col("gini_micros")): _*)
   }
 
   /** Tie-corrected ROC-AUC of the TRAINED quality gate's σ̃ against its

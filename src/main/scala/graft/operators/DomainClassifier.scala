@@ -232,6 +232,68 @@ object DomainClassifier {
       .select(col("doc_id"), col("source"), col("y"), col("pred"))
   }
 
+  /** Per-head tie-corrected one-vs-rest AUC — the multi-class twin of
+    * [[ClassifierEval.classifierAuc]]: for every head k, how well does
+    * head k's σ̃ rank "y = k" documents above the rest? One exploded
+    * (doc × head) pass folds through [[ClassifierEval.aucFromScores]]
+    * with the head as the group key, so all K audits ride a single
+    * K·(10⁶+1)-bounded histogram shuffle. Zero-support heads emit the
+    * degenerate-contract 0, mirroring their exclusion from the argmax.
+    */
+  def headAuc(documents: DataFrame, dim: Int = DefaultDim,
+      iters: Int = DefaultIters, lr: Long = DefaultLr): DataFrame = {
+    val (fp, w) = frameAndFit(documents, dim, iters, lr)
+    var scored = fp
+    for (k <- 0 until K)
+      scored = scored.withColumn(s"z$k", marginCol(w(k)))
+    val rows = array((0 until K).map(k => struct(
+      lit(k).as("h"),
+      expr(yhatExpr(s"z$k")).cast("long").as("v"),
+      when(col("y") === k, 1L).otherwise(0L).as("yy"))): _*)
+    val perHead = scored.select(explode(rows).as("r"))
+      .select(col("r.h").as("h"), col("r.v").as("v"), col("r.yy").as("y"))
+    ClassifierEval.aucFromScores(perHead, Seq(col("h")))
+      .withColumn("h", col("h").cast("int"))
+      .orderBy(col("h"))
+  }
+
+  /** Full oracle for [[headAuc]]: the K-head training replay's dczf frame
+    * already carries (doc, head, σ̃) — the doubled-rank fold partitions
+    * by head on top of it.
+    */
+  def headAucOracleSql(dim: Int = DefaultDim, iters: Int = DefaultIters,
+      lr: Long = DefaultLr): String =
+    s"""WITH ${predCtes(dim, iters, lr)},
+      |dahist AS (
+      |  SELECT h, CAST(yhat AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN y = h THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM dczf GROUP BY 1, 2),
+      |daranked AS (
+      |  SELECT h, v, n, p,
+      |    COALESCE(CAST(sum(n) OVER (PARTITION BY h ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS cumb
+      |  FROM dahist),
+      |daagg AS (
+      |  SELECT h, CAST(sum(n) AS BIGINT) AS n_all,
+      |    CAST(sum(p) AS BIGINT) AS n_pos,
+      |    CAST(sum(p * (2 * cumb + n + 1)) AS BIGINT) AS r1x2
+      |  FROM daranked GROUP BY 1),
+      |dafin AS (
+      |  SELECT h, n_all, n_pos, n_all - n_pos AS n_neg,
+      |    r1x2 - n_pos * (n_pos + 1) AS u2
+      |  FROM daagg)
+      |SELECT CAST(h AS INT) AS h, n_all, n_pos, n_neg,
+      |  CASE WHEN n_pos * n_neg > 0
+      |    THEN u2 * 1000000 // (2 * n_pos * n_neg) ELSE 0 END
+      |    AS auc_micros,
+      |  CASE WHEN n_pos * n_neg = 0 THEN 0
+      |    WHEN u2 - n_pos * n_neg >= 0
+      |    THEN (u2 - n_pos * n_neg) * 1000000 // (n_pos * n_neg)
+      |    ELSE -((-(u2 - n_pos * n_neg)) * 1000000 // (n_pos * n_neg)) END
+      |    AS gini_micros
+      |FROM dafin ORDER BY h""".stripMargin
+
   // ---- DuckDB oracle: the K-head training run as one CTE chain --------
 
   /** Feature CTEs shared with the binary gate, the group-mass teacher,

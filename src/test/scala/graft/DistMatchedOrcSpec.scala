@@ -129,6 +129,24 @@ class DistMatchedOrcSpec extends SparkTestBase {
     } finally QualityClassifier.release(spark)
   }
 
+  test("headAuc: one row per head, positives partition the corpus, micros in range") {
+    val rows = graft.operators.DomainClassifier.headAuc(docs).collect()
+    try {
+      assert(rows.map(_.getAs[Int]("h")).toSeq ==
+        (0 until graft.operators.DomainClassifier.K))
+      val nAll = rows.map(_.getAs[Long]("n_all")).distinct
+      assert(nAll.length == 1) // every head scores the whole corpus
+      // each doc is positive for exactly ONE head
+      assert(rows.map(_.getAs[Long]("n_pos")).sum == nAll.head)
+      rows.foreach { r =>
+        val auc = r.getAs[Long]("auc_micros")
+        assert(auc >= 0L && auc <= 1000000L)
+        val (p, n) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+        if (p == 0L || n == 0L) assert(auc == 0L) // degenerate contract
+      }
+    } finally graft.operators.DomainClassifier.release(spark)
+  }
+
   test("ORC round trip is value-identical to the source events frame") {
     val ev = Tables.events(spark, sf)
     val out = new java.io.File(
