@@ -30,6 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** Live persisted (doc_id, is_ref, bucket, pri) frame of the session's
+    * most recent [[distMatchedSample]] call — the
+    * [[graft.multimodal.Multimodal]] lifecycle pattern: a new call
+    * releases the previous frame; bounded at one frame per session.
+    */
+  private val liveDistMatchedBase = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, DataFrame]()
+
+  /** Unpersist the session's live dist-matched base frame, if any. */
+  def releaseDistMatched(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prev = liveDistMatchedBase.remove(spark)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
+  private def pinDistMatchedBase(base: DataFrame): DataFrame = {
+    releaseDistMatched(base.sparkSession)
+    val cached = base.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveDistMatchedBase.put(base.sparkSession, cached)
+    cached
+  }
+
   /** Uniform [0,1) gate from the text fingerprint (exact dyadic). */
   def textUniform(text: Column): Column =
     shiftrightunsigned(GraftColumns.mix64(GraftColumns.fnv1a64(text)), 11)
@@ -217,8 +239,14 @@ object Mixture {
     * (bucket, pri, doc_id) and the per-bucket rank is
     * `global_rank − offset(bucket)` with offsets from the tiny per-bucket
     * count frame — every partition ranks in parallel regardless of
-    * stratum width. Caller releases the ranged frame via
-    * [[DistributedRank.release]] (the Verify/Bench harness does).
+    * stratum width. The tokenize+hash pass runs ONCE: its ~25-byte/row
+    * (doc_id, is_ref, bucket, pri) frame is persisted (the
+    * [[graft.multimodal.Multimodal]] persist-once discipline — a new call
+    * releases the previous frame, [[releaseDistMatched]] drops it
+    * eagerly) and the two histograms, the pool count and the rank all
+    * read it instead of re-scanning the corpus text. Caller releases the
+    * ranged frame via [[DistributedRank.release]] (the Verify/Bench
+    * harness does).
     */
   def distMatchedSample(
       documents: DataFrame,
@@ -234,15 +262,15 @@ object Mixture {
     // identical order, exact in both engines).
     val pri = shiftrightunsigned(
       GraftColumns.mix64(GraftColumns.fnv1a64(col("text"))), 11).cast("long")
-    val base = documents.select(
-      col("doc_id"), col("source"), bucket.cast("int").as("bucket"),
-      pri.as("pri"))
-    val pool = base.filter(col("source") =!= lit(refSource))
+    val base = pinDistMatchedBase(documents.select(
+      col("doc_id"), (col("source") === lit(refSource)).as("is_ref"),
+      bucket.cast("int").as("bucket"), pri.as("pri")))
+    val pool = base.filter(!col("is_ref"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
 
     // Quota solve over the ≤8-row reference histogram (exact decimals:
     // N*ref_n reaches supply² territory at 100 TB — past a BIGINT).
-    val refh = base.filter(col("source") === lit(refSource))
+    val refh = base.filter(col("is_ref"))
       .groupBy(col("bucket")).agg(dec(count(lit(1))).as("ref_n"))
     val nTarget = pool.agg(dec(count(lit(1))).as("pool_tot"))
       .select(expr(s"CAST(pool_tot * $samplePpm DIV 1000000 AS DECIMAL(38,0))")

@@ -822,6 +822,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("dist_matched_sample: range-partitioned rank, broadcast quota probe, one corpus pass") {
+    val df = graft.operators.Mixture.distMatchedSample(
+      Tables.documents(spark, sf))
+    try {
+      val plan = finalPlan(df)
+      val s = plan.toString
+      // the corpus rank rides RangePartitioning (DistributedRank over the
+      // (bucket, pri, doc_id) total order) — never an 8-task per-bucket
+      // window
+      assert(s.contains("rangepartitioning") || s.contains("RangePartitioning"),
+        s)
+      assert(!s.contains("CartesianProduct"), s)
+      // the quota/offset dimension joins back to the ranked corpus as a
+      // BROADCAST probe, not a shuffle of the pool
+      assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+        s)
+      // every single-partition exchange sits over an AGGREGATED (≤8-row
+      // histogram) subtree, never over raw corpus rows
+      allExchanges(plan)
+        .filter(_.outputPartitioning.toString.contains("SinglePartition"))
+        .foreach { e =>
+          assert(e.child.collect { case a if a.nodeName.contains("Aggregate") => a }
+            .nonEmpty, s"single-partition exchange over non-aggregated input:\n$e")
+        }
+      // the tokenize+hash pass is persisted once: the corpus parquet is
+      // read through the InMemoryRelation, and the histograms/rank reuse
+      // it rather than re-scanning documents per consumer
+      val docScans = deepLeaves(plan).map(_.toString)
+        .count(p => p.contains("documents") && !p.contains("InMemory"))
+      assert(docScans == 0, s"expected zero raw documents scans:\n$s")
+    } finally {
+      graft.operators.DistributedRank.release(spark)
+      graft.operators.Mixture.releaseDistMatched(spark)
+    }
+  }
+
   test("per_source_quality_gate: one scan, range-partitioned rank, no 1-task window") {
     val df = graft.operators.Curation.perSourceQualityGate(
       Tables.documents(spark, sf), Seq("the", "a", "of", "and"))
