@@ -610,44 +610,70 @@ ORDER BY source, pick_rank"""
     * per-bucket rank admission (the same fnv+mix chain as [[stratifiedSql]];
     * the engine's integer 53-bit priority is `mx // 2048` verbatim).
     */
-  def distMatchedSql(
-      refSource: String = "src0",
-      samplePpm: Long = 400000L): String = {
+  /** The dist-matched CTE chain through `dmkept` (the admitted rows) —
+    * shared by [[distMatchedSql]] and [[distMatchedManifestSql]] (which
+    * chains a packing run on top). CTE names carry a `dm` prefix so the
+    * chain composes with [[trainingBatchManifestSql]]'s own names.
+    */
+  private def distMatchedCtes(refSource: String, samplePpm: Long): String = {
     val esc = refSource.replace("'", "''")
-    s"""WITH t0 AS (
+    s"""dmt0 AS (
   SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS t,
     ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
   FROM documents WHERE $asciiGuard = 0),
-d AS (
+dmd AS (
   SELECT doc_id, source,
     CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32 WHEN t <= 64 THEN 64
       WHEN t <= 128 THEN 128 WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512
       WHEN t <= 1024 THEN 1024 ELSE 2048 END AS bucket, z0
-  FROM t0),
-${mixChain("dq", "d", Seq("doc_id", "source", "bucket"), "z0")},
-u AS (SELECT doc_id, source, bucket, mx // 2048 AS pri FROM dq4),
-refh AS (SELECT bucket, count(*)::HUGEINT AS ref_n FROM u
+  FROM dmt0),
+${mixChain("dq", "dmd", Seq("doc_id", "source", "bucket"), "z0")},
+dmu AS (SELECT doc_id, source, bucket, mx // 2048 AS pri FROM dq4),
+dmrefh AS (SELECT bucket, count(*)::HUGEINT AS ref_n FROM dmu
   WHERE source = '$esc' GROUP BY 1),
-nt AS (SELECT (count(*)::HUGEINT * $samplePpm) // 1000000 AS n_target
-  FROM u WHERE source <> '$esc'),
-q1 AS (SELECT bucket, ref_n, n_target,
-    (n_target * ref_n) // (SELECT sum(ref_n) FROM refh) AS fl,
-    (n_target * ref_n) % (SELECT sum(ref_n) FROM refh) AS rem
-  FROM refh, nt),
-q AS (SELECT bucket,
+dmnt AS (SELECT (count(*)::HUGEINT * $samplePpm) // 1000000 AS n_target
+  FROM dmu WHERE source <> '$esc'),
+dmq1 AS (SELECT bucket, ref_n, n_target,
+    (n_target * ref_n) // (SELECT sum(ref_n) FROM dmrefh) AS fl,
+    (n_target * ref_n) % (SELECT sum(ref_n) FROM dmrefh) AS rem
+  FROM dmrefh, dmnt),
+dmq AS (SELECT bucket,
     CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, bucket)
-      <= n_target - (SELECT sum(fl) FROM q1) THEN 1 ELSE 0 END AS BIGINT)
+      <= n_target - (SELECT sum(fl) FROM dmq1) THEN 1 ELSE 0 END AS BIGINT)
       AS quota
-  FROM q1),
-r AS (SELECT doc_id, bucket,
+  FROM dmq1),
+dmr AS (SELECT doc_id, bucket,
     CAST(row_number() OVER (PARTITION BY bucket ORDER BY pri, doc_id)
       AS BIGINT) AS pick_rank
-  FROM u WHERE source <> '$esc')
-SELECT r.doc_id, CAST(r.bucket AS INT) AS bucket, r.pick_rank, q.quota
-FROM r JOIN q USING (bucket)
-WHERE r.pick_rank <= q.quota
-ORDER BY bucket, pick_rank"""
+  FROM dmu WHERE source <> '$esc'),
+dmkept AS (SELECT r.doc_id, r.bucket, r.pick_rank, q.quota
+  FROM dmr r JOIN dmq q USING (bucket)
+  WHERE r.pick_rank <= q.quota)"""
   }
+
+  def distMatchedSql(
+      refSource: String = "src0",
+      samplePpm: Long = 400000L): String =
+    s"""WITH ${distMatchedCtes(refSource, samplePpm)}
+SELECT doc_id, CAST(bucket AS INT) AS bucket, pick_rank, quota
+FROM dmkept
+ORDER BY bucket, pick_rank"""
+
+  /** dist_matched_manifest: the matched sample packed into training
+    * batches — [[distMatchedCtes]] chained straight into the HRW-shard +
+    * bin-span packing replay, the distribution-matched twin of
+    * [[mixtureTrainManifestSql]].
+    */
+  def distMatchedManifestSql(
+      refSource: String = "src0",
+      samplePpm: Long = 400000L,
+      binTokens: Int = 2048,
+      shards: Int = 32): String =
+    trainingBatchManifestSql(binTokens, shards, source = "dmm",
+      prefixCtes = s"""${distMatchedCtes(refSource, samplePpm)},
+dmm AS (SELECT dd.doc_id, dd.text FROM documents dd
+  JOIN dmkept ON dd.doc_id = dmkept.doc_id),
+""")
 
   /** gen_events_audit: replay the splitmix64 event generator itself —
     * three mix chains (user/type/value streams, inputs id*8+k+(seed<<40))

@@ -1075,6 +1075,15 @@ object SparkEntry {
     // generated oracle, SketchOracles.distMatchedSql).
     "dist_matched_sample" -> ((s, dir) =>
       graft.operators.Mixture.distMatchedSample(Tables.documents(s, dir))),
+    // The matched sample packed into training batches (HRW shards +
+    // bin spans) — the distribution-matched twin of mixture_train_manifest;
+    // one oracle chains the quota/rank replay into the packing replay.
+    "dist_matched_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Pack.trainingBatchManifest(
+        docs.join(graft.operators.Mixture.distMatchedSample(docs)
+          .select(col("doc_id")), Seq("doc_id")))
+    }),
     // Format-agnostic ingestion: events round-tripped through ORC (write
     // then read back — int64/string/double/µs-timestamp all survive) and
     // aggregated; the oracle aggregates the ORIGINAL parquet, so any
@@ -3576,6 +3585,7 @@ object SparkEntry {
     "quality_classifier_auc" ->
       graft.operators.ClassifierEval.classifierAucOracleSql,
     "dist_matched_sample" -> SketchOracles.distMatchedSql(),
+    "dist_matched_manifest" -> SketchOracles.distMatchedManifestSql(),
     // The ORACLE aggregates the ORIGINAL parquet — the engine's answer
     // went through a full ORC write/read first.
     "orc_roundtrip_agg" ->
