@@ -59,7 +59,11 @@ object Bench {
       catch { case _: Throwable => None }
       // ranking queries pin range-partitioned frames until released; a
       // 3-pass bench would otherwise accumulate them for the process life
-      finally graft.operators.DistributedRank.release(spark)
+      // (the dist-matched sampler's pinned projection likewise)
+      finally {
+        graft.operators.DistributedRank.release(spark)
+        graft.operators.Mixture.releaseDistMatched(spark)
+      }
     }
     // optional arg: comma-separated query subset (local iteration only —
     // recorded artifacts always come from full runs)

@@ -478,7 +478,8 @@ object ScaleSmoke {
       // show an 8-reduce-task straggler at any scale
       time("dist_matched_sample", scale) {
         val n = force(graft.operators.Mixture.distMatchedSample(docs))
-        DistributedRank.release(spark); n
+        DistributedRank.release(spark)
+        graft.operators.Mixture.releaseDistMatched(spark); n
       }
       // retrieval additions: BM25 is two stateless scan passes (stats
       // 1-row broadcast + scoring top-k) — the curve should be pure scan;

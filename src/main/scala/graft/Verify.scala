@@ -27,8 +27,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // ranking queries pin ranged frames until released (see
-      // DistributedRank cache lifecycle)
-      finally graft.operators.DistributedRank.release(spark)
+      // DistributedRank cache lifecycle); the dist-matched sampler pins
+      // its tokenize+hash projection the same way
+      finally {
+        graft.operators.DistributedRank.release(spark)
+        graft.operators.Mixture.releaseDistMatched(spark)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -367,9 +367,14 @@ object TextAnalysis {
     * BIGINTs, bit-deterministic cross-engine. Map-side combine bounds the
     * shuffle at partitions x buckets rows.
     */
-  def lengthBuckets(documents: DataFrame): DataFrame = {
-    val t = wsTokenCount(col("text"))
-    val bucket = when(t <= 16, 16)
+  /** The padding length bucket of a token count — ONE spelling shared by
+    * [[lengthBuckets]] and the distribution-matching samplers
+    * ([[graft.operators.Mixture.distMatchedSample]] and its streaming
+    * twin); the DuckDB CASE in SketchOracles.distMatchedCtes and the
+    * length_buckets oracle mirror it boundary for boundary.
+    */
+  def lengthBucket(t: Column): Column =
+    when(t <= 16, 16)
       .when(t <= 32, 32)
       .when(t <= 64, 64)
       .when(t <= 128, 128)
@@ -377,6 +382,10 @@ object TextAnalysis {
       .when(t <= 512, 512)
       .when(t <= 1024, 1024)
       .otherwise(2048)
+
+  def lengthBuckets(documents: DataFrame): DataFrame = {
+    val t = wsTokenCount(col("text"))
+    val bucket = lengthBucket(t)
     documents
       .select(bucket.cast("int").as("bucket"), t.as("tokens"))
       .groupBy(col("bucket"))

@@ -92,70 +92,62 @@ object ClassifierEval {
     aucFromScores(QualityClassifier.scoreDocs(documents)
       .select(col("yhat").cast("long").as("v"), col("y").cast("long").as("y")))
 
-  def classifierAucOracleSql: String =
-    s"""WITH ${QualityClassifier.predCtes()},
-      |hist AS (
-      |  SELECT CAST(yhat AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(y) AS BIGINT) AS p
-      |  FROM qzf GROUP BY 1),
-      |ranked AS (
-      |  SELECT v, n, p,
-      |    COALESCE(CAST(sum(n) OVER (ORDER BY v
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-      |      0) AS cumb
-      |  FROM hist),
-      |agg AS (
-      |  SELECT CAST(sum(n) AS BIGINT) AS n_all,
-      |    CAST(sum(p) AS BIGINT) AS n_pos,
-      |    CAST(sum(p * (2 * cumb + n + 1)) AS BIGINT) AS r1x2
-      |  FROM ranked),
-      |fin AS (
-      |  SELECT n_all, n_pos, n_all - n_pos AS n_neg,
-      |    r1x2 - n_pos * (n_pos + 1) AS u2
-      |  FROM agg)
-      |SELECT n_all, n_pos, n_neg,
-      |  CASE WHEN n_pos * n_neg > 0
-      |    THEN u2 * 1000000 // (2 * n_pos * n_neg) ELSE 0 END
-      |    AS auc_micros,
-      |  CASE WHEN n_pos * n_neg = 0 THEN 0
-      |    WHEN u2 - n_pos * n_neg >= 0
-      |    THEN (u2 - n_pos * n_neg) * 1000000 // (n_pos * n_neg)
-      |    ELSE -((-(u2 - n_pos * n_neg)) * 1000000 // (n_pos * n_neg)) END
-      |    AS gini_micros
-      |FROM fin""".stripMargin
+  /** The doubled-rank SQL tail over a `hist(v, n, p[, group])` SELECT —
+    * the oracle twin of [[aucFromScores]], spelled ONCE and shared by
+    * [[rocAucValueOracleSql]], [[classifierAucOracleSql]] and
+    * [[DomainClassifier.headAucOracleSql]] (which passes `group`, the
+    * mirror of aucFromScores' group parameter).
+    */
+  private[operators] def aucOracleSql(
+      prefix: String, histSelect: String,
+      group: Option[String] = None): String = {
+    val gSel = group.map(c => s"$c, ").getOrElse("")
+    val part = group.map(c => s"PARTITION BY $c ").getOrElse("")
+    val gBy = group.map(_ => " GROUP BY 1").getOrElse("")
+    val gOut = group.map(c => s"CAST($c AS INT) AS $c, ").getOrElse("")
+    val ord = group.map(c => s" ORDER BY $c").getOrElse("")
+    s"""${prefix}hist AS (
+$histSelect),
+ranked AS (
+  SELECT ${gSel}v, n, p,
+    COALESCE(CAST(sum(n) OVER (${part}ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      0) AS cumb
+  FROM hist),
+agg AS (
+  SELECT ${gSel}CAST(sum(n) AS BIGINT) AS n_all,
+    CAST(sum(p) AS BIGINT) AS n_pos,
+    CAST(sum(p * (2 * cumb + n + 1)) AS BIGINT) AS r1x2
+  FROM ranked$gBy),
+fin AS (
+  SELECT ${gSel}n_all, n_pos, n_all - n_pos AS n_neg,
+    r1x2 - n_pos * (n_pos + 1) AS u2
+  FROM agg)
+SELECT ${gOut}n_all, n_pos, n_neg,
+  CASE WHEN n_pos * n_neg > 0
+    THEN u2 * 1000000 // (2 * n_pos * n_neg) ELSE 0 END
+    AS auc_micros,
+  CASE WHEN n_pos * n_neg = 0 THEN 0
+    WHEN u2 - n_pos * n_neg >= 0
+    THEN (u2 - n_pos * n_neg) * 1000000 // (n_pos * n_neg)
+    ELSE -((-(u2 - n_pos * n_neg)) * 1000000 // (n_pos * n_neg)) END
+    AS gini_micros
+FROM fin$ord"""
+  }
 
-  def rocAucValueOracleSql: String =
-    """WITH hist AS (
-      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
-      |    CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-      |      AS BIGINT) AS p
-      |  FROM events GROUP BY 1),
-      |ranked AS (
-      |  SELECT v, n, p,
-      |    COALESCE(CAST(sum(n) OVER (ORDER BY v
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-      |      0) AS cumb
-      |  FROM hist),
-      |agg AS (
-      |  SELECT CAST(sum(n) AS BIGINT) AS n_all,
-      |    CAST(sum(p) AS BIGINT) AS n_pos,
-      |    CAST(sum(p * (2 * cumb + n + 1)) AS BIGINT) AS r1x2
-      |  FROM ranked),
-      |fin AS (
-      |  SELECT n_all, n_pos, n_all - n_pos AS n_neg,
-      |    r1x2 - n_pos * (n_pos + 1) AS u2
-      |  FROM agg)
-      |SELECT n_all, n_pos, n_neg,
-      |  CASE WHEN n_pos * n_neg > 0
-      |    THEN u2 * 1000000 // (2 * n_pos * n_neg) ELSE 0 END
-      |    AS auc_micros,
-      |  CASE WHEN n_pos * n_neg = 0 THEN 0
-      |    WHEN u2 - n_pos * n_neg >= 0
-      |    THEN (u2 - n_pos * n_neg) * 1000000 // (n_pos * n_neg)
-      |    ELSE -((-(u2 - n_pos * n_neg)) * 1000000 // (n_pos * n_neg)) END
-      |    AS gini_micros
-      |FROM fin""".stripMargin
+  def classifierAucOracleSql: String = aucOracleSql(
+    s"WITH ${QualityClassifier.predCtes()},\n",
+    """  SELECT CAST(yhat AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS p
+  FROM qzf GROUP BY 1""")
+
+  def rocAucValueOracleSql: String = aucOracleSql(
+    "WITH ",
+    """  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS p
+  FROM events GROUP BY 1""")
 
   /** Confusion-matrix metrics of the [[DecisionStump.giniStump]] split
     * read as a leaf-majority classifier: each leaf predicts its majority

@@ -262,37 +262,12 @@ object DomainClassifier {
     * by head on top of it.
     */
   def headAucOracleSql(dim: Int = DefaultDim, iters: Int = DefaultIters,
-      lr: Long = DefaultLr): String =
-    s"""WITH ${predCtes(dim, iters, lr)},
-      |dahist AS (
-      |  SELECT h, CAST(yhat AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(CASE WHEN y = h THEN 1 ELSE 0 END) AS BIGINT) AS p
-      |  FROM dczf GROUP BY 1, 2),
-      |daranked AS (
-      |  SELECT h, v, n, p,
-      |    COALESCE(CAST(sum(n) OVER (PARTITION BY h ORDER BY v
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-      |      0) AS cumb
-      |  FROM dahist),
-      |daagg AS (
-      |  SELECT h, CAST(sum(n) AS BIGINT) AS n_all,
-      |    CAST(sum(p) AS BIGINT) AS n_pos,
-      |    CAST(sum(p * (2 * cumb + n + 1)) AS BIGINT) AS r1x2
-      |  FROM daranked GROUP BY 1),
-      |dafin AS (
-      |  SELECT h, n_all, n_pos, n_all - n_pos AS n_neg,
-      |    r1x2 - n_pos * (n_pos + 1) AS u2
-      |  FROM daagg)
-      |SELECT CAST(h AS INT) AS h, n_all, n_pos, n_neg,
-      |  CASE WHEN n_pos * n_neg > 0
-      |    THEN u2 * 1000000 // (2 * n_pos * n_neg) ELSE 0 END
-      |    AS auc_micros,
-      |  CASE WHEN n_pos * n_neg = 0 THEN 0
-      |    WHEN u2 - n_pos * n_neg >= 0
-      |    THEN (u2 - n_pos * n_neg) * 1000000 // (n_pos * n_neg)
-      |    ELSE -((-(u2 - n_pos * n_neg)) * 1000000 // (n_pos * n_neg)) END
-      |    AS gini_micros
-      |FROM dafin ORDER BY h""".stripMargin
+      lr: Long = DefaultLr): String = ClassifierEval.aucOracleSql(
+    s"WITH ${predCtes(dim, iters, lr)},\n",
+    """  SELECT h, CAST(yhat AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN y = h THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM dczf GROUP BY 1, 2""",
+    group = Some("h"))
 
   // ---- DuckDB oracle: the K-head training run as one CTE chain --------
 

@@ -52,10 +52,17 @@ object Mixture {
     cached
   }
 
+  /** The 53-bit integer content priority — the dyadic numerator of
+    * [[textUniform]] (identical order; oracles spell it `mx // 2048`).
+    * ONE spelling shared by the rank-admission samplers.
+    */
+  def textPriority(text: Column): Column =
+    shiftrightunsigned(GraftColumns.mix64(GraftColumns.fnv1a64(text)), 11)
+      .cast("long")
+
   /** Uniform [0,1) gate from the text fingerprint (exact dyadic). */
   def textUniform(text: Column): Column =
-    shiftrightunsigned(GraftColumns.mix64(GraftColumns.fnv1a64(text)), 11)
-      .cast("double") / lit(9007199254740992.0) // 2^53
+    textPriority(text).cast("double") / lit(9007199254740992.0) // 2^53
 
   /** Per-source target rate as a CASE chain (first match wins; unknown
     * sources fall back to `defaultRate`). The chain is evaluated per ROW at
@@ -254,17 +261,11 @@ object Mixture {
       samplePpm: Long = 400000L): DataFrame = {
     require(samplePpm >= 0L && samplePpm <= 1000000L, s"samplePpm: $samplePpm")
     import org.apache.spark.sql.expressions.Window
-    val t = graft.functions.TextAnalysis.wsTokenCount(col("text"))
-    val bucket = when(t <= 16, 16).when(t <= 32, 32).when(t <= 64, 64)
-      .when(t <= 128, 128).when(t <= 256, 256).when(t <= 512, 512)
-      .when(t <= 1024, 1024).otherwise(2048)
-    // Integer 53-bit priority (the dyadic numerator of textUniform —
-    // identical order, exact in both engines).
-    val pri = shiftrightunsigned(
-      GraftColumns.mix64(GraftColumns.fnv1a64(col("text"))), 11).cast("long")
+    val bucket = graft.functions.TextAnalysis.lengthBucket(
+      graft.functions.TextAnalysis.wsTokenCount(col("text")))
     val base = pinDistMatchedBase(documents.select(
       col("doc_id"), (col("source") === lit(refSource)).as("is_ref"),
-      bucket.cast("int").as("bucket"), pri.as("pri")))
+      bucket.cast("int").as("bucket"), textPriority(col("text")).as("pri")))
     val pool = base.filter(!col("is_ref"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
 
@@ -903,7 +904,7 @@ object Mixture {
           .collect()
           .foreach { r =>
             ledger.merge(r.getString(0), (0L, r.getLong(1)),
-              (a, nw) => (a._1, a._2 + nw._1))
+              (a, nw) => (a._1, a._2 + nw._2))
           }
         sink(admitted, id)
       }
@@ -946,15 +947,12 @@ object Mixture {
         val spark = b.sparkSession
         import spark.implicits._
         import org.apache.spark.sql.expressions.Window
-        val t = graft.functions.TextAnalysis.wsTokenCount(col("text"))
-        val bucket = when(t <= 16, 16).when(t <= 32, 32).when(t <= 64, 64)
-          .when(t <= 128, 128).when(t <= 256, 256).when(t <= 512, 512)
-          .when(t <= 1024, 1024).otherwise(2048)
-        val pri = shiftrightunsigned(
-          GraftColumns.mix64(GraftColumns.fnv1a64(col("text"))), 11).cast("long")
+        val bucket = graft.functions.TextAnalysis.lengthBucket(
+          graft.functions.TextAnalysis.wsTokenCount(col("text")))
         val batch = b.toDF().select(col("doc_id"),
           (col("source") === lit(refSource)).as("is_ref"),
-          bucket.cast("int").as("bucket"), pri.as("pri"))
+          bucket.cast("int").as("bucket"),
+          textPriority(col("text")).as("pri"))
           .localCheckpoint()
         batch.groupBy(col("bucket"), col("is_ref"))
           .agg(count(lit(1)).as("n")).collect().foreach { r =>

@@ -20,10 +20,8 @@ class DistMatchedOrcSpec extends SparkTestBase {
   test("distMatchedSample: Hamilton quotas sum to N and admission caps at availability") {
     val out = Mixture.distMatchedSample(docs).cache()
     try {
-      val t = graft.functions.TextAnalysis.wsTokenCount(col("text"))
-      val bucket = when(t <= 16, 16).when(t <= 32, 32).when(t <= 64, 64)
-        .when(t <= 128, 128).when(t <= 256, 256).when(t <= 512, 512)
-        .when(t <= 1024, 1024).otherwise(2048)
+      val bucket = graft.functions.TextAnalysis.lengthBucket(
+        graft.functions.TextAnalysis.wsTokenCount(col("text")))
       val pool = docs.filter(col("source") =!= "src0")
         .select(bucket.as("bucket"))
       val poolN = pool.count()

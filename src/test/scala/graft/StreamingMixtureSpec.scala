@@ -62,6 +62,32 @@ class StreamingMixtureSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("re-supplied source: the ledger deducts previously admitted tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    // one source, re-supplied heavily in batch 2: the batch-2 effective
+    // budget MUST be alloc₂ − admitted₁ (≈ half of batch 2), not the full
+    // re-solved alloc₂ — a ledger that never advances its admitted count
+    // admits ~1.5x the budget here and fails loudly
+    val b1 = (0L until 25L).map(i => doc(i, "src0", 40)) // 1000 tokens
+    val b2 = (25L until 50L).map(i => doc(i, "src0", 40)) // +1000 tokens
+    val mem = MemoryStream[MixDoc]
+    var admittedTok = 0L
+    val q = Mixture.admittedDocsStream(mem.toDF(), budgetPpm = 500000L) {
+      (adm, _) =>
+        val t = adm.agg(org.apache.spark.sql.functions.sum("tokens")).head()
+        if (!t.isNullAt(0)) admittedTok += t.getLong(0)
+    }
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // final alloc = 50% of 2000 = 1000; ≤ one straddling doc per batch
+      assert(admittedTok <= 1000L + 2 * 40L, s"over-admitted: $admittedTok")
+      assert(admittedTok >= 1000L - 40L, s"budget left unused: $admittedTok")
+    } finally q.stop()
+  }
+
   test("multi-batch admission: ledger invariants hold at every cut") {
     implicit val sqlCtx = spark.sqlContext
     val b1 = (0L until 20L).map(i => doc(i, s"src${i % 3}", 10 + (i % 5).toInt))

@@ -19,6 +19,8 @@ bq = base["queries_sec"] if "queries_sec" in base else base
 
 shared = sorted(set(qs) & set(bq))
 ratios = {k: qs[k] / bq[k] for k in shared if bq[k] > 0 and qs[k] > 0}
+if not ratios:
+    sys.exit(f"no shared keys with positive times ({len(shared)} shared)")
 gm = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
 print(f"shared keys: {len(shared)}  geomean ratio: {gm:.3f}x")
 print(f"total now: {sum(qs.values()):.1f}s over {len(qs)} queries; "
