@@ -481,6 +481,13 @@ object ScaleSmoke {
         DistributedRank.release(spark)
         graft.operators.Mixture.releaseDistMatched(spark); n
       }
+      // token-mass twin: the running-sum gate rides the distributed
+      // prefix sum (range partition + offsets) — same flat shape expected
+      time("dist_matched_token", scale) {
+        val n = force(graft.operators.Mixture.distMatchedTokenSample(docs))
+        DistributedRank.release(spark)
+        graft.operators.Mixture.releaseDistMatched(spark); n
+      }
       // retrieval additions: BM25 is two stateless scan passes (stats
       // 1-row broadcast + scoring top-k) — the curve should be pure scan;
       // PMI is the bigram explode into a vocab²-bounded aggregate, so its

@@ -651,6 +651,51 @@ dmkept AS (SELECT r.doc_id, r.bucket, r.pick_rank, q.quota
   WHERE r.pick_rank <= q.quota)"""
   }
 
+  /** dist_matched_token_sample: the TOKEN-MASS matcher — same chain as
+    * [[distMatchedCtes]] but the histograms are per-bucket token sums and
+    * admission is the fill-until-reached running-sum gate (`cum − tokens
+    * < quota`, [[tokenBudgetSql]]'s spelling per bucket).
+    */
+  def distMatchedTokenSql(
+      refSource: String = "src0",
+      samplePpm: Long = 400000L): String = {
+    val esc = refSource.replace("'", "''")
+    s"""WITH dmt0 AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS t,
+    ((${fnvExpr("text")}) + 11400714819323198485::HUGEINT) % $U64 AS z0
+  FROM documents WHERE $asciiGuard = 0),
+dmd AS (
+  SELECT doc_id, source, t AS tokens,
+    CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32 WHEN t <= 64 THEN 64
+      WHEN t <= 128 THEN 128 WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512
+      WHEN t <= 1024 THEN 1024 ELSE 2048 END AS bucket, z0
+  FROM dmt0),
+${mixChain("dq", "dmd", Seq("doc_id", "source", "bucket", "tokens"), "z0")},
+dmu AS (SELECT doc_id, source, bucket, tokens, mx // 2048 AS pri FROM dq4),
+dmrefh AS (SELECT bucket, sum(tokens)::HUGEINT AS ref_n FROM dmu
+  WHERE source = '$esc' GROUP BY 1),
+dmnt AS (SELECT (sum(tokens)::HUGEINT * $samplePpm) // 1000000 AS n_target
+  FROM dmu WHERE source <> '$esc'),
+dmq1 AS (SELECT bucket, ref_n, n_target,
+    (n_target * ref_n) // (SELECT sum(ref_n) FROM dmrefh) AS fl,
+    (n_target * ref_n) % (SELECT sum(ref_n) FROM dmrefh) AS rem
+  FROM dmrefh, dmnt),
+dmq AS (SELECT bucket,
+    CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, bucket)
+      <= n_target - (SELECT sum(fl) FROM dmq1) THEN 1 ELSE 0 END AS BIGINT)
+      AS quota
+  FROM dmq1),
+dmr AS (SELECT doc_id, bucket, tokens,
+    CAST(sum(tokens) OVER (PARTITION BY bucket ORDER BY pri, doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM dmu WHERE source <> '$esc')
+SELECT r.doc_id, CAST(r.bucket AS INT) AS bucket, r.tokens,
+  r.cum AS cum_tokens, q.quota AS quota_tokens
+FROM dmr r JOIN dmq q USING (bucket)
+WHERE r.cum - r.tokens < q.quota
+ORDER BY bucket, cum_tokens"""
+  }
+
   def distMatchedSql(
       refSource: String = "src0",
       samplePpm: Long = 400000L): String =

@@ -1075,6 +1075,13 @@ object SparkEntry {
     // generated oracle, SketchOracles.distMatchedSql).
     "dist_matched_sample" -> ((s, dir) =>
       graft.operators.Mixture.distMatchedSample(Tables.documents(s, dir))),
+    // The token-mass matcher: quotas are Hamilton shares of the
+    // reference's per-bucket TOKEN masses, admission is the
+    // fill-until-reached running-sum gate; the cumsum rides the
+    // distributed prefix-sum (range partition + offsets), never an
+    // 8-task per-bucket window.
+    "dist_matched_token_sample" -> ((s, dir) =>
+      graft.operators.Mixture.distMatchedTokenSample(Tables.documents(s, dir))),
     // The matched sample packed into training batches (HRW shards +
     // bin spans) — the distribution-matched twin of mixture_train_manifest;
     // one oracle chains the quota/rank replay into the packing replay.
@@ -3586,6 +3593,7 @@ object SparkEntry {
       graft.operators.ClassifierEval.classifierAucOracleSql,
     "dist_matched_sample" -> SketchOracles.distMatchedSql(),
     "dist_matched_manifest" -> SketchOracles.distMatchedManifestSql(),
+    "dist_matched_token_sample" -> SketchOracles.distMatchedTokenSql(),
     // The ORACLE aggregates the ORIGINAL parquet — the engine's answer
     // went through a full ORC write/read first.
     "orc_roundtrip_agg" ->

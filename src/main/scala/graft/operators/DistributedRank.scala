@@ -135,6 +135,50 @@ object DistributedRank {
       numParts: Int = 0): (DataFrame, Long) =
     rankedWithN(df, sortCols, rankCol, numParts)
 
+  /** df + sumCol = the INCLUSIVE running sum of `valueCol` over the
+    * sortCols total order — the weighted twin of [[withGlobalRank]] and
+    * the same three-step pattern: range partition, per-partition value
+    * sums → prefix offsets (numPartitions longs of driver state), local
+    * cumsum window + offset. A plain
+    * `sum(v).over(Window.orderBy(...))` moves every row through one
+    * task; this ranks token-budget admission gates at any corpus width.
+    * Precondition: a TOTAL order and a non-null long valueCol. The
+    * ranged frame is persisted and pinned until [[release]], exactly
+    * like the ranking calls.
+    */
+  def withGlobalPrefixSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      sumCol: String = "global_cumsum",
+      numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("__ps_v", valueCol.cast("long"))
+      .repartitionByRange(parts, sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackPersisted(ranged)
+    val sums = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("__ps_v")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      sums.map { case (pid, s) => val o = pid -> acc; acc += s; o }.toMap
+    }
+    val w = Window.partitionBy(col("__ps_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__ps_pid", spark_partition_id())
+      .withColumn(sumCol,
+        element_at(typedLit(offsets), col("__ps_pid"))
+          + sum(col("__ps_v")).over(w))
+      .drop("__ps_pid", "__ps_v")
+  }
+
   /** ntile / percent_rank / cume_dist derived arithmetically from the
     * exact global rank — bit-identical to the window-function definitions
     * (same IEEE divisions Spark's PercentRank/CumeDist evaluate), no

@@ -310,6 +310,79 @@ object Mixture {
       .orderBy(col("bucket"), col("pick_rank"))
   }
 
+  /** [[distMatchedSample]] in TOKEN MASS — training mixtures are sized in
+    * tokens, so the histogram being matched is the reference's per-bucket
+    * token mass, not its doc count (the [[tokenBudgetSample]] counterpart
+    * of the doc-quota matcher). Hamilton apportions
+    * `Ntok = pool_tokens · samplePpm DIV 1e6` across the reference's
+    * bucket token masses; admission is fill-until-reached within the
+    * bucket (`cum − tokens < quota`, the same gate as
+    * [[tokenBudgetSample]] — the last admitted doc may overshoot, which
+    * keeps admission monotone in the quota).
+    *
+    * Scale shape: identical to [[distMatchedSample]] except the rank
+    * becomes a running TOKEN sum — and a per-bucket
+    * `sum().over(partitionBy(bucket))` would funnel the corpus through
+    * ≤8 reduce tasks, so the cumsum rides
+    * [[DistributedRank.withGlobalPrefixSum]] (range partition on the
+    * (bucket, pri, doc_id) total order, per-partition sums → offsets,
+    * local windows) and the per-bucket cumsum is
+    * `global_cumsum − token_offset(bucket)`. One persisted tokenize+hash
+    * pass, tiny histogram solves, broadcast probe — same audit posture.
+    */
+  def distMatchedTokenSample(
+      documents: DataFrame,
+      refSource: String = "src0",
+      samplePpm: Long = 400000L): DataFrame = {
+    require(samplePpm >= 0L && samplePpm <= 1000000L, s"samplePpm: $samplePpm")
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.functions.TextAnalysis.wsTokenCount(col("text"))
+    val bucket = graft.functions.TextAnalysis.lengthBucket(toks)
+    val base = pinDistMatchedBase(documents.select(
+      col("doc_id"), (col("source") === lit(refSource)).as("is_ref"),
+      bucket.cast("int").as("bucket"), textPriority(col("text")).as("pri"),
+      toks.cast("long").as("tokens")))
+    val pool = base.filter(!col("is_ref"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+
+    val refh = base.filter(col("is_ref"))
+      .groupBy(col("bucket")).agg(dec(sum(col("tokens"))).as("ref_n"))
+    val nTarget = pool.agg(dec(sum(col("tokens"))).as("pool_tot"))
+      .select(expr(s"CAST(pool_tot * $samplePpm DIV 1000000 AS DECIMAL(38,0))")
+        .as("n_target"))
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = refh.crossJoin(broadcast(nTarget))
+      .withColumn("ref_tot", sum(col("ref_n")).over(whole))
+      .withColumn("fl",
+        expr("CAST(n_target * ref_n DIV ref_tot AS DECIMAL(38,0))"))
+      .withColumn("rem", expr("(n_target * ref_n) % ref_tot"))
+      .withColumn("leftover", col("n_target") - sum(col("fl")).over(whole))
+      .withColumn("bump_rank", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("bucket"))).cast("long"))
+      .withColumn("quota",
+        (col("fl") + when(col("bump_rank") <= col("leftover"), 1L)
+          .otherwise(0L)).cast("bigint"))
+      .select(col("bucket"), col("quota"))
+
+    val before = Window.partitionBy().orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = pool.groupBy(col("bucket")).agg(sum(col("tokens")).as("pool_t"))
+      .withColumn("offset", coalesce(sum(col("pool_t")).over(before), lit(0L)))
+      .join(quotas, Seq("bucket"), "left")
+      .select(col("bucket"), col("offset"),
+        coalesce(col("quota"), lit(0L)).as("quota"))
+    val summed = DistributedRank.withGlobalPrefixSum(
+      pool.select(col("doc_id"), col("bucket"), col("pri"), col("tokens")),
+      Seq(col("bucket"), col("pri"), col("doc_id")), col("tokens"), "gcum")
+    summed.join(broadcast(offs), Seq("bucket"))
+      .withColumn("cum_tokens", col("gcum") - col("offset"))
+      .filter(col("cum_tokens") - col("tokens") < col("quota"))
+      .select(col("doc_id"), col("bucket"), col("tokens"),
+        col("cum_tokens"), col("quota").as("quota_tokens"))
+      .orderBy(col("bucket"), col("cum_tokens"))
+  }
+
   /** Per-document weighted sampling — the rate is computed FROM the
     * document instead of looked up by source: here inverse-length
     * (`min(1, targetTokens/tokens)`), the standard correction that stops

@@ -108,6 +108,65 @@ class DistMatchedOrcSpec extends SparkTestBase {
     }
   }
 
+  test("withGlobalPrefixSum equals the single-window cumsum, including empty and 1-row frames") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 1000).selectExpr("id", "(id * 7) % 13 AS v")
+    val got = DistributedRank.withGlobalPrefixSum(
+      df, Seq(col("v"), col("id")), col("v"), "cs", numParts = 7)
+      .orderBy("v", "id").select("id", "cs").as[(Long, Long)].collect().toSeq
+    DistributedRank.release(spark)
+    val want = df.withColumn("cs",
+      sum(col("v")).over(Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("v", "id").select("id", "cs").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    val empty = DistributedRank.withGlobalPrefixSum(
+      df.filter(col("id") < 0), Seq(col("id")), col("v"), "cs")
+    assert(empty.count() == 0)
+    DistributedRank.release(spark)
+    val one = DistributedRank.withGlobalPrefixSum(
+      df.filter(col("id") === 5), Seq(col("id")), col("v"), "cs")
+      .select("cs").as[Long].collect().toSeq
+    DistributedRank.release(spark)
+    assert(one == Seq((5L * 7) % 13))
+  }
+
+  test("distMatchedTokenSample: token quotas sum to Ntok, fill-until-reached overshoot bounded") {
+    val out = Mixture.distMatchedTokenSample(docs).cache()
+    try {
+      val toks = graft.functions.TextAnalysis.wsTokenCount(col("text"))
+      val bucket = graft.functions.TextAnalysis.lengthBucket(toks)
+      val pool = docs.filter(col("source") =!= "src0")
+        .select(bucket.as("bucket"), toks.cast("long").as("t"))
+      val poolTok = pool.agg(sum("t")).as[Long].head()
+      val nTok = poolTok * 400000L / 1000000L
+      val quotas = out.select("bucket", "quota_tokens").distinct()
+        .as[(Int, Long)].collect().toMap
+      assert(quotas.values.sum <= nTok)
+      // per-bucket admitted tokens land in [quota, quota + bucket_max)
+      // unless the bucket's pool supply fell short
+      val admitted = out.groupBy("bucket")
+        .agg(sum("tokens").as("at"), max("tokens").as("mt"))
+        .as[(Int, Long, Long)].collect()
+      val avail = pool.groupBy("bucket").agg(sum("t")).as[(Int, Long)]
+        .collect().toMap
+      admitted.foreach { case (b, at, mt) =>
+        val q = quotas(b)
+        if (avail(b) >= q) assert(at >= q && at < q + mt,
+          s"bucket $b admitted $at vs quota $q (max doc $mt)")
+        else assert(at == avail(b), s"bucket $b shortfall: $at vs ${avail(b)}")
+      }
+      // per-bucket cum_tokens is the running sum of the admitted tokens
+      val cumOk = out.groupBy("bucket")
+        .agg(max("cum_tokens").as("mx"), sum("tokens").as("st"))
+        .filter(col("mx") =!= col("st")).count()
+      assert(cumOk == 0L)
+    } finally {
+      out.unpersist(); DistributedRank.release(spark)
+      Mixture.releaseDistMatched(spark)
+    }
+  }
+
   test("classifierAuc: the trained gate ranks above chance and reconciles with the confusion totals") {
     val auc = graft.operators.ClassifierEval.classifierAuc(docs).head()
     try {
