@@ -858,6 +858,34 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("dist_matched_token_sample: range-partitioned cumsum, broadcast probe, one corpus pass") {
+    val df = graft.operators.Mixture.distMatchedTokenSample(
+      Tables.documents(spark, sf))
+    try {
+      val plan = finalPlan(df)
+      val s = plan.toString
+      // the running-sum gate rides the distributed prefix sum's
+      // RangePartitioning, never a per-bucket (≤8-task) sum window
+      assert(s.contains("rangepartitioning") || s.contains("RangePartitioning"),
+        s)
+      assert(!s.contains("CartesianProduct"), s)
+      assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+        s)
+      allExchanges(plan)
+        .filter(_.outputPartitioning.toString.contains("SinglePartition"))
+        .foreach { e =>
+          assert(e.child.collect { case a if a.nodeName.contains("Aggregate") => a }
+            .nonEmpty, s"single-partition exchange over non-aggregated input:\n$e")
+        }
+      val docScans = deepLeaves(plan).map(_.toString)
+        .count(p => p.contains("documents") && !p.contains("InMemory"))
+      assert(docScans == 0, s"expected zero raw documents scans:\n$s")
+    } finally {
+      graft.operators.DistributedRank.release(spark)
+      graft.operators.Mixture.releaseDistMatched(spark)
+    }
+  }
+
   test("per_source_quality_gate: one scan, range-partitioned rank, no 1-task window") {
     val df = graft.operators.Curation.perSourceQualityGate(
       Tables.documents(spark, sf), Seq("the", "a", "of", "and"))
