@@ -682,6 +682,225 @@ object CodeLookupSum {
   }
 }
 
+/** Nearest-centroid assignment over a fixed-point vector in ONE native
+  * pass: struct(d2, cid) = argmin over k literal centroids of the exact
+  * integer squared L2 distance, ties to the lowest cid — bit-identical to
+  * the compositional `array_min(array(struct(aggregate(zip_with(v, cent,
+  * (a,b) -> (a-b)*(a-b)), 0L, _+_), cid), ...))` form it replaces (same
+  * subtract/multiply/add order per centroid, Java wrap-on-overflow =
+  * Spark non-ANSI arithmetic; the lexicographic struct min with a null d2
+  * in EVERY branch — null v, null element, or length mismatch, which the
+  * zip_with null-padding makes all-or-nothing — resolves to (null, 0),
+  * reproduced here explicitly). The HOF form re-enters two interpreted
+  * lambdas per element per centroid (k·dim per row); this is the k-means
+  * assignment hot path run by every fit iteration and every cluster
+  * query, so it dominated the whole kmeans_* family. Centroids ride into
+  * generated code as one reference object.
+  */
+case class NearestCentroidFp(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("d2", LongType, nullable = true),
+    org.apache.spark.sql.types.StructField(
+      "cid", org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "nearest_centroid_fp"
+  // the struct itself is never null (null/malformed v yields (null, 0),
+  // matching the lexicographic-min-over-all-null-d2 of the HOF form)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    NearestCentroidFp.assign(
+      if (v == null) null else v.asInstanceOf[ArrayData], cents)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("cents", cents, "long[][]")
+    val cls = NearestCentroidFp.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |InternalRow ${ev.value} = $cls.assign(
+        |  ${childGen.isNull} ? null :
+        |    (org.apache.spark.sql.catalyst.util.ArrayData) ${childGen.value},
+        |  $cs);
+       """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidFp =
+    copy(child = newChild)
+}
+
+object NearestCentroidFp {
+  def assign(v: ArrayData, cents: Array[Array[Long]])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = cents(0).length
+    var malformed = v == null || v.numElements() != dim
+    if (!malformed) {
+      var i = 0
+      while (i < dim) { if (v.isNullAt(i)) { malformed = true; i = dim }; i += 1 }
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    if (malformed) { row.setNullAt(0); row.setInt(1, 0); return row }
+    var best = Long.MaxValue
+    var bcid = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d2 = 0L
+      var i = 0
+      while (i < dim) {
+        val d = v.getLong(i) - cent(i)
+        d2 += d * d
+        i += 1
+      }
+      if (d2 < best) { best = d2; bcid = c }
+      c += 1
+    }
+    row.setLong(0, best)
+    row.setInt(1, bcid)
+    row
+  }
+}
+
+/** Dot product of an array<bigint> column with a literal long vector in
+  * one native pass — bit-identical to `aggregate(zip_with(v, typedLit(w),
+  * (a,b) -> a*b), 0L, _+_)` (same multiply/add order, Java wrap = Spark
+  * non-ANSI; null v, null element, or length mismatch all null out, which
+  * is what zip_with's null padding does to the fold). The linear-model
+  * margin hot path: every classifier GD iteration and every scoring pass
+  * evaluates it per (row, head).
+  */
+case class DotLongLit(child: Expression, w: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long_lit"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    DotLongLit.dot(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ws = ctx.addReferenceObj("w", w, "long[]")
+    val cls = DotLongLit.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val r = ctx.freshName("dotll")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object $r = $cls.dot($c, $ws);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = (Long) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DotLongLit =
+    copy(child = newChild)
+}
+
+object DotLongLit {
+  def dot(v: ArrayData, w: Array[Long]): Any = {
+    if (v.numElements() != w.length) return null
+    var s = 0L
+    var i = 0
+    while (i < w.length) {
+      if (v.isNullAt(i)) return null
+      s += v.getLong(i) * w(i)
+      i += 1
+    }
+    s
+  }
+}
+
+/** Upper-triangle Gram pair fan-out of one embedding row in a single
+  * native pass: array of struct(i, j, p) for 0 <= i <= j < dim with
+  * p = floor(v_i·2^20)·floor(v_j·2^20) — bit-identical to the nested
+  * `flatten(transform(sequence(...), i -> transform(sequence(i, ...),
+  * j -> struct(..., CAST(floor(element_at(v,i+1)*1048576.0) AS BIGINT) *
+  * CAST(floor(...)) as p)))` spelling it replaces (each quantization is
+  * an exact double op, the product exact int64; a null element makes
+  * every product that touches it null, exactly as element_at's null
+  * propagates through the literal form; `(long) Math.floor` = Spark's
+  * Floor-then-cast on the same doubles). The interpreted nested lambdas
+  * built d(d+1)/2 structs per row through two lambda re-entries each —
+  * the whole cost of the Gram/PCA corpus pass at bench scale.
+  */
+case class GramPairs(child: Expression) extends UnaryExpression {
+  private val st = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "i", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField(
+      "j", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("p", LongType, nullable = true)))
+  override def dataType: DataType = ArrayType(st, containsNull = false)
+  override def prettyName: String = "gram_pairs"
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    GramPairs.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GramPairs.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.pairs($c);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramPairs =
+    copy(child = newChild)
+}
+
+object GramPairs {
+  private val Scale = 1048576.0 // 2^20
+
+  def pairs(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val q = new Array[Long](n)
+    val nul = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) nul(i) = true
+      else q(i) = java.lang.Math.floor(v.getDouble(i) * Scale).toLong
+      i += 1
+    }
+    val out = new Array[Any](n * (n + 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+        row.setInt(0, i)
+        row.setInt(1, j)
+        if (nul(i) || nul(j)) row.setNullAt(2) else row.setLong(2, q(i) * q(j))
+        out(idx) = row
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Sign-pattern LSH bucketer: computes ALL hash tables' bucket ids for a
   * vector in one pass (bit p of table t = sign of the dot product with
   * hyperplane t*P+p). The compositional form — numTables × planesPerTable
@@ -839,6 +1058,12 @@ object GraftColumns {
   }
   def codeLookupSum(codes: Column, table: Column): Column =
     ColumnBridge.column(CodeLookupSum(child(codes), child(table)))
+  def nearestCentroidFp(v: Column, cents: Array[Array[Long]]): Column =
+    ColumnBridge.column(NearestCentroidFp(child(v), cents))
+  def dotLongLit(v: Column, w: Array[Long]): Column =
+    ColumnBridge.column(DotLongLit(child(v), w))
+  def gramPairs(v: Column): Column =
+    ColumnBridge.column(GramPairs(child(v)))
 }
 
 /** SQL registration for the custom expressions (usable via `expr(...)` and

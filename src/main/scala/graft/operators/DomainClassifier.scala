@@ -70,10 +70,10 @@ object DomainClassifier {
       .join(documents.select(col("doc_id"),
         teacherCol(split(col("text"), " "))), Seq("doc_id"))
 
+  // native one-loop dot (DotLongLit) — bit-identical to the
+  // aggregate/zip_with fold it replaces (see QualityClassifier.marginCol)
   private def marginCol(w: Array[Long]): Column =
-    aggregate(
-      zip_with(col("v"), typedLit(w.toSeq), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftColumns.dotLongLit(col("v"), w)
 
   private def yhatExpr(zCol: String): String =
     s"least(greatest(500000 + (CASE WHEN $zCol >= 0 THEN $zCol DIV 4000000" +

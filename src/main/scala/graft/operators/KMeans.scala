@@ -58,12 +58,24 @@ object KMeans {
       zip_with(v, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
-  /** Assignment = a pure map: argmin over k literal centroids, computed
-    * as array_min over (d2, cid) structs (lexicographic struct ordering
-    * = min distance, ties to the lowest cid). No join, no shuffle — the
-    * centroids ride into the codegen'd expression as literals.
+  /** Assignment = a pure map: argmin over k literal centroids. No join,
+    * no shuffle — the centroids ride into the codegen'd expression as one
+    * reference object ([[graft.functions.NearestCentroidFp]], the native
+    * one-loop twin of the array_min-over-(d2, cid)-structs HOF spelling,
+    * equality-spec-pinned against it; the HOF form re-entered two
+    * interpreted lambdas per element per centroid and dominated every
+    * kmeans_* query).
     */
-  def assignTo(fp: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+  def assignTo(fp: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    fp.withColumn("best",
+        graft.functions.GraftColumns.nearestCentroidFp(col("v"), cents))
+      .withColumn("cluster", col("best.cid"))
+      .withColumn("d2", col("best.d2"))
+      .drop("best")
+
+  /** The compositional HOF spelling of [[assignTo]] — retained for the
+    * equality spec that pins the native expression to it. */
+  private[graft] def assignToDecl(fp: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val scored = cents.zipWithIndex.map { case (c, cid) =>
       struct(d2To(col("v"), c).as("d2"), lit(cid).as("cid"))
     }

@@ -45,13 +45,11 @@ object Pca {
   def gramMatrix(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("embedding").cast("array<double>").as("v"))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, size(v) - 1), i ->
-           |  transform(sequence(i, size(v) - 1), j -> struct(
-           |    i as i, j as j,
-           |    CAST(floor(element_at(v, i + 1) * ${Scale}.0) AS BIGINT)
-           |      * CAST(floor(element_at(v, j + 1) * ${Scale}.0) AS BIGINT)
-           |      as p))))""".stripMargin)).as("s"))
+      // native one-pass pair fan-out (GramPairs) — bit-identical to the
+      // nested flatten(transform(sequence...)) HOF spelling it replaces
+      // (equality-spec-pinned), which re-entered two interpreted lambdas
+      // per pair and was the whole cost of this corpus pass
+      .select(explode(graft.functions.GraftColumns.gramPairs(col("v"))).as("s"))
       .groupBy(col("s.i").as("i"), col("s.j").as("j"))
       .agg(sum(col("s.p")).as("gram_fp"))
       .select(col("i"), col("j"), col("gram_fp"),

@@ -153,12 +153,14 @@ object QualityClassifier {
     s"CASE WHEN $a >= 0 THEN ($a) DIV ($b) ELSE -((-($a)) DIV ($b)) END"
 
   /** Margin of one literal weight vector — a pure map (the weights ride
-    * into the codegen'd expression as literals; no join, no shuffle).
+    * into the codegen'd expression as one reference object; no join, no
+    * shuffle). Native one-loop dot ([[graft.functions.DotLongLit]]),
+    * bit-identical to the aggregate/zip_with HOF fold it replaces — that
+    * form re-entered two interpreted lambdas per element per GD
+    * iteration and dominated the classifier queries.
     */
   private def marginCol(w: Array[Long]): Column =
-    aggregate(
-      zip_with(col("v"), typedLit(w.toSeq), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftColumns.dotLongLit(col("v"), w)
 
   /** σ̃(z) and residual, both scale-6: yhat = clamp(5e5 + z/4e6, 0, 1e6),
     * r = y·1e6 − yhat. Emitted from ONE spelling for fit and audits.

@@ -1102,13 +1102,16 @@ object Similarity {
       col("vec_id").as("nid"), col("embedding").as("ne"), col("inv").as("ninv"))
     val both = emb
       .join(broadcast(rhs), col("vec_id") < col("nid"))
+      // hoist sim above the explode: spelled inline in both struct
+      // branches, the dot product was evaluated TWICE per pair (CSE does
+      // not reach across array(struct(...)) elements) — same value, same
+      // (dot * inv) * ninv op order, half the float work
+      .withColumn("sim",
+        dotProduct(col("embedding"), col("ne")) * col("inv") * col("ninv"))
       .select(explode(array(
-        struct(col("vec_id"), col("nid").as("neighbor_id"),
-          (dotProduct(col("embedding"), col("ne")) * col("inv") * col("ninv"))
-            .as("sim")),
+        struct(col("vec_id"), col("nid").as("neighbor_id"), col("sim")),
         struct(col("nid").as("vec_id"), col("vec_id").as("neighbor_id"),
-          (dotProduct(col("embedding"), col("ne")) * col("inv") * col("ninv"))
-            .as("sim")))).as("e"))
+          col("sim")))).as("e"))
       .select(col("e.vec_id"), col("e.neighbor_id"), col("e.sim"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), asc("neighbor_id"))
     val wPair = Window.partitionBy(
