@@ -1007,6 +1007,91 @@ case class BloomMightContainLong(
     copy(child = newChild)
 }
 
+/** Pack the first (up to) 8 characters of an ASCII string into one long:
+  * acc = fold(acc << 7 | byte), left-padded semantics via a final shift
+  * so shorter strings sort BEFORE their extensions (the 0 pad is below
+  * every real byte — the prefix-sentinel rule of suffix ordering). For
+  * byte values 1..127 the numeric order of the packed longs is EXACTLY
+  * the binary string order, and equality is exact, so the pack replaces
+  * [[graft.operators.SuffixArray]]'s base-level distinct + global rank +
+  * string join with a map-only projection (an order/equality-preserving
+  * rank bound of 2^56). Callers MUST gate on the ASCII-and-no-NUL corpus
+  * guard: a 0x00 byte collides with the pad and multi-byte UTF-8 breaks
+  * the byte==char equivalence (the guard falls back to the string-rank
+  * path). Bytes are masked to 7 bits so even ungated input stays a
+  * well-defined (if order-breaking) value rather than UB.
+  */
+case class PackAscii(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pack_ascii"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  protected override def nullSafeEval(input: Any): Any =
+    PackAscii.pack(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = PackAscii.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.pack($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackAscii =
+    copy(child = newChild)
+}
+
+object PackAscii {
+  def pack(s: UTF8String): Long = {
+    val len = s.numBytes()
+    val n = if (len < 8) len else 8
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc = (acc << 7) | (s.getByte(i) & 0x7fL); i += 1 }
+    acc << (7 * (8 - n))
+  }
+}
+
+/** Length in BYTES of the longest common prefix of two strings — equal to
+  * the common prefix in CHARACTERS on single-byte (ASCII) text, which is
+  * the only place the suffix machinery uses it (gated by the same corpus
+  * guard as [[PackAscii]]). One bounded byte loop, stays in codegen.
+  */
+case class AsciiCommonPrefixLen(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ascii_common_prefix_len"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires two strings")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    AsciiCommonPrefixLen.lcp(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = AsciiCommonPrefixLen.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.lcp($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AsciiCommonPrefixLen =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsciiCommonPrefixLen {
+  def lcp(a: UTF8String, b: UTF8String): Long = {
+    val an = a.numBytes()
+    val bn = b.numBytes()
+    val n = if (an < bn) an else bn
+    var i = 0
+    while (i < n && a.getByte(i) == b.getByte(i)) i += 1
+    i.toLong
+  }
+}
+
 /** Column-level API for the native expressions (no registry needed —
   * Spark 4's classic ExpressionUtils bridges Expression -> Column), so
   * `Similarity.cosine`/`lshBucket` work on any session out of the box.
@@ -1064,6 +1149,10 @@ object GraftColumns {
     ColumnBridge.column(DotLongLit(child(v), w))
   def gramPairs(v: Column): Column =
     ColumnBridge.column(GramPairs(child(v)))
+  def packAscii(c: Column): Column =
+    ColumnBridge.column(PackAscii(child(c)))
+  def asciiCommonPrefixLen(a: Column, b: Column): Column =
+    ColumnBridge.column(AsciiCommonPrefixLen(child(a), child(b)))
 }
 
 /** SQL registration for the custom expressions (usable via `expr(...)` and

@@ -62,7 +62,20 @@ object SuffixArray {
       levels: IndexedSeq[DataFrame],
       blocks: IndexedSeq[Long],
       n: Long, maxLen: Long,
-      private val dupAtLastThunk: () => Boolean) {
+      private val dupAtLastThunk: () => Boolean,
+      /** the corpus passed the ASCII-and-no-NUL guard, so base ranks are
+        * [[graft.functions.PackAscii]] longs (order/equality-exact, NOT
+        * dense) and byte ops equal char ops on suffix strings — the gate
+        * for the LRS candidate fast path.
+        */
+      asciiBase: Boolean = false,
+      /** loop state at the last level, so a deeper request RESUMES the
+        * doubling from here instead of rebuilding the whole chain (the
+        * bench/driver pattern: split_contamination builds to 64 first,
+        * then suffix_lrs asks for the full chain).
+        */
+      private[graft] val dBoundAtLast: Long = 0L,
+      private[graft] val distinctKnownAtLast: Long = 0L) {
     /** duplicates (rem-filtered, cnt >= 2) exist at the LAST level's
       * block — false means the chain stopped because LRS < last block
       * (no deeper level can ever be probed), true means it stopped at
@@ -71,6 +84,11 @@ object SuffixArray {
       * build) skip the grouped-count job entirely.
       */
     lazy val dupAtLast: Boolean = dupAtLastThunk()
+    /** [[suffixArrayHead]]'s k-th-distinct-rank thresholds, memoized on
+      * the cached index (derived data, same lifetime as the levels).
+      */
+    private[graft] val headThresholds =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
   }
 
   /** Session-scoped Ranks cache: the suffix index is derived once per
@@ -137,21 +155,32 @@ object SuffixArray {
     val key = corpusKey(documents)
     ranksCache.synchronized(ranksCache.get(key)) match {
       case Some((builtStop, r)) if satisfies(builtStop, r, stopBlock) => r
-      case _ =>
-        val computed = computeBuild(documents, stopBlock)
+      case other =>
+        // an UNSATISFYING same-corpus entry is a stop-bounded prefix of
+        // the chain we need: resume the doubling from its last level
+        // instead of rebuilding from the corpus (its levels become the
+        // head of the new chain — shared references, so eviction below
+        // must never free a frame the new chain still holds)
+        val resume = other.map(_._2)
+        val computed = computeBuild(documents, stopBlock, resume)
+        val live = computed.levels.toSet // reference identity: shared prefix
         ranksCache.synchronized {
           // a concurrent build may have landed a satisfying entry: keep
-          // it, free OUR discarded levels (nobody has seen them)
+          // it, free OUR discarded levels (nobody has seen them, except
+          // any prefix resumed from the published entry)
           ranksCache.get(key) match {
             case Some((builtStop, r)) if satisfies(builtStop, r, stopBlock) =>
-              computed.levels.foreach(freeCheckpoint)
+              val published = r.levels.toSet ++ resume.map(_.levels.toSet)
+                .getOrElse(Set.empty[DataFrame])
+              computed.levels.filterNot(published).foreach(freeCheckpoint)
               r
             case replaced =>
               if (ranksCache.size >= 4) {
                 ranksCache.valuesIterator
-                  .foreach(_._2.levels.foreach(freeCheckpoint))
+                  .foreach(_._2.levels.filterNot(live).foreach(freeCheckpoint))
                 ranksCache.clear()
-              } else replaced.foreach(_._2.levels.foreach(freeCheckpoint))
+              } else replaced.foreach(
+                _._2.levels.filterNot(live).foreach(freeCheckpoint))
               ranksCache.update(key, (stopBlock, computed))
               computed
           }
@@ -165,8 +194,31 @@ object SuffixArray {
     * per-round scalar counts.
     */
   private def computeBuild(
-      documents: DataFrame, stopBlock: Long = Long.MaxValue): Ranks = {
+      documents: DataFrame, stopBlock: Long = Long.MaxValue,
+      resumeFrom: Option[Ranks] = None): Ranks = {
     val spark = documents.sparkSession
+    resumeFrom.foreach { r =>
+      // the cached chain is a stop-bounded PREFIX of the one requested:
+      // re-enter the doubling loop with its recorded state — its levels
+      // (shared references) become the head of the new chain, and the
+      // corpus is never re-exploded
+      return runDoubling(documents, stopBlock, r.n, r.maxLen, r.asciiBase,
+        r.levels, r.blocks, r.dBoundAtLast, r.distinctKnownAtLast)
+    }
+    // corpus stats + the ASCII guard in ONE pass over the (small) document
+    // frame — the old code materialized the full character frame first
+    // just to count it. asciiOk = every char is a single byte (so byte
+    // ops == char ops) and no NUL (so PackAscii's 0 pad is below every
+    // real byte); on any other corpus the base level falls back to the
+    // exact string-rank path below.
+    val statsRow = documents.filter(length(col("text")) >= 1).agg(
+      coalesce(sum(length(col("text")).cast("long")), lit(0L)),
+      coalesce(max(length(col("text")).cast("long")), lit(0L)),
+      coalesce(min((octet_length(col("text")) === length(col("text")) &&
+        !col("text").contains(lit("\u0000"))).cast("int")), lit(1))).head()
+    val n = statsRow.getLong(0)
+    val maxLen = statsRow.getLong(1)
+    val asciiOk = statsRow.getInt(2) == 1
     val base = documents
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"),
@@ -174,21 +226,90 @@ object SuffixArray {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         (col("len") - col("pos") + 1).cast("long").as("rem"),
         expr(s"substr(text, pos, $BaseBlock)").as("b8"))
-      .localCheckpoint()
-    val stats = base.agg(count(lit(1)), max(col("rem"))).head()
-    val n = stats.getLong(0)
-    val maxLen = stats.getLong(1)
-    // base level: global rank of the 8-char block strings (substr of a
-    // short suffix is the full suffix — equality and order match the
-    // sentinel semantics: a proper prefix sorts before its extensions)
-    val blockRank = DistributedRank.withGlobalRank(
-      base.select(col("b8")).distinct(), Seq(col("b8")), rankCol = "r")
-    var cur = base.join(blockRank, Seq("b8"))
-      .select(col("doc_id"), col("pos"), col("rem"), col("r"))
-      .localCheckpoint()
-    var dBound = blockRank.count() // exact distinct count (dense rank)
-    DistributedRank.release(spark)
-    var distinctKnown = dBound // == n terminates (all suffixes resolved)
+    // Every level is checkpointed hash-partitioned by doc_id and sorted
+    // by (doc_id, pos): localCheckpoint preserves the physical plan's
+    // outputPartitioning/outputOrdering into the LogicalRDD, so the
+    // per-doc `lead` windows — one per doubling round AND one per LRS
+    // bisection probe (sharedPrefixGroups) — need no Exchange and no
+    // Sort. Before this, each of the ~log2(LRS) probes re-shuffled and
+    // re-sorted the full character frame (suffix_lrs alone moved ~400 MB
+    // of shuffle at sf0.1; at corpus scale the probe cost was
+    // rounds×(shuffle+sort) instead of rounds×map).
+    // AQE must be OFF while the checkpoint materializes: the repartition
+    // inserts an Exchange, AQE wraps the whole plan in
+    // AdaptiveSparkPlanExec, and the LogicalRDD capture then sees
+    // UnknownPartitioning/no ordering — the layout is physically there
+    // but invisible to downstream planning, so every window still
+    // re-shuffles (measured: identical 406 MB with/without the
+    // repartition under AQE). Scoped to the materialization only and
+    // restored in finally; the consumers of the checkpoint run under
+    // whatever AQE setting the session has.
+    def docClustered(df: DataFrame): DataFrame = {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(aqeKey, "true")
+      spark.conf.set(aqeKey, "false")
+      try df
+        .repartition(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("pos"))
+        .localCheckpoint()
+      finally spark.conf.set(aqeKey, prev)
+    }
+    // base level: ranks of the 8-char blocks (substr of a short suffix is
+    // the full suffix — equality and order match the sentinel semantics:
+    // a proper prefix sorts before its extensions). On an ASCII corpus
+    // the rank is [[PackAscii]] — a MAP-ONLY order/equality-preserving
+    // 56-bit encode, replacing the old distinct + global string rank +
+    // string join (the single heaviest cold-build stage: ~300 MB shuffled
+    // at sf0.1 to rank 1.5M 8-char strings). The packed rank is NOT
+    // dense; dBound = 2^56 forces the first doubling round to densify,
+    // which the alternation would have done one round later anyway.
+    var cur: DataFrame = null
+    var dBound = 0L
+    var distinctKnown = 0L // == n terminates (all suffixes resolved)
+    if (asciiOk) {
+      cur = docClustered(base.select(col("doc_id"), col("pos"), col("rem"),
+        graft.functions.GraftColumns.packAscii(col("b8")).as("r")))
+      dBound = 1L << 56 // value bound, not a count: forces densify next
+      distinctKnown = 0L // unknown until the first densify
+    } else {
+      val checkpointedBase = base.localCheckpoint()
+      val blockRank = DistributedRank.withGlobalRank(
+        checkpointedBase.select(col("b8")).distinct(), Seq(col("b8")), rankCol = "r")
+      cur = docClustered(checkpointedBase.join(blockRank, Seq("b8"))
+        .select(col("doc_id"), col("pos"), col("rem"), col("r")))
+      dBound = blockRank.count() // exact distinct count (dense rank)
+      DistributedRank.release(spark)
+      freeCheckpoint(checkpointedBase)
+      distinctKnown = dBound
+    }
+    runDoubling(documents, stopBlock, n, maxLen, asciiOk,
+      IndexedSeq(cur), IndexedSeq(BaseBlock), dBound, distinctKnown)
+  }
+
+  /** The doubling loop proper, entered either fresh (one base level) or
+    * as a RESUME of a cached stop-bounded chain (its levels/blocks and
+    * recorded loop state). Shared verbatim between the two entries so
+    * resume cannot drift from the from-scratch semantics.
+    */
+  private def runDoubling(
+      documents: DataFrame, stopBlock: Long,
+      n: Long, maxLen: Long, asciiOk: Boolean,
+      initLevels: IndexedSeq[DataFrame], initBlocks: IndexedSeq[Long],
+      dBound0: Long, distinctKnown0: Long): Ranks = {
+    val spark = documents.sparkSession
+    def docClustered(df: DataFrame): DataFrame = {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(aqeKey, "true")
+      spark.conf.set(aqeKey, "false")
+      try df
+        .repartition(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("pos"))
+        .localCheckpoint()
+      finally spark.conf.set(aqeKey, prev)
+    }
+    var cur = initLevels.last
+    var dBound = dBound0
+    var distinctKnown = distinctKnown0
     // duplicate check at the current block: two suffixes (rem >= b)
     // sharing a rank == a repeated b-char substring exists. The moment
     // this turns false the chain STOPS — LRS < b, so no deeper level is
@@ -198,9 +319,9 @@ object SuffixArray {
     def hasDup(lev: DataFrame, b: Long): Boolean =
       !lev.filter(col("rem") >= b).groupBy(col("r"))
         .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).isEmpty
-    val levels = scala.collection.mutable.ArrayBuffer(cur)
-    val blocks = scala.collection.mutable.ArrayBuffer(BaseBlock)
-    var block = BaseBlock
+    val levels = scala.collection.mutable.ArrayBuffer(initLevels: _*)
+    val blocks = scala.collection.mutable.ArrayBuffer(initBlocks: _*)
+    var block = initBlocks.last
     // hasDup of the current last level, evaluated only when the block
     // bound would allow another round — base-only builds (stopBlock =
     // BaseBlock) and the final maxLen-stopped level skip the grouped-
@@ -215,7 +336,9 @@ object SuffixArray {
       val paired = cur
         .withColumn("r2", coalesce(lead(col("r"), block.toInt).over(w), lit(0L)))
       if (dBound <= MaxEncodableRank) {
-        // map-only combine: equality/order-preserving, no shuffle
+        // map-only combine: equality/order-preserving, no shuffle — and
+        // the projection preserves the doc-clustered layout, so this
+        // checkpoint inherits it with no repartition at all
         cur = paired
           .select(col("doc_id"), col("pos"), col("rem"),
             (col("r") * (dBound + 1L) + col("r2")).as("r"))
@@ -226,9 +349,12 @@ object SuffixArray {
         val pairRank = DistributedRank.withGlobalRank(
           paired.select(col("r"), col("r2")).distinct(),
           Seq(col("r"), col("r2")), rankCol = "nr")
-        cur = paired.join(pairRank, Seq("r", "r2"))
-          .select(col("doc_id"), col("pos"), col("rem"), col("nr").as("r"))
-          .localCheckpoint()
+        // the (r, r2) join destroys the doc clustering; restore it here
+        // once (the next round's window would have paid this exact
+        // shuffle+sort anyway — doing it before the checkpoint makes it
+        // one-time instead of per-consumer)
+        cur = docClustered(paired.join(pairRank, Seq("r", "r2"))
+          .select(col("doc_id"), col("pos"), col("rem"), col("nr").as("r")))
         DistributedRank.release(spark)
         dBound = cur.agg(max(col("r"))).head().getLong(0) // dense => max==count
         distinctKnown = dBound
@@ -240,7 +366,8 @@ object SuffixArray {
     }
     val (lastLevel, lastBlock, known) = (cur, block, lastDup)
     Ranks(documents, levels.toIndexedSeq, blocks.toIndexedSeq, n, maxLen,
-      () => known.getOrElse(hasDup(lastLevel, lastBlock)))
+      () => known.getOrElse(hasDup(lastLevel, lastBlock)), asciiBase = asciiOk,
+      dBoundAtLast = dBound, distinctKnownAtLast = distinctKnown)
   }
 
   /** The head of the suffix array: the `k` lexicographically smallest
@@ -260,13 +387,31 @@ object SuffixArray {
     * argument.)
     */
   def suffixArrayHead(documents: DataFrame, k: Int = 100): DataFrame = {
-    // the base level's r IS the dense 8-char block rank, so the shared
+    // the base level's r orders the 8-char blocks (dense on the string-
+    // rank fallback, PackAscii-encoded on ASCII corpora), so the shared
     // (cached) base-only build replaces the standalone distinct+rank
-    // pass; only the <= k smallest blocks' suffixes rejoin `documents`
-    // to materialize their suffix strings.
+    // pass; only the k smallest DISTINCT blocks' suffixes rejoin
+    // `documents` to materialize their suffix strings. The threshold (the
+    // k-th smallest distinct r) is one TakeOrdered job — on a dense base
+    // it equals k, so this is the same candidate set as the old
+    // `r <= k` filter, now valid for the non-dense packed base too.
     val ranks = build(documents, stopBlock = BaseBlock)
+    val kthVal: Long = Option(ranks.headThresholds.get(k))
+      .map(_.longValue).getOrElse {
+        val row = ranks.levels(0).select(col("r")).distinct()
+          .orderBy(col("r")).limit(k)
+          .agg(max(col("r"))).head()
+        val v = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+        ranks.headThresholds.put(k, v)
+        v
+      }
+    if (kthVal == Long.MinValue) {
+      val spark = documents.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("suffix_rank", "doc_id", "pos")
+    }
     val cand = ranks.levels(0)
-      .filter(col("r") <= k)
+      .filter(col("r") <= kthVal)
       .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         expr("substr(text, CAST(pos AS INT))").as("s"))
@@ -336,8 +481,114 @@ object SuffixArray {
     * Precondition: some character repeats (any real corpus), so
     * lrs_len >= 1.
     */
+  /** Candidate-set size cap for the LRS fast path (members) and a byte
+    * budget for their capped suffix strings: above either, fall back to
+    * the bisection probes (same answer, bounded memory). The fast path's
+    * cost is candidates x cap bytes, NOT corpus size — the scale lever.
+    */
+  private val MaxLrsCandidates = 2000000L
+  private val LrsByteBudget = 1L << 30
+
   def longestRepeatedSubstring(documents: DataFrame): DataFrame = {
     val ranks = build(documents)
+    // ---- candidate fast path ----------------------------------------
+    // Let B be the deepest block where duplicates are KNOWN to exist
+    // (the chain advanced past it, or dupAtLast says so). LRS >= B, and
+    // every suffix participating in ANY length->=B repeat has a
+    // DUPLICATED rank at level B (equal l-prefixes, l >= B, imply equal
+    // B-prefixes imply equal level-B ranks). So the members of
+    // duplicated level-B rank groups are a complete candidate set, and
+    // they are downward-closed under "between two candidates in suffix
+    // order" (a sorted sandwich shares the bounding pair's prefix), so
+    // max-adjacent-LCP WITHIN the candidates equals the global LRS.
+    // That replaces ~log2(maxLen - B) full-corpus bisection probes
+    // (each a window + n-row groupBy) with one dup-group pass plus
+    // string work proportional to |candidates| — 672 rows at sf0.1 vs
+    // 1.49M-row probes. Byte-LCP == char-LCP only on ASCII (asciiBase
+    // gate); candidate blowup (dup-heavy corpora) falls back to the
+    // bisection below, which stays the 100-TB worst-case path.
+    if (ranks.asciiBase) {
+      val spark = documents.sparkSession
+      def dupPass(i: Int): (DataFrame, Long) = {
+        val lev = ranks.levels(i).filter(col("rem") >= ranks.blocks(i))
+        val keys = lev.groupBy(col("r"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .select(col("r"), col("cnt")).localCheckpoint()
+        (keys, keys.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0))
+      }
+      // probe the LAST level first: a non-empty dup pass there IS the
+      // dupAtLast answer (no separate lazy hasDup job); empty means the
+      // chain stopped on "no dup at last", so duplicates are KNOWN one
+      // level up (the loop advanced past it)
+      val (lastKeys, nLast) = dupPass(ranks.blocks.size - 1)
+      val (fastDepth, dupKeys, nCand) =
+        if (nLast > 0) (ranks.blocks.size - 1, lastKeys, nLast)
+        else if (ranks.blocks.size >= 2) {
+          freeCheckpoint(lastKeys)
+          val (k2, n2) = dupPass(ranks.blocks.size - 2)
+          (ranks.blocks.size - 2, k2, n2)
+        } else { freeCheckpoint(lastKeys); (-1, lastKeys, 0L) }
+      val b = if (fastDepth >= 0) ranks.blocks(fastDepth) else 1L
+      var cap = math.min(ranks.maxLen, math.max(2 * b, 64L))
+      if (fastDepth >= 0 && nCand > 0 && nCand <= MaxLrsCandidates &&
+          nCand * cap <= LrsByteBudget) {
+        val lev = ranks.levels(fastDepth).filter(col("rem") >= b)
+        val cands = lev.join(dupKeys.select(col("r")), Seq("r"), "left_semi")
+          .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+        def cappedCands(c: Long): DataFrame =
+          cands.select(col("r"), col("doc_id"), col("pos"),
+              expr(s"substr(text, CAST(pos AS INT), $c)").as("s"))
+            .localCheckpoint()
+        var cf = cappedCands(cap)
+        def lrsOf(cf: DataFrame): Long = {
+          // The pair achieving the LRS shares its B-prefix, so it lives
+          // INSIDE one dup group — and the sorted-sandwich argument keeps
+          // every intermediate suffix in that group too. Max adjacent
+          // LCP per group == global LRS, so a window PARTITIONED BY the
+          // group key replaces any global sort: no single-partition
+          // exchange, one tiny shuffle of the candidate rows. Equal
+          // strings are adjacent in the group (LCP = full length), so
+          // verbatim duplicates need no separate pass.
+          val w = Window.partitionBy(col("r"))
+            .orderBy(col("s"), col("doc_id"), col("pos"))
+          cf.select(graft.functions.GraftColumns
+              .asciiCommonPrefixLen(col("s"), lead(col("s"), 1).over(w)).as("v"))
+            .agg(coalesce(max(col("v")), lit(0L))).head().getLong(0)
+        }
+        var lrs = lrsOf(cf)
+        var blown = false
+        // lrs == cap cannot distinguish "exactly cap" from "longer":
+        // re-materialize with a larger cap (geometric, still within the
+        // byte budget or we bail to the bisection)
+        while (lrs >= cap && cap < ranks.maxLen && !blown) {
+          freeCheckpoint(cf)
+          cap = math.min(ranks.maxLen, cap * 4)
+          if (nCand * cap > LrsByteBudget) blown = true
+          else { cf = cappedCands(cap); lrs = lrsOf(cf) }
+        }
+        if (!blown) {
+          // final frame from the same candidate rows: every member of a
+          // >=2 group at lrs chars is a candidate (same argument as
+          // above), so group the capped strings by their lrs-prefix.
+          // Members shorter than lrs cannot join an lrs-group (their
+          // whole string is shorter — a different value) and are
+          // filtered like the oracle's length(s) >= lrs_len.
+          val out = cf
+            .filter(length(col("s")) >= lrs)
+            .groupBy(expr(s"substr(s, 1, $lrs)").as("p"))
+            .agg(count(lit(1)).as("cnt"),
+              min(struct(col("doc_id"), col("pos"))).as("m"))
+            .filter(col("cnt") >= 2)
+            .agg(sum(col("cnt")).as("n_suffixes"), min(col("m")).as("mm"))
+            .select(lit(lrs).as("lrs_len"), col("n_suffixes"),
+              col("mm.doc_id").as("witness_doc_id"),
+              col("mm.pos").as("witness_pos"))
+          return out
+        }
+      }
+    }
+    // ---- bisection fallback (exact same answer; also the non-ASCII
+    // and candidate-blowup path) ---------------------------------------
     def exists(l: Long): Boolean =
       !sharedPrefixGroups(ranks, l).isEmpty
     // the build already bracketed the answer: every level up to the

@@ -94,6 +94,11 @@ class SuffixArraySpec extends SparkTestBase {
         assert(shallow.blocks.last == 8L && shallow.dupAtLast)
         val deep = SuffixArray.build(d3)
         assert(!(deep eq shallow) && deep.blocks.last > 8L)
+        // the deep build RESUMED from the shallow chain: its prefix
+        // levels are the same frames, not rebuilt (and therefore must
+        // not have been freed by the cache replacement)
+        assert(deep.levels.head eq shallow.levels.head)
+        assert(deep.levels.head.count() > 0)
         // and the replacement now serves shallow requests
         assert(SuffixArray.build(d3, stopBlock = 8L) eq deep)
       } finally {
@@ -131,6 +136,113 @@ class SuffixArraySpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d1))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d2))
     }
+  }
+
+  /** Brute-force LRS: (lrs_len, n_suffixes, witness_doc, witness_pos) —
+    * max adjacent LCP over the sorted suffixes, then the >=2 groups at
+    * that prefix length (the oracle's formulation, in Scala).
+    */
+  private def bruteLrs(docs: Seq[(Long, String)]): (Long, Long, Long, Long) = {
+    val sfx = for { (id, t) <- docs; p <- 1 to t.length }
+      yield (t.substring(p - 1), id, p.toLong)
+    val sorted = sfx.sortBy(_._1)
+    def lcp(a: String, b: String): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val l = sorted.sliding(2).collect { case Seq(a, b) => lcp(a._1, b._1) }.max
+    val members = sfx.filter(_._1.length >= l)
+      .groupBy(_._1.substring(0, l)).filter(_._2.size >= 2).values.flatten.toSeq
+    val w = members.map(m => (m._2, m._3)).min
+    (l.toLong, members.size.toLong, w._1, w._2)
+  }
+
+  private def assertLrs(docs: Seq[(Long, String)]): Unit = {
+    val row = SuffixArray.longestRepeatedSubstring(docs.toDF("doc_id", "text"))
+      .collect().head
+    val exp = bruteLrs(docs)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == exp,
+      s"got ${row.mkString(",")} expected $exp")
+  }
+
+  test("packAscii: numeric order == binary string order, equality exact") {
+    val rnd = new scala.util.Random(42)
+    val strs = (0 until 400).map { _ =>
+      val len = rnd.nextInt(11)
+      new String(Array.fill(len)((1 + rnd.nextInt(127)).toChar))
+    } ++ Seq("", "a", "ab", "abcdefgh", "abcdefghX", "abcdefg", "aaaaaaaa")
+    import org.apache.spark.unsafe.types.UTF8String
+    def pack(s: String) =
+      graft.functions.PackAscii.pack(UTF8String.fromString(s))
+    for (a <- strs; b <- strs) {
+      // pack sees only the first 8 chars — compare on the truncation
+      val (ta, tb) = (a.take(8), b.take(8))
+      assert(java.lang.Long.compare(pack(a), pack(b)).sign ==
+        UTF8String.fromString(ta).compareTo(UTF8String.fromString(tb)).sign,
+        s"order mismatch: '$ta' vs '$tb'")
+      assert((pack(a) == pack(b)) == (ta == tb), s"equality mismatch: '$ta' '$tb'")
+    }
+  }
+
+  test("asciiCommonPrefixLen matches the character zip reference") {
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 60).map { _ =>
+      val len = rnd.nextInt(12)
+      new String(Array.fill(len)(('a' + rnd.nextInt(4)).toChar))
+    } :+ ""
+    val pairs = for (a <- strs; b <- strs) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(graft.functions.GraftColumns
+        .asciiCommonPrefixLen(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val exp = pairs.map { case (a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong }
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("lrs fast path, dupAtLast branch: long repeat up to the maxLen stop") {
+    // 110-char planted repeat in 120-char docs: chain 8..64 stops on
+    // maxLen with duplicates still present at 64 (candidates from the
+    // LAST level)
+    val rep = "qwertyuiopasdfghjklzxcvbnm" * 5 // 130 chars
+    val docs = Seq(
+      (1L, "head1" + rep.take(110) + "tail1"),
+      (2L, "abcz2" + rep.take(110) + "wxyz9"),
+      (3L, "completely unrelated filler text with no long repeats at all"))
+    assertLrs(docs)
+  }
+
+  test("lrs fast path, second-to-last branch: repeat dies before the last block") {
+    // LRS = 100 inside ~300-char docs: the chain reaches 128, finds no
+    // duplicate there (100 < 128), and the candidates come from level 64
+    val rnd = new scala.util.Random(3)
+    def filler(n: Int) = new String(Array.fill(n)(('a' + rnd.nextInt(26)).toChar))
+    val rep = filler(100)
+    val docs = Seq(
+      (1L, filler(90) + rep + filler(110)),
+      (2L, filler(95) + rep + filler(105)),
+      (3L, filler(300)))
+    assertLrs(docs)
+  }
+
+  test("non-ASCII corpus falls back to the string-rank path, same answer") {
+    val rep = "0123456789abcdefghij" * 3 // 60-char repeat
+    val docs = Seq(
+      (1L, "début-" + rep + "-fin"), // 'é' defeats the ASCII guard
+      (2L, "start-" + rep + "-end"))
+    val df = docs.toDF("doc_id", "text")
+    val ranks = SuffixArray.build(df)
+    assert(!ranks.asciiBase)
+    assertLrs(docs)
+  }
+
+  test("head with small k on the packed (non-dense) base rank") {
+    val df = docs.toDF("doc_id", "text")
+    val got = SuffixArray.suffixArrayHead(df, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = bruteSuffixes(docs)
+    val rankOf = brute.map(_._1).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val expected = brute.map { case (s, d, p) => (rankOf(s), d, p) }.take(5)
+    assert(got.toSeq == expected)
   }
 
   test("harness documents: head ranks are positive, ordered, dense-consistent") {
