@@ -230,33 +230,49 @@ object Curation {
   def coverageSelection(documents: DataFrame, k: Int = 10): DataFrame = {
     val spark = documents.sparkSession
     import org.apache.spark.sql.functions.{broadcast => bc}
-    // sequence(1, n) counts DOWN when n < 1 (Spark auto-steps −1), so
-    // the short-doc case must branch to an explicit empty array
+    // The old spelling built trigrams declaratively — transform(sequence)
+    // re-evaluating split(text,' ') per element, interpreted — and then
+    // paid a corpus-wide distinct SHUFFLE for (doc_id, g) dedup. The
+    // native WordShingles expression emits the per-doc DISTINCT shingles
+    // (LinkedHashSet) from one codegen pass over the same ' '-split
+    // tokens (CoverageCmhSpec pins the set equality incl. repeated-space
+    // empty tokens), so tri needs no distinct at all: a map-only build.
     val tri = documents.select(col("doc_id"),
-      explode(expr(
-        """case when size(split(text, ' ')) >= 3 then
-          |  transform(
-          |    sequence(1, size(split(text, ' ')) - 2),
-          |    i -> concat_ws(' ',
-          |      element_at(split(text, ' '), i),
-          |      element_at(split(text, ' '), i + 1),
-          |      element_at(split(text, ' '), i + 2)))
-          |else array() end""".stripMargin))
+      explode(graft.functions.GraftColumns.wordShingles(col("text"), 3))
         .as("g0"))
       .select(col("doc_id"), xxhash64(col("g0")).as("g"))
-      .distinct()
       .localCheckpoint()
     // (pick, doc_id, gain) — the argmax row is 1 row by construction
     // (a no-groupBy max), so the collect is bounded like the other
-    // 1-row argmaxes in this repo, not a driver-side data loop
+    // 1-row argmaxes in this repo, not a driver-side data loop.
+    //
+    // INCREMENTAL gains: instead of re-running the full anti-join +
+    // per-doc count every round (k scans of the whole trigram frame),
+    // maintain a |docs|-row gains frame and subtract, per round, only
+    // the counts of trigrams the new pick JUST covered (tri x newCov is
+    // the matched subset, broadcast-joined). A picked doc's gain lands
+    // exactly at 0 (its uncovered set became covered), so the gain > 0
+    // filter reproduces the original argmax domain (docs with >= 1
+    // uncovered trigram) with no pick-exclusion bookkeeping. newCov
+    // frames are disjoint by construction, so `covered` stays a lazy
+    // union of per-round checkpoints.
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    for (r <- 1 to k) {
-      val covered =
-        if (picks.isEmpty) spark.range(0).select(col("id").as("g"))
-        else tri.filter(col("doc_id").isin(picks.map(_._2).toSeq: _*))
-          .select(col("g")).distinct()
-      val best = tri.join(bc(covered), Seq("g"), "left_anti")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+    // AQE's per-stage job materialization triples the job count on these
+    // model-sized round frames (gains = one row per doc with a live
+    // trigram, deltas smaller) for zero adaptive benefit — the joins are
+    // explicitly broadcast-hinted. Scoped off for the greedy loop,
+    // restored in finally.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+    var gains = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+      .localCheckpoint()
+    var covered: DataFrame = null
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best = gains.filter(col("gain") > 0)
         .agg(max(struct(col("gain"), (-col("doc_id")).as("nd"))).as("b"))
         .select((-col("b.nd")).as("doc_id"), col("b.gain").as("gain"))
         // coverage exhausted before k picks (every remaining doc fully
@@ -264,8 +280,29 @@ object Curation {
         // the pick list ends exactly where the oracle's does
         .filter(col("doc_id").isNotNull)
         .collect()
-      best.foreach(row => picks += ((r, row.getLong(0), row.getLong(1))))
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        picks += ((r, row.getLong(0), row.getLong(1)))
+        if (r < k) { // the last pick needs no state update
+          val mine = tri.filter(col("doc_id") === row.getLong(0)).select(col("g"))
+          val newCov = (if (covered == null) mine
+            else mine.join(bc(covered), Seq("g"), "left_anti"))
+            .localCheckpoint()
+          covered = if (covered == null) newCov else covered.union(newCov)
+          val delta = tri.join(bc(newCov), Seq("g"))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("d"))
+          val prev = gains
+          gains = gains.join(delta, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (col("gain") - coalesce(col("d"), lit(0L))).as("gain"))
+            .localCheckpoint()
+          graft.operators.SuffixArray.freeCheckpoint(prev)
+        }
+      }
+      r += 1
     }
+    } finally spark.conf.set(aqeKey, aqePrev)
     val cum = picks.scanLeft(0L)(_ + _._3).tail
     import spark.implicits._
     picks.toSeq.zip(cum)

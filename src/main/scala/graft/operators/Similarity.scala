@@ -1459,36 +1459,56 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(sum(col("x_fp").cast("decimal(38,0)") * col("q_fp"))
         .cast("decimal(38,0)").as("rel"))
-    val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(poolN)
-      .localCheckpoint() // driven by k greedy rounds + the sim matrix
-    val candDims = vd.join(cand.select(col("vec_id")), Seq("vec_id"),
-      "left_semi")
-    val sims = candDims
+    // The pool and its pairwise sim matrix are BOUNDED BY CONSTRUCTION
+    // (poolN rows, poolN^2 pairs — corpus-independent), so the k greedy
+    // rounds run on the driver in exact BigInt arithmetic instead of as
+    // k distributed join/checkpoint rounds: the old loop spent ~6 jobs a
+    // round on frames of <= 50 rows (66 jobs, 0.6 s of actual task time
+    // — pure scheduling overhead). Same class as the repo's other
+    // bounded collects (1-row argmaxes, kxdim centroid models).
+    val candRows = rel.orderBy(col("rel").desc, col("vec_id")).limit(poolN)
+      .collect()
+      .map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger)))
+    val poolIds = candRows.map(_._1)
+    val candDims = vd.filter(col("vec_id").isin(poolIds: _*))
+    val simRows = candDims
       .join(candDims.select(col("vec_id").as("b"), col("dim"),
         col("x_fp").as("y_fp")), Seq("dim"))
       .filter(col("vec_id") =!= col("b"))
       .groupBy(col("vec_id").as("a"), col("b"))
       .agg(sum(col("x_fp").cast("decimal(38,0)") * col("y_fp"))
         .cast("decimal(38,0)").as("sim"))
-      .localCheckpoint() // reused every round
-    var selected = cand.limit(0)
-      .select(col("vec_id"), col("rel"), lit(0).as("rank"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        BigInt(r.getDecimal(2).toBigInteger))).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, BigInt)]
     for (i <- 1 to k) {
-      val sel = selected.select(col("vec_id").as("b"))
-      val maxSim = sims.join(broadcast(sel), Seq("b"))
-        .groupBy(col("a")).agg(max(col("sim")).as("ms"))
-      val pick = cand
-        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .join(maxSim.withColumnRenamed("a", "vec_id"), Seq("vec_id"),
-          "left")
-        .select(col("vec_id"), col("rel"),
-          (col("rel") * 7 - coalesce(col("ms"), lit(0)) * 3)
-            .cast("decimal(38,0)").as("score"))
-        .orderBy(col("score").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(i).as("rank"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      val remaining = candRows.filter { case (id, _) =>
+        !selected.exists(_._2 == id) }
+      if (remaining.nonEmpty) {
+        val pick = remaining.map { case (id, rl) =>
+          val ms = selected.map(s => simRows.getOrElse((id, s._2), BigInt(0)))
+            .reduceOption(_ max _).getOrElse(BigInt(0))
+          (id, rl, rl * 7 - ms * 3)
+        }.minBy { case (id, _, score) => (-score, id) }(
+          Ordering.Tuple2(Ordering.BigInt, Ordering.Long))
+        selected += ((i, pick._1, pick._2))
+      }
     }
-    selected
+    // the rank->rel frame is k driver rows; the DIV spelling runs in
+    // Spark on the exact decimal(38,0) values, unchanged
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rel",
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false)))
+    val rows = selected.toSeq.map { case (r, id, rl) =>
+      org.apache.spark.sql.Row(r, id, new java.math.BigDecimal(rl.bigInteger)) }
+    embeddings.sparkSession
+      .createDataFrame(
+        embeddings.sparkSession.sparkContext.parallelize(rows, 1), schema)
       .select(col("rank"), col("vec_id"),
         expr("cast(CASE WHEN rel >= 0 THEN rel DIV 1073741824" +
           " ELSE -((-rel) DIV 1073741824) END as bigint)")
@@ -1587,39 +1607,69 @@ object Similarity {
           .as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim"), fp(col("x")).as("x_fp"))
       .localCheckpoint() // scanned once per round; pin the explode
-    val first = embeddings.agg(min(col("vec_id")).as("vec_id"))
-      .select(col("vec_id"), lit(1).as("rank"),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)").as("dmin"))
-    var selected = first.localCheckpoint()
-    // standing per-point distance to the nearest selected center
+    // `state` (per-point distance to the nearest center) is corpus-sized
+    // and stays distributed; the PICKS are k rows — driver-side
+    // bookkeeping. The old loop spent ~7 jobs a round on k-row frames
+    // (selected checkpoint, pick anti-join checkpoint, broadcast of a
+    // filter it could express as a literal); now a round is the dNew
+    // scan + state checkpoint + one 1-row argmax collect, and the
+    // removal of the picked point is a literal filter on the next
+    // round's input (72 jobs / 0.85 s task time -> ~24 jobs).
+    val firstId = embeddings.agg(min(col("vec_id"))).head().getLong(0)
+    val picks = scala.collection.mutable.ArrayBuffer[
+      (Int, Long, java.math.BigDecimal)](
+      (1, firstId, java.math.BigDecimal.ZERO))
     var state = vd.select(col("vec_id")).distinct()
-      .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") =!= firstId)
       .withColumn("dmin", lit(null).cast("decimal(38,0)"))
       .localCheckpoint()
-    for (i <- 2 to k) {
-      val newCenter = selected.filter(col("rank") === (i - 1))
-        .select(col("vec_id").as("c_id"))
-      val cDims = vd.join(broadcast(newCenter),
-        col("vec_id") === col("c_id"))
-        .select(col("dim"), col("x_fp").as("c_fp"))
-      val dNew = vd.join(broadcast(cDims), Seq("dim"))
-        .groupBy(col("vec_id"))
-        .agg(sum((col("x_fp") - col("c_fp")).cast("decimal(38,0)") *
-          (col("x_fp") - col("c_fp"))).cast("decimal(38,0)").as("d_new"))
-      state = state
-        .join(dNew, Seq("vec_id"))
-        .select(col("vec_id"),
-          least(coalesce(col("dmin"), col("d_new")), col("d_new"))
-            .as("dmin"))
-        .localCheckpoint()
-      val pick = state
-        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), lit(i).as("rank"), col("dmin"))
-      selected = selected.unionByName(pick).localCheckpoint()
-      state = state.join(pick.select(col("vec_id")), Seq("vec_id"),
-        "left_anti").localCheckpoint()
-    }
-    selected
+    // AQE materializes every exchange of these small per-round plans as
+    // its own job (~7 jobs/round) for no adaptive benefit — the only
+    // big-small join is already broadcast-hinted. Off for the loop, the
+    // state checkpoint also keeps its hash(vec_id) partitioning (see
+    // SuffixArray.docClustered), so each round's state-dNew join
+    // re-shuffles only the dNew side.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = embeddings.sparkSession.conf.get(aqeKey, "true")
+    embeddings.sparkSession.conf.set(aqeKey, "false")
+    try {
+      var i = 2
+      var exhausted = false
+      while (i <= k && !exhausted) {
+        val cid = picks.last._2
+        val cDims = vd.filter(col("vec_id") === cid)
+          .select(col("dim"), col("x_fp").as("c_fp"))
+        val dNew = vd.join(broadcast(cDims), Seq("dim"))
+          .groupBy(col("vec_id"))
+          .agg(sum((col("x_fp") - col("c_fp")).cast("decimal(38,0)") *
+            (col("x_fp") - col("c_fp"))).cast("decimal(38,0)").as("d_new"))
+        val prev = state
+        state = state.filter(col("vec_id") =!= cid)
+          .join(dNew, Seq("vec_id"))
+          .select(col("vec_id"),
+            least(coalesce(col("dmin"), col("d_new")), col("d_new"))
+              .as("dmin"))
+          .localCheckpoint()
+        SuffixArray.freeCheckpoint(prev)
+        val pick = state
+          .orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()
+        if (pick.isEmpty) exhausted = true // fewer points than k: done
+        else picks += ((i, pick.head.getLong(0), pick.head.getDecimal(1)))
+        i += 1
+      }
+    } finally embeddings.sparkSession.conf.set(aqeKey, aqePrev)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dmin",
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false)))
+    val rows = picks.toSeq.map { case (r, id, d) =>
+      org.apache.spark.sql.Row(r, id, d) }
+    embeddings.sparkSession
+      .createDataFrame(
+        embeddings.sparkSession.sparkContext.parallelize(rows, 1), schema)
       .select(col("rank"), col("vec_id"),
         expr("cast(dmin DIV 1073741824 as bigint)").as("radius_fp"))
       .orderBy(col("rank"))

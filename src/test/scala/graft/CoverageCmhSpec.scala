@@ -7,6 +7,32 @@ import graft.operators.{Curation, Experiment}
 /** Fixture pins for greedy coverage selection and the CMH estimator. */
 class CoverageCmhSpec extends SparkTestBase {
 
+  test("wordShingles(3) set == the declarative transform(sequence) trigram set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // repeated/leading/trailing spaces produce EMPTY tokens in both
+    // spellings; short docs produce empty arrays; duplicates within a
+    // doc collapse (the declarative side dedups via array_distinct here,
+    // mirroring coverageSelection's old per-(doc,g) distinct)
+    val docs = Seq("a b c d e f", "a  b c", " a b c ", "x y", "", "a b c a b c",
+      "w w w w").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val decl = docs.select(col("doc_id"), explode(expr(
+      """array_distinct(case when size(split(text, ' ')) >= 3 then
+        |  transform(
+        |    sequence(1, size(split(text, ' ')) - 2),
+        |    i -> concat_ws(' ',
+        |      element_at(split(text, ' '), i),
+        |      element_at(split(text, ' '), i + 1),
+        |      element_at(split(text, ' '), i + 2)))
+        |else array() end)""".stripMargin)).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = docs.select(col("doc_id"),
+      explode(graft.functions.GraftColumns.wordShingles(col("text"), 3)).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == decl)
+  }
+
   test("coverageSelection: greedy picks maximize marginal trigram gain") {
     import spark.implicits._
     // doc 5: 6 trigrams; doc 7: 4 trigrams, 2 shared with doc 5;
