@@ -673,6 +673,43 @@ object Dedup {
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
 
+  /** Session-scoped cache of the CHECKPOINTED [[hashedShingleDf]] frame:
+    * six centrality/graph queries derive their shared-span graph from
+    * the same (doc_id, sh, df) frame over the same corpus — the
+    * build-the-index-once pattern of [[SuffixArray.build]], with the
+    * same key discipline (LocalRelations bypass; applicationId keys out
+    * dead checkpoints; wholesale clear-with-unpersist at capacity).
+    */
+  private val shingleDfCache =
+    scala.collection.mutable.Map.empty[((String, String, String), Int), DataFrame]
+
+  private[graft] def hashedShingleDfCached(
+      documents: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    if (documents.queryExecution.logical.exists(_.isInstanceOf[LocalRelation]))
+      return hashedShingleDf(documents, k)
+    val key = (SuffixArray.corpusKey(documents), k)
+    shingleDfCache.synchronized(shingleDfCache.get(key)) match {
+      case Some(df) => df
+      case None =>
+        val computed = hashedShingleDf(documents, k).localCheckpoint()
+        shingleDfCache.synchronized {
+          shingleDfCache.get(key) match {
+            case Some(df) =>
+              SuffixArray.freeCheckpoint(computed) // ours, unseen by anyone
+              df
+            case None =>
+              if (shingleDfCache.size >= 4) {
+                shingleDfCache.valuesIterator.foreach(SuffixArray.freeCheckpoint)
+                shingleDfCache.clear()
+              }
+              shingleDfCache.update(key, computed)
+              computed
+          }
+        }
+    }
+  }
+
   /** Cross-document duplicated n-gram fraction — the document-level signal of
     * the exact-substring-dedup family (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better"): for each document, what
@@ -685,7 +722,7 @@ object Dedup {
     * df == number of documents containing the shingle.
     */
   def crossDocNgramOverlap(documents: DataFrame, k: Int = 3): DataFrame = {
-    hashedShingleDf(documents, k)
+    hashedShingleDfCached(documents, k)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),
