@@ -1092,6 +1092,66 @@ object AsciiCommonPrefixLen {
   }
 }
 
+/** First element of a SORTED-ascending int array strictly greater than
+  * the probe, null when none — the greedy-witness step of sequential
+  * pattern support (first occurrence of the next symbol after the
+  * current prefix position). Replaces the interpreted
+  * `element_at(filter(arr, x -> x > v), 1)` HOF pair on the Apriori
+  * join path: one bounded loop, stays in whole-stage codegen, and the
+  * null (not ANSI-throw) empty case needs no CaseWhen guard.
+  */
+case class FirstGreaterInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "first_greater_int"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, int)")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[Int]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getInt(i)
+        if (x > v) return x
+      }
+      i += 1
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val found = ctx.freshName("found")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $found = false;
+         |for (int $i = 0; $i < $n && !$found; $i++) {
+         |  if (!$a.isNullAt($i) && $a.getInt($i) > $b) {
+         |    ${ev.value} = $a.getInt($i);
+         |    $found = true;
+         |  }
+         |}
+         |if (!$found) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstGreaterInt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the native expressions (no registry needed —
   * Spark 4's classic ExpressionUtils bridges Expression -> Column), so
   * `Similarity.cosine`/`lshBucket` work on any session out of the box.
@@ -1153,6 +1213,8 @@ object GraftColumns {
     ColumnBridge.column(PackAscii(child(c)))
   def asciiCommonPrefixLen(a: Column, b: Column): Column =
     ColumnBridge.column(AsciiCommonPrefixLen(child(a), child(b)))
+  def firstGreaterInt(arr: Column, v: Column): Column =
+    ColumnBridge.column(FirstGreaterInt(child(arr), child(v)))
 }
 
 /** SQL registration for the custom expressions (usable via `expr(...)` and

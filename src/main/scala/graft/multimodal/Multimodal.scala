@@ -659,10 +659,49 @@ object Multimodal {
     * ([[persistFingerprints]] — lifecycle-tracked, see [[release]]) and
     * the three codecs run ONCE regardless of corpus size or backing.
     */
+  /** Session-scoped cache of the CHECKPOINTED crossmodal fingerprint
+    * frame: the funnel, the survivor projection and the train manifest
+    * all decode the same corpus through the same three codecs — decode
+    * once per corpus per session (the [[graft.operators.SuffixArray]]
+    * cache discipline; 44 bytes/doc, wholesale clear-with-unpersist).
+    * Streaming/in-memory frames bypass (the streaming path feeds the
+    * standing digest index instead).
+    */
+  private val crossmodalFpCache = scala.collection.mutable.Map
+    .empty[(String, String, String), DataFrame]
+
+  private def crossmodalFpCached(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    if (documents.isStreaming ||
+        documents.queryExecution.logical.exists(_.isInstanceOf[LocalRelation]))
+      return crossmodalFingerprints(documents)
+    val key = graft.operators.SuffixArray.corpusKey(documents)
+    crossmodalFpCache.synchronized(crossmodalFpCache.get(key)) match {
+      case Some(df) => df
+      case None =>
+        val computed = crossmodalFingerprints(documents).localCheckpoint()
+        crossmodalFpCache.synchronized {
+          crossmodalFpCache.get(key) match {
+            case Some(df) =>
+              graft.operators.SuffixArray.freeCheckpoint(computed)
+              df
+            case None =>
+              if (crossmodalFpCache.size >= 4) {
+                crossmodalFpCache.valuesIterator
+                  .foreach(graft.operators.SuffixArray.freeCheckpoint)
+                crossmodalFpCache.clear()
+              }
+              crossmodalFpCache.update(key, computed)
+              computed
+          }
+        }
+    }
+  }
+
   private def crossmodalFlags(
       documents: DataFrame, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val Seq(fps) = persistFingerprints(crossmodalFingerprints(documents))
+    val fps = crossmodalFpCached(documents)
     val f1 = fps.withColumn("f1",
       col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("afp"))))
     val dropsA = graft.operators.Dedup.bandedHammingPairs(

@@ -81,10 +81,13 @@ object SeqMining {
     val minSup = totalSessions / 100 + 1
 
     // L1: support = sessions containing the type at least once.
+    // L-frames are alphabet-bounded; localCheckpoint (not cache) so the
+    // final union can outlive tp's unpersist without recomputing the
+    // events window per reference (the lazy-l3 plan re-ran it 3x).
     val l1 = tp.groupBy(col("event_type").as("t1"))
       .agg(count(lit(1)).as("support")) // one row per (session,type)
       .filter(col("support") >= minSup)
-      .cache()
+      .localCheckpoint()
     // alphabet-bounded collect (≤ |Σ| rows) — the Apriori frontier
     val f1 = l1.select(col("t1")).as[String].collect().toSeq.sorted
 
@@ -100,12 +103,15 @@ object SeqMining {
         .join(tp.select(col("user_id"), col("blk"),
           col("event_type").as("t2"), col("ps").as("ps2")),
           Seq("user_id", "blk", "t2"))
-        .filter(size(filter(col("ps2"), x => x > col("p1"))) > 0)
+        // ps2 is sorted ascending, so "any element after p1" is just a
+        // last-element compare — the interpreted filter() HOF re-entered
+        // its lambda per element on every joined row (guide §4)
+        .filter(element_at(col("ps2"), -1) > col("p1"))
         .groupBy(col("t1"), col("t2"))
         .agg(count(lit(1)).as("support"))
 
     val l2 = support2(candidates2(f1, f1))
-      .filter(col("support") >= minSup).cache()
+      .filter(col("support") >= minSup).localCheckpoint()
     val f2 = l2.select(col("t1"), col("t2")).as[(String, String)]
       .collect().toSeq.sorted
     val f2set = f2.toSet
@@ -128,21 +134,20 @@ object SeqMining {
           .join(tp.select(col("user_id"), col("blk"),
             col("event_type").as("t2"), col("ps").as("ps2")),
             Seq("user_id", "blk", "t2"))
-          // CaseWhen is lazy, so the ANSI element_at never sees the
-          // empty array (plain element_at(...,1) throws under Spark 4
-          // ANSI when no t2 position follows p1).
-          .withColumn("ps2_after", filter(col("ps2"), x => x > col("p1")))
-          .withColumn("p2",
-            when(size(col("ps2_after")) > 0,
-              element_at(col("ps2_after"), 1)))
+          // native greedy witness: first t2 position strictly after p1
+          // (null when none — no CaseWhen/ANSI guard needed, unlike the
+          // element_at(filter(...), 1) HOF pair it replaces)
+          .withColumn("p2", graft.functions.GraftColumns
+            .firstGreaterInt(col("ps2"), col("p1")))
           .filter(col("p2").isNotNull)
           .join(tp.select(col("user_id"), col("blk"),
             col("event_type").as("t3"), col("ps").as("ps3")),
             Seq("user_id", "blk", "t3"))
-          .filter(size(filter(col("ps3"), x => x > col("p2"))) > 0)
+          .filter(element_at(col("ps3"), -1) > col("p2"))
           .groupBy(col("t1"), col("t2"), col("t3"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= minSup)
+          .localCheckpoint()
 
     val out = l1
       .select(col("t1").as("pattern"), lit(1).as("len"), col("support"))
@@ -153,6 +158,8 @@ object SeqMining {
         concat_ws(">", col("t1"), col("t2"), col("t3")).as("pattern"),
         lit(3).as("len"), col("support")))
       .orderBy(col("len"), col("pattern"))
+    // l1/l2/l3 are materialized checkpoints, so tp (and the events
+    // window under it) is safe to drop before the caller's action
     tp.unpersist()
     out
   }

@@ -42,15 +42,23 @@ object WeightedJaccard {
   def weightedJaccardRerank(
       documents: DataFrame, k: Int = 3, maxDf: Long = 50L): DataFrame = {
     val setThresholdInv = 4L // set-Jaccard gate = 1/setThresholdInv
+    // df from a count-only window, not groupBy+join-back (the
+    // hashedShingleDf argument: the join formulation re-explodes the
+    // corpus for the dfreq side), and the filtered frame is CHECKPOINTED
+    // before the self-join — each side of a self-join otherwise
+    // re-executes the whole explode+window subtree (the before-plan had
+    // SIX Generate nodes and ten Exchanges for two logical explodes).
     val occ = Dedup.shingles(Layout.widen(documents), k)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val dfreq = occ.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val uni = occ.join(dfreq, Seq("shingle")).filter(col("df") <= maxDf)
+    val uni = occ.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
     val sh = uni
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")))
         .cast("long"))
       .filter(col("df") >= 2L)
+      .localCheckpoint()
     val pruneT = lit(1.0 / setThresholdInv - 1e-9)
     val cands = sh.as("a")
       .join(sh.as("b"),
@@ -69,11 +77,14 @@ object WeightedJaccard {
     // token histograms with the doc length riding along (functionally
     // dependent on doc_id — no separate lengths aggregate)
     val toks = TextAnalysis.tokens(col("text"))
+    // checkpointed for the same reason as `sh`: ha and hb below would
+    // each re-run the token explode + aggregate
     val hist = documents
       .select(col("doc_id"), size(toks).cast("long").as("len"),
         explode(toks).as("token"))
       .groupBy(col("doc_id"), col("len"), col("token"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val ha = hist.select(col("doc_id").as("doc_a"), col("len").as("len_a"),
       col("token"), col("c").as("ca"))
     val hb = hist.select(col("doc_id").as("doc_b"), col("len").as("len_b"),

@@ -104,6 +104,33 @@ class NativeHotPathSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("FirstGreaterInt equals element_at(filter(...), 1) on sorted arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val arr = Seq.fill(rnd.nextInt(6))(rnd.nextInt(10)).sorted
+      (arr, rnd.nextInt(12) - 1)
+    }
+    val df = rows.toDF("arr", "v")
+    val native = df.select(graft.functions.GraftColumns
+      .firstGreaterInt(col("arr"), col("v"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    val hof = df.select(
+      when(size(filter(col("arr"), x => x > col("v"))) > 0,
+        element_at(filter(col("arr"), x => x > col("v")), 1))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(native.toSeq == hof.toSeq)
+    // and the sorted-array existence identity used beside it
+    val exLast = df.filter(size(col("arr")) > 0)
+      .select((element_at(col("arr"), -1) > col("v")).as("e")).collect()
+      .map(_.getBoolean(0))
+    val exHof = df.filter(size(col("arr")) > 0)
+      .select((size(filter(col("arr"), x => x > col("v"))) > 0).as("e"))
+      .collect().map(_.getBoolean(0))
+    assert(exLast.toSeq == exHof.toSeq)
+  }
+
   test("gramMatrix on the real corpus matches the HOF recompute") {
     val emb = Tables.embeddings(spark, sf)
     val got = graft.operators.Pca.gramMatrix(emb)
